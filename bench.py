@@ -1,0 +1,73 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_region_revenue",
+    "metrics_rollup_minute",
+    "active_users_daily",
+    "profile_traits_fold",
+    "sessionize",
+    "ur_backfill_enrich",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32") or "32")
+
+    from jitsu_spark.registry import QUERIES
+    from jitsu_spark.session import get_spark
+
+    spark = get_spark("jitsu-spark-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup on the tiny sf so first-query JIT cost doesn't
+    # pollute the measurement.
+    QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001").count()
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    extra = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if extra:
+        names = [n for n in extra.split(",") if n in QUERIES]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        df = QUERIES[name](spark, sf_dir)
+        # Materialize fully (all rows) without driver collect overhead.
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = sf
+    result = {
+        "metric": "headline_query_wall_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_num,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,399 @@
+"""Event-pipeline operators over the `events` stream table.
+
+Each operator re-expresses a capability of the reference (file:line cited per
+function) as a declarative DataFrame transform. The same transforms run
+unchanged on a Structured Streaming DataFrame (see jitsu_spark.streaming);
+here they are exposed batch-first so the DuckDB oracle can check them.
+
+Scale notes: every groupBy below carries partial aggregation; the heavy
+groupings (minute rollup, per-user folds) key on high-cardinality columns
+(user_id, minute) so the shuffle is well-spread; no driver-side collect
+anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+SESSION_GAP_MIN = 30
+
+
+def event_type_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 — event-type/name filter.
+
+    Reference: `libs/core-functions/src/functions/lib/index.ts:231-242`
+    (CSV of allowed types); connection option `events`
+    (`webapps/console/lib/schema/destinations.tsx:126`).
+    Plain isin predicate -> pushed down to the parquet scan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.where(F.col("event_type").isin("purchase", "signup")).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+EVENT_TYPE_FILTER_SQL = """
+SELECT event_id, ts, user_id, event_type, value
+FROM events
+WHERE event_type IN ('purchase', 'signup')
+"""
+
+
+def metrics_rollup_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — per-minute status rollup.
+
+    Reference: `services/rotor/src/lib/metrics.ts:140-196` (minute-truncated
+    timestamp, status counts, events=1 rows summed downstream).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("minute", "ts").alias("period"),
+            F.col("event_type").alias("status"),
+        )
+        .agg(F.count(F.lit(1)).alias("events"))
+    )
+
+
+METRICS_ROLLUP_MINUTE_SQL = """
+SELECT date_trunc('minute', ts) AS period,
+       event_type AS status,
+       count(*) AS events
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def active_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — "active events/users" per period, exact-distinct flavor.
+
+    Reference: `webapps/console/prisma/metrics.sql:2-29` (`uniqState` per
+    hour) queried by `reports/active-events.ts:40-50` (`uniqMerge` per day).
+    The approximate (HLL) flavor the reference actually stores is
+    `active_users_daily_approx` in metrics_approx.py; this exact variant is
+    the oracle-checkable contract.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("period"))
+        .agg(
+            F.countDistinct("user_id").alias("active_users"),
+            F.count(F.lit(1)).alias("events"),
+        )
+    )
+
+
+ACTIVE_USERS_DAILY_SQL = """
+SELECT date_trunc('day', ts) AS period,
+       count(DISTINCT user_id) AS active_users,
+       count(*) AS events
+FROM events
+GROUP BY 1
+"""
+
+
+def report_event_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — the console report query: period x status counts.
+
+    Reference: `webapps/console/pages/api/[workspaceId]/reports/event-stat.ts:40-56`
+    (`date_trunc(granularity), sumMerge(events) ... GROUP BY period, status
+    ORDER BY period desc`).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("day", "ts").alias("period"),
+            F.col("event_type").alias("status"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy(F.desc("period"), F.desc("events"))
+    )
+
+
+REPORT_EVENT_STAT_SQL = """
+SELECT date_trunc('day', ts) AS period,
+       event_type AS status,
+       count(*) AS events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY period DESC, events DESC
+"""
+
+
+def events_log_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 — events-log tail: newest N entries.
+
+    Reference: `webapps/console/pages/api/[workspaceId]/log/[type]/[actorId].ts:54-61`
+    (`ORDER BY timestamp DESC LIMIT n`). event_id is the deterministic
+    tiebreak. Spark plans TakeOrderedAndProject: per-partition top-k then a
+    k-row merge on the driver — no global sort at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.desc("ts"), F.asc("event_id"))
+        .select("event_id", "ts", "user_id", "event_type")
+        .limit(100)
+    )
+
+
+EVENTS_LOG_TAIL_SQL = """
+SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, user_id, event_type
+FROM events
+ORDER BY ts DESC, event_id ASC
+LIMIT 100
+"""
+
+
+def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12/P5 — JSON property extraction from the open `props` bag.
+
+    Reference: open `properties` bag handling
+    (`libs/core-functions/src/functions/lib/index.ts:161-225`), JSON
+    stringify/parse of nested fields
+    (`libs/core-functions/src/functions/bulker-destination.ts:352-363`).
+    get_json_object stays JVM-side (Jackson) — no Python in the hot path.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(F.get_json_object("props", "$.k").cast("bigint").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+PROPS_JSON_EXTRACT_SQL = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       count(*) AS cnt
+FROM events
+GROUP BY 1
+"""
+
+
+def profile_traits_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/A1-lite — per-user last-write-wins fold + lifetime aggregates.
+
+    Reference: `services/profiles/src/builder.ts:211-220` (Object.assign fold
+    of identify traits, last write wins) and first-touch semantics at
+    `libs/core-functions/src/functions/mixpanel-destination.ts:309-334`.
+    max_by/min_by are single-pass JVM aggregates — no window, no second
+    shuffle; (ts, event_id) pairs are unique so the fold is deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # Deterministic total order as a sortable string (ts then event_id):
+    # DuckDB's arg_max/arg_min take a single scalar key, so both sides use
+    # the same zero-padded key.
+    order_key = (
+        "concat(lpad(cast(unix_micros(ts) as string), 20, '0'),"
+        " lpad(cast(event_id as string), 12, '0'))"
+    )
+    return ev.groupBy("user_id").agg(
+        F.expr(f"max_by(event_type, {order_key})").alias("last_event_type"),
+        F.expr(f"min_by(event_type, {order_key})").alias("first_event_type"),
+        F.max("ts").alias("last_seen"),
+        F.min("ts").alias("first_seen"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+PROFILE_TRAITS_FOLD_SQL = """
+SELECT user_id,
+       arg_max(event_type, printf('%020d', epoch_us(ts)) || printf('%012d', event_id)) AS last_event_type,
+       arg_min(event_type, printf('%020d', epoch_us(ts)) || printf('%012d', event_id)) AS first_event_type,
+       max(make_timestamp(epoch_ns(ts) // 1000)) AS last_seen,
+       min(make_timestamp(epoch_ns(ts) // 1000)) AS first_seen,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4-analog — gap-based sessionization (30-min inactivity gap).
+
+    The reference expresses session-ish state via TTL'd KV buffers
+    (`libs/core-functions/src/functions/lib/store.ts:7`, user-recognition
+    event buffers `user-recognition.ts:24-82`); the relational equivalent is
+    a per-user lag window. Single shuffle on user_id; both window and the
+    final groupBy reuse that partitioning (no second exchange).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_sec = SESSION_GAP_MIN * 60
+    with_gap = ev.withColumn(
+        "new_session",
+        (
+            F.col("ts").cast("double")
+            - F.coalesce(F.lag("ts").over(w).cast("double"), F.lit(0.0))
+            > gap_sec
+        ).cast("int"),
+    )
+    sessions = with_gap.withColumn(
+        "session_id", F.sum("new_session").over(w)
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.round(
+                F.avg(
+                    F.col("session_end").cast("double")
+                    - F.col("session_start").cast("double")
+                ),
+                2,
+            ).alias("avg_session_sec"),
+        )
+    )
+
+
+SESSIONIZE_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch(ts) - coalesce(epoch(lag(ts) OVER w), 0.0) > {SESSION_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events,
+         min(ts) AS session_start, max(ts) AS session_end
+  FROM numbered
+  GROUP BY 1, 2
+)
+SELECT user_id,
+       count(*) AS n_sessions,
+       sum(n_events) AS n_events,
+       round(avg(epoch(session_end) - epoch(session_start)), 2) AS avg_session_sec
+FROM per_session
+GROUP BY user_id
+"""
+
+
+def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel — signup -> purchase conversion per user.
+
+    Capability analog of the reference's per-user event-sequence analysis
+    (profile builder scanning user history, `services/profiles/src/builder.ts:294-303`).
+    Conditional aggregation: one shuffle on user_id, no self-join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "first_signup"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    return per_user.select(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("first_signup").alias("n_signed_up"),
+        F.count(
+            F.when(F.col("first_purchase") > F.col("first_signup"), F.lit(1))
+        ).alias("n_converted"),
+    )
+
+
+FUNNEL_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup'   THEN ts END) AS first_signup,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events
+  GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       count(first_signup) AS n_signed_up,
+       count(CASE WHEN first_purchase > first_signup THEN 1 END) AS n_converted
+FROM per_user
+"""
+
+
+def ur_backfill_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 (batch form) — retroactive identity enrichment.
+
+    Reference: user recognition buffers anonymous events and back-fills
+    identity once an identify event arrives
+    (`libs/core-functions/src/functions/user-recognition.ts:24-82`). Batch
+    equivalent: left-join events against the per-user identity watermark
+    (first signup ts) and tag each event pre/post identification. The
+    identity side is a tiny aggregate -> broadcast join, no shuffle of the
+    event stream.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    identities = ev.where(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("identified_at")
+    )
+    return (
+        ev.join(F.broadcast(identities), "user_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            (
+                F.col("identified_at").isNotNull()
+                & (F.col("ts") >= F.col("identified_at"))
+            ).alias("identified"),
+        )
+    )
+
+
+UR_BACKFILL_SQL = """
+WITH identities AS (
+  SELECT user_id, min(ts) AS identified_at
+  FROM events
+  WHERE event_type = 'signup'
+  GROUP BY user_id
+)
+SELECT e.event_id,
+       e.user_id,
+       e.event_type,
+       (i.identified_at IS NOT NULL AND e.ts >= i.identified_at) AS identified
+FROM events e
+LEFT JOIN identities i USING (user_id)
+"""
+
+
+QUERIES = {
+    "event_type_filter": event_type_filter,
+    "metrics_rollup_minute": metrics_rollup_minute,
+    "active_users_daily": active_users_daily,
+    "report_event_stat": report_event_stat,
+    "events_log_tail": events_log_tail,
+    "props_json_extract": props_json_extract,
+    "profile_traits_fold": profile_traits_fold,
+    "sessionize": sessionize,
+    "funnel_signup_purchase": funnel_signup_purchase,
+    "ur_backfill_enrich": ur_backfill_enrich,
+}
+
+ORACLE = {
+    "event_type_filter": EVENT_TYPE_FILTER_SQL,
+    "metrics_rollup_minute": METRICS_ROLLUP_MINUTE_SQL,
+    "active_users_daily": ACTIVE_USERS_DAILY_SQL,
+    "report_event_stat": REPORT_EVENT_STAT_SQL,
+    "events_log_tail": EVENTS_LOG_TAIL_SQL,
+    "props_json_extract": PROPS_JSON_EXTRACT_SQL,
+    "profile_traits_fold": PROFILE_TRAITS_FOLD_SQL,
+    "sessionize": SESSIONIZE_SQL,
+    "funnel_signup_purchase": FUNNEL_SQL,
+    "ur_backfill_enrich": UR_BACKFILL_SQL,
+}

@@ -1,0 +1,20 @@
+"""Aggregated query + oracle registries (the SURVEY.md §2 coverage surface).
+
+Every operator module contributes QUERIES (name -> (spark, sf_dir) ->
+DataFrame) and ORACLE (name -> DuckDB SQL). Names are stable contract keys:
+the driver hash-compares each pair at sf0.01.
+"""
+
+from __future__ import annotations
+
+from .operators import events_ops, relational
+
+_MODULES = [relational, events_ops]
+
+QUERIES = {}
+ORACLES = {}
+for _m in _MODULES:
+    for _k, _v in _m.QUERIES.items():
+        assert _k not in QUERIES, f"duplicate query name {_k}"
+        QUERIES[_k] = _v
+    ORACLES.update(getattr(_m, "ORACLE", {}))

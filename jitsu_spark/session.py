@@ -1,0 +1,50 @@
+"""SparkSession factory tuned for this engine.
+
+Scale stance: these configs are written for a real cluster (AQE on, skew-join
+handling, partial aggregation) and merely *tested* on local[N]. Nothing here
+assumes single-node execution.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "jitsu-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    - AQE enabled: runtime shuffle-partition coalescing + skew-join splitting
+      replace hand-tuned partition counts, which is what survives a 100x
+      scale-up.
+    - Arrow enabled: every pandas UDF / applyInPandas crosses the JVM<->Python
+      boundary in columnar batches, never row-at-a-time pickling.
+    - Broadcast threshold left at default (10 MB); dimension tables (region,
+      nation, supplier, config tables) broadcast automatically, and we also
+      hint explicitly at join sites.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "4") or "4")
+    if shuffle_partitions is None:
+        shuffle_partitions = max(32, cpus)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

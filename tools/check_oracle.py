@@ -1,0 +1,109 @@
+"""Self-check harness replicating the driver's correctness gate.
+
+Runs every queries() entry on Spark and its oracle_sql() on DuckDB over the
+same sf dir, then compares row count, schema width, and an order-insensitive
+value hash (columns sorted by name, rows sorted by stringified values).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+
+    def cell(v):
+        if v is None or v != v:
+            return "NULL"
+        if isinstance(v, float):
+            return f"{v:.6g}"
+        if hasattr(v, "isoformat"):
+            return v.isoformat()
+        if isinstance(v, (list, tuple)):
+            return json.dumps([cell(x) for x in list(v)])
+        return str(v)
+
+    out = df.map(cell)
+    if len(out):
+        out = out.sort_values(by=list(out.columns)).reset_index(drop=True)
+    return out
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    return hashlib.md5(
+        normalize(df).to_csv(index=False).encode()
+    ).hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as e
+    from jitsu_spark.session import get_spark
+    from jitsu_spark.tables import TABLES
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as ex:
+            print(f"FAIL  {name}: spark error: {ex}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"skip  {name}: no oracle (rows={len(sdf)})")
+            continue
+        try:
+            ddf = con.execute(oracles[name]).df()
+        except Exception as ex:
+            print(f"FAIL  {name}: duckdb error: {ex}")
+            failures.append(name)
+            continue
+        dt = time.time() - t0
+        problems = []
+        if len(sdf) != len(ddf):
+            problems.append(f"rows {len(sdf)} vs {len(ddf)}")
+        if sorted(map(str.lower, sdf.columns)) != sorted(map(str.lower, ddf.columns)):
+            problems.append(f"cols {sorted(sdf.columns)} vs {sorted(ddf.columns)}")
+        if not problems and value_hash(sdf) != value_hash(ddf):
+            problems.append("value hash mismatch")
+            a, b = normalize(sdf), normalize(ddf)
+            diff = a.compare(b) if a.shape == b.shape else None
+            if diff is not None and len(diff):
+                print(diff.head(10).to_string())
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)}  ({dt:.1f}s)")
+            failures.append(name)
+        else:
+            print(f"ok    {name}  rows={len(sdf)}  ({dt:.1f}s)")
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
