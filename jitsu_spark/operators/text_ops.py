@@ -1,0 +1,176 @@
+"""Text-analysis operators over the `documents` table — the training-data
+pipeline surface (language ID, quality scoring, token counting, document
+fingerprinting) built entirely from JVM-side expressions.
+
+No Python UDFs anywhere in this module: tokenization is
+regexp_extract_all, shingling is a higher-order-function transform over the
+token array, hashing is built-in md5. At 100 TB each query is a single scan
+with partial aggregation; nothing shuffles full text, only (key, stats).
+
+Capability context from the reference: the event pipeline's scalar
+transform family (snake_case/string normalization
+`libs/core-functions/src/functions/lib/strings.ts:11-35`, name sanitization
+`ga4-destination.ts:163-166`) establishes string ops as first-class
+operators; these extend that family to document corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+# Tokens = maximal runs of non-whitespace; identical regex semantics in
+# Spark (Java regex) and DuckDB (RE2) for this pattern.
+TOKENS = r"regexp_extract_all(text, '\\S+', 0)"
+TOKENS_DUCK = r"regexp_extract_all(text, '\S+')"
+
+# Word 3-gram shingles from a token array `t` (empty when < 3 tokens).
+SHINGLES = (
+    "CASE WHEN size({t}) >= 3 THEN "
+    "transform(sequence(0, size({t}) - 3), i -> concat({t}[i], ' ', {t}[i+1], ' ', {t}[i+2])) "
+    "ELSE array() END"
+)
+SHINGLES_DUCK = (
+    "list_transform(range(1, len({t}) - 1), i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2])"
+)
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+_SW = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punctuation/stopword features per document.
+
+    The classic pre-training quality filter (length ratios, symbol ratios,
+    stopword presence). Single scan, all expressions inside whole-stage
+    codegen.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "doc_id",
+        f"size({TOKENS}) AS n_tokens",
+        "length(text) AS n_chars_actual",
+        # mean token length
+        f"round(length(regexp_replace(text, '\\\\s', '')) / size({TOKENS}), 4) AS avg_token_len",
+        # punctuation density
+        "round(length(regexp_replace(text, '[^.!?,;:]', '')) / length(text), 4) AS punct_ratio",
+        # stopword ratio — the strongest single quality signal
+        f"round(size(filter({TOKENS}, x -> x IN ({_SW}))) / size({TOKENS}), 4) AS stopword_ratio",
+        # unique-token ratio (repetition detector)
+        f"round(size(array_distinct({TOKENS})) / size({TOKENS}), 4) AS distinct_ratio",
+    )
+
+
+TEXT_QUALITY_SQL = f"""
+SELECT doc_id,
+       len({TOKENS_DUCK}) AS n_tokens,
+       length(text) AS n_chars_actual,
+       round(length(regexp_replace(text, '\\s', '', 'g')) / len({TOKENS_DUCK}), 4) AS avg_token_len,
+       round(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) / length(text), 4) AS punct_ratio,
+       round(len(list_filter({TOKENS_DUCK}, x -> x IN ({_SW}))) / len({TOKENS_DUCK}), 4) AS stopword_ratio,
+       round(len(list_distinct({TOKENS_DUCK})) / len({TOKENS_DUCK}), 4) AS distinct_ratio
+FROM documents
+"""
+
+
+def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting grouped by source — the 'how many tokens do
+    we have' pipeline query. Partial agg -> tiny shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.selectExpr("source", f"size({TOKENS}) AS n_tok", "n_chars")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+TOKEN_COUNT_SQL = f"""
+SELECT source,
+       count(*) AS n_docs,
+       sum(len({TOKENS_DUCK})) AS total_tokens,
+       round(avg(len({TOKENS_DUCK})), 4) AS avg_tokens,
+       sum(n_chars) AS total_chars
+FROM documents
+GROUP BY source
+"""
+
+
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID n-gram heuristic (deterministic char-frequency scorer).
+
+    Scores by character-class frequencies (the classic n-gram-profile
+    approach reduced to its cheapest form); emits the predicted label next
+    to the ground-truth `lang` column so accuracy is auditable downstream.
+    A statistically trained profile scorer is the pandas-UDF variant
+    (lang_id_ngram_udf, rows-only check).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    e_ratio = "length(regexp_replace(text, '[^e]', '')) / length(text)"
+    t_ratio = "length(regexp_replace(text, '[^t]', '')) / length(text)"
+    return docs.selectExpr(
+        "doc_id",
+        "lang",
+        f"round({e_ratio}, 4) AS e_ratio",
+        f"round({t_ratio}, 4) AS t_ratio",
+        f"CASE WHEN {e_ratio} > 0.09 AND {t_ratio} > 0.06 THEN 'en' "
+        f"WHEN {e_ratio} > 0.11 THEN 'de' ELSE 'other' END AS lang_pred",
+    )
+
+
+LANG_ID_SQL = """
+SELECT doc_id,
+       lang,
+       round(length(regexp_replace(text, '[^e]', '', 'g')) / length(text), 4) AS e_ratio,
+       round(length(regexp_replace(text, '[^t]', '', 'g')) / length(text), 4) AS t_ratio,
+       CASE WHEN length(regexp_replace(text, '[^e]', '', 'g')) / length(text) > 0.09
+                 AND length(regexp_replace(text, '[^t]', '', 'g')) / length(text) > 0.06 THEN 'en'
+            WHEN length(regexp_replace(text, '[^e]', '', 'g')) / length(text) > 0.11 THEN 'de'
+            ELSE 'other' END AS lang_pred
+FROM documents
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: min-hash-of-shingles fingerprint (winnowing's
+    'min hash in window' reduced to whole-doc min) + shingle count.
+
+    The fingerprint column is a join key for corpus-level near-dup lookups;
+    computing it is one scan, no shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = SHINGLES.format(t=TOKENS)
+    return docs.selectExpr(
+        "doc_id",
+        f"array_min(transform({sh}, s -> md5(s))) AS fingerprint",
+        f"size({sh}) AS n_shingles",
+    )
+
+
+DOC_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       list_min(list_transform({SHINGLES_DUCK.format(t=TOKENS_DUCK)}, s -> md5(s))) AS fingerprint,
+       len({SHINGLES_DUCK.format(t=TOKENS_DUCK)}) AS n_shingles
+FROM documents
+"""
+
+
+QUERIES = {
+    "text_quality_score": text_quality_score,
+    "token_count_by_source": token_count_by_source,
+    "lang_id_heuristic": lang_id_heuristic,
+    "doc_fingerprint": doc_fingerprint,
+}
+
+ORACLE = {
+    "text_quality_score": TEXT_QUALITY_SQL,
+    "token_count_by_source": TOKEN_COUNT_SQL,
+    "lang_id_heuristic": LANG_ID_SQL,
+    "doc_fingerprint": DOC_FINGERPRINT_SQL,
+}
