@@ -7,9 +7,9 @@ the driver hash-compares each pair at sf0.01.
 
 from __future__ import annotations
 
-from .operators import dedup, events_ops, relational, text_ops
+from .operators import dedup, events_ops, relational, similarity, text_ops
 
-_MODULES = [relational, events_ops, text_ops, dedup]
+_MODULES = [relational, events_ops, text_ops, dedup, similarity]
 
 QUERIES = {}
 ORACLES = {}
