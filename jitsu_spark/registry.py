@@ -7,9 +7,10 @@ the driver hash-compares each pair at sf0.01.
 
 from __future__ import annotations
 
+from .events import layouts
 from .operators import dedup, events_ops, relational, similarity, text_ops
 
-_MODULES = [relational, events_ops, text_ops, dedup, similarity]
+_MODULES = [relational, events_ops, text_ops, dedup, similarity, layouts]
 
 QUERIES = {}
 ORACLES = {}
