@@ -1,0 +1,243 @@
+"""Identity stitching — the reference's "user recognition" operator family.
+
+J2 (`libs/core-functions/src/functions/user-recognition.ts:24-82`): anonymous
+events are buffered per anonymousId; when an identified event with the same
+anonymousId arrives, buffered events are re-emitted with userId and traits
+deep-merged. End-to-end exactly-once comes from the sink's MERGE on
+message_id (the re-emit is an upsert), mirroring the reference's
+requirement that the destination deduplicate (`user-recognition.ts:25-30`).
+
+Batch form (this module): a left join of the event stream against a
+per-anonymousId identity aggregate — last-identified-wins userId and
+last-write-wins traits fold. The identity side is tiny relative to the
+stream, so it broadcasts; the stream itself never shuffles.
+
+Streaming form: jitsu_spark.streaming.user_recognition implements the same
+semantics with applyInPandasWithState (30-day state TTL = lookbackWindowDays,
+`user-recognition.ts:16`).
+
+J3 (`mixpanel-destination.ts:395-457`): identity merge bookkeeping as an
+id-graph; connected components via iterative label propagation
+(small-world graphs converge in a few rounds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+
+def identity_map(events: DataFrame) -> DataFrame:
+    """Per-anonymousId identity: latest non-null user_id + merged traits.
+
+    Expects columns: anonymous_id, user_id, traits MAP<STRING,STRING>, ts.
+    Last-write-wins per key is an order-sensitive fold -> max_by on a
+    deterministic (ts, message_id) key; trait maps merge via aggregating
+    exploded entries (JVM-side, partial-agg friendly).
+    """
+    identified = events.where(
+        F.col("user_id").isNotNull() & F.col("anonymous_id").isNotNull()
+    )
+    # (ts, message_id) composite makes latest-wins deterministic under ties.
+    ids = identified.groupBy("anonymous_id").agg(
+        F.expr("max_by(user_id, struct(ts, message_id))").alias("resolved_user_id"),
+        F.max("ts").alias("identified_at"),
+    )
+    # merged traits: explode entries, keep latest value per key, re-assemble
+    entries = identified.select(
+        "anonymous_id",
+        "ts",
+        "message_id",
+        F.explode_outer("traits").alias("t_key", "t_val"),
+    ).where(F.col("t_key").isNotNull() & F.col("t_val").isNotNull())
+    merged = (
+        entries.groupBy("anonymous_id", "t_key")
+        .agg(F.expr("max_by(t_val, struct(ts, message_id))").alias("t_val"))
+        .groupBy("anonymous_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("t_key", "t_val"))
+            ).alias("resolved_traits")
+        )
+    )
+    return ids.join(merged, "anonymous_id", "left")
+
+
+def user_recognition_backfill(events: DataFrame) -> DataFrame:
+    """Re-emit all events with identity backfilled onto anonymous ones.
+
+    Anonymous events whose anonymousId was later identified receive the
+    resolved user_id and merged traits (event's own traits win on key
+    collision, matching the reference's deep-merge direction of enriching
+    rather than overwriting).
+    """
+    ids = identity_map(events)
+    joined = events.join(F.broadcast(ids), "anonymous_id", "left")
+    backfilled_traits = F.when(
+        F.col("resolved_traits").isNotNull() & F.col("traits").isNotNull(),
+        F.map_zip_with(
+            "resolved_traits", "traits", lambda _k, v1, v2: F.coalesce(v2, v1)
+        ),
+    ).otherwise(F.coalesce(F.col("traits"), F.col("resolved_traits")))
+    return joined.select(
+        *[c for c in events.columns if c not in ("user_id", "traits")],
+        F.coalesce(F.col("user_id"), F.col("resolved_user_id")).alias("user_id"),
+        backfilled_traits.alias("traits"),
+        (
+            F.col("user_id").isNull() & F.col("resolved_user_id").isNotNull()
+        ).alias("_backfilled"),
+    )
+
+
+def id_graph_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+    """J3 — connected components over an identity-pair graph.
+
+    pairs: DataFrame(id_a STRING, id_b STRING) undirected edges
+    (e.g. $merge(distinct_ids=[userId, anonymousId])).
+    Label propagation: every id converges to the min id in its component.
+    Iterations double the reachable radius (large-star-ish), so chains of
+    length L need ~log2(L) rounds; identity graphs are shallow in practice.
+    Each round is one shuffle on id; checkpoint-worthy at real scale.
+    """
+    edges = (
+        pairs.selectExpr("id_a AS src", "id_b AS dst")
+        .union(pairs.selectExpr("id_b AS src", "id_a AS dst"))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iter):
+        # candidate labels via one hop
+        prop = (
+            edges.join(labels, edges.src == labels.id)
+            .select(F.col("dst").alias("id"), "component")
+            .union(labels.select("id", "component"))
+            .groupBy("id")
+            .agg(F.min("component").alias("new_component"))
+        )
+        joined = labels.join(prop, "id")
+        changed = joined.where(F.col("new_component") != F.col("component")).count()
+        labels = joined.select("id", F.col("new_component").alias("component"))
+        if changed == 0:
+            break
+    return labels
+
+
+# --- oracle-checked registry entries -------------------------------------
+#
+# The driver's events table is already-resolved (every row has a numeric
+# user_id), so these queries first derive an analytics-shaped view with
+# anonymous/identified semantics: every event carries anonymous_id
+# 'anon_<uid>'; only signup/login events carry the string identity
+# 'u<uid>' and a traits map {'k': props.k}. That derivation is mirrored
+# verbatim in the DuckDB oracle, so the comparison exercises the stitching
+# logic itself.
+
+
+def _analytics_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    is_ident = F.col("event_type").isin("signup", "login")
+    return ev.select(
+        F.col("event_id").cast("string").alias("message_id"),
+        F.concat(F.lit("anon_"), F.col("user_id")).alias("anonymous_id"),
+        F.when(is_ident, F.concat(F.lit("u"), F.col("user_id"))).alias("user_id"),
+        F.when(
+            is_ident,
+            F.create_map(F.lit("k"), F.get_json_object("props", "$.k")),
+        ).alias("traits"),
+        "ts",
+    )
+
+
+def identity_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 registry entry — user-recognition backfill over the derived
+    analytics view; scalar projection of the merged traits for hashing."""
+    out = user_recognition_backfill(_analytics_view(spark, sf_dir))
+    return out.select(
+        "message_id",
+        "anonymous_id",
+        "user_id",
+        F.col("traits")["k"].alias("trait_k"),
+        F.col("_backfilled").alias("backfilled"),
+    )
+
+
+IDENTITY_STITCH_SQL = """
+WITH ev AS (
+  SELECT CAST(event_id AS VARCHAR) AS message_id,
+         'anon_' || user_id AS anonymous_id,
+         CASE WHEN event_type IN ('signup','login') THEN 'u' || user_id END AS uid,
+         CASE WHEN event_type IN ('signup','login') THEN CAST(props->>'k' AS VARCHAR) END AS k,
+         ts
+  FROM events
+),
+ids AS (
+  -- printf('%020d', epoch_us) || message_id is the same total order as
+  -- Spark's struct(ts, message_id): fixed-width ts prefix, then the
+  -- message_id string lexicographically.
+  SELECT anonymous_id,
+         arg_max(uid, printf('%020d', epoch_us(ts)) || message_id) AS resolved_user_id,
+         arg_max(k, printf('%020d', epoch_us(ts)) || message_id)
+           FILTER (WHERE k IS NOT NULL) AS resolved_k
+  FROM ev
+  WHERE uid IS NOT NULL
+  GROUP BY anonymous_id
+)
+SELECT e.message_id,
+       e.anonymous_id,
+       coalesce(e.uid, i.resolved_user_id) AS user_id,
+       coalesce(e.k, i.resolved_k) AS trait_k,
+       (e.uid IS NULL AND i.resolved_user_id IS NOT NULL) AS backfilled
+FROM ev e
+LEFT JOIN ids i USING (anonymous_id)
+"""
+
+
+def id_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 registry entry — connected components over a derived id graph:
+    (u<i>, anon_<i>) identity edges plus (anon_<i>, dev_<i//2>) device
+    edges, so consecutive user pairs collapse into one component. The
+    generic label-propagation runs on Spark; the oracle exploits the known
+    structure (component == min label within the user-pair group), proving
+    the iterative algorithm converged to the right fixpoint."""
+    uids = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    ident_edges = uids.select(
+        F.concat(F.lit("u"), F.col("user_id")).alias("id_a"),
+        F.concat(F.lit("anon_"), F.col("user_id")).alias("id_b"),
+    )
+    dev_edges = uids.select(
+        F.concat(F.lit("anon_"), F.col("user_id")).alias("id_a"),
+        F.concat(F.lit("dev_"), (F.col("user_id") / 2).cast("long")).alias("id_b"),
+    )
+    return id_graph_components(ident_edges.union(dev_edges))
+
+
+ID_GRAPH_SQL = """
+WITH uids AS (SELECT DISTINCT user_id FROM events),
+nodes AS (
+  SELECT 'u' || user_id AS id, user_id // 2 AS grp FROM uids
+  UNION ALL
+  SELECT 'anon_' || user_id, user_id // 2 FROM uids
+  UNION ALL
+  SELECT DISTINCT 'dev_' || (user_id // 2), user_id // 2 FROM uids
+),
+comp AS (SELECT grp, min(id) AS component FROM nodes GROUP BY grp)
+SELECT n.id, c.component
+FROM nodes n JOIN comp c USING (grp)
+"""
+
+
+QUERIES = {
+    "identity_stitch": identity_stitch,
+    "id_graph": id_graph,
+}
+
+ORACLE = {
+    "identity_stitch": IDENTITY_STITCH_SQL,
+    "id_graph": ID_GRAPH_SQL,
+}

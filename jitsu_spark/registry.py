@@ -8,9 +8,26 @@ the driver hash-compares each pair at sf0.01.
 from __future__ import annotations
 
 from .events import layouts
-from .operators import dedup, events_ops, relational, similarity, text_ops
+from .operators import (
+    dedup,
+    events_ops,
+    identity,
+    profiles,
+    relational,
+    similarity,
+    text_ops,
+)
 
-_MODULES = [relational, events_ops, text_ops, dedup, similarity, layouts]
+_MODULES = [
+    relational,
+    events_ops,
+    text_ops,
+    dedup,
+    similarity,
+    layouts,
+    profiles,
+    identity,
+]
 
 QUERIES = {}
 ORACLES = {}
