@@ -1,0 +1,58 @@
+"""Streaming metrics rollup — the ClickHouse AggregatingMergeTree path.
+
+Reference: per-function status counts are minute-truncated and buffered
+(`services/rotor/src/lib/metrics.ts:140-196`), landed into ClickHouse
+`Null`-engine tables whose materialized views maintain `sumState(events)` /
+`uniqState(messageId)` grouped by (minute, connection, status)
+(`webapps/console/prisma/metrics.sql:71-110`); billing uses hourly
+`uniq(messageId)` (`metrics.sql:2-29`).
+
+Spark shape (SURVEY §2.6 A2-A4): a windowed streaming aggregation with a
+watermark. Spark's partial aggregation is the `sumState` half; HLL++
+(`approx_count_distinct`) is `uniqState`. Output mode `update` + an
+upsert sink equals ClickHouse's merge-on-read: per-window rows converge
+to their final value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def metrics_rollup_stream(
+    events: DataFrame,
+    watermark: str = "10 minutes",
+    ts_col: str = "timestamp",
+    status_col: str = "status",
+) -> DataFrame:
+    """Per-minute (status) counts — streaming form of A2/A3."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, "1 minute").alias("w"), F.col(status_col))
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.approx_count_distinct("message_id").alias("uniq_messages"),
+        )
+        .select(
+            F.col("w.start").alias("period"),
+            status_col,
+            "events",
+            "uniq_messages",
+        )
+    )
+
+
+def active_events_hourly_stream(
+    events: DataFrame,
+    watermark: str = "1 hour",
+    ts_col: str = "timestamp",
+    workspace_col: str = "connection_id",
+) -> DataFrame:
+    """Billing metric (A4): approx distinct messages per workspace-hour."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, "1 hour").alias("w"), F.col(workspace_col))
+        .agg(F.approx_count_distinct("message_id").alias("active_events"))
+        .select(F.col("w.start").alias("hour"), workspace_col, "active_events")
+    )

@@ -1,0 +1,63 @@
+"""The streaming spine: source -> enrich -> layout -> routed warehouse sink.
+
+Reference lifecycle (SURVEY §3.1): Kafka -> rotor function chain -> bulker
+per-table load. Here each micro-batch runs the same DataFrame chain the
+batch engine uses, then `foreachBatch` routes per `_table` with
+MERGE-style dedup (jitsu_spark.sinks.WarehouseSink.upsert), so
+at-least-once stream delivery + idempotent upsert = exactly-once tables
+(W1; `destinations.tsx:137-139`).
+
+Micro-batching (W3): the reference's per-connection `frequency` (default
+5 min) / `batchSize` map to `trigger(processingTime=...)`; per-event
+"stream" mode is a short trigger; replays/tests use `availableNow`.
+
+Within-batch duplicates are dropped by the sink's latest-per-key merge;
+cross-batch duplicates by the MERGE itself — `dropDuplicates` with a
+31-day watermark would keep that state in the streaming engine instead,
+but the sink already owns exactly that state (the table), so we don't pay
+for it twice.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from ..sinks import WarehouseSink
+
+
+def run_pipeline(
+    stream: DataFrame,
+    sink: WarehouseSink,
+    checkpoint_dir: str,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    table_col: str = "_table",
+    deduplicate: bool = True,
+    primary_key: list[str] | None = None,
+    timestamp_col: str = "timestamp",
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Start the spine. `transform` is the compiled per-connection chain
+    (enrichment + layout) — a plain DataFrame->DataFrame function, shared
+    verbatim with the batch engine."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if transform is not None:
+            batch = transform(batch)
+        sink.write_routed(
+            batch,
+            table_col=table_col,
+            deduplicate=deduplicate,
+            primary_key=primary_key,
+            timestamp_col=timestamp_col,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()

@@ -1,0 +1,133 @@
+"""Warehouse sink semantics: MERGE dedup, schema evolution, routing."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture
+def sink(spark, tmp_path):
+    from jitsu_spark.sinks import WarehouseSink
+
+    return WarehouseSink(spark, str(tmp_path))
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "message_id string, ts timestamp, v string"
+    )
+
+
+def test_upsert_dedups_on_primary_key(spark, sink):
+    b1 = _df(spark, [("m1", _ts("2024-01-01T00:00:00"), "a"),
+                     ("m2", _ts("2024-01-01T00:00:00"), "b")])
+    sink.upsert(b1, "events")
+    # redelivery of m1 (newer value wins) + new m3
+    b2 = _df(spark, [("m1", _ts("2024-01-02T00:00:00"), "a2"),
+                     ("m3", _ts("2024-01-02T00:00:00"), "c")])
+    sink.upsert(b2, "events")
+    got = {r.message_id: r.v for r in sink.read("events").collect()}
+    assert got == {"m1": "a2", "m2": "b", "m3": "c"}
+
+
+def test_upsert_is_idempotent(spark, sink):
+    b = _df(spark, [("m1", _ts("2024-01-01T00:00:00"), "a")])
+    sink.upsert(b, "t")
+    sink.upsert(b, "t")  # at-least-once redelivery
+    assert sink.read("t").count() == 1
+
+
+def test_upsert_within_batch_duplicates(spark, sink):
+    b = _df(spark, [("m1", _ts("2024-01-01T00:00:00"), "old"),
+                    ("m1", _ts("2024-01-01T00:01:00"), "new")])
+    sink.upsert(b, "t")
+    rows = sink.read("t").collect()
+    assert len(rows) == 1 and rows[0].v == "new"
+
+
+def test_untouched_partitions_survive(spark, sink):
+    jan = _df(spark, [("m1", _ts("2024-01-01T00:00:00"), "jan")])
+    sink.upsert(jan, "t")
+    # a batch far in the future must not clobber january's partition
+    jun = _df(spark, [("m2", _ts("2024-06-01T00:00:00"), "jun")])
+    sink.upsert(jun, "t")
+    got = {r.message_id: r.v for r in sink.read("t").collect()}
+    assert got == {"m1": "jan", "m2": "jun"}
+
+
+def test_schema_evolution_adds_columns(spark, sink):
+    sink.upsert(_df(spark, [("m1", _ts("2024-01-01T00:00:00"), "a")]), "t")
+    wider = spark.createDataFrame(
+        [("m2", _ts("2024-01-01T01:00:00"), "b", 7)],
+        "message_id string, ts timestamp, v string, extra int",
+    )
+    sink.upsert(wider, "t")
+    out = sink.read("t")
+    assert "extra" in out.columns
+    got = {r.message_id: r.extra for r in out.collect()}
+    assert got == {"m1": None, "m2": 7}
+
+
+def test_schema_freeze_drops_new_columns(spark, tmp_path):
+    from jitsu_spark.sinks import WarehouseSink
+
+    sink = WarehouseSink(spark, str(tmp_path), schema_freeze=True)
+    sink.upsert(_df(spark, [("m1", _ts("2024-01-01T00:00:00"), "a")]), "t")
+    wider = spark.createDataFrame(
+        [("m2", _ts("2024-01-01T01:00:00"), "b", 7)],
+        "message_id string, ts timestamp, v string, extra int",
+    )
+    sink.upsert(wider, "t")
+    assert "extra" not in sink.read("t").columns
+
+
+def test_routed_write_splits_tables(spark, sink):
+    df = spark.createDataFrame(
+        [
+            ("m1", _ts("2024-01-01T00:00:00"), "tracks"),
+            ("m1", _ts("2024-01-01T00:00:00"), "order_completed"),
+            ("m2", _ts("2024-01-01T00:00:00"), "tracks"),
+        ],
+        "message_id string, ts timestamp, _table string",
+    )
+    tables = sink.write_routed(df)
+    assert sorted(tables) == ["order_completed", "tracks"]
+    assert sink.read("tracks").count() == 2
+    assert sink.read("order_completed").count() == 1
+    assert "_table" not in sink.read("tracks").columns
+
+
+def test_retry_backoff_and_dlq(spark, tmp_path):
+    from jitsu_spark.streaming.retries import RetryStore
+
+    store = RetryStore(spark, str(tmp_path))
+    failed = spark.createDataFrame(
+        [("m1", 0, "boom"), ("m2", 2, "dead")],
+        "message_id string, attempt int, err string",
+    )
+    store.record_failures(failed, "err", "2024-01-01 00:00:00")
+
+    # before the 10-minute backoff nothing is due
+    assert store.due("2024-01-01 00:05:00").count() == 0
+    due = store.due("2024-01-01 00:10:00")
+    assert [r.message_id for r in due.collect()] == ["m1"]
+    # attempt 2 (3rd try) exceeded the limit -> dead letter
+    dead = store.dead_letter("2024-01-02 00:00:00")
+    assert [r.message_id for r in dead.collect()] == ["m2"]
+    assert spark.read.parquet(store.dlq_dir).count() == 1
+
+
+def test_backoff_series(spark):
+    from jitsu_spark.streaming.retries import backoff_minutes
+
+    df = spark.range(4).select(
+        backoff_minutes(F.col("id").cast("int")).alias("m")
+    )
+    assert [r.m for r in df.collect()] == [10, 100, 1000, 1440]
