@@ -1,0 +1,129 @@
+"""Guarded SQL SELECT gateway.
+
+Reference (`webapps/console/pages/api/[workspaceId]/sql/query.ts:39-158`):
+parse user SQL, require a single SELECT statement over whitelisted tables,
+cap the LIMIT at a server limit (default 50, `:10`), inject OFFSET,
+regenerate SQL, execute, and return `{meta, data, rows}`.
+
+Spark shape: validate the statement shape (single statement, SELECT/WITH
+only — checked on a comment- and string-literal-stripped view of the text,
+so keywords hiding in literals can't fool the guard), check referenced
+tables against the session catalog whitelist, then wrap the query as a
+subselect with the capped LIMIT/OFFSET. The wrap — rather than AST LIMIT
+surgery — preserves the user query verbatim and lets Catalyst push the
+limit down (CollectLimit / GlobalLimit over the inner plan).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_SERVER_LIMIT = 50  # sql/query.ts:10
+
+
+class SqlGatewayError(ValueError):
+    pass
+
+
+_STRING_OR_COMMENT = re.compile(
+    r"""
+      '(?:[^']|'')*'          # single-quoted literal ('' escape)
+    | "(?:[^"]|"")*"          # double-quoted identifier
+    | `[^`]*`                 # backtick identifier
+    | --[^\n]*                # line comment
+    | /\*.*?\*/               # block comment
+    """,
+    re.S | re.X,
+)
+
+
+def _strip(sql: str) -> str:
+    """Replace literals/comments with spaces so structural checks see only
+    real SQL tokens (same purpose as the reference's astify step)."""
+    return _STRING_OR_COMMENT.sub(" ", sql)
+
+
+def validate_select(sql: str, allowed_tables: set[str] | None = None) -> None:
+    stripped = _strip(sql)
+    if ";" in stripped.rstrip().rstrip(";"):
+        raise SqlGatewayError("only a single statement is allowed")
+    first = stripped.strip().split(None, 1)
+    if not first or first[0].upper() not in ("SELECT", "WITH"):
+        raise SqlGatewayError("only SELECT queries are allowed")
+    forbidden = re.findall(
+        r"\b(INSERT|UPDATE|DELETE|MERGE|DROP|CREATE|ALTER|TRUNCATE|GRANT|COPY|CALL|SET)\b",
+        stripped,
+        re.I,
+    )
+    if forbidden:
+        raise SqlGatewayError(f"forbidden keyword: {forbidden[0].upper()}")
+    if allowed_tables is not None:
+        cte_names = {
+            m.group(1).lower()
+            for m in re.finditer(r"\b(\w+)\s+AS\s*\(", stripped, re.I)
+        }
+        for m in re.finditer(r"\b(?:FROM|JOIN)\s+([\w.]+)", stripped, re.I):
+            t = m.group(1).lower()
+            if t not in cte_names and t not in {a.lower() for a in allowed_tables}:
+                raise SqlGatewayError(f"table not allowed: {t}")
+
+
+def guarded_query(
+    spark: SparkSession,
+    sql: str,
+    limit: int | None = None,
+    offset: int = 0,
+    server_limit: int = DEFAULT_SERVER_LIMIT,
+    allowed_tables: set[str] | None = None,
+) -> DataFrame:
+    """Validate + cap + run. The user's LIMIT (if any) still applies inside
+    the subselect; the outer LIMIT enforces the server cap regardless
+    (`query.ts:138-155` semantics)."""
+    validate_select(sql, allowed_tables)
+    eff = server_limit if limit is None else min(limit, server_limit)
+    outer = f"SELECT * FROM ({sql}) __gw LIMIT {int(eff)}"
+    if offset:
+        outer += f" OFFSET {int(offset)}"
+    return spark.sql(outer)
+
+
+def sql_gateway_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 registry entry: a user SELECT asking for 1000 rows is capped at
+    the server limit (50) with OFFSET injected — `query.ts:138-155`."""
+    from .tables import register_views
+
+    register_views(spark, sf_dir)
+    return guarded_query(
+        spark,
+        "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",
+        limit=1000,
+        offset=10,
+        allowed_tables={"events"},
+    )
+
+
+SQL_GATEWAY_SQL = """
+SELECT event_id, user_id, event_type FROM events ORDER BY event_id
+LIMIT 50 OFFSET 10
+"""
+
+QUERIES = {"sql_gateway_limit": sql_gateway_limit}
+ORACLE = {"sql_gateway_limit": SQL_GATEWAY_SQL}
+
+
+def query_response(df: DataFrame) -> dict:
+    """The reference's response shape (`query.ts:78-84`): column meta,
+    row data (with a '#' index), row count."""
+    rows = df.collect()
+    return {
+        "meta": [
+            {"name": f.name, "type": f.dataType.simpleString()}
+            for f in df.schema.fields
+        ],
+        "data": [
+            {"#": i + 1, **r.asDict(recursive=True)} for i, r in enumerate(rows)
+        ],
+        "rows": len(rows),
+    }

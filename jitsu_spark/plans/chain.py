@@ -1,0 +1,234 @@
+"""Config-driven function-chain compiler.
+
+The reference interprets, per event, a chain
+`[builtin.transformation.*..., udf.PIPELINE, builtin.destination.X]` built
+from connection config (`services/rotor/src/lib/functions-chain.ts:103-276`,
+ordering at `:204-208`) and caches it per connection. Here the chain is
+*compiled once into a DataFrame plan*: builtin stages are plan-level
+transforms (filters/projections Catalyst can optimize through), and the
+user-function pipeline is a single Arrow-batched mapInPandas stage running
+all Python UDFs in one pass — one JVM<->Python crossing for the whole
+pipeline regardless of chain length.
+
+FuncReturn semantics (P1, `types/protocols/functions.d.ts:178-180`; drop
+test `libs/core-functions/src/index.ts:58-60`):
+  - dict            -> replace the event
+  - "drop"/None/False/[] -> drop it
+  - list[dict]      -> fan out (ONLY the last function may multiply,
+                       `libs/core-functions/src/functions/lib/udf-wrapper-code.ts:99-103`)
+  - unchanged       -> pass through
+Mid-chain errors forward the partial result to the destination stage with
+the error recorded (`functions-chain.ts:352-358`), except Drop errors.
+
+UDF context (U1, `functions.d.ts:127-175`): log/props/store. The TTL store
+is the reference's Redis/Mongo KV (`functions.d.ts:11-22`, default TTL
+31 d). Executor-side it must be an external KV or a keyed state table; the
+in-memory impl here is the unit-test double (the reference tests do the
+same, `__tests__/lib/mem-store.ts`).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass, field
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+DROP = "drop"
+DEFAULT_STORE_TTL_DAYS = 31  # libs/core-functions/src/lib/store.ts:7
+
+
+class DropError(Exception):
+    """`Drop & RetryError` — drop the event, no retry (functions.ts:1-28)."""
+
+
+class RetryError(Exception):
+    """Transient failure -> retry machinery (streaming.retries)."""
+
+
+class InMemoryTtlStore:
+    """Test double for the TTL KV store (functions.d.ts:11-22)."""
+
+    def __init__(self):
+        self._d: dict[str, tuple[Any, float | None]] = {}
+
+    def get(self, key: str):
+        v = self._d.get(key)
+        if v is None:
+            return None
+        value, exp = v
+        if exp is not None and exp < time.time():
+            del self._d[key]
+            return None
+        return value
+
+    def set(self, key: str, value: Any, ttl_days: float = DEFAULT_STORE_TTL_DAYS):
+        self._d[key] = (value, time.time() + ttl_days * 86400)
+
+    def delete(self, key: str):
+        self._d.pop(key, None)
+
+
+@dataclass
+class FunctionContext:
+    """ctx passed to every user function (functions.d.ts:127-175)."""
+
+    props: dict[str, Any] = field(default_factory=dict)
+    store: Any = field(default_factory=InMemoryTtlStore)
+    logs: list[str] = field(default_factory=list)
+
+    def log(self, msg: str) -> None:
+        self.logs.append(str(msg))
+
+
+# A user function: (event dict, ctx) -> FuncReturn
+UserFunction = Callable[[dict, FunctionContext], Any]
+
+
+@dataclass
+class ConnectionConfig:
+    """The slice of connection config the chain compiler consumes
+    (webapps/console/lib/schema/index.ts + destinations.tsx:126-147)."""
+
+    connection_id: str
+    events_filter: str = "*"  # P2: "*", "", or CSV of types/event names
+    functions: list[UserFunction] = field(default_factory=list)
+    function_props: dict[str, Any] = field(default_factory=dict)
+    layout: str = "segment-single-table"
+    keep_original_names: bool = False
+
+
+def passes_event_filter(event: dict, spec: str) -> bool:
+    """P2 (`libs/core-functions/src/functions/lib/index.ts:231-242`):
+    "*" keeps all; "" drops page/screen; CSV matches type or event name."""
+    if spec == "*":
+        return True
+    etype = event.get("type")
+    if spec == "":
+        return etype not in ("page", "screen")
+    wanted = {s.strip() for s in spec.split(",") if s.strip()}
+    return etype in wanted or event.get("event") in wanted
+
+
+def run_user_chain(
+    event: dict,
+    functions: list[UserFunction],
+    ctx: FunctionContext,
+) -> tuple[list[dict], str | None]:
+    """Execute the composed UDF pipeline on one event.
+
+    Returns (events_out, error). Implements the multiplication rule and
+    partial-result forwarding; raises RetryError through (the stream layer
+    owns retries)."""
+    current: list[dict] = [event]
+    for i, fn in enumerate(functions):
+        last = i == len(functions) - 1
+        nxt: list[dict] = []
+        for ev in current:
+            try:
+                r = fn(ev, ctx)
+            except DropError:
+                continue
+            except RetryError:
+                raise
+            except Exception as ex:  # partial forward (functions-chain.ts:352-358)
+                return current, f"{type(ex).__name__}: {ex}"
+            if r is None or r is False or r == DROP or r == []:
+                continue
+            if isinstance(r, dict):
+                nxt.append(r)
+            elif isinstance(r, list):
+                if not last and len(r) > 1:
+                    # udf-wrapper-code.ts:99-103
+                    raise ValueError(
+                        "only the last function in a chain may return multiple events"
+                    )
+                nxt.extend(r)
+            elif r is True:
+                nxt.append(ev)
+            else:
+                raise TypeError(f"unsupported function return: {type(r)}")
+        current = nxt
+        if not current:
+            return [], None
+    return current, None
+
+
+def compile_chain(
+    config: ConnectionConfig,
+    store_factory: Callable[[], Any] = InMemoryTtlStore,
+) -> Callable[[DataFrame], DataFrame]:
+    """connection config -> one DataFrame->DataFrame stage over JSON events.
+
+    Input: DataFrame with an `event` JSON string column. Output: same shape
+    plus `_error` (null unless a mid-chain UDF failed and the partial
+    result was forwarded). The whole Python pipeline is ONE mapInPandas
+    stage; event-filter short-circuits inside the same pass.
+    """
+    functions = config.functions
+    spec = config.events_filter
+    props = config.function_props
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ctx = FunctionContext(props=props, store=store_factory())
+        for pdf in batches:
+            out_events: list[str] = []
+            out_errors: list[str | None] = []
+            for raw in pdf["event"]:
+                ev = json.loads(raw)
+                if not passes_event_filter(ev, spec):
+                    continue
+                evs, err = run_user_chain(ev, functions, ctx)
+                for e in evs:
+                    out_events.append(json.dumps(e, separators=(",", ":")))
+                    out_errors.append(err)
+            yield pd.DataFrame({"event": out_events, "_error": out_errors})
+
+    def transform(df: DataFrame) -> DataFrame:
+        return df.mapInPandas(stage, "event string, _error string")
+
+    return transform
+
+
+def compile_pipeline(config: ConnectionConfig) -> Callable[[DataFrame], DataFrame]:
+    """Full per-connection pipeline: UDF chain + data layout, ready for
+    the streaming spine's `transform` slot or batch execution. Output:
+    (_table, event) rows (the destination stage's bulker contract)."""
+    from ..events.layouts import apply_layout
+
+    chain = compile_chain(config)
+
+    def transform(df: DataFrame) -> DataFrame:
+        # errored events still reach the destination carrying their
+        # partial result (functions-chain.ts:352-358); _error travels to
+        # the metrics/log sink, not into the warehouse row.
+        processed = chain(df)
+        return apply_layout(
+            processed.select("event"),
+            layout=config.layout,
+            keep_original_names=config.keep_original_names,
+        )
+
+    return transform
+
+
+# ---------------------------------------------------------------------------
+# Builtin registry (U6, `libs/core-functions/src/index.ts:23-56`): name ->
+# DataFrame-level transform. Builtins stay plan-level (Catalyst-visible);
+# only user code pays the Python crossing.
+# ---------------------------------------------------------------------------
+
+
+def _builtin_user_recognition(df: DataFrame) -> DataFrame:
+    from ..operators.identity import user_recognition_backfill
+
+    return user_recognition_backfill(df)
+
+
+BUILTINS: dict[str, Callable[[DataFrame], DataFrame]] = {
+    "builtin.transformation.user-recognition": _builtin_user_recognition,
+}

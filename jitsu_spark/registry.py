@@ -7,10 +7,12 @@ the driver hash-compares each pair at sf0.01.
 
 from __future__ import annotations
 
+from . import gateway
 from .events import layouts
 from .operators import (
     dedup,
     events_ops,
+    geo,
     identity,
     profiles,
     relational,
@@ -27,6 +29,8 @@ _MODULES = [
     layouts,
     profiles,
     identity,
+    geo,
+    gateway,
 ]
 
 QUERIES = {}

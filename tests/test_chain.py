@@ -1,0 +1,156 @@
+"""Function-chain semantics tests — modeled on the reference's
+`services/rotor/__tests__/functions-chain.test.ts` and the FuncReturn
+contract (`types/protocols/functions.d.ts:178-180`)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from jitsu_spark.plans.chain import (
+    ConnectionConfig,
+    DropError,
+    FunctionContext,
+    InMemoryTtlStore,
+    compile_chain,
+    compile_pipeline,
+    passes_event_filter,
+    run_user_chain,
+)
+
+
+def _ctx():
+    return FunctionContext(props={"token": "t"})
+
+
+class TestFuncReturn:
+    def test_dict_replaces_event(self):
+        out, err = run_user_chain({"a": 1}, [lambda e, c: {**e, "b": 2}], _ctx())
+        assert out == [{"a": 1, "b": 2}] and err is None
+
+    @pytest.mark.parametrize("ret", ["drop", None, False, []])
+    def test_drop_values(self, ret):
+        out, err = run_user_chain({"a": 1}, [lambda e, c: ret], _ctx())
+        assert out == [] and err is None
+
+    def test_true_passes_through(self):
+        out, _ = run_user_chain({"a": 1}, [lambda e, c: True], _ctx())
+        assert out == [{"a": 1}]
+
+    def test_last_function_fans_out(self):
+        out, _ = run_user_chain(
+            {"a": 1}, [lambda e, c: [{"i": 1}, {"i": 2}]], _ctx()
+        )
+        assert out == [{"i": 1}, {"i": 2}]
+
+    def test_mid_chain_multiplication_forbidden(self):
+        # udf-wrapper-code.ts:99-103
+        with pytest.raises(ValueError, match="last function"):
+            run_user_chain(
+                {"a": 1},
+                [lambda e, c: [{"i": 1}, {"i": 2}], lambda e, c: e],
+                _ctx(),
+            )
+
+    def test_error_forwards_partial_result(self):
+        # functions-chain.ts:352-358
+        def boom(e, c):
+            raise RuntimeError("api down")
+
+        out, err = run_user_chain(
+            {"a": 1}, [lambda e, c: {**e, "stage1": True}, boom], _ctx()
+        )
+        assert out == [{"a": 1, "stage1": True}]
+        assert "api down" in err
+
+    def test_drop_error_drops_silently(self):
+        def dropper(e, c):
+            raise DropError()
+
+        out, err = run_user_chain({"a": 1}, [dropper], _ctx())
+        assert out == [] and err is None
+
+    def test_ctx_store_and_props(self):
+        def fn(e, ctx):
+            seen = ctx.store.get("seen") or 0
+            ctx.store.set("seen", seen + 1)
+            ctx.log("hello")
+            return {**e, "token": ctx.props["token"], "seen": seen}
+
+        ctx = _ctx()
+        out1, _ = run_user_chain({}, [fn], ctx)
+        out2, _ = run_user_chain({}, [fn], ctx)
+        assert out1 == [{"token": "t", "seen": 0}]
+        assert out2 == [{"token": "t", "seen": 1}]
+        assert ctx.logs == ["hello", "hello"]
+
+
+class TestEventFilter:
+    # lib/index.ts:231-242
+    def test_star_keeps_all(self):
+        assert passes_event_filter({"type": "page"}, "*")
+
+    def test_empty_drops_page_screen(self):
+        assert not passes_event_filter({"type": "page"}, "")
+        assert not passes_event_filter({"type": "screen"}, "")
+        assert passes_event_filter({"type": "track"}, "")
+
+    def test_csv_matches_type_or_name(self):
+        assert passes_event_filter({"type": "track"}, "track,identify")
+        assert passes_event_filter(
+            {"type": "track", "event": "Order Completed"}, "Order Completed"
+        )
+        assert not passes_event_filter({"type": "page"}, "track")
+
+
+def test_ttl_store_expiry():
+    store = InMemoryTtlStore()
+    store.set("k", "v", ttl_days=-1)  # already expired
+    assert store.get("k") is None
+    store.set("k", "v2")
+    assert store.get("k") == "v2"
+    store.delete("k")
+    assert store.get("k") is None
+
+
+def test_compiled_chain_on_dataframe(spark):
+    events = [
+        {"message_id": "m1", "type": "track", "event": "Sign Up"},
+        {"message_id": "m2", "type": "page"},
+        {"message_id": "m3", "type": "track", "event": "Order Completed"},
+    ]
+    df = spark.createDataFrame(
+        [(json.dumps(e),) for e in events], "event string"
+    )
+
+    def tag(e, ctx):
+        return {**e, "tagged": True}
+
+    cfg = ConnectionConfig(
+        connection_id="c1", events_filter="track", functions=[tag]
+    )
+    out = [json.loads(r.event) for r in compile_chain(cfg)(df).collect()]
+    assert {e["message_id"] for e in out} == {"m1", "m3"}
+    assert all(e["tagged"] for e in out)
+
+
+def test_compiled_pipeline_layout_routing(spark):
+    events = [
+        {
+            "messageId": "m1",
+            "type": "track",
+            "event": "Order Completed",
+            "timestamp": "2024-01-01T00:00:01Z",
+            "properties": {"revenue": 99.5},
+        }
+    ]
+    df = spark.createDataFrame([(json.dumps(e),) for e in events], "event string")
+    cfg = ConnectionConfig(connection_id="c1", layout="segment")
+    rows = compile_pipeline(cfg)(df).collect()
+    # segment layout fans a named track event into tracks + its own table
+    # (bulker-destination.ts:263-267); properties land only in the named row
+    by_table = {r._table: json.loads(r.event) for r in rows}
+    assert sorted(by_table) == ["Order Completed", "tracks"]
+    assert by_table["Order Completed"]["revenue"] == 99.5
+    assert "revenue" not in by_table["tracks"]

@@ -1,0 +1,81 @@
+"""SQL gateway guard tests — mirrors the reference's validation rules
+(`webapps/console/pages/api/[workspaceId]/sql/query.ts:124-158`)."""
+
+from __future__ import annotations
+
+import pytest
+
+from jitsu_spark.gateway import (
+    SqlGatewayError,
+    guarded_query,
+    query_response,
+    validate_select,
+)
+
+
+class TestValidate:
+    def test_select_ok(self):
+        validate_select("SELECT 1")
+        validate_select("WITH t AS (SELECT 1) SELECT * FROM t")
+
+    @pytest.mark.parametrize(
+        "sql",
+        [
+            "DROP TABLE events",
+            "INSERT INTO events VALUES (1)",
+            "SELECT 1; DROP TABLE events",
+            "UPDATE events SET x = 1",
+            "CREATE TABLE t AS SELECT 1",
+        ],
+    )
+    def test_non_select_rejected(self, sql):
+        with pytest.raises(SqlGatewayError):
+            validate_select(sql)
+
+    def test_keywords_inside_literals_are_fine(self):
+        validate_select("SELECT 'DROP TABLE x; --' AS s, '; ; ;' AS t")
+
+    def test_comment_hidden_statement_rejected(self):
+        with pytest.raises(SqlGatewayError):
+            validate_select("SELECT 1 /* */ ; DELETE FROM events")
+
+    def test_table_whitelist(self):
+        validate_select("SELECT * FROM events", {"events"})
+        with pytest.raises(SqlGatewayError, match="not allowed"):
+            validate_select("SELECT * FROM secrets", {"events"})
+        # CTE names are not tables
+        validate_select(
+            "WITH x AS (SELECT * FROM events) SELECT * FROM x", {"events"}
+        )
+        with pytest.raises(SqlGatewayError, match="not allowed"):
+            validate_select(
+                "SELECT * FROM events JOIN secrets ON true", {"events"}
+            )
+
+
+def test_limit_cap_and_offset(spark):
+    spark.range(100).createOrReplaceTempView("hundred")
+    df = guarded_query(
+        spark,
+        "SELECT id FROM hundred ORDER BY id",
+        limit=1000,
+        offset=10,
+        server_limit=50,
+        allowed_tables={"hundred"},
+    )
+    rows = [r.id for r in df.collect()]
+    assert len(rows) == 50
+    assert rows[0] == 10
+
+
+def test_user_limit_below_cap_respected(spark):
+    spark.range(100).createOrReplaceTempView("hundred")
+    df = guarded_query(spark, "SELECT id FROM hundred ORDER BY id", limit=5)
+    assert df.count() == 5
+
+
+def test_query_response_shape(spark):
+    resp = query_response(guarded_query(spark, "SELECT 1 AS one"))
+    assert resp["rows"] == 1
+    assert resp["meta"] == [{"name": "one", "type": "int"}]
+    assert resp["data"] == [{"#": 1, "one": 1}]
