@@ -1,0 +1,180 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Not in the reference (its event model is JSON-only, SURVEY §1.2); this is
+the training-data-pipeline extension: media travels as a `binary` payload
+column plus a typed metadata struct, and decode/feature/resize/frame-sample
+run as Arrow-batched pandas stages over `mapInPandas`.
+
+Spark-side design (all real and tested):
+- schema: (media_id LONG, kind STRING, payload BINARY,
+  meta STRUCT<mime STRING, width INT, height INT, duration_ms INT>)
+- partitioning: payloads dominate bytes -> size batches by
+  `spark.sql.execution.arrow.maxRecordsPerBatch` and keep media tables
+  partitioned by kind so decode fans out evenly; feature outputs are
+  narrow and re-shuffle cheaply.
+- UDF shape: mapInPandas(Iterator[pd.DataFrame] -> Iterator[pd.DataFrame])
+  so one task streams many Arrow batches without materializing the
+  partition.
+
+The codec itself (PIL/ffmpeg/soundfile) is NOT in this container, so
+`_decode_real` raises NotImplementedError and the pipeline runs a
+deterministic fake decode (documented below) — swap `DECODER` in
+production. This mirrors how the engine gates optional native deps.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def _decode_real(payload: bytes, mime: str):
+    """Production decode hook (PIL / soundfile / pyav)."""
+    raise NotImplementedError(
+        "media codecs are not available in this environment; "
+        "swap DECODER with a real implementation"
+    )
+
+
+def _decode_fake(payload: bytes, mime: str) -> dict:
+    """Deterministic stand-in: 'decodes' a payload into stable features
+    (size + md5-derived checksum) so the distributed plumbing is testable
+    byte-for-byte without codecs."""
+    digest = hashlib.md5(payload).digest()
+    return {
+        "payload_len": len(payload),
+        "checksum": int.from_bytes(digest[:4], "big"),
+    }
+
+
+DECODER = _decode_fake
+
+
+def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fabricate a media table from the documents table: payload = utf8
+    bytes of the text, meta derived from n_chars. Deterministic, so tests
+    and oracles can reproduce it."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("image/fake").alias("mime"),
+            (F.col("n_chars") % 640 + 1).cast("int").alias("width"),
+            (F.col("n_chars") % 480 + 1).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload_len", T.LongType()),
+        T.StructField("checksum", T.LongType()),
+    ]
+)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Decode + feature-extract each payload (Arrow-batched)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [DECODER(p, m) for p, m in zip(pdf["payload"], pdf["mime"])]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "width": pdf["width"].values,
+                    "height": pdf["height"].values,
+                    "payload_len": [f["payload_len"] for f in feats],
+                    "checksum": [f["checksum"] for f in feats],
+                }
+            )
+
+    flat = media.select(
+        "media_id", "payload", "meta.mime", "meta.width", "meta.height"
+    )
+    return flat.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def resize_plan(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize planning is pure arithmetic -> plan-level (codegen); only the
+    pixel resample itself would enter the decode UDF."""
+    w, h = F.col("meta.width"), F.col("meta.height")
+    scale = F.when(
+        F.greatest(w, h) > max_side, F.greatest(w, h) / F.lit(max_side)
+    ).otherwise(F.lit(1.0))
+    return media.select(
+        "media_id",
+        w.alias("width"),
+        h.alias("height"),
+        F.round(w / scale).cast("int").alias("target_width"),
+        F.round(h / scale).cast("int").alias("target_height"),
+    )
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling: explode timestamps at plan level; the decoder
+    UDF would seek those offsets. sequence() keeps it JVM-side."""
+    return (
+        media.where(F.col("meta.duration_ms").isNotNull())
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.col("meta.duration_ms") - 1, F.lit(every_ms)
+                )
+            ).alias("frame_ms"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle-checked entry: the fake decode is deterministic arithmetic over the
+# payload bytes, so DuckDB can replicate it (md5 prefix as the checksum).
+# ---------------------------------------------------------------------------
+
+
+def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_features(media_from_documents(spark, sf_dir))
+
+
+MEDIA_FEATURES_SQL = """
+SELECT doc_id AS media_id,
+       (n_chars % 640 + 1)::INT AS width,
+       (n_chars % 480 + 1)::INT AS height,
+       octet_length(encode(text)) AS payload_len,
+       CAST(('0x' || substring(md5(text), 1, 8))::UBIGINT AS BIGINT) AS checksum
+FROM documents
+"""
+
+QUERIES = {"media_feature_extract": media_feature_extract}
+ORACLE = {"media_feature_extract": MEDIA_FEATURES_SQL}

@@ -7,8 +7,8 @@ the driver hash-compares each pair at sf0.01.
 
 from __future__ import annotations
 
-from . import gateway
-from .events import layouts
+from . import gateway, multimodal
+from .events import destinations, layouts
 from .operators import (
     dedup,
     events_ops,
@@ -31,6 +31,8 @@ _MODULES = [
     identity,
     geo,
     gateway,
+    destinations,
+    multimodal,
 ]
 
 QUERIES = {}

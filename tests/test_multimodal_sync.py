@@ -1,0 +1,95 @@
+"""Multimodal plumbing + connector-sync tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+
+class TestMultimodal:
+    def test_real_decoder_is_gated(self):
+        from jitsu_spark.multimodal import _decode_real
+
+        with pytest.raises(NotImplementedError):
+            _decode_real(b"x", "image/png")
+
+    def test_media_schema_and_features(self, spark, sf_dir):
+        from jitsu_spark.multimodal import extract_features, media_from_documents
+
+        media = media_from_documents(spark, sf_dir)
+        assert dict(media.dtypes)["payload"] == "binary"
+        feats = extract_features(media.limit(20))
+        rows = feats.collect()
+        assert len(rows) == 20
+        for r in rows:
+            assert r.payload_len > 0 and r.checksum >= 0
+
+    def test_resize_plan_preserves_aspect(self, spark, sf_dir):
+        from jitsu_spark.multimodal import media_from_documents, resize_plan
+
+        out = resize_plan(media_from_documents(spark, sf_dir), max_side=100).limit(
+            50
+        )
+        for r in out.collect():
+            assert max(r.target_width, r.target_height) <= 100
+            if max(r.width, r.height) <= 100:
+                assert (r.target_width, r.target_height) == (r.width, r.height)
+
+    def test_sample_frames(self, spark):
+        from jitsu_spark.multimodal import MEDIA_SCHEMA, sample_frames
+
+        media = spark.createDataFrame(
+            [(1, "video", bytearray(b"v"), ("video/mp4", None, None, 3500))],
+            MEDIA_SCHEMA,
+        )
+        frames = sorted(r.frame_ms for r in sample_frames(media).collect())
+        assert frames == [0, 1000, 2000, 3000]
+
+
+class TestSync:
+    def _source(self, spark, rows):
+        return lambda s: s.createDataFrame(
+            rows, "id string, v string, updated_at timestamp"
+        )
+
+    def test_incremental_sync_advances_cursor(self, spark, tmp_path):
+        from jitsu_spark.sinks import WarehouseSink
+        from jitsu_spark.sources.sync import SyncConfig, SyncState, run_sync
+
+        sink = WarehouseSink(spark, str(tmp_path / "wh"))
+        state = SyncState(str(tmp_path / "state"))
+        cfg = SyncConfig(
+            sync_id="s1", table="users", cursor_field="updated_at",
+            primary_key=["id"],
+        )
+        t1 = dt.datetime(2024, 1, 1, 0, 0, 1)
+        t2 = dt.datetime(2024, 1, 2, 0, 0, 1)
+
+        r1 = run_sync(spark, self._source(spark, [("a", "v1", t1)]), sink, cfg, state)
+        assert r1["rows"] == 1
+        # second run: one updated row (same pk, newer), one new
+        r2 = run_sync(
+            spark,
+            self._source(spark, [("a", "v1", t1), ("a", "v2", t2), ("b", "w", t2)]),
+            sink,
+            cfg,
+            state,
+        )
+        assert r2["rows"] == 2  # the t1 row is behind the cursor -> skipped
+        got = {r.id: r.v for r in sink.read("users").collect()}
+        assert got == {"a": "v2", "b": "w"}
+
+    def test_rerun_with_no_new_rows_is_noop(self, spark, tmp_path):
+        from jitsu_spark.sinks import WarehouseSink
+        from jitsu_spark.sources.sync import SyncConfig, SyncState, run_sync
+
+        sink = WarehouseSink(spark, str(tmp_path / "wh"))
+        state = SyncState(str(tmp_path / "state"))
+        cfg = SyncConfig(sync_id="s1", table="t", primary_key=["id"])
+        t1 = dt.datetime(2024, 1, 1)
+        src = self._source(spark, [("a", "v", t1)])
+        assert run_sync(spark, src, sink, cfg, state)["rows"] == 1
+        again = run_sync(spark, src, sink, cfg, state)
+        assert again["rows"] == 0
+        assert sink.read("t").count() == 1
