@@ -15,14 +15,27 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    # relational
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "q5_region_revenue",
+    # event pipeline
     "metrics_rollup_minute",
     "active_users_daily",
     "profile_traits_fold",
     "sessionize",
     "ur_backfill_enrich",
+    "layout_single_table_typed",
+    "ga4_mapping_typed",
+    "geo_enrich_range_join",
+    # identity + profiles
+    "identity_stitch",
+    "profile_build",
+    # training-data ops
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "cosine_topk_bruteforce",
+    "media_feature_extract",
 ]
 
 

@@ -76,11 +76,18 @@ FROM hashed h JOIN canon c USING (text_hash)
 
 
 def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) distinct pairs — shared by minhash and jaccard."""
+    """(doc_id, shingle) distinct pairs — shared by minhash and jaccard.
+
+    The token array is materialized ONCE per row (projection boundary)
+    before the shingle transform indexes into it; inlining the
+    regexp_extract_all into the lambda would re-run the regex per element
+    — quadratic in document length."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = SHINGLES.format(t=TOKENS)
+    toks = docs.selectExpr("doc_id", f"{TOKENS} AS toks")
     return (
-        docs.selectExpr("doc_id", f"explode({sh}) AS shingle").distinct()
+        toks.selectExpr(
+            "doc_id", f"explode({SHINGLES.format(t='toks')}) AS shingle"
+        ).distinct()
     )
 
 
@@ -91,25 +98,43 @@ _SHINGLE_ROWS_DUCK = f"""
 """
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures: NUM_HASHES seeded min-hashes per document.
+# Universal-hash minhash: ONE md5 per shingle (28-bit x from its hex
+# prefix), then NUM_HASHES cheap (a_j*x + b_j) mod p mixes. 16x less
+# hashing than md5-per-seed, and the min-aggregate runs on bigints instead
+# of strings — the difference between scanning a 100 TB corpus once and
+# effectively 16 times. Constants are deterministic so the DuckDB oracle
+# reproduces signatures bit-for-bit; a_j*x stays < 2^61 (no overflow).
+MINHASH_P = 4294967311  # prime > 2^32
+_A = [(j * 2654435761 + 12345) % MINHASH_P for j in range(NUM_HASHES)]
+_B = [(j * 40503 + 17) % MINHASH_P for j in range(NUM_HASHES)]
 
-    min(md5(seed|shingle)) per seed — partial aggregation compresses the
-    exploded shingles back to one row per doc before the shuffle completes.
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures: NUM_HASHES universal-hash minima per document.
+
+    Partial aggregation compresses the exploded shingles back to one row
+    per doc before the shuffle completes.
     """
     sh = _shingle_rows(spark, sf_dir)
+    x = F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("long")
+    sh = sh.select("doc_id", x.alias("x"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"h{j}")
+        F.min((F.lit(_A[j]) * F.col("x") + F.lit(_B[j])) % F.lit(MINHASH_P)).alias(
+            f"h{j}"
+        )
         for j in range(NUM_HASHES)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+_X_DUCK = "CAST(('0x' || substr(md5(shingle), 1, 7))::UBIGINT AS BIGINT)"
+
 MINHASH_SIG_SQL = f"""
-WITH sh AS ({_SHINGLE_ROWS_DUCK})
+WITH sh AS ({_SHINGLE_ROWS_DUCK}),
+xs AS (SELECT doc_id, {_X_DUCK} AS x FROM sh)
 SELECT doc_id,
-       {", ".join(f"min(md5('{j}|' || shingle)) AS h{j}" for j in range(NUM_HASHES))}
-FROM sh
+       {", ".join(f"min(({_A[j]} * x + {_B[j]}) % {MINHASH_P}) AS h{j}" for j in range(NUM_HASHES))}
+FROM xs
 GROUP BY doc_id
 """
 
@@ -125,8 +150,12 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     band_structs = []
     for b in range(BANDS):
         cols = [F.col(f"h{j}") for j in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)]
+        # '_'-joined to keep the bucket key unambiguous across numbers
         band_structs.append(
-            F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat(*cols)).alias("bucket"))
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws("_", *cols)).alias("bucket"),
+            )
         )
     bands = sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("band")
@@ -148,15 +177,16 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MINHASH_LSH_SQL = f"""
 WITH sh AS ({_SHINGLE_ROWS_DUCK}),
+xs AS (SELECT doc_id, {_X_DUCK} AS x FROM sh),
 sig AS (
   SELECT doc_id,
-         {", ".join(f"min(md5('{j}|' || shingle)) AS h{j}" for j in range(NUM_HASHES))}
-  FROM sh GROUP BY doc_id
+         {", ".join(f"min(({_A[j]} * x + {_B[j]}) % {MINHASH_P}) AS h{j}" for j in range(NUM_HASHES))}
+  FROM xs GROUP BY doc_id
 ),
 bands AS (
   {" UNION ALL ".join(
     f"SELECT doc_id, {b} AS band_idx, md5("
-    + " || ".join(f"h{j}" for j in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND))
+    + " || '_' || ".join(f"h{j}::VARCHAR" for j in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND))
     + ") AS bucket FROM sig"
     for b in range(BANDS)
   )}

@@ -46,13 +46,19 @@ PROFILE_SCHEMA = StructType(
 def default_profile_fn(pdf: pd.DataFrame) -> pd.DataFrame:
     """The built-in ProfileFunction: history stats incl. longest same-type
     run — a genuinely order-sensitive fold over the user's event sequence
-    (the kind of logic ProfileFunctions exist for)."""
+    (the kind of logic ProfileFunctions exist for). Vectorized: run
+    boundaries via a shifted comparison, run lengths via diff of boundary
+    indices — no Python-level loop over events."""
+    import numpy as np
+
     pdf = pdf.sort_values(["ts", "event_id"])
     types = pdf["event_type"].to_numpy()
-    longest = run = 1
-    for i in range(1, len(types)):
-        run = run + 1 if types[i] == types[i - 1] else 1
-        longest = max(longest, run)
+    if len(types):
+        bounds = np.flatnonzero(types[1:] != types[:-1])
+        edges = np.concatenate(([-1], bounds, [len(types) - 1]))
+        longest = int(np.diff(edges).max())
+    else:
+        longest = 1
     return pd.DataFrame(
         {
             "user_id": [pdf["user_id"].iloc[0]],
@@ -61,6 +67,51 @@ def default_profile_fn(pdf: pd.DataFrame) -> pd.DataFrame:
             "last_event_type": [types[-1] if len(types) else None],
             "longest_run": [longest if len(types) else 0],
             "updated_at": [pdf["ts"].max()],
+        }
+    )
+
+
+def _default_profiles_partition(batches):
+    """Partition-level vectorized form of default_profile_fn: one pandas
+    pass per shuffle partition instead of one Python call per user.
+    Per-group applyInPandas costs ~ms of interpreter overhead per user —
+    with millions of small user histories that overhead IS the job, so the
+    built-in profile runs as segment arithmetic over a user-sorted
+    partition (requires a prior repartition(user_id))."""
+    import numpy as np
+
+    chunks = [c for c in batches if len(c)]
+    if not chunks:
+        return
+    pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+    pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+    u = pdf["user_id"].to_numpy()
+    t = pdf["event_type"].to_numpy()
+    n = len(pdf)
+    user_change = u[1:] != u[:-1]
+    user_starts = np.flatnonzero(np.concatenate(([True], user_change)))
+    user_ends = np.concatenate((user_starts[1:], [n])) - 1
+    # runs of equal event_type within a user
+    new_run = np.concatenate(([True], user_change | (t[1:] != t[:-1])))
+    run_starts = np.flatnonzero(new_run)
+    run_lens = np.concatenate((run_starts[1:], [n])) - run_starts
+    run_user = np.searchsorted(user_starts, run_starts, side="right") - 1
+    longest = np.zeros(len(user_starts), dtype=np.int64)
+    np.maximum.at(longest, run_user, run_lens)
+    ntypes = (
+        pdf.drop_duplicates(["user_id", "event_type"])
+        .groupby("user_id", sort=True)
+        .size()
+        .to_numpy()
+    )
+    yield pd.DataFrame(
+        {
+            "user_id": u[user_starts],
+            "n_events": (user_ends - user_starts + 1).astype("int64"),
+            "n_event_types": ntypes,
+            "last_event_type": t[user_ends],
+            "longest_run": longest,
+            "updated_at": pdf["ts"].to_numpy()[user_ends],
         }
     )
 
@@ -81,6 +132,13 @@ def build_profiles(
             .distinct()
         )
         events = events.join(changed, "user_id", "left_semi")
+    if profile_fn is default_profile_fn:
+        # Fast path for the built-in: prune to the consumed columns (Arrow
+        # ships only these), hash-shuffle by user, vectorize per partition.
+        pruned = events.select("user_id", "ts", "event_id", "event_type")
+        return pruned.repartition("user_id").mapInPandas(
+            _default_profiles_partition, schema
+        )
     return events.groupBy("user_id").applyInPandas(profile_fn, schema)
 
 
