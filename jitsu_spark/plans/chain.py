@@ -232,3 +232,18 @@ def _builtin_user_recognition(df: DataFrame) -> DataFrame:
 BUILTINS: dict[str, Callable[[DataFrame], DataFrame]] = {
     "builtin.transformation.user-recognition": _builtin_user_recognition,
 }
+
+
+def run_function_test(
+    fn: UserFunction,
+    event: dict,
+    props: dict | None = None,
+    store: Any | None = None,
+) -> dict:
+    """U5 — the UDF test harness (`udf_wrapper.ts:322-498`, console
+    `function/run`): execute one function against one event with a mock
+    context; return result events, error, captured logs, and the store for
+    state assertions."""
+    ctx = FunctionContext(props=props or {}, store=store or InMemoryTtlStore())
+    events, err = run_user_chain(event, [fn], ctx)
+    return {"events": events, "error": err, "logs": ctx.logs, "store": ctx.store}

@@ -16,6 +16,7 @@ from .operators import (
     identity,
     profiles,
     relational,
+    rollup,
     similarity,
     text_ops,
 )
@@ -33,6 +34,7 @@ _MODULES = [
     gateway,
     destinations,
     multimodal,
+    rollup,
 ]
 
 QUERIES = {}

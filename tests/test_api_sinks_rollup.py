@@ -1,0 +1,105 @@
+"""API destination sinks, events log, incremental rollup, UDF harness."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+
+class TestWebhook:
+    def test_webhook_batches(self, spark, tmp_path):
+        from jitsu_spark.sinks_api import CaptureTransport, webhook_sink
+
+        cap = CaptureTransport(str(tmp_path / "cap"))
+        df = spark.createDataFrame(
+            [(str(i), f"e{i}") for i in range(7)], "message_id string, event string"
+        ).coalesce(1)
+        webhook_sink(
+            df, "https://hook.example/x", {"X-Auth": "k"},
+            batch_size=3, transport=cap,
+        )
+        sizes = sorted(len(b) for _, _, b in cap.requests)
+        assert sizes == [1, 3, 3]
+        url, headers, _ = cap.requests[0]
+        assert url == "https://hook.example/x"
+        assert headers == {"X-Auth": "k"}
+
+    def test_mapped_destination_uses_mapping(self, spark, tmp_path):
+        from jitsu_spark.events.destinations import mixpanel_events
+        from jitsu_spark.sinks_api import CaptureTransport, mapped_destination_sink
+
+        cap = CaptureTransport(str(tmp_path / "cap"))
+        events = [
+            {"messageId": "m1", "type": "track", "event": "E",
+             "anonymousId": "a1"},
+            {"messageId": "m2", "type": "identify", "userId": "u1",
+             "anonymousId": "a1", "traits": {}},
+        ]
+        df = spark.createDataFrame(
+            [(json.dumps(e),) for e in events], "event string"
+        ).coalesce(1)
+        mapped_destination_sink(
+            df, mixpanel_events, "https://api.mixpanel.test", transport=cap
+        )
+        payloads = [p for _, _, batch in cap.requests for p in batch]
+        ops = sorted(p["op"] for p in payloads)
+        assert ops == ["engage-set", "import", "merge"]
+
+
+def test_events_log_append_and_tail(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from jitsu_spark.sinks_api import append_events_log, make_log_rows
+
+    log_dir = str(tmp_path / "events_log")
+    entries = [
+        {"actor_id": "c1", "timestamp": dt.datetime(2024, 1, 1, 0, 0, i),
+         "level": "info", "message": f"msg{i}"}
+        for i in range(5)
+    ]
+    append_events_log(make_log_rows(spark, entries), log_dir)
+    tail = (
+        spark.read.parquet(log_dir)
+        .orderBy(F.desc("timestamp"))
+        .limit(2)
+        .collect()
+    )
+    assert [r.message for r in tail] == ["msg4", "msg3"]
+
+
+def test_rollup_store_merges_batches(spark, tmp_path):
+    from jitsu_spark.operators.rollup import RollupStore, rollup_batch
+
+    ev1 = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 0, 0, 10), "track"),
+         (2, dt.datetime(2024, 1, 1, 0, 0, 50), "track")],
+        "event_id long, ts timestamp, event_type string",
+    )
+    ev2 = spark.createDataFrame(
+        [(3, dt.datetime(2024, 1, 1, 0, 0, 59), "track"),
+         (4, dt.datetime(2024, 1, 1, 0, 1, 5), "page")],
+        "event_id long, ts timestamp, event_type string",
+    )
+    store = RollupStore(spark, str(tmp_path))
+    store.merge_batch(rollup_batch(ev1))
+    store.merge_batch(rollup_batch(ev2))
+    got = {
+        (str(r.period), r.status): r.events for r in store.read().collect()
+    }
+    assert got[("2024-01-01 00:00:00", "track")] == 3
+    assert got[("2024-01-01 00:01:00", "page")] == 1
+
+
+def test_udf_test_harness():
+    from jitsu_spark.plans.chain import run_function_test
+
+    def fn(event, ctx):
+        ctx.log(f"got {event['messageId']}")
+        ctx.store.set("last", event["messageId"])
+        return {**event, "seen": True}
+
+    out = run_function_test(fn, {"messageId": "m1", "type": "track"})
+    assert out["error"] is None
+    assert out["events"][0]["seen"] is True
+    assert out["logs"] == ["got m1"]
+    assert out["store"].get("last") == "m1"
