@@ -194,12 +194,26 @@ def compile_chain(
     return transform
 
 
-def compile_pipeline(config: ConnectionConfig) -> Callable[[DataFrame], DataFrame]:
+def compile_pipeline(
+    config: ConnectionConfig, stage: str = "full"
+) -> Callable[[DataFrame], DataFrame]:
     """Full per-connection pipeline: UDF chain + data layout, ready for
     the streaming spine's `transform` slot or batch execution. Output:
-    (_table, event) rows (the destination stage's bulker contract)."""
+    (_table, event) rows (the destination stage's bulker contract).
+
+    `stage` implements P4 retry-stage filtering
+    (`services/rotor/src/lib/message-handler.ts:43-52`): a retried event
+    that already cleared its UDFs re-runs "dst-only" (layout+load only);
+    "full" is the normal path (udf-n-dst).
+    """
+    from dataclasses import replace
+
     from ..events.layouts import apply_layout
 
+    if stage == "dst-only":
+        config = replace(config, functions=[])
+    elif stage != "full":
+        raise ValueError(f"unknown stage {stage!r}")
     chain = compile_chain(config)
 
     def transform(df: DataFrame) -> DataFrame:
