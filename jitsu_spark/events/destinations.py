@@ -322,6 +322,72 @@ def mixpanel_events(event: dict) -> list[dict]:
 
 
 # ---------------------------------------------------------------------------
+# Amplitude (M8 family, `libs/core-functions/src/functions/
+# amplitude-destination.ts:8-139`): identify -> $identify with $set traits;
+# group -> $groupidentify; track/page/screen -> HTTP-API event. Sessionization
+# uses the chain TTL store keyed by device (sessionWindow default 30 min,
+# `:17-19`) — a worked example of a stateful chain function.
+# ---------------------------------------------------------------------------
+
+AMPLITUDE_SESSION_WINDOW_MIN = 30
+
+
+def amplitude_events(event: dict, ctx=None) -> list[dict]:
+    etype = event.get("type")
+    user_id = event.get("userId")
+    device_id = event.get("anonymousId")
+    ts = event.get("timestamp")
+
+    def base():
+        return {
+            "time": ts,
+            "insert_id": event.get("messageId"),
+            "user_id": user_id,
+        }
+
+    if etype == "identify" and user_id:
+        return [
+            {
+                **base(),
+                "event_type": "$identify",
+                "user_properties": {"$set": {**(event.get("traits") or {})}},
+            }
+        ]
+    if etype == "group" and user_id:
+        return [
+            {
+                **base(),
+                "event_type": "$groupidentify",
+                "group_properties": {"$set": {**(event.get("traits") or {})}},
+                "groups": {"group": event.get("groupId")},
+            }
+        ]
+    if etype in ("page", "track", "screen"):
+        session_id = None
+        if ctx is not None and device_id:
+            key = f"amp_{device_id}_sess"
+            session_id = ctx.store.get(key)
+            if session_id is None:
+                session_id = event.get("timestamp") or event.get("messageId")
+            ctx.store.set(
+                key, session_id, ttl_days=AMPLITUDE_SESSION_WINDOW_MIN / 1440
+            )
+        name = {"page": "Page View", "screen": "Screen View"}.get(
+            etype, event.get("event") or etype
+        )
+        return [
+            {
+                **base(),
+                "event_type": name,
+                "device_id": device_id,
+                "session_id": session_id,
+                "event_properties": {**(event.get("properties") or {})},
+            }
+        ]
+    return []
+
+
+# ---------------------------------------------------------------------------
 # Typed fast path (oracle-checked): GA4 mapping over the testdata stream.
 # ---------------------------------------------------------------------------
 

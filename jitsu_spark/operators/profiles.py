@@ -147,6 +147,40 @@ def profile_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_profiles(load_table(spark, sf_dir, "events"))
 
 
+RAW_PARTITIONS = 240  # profiles-functions.ts:12-13
+
+
+def append_profiles_raw(events: DataFrame, raw_dir: str) -> None:
+    """S9 — the profile builder's raw event store: events tee'd per user
+    with a hash partition id (`libs/core-functions/src/functions/
+    profiles-functions.ts:55-101`, partition = hash(userId)%240 at `:87`).
+
+    On disk the partition column prunes per-instance scans: a builder
+    instance responsible for partitions [a,b) reads only those directories,
+    which is the reference's instance-sharding re-expressed as partition
+    pruning. Retention (profileWindowDays=365) is a periodic
+    delete-old-partitions job, mirroring the TTL'd Mongo collections.
+    """
+    (
+        events.withColumn(
+            "_partition_id", F.pmod(F.hash("user_id"), F.lit(RAW_PARTITIONS))
+        )
+        .write.mode("append")
+        .partitionBy("_partition_id")
+        .parquet(raw_dir)
+    )
+
+
+def read_profiles_raw(
+    spark: SparkSession, raw_dir: str, partition_range: tuple[int, int] | None = None
+) -> DataFrame:
+    df = spark.read.parquet(raw_dir)
+    if partition_range is not None:
+        lo, hi = partition_range
+        df = df.where(F.col("_partition_id").between(lo, hi - 1))
+    return df
+
+
 # The SQL oracle reproduces the UDAF exactly — longest run via
 # gaps-and-islands (two row_numbers), proving the pandas path == relational
 # semantics.
