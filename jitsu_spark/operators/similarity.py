@@ -234,12 +234,50 @@ FROM (
 def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: all pairs with cosine >= DUP_COS_THRESHOLD.
 
-    Brute-force all-pairs here (exact); the LSH/IVF bucketing above is the
-    sub-quadratic candidate generator at scale — same verify stage either
-    way. The pair join is a range-free theta join: Spark executes it as a
-    broadcast nested loop with the smaller side broadcast.
+    Two stages:
+    1. Candidate generation as a blocked matrix product: the normalized
+       matrix is broadcast once; each Arrow batch of rows computes
+       `block @ M.T` in numpy (BLAS) and keeps pairs above
+       threshold - epsilon. This replaces the expression-interpreted
+       nested-loop join — 10x+ on wall clock, and it's the layout that
+       scales: the broadcast side is the same size class a broadcast hash
+       join tolerates; past that, chunk the broadcast or switch to the
+       IVF/LSH bucketing above as the candidate generator.
+    2. Exact re-score of the (few) candidates with the same sequential
+       aggregate expression the SQL oracle uses, so the emitted sims are
+       bit-identical to a full brute-force pass — the epsilon margin only
+       admits extra candidates for the exact filter to reject.
     """
+    import numpy as np
+    import pandas as pd
+
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    side = emb.select("vec_id", "embedding", "norm").collect()
+    ids = np.array([r.vec_id for r in side], dtype=np.int64)
+    mat = np.array([r.embedding for r in side], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+    eps = 1e-6
+
+    def candidates(batches):
+        all_ids, all_mat = b_ids.value, b_mat.value
+        for pdf in batches:
+            block = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            block /= np.linalg.norm(block, axis=1, keepdims=True)
+            sims = block @ all_mat.T
+            row_ids = pdf["vec_id"].to_numpy()
+            ai, bj = np.nonzero(
+                (sims >= DUP_COS_THRESHOLD - eps)
+                & (row_ids[:, None] < all_ids[None, :])
+            )
+            yield pd.DataFrame(
+                {"vec_a": row_ids[ai], "vec_b": all_ids[bj]}
+            )
+
+    cand = emb.select("vec_id", "embedding").mapInPandas(
+        candidates, "vec_a long, vec_b long"
+    )
     a = emb.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),
@@ -251,7 +289,8 @@ def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("norm").alias("nb"),
     )
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        cand.join(F.broadcast(a), "vec_a")
+        .join(F.broadcast(b), "vec_b")
         .withColumn(
             "sim",
             F.expr(DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb")),
