@@ -1,0 +1,117 @@
+"""Property-based tests (hypothesis) for the pure transformation core —
+the reference has only example-based tests (SURVEY §5); these pin the
+invariants the layouts and chain rely on."""
+
+from __future__ import annotations
+
+import json
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from jitsu_spark.events.layout_core import map_event, plural
+from jitsu_spark.functions.strings import snake_case, snake_case_tree
+from jitsu_spark.plans.chain import FunctionContext, run_user_chain
+
+ident = st.text(string.ascii_letters + string.digits + " _", min_size=1, max_size=24)
+
+json_scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(-(2**31), 2**31),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.text(max_size=40),
+)
+json_objects = st.dictionaries(ident, json_scalars, max_size=6)
+
+
+class TestSnakeCase:
+    @given(ident)
+    def test_idempotent(self, s):
+        assert snake_case(snake_case(s)) == snake_case(s)
+
+    @given(ident)
+    def test_no_upper_no_spaces(self, s):
+        out = snake_case(s)
+        assert out == out.lower()
+        assert " " not in out
+
+    @given(json_objects)
+    def test_tree_preserves_value_multiset(self, obj):
+        from hypothesis import assume
+
+        # keys colliding after snake_case merge last-wins (reference
+        # Object.assign semantics) — the property holds for distinct keys
+        assume(len({snake_case(k) for k in obj}) == len(obj))
+        out = snake_case_tree(obj)
+        assert sorted(map(repr, out.values())) == sorted(map(repr, obj.values()))
+
+
+class TestLayouts:
+    @settings(max_examples=60)
+    @given(
+        etype=st.sampled_from(["track", "page", "identify", "group", "screen"]),
+        name=ident,
+        props=json_objects,
+    )
+    def test_layouts_total_and_routed(self, etype, name, props):
+        """Every layout maps every well-formed event to >=1 (table, row)
+        with a non-empty table name; segment tracks fan out to exactly 2."""
+        event = {
+            "messageId": "m1",
+            "type": etype,
+            "event": name if etype == "track" else None,
+            "properties": props,
+        }
+        for layout in ("segment", "segment-single-table", "jitsu-legacy", "passthrough"):
+            out = map_event(dict(event), layout)
+            assert len(out) >= 1
+            for table, row in out:
+                assert isinstance(table, str) and table
+                assert isinstance(row, dict)
+                json.dumps(row)  # row stays JSON-serializable
+        seg = map_event(dict(event), "segment")
+        if etype == "track":
+            assert [t for t, _ in seg][0] == "tracks" and len(seg) == 2
+
+    def test_plural_is_the_reference_lookup(self):
+        # bulker-destination.ts:310-323: fixed table-name mapping, not an
+        # English pluralizer — unknown names pass through unchanged
+        assert plural("identify") == "identifies"
+        assert plural("track") == "tracks"
+        assert plural("custom") == "custom"
+
+    @given(json_objects)
+    def test_table_name_override_wins(self, props):
+        event = {
+            "messageId": "m1",
+            "type": "track",
+            "event": "E",
+            "properties": props,
+            "JITSU_TABLE_NAME": "custom_target",
+        }
+        for layout in ("segment", "segment-single-table", "jitsu-legacy", "passthrough"):
+            out = map_event(dict(event), layout)
+            assert [t for t, _ in out] == ["custom_target"], layout
+
+
+class TestChainAlgebra:
+    @settings(max_examples=40)
+    @given(st.lists(st.sampled_from(["keep", "tag", "drop"]), max_size=4))
+    def test_drop_is_absorbing(self, ops):
+        """Once any function drops, the chain emits nothing."""
+        fns = {
+            "keep": lambda e, c: True,
+            "tag": lambda e, c: {**e, "n": e.get("n", 0) + 1},
+            "drop": lambda e, c: "drop",
+        }
+        out, err = run_user_chain(
+            {"messageId": "m"}, [fns[o] for o in ops], FunctionContext()
+        )
+        assert err is None
+        if "drop" in ops:
+            assert out == []
+        else:
+            assert len(out) == 1
+            assert out[0].get("n", 0) == ops.count("tag")
