@@ -172,11 +172,16 @@ def _recognize(
 
 
 def user_recognition_stream(
-    events: DataFrame, lookback_days: int = LOOKBACK_DAYS_DEFAULT
+    events: DataFrame,
+    lookback_days: int = LOOKBACK_DAYS_DEFAULT,
+    lookback_ms: int | None = None,
 ) -> DataFrame:
     """events: streaming DataFrame with at least
-    (message_id, anonymous_id, user_id, traits, timestamp)."""
-    lookback_ms = lookback_days * 24 * 3600 * 1000
+    (message_id, anonymous_id, user_id, traits, timestamp).
+    `lookback_ms` overrides the TTL directly (tests exercise the
+    timeout-flush path with millisecond TTLs)."""
+    if lookback_ms is None:
+        lookback_ms = lookback_days * 24 * 3600 * 1000
 
     def fn(key, pdfs, state):
         return _recognize(key, pdfs, state, lookback_ms)

@@ -71,6 +71,45 @@ def test_user_recognition_stream_backfills_across_batches(spark, tmp_path):
     assert "m5" not in rows
 
 
+def test_user_recognition_state_ttl_flushes_anonymous(spark, tmp_path):
+    """W4: a key that never identifies is flushed (still anonymous) when
+    its state times out — the Mongo TTL eviction analogue."""
+    import time
+
+    from jitsu_spark.streaming.source import file_event_stream
+    from jitsu_spark.streaming.user_recognition import user_recognition_stream
+
+    src = str(tmp_path / "in")
+    _write_events(src, BATCH1, "b1.json")
+    time.sleep(0.2)
+    # a later batch for an unrelated key lets expired timers fire
+    _write_events(
+        src,
+        [{"message_id": "mz", "anonymous_id": "anonZ", "user_id": "uZ",
+          "timestamp": "2024-01-01T00:01:00Z"}],
+        "b2.json",
+    )
+    stream = file_event_stream(spark, src, max_files_per_trigger=1)
+    out = user_recognition_stream(
+        stream.select("message_id", "anonymous_id", "user_id", "traits", "timestamp"),
+        lookback_ms=1,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ur_ttl_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.message_id: r for r in spark.sql("SELECT * FROM ur_ttl_out").collect()}
+    # anon1/anon2 buffers expired -> flushed WITHOUT identity
+    for m in ("m1", "m2", "m3", "m5"):
+        assert m in rows, m
+        assert rows[m].user_id is None
+    assert rows["mz"].user_id == "uZ"
+
+
 def test_pipeline_end_to_end_exactly_once(spark, tmp_path):
     """File stream -> typed projection -> routed upsert sink, with a
     duplicated message across batches (at-least-once) deduped by MERGE."""
