@@ -138,12 +138,46 @@ FROM events, unnest(['tracks', event_type]) AS t(_table)
 """
 
 
+def layout_jitsu_legacy_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 `jitsu-legacy` on a typed stream (`bulker-destination.ts:57-152`):
+    classic flat schema — `eventn_ctx_event_id`, `src='jitsu'`,
+    `utc_time`/`_timestamp`, user promoted to columns, track properties
+    spliced at top level. Plan-time projection, zero runtime cost."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").cast("string").alias("eventn_ctx_event_id"),
+        F.col("event_type").alias("event_type"),
+        F.lit("jitsu").alias("src"),
+        F.col("ts").alias("utc_time"),
+        F.col("ts").alias("_timestamp"),
+        F.col("user_id").cast("string").alias("user_id"),
+        # track props spliced at top level (value + props.k here)
+        F.col("value"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+
+
+LAYOUT_JITSU_LEGACY_SQL = """
+SELECT CAST(event_id AS VARCHAR) AS eventn_ctx_event_id,
+       event_type,
+       'jitsu' AS src,
+       make_timestamp(epoch_ns(ts) // 1000) AS utc_time,
+       make_timestamp(epoch_ns(ts) // 1000) AS _timestamp,
+       CAST(user_id AS VARCHAR) AS user_id,
+       value,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+"""
+
+
 QUERIES = {
     "layout_single_table_typed": layout_single_table_typed,
     "layout_segment_fanout": layout_segment_fanout,
+    "layout_jitsu_legacy_typed": layout_jitsu_legacy_typed,
 }
 
 ORACLE = {
     "layout_single_table_typed": LAYOUT_SINGLE_TABLE_SQL,
     "layout_segment_fanout": LAYOUT_SEGMENT_FANOUT_SQL,
+    "layout_jitsu_legacy_typed": LAYOUT_JITSU_LEGACY_SQL,
 }
