@@ -388,6 +388,122 @@ def amplitude_events(event: dict, ctx=None) -> list[dict]:
 
 
 # ---------------------------------------------------------------------------
+# PostHog (M8, `libs/core-functions/src/functions/posthog-destination.ts:
+# 88-170`): identify -> client.identify with $anon_distinct_id + traits (and
+# alias(userId, anonymousId) when both present); group -> groupIdentify;
+# track/page -> capture keyed by userId else anonymousId.
+# ---------------------------------------------------------------------------
+
+
+def posthog_events(event: dict) -> list[dict]:
+    etype = event.get("type")
+    user_id, anon_id = event.get("userId"), event.get("anonymousId")
+    distinct = str(user_id) if user_id else anon_id
+    if etype == "identify":
+        ops = [
+            {
+                "op": "identify",
+                "distinct_id": distinct,
+                "properties": {
+                    "$anon_distinct_id": anon_id,
+                    **(event.get("traits") or {}),
+                },
+            }
+        ]
+        if user_id and anon_id:
+            ops.append({"op": "alias", "distinct_id": anon_id, "alias": str(user_id)})
+        return ops
+    if etype == "group":
+        return [
+            {
+                "op": "groupIdentify",
+                "group_key": event.get("groupId"),
+                "properties": event.get("traits") or {},
+            }
+        ]
+    if etype in ("track", "page", "screen"):
+        if distinct is None:
+            return []
+        name = "$pageview" if etype == "page" else (event.get("event") or etype)
+        return [
+            {
+                "op": "capture",
+                "distinct_id": distinct,
+                "event": name,
+                "properties": event.get("properties") or {},
+            }
+        ]
+    return []
+
+
+# ---------------------------------------------------------------------------
+# June (M8, `june-destination.ts:21-60`): track/page -> track payload with
+# campaign_*/screen_* prefixed context props; identify/group pass traits.
+# ---------------------------------------------------------------------------
+
+
+def _prefixed(d: dict | None, prefix: str) -> dict:
+    return {f"{prefix}{k}": v for k, v in (d or {}).items()}
+
+
+def june_events(event: dict) -> list[dict]:
+    etype = event.get("type")
+    ctx = event.get("context") or {}
+    if etype in ("track", "page"):
+        return [
+            {
+                "type": "track",
+                "event": "Page View" if etype == "page" else event.get("event"),
+                "timestamp": event.get("timestamp"),
+                "anonymousId": event.get("anonymousId"),
+                "userId": event.get("userId"),
+                "email": (ctx.get("traits") or {}).get("email"),
+                "properties": {
+                    **{
+                        k: v
+                        for k, v in (event.get("properties") or {}).items()
+                        if k not in ("width", "height")
+                    },
+                    **_prefixed(ctx.get("campaign"), "campaign_"),
+                    **_prefixed(ctx.get("screen"), "screen_"),
+                    "ip": ctx.get("ip"),
+                    "userAgent": ctx.get("userAgent"),
+                    "locale": ctx.get("locale"),
+                },
+            }
+        ]
+    if etype == "identify":
+        return [
+            {
+                "type": "identify",
+                "userId": event.get("userId"),
+                "anonymousId": event.get("anonymousId"),
+                "traits": event.get("traits") or {},
+            }
+        ]
+    if etype == "group":
+        return [
+            {
+                "type": "group",
+                "groupId": event.get("groupId"),
+                "userId": event.get("userId"),
+                "traits": event.get("traits") or {},
+            }
+        ]
+    return []
+
+
+# ---------------------------------------------------------------------------
+# Segment proxy (M8, `segment-destination.ts`): forward the event as-is to
+# a Segment-compatible endpoint — the identity mapping.
+# ---------------------------------------------------------------------------
+
+
+def segment_proxy_events(event: dict) -> list[dict]:
+    return [{k: v for k, v in event.items() if not k.startswith("$")}]
+
+
+# ---------------------------------------------------------------------------
 # Typed fast path (oracle-checked): GA4 mapping over the testdata stream.
 # ---------------------------------------------------------------------------
 
@@ -435,5 +551,35 @@ SELECT CAST(event_id AS VARCHAR) AS message_id,
 FROM events
 """
 
-QUERIES = {"ga4_mapping_typed": ga4_mapping_typed}
-ORACLE = {"ga4_mapping_typed": GA4_MAPPING_SQL}
+def mixpanel_mapping_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 on a typed stream: the import-event projection — distinct_id
+    resolution, md5 $insert_id (F11), epoch-millis time. All codegen."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_type").alias("event"),
+        F.concat(F.lit("u"), F.col("user_id")).alias("distinct_id"),
+        F.md5(
+            F.concat_ws("_", F.col("event_id").cast("string"), F.col("event_type"))
+        ).alias("insert_id"),
+        F.unix_millis(F.col("ts")).alias("time"),
+        F.col("value"),
+    )
+
+
+MIXPANEL_MAPPING_SQL = """
+SELECT event_type AS event,
+       'u' || user_id AS distinct_id,
+       md5(CAST(event_id AS VARCHAR) || '_' || event_type) AS insert_id,
+       epoch_ms(make_timestamp(epoch_ns(ts) // 1000)) AS time,
+       value
+FROM events
+"""
+
+QUERIES = {
+    "ga4_mapping_typed": ga4_mapping_typed,
+    "mixpanel_mapping_typed": mixpanel_mapping_typed,
+}
+ORACLE = {
+    "ga4_mapping_typed": GA4_MAPPING_SQL,
+    "mixpanel_mapping_typed": MIXPANEL_MAPPING_SQL,
+}

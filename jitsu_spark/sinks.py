@@ -148,6 +148,22 @@ class WarehouseSink:
         finally:
             df.unpersist()
 
+    def compact(self, table: str, target_files_per_partition: int = 1) -> None:
+        """Small-file compaction: streaming appends leave one file per
+        micro-batch per partition; periodic compaction rewrites each date
+        partition down to `target_files_per_partition` files. The lakehouse
+        OPTIMIZE analogue — read amplification on a 100 TB table is driven
+        by file count as much as bytes."""
+        df = self.read(table).repartition(
+            target_files_per_partition, F.col(PARTITION_COL)
+        )
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(PARTITION_COL)
+            .parquet(self._path(table))
+        )
+
     def _conform(self, df: DataFrame, table: str, timestamp_col: str) -> DataFrame:
         df = df.withColumn(PARTITION_COL, F.to_date(F.col(timestamp_col)))
         if self.schema_freeze and self.exists(table):

@@ -43,6 +43,33 @@ def metrics_rollup_stream(
     )
 
 
+def sessionize_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "timestamp",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Streaming sessionization via native session windows: per-user
+    sessions close after `gap` of inactivity. The batch twin is the
+    operators.events_ops.sessionize gaps-and-islands query; here Spark's
+    session_window state machine merges windows incrementally — state per
+    open session only, emitted on watermark close."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(user_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col(user_col),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def active_events_hourly_stream(
     events: DataFrame,
     watermark: str = "1 hour",
