@@ -178,20 +178,54 @@ def compile_chain(
         for pdf in batches:
             out_events: list[str] = []
             out_errors: list[str | None] = []
+            out_logs: list[str | None] = []
             for raw in pdf["event"]:
                 ev = json.loads(raw)
                 if not passes_event_filter(ev, spec):
                     continue
+                log_mark = len(ctx.logs)
                 evs, err = run_user_chain(ev, functions, ctx)
+                ev_logs = ctx.logs[log_mark:]
+                logs_json = json.dumps(ev_logs) if ev_logs else None
                 for e in evs:
                     out_events.append(json.dumps(e, separators=(",", ":")))
                     out_errors.append(err)
-            yield pd.DataFrame({"event": out_events, "_error": out_errors})
+                    out_logs.append(logs_json)
+            yield pd.DataFrame(
+                {"event": out_events, "_error": out_errors, "_logs": out_logs}
+            )
 
     def transform(df: DataFrame) -> DataFrame:
-        return df.mapInPandas(stage, "event string, _error string")
+        return df.mapInPandas(stage, "event string, _error string, _logs string")
 
     return transform
+
+
+def chain_log_rows(processed: DataFrame) -> DataFrame:
+    """Turn the chain's per-event `_logs`/`_error` side-channel into
+    events-log rows (S8): explode log lines, lift errors to level=error.
+    Route the result to sinks_api.append_events_log."""
+    import pyspark.sql.functions as F
+
+    logs = (
+        processed.where(F.col("_logs").isNotNull())
+        .select(
+            F.get_json_object("event", "$.message_id").alias("actor_id"),
+            F.explode(F.from_json("_logs", "array<string>")).alias("message"),
+        )
+        .withColumn("level", F.lit("info"))
+    )
+    errors = (
+        processed.where(F.col("_error").isNotNull())
+        .select(
+            F.get_json_object("event", "$.message_id").alias("actor_id"),
+            F.col("_error").alias("message"),
+        )
+        .withColumn("level", F.lit("error"))
+    )
+    return logs.unionByName(errors).withColumn(
+        "type", F.lit("function")
+    ).withColumn("timestamp", F.current_timestamp())
 
 
 def compile_pipeline(

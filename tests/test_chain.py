@@ -135,6 +135,37 @@ def test_compiled_chain_on_dataframe(spark):
     assert all(e["tagged"] for e in out)
 
 
+def test_chain_log_side_channel(spark, tmp_path):
+    """ctx.log lines surface as events-log rows (U1 -> S8)."""
+    from pyspark.sql import functions as F
+
+    from jitsu_spark.plans.chain import chain_log_rows
+    from jitsu_spark.sinks_api import append_events_log
+
+    def noisy(e, ctx):
+        ctx.log(f"processing {e['message_id']}")
+        return e
+
+    def maybe_boom(e, ctx):
+        if e["message_id"] == "m2":
+            raise RuntimeError("mapping failed")
+        return e
+
+    events = [{"message_id": "m1"}, {"message_id": "m2"}]
+    df = spark.createDataFrame([(json.dumps(e),) for e in events], "event string")
+    cfg = ConnectionConfig(connection_id="c", functions=[noisy, maybe_boom])
+    processed = compile_chain(cfg)(df).cache()
+    logs = chain_log_rows(processed)
+    append_events_log(logs, str(tmp_path / "log"))
+    rows = spark.read.parquet(str(tmp_path / "log"))
+    by_level = {
+        (r.actor_id, r.level): r.message for r in rows.collect()
+    }
+    assert by_level[("m1", "info")] == "processing m1"
+    assert "mapping failed" in by_level[("m2", "error")]
+    processed.unpersist()
+
+
 def test_compiled_pipeline_layout_routing(spark):
     events = [
         {
