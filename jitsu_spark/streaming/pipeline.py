@@ -28,6 +28,23 @@ from pyspark.sql.streaming import StreamingQuery
 from ..sinks import WarehouseSink
 
 
+def dedup_within_watermark(
+    stream: DataFrame,
+    watermark: str = "31 days",  # deduplicateWindow, destinations.tsx:139
+    ts_col: str = "timestamp",
+    key_col: str = "message_id",
+) -> DataFrame:
+    """W5 — engine-side duplicate suppression inside the watermark horizon.
+
+    dropDuplicates on a watermarked stream keeps one state entry per key
+    and expires it with the watermark, so redeliveries within the window
+    never reach the sink; beyond-horizon duplicates are caught by the
+    sink's MERGE (the two layers share the 31-day contract). Use this when
+    sink MERGEs are expensive (API destinations) — for warehouse sinks the
+    MERGE alone suffices and avoids double state."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicates([key_col])
+
+
 def run_pipeline(
     stream: DataFrame,
     sink: WarehouseSink,
