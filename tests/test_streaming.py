@@ -163,6 +163,48 @@ def test_pipeline_end_to_end_exactly_once(spark, tmp_path):
     assert sorted(r.message_id for r in rows) == ["m1", "m2", "m3"]
 
 
+def test_ur_backfill_upserts_over_originals(spark, tmp_path):
+    """The reference's core UR contract (`user-recognition.ts:25-30`):
+    re-emitted backfills are upserts — the warehouse ends with ONE row per
+    message, carrying the identity. Full loop: UR stream -> routed MERGE
+    sink across two micro-batches."""
+    from pyspark.sql import functions as F
+
+    from jitsu_spark.sinks import WarehouseSink
+    from jitsu_spark.streaming.source import file_event_stream
+    from jitsu_spark.streaming.user_recognition import user_recognition_stream
+
+    src = str(tmp_path / "in")
+    _write_events(src, BATCH1, "b1.json")
+    _write_events(src, BATCH2, "b2.json")
+    sink = WarehouseSink(spark, str(tmp_path / "wh"))
+
+    out = user_recognition_stream(
+        file_event_stream(spark, src, max_files_per_trigger=1).select(
+            "message_id", "anonymous_id", "user_id", "traits", "timestamp"
+        )
+    )
+
+    def load(batch, batch_id):
+        routed = batch.withColumn("_table", F.lit("events"))
+        sink.write_routed(routed, timestamp_col="timestamp")
+
+    q = (
+        out.writeStream.foreachBatch(load)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = {r.message_id: r for r in sink.read("events").collect()}
+    # batch1 emitted nothing for anon1 (buffered); batch2 re-emitted m1-m3
+    # with identity; the MERGE keeps exactly one row per message
+    assert sink.read("events").count() == 4  # m1-m4 (m5 still buffered)
+    for m in ("m1", "m2", "m3", "m4"):
+        assert rows[m].user_id == "u42", m
+
+
 def test_metrics_rollup_stream(spark, tmp_path):
     from jitsu_spark.streaming.metrics import metrics_rollup_stream
     from jitsu_spark.streaming.source import file_event_stream
