@@ -127,6 +127,37 @@ ORDER BY period DESC, events DESC
 """
 
 
+def report_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 extension — the report with subtotal rows via GROUPING SETS:
+    (day, status), per-day totals, and the grand total in ONE pass
+    (SURVEY §2.6: the reference has no grouping sets; Catalyst plans them
+    as a single expanded aggregate — one scan, one shuffle)."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_gs")
+    return spark.sql(
+        """
+        SELECT date_trunc('day', ts) AS period,
+               event_type AS status,
+               count(*) AS events
+        FROM events_gs
+        GROUP BY GROUPING SETS ((date_trunc('day', ts), event_type),
+                                (date_trunc('day', ts)),
+                                ())
+        """
+    )
+
+
+REPORT_ROLLUP_TOTALS_SQL = """
+SELECT date_trunc('day', ts) AS period,
+       event_type AS status,
+       count(*) AS events
+FROM events
+GROUP BY GROUPING SETS ((date_trunc('day', ts), event_type),
+                        (date_trunc('day', ts)),
+                        ())
+"""
+
+
 def events_log_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 — events-log tail: newest N entries.
 
@@ -377,6 +408,7 @@ QUERIES = {
     "metrics_rollup_minute": metrics_rollup_minute,
     "active_users_daily": active_users_daily,
     "report_event_stat": report_event_stat,
+    "report_rollup_totals": report_rollup_totals,
     "events_log_tail": events_log_tail,
     "props_json_extract": props_json_extract,
     "profile_traits_fold": profile_traits_fold,
@@ -390,6 +422,7 @@ ORACLE = {
     "metrics_rollup_minute": METRICS_ROLLUP_MINUTE_SQL,
     "active_users_daily": ACTIVE_USERS_DAILY_SQL,
     "report_event_stat": REPORT_EVENT_STAT_SQL,
+    "report_rollup_totals": REPORT_ROLLUP_TOTALS_SQL,
     "events_log_tail": EVENTS_LOG_TAIL_SQL,
     "props_json_extract": PROPS_JSON_EXTRACT_SQL,
     "profile_traits_fold": PROFILE_TRAITS_FOLD_SQL,
