@@ -158,6 +158,27 @@ GROUP BY GROUPING SETS ((date_trunc('day', ts), event_type),
 """
 
 
+def signup_no_purchase_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 set operations: users who signed up but never purchased, as
+    EXCEPT (plans as a left-anti aggregate join — one shuffle per side on
+    user_id, no row payload beyond the key)."""
+    ev = load_table(spark, sf_dir, "events")
+    signed = ev.where(F.col("event_type") == "signup").select("user_id")
+    purchased = ev.where(F.col("event_type") == "purchase").select("user_id")
+    # subtract == SQL EXCEPT (set semantics)
+    return signed.subtract(purchased).orderBy("user_id")
+
+
+SIGNUP_NO_PURCHASE_SQL = """
+SELECT DISTINCT user_id FROM (
+  SELECT user_id FROM events WHERE event_type = 'signup'
+  EXCEPT
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+)
+ORDER BY user_id
+"""
+
+
 def events_log_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 — events-log tail: newest N entries.
 
@@ -409,6 +430,7 @@ QUERIES = {
     "active_users_daily": active_users_daily,
     "report_event_stat": report_event_stat,
     "report_rollup_totals": report_rollup_totals,
+    "signup_no_purchase_except": signup_no_purchase_except,
     "events_log_tail": events_log_tail,
     "props_json_extract": props_json_extract,
     "profile_traits_fold": profile_traits_fold,
@@ -423,6 +445,7 @@ ORACLE = {
     "active_users_daily": ACTIVE_USERS_DAILY_SQL,
     "report_event_stat": REPORT_EVENT_STAT_SQL,
     "report_rollup_totals": REPORT_ROLLUP_TOTALS_SQL,
+    "signup_no_purchase_except": SIGNUP_NO_PURCHASE_SQL,
     "events_log_tail": EVENTS_LOG_TAIL_SQL,
     "props_json_extract": PROPS_JSON_EXTRACT_SQL,
     "profile_traits_fold": PROFILE_TRAITS_FOLD_SQL,
