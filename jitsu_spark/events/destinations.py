@@ -494,6 +494,60 @@ def june_events(event: dict) -> list[dict]:
 
 
 # ---------------------------------------------------------------------------
+# Facebook Conversions API (M8, `facebook-conversions.ts:11-26,44-130`):
+# track/page/screen -> server events with SHA-256-hashed user_data
+# (trim+lowercase before hashing, `facebookHash` at `:11-16`; phone
+# sanitization strips non-digits and leading zeros, `:22-26`).
+# ---------------------------------------------------------------------------
+
+
+def facebook_hash(value: str | None) -> str | None:
+    if not value:
+        return None
+    return hashlib.sha256(value.strip().lower().encode()).hexdigest()
+
+
+def sanitize_phone(phone: str) -> str:
+    return re.sub(r"[^\d]", "", phone).lstrip("0")
+
+
+def facebook_conversion_events(event: dict) -> list[dict]:
+    etype = event.get("type")
+    if etype not in ("track", "page", "screen"):
+        return []
+    ctx = event.get("context") or {}
+    traits = {**(ctx.get("traits") or {}), **(event.get("traits") or {})}
+    phone = traits.get("phone")
+    user_data = {
+        "em": facebook_hash(traits.get("email")),
+        "ph": facebook_hash(sanitize_phone(phone)) if phone else None,
+        "external_id": facebook_hash(str(event["userId"]))
+        if event.get("userId")
+        else None,
+        "client_ip_address": ctx.get("ip"),  # IP/UA travel unhashed
+        "client_user_agent": ctx.get("userAgent"),
+        "fbc": (ctx.get("clientIds") or {}).get("fbc"),
+        "fbp": (ctx.get("clientIds") or {}).get("fbp"),
+    }
+    name = {"page": "PageView", "screen": "ScreenView"}.get(
+        etype, event.get("event") or etype
+    )
+    props = event.get("properties") or {}
+    return [
+        {
+            "event_name": name,
+            "event_id": event.get("messageId"),
+            "action_source": "website",
+            "event_source_url": (ctx.get("page") or {}).get("url"),
+            "user_data": {k: v for k, v in user_data.items() if v is not None},
+            "custom_data": {
+                k: v for k, v in props.items() if k not in ("width", "height")
+            },
+        }
+    ]
+
+
+# ---------------------------------------------------------------------------
 # Segment proxy (M8, `segment-destination.ts`): forward the event as-is to
 # a Segment-compatible endpoint — the identity mapping.
 # ---------------------------------------------------------------------------

@@ -106,6 +106,43 @@ class TestNewMappings:
         assert props["screen_width"] == 800
         assert p["email"] == "x@y.z"
 
+    def test_facebook_conversion_hashing(self):
+        import hashlib
+
+        from jitsu_spark.events.destinations import (
+            facebook_conversion_events,
+            facebook_hash,
+            sanitize_phone,
+        )
+
+        assert facebook_hash("  X@Y.Z ") == hashlib.sha256(b"x@y.z").hexdigest()
+        assert sanitize_phone("+00 1 (555) 123") == "1555123"
+        (p,) = facebook_conversion_events(
+            {
+                "type": "track", "event": "Purchase", "messageId": "m1",
+                "userId": "u1",
+                "properties": {"value": 9.5},
+                "context": {
+                    "ip": "1.2.3.4", "userAgent": "UA",
+                    "traits": {"email": "X@y.z", "phone": "+0 555"},
+                    "clientIds": {"fbp": "fb.1"},
+                    "page": {"url": "https://x.io"},
+                },
+            }
+        )
+        assert p["event_name"] == "Purchase"
+        ud = p["user_data"]
+        assert ud["em"] == hashlib.sha256(b"x@y.z").hexdigest()
+        assert ud["ph"] == hashlib.sha256(b"555").hexdigest()
+        assert ud["client_ip_address"] == "1.2.3.4"  # unhashed per API
+        assert ud["fbp"] == "fb.1"
+        assert p["custom_data"] == {"value": 9.5}
+
+    def test_facebook_identify_ignored(self):
+        from jitsu_spark.events.destinations import facebook_conversion_events
+
+        assert facebook_conversion_events({"type": "identify"}) == []
+
     def test_segment_proxy_passthrough(self):
         from jitsu_spark.events.destinations import segment_proxy_events
 
