@@ -494,6 +494,107 @@ def june_events(event: dict) -> list[dict]:
 
 
 # ---------------------------------------------------------------------------
+# Braze (M8, `braze-destination.ts:29-171`): gender normalization, id-part
+# resolution (external_id > user_alias > braze_id, plus email/phone), track
+# -> events, "Order Completed" -> one purchase per product.
+# ---------------------------------------------------------------------------
+
+_BRAZE_GENDERS = {
+    "M": ["man", "male", "m"],
+    "F": ["woman", "female", "w", "f"],
+    "O": ["other", "o"],
+    "N": ["not applicable", "n"],
+    "P": ["prefer not to say", "p"],
+}
+
+
+def to_braze_gender(gender: str | None) -> str | None:
+    if not gender:
+        return gender
+    for code, names in _BRAZE_GENDERS.items():
+        if gender.lower() in names:
+            return code
+    return gender
+
+
+def _braze_id_part(event: dict) -> dict:
+    traits = event.get("traits") or (event.get("context") or {}).get("traits") or {}
+    props = event.get("properties") or {}
+    id_part: dict = {}
+    user_alias = traits.get("user_alias") or props.get("user_alias") or (
+        {"alias_name": event["anonymousId"], "alias_label": "anonymous_id"}
+        if event.get("anonymousId")
+        else None
+    )
+    if event.get("userId"):
+        id_part["external_id"] = event["userId"]
+    elif user_alias:
+        id_part["user_alias"] = user_alias
+    elif traits.get("braze_id") or props.get("braze_id"):
+        id_part["braze_id"] = traits.get("braze_id") or props.get("braze_id")
+    if traits.get("email"):
+        id_part["email"] = traits["email"]
+    if traits.get("phone"):
+        id_part["phone"] = traits["phone"]
+    if not id_part:
+        raise ValueError(
+            'one of "external_id", "user_alias", "braze_id", "email" or '
+            '"phone" is required'
+        )
+    return id_part
+
+
+def braze_events(event: dict) -> list[dict]:
+    etype = event.get("type")
+    props = event.get("properties") or {}
+    if etype == "track" and event.get("event") == "Order Completed":
+        products = props.get("products") or []
+        if not products:
+            return []
+        base = {**_braze_id_part(event), "time": event.get("timestamp")}
+        shared = {k: v for k, v in props.items() if k != "products"}
+        reserved = ("product_id", "currency", "price", "quantity")
+        return [
+            {
+                "op": "purchase",
+                **base,
+                "product_id": p.get("product_id"),
+                "currency": p.get("currency", "USD"),
+                "price": p.get("price"),
+                "quantity": p.get("quantity"),
+                "properties": {
+                    **{k: v for k, v in p.items() if k not in reserved},
+                    **shared,
+                },
+            }
+            for p in products
+        ]
+    if etype in ("track", "page", "screen"):
+        return [
+            {
+                "op": "event",
+                **_braze_id_part(event),
+                "name": event.get("event") or etype,
+                "time": event.get("timestamp"),
+                "properties": props,
+            }
+        ]
+    if etype == "identify":
+        traits = event.get("traits") or {}
+        return [
+            {
+                "op": "attributes",
+                **_braze_id_part(event),
+                "gender": to_braze_gender(traits.get("gender")),
+                "custom_attributes": {
+                    k: v for k, v in traits.items() if k != "gender"
+                },
+            }
+        ]
+    return []
+
+
+# ---------------------------------------------------------------------------
 # Facebook Conversions API (M8, `facebook-conversions.ts:11-26,44-130`):
 # track/page/screen -> server events with SHA-256-hashed user_data
 # (trim+lowercase before hashing, `facebookHash` at `:11-16`; phone

@@ -128,6 +128,31 @@ def id_graph_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
     return labels
 
 
+def alias_pairs(events: DataFrame) -> DataFrame:
+    """Edges for the id-graph from identity-bearing events: alias events
+    link previousId -> userId (`analytics.d.ts:97-100`); identify events
+    link anonymousId -> userId (the Mixpanel `$merge`/`$create_alias`
+    bookkeeping, `mixpanel-destination.ts:395-457`). Feed the result to
+    id_graph_components."""
+    ident = (
+        events.where(
+            F.col("user_id").isNotNull() & F.col("anonymous_id").isNotNull()
+        )
+        .select(
+            F.col("user_id").alias("id_a"), F.col("anonymous_id").alias("id_b")
+        )
+    )
+    if "previous_id" in events.columns:
+        ident = ident.union(
+            events.where(
+                (F.col("type") == "alias") & F.col("previous_id").isNotNull()
+            ).select(
+                F.col("previous_id").alias("id_a"), F.col("user_id").alias("id_b")
+            )
+        )
+    return ident.distinct()
+
+
 # --- oracle-checked registry entries -------------------------------------
 #
 # The driver's events table is already-resolved (every row has a numeric

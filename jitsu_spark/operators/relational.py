@@ -427,6 +427,48 @@ ORDER BY supp_nation, cust_nation, l_year
 """
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped: one nation's share of PROMO-part revenue per year —
+    conditional aggregation over a 6-way join, all dims broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("n_name") == "NATION_1", vol).otherwise(0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = """
+SELECT year(o_orderdate) AS o_year,
+       round(sum(CASE WHEN n_name = 'NATION_1'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_type = 'PROMO'
+GROUP BY 1
+ORDER BY o_year
+"""
+
+
 def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19-shaped: disjunction of conjunctive brand/size/quantity
     clauses — the OR-of-ANDs predicate-handling benchmark (each clause
@@ -475,6 +517,7 @@ QUERIES = {
     "q5_region_revenue": q5_region_revenue,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q7_nation_volume": q7_nation_volume,
+    "q8_market_share": q8_market_share,
     "q10_returned_items": q10_returned_items,
     "q14_promo_share": q14_promo_share,
     "q18_large_orders": q18_large_orders,
@@ -488,6 +531,7 @@ ORACLE = {
     "q5_region_revenue": Q5_SQL,
     "q6_forecast_revenue": Q6_SQL,
     "q7_nation_volume": Q7_SQL,
+    "q8_market_share": Q8_SQL,
     "q10_returned_items": Q10_SQL,
     "q14_promo_share": Q14_SQL,
     "q18_large_orders": Q18_SQL,

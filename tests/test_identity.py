@@ -77,6 +77,60 @@ def test_id_graph_components(spark):
     assert comp["u1"] != comp["u2"]
 
 
+def test_alias_pairs_feed_id_graph(spark):
+    from jitsu_spark.operators.identity import alias_pairs, id_graph_components
+
+    rows = [
+        # identify: anon a1 -> u1
+        ("m1", "identify", "a1", "u1", None),
+        # alias: previous u_old -> u1
+        ("m2", "alias", None, "u1", "u_old"),
+        # unrelated identify
+        ("m3", "identify", "a9", "u9", None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "message_id string, type string, anonymous_id string, "
+        "user_id string, previous_id string",
+    )
+    pairs = alias_pairs(df)
+    comp = {r.id: r.component for r in id_graph_components(pairs).collect()}
+    assert comp["u1"] == comp["a1"] == comp["u_old"]
+    assert comp["u9"] == comp["a9"] != comp["u1"]
+
+
+def test_braze_mapping():
+    from jitsu_spark.events.destinations import braze_events, to_braze_gender
+
+    assert to_braze_gender("Female") == "F"
+    assert to_braze_gender("nonbinary") == "nonbinary"
+    purchase = braze_events(
+        {
+            "type": "track", "event": "Order Completed", "userId": "u1",
+            "timestamp": "t",
+            "properties": {
+                "coupon": "X",
+                "products": [
+                    {"product_id": "p1", "price": 9.99, "quantity": 2, "sku": "s"}
+                ],
+            },
+        }
+    )
+    (p,) = purchase
+    assert p["op"] == "purchase" and p["external_id"] == "u1"
+    assert p["currency"] == "USD" and p["quantity"] == 2
+    assert p["properties"] == {"sku": "s", "coupon": "X"}
+    (ev,) = braze_events(
+        {"type": "track", "event": "E", "anonymousId": "a1", "properties": {}}
+    )
+    assert ev["user_alias"] == {"alias_name": "a1", "alias_label": "anonymous_id"}
+    (att,) = braze_events(
+        {"type": "identify", "userId": "u1",
+         "traits": {"gender": "male", "plan": "pro"}}
+    )
+    assert att["gender"] == "M" and att["custom_attributes"] == {"plan": "pro"}
+
+
 def test_profile_incremental_semantics(spark, sf_dir):
     from jitsu_spark.operators.profiles import build_profiles
     from jitsu_spark.tables import load_table
