@@ -45,7 +45,43 @@ def _strip(sql: str) -> str:
     return _STRING_OR_COMMENT.sub(" ", sql)
 
 
-def validate_select(sql: str, allowed_tables: set[str] | None = None) -> None:
+def referenced_tables(spark: SparkSession, sql: str) -> set[str]:
+    """All table names the query references, resolved from Catalyst's parsed
+    logical plan (not regex): walks the tree collecting `UnresolvedRelation`
+    leaves — including comma-separated FROM lists, JOINs, expression
+    subqueries — and subtracts CTE names bound by `UnresolvedWith`.
+
+    This is the analogue of the reference's astify step
+    (`sql/query.ts:39-70`), which also resolves tables from the parsed AST
+    rather than the raw text."""
+    plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
+    tables: set[str] = set()
+    ctes: set[str] = set()
+
+    def walk(node) -> None:
+        cls = node.getClass().getSimpleName()
+        if cls == "UnresolvedRelation":
+            tables.add(node.tableName().lower())
+        if cls == "UnresolvedWith":
+            it = node.cteRelations().iterator()
+            while it.hasNext():
+                ctes.add(it.next()._1().lower())
+        it = node.children().iterator()
+        while it.hasNext():
+            walk(it.next())
+        sit = node.subqueries().iterator()
+        while sit.hasNext():
+            walk(sit.next())
+
+    walk(plan)
+    return tables - ctes
+
+
+def validate_select(
+    sql: str,
+    allowed_tables: set[str] | None = None,
+    spark: SparkSession | None = None,
+) -> None:
     stripped = _strip(sql)
     if ";" in stripped.rstrip().rstrip(";"):
         raise SqlGatewayError("only a single statement is allowed")
@@ -60,14 +96,26 @@ def validate_select(sql: str, allowed_tables: set[str] | None = None) -> None:
     if forbidden:
         raise SqlGatewayError(f"forbidden keyword: {forbidden[0].upper()}")
     if allowed_tables is not None:
-        cte_names = {
-            m.group(1).lower()
-            for m in re.finditer(r"\b(\w+)\s+AS\s*\(", stripped, re.I)
-        }
-        for m in re.finditer(r"\b(?:FROM|JOIN)\s+([\w.]+)", stripped, re.I):
-            t = m.group(1).lower()
-            if t not in cte_names and t not in {a.lower() for a in allowed_tables}:
-                raise SqlGatewayError(f"table not allowed: {t}")
+        allowed = {a.lower() for a in allowed_tables}
+        if spark is not None:
+            refs = referenced_tables(spark, sql)
+        else:
+            # textual fallback when no session is available: FROM/JOIN
+            # heads plus comma-continued FROM-list entries
+            cte_names = {
+                m.group(1).lower()
+                for m in re.finditer(r"\b(\w+)\s+AS\s*\(", stripped, re.I)
+            }
+            refs = set()
+            for m in re.finditer(
+                r"\b(?:FROM|JOIN)\s+([\w.]+(?:\s*,\s*[\w.]+)*)", stripped, re.I
+            ):
+                for t in m.group(1).split(","):
+                    t = t.strip().lower()
+                    if t and t not in cte_names:
+                        refs.add(t)
+        for t in sorted(refs - allowed):
+            raise SqlGatewayError(f"table not allowed: {t}")
 
 
 def guarded_query(
@@ -81,7 +129,7 @@ def guarded_query(
     """Validate + cap + run. The user's LIMIT (if any) still applies inside
     the subselect; the outer LIMIT enforces the server cap regardless
     (`query.ts:138-155` semantics)."""
-    validate_select(sql, allowed_tables)
+    validate_select(sql, allowed_tables, spark=spark)
     eff = server_limit if limit is None else min(limit, server_limit)
     outer = f"SELECT * FROM ({sql}) __gw LIMIT {int(eff)}"
     if offset:

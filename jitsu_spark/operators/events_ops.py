@@ -314,11 +314,18 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SESSIONIZE_SQL = f"""
-WITH flagged AS (
+WITH ev AS (
+  -- Parquet stores events.ts as TIMESTAMP(NANOS); Spark loads it truncated to
+  -- micros (tables.py EVENTS_TS_US_SQL convention), so the oracle must compute
+  -- epoch() on the same micro-truncated timestamps or gap comparisons diverge
+  -- in the sub-microsecond digits.
+  SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, event_id
+  FROM events
+), flagged AS (
   SELECT user_id, ts, event_id,
          CASE WHEN epoch(ts) - coalesce(epoch(lag(ts) OVER w), 0.0) > {SESSION_GAP_MIN * 60}
               THEN 1 ELSE 0 END AS new_session
-  FROM events
+  FROM ev
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), numbered AS (
   SELECT user_id, ts,
@@ -332,7 +339,7 @@ WITH flagged AS (
 )
 SELECT user_id,
        count(*) AS n_sessions,
-       sum(n_events) AS n_events,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
        round(avg(epoch(session_end) - epoch(session_start)), 2) AS avg_session_sec
 FROM per_session
 GROUP BY user_id

@@ -94,9 +94,9 @@ def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOKEN_COUNT_SQL = f"""
 SELECT source,
        count(*) AS n_docs,
-       sum(len({TOKENS_DUCK})) AS total_tokens,
+       CAST(sum(len({TOKENS_DUCK})) AS BIGINT) AS total_tokens,
        round(avg(len({TOKENS_DUCK})), 4) AS avg_tokens,
-       sum(n_chars) AS total_chars
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY source
 """

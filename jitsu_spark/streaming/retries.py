@@ -71,7 +71,7 @@ class RetryStore:
         return (
             r.join(latest, ["message_id", "attempt"])
             .where(F.col("next_attempt_at") <= F.lit(now).cast("timestamp"))
-            .where(F.col("attempt") < F.lit(RETRY_COUNT - 1))
+            .where(F.col("attempt") < F.lit(RETRY_COUNT))
         )
 
     def dead_letter(self, now: str) -> DataFrame:
@@ -84,7 +84,7 @@ class RetryStore:
         dead = (
             r.join(latest, ["message_id", "attempt"])
             .where(F.col("next_attempt_at") <= F.lit(now).cast("timestamp"))
-            .where(F.col("attempt") >= F.lit(RETRY_COUNT - 1))
+            .where(F.col("attempt") >= F.lit(RETRY_COUNT))
         )
         dead.write.mode("append").parquet(self.dlq_dir)
         return dead

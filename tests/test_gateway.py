@@ -51,6 +51,46 @@ class TestValidate:
             validate_select(
                 "SELECT * FROM events JOIN secrets ON true", {"events"}
             )
+        # comma-separated FROM list must not slip past the whitelist
+        with pytest.raises(SqlGatewayError, match="not allowed"):
+            validate_select("SELECT * FROM events, secrets", {"events"})
+
+
+class TestPlanResolvedWhitelist:
+    """Catalyst-parsed table resolution (`referenced_tables`) — the strict
+    path used whenever a SparkSession is supplied."""
+
+    def test_comma_from_list(self, spark):
+        with pytest.raises(SqlGatewayError, match="secrets"):
+            validate_select(
+                "SELECT * FROM events, secrets", {"events"}, spark=spark
+            )
+
+    def test_scalar_subquery_table(self, spark):
+        with pytest.raises(SqlGatewayError, match="secrets"):
+            validate_select(
+                "SELECT (SELECT max(x) FROM secrets) FROM events",
+                {"events"},
+                spark=spark,
+            )
+
+    def test_cte_and_alias_still_pass(self, spark):
+        validate_select(
+            "WITH x AS (SELECT * FROM events) "
+            "SELECT * FROM x a, events b WHERE a.event_id = b.event_id",
+            {"events"},
+            spark=spark,
+        )
+
+    def test_guarded_query_uses_plan_resolution(self, spark):
+        spark.range(3).createOrReplaceTempView("hundred")
+        spark.range(3).createOrReplaceTempView("secrets")
+        with pytest.raises(SqlGatewayError, match="secrets"):
+            guarded_query(
+                spark,
+                "SELECT * FROM hundred, secrets",
+                allowed_tables={"hundred"},
+            )
 
 
 def test_limit_cap_and_offset(spark):

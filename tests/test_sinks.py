@@ -109,7 +109,7 @@ def test_retry_backoff_and_dlq(spark, tmp_path):
 
     store = RetryStore(spark, str(tmp_path))
     failed = spark.createDataFrame(
-        [("m1", 0, "boom"), ("m2", 2, "dead")],
+        [("m1", 0, "boom"), ("m2", 2, "slow"), ("m3", 3, "dead")],
         "message_id string, attempt int, err string",
     )
     store.record_failures(failed, "err", "2024-01-01 00:00:00")
@@ -118,9 +118,13 @@ def test_retry_backoff_and_dlq(spark, tmp_path):
     assert store.due("2024-01-01 00:05:00").count() == 0
     due = store.due("2024-01-01 00:10:00")
     assert [r.message_id for r in due.collect()] == ["m1"]
-    # attempt 2 (3rd try) exceeded the limit -> dead letter
+    # attempt 2 is the 3rd retry (1000-min tier, retries.ts:6 allows 3):
+    # still requeued, NOT dead-lettered
+    due_late = store.due("2024-01-02 00:00:00")
+    assert sorted(r.message_id for r in due_late.collect()) == ["m1", "m2"]
+    # attempt 3 exhausted MESSAGES_RETRY_COUNT=3 -> dead letter
     dead = store.dead_letter("2024-01-02 00:00:00")
-    assert [r.message_id for r in dead.collect()] == ["m2"]
+    assert [r.message_id for r in dead.collect()] == ["m3"]
     assert spark.read.parquet(store.dlq_dir).count() == 1
 
 

@@ -28,7 +28,10 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if v is None or v != v:
             return "NULL"
         if isinstance(v, float):
-            return f"{v:.6g}"
+            # Full shortest-round-trip precision: the driver hashes exact
+            # values, so 2.0 (float) must NOT collapse to the same string as
+            # 2 (int) and sub-µs drift must not be rounded away.
+            return repr(v)
         if hasattr(v, "isoformat"):
             return v.isoformat()
         if isinstance(v, (list, tuple)):
@@ -39,6 +42,18 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     if len(out):
         out = out.sort_values(by=list(out.columns)).reset_index(drop=True)
     return out
+
+
+def dtype_kinds(df: pd.DataFrame) -> dict:
+    """Column -> numpy dtype kind (i/u/f/b/M/O), lowercased names.
+
+    Catches DuckDB HUGEINT->float64 vs Spark int64 class mismatches that a
+    string-only compare at low precision would mask."""
+    kinds = {}
+    for c in df.columns:
+        k = df[c].dtype.kind
+        kinds[c.lower()] = "i" if k == "u" else k
+    return kinds
 
 
 def value_hash(df: pd.DataFrame) -> str:
@@ -89,6 +104,17 @@ def main() -> int:
             problems.append(f"rows {len(sdf)} vs {len(ddf)}")
         if sorted(map(str.lower, sdf.columns)) != sorted(map(str.lower, ddf.columns)):
             problems.append(f"cols {sorted(sdf.columns)} vs {sorted(ddf.columns)}")
+        if not problems:
+            sk, dk = dtype_kinds(sdf), dtype_kinds(ddf)
+            bad = {
+                c: (sk[c], dk[c])
+                for c in sk
+                if sk[c] != dk[c]
+                # object columns (strings/lists/decimals) compare by value only
+                and "O" not in (sk[c], dk[c])
+            }
+            if bad:
+                problems.append(f"dtype kind mismatch {bad}")
         if not problems and value_hash(sdf) != value_hash(ddf):
             problems.append("value hash mismatch")
             a, b = normalize(sdf), normalize(ddf)
