@@ -8,7 +8,7 @@ the driver hash-compares each pair at sf0.01.
 from __future__ import annotations
 
 from . import gateway, multimodal
-from .events import destinations, layouts
+from .events import destinations, destinations_crm, layouts
 from .operators import (
     dedup,
     events_ops,
@@ -33,6 +33,7 @@ _MODULES = [
     geo,
     gateway,
     destinations,
+    destinations_crm,
     multimodal,
     rollup,
 ]
