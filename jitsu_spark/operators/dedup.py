@@ -197,16 +197,42 @@ JOIN bands b ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.doc_id < b
 """
 
 
-def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (>= JACCARD_THRESHOLD).
+# Document-frequency cap on shingles entering the inverted-index self-join.
+# A shingle shared by d docs contributes O(d^2) join rows but no near-dup
+# signal once d is large (it's corpus boilerplate); docs whose overlap is
+# only stop-shingles can't clear JACCARD_THRESHOLD anyway. The default is a
+# no-op at test SF so the oracle stays exact; production sets it to ~0.1%
+# of corpus size.
+MAX_SHINGLE_DF_DEFAULT = 1 << 40
 
-    Inverted-index self-join on shingle -> shared counts; per-doc shingle
-    cardinalities broadcast back in. This is the verify stage behind the
-    LSH candidates; run standalone it is exact (no approximation).
-    """
-    sh = _shingle_rows(spark, sf_dir)
+
+def jaccard_pairs_from_shingles(
+    sh: DataFrame, max_doc_frequency: int | None = None
+) -> DataFrame:
+    """Inverted-index Jaccard core over (doc_id, shingle) rows.
+
+    The skew guard: shingles whose document frequency exceeds
+    `max_doc_frequency` are dropped from the JOIN side only (the hot set is
+    aggregated first — expected tiny — and anti-joined out with a size-gated
+    broadcast). Per-doc cardinalities still count every shingle, so when the
+    cap is a no-op the result is exact, and when it engages the denominators
+    stay true while only the quadratic hot-shingle fan-out is bounded."""
+    from ..plans.hints import maybe_broadcast
+
+    cap = (
+        MAX_SHINGLE_DF_DEFAULT
+        if max_doc_frequency is None
+        else max_doc_frequency
+    )
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a, b = sh.alias("a"), sh.alias("b")
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > cap)
+        .select("shingle")
+    )
+    sh_capped = sh.join(maybe_broadcast(hot), "shingle", "left_anti")
+    a, b = sh_capped.alias("a"), sh_capped.alias("b")
     shared = (
         a.join(
             b,
@@ -225,8 +251,8 @@ def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb")
     )
     return (
-        shared.join(F.broadcast(ca), "doc_a")
-        .join(F.broadcast(cb), "doc_b")
+        shared.join(maybe_broadcast(ca), "doc_a")
+        .join(maybe_broadcast(cb), "doc_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -235,6 +261,21 @@ def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_jaccard_dups(
+    spark: SparkSession, sf_dir: str, max_doc_frequency: int | None = None
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (>= JACCARD_THRESHOLD).
+
+    Inverted-index self-join on shingle with the document-frequency skew
+    guard (see jaccard_pairs_from_shingles). This is the verify stage
+    behind the LSH candidates; run standalone with the cap at its no-op
+    default it is exact (no approximation).
+    """
+    return jaccard_pairs_from_shingles(
+        _shingle_rows(spark, sf_dir), max_doc_frequency
     )
 
 

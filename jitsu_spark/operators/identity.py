@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import load_table
+from ..plans.hints import maybe_broadcast
 
 
 def identity_map(events: DataFrame) -> DataFrame:
@@ -74,7 +75,7 @@ def user_recognition_backfill(events: DataFrame) -> DataFrame:
     rather than overwriting).
     """
     ids = identity_map(events)
-    joined = events.join(F.broadcast(ids), "anonymous_id", "left")
+    joined = events.join(maybe_broadcast(ids), "anonymous_id", "left")
     backfilled_traits = F.when(
         F.col("resolved_traits").isNotNull() & F.col("traits").isNotNull(),
         F.map_zip_with(

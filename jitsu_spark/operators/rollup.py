@@ -7,11 +7,13 @@ readers finish with `sumMerge`/`uniqMerge`.
 
 Spark shape: the MV is a rollup table keyed by the group-by columns; each
 incremental batch computes its partial aggregate and MERGEs into the
-rollup, summing counters on key match. `approx_count_distinct` plays
-`uniq`; for exact mergeability across batches the rollup keeps HLL-free
-additive counters plus a per-batch distinct count (an upper bound, like
-ClickHouse's uniqState merge is an estimate). The streaming twin is
-jitsu_spark.streaming.metrics (update-mode windowed agg).
+rollup, summing counters on key match. Distinct counts are MERGEABLE
+Datasketches HLL state: `hll_sketch_agg` plays `uniqState` (the sketch is
+a binary column of the rollup table), `hll_union_agg` plays `uniqMerge`
+on key collision, and readers finish with `hll_sketch_estimate` — the
+same state/merge/finalize split as AggregatingMergeTree, so re-merging N
+batches equals one pass (no additive-upper-bound drift). The streaming
+twin is jitsu_spark.streaming.metrics (update-mode windowed agg).
 
 Scale: the rollup table is tiny (bounded by key cardinality), so the MERGE
 reads/rewrites only touched date partitions via WarehouseSink.upsert
@@ -28,14 +30,22 @@ from ..tables import load_table
 
 
 def rollup_batch(events: DataFrame, ts_col: str = "ts") -> DataFrame:
-    """One batch's partial rollup: per-minute per-status counters."""
+    """One batch's partial rollup: per-minute per-status counters plus the
+    mergeable HLL state for the distinct count (uniqState analog)."""
     return events.groupBy(
         F.date_trunc("minute", F.col(ts_col)).alias("period"),
         F.col("event_type").alias("status"),
     ).agg(
         F.count(F.lit(1)).alias("events"),
-        F.approx_count_distinct("event_id").alias("uniq_events"),
+        F.hll_sketch_agg(F.col("event_id").cast("string")).alias("uniq_state"),
     )
+
+
+def finalize_uniq(rollup: DataFrame) -> DataFrame:
+    """Reader-side finalize: uniqMerge's estimate step."""
+    return rollup.withColumn(
+        "uniq_events", F.hll_sketch_estimate("uniq_state")
+    ).drop("uniq_state")
 
 
 class RollupStore:
@@ -50,17 +60,17 @@ class RollupStore:
             combined = batch_rollup
         else:
             existing = self.sink.read(table).select(
-                "period", "status", "events", "uniq_events"
+                "period", "status", "events", "uniq_state"
             )
             combined = (
                 existing.unionByName(
-                    batch_rollup.select("period", "status", "events", "uniq_events")
+                    batch_rollup.select("period", "status", "events", "uniq_state")
                 )
                 .groupBy("period", "status")
                 .agg(
                     F.sum("events").alias("events"),
-                    # additive upper bound on merge, as uniqMerge estimates
-                    F.sum("uniq_events").alias("uniq_events"),
+                    # uniqMerge: HLL union of the stored + batch state
+                    F.hll_union_agg("uniq_state").alias("uniq_state"),
                 )
             )
         self.sink.upsert(
@@ -76,9 +86,13 @@ class RollupStore:
 
 def incremental_rollup_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked: folding the events table through the incremental
-    rollup in two arbitrary batches equals a single direct GROUP BY for the
-    additive counters (sums are associative; this is the property
-    AggregatingMergeTree relies on)."""
+    rollup in two arbitrary batches equals a single direct GROUP BY — for
+    the additive counters (sums are associative) AND the distinct count,
+    whose HLL states are hll_union_agg-merged across the two batches then
+    estimated (the uniqState/uniqMerge round trip). Per-group cardinalities
+    at oracle SF sit far below the sketch's exact (coupon) range, so the
+    merged estimate is exactly count(distinct) and the hash compare is
+    deterministic."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
     cut = ev.agg(F.expr("percentile_approx(event_id, 0.5)")).collect()[0][0]
     b1 = rollup_batch(ev.where(F.col("event_id") <= cut))
@@ -86,7 +100,16 @@ def incremental_rollup_equivalence(spark: SparkSession, sf_dir: str) -> DataFram
     merged = (
         b1.unionByName(b2)
         .groupBy("period", "status")
-        .agg(F.sum("events").alias("events"))
+        .agg(
+            F.sum("events").alias("events"),
+            F.hll_union_agg("uniq_state").alias("uniq_state"),
+        )
+        .select(
+            "period",
+            "status",
+            "events",
+            F.hll_sketch_estimate("uniq_state").alias("uniq_events"),
+        )
     )
     return merged.orderBy("period", "status")
 
@@ -94,7 +117,8 @@ def incremental_rollup_equivalence(spark: SparkSession, sf_dir: str) -> DataFram
 INCREMENTAL_ROLLUP_SQL = """
 SELECT date_trunc('minute', ts) AS period,
        event_type AS status,
-       count(*) AS events
+       count(*) AS events,
+       count(DISTINCT event_id) AS uniq_events
 FROM events
 GROUP BY 1, 2
 ORDER BY period, status

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import load_table
+from ..plans.hints import maybe_broadcast
 
 TOP_K = 5
 N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -58,7 +59,7 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("norm").alias("q_norm"),
     )
     scored = (
-        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        emb.join(maybe_broadcast(queries), F.col("vec_id") != F.col("query_id"))
         .withColumn(
             "sim",
             F.expr(DOT.format(a="q_emb", b="embedding"))
@@ -113,7 +114,7 @@ def _assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    scored = emb.join(F.broadcast(centroids)).withColumn(
+    scored = emb.join(maybe_broadcast(centroids)).withColumn(
         "csim",
         F.expr(DOT.format(a="c_emb", b="embedding"))
         / (F.col("c_norm") * F.col("norm")),
@@ -172,7 +173,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    qc = queries.join(F.broadcast(centroids)).withColumn(
+    qc = queries.join(maybe_broadcast(centroids)).withColumn(
         "csim",
         F.expr(DOT.format(a="c_emb", b="q_emb"))
         / (F.col("c_norm") * F.col("q_norm")),
@@ -231,53 +232,89 @@ FROM (
 """
 
 
+N_BLOCKS = 8  # block-pair grid; sized so two blocks fit one task's memory
+
+
 def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: all pairs with cosine >= DUP_COS_THRESHOLD.
 
-    Two stages:
-    1. Candidate generation as a blocked matrix product: the normalized
-       matrix is broadcast once; each Arrow batch of rows computes
-       `block @ M.T` in numpy (BLAS) and keeps pairs above
-       threshold - epsilon. This replaces the expression-interpreted
-       nested-loop join — 10x+ on wall clock, and it's the layout that
-       scales: the broadcast side is the same size class a broadcast hash
-       join tolerates; past that, chunk the broadcast or switch to the
-       IVF/LSH bucketing above as the candidate generator.
+    Fully distributed two-stage plan — nothing is collected to the driver:
+    1. Candidate generation as a *block-pair* matrix product. Vectors hash
+       into N_BLOCKS blocks; each block packs into one row (collect_list);
+       the tiny block-pair join (bi <= bj: N_BLOCKS*(N_BLOCKS+1)/2 rows)
+       fans the grid out across executors, and each task runs one
+       `A @ B.T` GEMM in numpy, keeping pairs above threshold - epsilon.
+       Every (a, b) pair lands in exactly one block pair, so coverage is
+       exhaustive; total work is the inherent O(N^2) of an exact all-pairs
+       scan, but memory per task is two blocks and N_BLOCKS scales the
+       grid out with the data. (For approximate near-dup at extreme scale,
+       swap the blocker for the IVF cells / LSH buckets in this module —
+       same shape, sub-quadratic candidates.)
     2. Exact re-score of the (few) candidates with the same sequential
        aggregate expression the SQL oracle uses, so the emitted sims are
        bit-identical to a full brute-force pass — the epsilon margin only
-       admits extra candidates for the exact filter to reject.
+       admits extra candidates for the exact filter to reject. The
+       embedding sides get size-gated broadcast hints (plans/hints.py).
     """
     import numpy as np
     import pandas as pd
 
+    from ..plans.hints import maybe_broadcast
+
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    side = emb.select("vec_id", "embedding", "norm").collect()
-    ids = np.array([r.vec_id for r in side], dtype=np.int64)
-    mat = np.array([r.embedding for r in side], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
     eps = 1e-6
 
-    def candidates(batches):
-        all_ids, all_mat = b_ids.value, b_mat.value
-        for pdf in batches:
-            block = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            block /= np.linalg.norm(block, axis=1, keepdims=True)
-            sims = block @ all_mat.T
-            row_ids = pdf["vec_id"].to_numpy()
-            ai, bj = np.nonzero(
-                (sims >= DUP_COS_THRESHOLD - eps)
-                & (row_ids[:, None] < all_ids[None, :])
-            )
-            yield pd.DataFrame(
-                {"vec_a": row_ids[ai], "vec_b": all_ids[bj]}
-            )
-
-    cand = emb.select("vec_id", "embedding").mapInPandas(
-        candidates, "vec_a long, vec_b long"
+    packed = (
+        emb.select(
+            F.pmod(F.hash("vec_id"), F.lit(N_BLOCKS)).alias("blk"),
+            "vec_id",
+            "embedding",
+        )
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("vecs"))
     )
+    pa = packed.select(
+        F.col("blk").alias("blk_a"), F.col("vecs").alias("vecs_a")
+    )
+    pb = packed.select(
+        F.col("blk").alias("blk_b"), F.col("vecs").alias("vecs_b")
+    )
+    tasks = pa.join(pb, F.col("blk_a") <= F.col("blk_b")).repartition(
+        N_BLOCKS * (N_BLOCKS + 1) // 2
+    )
+
+    def gemm_pairs(batches):
+        for pdf in batches:
+            for _, task in pdf.iterrows():
+                ids_a = np.array(
+                    [v["vec_id"] for v in task["vecs_a"]], dtype=np.int64
+                )
+                mat_a = np.array(
+                    [v["embedding"] for v in task["vecs_a"]], dtype=np.float64
+                )
+                ids_b = np.array(
+                    [v["vec_id"] for v in task["vecs_b"]], dtype=np.int64
+                )
+                mat_b = np.array(
+                    [v["embedding"] for v in task["vecs_b"]], dtype=np.float64
+                )
+                mat_a /= np.linalg.norm(mat_a, axis=1, keepdims=True)
+                mat_b /= np.linalg.norm(mat_b, axis=1, keepdims=True)
+                mask = mat_a @ mat_b.T >= DUP_COS_THRESHOLD - eps
+                if task["blk_a"] == task["blk_b"]:
+                    # diagonal block: id order dedups the symmetric halves
+                    mask &= ids_a[:, None] < ids_b[None, :]
+                ai, bj = np.nonzero(mask)
+                # canonical orientation: (min, max) vec_id
+                left, right = ids_a[ai], ids_b[bj]
+                yield pd.DataFrame(
+                    {
+                        "vec_a": np.minimum(left, right),
+                        "vec_b": np.maximum(left, right),
+                    }
+                )
+
+    cand = tasks.mapInPandas(gemm_pairs, "vec_a long, vec_b long")
     a = emb.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),
@@ -289,8 +326,8 @@ def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("norm").alias("nb"),
     )
     return (
-        cand.join(F.broadcast(a), "vec_a")
-        .join(F.broadcast(b), "vec_b")
+        cand.join(maybe_broadcast(a), "vec_a")
+        .join(maybe_broadcast(b), "vec_b")
         .withColumn(
             "sim",
             F.expr(DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb")),
@@ -324,7 +361,7 @@ def knn_label_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     counted = (
-        topk.join(F.broadcast(labels), "neighbor_id")
+        topk.join(maybe_broadcast(labels), "neighbor_id")
         .groupBy("query_id", "n_label")
         .agg(F.count(F.lit(1)).alias("votes"))
     )

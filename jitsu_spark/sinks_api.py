@@ -172,3 +172,117 @@ def make_log_rows(spark, entries: list[dict[str, Any]]) -> DataFrame:
         ],
         "actor_id string, type string, timestamp timestamp, level string, message string",
     )
+
+
+# ---------------------------------------------------------------------------
+# S6: MongoDB destination (`libs/core-functions/src/functions/
+# mongodb-destination.ts`): URI built from config parts (`buildUrl`,
+# :8-25), one client per destination (singleton, :44-53), each event
+# insertOne'd into the configured collection (:55-57), errors -> retryable.
+# Spark shape: foreachPartition with one client per partition and batched
+# insert_many (the per-event insertOne amortized); the client factory is
+# injected so tests (and this container, which has no mongo driver) use a
+# capture spool — the same seam CaptureTransport provides for webhooks.
+# ---------------------------------------------------------------------------
+
+
+def mongodb_url(config: dict) -> str:
+    """Port of buildUrl (mongodb-destination.ts:8-25)."""
+    if config.get("url"):
+        return config["url"]
+    if not config.get("hosts"):
+        raise ValueError("Hosts are not specified")
+    if not config.get("database"):
+        raise ValueError("Database is not specified")
+    uri = config.get("protocol", "mongodb") + "://"
+    if config.get("username") and config.get("password"):
+        uri += f"{config['username']}:{config['password']}@"
+    uri += ",".join(config["hosts"])
+    uri += "/" + config["database"]
+    if config.get("options"):
+        from urllib.parse import urlencode
+
+        uri += "?" + urlencode(config["options"])
+    return uri
+
+
+def _default_mongo_inserter(config: dict):
+    """Production inserter: one pymongo client per partition. Gated behind
+    import-try — the driver is not bundled here; tests inject a capture."""
+    try:
+        from pymongo import MongoClient  # noqa: F401
+    except ImportError as e:  # pragma: no cover - driver absent in CI image
+        raise NotImplementedError(
+            "pymongo is not installed; inject `inserter` (see CaptureInserter)"
+        ) from e
+
+    def insert(collection: str, docs: list[dict]) -> None:  # pragma: no cover
+        client = MongoClient(mongodb_url(config))
+        try:
+            client.get_default_database()[collection].insert_many(docs)
+        finally:
+            client.close()
+
+    return insert
+
+
+class CaptureInserter:
+    """Test/air-gap inserter: spools (collection, docs) to JSON files, the
+    executor-safe pattern CaptureTransport uses."""
+
+    def __init__(self, capture_dir: str):
+        self.capture_dir = capture_dir
+
+    def __call__(self, collection: str, docs: list[dict]) -> None:
+        import os
+        import uuid
+
+        os.makedirs(self.capture_dir, exist_ok=True)
+        path = os.path.join(self.capture_dir, f"{uuid.uuid4().hex}.json")
+        with open(path, "w") as f:
+            json.dump({"collection": collection, "docs": docs}, f)
+
+    @property
+    def inserts(self) -> list[tuple[str, list[dict]]]:
+        import os
+
+        out = []
+        if not os.path.isdir(self.capture_dir):
+            return out
+        for name in sorted(os.listdir(self.capture_dir)):
+            with open(os.path.join(self.capture_dir, name)) as f:
+                r = json.load(f)
+            out.append((r["collection"], r["docs"]))
+        return out
+
+
+def mongodb_sink(
+    df: DataFrame,
+    config: dict,
+    inserter: Callable[[str, list[dict]], None] | None = None,
+    batch_size: int = 500,
+    event_col: str | None = None,
+) -> None:
+    """Insert each event document into `config['collection']`.
+
+    Executor-side foreachPartition; rows become documents either from a
+    JSON `event_col` or from the row itself."""
+    collection = config["collection"]
+    insert = inserter or _default_mongo_inserter(config)
+
+    def emit(rows: Iterator[Row]) -> None:
+        batch: list[dict] = []
+        for row in rows:
+            doc = (
+                json.loads(row[event_col])
+                if event_col is not None
+                else row.asDict(recursive=True)
+            )
+            batch.append(doc)
+            if len(batch) >= batch_size:
+                insert(collection, batch)
+                batch = []
+        if batch:
+            insert(collection, batch)
+
+    df.foreachPartition(emit)

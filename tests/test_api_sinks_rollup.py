@@ -83,11 +83,38 @@ def test_rollup_store_merges_batches(spark, tmp_path):
     store = RollupStore(spark, str(tmp_path))
     store.merge_batch(rollup_batch(ev1))
     store.merge_batch(rollup_batch(ev2))
+    from jitsu_spark.operators.rollup import finalize_uniq
+
     got = {
-        (str(r.period), r.status): r.events for r in store.read().collect()
+        (str(r.period), r.status): (r.events, r.uniq_events)
+        for r in finalize_uniq(store.read()).collect()
     }
-    assert got[("2024-01-01 00:00:00", "track")] == 3
-    assert got[("2024-01-01 00:01:00", "page")] == 1
+    # events sum across batches; the HLL states union (uniqMerge), so the
+    # distinct estimate spans both batches, not an additive upper bound
+    assert got[("2024-01-01 00:00:00", "track")] == (3, 3)
+    assert got[("2024-01-01 00:01:00", "page")] == (1, 1)
+
+
+def test_rollup_hll_union_no_double_count(spark, tmp_path):
+    """Re-delivering the same events in a second batch must not inflate the
+    distinct count (the property the additive round-1 scheme lacked)."""
+    from jitsu_spark.operators.rollup import (
+        RollupStore,
+        finalize_uniq,
+        rollup_batch,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 0, 0, 10), "track"),
+         (2, dt.datetime(2024, 1, 1, 0, 0, 50), "track")],
+        "event_id long, ts timestamp, event_type string",
+    )
+    store = RollupStore(spark, str(tmp_path))
+    store.merge_batch(rollup_batch(ev))
+    store.merge_batch(rollup_batch(ev))  # redelivery
+    row = finalize_uniq(store.read()).collect()[0]
+    assert row.events == 4  # counters are additive by design
+    assert row.uniq_events == 2  # HLL union dedups
 
 
 def test_udf_test_harness():

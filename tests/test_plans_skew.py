@@ -59,6 +59,96 @@ class TestPlanShape:
         assert "Exchange" not in plan
 
 
+class TestSizeGatedBroadcast:
+    """plans/hints.maybe_broadcast: hint under the threshold, plain join +
+    AQE above it (the fallback the 100x plan needs)."""
+
+    def test_broadcasts_under_threshold(self, spark, sf_dir):
+        from jitsu_spark.operators.relational import q5_region_revenue
+
+        plan = _plan(q5_region_revenue(spark, sf_dir))
+        assert plan.count("BroadcastHashJoin") >= 4
+
+    def test_fallback_engages_when_threshold_zero(self, spark, sf_dir, monkeypatch):
+        monkeypatch.setenv("SPARK_GRAFT_BROADCAST_MAX", "0")
+        from jitsu_spark.operators.identity import identity_stitch
+
+        plan = _plan(identity_stitch(spark, sf_dir))
+        # with the hint gated off, no *hinted* broadcast remains in the
+        # pre-AQE plan; the join degrades to a shuffle join Spark may still
+        # re-plan adaptively from measured sizes
+        assert "ResolvedHint" not in plan
+
+    def test_plan_size_estimate_available(self, spark, sf_dir):
+        from jitsu_spark.plans.hints import plan_size_bytes
+        from jitsu_spark.tables import load_table
+
+        n = plan_size_bytes(load_table(spark, sf_dir, "nation"))
+        li = plan_size_bytes(load_table(spark, sf_dir, "lineitem"))
+        assert n is not None and li is not None and n < li
+
+    def test_maybe_broadcast_object_identity(self, spark, monkeypatch):
+        from jitsu_spark.plans.hints import maybe_broadcast
+
+        df = spark.range(10)
+        monkeypatch.setenv("SPARK_GRAFT_BROADCAST_MAX", "0")
+        assert maybe_broadcast(df) is df  # gated off -> unchanged
+        monkeypatch.delenv("SPARK_GRAFT_BROADCAST_MAX")
+        assert maybe_broadcast(df) is not df  # hinted
+
+
+class TestNoDriverMaterialization:
+    def test_embedding_cosine_dups_never_collects(self):
+        """The near-dup candidate stage must stay distributed: no
+        .collect() of the embeddings table, no driver-built broadcast
+        (the round-1 scale-killer, VERDICT 'What's wrong' #4)."""
+        import inspect
+
+        from jitsu_spark.operators import similarity
+
+        src = inspect.getsource(similarity.embedding_cosine_dups)
+        assert ".collect()" not in src
+        assert "sparkContext.broadcast" not in src
+
+
+class TestJaccardDfCap:
+    def test_hot_shingle_fanout_bounded(self, spark):
+        """A shingle in many docs is dropped from the join side once its
+        document frequency exceeds the cap; rare-shingle pairs survive."""
+        from jitsu_spark.operators.dedup import jaccard_pairs_from_shingles
+
+        rows = []
+        # 40 docs all share one hot shingle (plus a unique one each)
+        for d in range(40):
+            rows += [(d, "the_hot_shingle"), (d, f"uniq_{d}")]
+        # two docs that are true near-dups via rare shingles
+        rows += [(100, "rare_a"), (100, "rare_b"), (100, "rare_c"),
+                 (101, "rare_a"), (101, "rare_b"), (101, "rare_c")]
+        sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+
+        capped = jaccard_pairs_from_shingles(sh, max_doc_frequency=10)
+        got = [(r.doc_a, r.doc_b, r.jaccard) for r in capped.collect()]
+        # hot-shingle-only overlaps (jaccard 1/3 anyway) produce no rows;
+        # with the hot shingle anti-joined the 40x40/2 fan-out never forms
+        assert got == [(100, 101, 1.0)]
+
+    def test_cap_noop_matches_uncapped(self, spark):
+        from jitsu_spark.operators.dedup import jaccard_pairs_from_shingles
+
+        rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "z")]
+        sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+        uncapped = sorted(
+            map(tuple, jaccard_pairs_from_shingles(sh).collect())
+        )
+        capped = sorted(
+            map(
+                tuple,
+                jaccard_pairs_from_shingles(sh, max_doc_frequency=10**9).collect(),
+            )
+        )
+        assert uncapped == capped == [(1, 2, 1.0)]
+
+
 class TestSkew:
     def test_salted_count_equals_plain_count(self, spark):
         df = spark.createDataFrame(
