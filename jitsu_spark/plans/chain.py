@@ -40,10 +40,53 @@ from pyspark.sql import DataFrame
 
 DROP = "drop"
 DEFAULT_STORE_TTL_DAYS = 31  # libs/core-functions/src/lib/store.ts:7
+UDF_TIMEOUT_SEC = 5.0  # udf_wrapper.ts:58 (isolate wall-clock limit)
 
 
 class DropError(Exception):
     """`Drop & RetryError` — drop the event, no retry (functions.ts:1-28)."""
+
+
+class FunctionTimeoutError(Exception):
+    """U2 guard: a user function exceeded its wall-clock budget. The
+    reference kills the isolate at 5 s (`udf_wrapper.ts:58,234-239`); here
+    the event forwards with the error recorded, like any mid-chain
+    failure. (The 128 MB isolate memory cap has no per-function analogue
+    in a shared CPython worker — that delta stays documented in SURVEY.)"""
+
+
+def _call_with_timeout(fn, ev, ctx, timeout_sec):
+    """Run one user function under a wall-clock budget.
+
+    SIGALRM-preemptive when running on a main thread (the normal Python
+    worker case for mapInPandas); otherwise best-effort post-hoc (the call
+    isn't interrupted, but the overrun still surfaces as the timeout
+    error)."""
+    if not timeout_sec:
+        return fn(ev, ctx)
+    import signal
+    import threading
+
+    on_main = threading.current_thread() is threading.main_thread()
+    if not (on_main and hasattr(signal, "setitimer")):
+        t0 = time.time()
+        r = fn(ev, ctx)
+        if time.time() - t0 > timeout_sec:
+            raise FunctionTimeoutError(
+                f"function exceeded {timeout_sec}s (post-hoc)"
+            )
+        return r
+
+    def _alarm(signum, frame):
+        raise FunctionTimeoutError(f"function exceeded {timeout_sec}s")
+
+    old = signal.signal(signal.SIGALRM, _alarm)
+    signal.setitimer(signal.ITIMER_REAL, timeout_sec)
+    try:
+        return fn(ev, ctx)
+    finally:
+        signal.setitimer(signal.ITIMER_REAL, 0)
+        signal.signal(signal.SIGALRM, old)
 
 
 class RetryError(Exception):
@@ -100,6 +143,7 @@ class ConnectionConfig:
     function_props: dict[str, Any] = field(default_factory=dict)
     layout: str = "segment-single-table"
     keep_original_names: bool = False
+    function_timeout_sec: float | None = UDF_TIMEOUT_SEC  # U2 guard
 
 
 def passes_event_filter(event: dict, spec: str) -> bool:
@@ -118,19 +162,21 @@ def run_user_chain(
     event: dict,
     functions: list[UserFunction],
     ctx: FunctionContext,
+    timeout_sec: float | None = UDF_TIMEOUT_SEC,
 ) -> tuple[list[dict], str | None]:
     """Execute the composed UDF pipeline on one event.
 
     Returns (events_out, error). Implements the multiplication rule and
     partial-result forwarding; raises RetryError through (the stream layer
-    owns retries)."""
+    owns retries). Each function call runs under the U2 wall-clock guard
+    (timeouts record like any mid-chain error)."""
     current: list[dict] = [event]
     for i, fn in enumerate(functions):
         last = i == len(functions) - 1
         nxt: list[dict] = []
         for ev in current:
             try:
-                r = fn(ev, ctx)
+                r = _call_with_timeout(fn, ev, ctx, timeout_sec)
             except DropError:
                 continue
             except RetryError:
@@ -172,6 +218,7 @@ def compile_chain(
     functions = config.functions
     spec = config.events_filter
     props = config.function_props
+    timeout_sec = config.function_timeout_sec
 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ctx = FunctionContext(props=props, store=store_factory())
@@ -184,7 +231,7 @@ def compile_chain(
                 if not passes_event_filter(ev, spec):
                     continue
                 log_mark = len(ctx.logs)
-                evs, err = run_user_chain(ev, functions, ctx)
+                evs, err = run_user_chain(ev, functions, ctx, timeout_sec)
                 ev_logs = ctx.logs[log_mark:]
                 logs_json = json.dumps(ev_logs) if ev_logs else None
                 for e in evs:
