@@ -53,7 +53,11 @@ def main() -> None:
     # pollute the measurement.
     QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001").count()
 
-    names = [n for n in HEADLINE if n in QUERIES]
+    # All registered queries, headline-first (round-over-round regressions
+    # stay visible per query); SPARK_GRAFT_BENCH_QUERIES narrows the set.
+    names = [n for n in HEADLINE if n in QUERIES] + [
+        n for n in QUERIES if n not in HEADLINE
+    ]
     extra = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     if extra:
         names = [n for n in extra.split(",") if n in QUERIES]

@@ -225,13 +225,17 @@ def jaccard_pairs_from_shingles(
         else max_doc_frequency
     )
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    hot = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") > cap)
-        .select("shingle")
-    )
-    sh_capped = sh.join(maybe_broadcast(hot), "shingle", "left_anti")
+    if cap >= MAX_SHINGLE_DF_DEFAULT:
+        # guard disabled: skip the extra shingle-DF aggregation entirely
+        sh_capped = sh
+    else:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > cap)
+            .select("shingle")
+        )
+        sh_capped = sh.join(maybe_broadcast(hot), "shingle", "left_anti")
     a, b = sh_capped.alias("a"), sh_capped.alias("b")
     shared = (
         a.join(

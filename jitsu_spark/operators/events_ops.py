@@ -73,9 +73,9 @@ def active_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference: `webapps/console/prisma/metrics.sql:2-29` (`uniqState` per
     hour) queried by `reports/active-events.ts:40-50` (`uniqMerge` per day).
-    The approximate (HLL) flavor the reference actually stores is
-    `active_users_daily_approx` in metrics_approx.py; this exact variant is
-    the oracle-checkable contract.
+    The sketch-state flavor the reference actually stores is
+    `active_users_daily_approx` below; this exact variant is the simplest
+    oracle contract.
     """
     ev = load_table(spark, sf_dir, "events")
     return (
@@ -91,6 +91,45 @@ ACTIVE_USERS_DAILY_SQL = """
 SELECT date_trunc('day', ts) AS period,
        count(DISTINCT user_id) AS active_users,
        count(*) AS events
+FROM events
+GROUP BY 1
+"""
+
+
+def active_users_daily_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — the sketch-state flavor the reference stores: per-hour HLL
+    state (`uniqState`, metrics.sql:2-29) merged up to per-day estimates
+    (`uniqMerge`, active-events.ts:40-50). Datasketches HLL via
+    hll_sketch_agg per hour, hll_union_agg across the day's hours, then
+    estimate — the exact state/merge/finalize split of the reference MV.
+    Per-day user cardinality at oracle SF is inside the sketch's exact
+    (coupon) range, so the estimate hash-matches count(DISTINCT) while the
+    plan is the genuinely mergeable one."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_period")
+    ).agg(
+        F.hll_sketch_agg(F.col("user_id").cast("string")).alias("uniq_state"),
+        F.count(F.lit(1)).alias("events"),
+    )
+    return (
+        hourly.groupBy(F.date_trunc("day", "hour_period").alias("period"))
+        .agg(
+            F.hll_union_agg("uniq_state").alias("uniq_state"),
+            F.sum("events").alias("events"),
+        )
+        .select(
+            "period",
+            F.hll_sketch_estimate("uniq_state").alias("active_users"),
+            "events",
+        )
+    )
+
+
+ACTIVE_USERS_APPROX_SQL = """
+SELECT date_trunc('day', ts) AS period,
+       count(DISTINCT user_id) AS active_users,
+       CAST(count(*) AS BIGINT) AS events
 FROM events
 GROUP BY 1
 """
@@ -436,6 +475,7 @@ QUERIES = {
     "event_type_filter": event_type_filter,
     "metrics_rollup_minute": metrics_rollup_minute,
     "active_users_daily": active_users_daily,
+    "active_users_daily_approx": active_users_daily_approx,
     "report_event_stat": report_event_stat,
     "report_rollup_totals": report_rollup_totals,
     "signup_no_purchase_except": signup_no_purchase_except,
@@ -451,6 +491,7 @@ ORACLE = {
     "event_type_filter": EVENT_TYPE_FILTER_SQL,
     "metrics_rollup_minute": METRICS_ROLLUP_MINUTE_SQL,
     "active_users_daily": ACTIVE_USERS_DAILY_SQL,
+    "active_users_daily_approx": ACTIVE_USERS_APPROX_SQL,
     "report_event_stat": REPORT_EVENT_STAT_SQL,
     "report_rollup_totals": REPORT_ROLLUP_TOTALS_SQL,
     "signup_no_purchase_except": SIGNUP_NO_PURCHASE_SQL,

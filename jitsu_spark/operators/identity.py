@@ -106,26 +106,37 @@ def id_graph_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
         pairs.selectExpr("id_a AS src", "id_b AS dst")
         .union(pairs.selectExpr("id_b AS src", "id_a AS dst"))
         .distinct()
+        .cache()  # probed every round
     )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
     )
-    for _ in range(max_iter):
-        # candidate labels via one hop
-        prop = (
-            edges.join(labels, edges.src == labels.id)
-            .select(F.col("dst").alias("id"), "component")
-            .union(labels.select("id", "component"))
-            .groupBy("id")
-            .agg(F.min("component").alias("new_component"))
-        )
-        joined = labels.join(prop, "id")
-        changed = joined.where(F.col("new_component") != F.col("component")).count()
-        labels = joined.select("id", F.col("new_component").alias("component"))
-        if changed == 0:
-            break
+    try:
+        for _ in range(max_iter):
+            # candidate labels via one hop
+            prop = (
+                edges.join(labels, edges.src == labels.id)
+                .select(F.col("dst").alias("id"), "component")
+                .union(labels.select("id", "component"))
+                .groupBy("id")
+                .agg(F.min("component").alias("new_component"))
+            )
+            # Materialize each round (localCheckpoint truncates lineage):
+            # without it the plan doubles per iteration and the convergence
+            # count re-executes the whole history — quadratic in rounds.
+            joined = labels.join(prop, "id").localCheckpoint()
+            changed = joined.where(
+                F.col("new_component") != F.col("component")
+            ).count()
+            labels = joined.select(
+                "id", F.col("new_component").alias("component")
+            )
+            if changed == 0:
+                break
+    finally:
+        edges.unpersist()
     return labels
 
 

@@ -145,11 +145,17 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     computing it is one scan, no shuffle.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = SHINGLES.format(t=TOKENS)
-    return docs.selectExpr(
+    # Tokenize ONCE behind a projection boundary: `toks` is referenced many
+    # times by the shingle transform (including inside its lambda), and
+    # inlining the regexp would re-run it per element — O(tokens^2) per doc
+    # (CollapseProject keeps multi-referenced non-cheap aliases projected).
+    toks = docs.selectExpr("doc_id", f"{TOKENS} AS toks")
+    sh = SHINGLES.format(t="toks")
+    shingled = toks.selectExpr("doc_id", f"{sh} AS shingles")
+    return shingled.selectExpr(
         "doc_id",
-        f"array_min(transform({sh}, s -> md5(s))) AS fingerprint",
-        f"size({sh}) AS n_shingles",
+        "array_min(transform(shingles, s -> md5(s))) AS fingerprint",
+        "size(shingles) AS n_shingles",
     )
 
 
