@@ -16,6 +16,7 @@ from .operators import (
     identity,
     profiles,
     relational,
+    relational_ext,
     rollup,
     similarity,
     text_ops,
@@ -23,6 +24,7 @@ from .operators import (
 
 _MODULES = [
     relational,
+    relational_ext,
     events_ops,
     text_ops,
     dedup,

@@ -199,3 +199,54 @@ class TestSkew:
             (r.k, r.v, r.tag) for r in big.join(small, "k").collect()
         )
         assert got == expect
+
+
+class TestExtendedRelationalPlans:
+    """Plan audits for the relational_ext shapes: semi/anti joins stay
+    narrow, scalar subqueries broadcast, pair-derivation partial-aggregates."""
+
+    def test_q21_self_joins_are_semi_and_anti(self, spark, sf_dir):
+        from jitsu_spark.operators.relational_ext import q21_waiting_suppliers
+
+        plan = _plan(q21_waiting_suppliers(spark, sf_dir))
+        assert "LeftSemi" in plan
+        assert "LeftAnti" in plan
+
+    def test_q22_scalar_avg_is_broadcast(self, spark, sf_dir):
+        from jitsu_spark.operators.relational_ext import q22_idle_customers
+
+        plan = _plan(q22_idle_customers(spark, sf_dir))
+        # the 1-row avg crossJoin plans as a broadcast nested loop of one
+        # row, and the NOT EXISTS as a left-anti
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "LeftAnti" in plan
+
+    def test_q16_reads_only_needed_lineitem_columns(self, spark, sf_dir):
+        from jitsu_spark.operators.relational_ext import (
+            q16_supplier_count_by_part,
+        )
+
+        plan = _plan(q16_supplier_count_by_part(spark, sf_dir))
+        li_schemas = [
+            l
+            for l in plan.splitlines()
+            if "ReadSchema" in l and "l_partkey" in l
+        ]
+        assert li_schemas, "lineitem scan missing"
+        # the pair derivation must not drag the lineitem payload along
+        assert all("l_extendedprice" not in l for l in li_schemas)
+
+    def test_q13_left_join_preserves_orderless_customers(self, spark, sf_dir):
+        from jitsu_spark.operators.relational_ext import (
+            q13_order_count_distribution,
+        )
+
+        rows = {
+            r.c_count: r.custdist
+            for r in q13_order_count_distribution(spark, sf_dir).collect()
+        }
+        assert sum(rows.values()) > 0
+        # distribution totals the whole customer table (outer join kept all)
+        from jitsu_spark.tables import load_table
+
+        assert sum(rows.values()) == load_table(spark, sf_dir, "customer").count()
