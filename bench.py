@@ -75,10 +75,18 @@ def main() -> None:
         sf_num = float(sf)
     except ValueError:
         sf_num = sf
+    # `value` stays the 17-query headline sum so it is comparable round
+    # over round (BASELINE.md tracks that subset); the full-suite total is
+    # reported alongside.
+    headline_total = round(
+        sum(t for n, t in timings.items() if n in HEADLINE), 3
+    )
     result = {
         "metric": "headline_query_wall_seconds",
-        "value": round(sum(timings.values()), 3),
+        "value": headline_total if not extra else round(sum(timings.values()), 3),
         "unit": "sec",
+        "all_queries_wall_seconds": round(sum(timings.values()), 3),
+        "n_queries": len(timings),
         "queries": timings,
         "sf": sf_num,
     }
