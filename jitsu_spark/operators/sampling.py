@@ -1,0 +1,114 @@
+"""Deterministic sampling for training-data pipelines.
+
+Both operators hash a stable key (md5, identical bits on Spark and the
+DuckDB oracle) instead of using RNG state, so a sample is (a) reproducible
+run-to-run, (b) consistent across engines, and (c) stable under
+repartitioning — the properties a 100 TB corpus pipeline needs so that
+re-running a stage never silently changes the training set.
+
+Scale notes:
+- The bucket expression is pure column arithmetic on the scan -> evaluated
+  inside whole-stage codegen, no shuffle, no UDF. Sampling 100 TB is a
+  single filtered pass.
+- Per-stratum rates join against a tiny literal dim -> broadcast; the
+  corpus side never shuffles.
+- This is the deterministic counterpart of `df.sampleBy` (whose Bernoulli
+  draw depends on partition-internal RNG order and is NOT stable under
+  repartitioning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.hints import maybe_broadcast
+from ..tables import load_table
+
+# 0..999 bucket from the first 7 hex digits of md5 of the key. 7 hex
+# digits = 28 bits, exact in int64 on both engines.
+def _bucket(key: Column) -> Column:
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 7), 16, 10)
+        .cast("long")
+        % 1000
+    )
+
+
+def _bucket_duck(expr: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 7))::UBIGINT"
+        " AS BIGINT) % 1000"
+    )
+
+
+# Per-source keep rates: sources cycle through 20%/40%/60%/80% — the
+# "downweight low-quality crawls, keep curated sources" shape.
+STRATA_RATES = {f"src{i}": (i % 4 + 1) * 0.2 for i in range(20)}
+
+
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample of `documents` by source.
+
+    A doc survives iff its md5 bucket falls under its source's rate —
+    independent of partitioning, ordering, and engine.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(
+        [(s, int(r * 1000 + 0.5)) for s, r in STRATA_RATES.items()],
+        "source string, keep_per_mille int",
+    )
+    return (
+        docs.join(maybe_broadcast(rates), "source")
+        .where(_bucket(F.col("doc_id")) < F.col("keep_per_mille"))
+        .select("doc_id", "source", "lang", "n_chars")
+    )
+
+
+_RATE_VALUES = ", ".join(
+    f"('{s}', {int(r * 1000 + 0.5)})" for s, r in STRATA_RATES.items()
+)
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, source, lang, n_chars
+FROM documents
+JOIN (VALUES {_RATE_VALUES}) AS rates(source, keep_per_mille) USING (source)
+WHERE {_bucket_duck('doc_id')} < keep_per_mille
+"""
+
+
+def train_test_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment for `documents`.
+
+    Same md5 bucket; split boundaries at 900 and 950. Every engine and
+    every rerun assigns each doc to the same split — no leakage drift.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    b = _bucket(F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        "source",
+        F.when(b < 900, "train")
+        .when(b < 950, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+TRAIN_TEST_SPLIT_SQL = f"""
+SELECT doc_id, source,
+       CASE WHEN {_bucket_duck('doc_id')} < 900 THEN 'train'
+            WHEN {_bucket_duck('doc_id')} < 950 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+QUERIES = {
+    "stratified_sample_documents": stratified_sample_documents,
+    "train_test_split_documents": train_test_split_documents,
+}
+ORACLE = {
+    "stratified_sample_documents": STRATIFIED_SAMPLE_SQL,
+    "train_test_split_documents": TRAIN_TEST_SPLIT_SQL,
+}

@@ -10,6 +10,7 @@ from __future__ import annotations
 from . import gateway, multimodal
 from .events import destinations, destinations_crm, layouts
 from .operators import (
+    asof,
     dedup,
     events_ops,
     geo,
@@ -18,6 +19,7 @@ from .operators import (
     relational,
     relational_ext,
     rollup,
+    sampling,
     similarity,
     text_ops,
 )
@@ -25,6 +27,8 @@ from .operators import (
 _MODULES = [
     relational,
     relational_ext,
+    asof,
+    sampling,
     events_ops,
     text_ops,
     dedup,

@@ -1,0 +1,133 @@
+"""asof_backward semantics + deterministic sampling properties."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+class TestAsofBackward:
+    def _run(self, spark, probe_rows, state_rows):
+        from jitsu_spark.operators.asof import asof_backward
+
+        probe = spark.createDataFrame(
+            probe_rows, "user_id long, ts timestamp, event_id long"
+        )
+        state = spark.createDataFrame(
+            state_rows, "user_id long, ts timestamp, tag string"
+        )
+        out = asof_backward(probe, state, keys=["user_id"], ts="ts")
+        return {
+            r.event_id: (r.ts_asof, r.tag_asof) for r in out.collect()
+        }
+
+    def test_latest_prior_state_wins(self, spark):
+        got = self._run(
+            spark,
+            [(1, _ts("2024-01-10"), 100)],
+            [
+                (1, _ts("2024-01-01"), "old"),
+                (1, _ts("2024-01-05"), "new"),
+                (1, _ts("2024-02-01"), "future"),
+            ],
+        )
+        assert got == {100: (_ts("2024-01-05"), "new")}
+
+    def test_equal_timestamp_is_inclusive(self, spark):
+        got = self._run(
+            spark,
+            [(1, _ts("2024-01-05"), 100)],
+            [(1, _ts("2024-01-05"), "same_instant")],
+        )
+        assert got == {100: (_ts("2024-01-05"), "same_instant")}
+
+    def test_no_prior_state_yields_nulls(self, spark):
+        got = self._run(
+            spark,
+            [(1, _ts("2024-01-01"), 100)],
+            [(1, _ts("2024-06-01"), "later")],
+        )
+        assert got == {100: (None, None)}
+
+    def test_keys_do_not_cross(self, spark):
+        got = self._run(
+            spark,
+            [(1, _ts("2024-01-10"), 100), (2, _ts("2024-01-10"), 200)],
+            [(1, _ts("2024-01-01"), "u1_state")],
+        )
+        assert got == {
+            100: (_ts("2024-01-01"), "u1_state"),
+            200: (None, None),
+        }
+
+    def test_single_shuffle(self, spark, sf_dir):
+        """The as-of core is union+window: NO join operator, and only the
+        window shuffle plus the signup-dedup pre-aggregate shuffle — never
+        a probe x state pair expansion."""
+        from jitsu_spark.operators.asof import asof_signup_attribution
+
+        df = asof_signup_attribution(spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "Join" not in plan  # union+window, not a join
+        # detail headers "(n) Exchange" count each node once
+        assert plan.count(") Exchange") <= 2
+        assert "Window" in plan
+
+
+class TestDeterministicSampling:
+    def test_split_is_stable_and_partition_independent(self, spark, sf_dir):
+        from jitsu_spark.operators.sampling import train_test_split_documents
+
+        a = {
+            r.doc_id: r.split
+            for r in train_test_split_documents(spark, sf_dir).collect()
+        }
+        b = {
+            r.doc_id: r.split
+            for r in train_test_split_documents(spark, sf_dir)
+            .repartition(7)
+            .collect()
+        }
+        assert a == b
+        splits = set(a.values())
+        assert splits <= {"train", "val", "test"}
+        # 90/5/5 within binomial slack on 500 docs
+        n = len(a)
+        assert sum(1 for s in a.values() if s == "train") > 0.8 * n
+
+    def test_stratified_rates_monotone(self, spark, sf_dir):
+        """Higher keep-rate strata retain more docs (25 docs/source; the
+        0.8-rate group must beat the 0.2-rate group in aggregate)."""
+        from jitsu_spark.operators.sampling import (
+            STRATA_RATES,
+            stratified_sample_documents,
+        )
+
+        kept = (
+            stratified_sample_documents(spark, sf_dir)
+            .groupBy("source")
+            .count()
+            .collect()
+        )
+        by_rate: dict[float, int] = {}
+        for r in kept:
+            rate = STRATA_RATES[r.source]
+            by_rate[rate] = by_rate.get(rate, 0) + r["count"]
+        assert by_rate[0.8] > by_rate[0.2]
+
+    def test_sample_subset_of_corpus(self, spark, sf_dir):
+        from jitsu_spark.operators.sampling import stratified_sample_documents
+        from jitsu_spark.tables import load_table
+
+        total = load_table(spark, sf_dir, "documents").count()
+        sampled = stratified_sample_documents(spark, sf_dir).count()
+        assert 0 < sampled < total
