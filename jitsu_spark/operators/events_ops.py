@@ -135,6 +135,41 @@ GROUP BY 1
 """
 
 
+def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — value-distribution quantiles per event type (the reference's
+    ClickHouse reporting idiom `quantile(level)(value)`).
+
+    Exact linear-interpolation percentile (Spark `percentile` == DuckDB
+    `quantile_cont`, verified bit-equal). Scale note: the exact aggregate
+    buffers each group's values — at 100 TB swap `F.percentile` for
+    `F.percentile_approx` (t-digest sketch: mergeable, bounded memory,
+    identical plan shape); the exact variant is the oracle contract.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", 0.5), 6).alias("p50"),
+            F.round(F.percentile("value", 0.9), 6).alias("p90"),
+            F.round(F.percentile("value", 0.99), 6).alias("p99"),
+            F.round(F.max("value"), 6).alias("vmax"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENT_VALUE_PERCENTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       round(max(value), 6) AS vmax
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def report_event_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 — the console report query: period x status counts.
 
@@ -476,6 +511,7 @@ QUERIES = {
     "metrics_rollup_minute": metrics_rollup_minute,
     "active_users_daily": active_users_daily,
     "active_users_daily_approx": active_users_daily_approx,
+    "event_value_percentiles": event_value_percentiles,
     "report_event_stat": report_event_stat,
     "report_rollup_totals": report_rollup_totals,
     "signup_no_purchase_except": signup_no_purchase_except,
@@ -492,6 +528,7 @@ ORACLE = {
     "metrics_rollup_minute": METRICS_ROLLUP_MINUTE_SQL,
     "active_users_daily": ACTIVE_USERS_DAILY_SQL,
     "active_users_daily_approx": ACTIVE_USERS_APPROX_SQL,
+    "event_value_percentiles": EVENT_VALUE_PERCENTILES_SQL,
     "report_event_stat": REPORT_EVENT_STAT_SQL,
     "report_rollup_totals": REPORT_ROLLUP_TOTALS_SQL,
     "signup_no_purchase_except": SIGNUP_NO_PURCHASE_SQL,
