@@ -11,9 +11,10 @@ part-supplier relation is derived as `DISTINCT (l_partkey, l_suppkey)` and
 `relational.q4_priority_count` already makes.
 
 Scale notes (100 TB stance):
-- Correlated scalar subqueries are expressed as aggregate-then-join-back:
-  the aggregate shuffles only (key, partial-state) and its output is tiny,
-  so the join-back side is broadcastable (`maybe_broadcast`).
+- Correlated scalar subqueries (per-key MIN/AVG) are windows over the same
+  pass (`partitionBy(key)`), NOT aggregate-and-join-back — the join-back
+  form evaluates the whole probe subtree twice (verified: the window form
+  halves the q2 plan to a single lineitem scan).
 - Global scalar thresholds (q11/q15/q22) are 1-row aggregates crossJoined
   in — Spark plans a broadcast nested loop of a single row, no shuffle.
 - The q21 shape needs lineitem joined to itself twice; both self-join
@@ -49,9 +50,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2-shaped: correlated scalar-MIN subquery with join-back.
 
     For each LARGE size-10..20 part, the EUROPE supplier(s) with the minimum
-    account balance among its suppliers. The per-part MIN aggregate output
-    is one row per qualifying part (tiny) -> broadcast back onto the
-    supplier-part join; the fact-derived pair table never shuffles twice.
+    account balance among its suppliers. The correlated MIN is a window
+    over the offers pass itself (partitionBy part) — ONE scan of the pair
+    table and one shuffle, instead of the aggregate-and-join-back form
+    that would evaluate the whole offers subtree twice.
     """
     ps = _part_supplier_pairs(spark, sf_dir)
     part = load_table(spark, sf_dir, "part").where(
@@ -73,14 +75,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(europe_sup, ps.ps_suppkey == F.col("s_suppkey"))
         .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name")
     )
-    best = offers.groupBy(F.col("p_partkey").alias("bk")).agg(
-        F.min("s_acctbal").alias("min_bal")
-    )
+    w = Window.partitionBy("p_partkey")
     return (
-        offers.join(
-            maybe_broadcast(best),
-            (offers.p_partkey == best.bk) & (offers.s_acctbal == best.min_bal),
-        )
+        offers.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .where(F.col("s_acctbal") == F.col("min_bal"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
         .orderBy(
             F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey")
@@ -384,8 +382,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Average yearly revenue lost if small-quantity orders (below half the
     part's average quantity) of Brand#11 SMALL parts weren't filled. The
-    per-part AVG is an aggregate joined back — broadcast, since it's one
-    row per qualifying part.
+    correlated per-part AVG is a window over the branded-lines pass —
+    one scan, one shuffle, no aggregate-and-join-back double evaluation.
     """
     part = load_table(spark, sf_dir, "part").where(
         (F.col("p_brand") == "Brand#11") & (F.col("p_type") == "SMALL")
@@ -394,11 +392,11 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     branded = li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey).select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
-    avg_qty = branded.groupBy(F.col("l_partkey").alias("ak")).agg(
-        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg_qty")
-    )
+    w = Window.partitionBy("l_partkey")
     return (
-        branded.join(maybe_broadcast(avg_qty), branded.l_partkey == avg_qty.ak)
+        branded.withColumn(
+            "half_avg_qty", F.lit(0.5) * F.avg("l_quantity").over(w)
+        )
         .where(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
