@@ -1,0 +1,95 @@
+"""Composed corpus-preparation pipeline — the end-to-end shape a training
+data run actually executes: quality gate -> exact dedup -> deterministic
+sample -> accounting. Each stage is the same logic as its standalone
+operator (text_ops quality features, dedup exact-hash canonicalization,
+sampling md5 buckets); this operator proves they compose in ONE job.
+
+Scale notes (100 TB stance):
+- Stages 1 (gate) and 3 (sample) are pure scan-side filters — they fuse
+  into the document scan inside whole-stage codegen; nothing shuffles.
+- Stage 2 (dedup) is the only shuffle: hash by md5(text) for a
+  row_number window. The full text crosses the wire once, which is
+  unavoidable for content dedup; everything after operates on the
+  deduped minority.
+- Stage 4 re-shuffles only (source, partial-stats).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .sampling import _bucket, _bucket_duck
+from .text_ops import TOKENS, TOKENS_DUCK, _SW
+
+SAMPLE_PER_MILLE = 700
+MIN_TOKENS = 20
+MIN_STOPWORD_RATIO = 0.02
+
+
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality gate -> exact dedup -> 70% deterministic sample -> stats."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.selectExpr(
+        "doc_id",
+        "source",
+        "text",
+        f"size({TOKENS}) AS n_tok",
+        f"size(filter({TOKENS}, x -> x IN ({_SW}))) / size({TOKENS}) AS sw_ratio",
+    )
+    gated = scored.where(
+        (F.col("n_tok") >= MIN_TOKENS)
+        & (F.col("sw_ratio") >= MIN_STOPWORD_RATIO)
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    sampled = deduped.where(_bucket(F.col("doc_id")) < SAMPLE_PER_MILLE)
+    return (
+        sampled.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("sw_ratio"), 4).alias("avg_stopword_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_PREP_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, source, text,
+         len({TOKENS_DUCK}) AS n_tok,
+         len(list_filter({TOKENS_DUCK}, x -> x IN ({_SW}))) * 1.0
+           / len({TOKENS_DUCK}) AS sw_ratio
+  FROM documents
+),
+gated AS (
+  SELECT * FROM scored
+  WHERE n_tok >= {MIN_TOKENS} AND sw_ratio >= {MIN_STOPWORD_RATIO}
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM gated
+  ) WHERE rn = 1
+),
+sampled AS (
+  SELECT * FROM deduped WHERE {_bucket_duck('doc_id')} < {SAMPLE_PER_MILLE}
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       round(avg(sw_ratio), 4) AS avg_stopword_ratio
+FROM sampled
+GROUP BY source
+ORDER BY source
+"""
+
+
+QUERIES = {"corpus_prep_pipeline": corpus_prep_pipeline}
+ORACLE = {"corpus_prep_pipeline": CORPUS_PREP_SQL}

@@ -349,6 +349,39 @@ WHERE {DOT_DUCK.format(a='a.embedding', b='b.embedding')} / (a.norm * b.norm) >=
 """
 
 
+def kmeans_centroids(
+    emb: DataFrame, k: int = 12, max_iter: int = 5, seed: int = 42
+) -> DataFrame:
+    """Refined IVF centroids via distributed Lloyd iterations
+    (pyspark.ml KMeans — k-means|| init, the Spark-canonical trainer).
+
+    Returns (centroid_id, c_emb array<double>). Drop-in replacement for
+    the stride-sampled centroids in `_assignments`: the IVF query plan is
+    unchanged, only cell quality improves (lower quantization error ->
+    better recall at the same NPROBE). Not part of the oracle contract —
+    k-means is iterative/seed-dependent, so `ann_ivf_topk` keeps the
+    deterministic stride centroids the SQL oracle can reproduce.
+
+    Scale: each iteration is one broadcast-assign + one tree-aggregate
+    over (cell, partial-sum) — linear scans, no pairwise blowup.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = emb.select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=k, maxIter=max_iter, seed=seed, initMode="k-means||").fit(
+        vecs
+    )
+    centers = model.clusterCenters()
+    sdf = emb.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "centroid_id int, c_emb array<double>",
+    )
+    return sdf
+
+
 def knn_label_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN label prediction for the query vectors: majority label of the
     exact top-k neighbors (ties -> smallest label). Output includes the

@@ -11,6 +11,7 @@ from . import gateway, multimodal
 from .events import destinations, destinations_crm, layouts
 from .operators import (
     asof,
+    corpus,
     dedup,
     events_ops,
     geo,
@@ -29,6 +30,7 @@ _MODULES = [
     relational_ext,
     asof,
     sampling,
+    corpus,
     events_ops,
     text_ops,
     dedup,

@@ -42,3 +42,43 @@ def test_knn_self_exclusion(spark, sf_dir):
     for r in cosine_topk_bruteforce(spark, sf_dir).collect():
         assert r.query_id != r.neighbor_id
         assert -1.0001 <= r.sim <= 1.0001
+
+
+def test_kmeans_centroids_beat_stride_sampling(spark, sf_dir):
+    """Refined centroids must not quantize worse than the stride sample:
+    mean distance-to-nearest-centroid (the k-means objective) should drop."""
+    from pyspark.sql import functions as F
+
+    from jitsu_spark.operators.similarity import (
+        CENTROID_STRIDE,
+        DOT,
+        kmeans_centroids,
+    )
+    from jitsu_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def mean_sq_dist(centroids):
+        d2 = (
+            f"{DOT.format(a='embedding', b='embedding')} "
+            f"- 2 * {DOT.format(a='embedding', b='c_emb')} "
+            f"+ {DOT.format(a='c_emb', b='c_emb')}"
+        )
+        scored = emb.crossJoin(F.broadcast(centroids)).withColumn(
+            "d2", F.expr(d2)
+        )
+        return (
+            scored.groupBy("vec_id")
+            .agg(F.min("d2").alias("best"))
+            .agg(F.avg("best"))
+            .first()[0]
+        )
+
+    stride = emb.where(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").cast("array<double>").alias("c_emb"),
+    )
+    n_stride = stride.count()
+    refined = kmeans_centroids(emb, k=n_stride, max_iter=5)
+    assert refined.count() == n_stride
+    assert mean_sq_dist(refined) <= mean_sq_dist(stride) * 1.001
