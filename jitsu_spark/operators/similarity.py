@@ -11,8 +11,9 @@ Scale design:
   (query_id, candidate, sim) survivors do.
 - IVF: coarse quantization by nearest-centroid assignment; a query probes
   `NPROBE` cells, turning O(N) scans into O(N * nprobe / K). Centroids are
-  a deterministic sample here (a k-means refinement drops in without
-  changing the query plan); at scale the assignment pass is the standard
+  a deterministic sample in the oracle-checked query (`kmeans_centroids`
+  below is the drop-in k-means|| refinement, same query plan); at scale
+  the assignment pass is the standard
   N x K broadcast product, and cells would be a partition/bucket column of
   the stored table so probing prunes at the scan.
 """
