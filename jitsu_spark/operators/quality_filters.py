@@ -1,0 +1,410 @@
+"""Pre-training quality filters over `documents` — the Gopher/C4 rule
+family, repetition statistics, PII redaction, benchmark-contamination
+checking, and token-window chunking.
+
+These extend the text-analysis surface (`operators/text_ops.py`) with the
+filters a production training-data pipeline runs between crawl and
+tokenizer. Capability context from the reference: the event pipeline treats
+scalar string transforms as first-class plan operators
+(`libs/core-functions/src/functions/lib/strings.ts:11-35`,
+`ga4-destination.ts:163-166`); these are the corpus-scale members of that
+family.
+
+Scale notes (100 TB stance):
+- `gopher_quality_flags` and `pii_redact` are single-scan column
+  expressions — whole-stage codegen, zero shuffle, no Python.
+- `repetition_stats` explodes word bigrams and aggregates per doc: the
+  shuffle carries (doc_id, bigram-hash) pairs, never document text, and
+  partial aggregation collapses repeated bigrams map-side — the exact
+  reason repetitive docs (the ones we're hunting) shrink the most.
+- `contamination_check` builds the held-out shingle set from the
+  deterministic test split (5% of docs) and joins it to the train side.
+  The held-out set is the small side: size-gated broadcast
+  (`plans.hints.maybe_broadcast`), so the train corpus never shuffles —
+  at 1000 executors this is a map-side semi-join per partition.
+- `chunk_documents` is a generate (explode of window starts) — linear
+  output, no shuffle; chunking 100 TB is a pure map stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.hints import maybe_broadcast
+from ..tables import load_table
+from .sampling import _bucket, _bucket_duck
+from .text_ops import STOPWORDS, TOKENS, TOKENS_DUCK
+
+_SW = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules (word count / mean word length / stopword
+# presence / alphabetic-word fraction), emitted as auditable flags plus the
+# combined keep decision.
+# ---------------------------------------------------------------------------
+
+MIN_WORDS, MAX_WORDS = 30, 100_000
+MIN_MEAN_WORD_LEN, MAX_MEAN_WORD_LEN = 3.0, 10.0
+MIN_STOPWORDS = 2
+MIN_ALPHA_FRAC = 0.8
+
+
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher rule bundle: each rule is its own column so the
+    downstream gate (and its tuning) is auditable; `keep` is the AND."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.selectExpr("doc_id", f"{TOKENS} AS t", "length(text) AS n_chars_raw")
+    feats = toks.selectExpr(
+        "doc_id",
+        "size(t) AS n_words",
+        # mean word length over the token array (not chars/words of raw
+        # text: whitespace runs would skew it)
+        "round(aggregate(t, 0L, (a, x) -> a + length(x)) / size(t), 4)"
+        " AS mean_word_len",
+        f"size(filter(t, x -> x IN ({_SW}))) AS n_stopwords",
+        "round(size(filter(t, x -> x rlike '[a-zA-Z]')) / size(t), 4)"
+        " AS alpha_frac",
+    )
+    return feats.selectExpr(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "n_stopwords",
+        "alpha_frac",
+        f"n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS} AS ok_words",
+        f"mean_word_len BETWEEN {MIN_MEAN_WORD_LEN} AND {MAX_MEAN_WORD_LEN}"
+        " AS ok_word_len",
+        f"n_stopwords >= {MIN_STOPWORDS} AS ok_stopwords",
+        f"alpha_frac >= {MIN_ALPHA_FRAC} AS ok_alpha",
+        f"(n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS})"
+        f" AND (mean_word_len BETWEEN {MIN_MEAN_WORD_LEN} AND {MAX_MEAN_WORD_LEN})"
+        f" AND n_stopwords >= {MIN_STOPWORDS}"
+        f" AND alpha_frac >= {MIN_ALPHA_FRAC} AS keep",
+    )
+
+
+GOPHER_QUALITY_SQL = f"""
+WITH feats AS (
+  SELECT doc_id,
+         len({TOKENS_DUCK}) AS n_words,
+         round(list_sum(list_transform({TOKENS_DUCK}, x -> length(x)))
+               / len({TOKENS_DUCK}), 4) AS mean_word_len,
+         len(list_filter({TOKENS_DUCK}, x -> x IN ({_SW}))) AS n_stopwords,
+         round(len(list_filter({TOKENS_DUCK},
+                               x -> regexp_matches(x, '[a-zA-Z]')))
+               / len({TOKENS_DUCK}), 4) AS alpha_frac
+  FROM documents
+)
+SELECT doc_id, n_words,
+       mean_word_len,
+       CAST(n_stopwords AS BIGINT) AS n_stopwords,
+       alpha_frac,
+       n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS} AS ok_words,
+       mean_word_len BETWEEN {MIN_MEAN_WORD_LEN} AND {MAX_MEAN_WORD_LEN}
+         AS ok_word_len,
+       n_stopwords >= {MIN_STOPWORDS} AS ok_stopwords,
+       alpha_frac >= {MIN_ALPHA_FRAC} AS ok_alpha,
+       (n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS})
+         AND (mean_word_len BETWEEN {MIN_MEAN_WORD_LEN} AND {MAX_MEAN_WORD_LEN})
+         AND n_stopwords >= {MIN_STOPWORDS}
+         AND alpha_frac >= {MIN_ALPHA_FRAC} AS keep
+FROM feats
+"""
+
+
+# ---------------------------------------------------------------------------
+# Repetition statistics (the Gopher "fraction of duplicate n-grams" family).
+# ---------------------------------------------------------------------------
+
+# Word bigrams from a token array `t` (empty when < 2 tokens).
+BIGRAMS = (
+    "CASE WHEN size({t}) >= 2 THEN "
+    "transform(sequence(0, size({t}) - 2), i -> concat({t}[i], ' ', {t}[i+1])) "
+    "ELSE array() END"
+)
+BIGRAMS_DUCK = "list_transform(range(1, len({t})), i -> {t}[i] || ' ' || {t}[i+1])"
+
+TOP_BIGRAM_FRAC_MAX = 0.10
+DUP_BIGRAM_FRAC_MAX = 0.50
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicate-bigram statistics: what fraction of the document is
+    its single most common bigram, and what fraction of bigram occurrences
+    are repeats. Docs under 2 tokens have no bigrams and drop out (inner
+    semantics, mirrored by the oracle).
+
+    The explode shuffles (doc_id, bigram) — bounded by document length, and
+    partial aggregation collapses repeats before the wire."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.selectExpr("doc_id", f"{TOKENS} AS t")
+    bg = toks.selectExpr("doc_id", f"explode({BIGRAMS.format(t='t')}) AS bigram")
+    per_bigram = bg.groupBy("doc_id", "bigram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        per_bigram.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.max("cnt").alias("top_bigram_cnt"),
+            F.count(F.lit(1)).alias("n_distinct_bigrams"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_bigrams",
+            "top_bigram_cnt",
+            "n_distinct_bigrams",
+            "round(top_bigram_cnt / n_bigrams, 4) AS top_bigram_frac",
+            "round(1.0 - n_distinct_bigrams / n_bigrams, 4) AS dup_bigram_frac",
+            f"top_bigram_cnt / n_bigrams <= {TOP_BIGRAM_FRAC_MAX}"
+            f" AND 1.0 - n_distinct_bigrams / n_bigrams <= {DUP_BIGRAM_FRAC_MAX}"
+            " AS keep",
+        )
+    )
+
+
+REPETITION_SQL = f"""
+WITH bg AS (
+  SELECT doc_id,
+         unnest({BIGRAMS_DUCK.format(t=TOKENS_DUCK)}) AS bigram
+  FROM documents
+), per_bigram AS (
+  SELECT doc_id, bigram, count(*) AS cnt
+  FROM bg GROUP BY 1, 2
+), per_doc AS (
+  SELECT doc_id,
+         CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+         CAST(max(cnt) AS BIGINT) AS top_bigram_cnt,
+         count(*) AS n_distinct_bigrams
+  FROM per_bigram GROUP BY 1
+)
+SELECT doc_id, n_bigrams, top_bigram_cnt, n_distinct_bigrams,
+       round(top_bigram_cnt / n_bigrams, 4) AS top_bigram_frac,
+       round(1.0 - n_distinct_bigrams / n_bigrams, 4) AS dup_bigram_frac,
+       top_bigram_cnt / n_bigrams <= {TOP_BIGRAM_FRAC_MAX}
+         AND 1.0 - n_distinct_bigrams / n_bigrams <= {DUP_BIGRAM_FRAC_MAX}
+         AS keep
+FROM per_doc
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII detection + redaction. Patterns are chosen to compile identically
+# under Java regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS = {
+    # marker, pattern
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "long_digits": r"\b\d{9,}\b",  # SSNs, CC numbers, phone runs
+}
+
+
+def _spark_pat(pat: str) -> str:
+    """Spark SQL string literals process backslash escapes (unlike DuckDB's
+    standard-SQL literals), so the regex backslashes must be doubled."""
+    return pat.replace("\\", "\\\\")
+
+
+def redact_text_expr(col: str = "text") -> str:
+    """Spark SQL expression chaining one regexp_replace per PII class."""
+    expr = col
+    for name, pat in PII_PATTERNS.items():
+        expr = f"regexp_replace({expr}, '{_spark_pat(pat)}', '<{name}>')"
+    return expr
+
+
+def redact_text_duck(col: str = "text") -> str:
+    expr = col
+    for name, pat in PII_PATTERNS.items():
+        expr = f"regexp_replace({expr}, '{pat}', '<{name}>', 'g')"
+    return expr
+
+
+def pii_redact_df(docs: DataFrame) -> DataFrame:
+    """Core projection: per-class match counts + redacted text. Single scan,
+    all codegen — redacting 100 TB is a map-only pass."""
+    counts = [
+        f"size(regexp_extract_all(text, '{_spark_pat(pat)}', 0)) AS n_{name}"
+        for name, pat in PII_PATTERNS.items()
+    ]
+    return docs.selectExpr(
+        "doc_id",
+        *counts,
+        f"{redact_text_expr()} AS redacted_text",
+    ).selectExpr(
+        "doc_id",
+        *[f"n_{name}" for name in PII_PATTERNS],
+        "redacted_text",
+        " + ".join(f"n_{name}" for name in PII_PATTERNS) + " > 0 AS has_pii",
+    )
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pii_redact_df(load_table(spark, sf_dir, "documents"))
+
+
+_PII_COUNTS_DUCK = ",\n       ".join(
+    f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+    for name, pat in PII_PATTERNS.items()
+)
+_PII_SUM = " + ".join(f"n_{name}" for name in PII_PATTERNS)
+
+PII_REDACT_SQL = f"""
+WITH counted AS (
+  SELECT doc_id,
+       {_PII_COUNTS_DUCK},
+       {redact_text_duck()} AS redacted_text
+  FROM documents
+)
+SELECT doc_id, {", ".join(f"n_{name}" for name in PII_PATTERNS)},
+       redacted_text,
+       {_PII_SUM} > 0 AS has_pii
+FROM counted
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-contamination check: which train-split documents share word
+# 3-gram shingles with the held-out test split (md5 bucket >= 950, the same
+# deterministic split as sampling.train_test_split_documents).
+# ---------------------------------------------------------------------------
+
+TEST_BUCKET_MIN = 950
+CONTAMINATION_FLAG_FRAC = 0.5
+
+# Word 3-gram shingles (same shape as text_ops.SHINGLES).
+_SHINGLES = (
+    "CASE WHEN size(t) >= 3 THEN "
+    "transform(sequence(0, size(t) - 3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])) "
+    "ELSE array() END"
+)
+_SHINGLES_DUCK = (
+    "list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])"
+)
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train docs ranked by overlap with the held-out shingle set.
+
+    Output: one row per contaminated train doc (inner semantics — clean
+    docs are the uninteresting majority) with distinct-shingle counts and
+    the overlap fraction. The held-out set is ~5% of the corpus and only
+    distinct shingle hashes cross the wire; `maybe_broadcast` keeps the
+    train side shuffle-free while the held-out set fits."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.selectExpr("doc_id", f"{TOKENS} AS t")
+    sh = toks.selectExpr("doc_id", f"explode(array_distinct({_SHINGLES})) AS shingle")
+    is_test = _bucket(F.col("doc_id")) >= TEST_BUCKET_MIN
+    test_shingles = sh.where(is_test).select("shingle").distinct()
+    train_sh = sh.where(~is_test)
+    per_doc = train_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    matched = (
+        train_sh.join(maybe_broadcast(test_shingles), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        matched.join(per_doc, "doc_id")
+        .selectExpr(
+            "doc_id",
+            "n_contaminated",
+            "n_shingles",
+            "round(n_contaminated / n_shingles, 4) AS contamination_frac",
+            f"n_contaminated / n_shingles >= {CONTAMINATION_FLAG_FRAC} AS flagged",
+        )
+    )
+
+
+CONTAMINATION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {TOKENS_DUCK} AS t,
+         {_bucket_duck('doc_id')} AS bucket
+  FROM documents
+), sh AS (
+  SELECT doc_id, bucket, unnest(list_distinct({_SHINGLES_DUCK})) AS shingle
+  FROM toks
+), test_shingles AS (
+  SELECT DISTINCT shingle FROM sh WHERE bucket >= {TEST_BUCKET_MIN}
+), train_sh AS (
+  SELECT doc_id, shingle FROM sh WHERE bucket < {TEST_BUCKET_MIN}
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_shingles FROM train_sh GROUP BY 1
+), matched AS (
+  SELECT doc_id, count(*) AS n_contaminated
+  FROM train_sh JOIN test_shingles USING (shingle)
+  GROUP BY 1
+)
+SELECT doc_id, n_contaminated, n_shingles,
+       round(n_contaminated / n_shingles, 4) AS contamination_frac,
+       n_contaminated / n_shingles >= {CONTAMINATION_FLAG_FRAC} AS flagged
+FROM matched JOIN per_doc USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Token-window chunking: fixed-size windows with overlap — the step that
+# turns documents into training sequences.
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode each document into CHUNK_TOKENS-token windows every
+    CHUNK_STRIDE tokens (overlap = CHUNK_TOKENS - CHUNK_STRIDE). Pure
+    generate: no shuffle, output linear in corpus size. Docs with zero
+    tokens drop out (inner semantics)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.selectExpr("doc_id", f"{TOKENS} AS t")
+    starts = toks.selectExpr(
+        "doc_id",
+        "t",
+        # guard: sequence() rejects (0, -1) bounds on zero-token docs
+        f"explode(CASE WHEN size(t) >= 1 THEN"
+        f" sequence(0, size(t) - 1, {CHUNK_STRIDE})"
+        " ELSE array() END) AS start",
+    )
+    return starts.selectExpr(
+        "doc_id",
+        f"CAST(start / {CHUNK_STRIDE} AS BIGINT) AS chunk_id",
+        f"size(slice(t, start + 1, {CHUNK_TOKENS})) AS n_chunk_tokens",
+        f"md5(concat_ws(' ', slice(t, start + 1, {CHUNK_TOKENS}))) AS chunk_hash",
+    )
+
+
+CHUNK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {TOKENS_DUCK} AS t FROM documents
+), starts AS (
+  SELECT doc_id, t, unnest(range(0, len(t), {CHUNK_STRIDE})) AS start
+  FROM toks
+)
+SELECT doc_id,
+       start // {CHUNK_STRIDE} AS chunk_id,
+       len(list_slice(t, start + 1, start + {CHUNK_TOKENS})) AS n_chunk_tokens,
+       md5(array_to_string(list_slice(t, start + 1, start + {CHUNK_TOKENS}), ' '))
+         AS chunk_hash
+FROM starts
+"""
+
+
+QUERIES = {
+    "gopher_quality_flags": gopher_quality_flags,
+    "repetition_stats": repetition_stats,
+    "pii_redact": pii_redact,
+    "contamination_check": contamination_check,
+    "chunk_documents": chunk_documents,
+}
+ORACLE = {
+    "gopher_quality_flags": GOPHER_QUALITY_SQL,
+    "repetition_stats": REPETITION_SQL,
+    "pii_redact": PII_REDACT_SQL,
+    "contamination_check": CONTAMINATION_SQL,
+    "chunk_documents": CHUNK_SQL,
+}

@@ -17,6 +17,7 @@ from .operators import (
     geo,
     identity,
     profiles,
+    quality_filters,
     relational,
     relational_ext,
     rollup,
@@ -33,6 +34,7 @@ _MODULES = [
     corpus,
     events_ops,
     text_ops,
+    quality_filters,
     dedup,
     similarity,
     layouts,

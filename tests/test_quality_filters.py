@@ -1,0 +1,185 @@
+"""Unit tests for the pre-training quality-filter operators: hand-built
+documents with known features, PII redaction goldens, chunk-boundary
+arithmetic, and a synthetic contamination scenario. Oracle parity is
+covered by tools/check_oracle.py; these pin the semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jitsu_spark.operators.quality_filters import (
+    CHUNK_STRIDE,
+    CHUNK_TOKENS,
+    pii_redact_df,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # (doc_id, text): doc 1 passes every Gopher rule
+        (1, "the quick brown fox jumps over a lazy dog and then "
+            "runs far away to find some food in the deep green forest "
+            "where many other animals live quietly among old tall trees"),
+        # doc 2: too short
+        (2, "hello world"),
+        # doc 3: repetitive (one bigram dominates)
+        (3, " ".join(["spam ham"] * 40)),
+        # doc 4: PII-laden
+        (4, "contact john.doe@example.com or 10.0.0.1 ref 123456789 now"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "n_chars", F.length("text")
+    )
+
+
+def _gopher(spark, docs_df):
+    from jitsu_spark.operators import quality_filters as qf
+
+    toks = docs_df.selectExpr("doc_id", f"{qf.TOKENS} AS t")
+    # reuse the query body via a temp parquet round-trip is overkill; call
+    # the same expressions the operator uses
+    return {
+        r["doc_id"]: r
+        for r in toks.selectExpr(
+            "doc_id",
+            "size(t) AS n_words",
+            f"size(filter(t, x -> x IN ({qf._SW}))) AS n_stopwords",
+        ).collect()
+    }
+
+
+class TestGopherFlags:
+    def test_good_doc_kept_short_doc_dropped(self, spark, docs, tmp_path):
+        docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+        from jitsu_spark.operators.quality_filters import gopher_quality_flags
+
+        out = {
+            r["doc_id"]: r for r in gopher_quality_flags(spark, str(tmp_path)).collect()
+        }
+        assert out[1]["keep"] is True
+        assert out[2]["keep"] is False and out[2]["ok_words"] is False
+        # repetitive doc 3 still passes Gopher word rules (repetition is
+        # repetition_stats' job) but fails stopwords
+        assert out[3]["ok_stopwords"] is False
+
+    def test_mean_word_len_is_token_mean(self, spark, docs, tmp_path):
+        docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+        from jitsu_spark.operators.quality_filters import gopher_quality_flags
+
+        row = (
+            gopher_quality_flags(spark, str(tmp_path))
+            .where("doc_id = 2")
+            .collect()[0]
+        )
+        # "hello world" -> (5 + 5) / 2
+        assert row["mean_word_len"] == 5.0
+
+
+class TestRepetition:
+    def test_dominant_bigram_flagged(self, spark, docs, tmp_path):
+        docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+        from jitsu_spark.operators.quality_filters import repetition_stats
+
+        out = {r["doc_id"]: r for r in repetition_stats(spark, str(tmp_path)).collect()}
+        # doc 3 = "spam ham spam ham ..." x40: bigram "spam ham" appears 40
+        # times, "ham spam" 39 times, of 79 total
+        r3 = out[3]
+        assert r3["n_bigrams"] == 79
+        assert r3["top_bigram_cnt"] == 40
+        assert r3["n_distinct_bigrams"] == 2
+        assert r3["keep"] is False
+        # natural doc 1 passes
+        assert out[1]["keep"] is True
+        # 1-token docs produce no row
+        assert all(d in (1, 2, 3, 4) for d in out)
+
+
+class TestPiiRedact:
+    def test_counts_and_redaction(self, spark, docs):
+        out = {r["doc_id"]: r for r in pii_redact_df(docs).collect()}
+        r4 = out[4]
+        assert r4["n_email"] == 1
+        assert r4["n_ipv4"] == 1
+        assert r4["n_long_digits"] == 1
+        assert r4["has_pii"] is True
+        assert (
+            r4["redacted_text"]
+            == "contact <email> or <ipv4> ref <long_digits> now"
+        )
+        r1 = out[1]
+        assert r1["has_pii"] is False
+        assert "fox" in r1["redacted_text"]
+
+    def test_short_digit_runs_untouched(self, spark):
+        df = spark.createDataFrame(
+            [(1, "version 12345678 of 2024")], "doc_id long, text string"
+        )
+        row = pii_redact_df(df).collect()[0]
+        assert row["n_long_digits"] == 0
+        assert row["redacted_text"] == "version 12345678 of 2024"
+
+
+class TestChunking:
+    def test_window_arithmetic(self, spark, tmp_path):
+        n = 100
+        text = " ".join(f"tok{i}" for i in range(n))
+        spark.createDataFrame([(1, text)], "doc_id long, text string").write.mode(
+            "overwrite"
+        ).parquet(f"{tmp_path}/documents.parquet")
+        from jitsu_spark.operators.quality_filters import chunk_documents
+
+        rows = sorted(
+            chunk_documents(spark, str(tmp_path)).collect(),
+            key=lambda r: r["chunk_id"],
+        )
+        # starts at 0, 48, 96 -> window sizes 64, 52, 4
+        assert [r["chunk_id"] for r in rows] == [0, 1, 2]
+        assert [r["n_chunk_tokens"] for r in rows] == [
+            CHUNK_TOKENS,
+            n - CHUNK_STRIDE,
+            n - 2 * CHUNK_STRIDE,
+        ]
+        # overlap: consecutive chunks share CHUNK_TOKENS - CHUNK_STRIDE tokens
+        assert CHUNK_TOKENS - CHUNK_STRIDE == 16
+
+    def test_empty_doc_drops_out(self, spark, tmp_path):
+        spark.createDataFrame(
+            [(1, "one two"), (2, "")], "doc_id long, text string"
+        ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+        from jitsu_spark.operators.quality_filters import chunk_documents
+
+        out = chunk_documents(spark, str(tmp_path)).collect()
+        assert {r["doc_id"] for r in out} == {1}
+
+
+class TestContamination:
+    def test_train_doc_sharing_test_shingles_flagged(self, spark, tmp_path):
+        from jitsu_spark.operators.quality_filters import TEST_BUCKET_MIN
+        from jitsu_spark.operators.sampling import _bucket
+
+        # find one doc id hashing into the test bucket and one into train
+        ids = spark.range(0, 2000).select(
+            F.col("id"), _bucket(F.col("id")).alias("b")
+        )
+        test_id = ids.where(F.col("b") >= TEST_BUCKET_MIN).first()["id"]
+        train_id = ids.where(F.col("b") < TEST_BUCKET_MIN).first()["id"]
+        shared = "alpha beta gamma delta epsilon zeta"
+        rows = [
+            (test_id, shared),  # held-out doc
+            (train_id, shared + " eta theta"),  # contaminated train doc
+        ]
+        spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+            "overwrite"
+        ).parquet(f"{tmp_path}/documents.parquet")
+        from jitsu_spark.operators.quality_filters import contamination_check
+
+        out = contamination_check(spark, str(tmp_path)).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["doc_id"] == train_id
+        # train doc has 6 shingles; 4 of them (the shared prefix) held out
+        assert r["n_shingles"] == 6
+        assert r["n_contaminated"] == 4
+        assert r["flagged"] is True
