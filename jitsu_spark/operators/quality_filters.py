@@ -300,16 +300,21 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_test = _bucket(F.col("doc_id")) >= TEST_BUCKET_MIN
     test_shingles = sh.where(is_test).select("shingle").distinct()
     train_sh = sh.where(~is_test)
-    per_doc = train_sh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_shingles")
-    )
-    matched = (
-        train_sh.join(maybe_broadcast(test_shingles), "shingle")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    # One left broadcast join + ONE aggregate: count(*) is the doc's shingle
+    # total, count(match marker) its held-out overlap — no second scan of
+    # the corpus for totals and no join-back.
+    marked = train_sh.join(
+        maybe_broadcast(test_shingles.withColumn("hit", F.lit(1))),
+        "shingle",
+        "left",
     )
     return (
-        matched.join(per_doc, "doc_id")
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("hit").alias("n_contaminated"),
+            F.count(F.lit(1)).alias("n_shingles"),
+        )
+        .where(F.col("n_contaminated") > 0)
         .selectExpr(
             "doc_id",
             "n_contaminated",
@@ -329,20 +334,22 @@ WITH toks AS (
   SELECT doc_id, bucket, unnest(list_distinct({_SHINGLES_DUCK})) AS shingle
   FROM toks
 ), test_shingles AS (
-  SELECT DISTINCT shingle FROM sh WHERE bucket >= {TEST_BUCKET_MIN}
-), train_sh AS (
-  SELECT doc_id, shingle FROM sh WHERE bucket < {TEST_BUCKET_MIN}
+  SELECT DISTINCT shingle, 1 AS hit FROM sh WHERE bucket >= {TEST_BUCKET_MIN}
+), marked AS (
+  SELECT s.doc_id, t.hit
+  FROM sh s LEFT JOIN test_shingles t USING (shingle)
+  WHERE s.bucket < {TEST_BUCKET_MIN}
 ), per_doc AS (
-  SELECT doc_id, count(*) AS n_shingles FROM train_sh GROUP BY 1
-), matched AS (
-  SELECT doc_id, count(*) AS n_contaminated
-  FROM train_sh JOIN test_shingles USING (shingle)
-  GROUP BY 1
+  SELECT doc_id,
+         count(hit) AS n_contaminated,
+         count(*) AS n_shingles
+  FROM marked GROUP BY 1
 )
 SELECT doc_id, n_contaminated, n_shingles,
        round(n_contaminated / n_shingles, 4) AS contamination_frac,
        n_contaminated / n_shingles >= {CONTAMINATION_FLAG_FRAC} AS flagged
-FROM matched JOIN per_doc USING (doc_id)
+FROM per_doc
+WHERE n_contaminated > 0
 """
 
 
