@@ -116,6 +116,48 @@ class InMemoryTtlStore:
         self._d.pop(key, None)
 
 
+class CryptoHelpers:
+    """The crypto namespace the reference injects into the UDF isolate
+    (`udf_wrapper.ts:78-84` wiring node:crypto's hash/randomUUID/
+    randomBytes/randomInt through `lib/crypto-code.ts`)."""
+
+    @staticmethod
+    def hash(algorithm: str, data, encoding: str = "hex"):
+        import hashlib
+
+        if isinstance(data, str):
+            data = data.encode()
+        h = hashlib.new(algorithm, data)
+        if encoding == "hex":
+            return h.hexdigest()
+        if encoding == "base64":
+            import base64
+
+            return base64.b64encode(h.digest()).decode()
+        return h.digest()
+
+    @staticmethod
+    def randomUUID() -> str:
+        import uuid
+
+        return str(uuid.uuid4())
+
+    @staticmethod
+    def randomBytes(size: int) -> bytes:
+        import secrets
+
+        return secrets.token_bytes(size)
+
+    @staticmethod
+    def randomInt(min_v: int, max_v: int | None = None) -> int:
+        # node:crypto.randomInt semantics: (max) or (min, max), max exclusive
+        import secrets
+
+        if max_v is None:
+            min_v, max_v = 0, min_v
+        return min_v + secrets.randbelow(max_v - min_v)
+
+
 @dataclass
 class FunctionContext:
     """ctx passed to every user function (functions.d.ts:127-175)."""
@@ -123,6 +165,7 @@ class FunctionContext:
     props: dict[str, Any] = field(default_factory=dict)
     store: Any = field(default_factory=InMemoryTtlStore)
     logs: list[str] = field(default_factory=list)
+    crypto: CryptoHelpers = field(default_factory=CryptoHelpers)
 
     def log(self, msg: str) -> None:
         self.logs.append(str(msg))

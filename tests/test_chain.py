@@ -185,3 +185,41 @@ def test_compiled_pipeline_layout_routing(spark):
     assert sorted(by_table) == ["Order Completed", "tracks"]
     assert by_table["Order Completed"]["revenue"] == 99.5
     assert "revenue" not in by_table["tracks"]
+
+
+class TestCryptoHelpers:
+    """ctx.crypto mirrors the isolate's crypto surface (udf_wrapper.ts:78-84)."""
+
+    def test_hash_hex_and_base64(self):
+        from jitsu_spark.plans.chain import CryptoHelpers
+        import hashlib, base64
+
+        c = CryptoHelpers()
+        assert c.hash("sha256", "abc") == hashlib.sha256(b"abc").hexdigest()
+        assert c.hash("md5", "abc", "base64") == base64.b64encode(
+            hashlib.md5(b"abc").digest()
+        ).decode()
+
+    def test_random_helpers_shapes(self):
+        from jitsu_spark.plans.chain import CryptoHelpers
+
+        c = CryptoHelpers()
+        assert len(c.randomBytes(16)) == 16
+        u = c.randomUUID()
+        assert len(u) == 36 and u.count("-") == 4
+        for _ in range(50):
+            assert 0 <= c.randomInt(10) < 10
+            assert 5 <= c.randomInt(5, 8) < 8
+
+    def test_user_function_sees_crypto(self):
+        from jitsu_spark.plans.chain import FunctionContext, run_user_chain
+
+        def fn(ev, ctx):
+            ev["sig"] = ctx.crypto.hash("sha256", ev["id"])
+            return ev
+
+        out, err = run_user_chain({"id": "e1"}, [fn], FunctionContext())
+        assert err is None
+        import hashlib
+
+        assert out[0]["sig"] == hashlib.sha256(b"e1").hexdigest()
