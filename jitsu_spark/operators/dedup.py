@@ -345,12 +345,79 @@ FROM votes
 """
 
 
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: LSH candidate pairs -> connected components ->
+    per-doc cluster assignment with the canonical representative (min
+    doc_id in the component) and the cluster size.
+
+    Composition of two existing operators: `minhash_lsh_pairs` generates
+    the sub-quadratic candidate edges; `identity.id_graph_components`
+    (label propagation, one shuffle per round, ~log(diameter) rounds)
+    collapses them. This is the step that turns pairwise near-dup output
+    into the "keep one per cluster" decision a corpus dedup actually
+    ships. Only docs that appear in some pair are emitted (singletons are
+    the uninteresting majority — inner semantics, mirrored by the oracle).
+    """
+    from .identity import id_graph_components
+
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    comps = id_graph_components(
+        pairs.selectExpr("doc_a AS id_a", "doc_b AS id_b")
+    )
+    labeled = comps.selectExpr(
+        "CAST(id AS BIGINT) AS doc_id", "CAST(component AS BIGINT) AS cluster_id"
+    )
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    from ..plans.hints import maybe_broadcast
+
+    return (
+        labeled.join(maybe_broadcast(sizes), "cluster_id")
+        .selectExpr(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            "doc_id = cluster_id AS is_canonical",
+        )
+    )
+
+
+# Connected components in the oracle: transitive closure by recursive CTE
+# (UNION dedups, so it terminates), then each node's component is the min
+# reachable id. Near-dup clusters are small, so the closure stays tiny.
+NEAR_DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({MINHASH_LSH_SQL}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+labeled AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+),
+sizes AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM labeled GROUP BY 1
+)
+SELECT doc_id, cluster_id, cluster_size,
+       doc_id = cluster_id AS is_canonical
+FROM labeled JOIN sizes USING (cluster_id)
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "ngram_jaccard_dups": ngram_jaccard_dups,
     "simhash": simhash,
+    "near_dup_clusters": near_dup_clusters,
 }
 
 ORACLE = {
@@ -359,4 +426,5 @@ ORACLE = {
     "minhash_lsh_pairs": MINHASH_LSH_SQL,
     "ngram_jaccard_dups": NGRAM_JACCARD_SQL,
     "simhash": SIMHASH_SQL,
+    "near_dup_clusters": NEAR_DUP_CLUSTERS_SQL,
 }

@@ -167,11 +167,96 @@ FROM documents
 """
 
 
+# BPE-style pre-tokenizer: letter runs / digit runs / punctuation runs,
+# each with an optional leading space (the GPT-2 pattern minus its
+# lookahead clauses, which RE2 cannot run). Unicode classes \p{L}/\p{N}
+# behave identically in Java regex and RE2 for this alternation.
+BPE_PAT = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+# Spark SQL string literals process backslash escapes; DuckDB's don't.
+_BPE_SPARK = BPE_PAT.replace("\\", "\\\\")
+
+
+def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-grade corpus accounting: BPE-pretoken counts per doc next
+    to whitespace-token counts — the 'how many tokens will the tokenizer
+    actually see' estimate (punctuation splits, digit runs). Single scan,
+    both counts from one pass, all JVM-side regex."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "doc_id",
+        "source",
+        f"size({TOKENS}) AS n_ws_tokens",
+        f"size(regexp_extract_all(text, '{_BPE_SPARK}', 0)) AS n_bpe_tokens",
+        f"round(size(regexp_extract_all(text, '{_BPE_SPARK}', 0))"
+        f" / size({TOKENS}), 4) AS bpe_per_ws",
+    )
+
+
+BPE_TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+       source,
+       len({TOKENS_DUCK}) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{BPE_PAT}')) AS n_bpe_tokens,
+       round(len(regexp_extract_all(text, '{BPE_PAT}')) / len({TOKENS_DUCK}), 4)
+         AS bpe_per_ws
+FROM documents
+"""
+
+
+# URL extraction (the C4 provenance/domain-stats shape). The corpus'
+# synthetic text carries no URLs, so the registry query reports per-source
+# zero counts — the operator itself is exercised on URL-bearing fixtures in
+# tests/test_quality_filters.py.
+URL_PAT = r"https?://[^\s]+"
+_URL_SPARK = URL_PAT.replace("\\", "\\\\")
+
+
+def url_stats_df(docs: DataFrame) -> DataFrame:
+    """Core projection: per-doc URL count + first domain (provenance key)."""
+    return docs.selectExpr(
+        "doc_id",
+        f"size(regexp_extract_all(text, '{_URL_SPARK}', 0)) AS n_urls",
+        f"regexp_extract(text, 'https?://([^/\\\\s]+)', 1) AS first_domain",
+    )
+
+
+def url_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source URL density — scan-side aggregation, tiny shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.selectExpr(
+            "source", f"size(regexp_extract_all(text, '{_URL_SPARK}', 0)) AS n_urls"
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_urls").cast("long").alias("total_urls"),
+            F.sum((F.col("n_urls") > 0).cast("long")).cast("long").alias(
+                "docs_with_urls"
+            ),
+        )
+    )
+
+
+URL_STATS_SQL = f"""
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(len(regexp_extract_all(text, '{URL_PAT}'))) AS BIGINT)
+         AS total_urls,
+       CAST(sum(CASE WHEN len(regexp_extract_all(text, '{URL_PAT}')) > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_urls
+FROM documents
+GROUP BY source
+"""
+
+
 QUERIES = {
     "text_quality_score": text_quality_score,
     "token_count_by_source": token_count_by_source,
     "lang_id_heuristic": lang_id_heuristic,
     "doc_fingerprint": doc_fingerprint,
+    "bpe_token_count": bpe_token_count,
+    "url_stats_by_source": url_stats_by_source,
 }
 
 ORACLE = {
@@ -179,4 +264,6 @@ ORACLE = {
     "token_count_by_source": TOKEN_COUNT_SQL,
     "lang_id_heuristic": LANG_ID_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
+    "bpe_token_count": BPE_TOKEN_COUNT_SQL,
+    "url_stats_by_source": URL_STATS_SQL,
 }

@@ -183,3 +183,58 @@ class TestContamination:
         assert r["n_shingles"] == 6
         assert r["n_contaminated"] == 4
         assert r["flagged"] is True
+
+
+class TestUrlStats:
+    def test_url_extraction(self, spark):
+        from jitsu_spark.operators.text_ops import url_stats_df
+
+        df = spark.createDataFrame(
+            [
+                (1, "see https://example.com/page and http://other.org x"),
+                (2, "no links here"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in url_stats_df(df).collect()}
+        assert out[1]["n_urls"] == 2
+        assert out[1]["first_domain"] == "example.com"
+        assert out[2]["n_urls"] == 0
+
+
+class TestBpeTokens:
+    def test_pretoken_splits(self, spark, tmp_path):
+        spark.createDataFrame(
+            [(1, "hello world, 42 times!")], "doc_id long, text string"
+        ).withColumn("source", F.lit("s")).write.mode("overwrite").parquet(
+            f"{tmp_path}/documents.parquet"
+        )
+        from jitsu_spark.operators.text_ops import bpe_token_count
+
+        r = bpe_token_count(spark, str(tmp_path)).collect()[0]
+        # "hello" " world" "," " 42" " times" "!" -> 6 BPE pretokens
+        assert r["n_bpe_tokens"] == 6
+        assert r["n_ws_tokens"] == 4
+
+
+class TestNearDupClusters:
+    def test_clusters_from_duplicated_docs(self, spark, tmp_path):
+        base = " ".join(f"w{i}" for i in range(60))
+        rows = [
+            (1, base),
+            (2, base),                      # exact dup of 1
+            (3, base + " extra tail"),      # near dup of 1
+            (4, " ".join(f"z{i}" for i in range(60))),  # unrelated
+        ]
+        spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+            "overwrite"
+        ).parquet(f"{tmp_path}/documents.parquet")
+        from jitsu_spark.operators.dedup import near_dup_clusters
+
+        out = {r["doc_id"]: r for r in near_dup_clusters(spark, str(tmp_path)).collect()}
+        # 1, 2 (and likely 3) cluster together under canonical doc 1;
+        # doc 4 shares no bands and is absent (singleton)
+        assert out[1]["cluster_id"] == 1 and out[1]["is_canonical"] is True
+        assert out[2]["cluster_id"] == 1 and out[2]["is_canonical"] is False
+        assert 4 not in out
+        assert out[1]["cluster_size"] == len(out)
