@@ -250,3 +250,38 @@ class TestExtendedRelationalPlans:
         from jitsu_spark.tables import load_table
 
         assert sum(rows.values()) == load_table(spark, sf_dir, "customer").count()
+
+
+class TestQualityFilterPlans:
+    def test_single_scan_ops_have_no_exchange(self, spark, sf_dir):
+        """Gopher flags / PII redact / chunking are map-only: zero shuffles."""
+        from jitsu_spark.operators.quality_filters import (
+            chunk_documents,
+            gopher_quality_flags,
+            pii_redact,
+        )
+
+        for op in (gopher_quality_flags, pii_redact, chunk_documents):
+            plan = _plan(op(spark, sf_dir))
+            assert "Exchange" not in plan, op.__name__
+
+    def test_quality_scans_prune_to_id_and_text(self, spark, sf_dir):
+        from jitsu_spark.operators.quality_filters import gopher_quality_flags
+
+        plan = _plan(gopher_quality_flags(spark, sf_dir))
+        schema_line = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+        assert "text" in schema_line
+        for unused in ("lang", "source", "n_chars"):
+            assert unused not in schema_line
+
+    def test_contamination_broadcasts_heldout_side(self, spark, sf_dir):
+        from jitsu_spark.operators.quality_filters import contamination_check
+
+        plan = _plan(contamination_check(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        # one aggregate after the join: no join-back of per-doc totals
+        # (formatted plans list each node twice: tree + detail section)
+        import re
+
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
