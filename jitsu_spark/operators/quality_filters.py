@@ -401,12 +401,108 @@ FROM starts
 """
 
 
+# ---------------------------------------------------------------------------
+# Per-source percentile gating: keep documents above a quality percentile
+# WITHIN their source (per-stratum thresholds, not one global cutoff — a
+# curated source's median beats a crawl's p90).
+# ---------------------------------------------------------------------------
+
+GATE_PERCENTILE = 0.25  # drop the worst quartile of each source
+
+
+def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank docs by stopword ratio within their source (percent_rank) and
+    gate at GATE_PERCENTILE. One shuffle on source for the window; the
+    metric itself is scan-side. Ties rank identically in every engine, so
+    the gate is deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.selectExpr(
+        "doc_id",
+        "source",
+        f"round(size(filter({TOKENS}, x -> x IN ({_SW}))) / size({TOKENS}), 6)"
+        " AS sw_ratio",
+    )
+    return scored.selectExpr(
+        "doc_id",
+        "source",
+        "sw_ratio",
+        "round(percent_rank() OVER (PARTITION BY source ORDER BY sw_ratio), 6)"
+        " AS pct_rank",
+        f"percent_rank() OVER (PARTITION BY source ORDER BY sw_ratio)"
+        f" >= {GATE_PERCENTILE} AS keep",
+    )
+
+
+QUALITY_PERCENTILE_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         round(len(list_filter({TOKENS_DUCK}, x -> x IN ({_SW})))
+               / len({TOKENS_DUCK}), 6) AS sw_ratio
+  FROM documents
+)
+SELECT doc_id, source, sw_ratio,
+       round(percent_rank() OVER (PARTITION BY source ORDER BY sw_ratio), 6)
+         AS pct_rank,
+       percent_rank() OVER (PARTITION BY source ORDER BY sw_ratio)
+         >= {GATE_PERCENTILE} AS keep
+FROM scored
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding hygiene: per-label norm statistics + zero/NaN detection — the
+# sanity pass before any ANN index build. Vector math via F.aggregate
+# (JVM higher-order function), no Python.
+# ---------------------------------------------------------------------------
+
+
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding norm distribution (mean/min/max + count of
+    degenerate zero vectors). Single scan of the vectors, aggregate on the
+    tiny label key."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    norm = "sqrt(aggregate(embedding, 0.0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    return (
+        emb.selectExpr("label", f"{norm} AS norm", "size(embedding) AS dim")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("norm"), 4).alias("avg_norm"),
+            F.round(F.min("norm"), 4).alias("min_norm"),
+            F.round(F.max("norm"), 4).alias("max_norm"),
+            F.sum((F.col("norm") == 0).cast("long")).alias("n_zero"),
+            F.max("dim").alias("dim"),
+        )
+    )
+
+
+EMB_NORM_STATS_SQL = """
+WITH n AS (
+  SELECT label,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm,
+         len(embedding) AS dim
+  FROM embeddings
+)
+SELECT label,
+       count(*) AS n_vectors,
+       round(avg(norm), 4) AS avg_norm,
+       round(min(norm), 4) AS min_norm,
+       round(max(norm), 4) AS max_norm,
+       CAST(sum(CASE WHEN norm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       CAST(max(dim) AS INTEGER) AS dim
+FROM n
+GROUP BY label
+"""
+
+
 QUERIES = {
     "gopher_quality_flags": gopher_quality_flags,
     "repetition_stats": repetition_stats,
     "pii_redact": pii_redact,
     "contamination_check": contamination_check,
     "chunk_documents": chunk_documents,
+    "quality_percentile_gate": quality_percentile_gate,
+    "embedding_norm_stats": embedding_norm_stats,
 }
 ORACLE = {
     "gopher_quality_flags": GOPHER_QUALITY_SQL,
@@ -414,4 +510,6 @@ ORACLE = {
     "pii_redact": PII_REDACT_SQL,
     "contamination_check": CONTAMINATION_SQL,
     "chunk_documents": CHUNK_SQL,
+    "quality_percentile_gate": QUALITY_PERCENTILE_SQL,
+    "embedding_norm_stats": EMB_NORM_STATS_SQL,
 }

@@ -238,3 +238,41 @@ class TestNearDupClusters:
         assert out[2]["cluster_id"] == 1 and out[2]["is_canonical"] is False
         assert 4 not in out
         assert out[1]["cluster_size"] == len(out)
+
+
+class TestPercentileGate:
+    def test_worst_quartile_dropped_per_source(self, spark, tmp_path):
+        # source A: sw_ratios 0.0, 0.1, 0.2, 0.3 -> percent_rank 0, 1/3, 2/3, 1
+        rows = []
+        for i, n_stop in enumerate([0, 1, 2, 3]):
+            text = " ".join(["the"] * n_stop + ["word"] * (10 - n_stop))
+            rows.append((i, text, "A"))
+        spark.createDataFrame(rows, "doc_id long, text string, source string").write.mode(
+            "overwrite"
+        ).parquet(f"{tmp_path}/documents.parquet")
+        from jitsu_spark.operators.quality_filters import quality_percentile_gate
+
+        out = {r["doc_id"]: r for r in quality_percentile_gate(spark, str(tmp_path)).collect()}
+        assert out[0]["keep"] is False  # rank 0 < 0.25
+        assert out[1]["keep"] is True and abs(out[1]["pct_rank"] - 1 / 3) < 1e-6
+        assert out[3]["keep"] is True and out[3]["pct_rank"] == 1.0
+
+
+class TestEmbeddingNormStats:
+    def test_zero_vector_detected(self, spark, tmp_path):
+        rows = [
+            (1, [3.0, 4.0], 0),
+            (2, [0.0, 0.0], 0),
+            (3, [1.0, 0.0], 1),
+        ]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+        from jitsu_spark.operators.quality_filters import embedding_norm_stats
+
+        out = {r["label"]: r for r in embedding_norm_stats(spark, str(tmp_path)).collect()}
+        assert out[0]["n_vectors"] == 2
+        assert out[0]["max_norm"] == 5.0
+        assert out[0]["n_zero"] == 1
+        assert out[1]["avg_norm"] == 1.0 and out[1]["n_zero"] == 0
+        assert out[0]["dim"] == 2
