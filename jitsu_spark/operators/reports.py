@@ -1,0 +1,178 @@
+"""CDP report queries: retention cohorts, event-transition matrix, and
+metric anomaly detection — the analytics layer a warehouse-destination user
+runs on the events the pipeline lands.
+
+Capability context from the reference: the console's report family
+(`webapps/console/lib/shared/reports.ts`, `prisma/metrics.sql` rollups)
+establishes period-bucketed event statistics as first-class queries; these
+extend that family with the three classic product-analytics shapes.
+
+Scale notes (100 TB stance):
+- `retention_cohorts` shuffles twice: once on user_id for the cohort
+  assignment (a per-user MIN, partial-aggregated), once on the tiny
+  (cohort_week, week_offset) key. User activity rows never carry text.
+- `event_transitions` is one window shuffle on user_id (the same
+  partitioning sessionize uses) followed by a 36-row aggregate — the
+  transition matrix is constant-size regardless of corpus scale.
+- `metrics_anomaly` aggregates to per-minute counts FIRST (bounded output:
+  one row per minute), then windows over that tiny series — the trailing
+  stats never touch raw events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import EVENTS_TS_US_SQL, load_table
+
+# ---------------------------------------------------------------------------
+# Retention cohorts
+# ---------------------------------------------------------------------------
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week; for
+    each later week, how many distinct cohort members were active.
+
+    Output: (cohort_week, week_offset, n_users)."""
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    cohort = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weekly.join(cohort, "user_id")
+        .selectExpr(
+            "cohort_week",
+            "CAST(datediff(week, cohort_week) / 7 AS BIGINT) AS week_offset",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+RETENTION_SQL = """
+WITH weekly AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+), cohort AS (
+  SELECT user_id, min(week) AS cohort_week FROM weekly GROUP BY 1
+)
+SELECT cohort_week,
+       date_diff('day', cohort_week, week) // 7 AS week_offset,
+       count(*) AS n_users
+FROM weekly JOIN cohort USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Event-transition matrix
+# ---------------------------------------------------------------------------
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user next-event transition counts (the first-order Markov
+    matrix): lead() over (user_id, ts, event_id), then count by the
+    (from, to) pair. Terminal events (no successor) are excluded."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.selectExpr(
+        "user_id",
+        "event_type AS from_type",
+        "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        " AS to_type",
+    )
+    return (
+        seq.where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+# The window must order by the SAME µs-truncated timestamps Spark sees, or
+# sub-microsecond ordering flips ties (event_id breaks the remaining ties
+# identically in both engines).
+TRANSITIONS_SQL = f"""
+WITH seq AS (
+  SELECT user_id, event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY {EVENTS_TS_US_SQL}, event_id)
+           AS to_type
+  FROM events
+)
+SELECT from_type, to_type, count(*) AS n_transitions
+FROM seq WHERE to_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Metric anomaly detection
+# ---------------------------------------------------------------------------
+
+ANOMALY_TRAIL_MIN = 30  # trailing window (minutes) for the baseline
+ANOMALY_Z = 3.0
+
+
+def metrics_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-minute event-count z-scores against a trailing 30-minute
+    baseline. Emits minutes with a defined baseline (>= 2 trailing points);
+    |z| > 3 flags the spike/dip. The window runs over the ALREADY
+    aggregated minute series (one row per minute), so the trailing scan is
+    negligible at any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    per_min = ev.groupBy(F.date_trunc("minute", "ts").alias("minute")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = (
+        f"OVER (ORDER BY minute ROWS BETWEEN {ANOMALY_TRAIL_MIN} PRECEDING"
+        " AND 1 PRECEDING)"
+    )
+    scored = per_min.selectExpr(
+        "minute",
+        "n_events",
+        f"avg(n_events) {w} AS baseline",
+        f"stddev_samp(n_events) {w} AS sd",
+    )
+    return scored.where(
+        F.col("sd").isNotNull() & (F.col("sd") > 0)
+    ).selectExpr(
+        "minute",
+        "n_events",
+        "round(baseline, 4) AS baseline",
+        "round((n_events - baseline) / sd, 4) AS z",
+        f"abs((n_events - baseline) / sd) > {ANOMALY_Z} AS is_anomaly",
+    )
+
+
+ANOMALY_SQL = f"""
+WITH per_min AS (
+  SELECT date_trunc('minute', ts) AS minute, count(*) AS n_events
+  FROM events GROUP BY 1
+), scored AS (
+  SELECT minute, n_events,
+         avg(n_events) OVER w AS baseline,
+         stddev_samp(n_events) OVER w AS sd
+  FROM per_min
+  WINDOW w AS (ORDER BY minute ROWS BETWEEN {ANOMALY_TRAIL_MIN} PRECEDING
+               AND 1 PRECEDING)
+)
+SELECT minute, n_events,
+       round(baseline, 4) AS baseline,
+       round((n_events - baseline) / sd, 4) AS z,
+       abs((n_events - baseline) / sd) > {ANOMALY_Z} AS is_anomaly
+FROM scored
+WHERE sd IS NOT NULL AND sd > 0
+"""
+
+
+QUERIES = {
+    "retention_cohorts": retention_cohorts,
+    "event_transitions": event_transitions,
+    "metrics_anomaly": metrics_anomaly,
+}
+ORACLE = {
+    "retention_cohorts": RETENTION_SQL,
+    "event_transitions": TRANSITIONS_SQL,
+    "metrics_anomaly": ANOMALY_SQL,
+}

@@ -20,6 +20,7 @@ from .operators import (
     quality_filters,
     relational,
     relational_ext,
+    reports,
     rollup,
     sampling,
     similarity,
@@ -33,6 +34,7 @@ _MODULES = [
     sampling,
     corpus,
     events_ops,
+    reports,
     text_ops,
     quality_filters,
     dedup,
