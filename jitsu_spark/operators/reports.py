@@ -166,13 +166,96 @@ WHERE sd IS NOT NULL AND sd > 0
 """
 
 
+# ---------------------------------------------------------------------------
+# Cross-metric series correlation (the distributed time-series-similarity
+# shape: z-normalized similarity between per-minute metric series).
+# ---------------------------------------------------------------------------
+
+
+def series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between the per-minute count series of every
+    event-type pair, over minutes where both series have events.
+
+    All sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) are exact BIGINTs;
+    the correlation is derived from them with the same closed form in both
+    engines, so the doubles agree bit-for-bit. The self-join is on the
+    per-minute AGGREGATE (one row per (type, minute)), never raw events,
+    and the final matrix is |types|²-sized — constant at any corpus scale."""
+    ev = load_table(spark, sf_dir, "events")
+    per_min = ev.groupBy(
+        F.col("event_type"), F.date_trunc("minute", "ts").alias("minute")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    a, b = per_min.alias("a"), per_min.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.minute") == F.col("b.minute"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    ).selectExpr(
+        "a.event_type AS type_a",
+        "b.event_type AS type_b",
+        "a.cnt AS x",
+        "b.cnt AS y",
+    )
+    stats = joined.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n_minutes"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    corr = (
+        "(n_minutes * sxy - sx * sy) /"
+        " (sqrt(n_minutes * sx2 - sx * sx) * sqrt(n_minutes * sy2 - sy * sy))"
+    )
+    # degenerate pairs (one shared minute, or a constant series) have zero
+    # variance: no correlation is defined — drop them in both engines
+    return stats.where(
+        (F.col("n_minutes") >= 2)
+        & (F.expr("n_minutes * sx2 - sx * sx") > 0)
+        & (F.expr("n_minutes * sy2 - sy * sy") > 0)
+    ).selectExpr("type_a", "type_b", "n_minutes", f"round({corr}, 4) AS corr")
+
+
+SERIES_CORR_SQL = """
+WITH per_min AS (
+  SELECT event_type, date_trunc('minute', ts) AS minute, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), joined AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.cnt AS x, b.cnt AS y
+  FROM per_min a JOIN per_min b
+    ON a.minute = b.minute AND a.event_type < b.event_type
+), stats AS (
+  SELECT type_a, type_b,
+         count(*) AS n_minutes,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sx2,
+         CAST(sum(y * y) AS BIGINT) AS sy2
+  FROM joined GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_minutes,
+       round((n_minutes * sxy - sx * sy) /
+             (sqrt(n_minutes * sx2 - sx * sx) * sqrt(n_minutes * sy2 - sy * sy)),
+             4) AS corr
+FROM stats
+WHERE n_minutes >= 2
+  AND n_minutes * sx2 - sx * sx > 0
+  AND n_minutes * sy2 - sy * sy > 0
+"""
+
+
 QUERIES = {
     "retention_cohorts": retention_cohorts,
     "event_transitions": event_transitions,
     "metrics_anomaly": metrics_anomaly,
+    "series_correlation": series_correlation,
 }
 ORACLE = {
     "retention_cohorts": RETENTION_SQL,
     "event_transitions": TRANSITIONS_SQL,
     "metrics_anomaly": ANOMALY_SQL,
+    "series_correlation": SERIES_CORR_SQL,
 }

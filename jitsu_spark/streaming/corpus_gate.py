@@ -1,0 +1,101 @@
+"""Streaming corpus ingestion gate — the training-data twin of the event
+spine: a document stream is quality-gated, content-deduped inside the
+watermark horizon, and appended to the corpus store.
+
+Reuses the batch operators' exact expressions (`operators/quality_filters`
+Gopher rules), so batch backfill and streaming ingest apply the SAME gate
+— the property that keeps an incrementally-built corpus consistent with
+its batch-rebuilt form.
+
+Scale notes: the gate is scan-side (codegen, no shuffle); dedup keeps one
+state row per md5(text) within the watermark (content hash, never the
+text); the sink append is partitioned by source. At 1000 executors the
+only cross-node traffic is the dedup state shuffle on the 16-byte hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.quality_filters import (
+    MAX_MEAN_WORD_LEN,
+    MAX_WORDS,
+    MIN_ALPHA_FRAC,
+    MIN_MEAN_WORD_LEN,
+    MIN_STOPWORDS,
+    MIN_WORDS,
+    _SW,
+)
+from ..operators.text_ops import TOKENS
+
+DOC_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("ingested_at", T.TimestampType()),
+    ]
+)
+
+
+def document_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """JSON-lines document stream (crawl shard replay)."""
+    reader = spark.readStream.schema(DOC_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path)
+
+
+def gate_expr() -> str:
+    """The Gopher keep rule as one boolean SQL expression (identical to
+    `gopher_quality_flags`' keep column, factored for stream reuse)."""
+    t = TOKENS
+    return (
+        f"size({t}) BETWEEN {MIN_WORDS} AND {MAX_WORDS}"
+        f" AND (aggregate({t}, 0L, (a, x) -> a + length(x)) / size({t}))"
+        f"     BETWEEN {MIN_MEAN_WORD_LEN} AND {MAX_MEAN_WORD_LEN}"
+        f" AND size(filter({t}, x -> x IN ({_SW}))) >= {MIN_STOPWORDS}"
+        f" AND (size(filter({t}, x -> x rlike '[a-zA-Z]')) / size({t}))"
+        f"     >= {MIN_ALPHA_FRAC}"
+    )
+
+
+def gated_documents(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Quality gate + watermarked exact content dedup."""
+    return (
+        stream.where(gate_expr())
+        .withColumn("content_hash", F.md5("text"))
+        .withWatermark("ingested_at", watermark)
+        .dropDuplicates(["content_hash"])
+    )
+
+
+def run_corpus_gate(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Start the gate: stream -> quality filter -> dedup -> partitioned
+    append. Append mode (not MERGE): content_hash dedup upstream makes the
+    append idempotent within the watermark; the batch `dedup_exact` pass
+    owns anything beyond it."""
+    gated = gated_documents(stream, watermark)
+    writer = (
+        gated.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("source")
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
