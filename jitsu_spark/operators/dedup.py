@@ -224,10 +224,20 @@ def jaccard_pairs_from_shingles(
         if max_doc_frequency is None
         else max_doc_frequency
     )
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    from pyspark.sql import Window
+
+    # Per-doc totals ride along as a window count over the SAME shingle
+    # rows (counted BEFORE the cap so denominators stay true) — no
+    # count-table join-backs, so the corpus is tokenized once, not four
+    # times. The self-join is hinted to shuffle-merge: both sides are the
+    # identical subtree, so ReuseExchange materializes the shingle shuffle
+    # once and the second side reads it back.
+    shw = sh.withColumn(
+        "n_shingles", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
     if cap >= MAX_SHINGLE_DF_DEFAULT:
         # guard disabled: skip the extra shingle-DF aggregation entirely
-        sh_capped = sh
+        sh_capped = shw
     else:
         hot = (
             sh.groupBy("shingle")
@@ -235,29 +245,25 @@ def jaccard_pairs_from_shingles(
             .where(F.col("df") > cap)
             .select("shingle")
         )
-        sh_capped = sh.join(maybe_broadcast(hot), "shingle", "left_anti")
+        sh_capped = shw.join(maybe_broadcast(hot), "shingle", "left_anti")
     a, b = sh_capped.alias("a"), sh_capped.alias("b")
     shared = (
         a.join(
-            b,
+            b.hint("shuffle_merge"),
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    ca = counts.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na")
-    )
-    cb = counts.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb")
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.max("a.n_shingles").alias("na"),
+            F.max("b.n_shingles").alias("nb"),
+        )
     )
     return (
-        shared.join(maybe_broadcast(ca), "doc_a")
-        .join(maybe_broadcast(cb), "doc_b")
-        .withColumn(
+        shared.withColumn(
             "jaccard",
             F.round(
                 F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4
