@@ -52,6 +52,11 @@ def main() -> None:
     # JVM/codegen warmup on the tiny sf so first-query JIT cost doesn't
     # pollute the measurement.
     QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001").count()
+    # Python-worker warmup: the first Pandas-UDF query in a session pays
+    # worker spawn + numpy import (~2s across 32 workers); pay it here so
+    # per-query numbers reflect steady state regardless of registry order.
+    QUERIES["media_feature_extract"](spark, "/root/testdata/sf0.001").count()
+    QUERIES["knn_label_predict"](spark, "/root/testdata/sf0.001").count()
 
     # All registered queries, headline-first (round-over-round regressions
     # stay visible per query); SPARK_GRAFT_BENCH_QUERIES narrows the set.
