@@ -1,0 +1,126 @@
+"""Semantics tests for the CDP report operators on hand-crafted event
+histories (the oracle gate covers engine parity; these pin the meaning)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+
+def _write_events(spark, tmp_path, rows):
+    """rows: (event_id, ts, user_id, event_type)"""
+    spark.createDataFrame(
+        [(i, datetime.fromisoformat(ts), u, t, 0.0, "{}") for i, ts, u, t in rows],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    return str(tmp_path)
+
+
+class TestRetention:
+    def test_cohort_matrix(self, spark, tmp_path):
+        # user 1: first week W0 (Mon 2024-01-01), active W0 and W2
+        # user 2: first week W1, active W1 only
+        sf = _write_events(
+            spark,
+            tmp_path,
+            [
+                (1, "2024-01-02T10:00:00", 1, "click"),
+                (2, "2024-01-16T10:00:00", 1, "click"),
+                (3, "2024-01-10T10:00:00", 2, "click"),
+            ],
+        )
+        from jitsu_spark.operators.reports import retention_cohorts
+
+        out = {
+            (str(r["cohort_week"].date()), r["week_offset"]): r["n_users"]
+            for r in retention_cohorts(spark, sf).collect()
+        }
+        assert out[("2024-01-01", 0)] == 1  # user 1 in their cohort week
+        assert out[("2024-01-01", 2)] == 1  # user 1 back two weeks later
+        assert out[("2024-01-08", 0)] == 1  # user 2
+        assert ("2024-01-01", 1) not in out  # user 1 skipped week 1
+
+
+class TestTransitions:
+    def test_markov_counts_and_terminals(self, spark, tmp_path):
+        sf = _write_events(
+            spark,
+            tmp_path,
+            [
+                (1, "2024-01-01T00:00:01", 1, "signup"),
+                (2, "2024-01-01T00:00:02", 1, "click"),
+                (3, "2024-01-01T00:00:03", 1, "purchase"),
+                (4, "2024-01-01T00:00:01", 2, "signup"),
+            ],
+        )
+        from jitsu_spark.operators.reports import event_transitions
+
+        out = {
+            (r["from_type"], r["to_type"]): r["n_transitions"]
+            for r in event_transitions(spark, sf).collect()
+        }
+        # user 2's lone signup is terminal -> excluded; user 1 yields 2 edges
+        assert out == {("signup", "click"): 1, ("click", "purchase"): 1}
+
+    def test_same_timestamp_breaks_ties_by_event_id(self, spark, tmp_path):
+        sf = _write_events(
+            spark,
+            tmp_path,
+            [
+                (2, "2024-01-01T00:00:01", 1, "b"),
+                (1, "2024-01-01T00:00:01", 1, "a"),
+            ],
+        )
+        from jitsu_spark.operators.reports import event_transitions
+
+        out = {
+            (r["from_type"], r["to_type"]): r["n_transitions"]
+            for r in event_transitions(spark, sf).collect()
+        }
+        assert out == {("a", "b"): 1}
+
+
+class TestAnomaly:
+    def test_spike_flagged(self, spark, tmp_path):
+        rows = []
+        eid = 0
+        # 40 quiet minutes with alternating 1-2 events, then a 50x spike
+        for m in range(40):
+            for k in range(1 + (m % 2)):
+                eid += 1
+                rows.append((eid, f"2024-01-01T01:{m:02d}:05", 1, "click"))
+        for k in range(50):
+            eid += 1
+            rows.append((eid, "2024-01-01T01:40:05", 1, "click"))
+        sf = _write_events(spark, tmp_path, rows)
+        from jitsu_spark.operators.reports import metrics_anomaly
+
+        out = {str(r["minute"]): r for r in metrics_anomaly(spark, sf).collect()}
+        spike = out["2024-01-01 01:40:00"]
+        assert spike["is_anomaly"] is True and spike["z"] > 3
+        quiet_flags = [
+            r["is_anomaly"] for k, r in out.items() if k != "2024-01-01 01:40:00"
+        ]
+        assert not any(quiet_flags)
+
+
+class TestSeriesCorrelation:
+    def test_perfectly_correlated_series(self, spark, tmp_path):
+        rows = []
+        eid = 0
+        for m in range(10):
+            for k in range(m + 1):  # 'a' count ramps 1..10
+                eid += 1
+                rows.append((eid, f"2024-01-01T01:{m:02d}:05", 1, "a"))
+            for k in range(2 * (m + 1)):  # 'b' = 2x 'a' -> corr 1.0
+                eid += 1
+                rows.append((eid, f"2024-01-01T01:{m:02d}:05", 1, "b"))
+        sf = _write_events(spark, tmp_path, rows)
+        from jitsu_spark.operators.reports import series_correlation
+
+        (r,) = series_correlation(spark, sf).collect()
+        assert (r["type_a"], r["type_b"]) == ("a", "b")
+        assert r["n_minutes"] == 10
+        assert r["corr"] == pytest.approx(1.0)
