@@ -51,8 +51,41 @@ class FunctionTimeoutError(Exception):
     """U2 guard: a user function exceeded its wall-clock budget. The
     reference kills the isolate at 5 s (`udf_wrapper.ts:58,234-239`); here
     the event forwards with the error recorded, like any mid-chain
-    failure. (The 128 MB isolate memory cap has no per-function analogue
-    in a shared CPython worker — that delta stays documented in SURVEY.)"""
+    failure."""
+
+
+class FunctionMemoryError(Exception):
+    """U2 guard: a user function allocated past its budget. The reference
+    caps the isolate at 128 MB (`udf_wrapper.ts:58`); a shared CPython
+    worker cannot hard-kill an allocation, so this is an opt-in
+    tracemalloc-based post-call check (exact per-call Python allocation
+    delta; ~2x slower, so off by default and meant for vetting untrusted
+    functions in the test harness, not the hot path)."""
+
+
+UDF_MEMORY_MB = 128  # udf_wrapper.ts:58 isolate memory limit
+
+
+def _call_with_memory_guard(fn, ev, ctx, memory_mb):
+    import tracemalloc
+
+    was_tracing = tracemalloc.is_tracing()
+    if not was_tracing:
+        tracemalloc.start()
+    tracemalloc.reset_peak()
+    base, _ = tracemalloc.get_traced_memory()
+    try:
+        r = fn(ev, ctx)
+        _, peak = tracemalloc.get_traced_memory()
+        if peak - base > memory_mb * 1024 * 1024:
+            raise FunctionMemoryError(
+                f"function allocated {(peak - base) >> 20} MB"
+                f" (budget {memory_mb} MB)"
+            )
+        return r
+    finally:
+        if not was_tracing:
+            tracemalloc.stop()
 
 
 def _call_with_timeout(fn, ev, ctx, timeout_sec):
@@ -187,6 +220,8 @@ class ConnectionConfig:
     layout: str = "segment-single-table"
     keep_original_names: bool = False
     function_timeout_sec: float | None = UDF_TIMEOUT_SEC  # U2 guard
+    # opt-in allocation budget (tracemalloc; see FunctionMemoryError)
+    function_memory_mb: float | None = None
 
 
 def passes_event_filter(event: dict, spec: str) -> bool:
@@ -206,20 +241,30 @@ def run_user_chain(
     functions: list[UserFunction],
     ctx: FunctionContext,
     timeout_sec: float | None = UDF_TIMEOUT_SEC,
+    memory_mb: float | None = None,
 ) -> tuple[list[dict], str | None]:
     """Execute the composed UDF pipeline on one event.
 
     Returns (events_out, error). Implements the multiplication rule and
     partial-result forwarding; raises RetryError through (the stream layer
     owns retries). Each function call runs under the U2 wall-clock guard
-    (timeouts record like any mid-chain error)."""
+    (timeouts record like any mid-chain error); pass `memory_mb` to also
+    meter per-call Python allocations (opt-in, test-harness speed)."""
     current: list[dict] = [event]
     for i, fn in enumerate(functions):
         last = i == len(functions) - 1
         nxt: list[dict] = []
         for ev in current:
             try:
-                r = _call_with_timeout(fn, ev, ctx, timeout_sec)
+                if memory_mb:
+                    r = _call_with_memory_guard(
+                        lambda e, c: _call_with_timeout(fn, e, c, timeout_sec),
+                        ev,
+                        ctx,
+                        memory_mb,
+                    )
+                else:
+                    r = _call_with_timeout(fn, ev, ctx, timeout_sec)
             except DropError:
                 continue
             except RetryError:
@@ -262,6 +307,7 @@ def compile_chain(
     spec = config.events_filter
     props = config.function_props
     timeout_sec = config.function_timeout_sec
+    memory_mb = config.function_memory_mb
 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ctx = FunctionContext(props=props, store=store_factory())
@@ -274,7 +320,9 @@ def compile_chain(
                 if not passes_event_filter(ev, spec):
                     continue
                 log_mark = len(ctx.logs)
-                evs, err = run_user_chain(ev, functions, ctx, timeout_sec)
+                evs, err = run_user_chain(
+                    ev, functions, ctx, timeout_sec, memory_mb
+                )
                 ev_logs = ctx.logs[log_mark:]
                 logs_json = json.dumps(ev_logs) if ev_logs else None
                 for e in evs:

@@ -223,3 +223,41 @@ class TestCryptoHelpers:
         import hashlib
 
         assert out[0]["sig"] == hashlib.sha256(b"e1").hexdigest()
+
+
+class TestMemoryGuard:
+    """U2 opt-in allocation budget (udf_wrapper.ts:58 — 128MB isolate)."""
+
+    def test_hog_recorded_as_error(self):
+        from jitsu_spark.plans.chain import FunctionContext, run_user_chain
+
+        def hog(ev, ctx):
+            big = list(range(3_000_000))  # ~100+ MB of ints
+            return {**ev, "n": len(big)}
+
+        out, err = run_user_chain(
+            {"id": 1}, [hog], FunctionContext(), memory_mb=16
+        )
+        assert err is not None and "FunctionMemoryError" in err
+        # partial forward: the original event survives
+        assert out == [{"id": 1}]
+
+    def test_frugal_function_passes(self):
+        from jitsu_spark.plans.chain import FunctionContext, run_user_chain
+
+        out, err = run_user_chain(
+            {"id": 1}, [lambda ev, ctx: {**ev, "ok": True}], FunctionContext(),
+            memory_mb=16,
+        )
+        assert err is None
+        assert out == [{"id": 1, "ok": True}]
+
+    def test_guard_off_by_default(self):
+        from jitsu_spark.plans.chain import FunctionContext, run_user_chain
+
+        def hog(ev, ctx):
+            big = list(range(3_000_000))
+            return {**ev, "n": len(big)}
+
+        out, err = run_user_chain({"id": 1}, [hog], FunctionContext())
+        assert err is None and out[0]["n"] == 3_000_000
