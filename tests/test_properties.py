@@ -115,3 +115,55 @@ class TestChainAlgebra:
         else:
             assert len(out) == 1
             assert out[0].get("n", 0) == ops.count("tag")
+
+
+class TestQualityFilterProperties:
+    """Pure-Python properties of the quality-filter building blocks (the
+    Spark expressions mirror these semantics; engine parity is the oracle
+    gate's job)."""
+
+    @given(st.text(alphabet="abc @.0123456789xyz", max_size=200))
+    def test_redaction_idempotent(self, text):
+        """Redacting already-redacted text changes nothing."""
+        import re
+
+        from jitsu_spark.operators.quality_filters import PII_PATTERNS
+
+        def redact(s):
+            for name, pat in PII_PATTERNS.items():
+                s = re.sub(pat, f"<{name}>", s)
+            return s
+
+        once = redact(text)
+        assert redact(once) == once
+
+    @given(st.integers(min_value=1, max_value=500))
+    def test_chunks_cover_every_token(self, n_tokens):
+        """Window starts every CHUNK_STRIDE with CHUNK_TOKENS length cover
+        [0, n) with no gaps (stride <= chunk size)."""
+        from jitsu_spark.operators.quality_filters import (
+            CHUNK_STRIDE,
+            CHUNK_TOKENS,
+        )
+
+        covered = set()
+        for start in range(0, n_tokens, CHUNK_STRIDE):
+            covered.update(range(start, min(start + CHUNK_TOKENS, n_tokens)))
+        assert covered == set(range(n_tokens))
+
+    @given(st.integers(min_value=0, max_value=10**12))
+    def test_bucket_expression_matches_reference_md5(self, doc_id):
+        """The DuckDB bucket SQL (sampling._bucket_duck — the oracle's
+        side of every deterministic split) computes exactly the
+        first-7-hex-digits-of-md5 mod 1000 reference function."""
+        import duckdb
+        import hashlib
+
+        from jitsu_spark.operators.sampling import _bucket_duck
+
+        expected = (
+            int(hashlib.md5(str(doc_id).encode()).hexdigest()[:7], 16) % 1000
+        )
+        got = duckdb.sql(f"SELECT {_bucket_duck(str(doc_id))} AS b").fetchone()[0]
+        assert got == expected
+        assert 0 <= got < 1000
