@@ -417,6 +417,43 @@ FROM labeled JOIN sizes USING (cluster_id)
 """
 
 
+def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation of the LSH candidate generator against exact Jaccard
+    ground truth: recall (true pairs surfaced) and candidate precision
+    (candidates that verify). The one-row report a pipeline owner watches
+    when tuning BANDS/ROWS_PER_BAND. Both inputs are the existing
+    operators; the intersection is a join on the (doc_a, doc_b) key."""
+    truth = ngram_jaccard_dups(spark, sf_dir).select("doc_a", "doc_b")
+    cand = minhash_lsh_pairs(spark, sf_dir)
+    hits = truth.join(cand, ["doc_a", "doc_b"])
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+        .selectExpr(
+            "n_true",
+            "n_candidates",
+            "n_hits",
+            "round(n_hits / n_true, 4) AS recall",
+            "round(n_hits / n_candidates, 4) AS precision",
+        )
+    )
+
+
+LSH_RECALL_SQL = f"""
+WITH truth AS (SELECT doc_a, doc_b FROM ({NGRAM_JACCARD_SQL})),
+cand AS ({MINHASH_LSH_SQL}),
+hits AS (SELECT * FROM truth JOIN cand USING (doc_a, doc_b))
+SELECT (SELECT count(*) FROM truth) AS n_true,
+       (SELECT count(*) FROM cand) AS n_candidates,
+       (SELECT count(*) FROM hits) AS n_hits,
+       round((SELECT count(*) FROM hits) / (SELECT count(*) FROM truth), 4)
+         AS recall,
+       round((SELECT count(*) FROM hits) / (SELECT count(*) FROM cand), 4)
+         AS precision
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "minhash_signatures": minhash_signatures,
@@ -424,6 +461,7 @@ QUERIES = {
     "ngram_jaccard_dups": ngram_jaccard_dups,
     "simhash": simhash,
     "near_dup_clusters": near_dup_clusters,
+    "lsh_recall_report": lsh_recall_report,
 }
 
 ORACLE = {
@@ -433,4 +471,5 @@ ORACLE = {
     "ngram_jaccard_dups": NGRAM_JACCARD_SQL,
     "simhash": SIMHASH_SQL,
     "near_dup_clusters": NEAR_DUP_CLUSTERS_SQL,
+    "lsh_recall_report": LSH_RECALL_SQL,
 }

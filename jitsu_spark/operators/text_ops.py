@@ -250,6 +250,39 @@ GROUP BY source
 """
 
 
+def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram in power-of-two buckets — the shard-planning
+    query ('how many sequences land in each padding bucket'). Scan-side
+    bucket assignment, tiny aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.selectExpr(
+            f"CAST(floor(log2(greatest(size({TOKENS}), 1))) AS BIGINT)"
+            " AS log2_bucket",
+            f"size({TOKENS}) AS n_tok",
+        )
+        .groupBy("log2_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.min("n_tok").alias("min_tokens"),
+            F.max("n_tok").alias("max_tokens"),
+        )
+    )
+
+
+LENGTH_HISTOGRAM_SQL = f"""
+SELECT CAST(floor(log2(greatest(len({TOKENS_DUCK}), 1))) AS BIGINT)
+         AS log2_bucket,
+       count(*) AS n_docs,
+       CAST(sum(len({TOKENS_DUCK})) AS BIGINT) AS total_tokens,
+       CAST(min(len({TOKENS_DUCK})) AS BIGINT) AS min_tokens,
+       CAST(max(len({TOKENS_DUCK})) AS BIGINT) AS max_tokens
+FROM documents
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "text_quality_score": text_quality_score,
     "token_count_by_source": token_count_by_source,
@@ -257,6 +290,7 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "bpe_token_count": bpe_token_count,
     "url_stats_by_source": url_stats_by_source,
+    "length_histogram": length_histogram,
 }
 
 ORACLE = {
@@ -266,4 +300,5 @@ ORACLE = {
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "bpe_token_count": BPE_TOKEN_COUNT_SQL,
     "url_stats_by_source": URL_STATS_SQL,
+    "length_histogram": LENGTH_HISTOGRAM_SQL,
 }
