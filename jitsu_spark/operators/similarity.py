@@ -433,6 +433,70 @@ FROM pred p JOIN embeddings e ON e.vec_id = p.query_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Stored IVF index: the serving path at scale. The assignment pass writes
+# the corpus partitioned by cell; the probe join is on the partition
+# column, so dynamic partition pruning restricts the scan to the probed
+# cells — at 100 TB a query touches nprobe/K of the files instead of all
+# of them. (The registry `ann_ivf_topk` is the self-contained query form;
+# this is the build-once/probe-many form, plan-audited in tests.)
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_store(spark: SparkSession, sf_dir: str, store_dir: str) -> None:
+    """Materialize the IVF index: one directory partition per cell."""
+    _assignments(spark, sf_dir).write.mode("overwrite").partitionBy(
+        "centroid_id"
+    ).parquet(store_dir)
+
+
+def ann_ivf_topk_stored(
+    spark: SparkSession, sf_dir: str, store_dir: str
+) -> DataFrame:
+    """Probe the stored index: same IVF semantics as `ann_ivf_topk`, but
+    the data side is the cell-partitioned store and the probe list reaches
+    the scan as a partition filter (dynamic partition pruning)."""
+    from pyspark.sql import Window
+
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    centroids = emb.where(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    qc = queries.join(maybe_broadcast(centroids)).withColumn(
+        "csim",
+        F.expr(DOT.format(a="c_emb", b="q_emb"))
+        / (F.col("c_norm") * F.col("q_norm")),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("centroid_id"))
+    probe = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= NPROBE)
+        .select("query_id", "q_emb", "q_norm", "centroid_id")
+    )
+    store = spark.read.parquet(store_dir)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        store.join(probe, "centroid_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "sim",
+            F.expr(DOT.format(a="q_emb", b="embedding"))
+            / (F.col("q_norm") * F.col("norm")),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "sim")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"))
+    )
+
+
 QUERIES = {
     "cosine_topk_bruteforce": cosine_topk_bruteforce,
     "ann_ivf_topk": ann_ivf_topk,

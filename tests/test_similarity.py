@@ -82,3 +82,34 @@ def test_kmeans_centroids_beat_stride_sampling(spark, sf_dir):
     refined = kmeans_centroids(emb, k=n_stride, max_iter=5)
     assert refined.count() == n_stride
     assert mean_sq_dist(refined) <= mean_sq_dist(stride) * 1.001
+
+
+class TestStoredIvf:
+    def test_stored_probe_matches_query_form_and_prunes(self, spark, sf_dir, tmp_path):
+        from jitsu_spark.operators.similarity import (
+            ann_ivf_topk,
+            ann_ivf_topk_stored,
+            build_ivf_store,
+        )
+
+        store = str(tmp_path / "ivf_store")
+        build_ivf_store(spark, sf_dir, store)
+        stored = ann_ivf_topk_stored(spark, sf_dir, store)
+        expect = {
+            (r["query_id"], r["neighbor_id"], r["sim"])
+            for r in ann_ivf_topk(spark, sf_dir).collect()
+        }
+        got = {
+            (r["query_id"], r["neighbor_id"], r["sim"]) for r in stored.collect()
+        }
+        assert got == expect
+        # the probe list must reach the store scan as a partition filter
+        plan = stored._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        scan_lines = [
+            l for l in plan.splitlines() if "PartitionFilters" in l
+        ]
+        assert any("dynamicpruning" in l for l in scan_lines), scan_lines
