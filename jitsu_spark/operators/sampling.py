@@ -104,11 +104,71 @@ FROM documents
 """
 
 
+# Per-source mixing rates including UPsampling: sources cycle through
+# 0.5x / 1.0x / 1.5x / 2.5x — the temperature-style reweighting a training
+# mix applies (repeat curated sources, thin crawls).
+MIX_RATES = {f"src{i}": (0.5, 1.0, 1.5, 2.5)[i % 4] for i in range(20)}
+
+
+def source_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-mix resampling with repetition: each doc is
+    emitted floor(rate) times, plus once more iff its md5 bucket falls
+    under the fractional part — so expected copies == rate exactly, and
+    the output is stable under repartitioning and engines (no RNG).
+
+    The repeat is a `sequence` explode on the scan (map-side, output
+    linear in the target mix size); `epoch` column distinguishes copies so
+    downstream shuffles spread repeated docs instead of hot-spotting."""
+    docs = load_table(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(
+        [
+            (s, int(r), int(round((r - int(r)) * 1000)))
+            for s, r in MIX_RATES.items()
+        ],
+        "source string, whole int, frac_per_mille int",
+    )
+    return (
+        docs.join(maybe_broadcast(rates), "source")
+        .withColumn(
+            "n_copies",
+            F.col("whole")
+            + (_bucket(F.col("doc_id")) < F.col("frac_per_mille")).cast("int"),
+        )
+        .where(F.col("n_copies") > 0)
+        .selectExpr(
+            "doc_id",
+            "source",
+            "explode(sequence(1, n_copies)) AS epoch",
+        )
+    )
+
+
+_MIX_VALUES = ", ".join(
+    f"('{s}', {int(r)}, {int(round((r - int(r)) * 1000))})"
+    for s, r in MIX_RATES.items()
+)
+
+SOURCE_MIX_SQL = f"""
+WITH rated AS (
+  SELECT doc_id, source,
+         whole + CASE WHEN {_bucket_duck('doc_id')} < frac_per_mille
+                      THEN 1 ELSE 0 END AS n_copies
+  FROM documents
+  JOIN (VALUES {_MIX_VALUES}) AS rates(source, whole, frac_per_mille)
+    USING (source)
+)
+SELECT doc_id, source, unnest(range(1, n_copies + 1)) AS epoch
+FROM rated WHERE n_copies > 0
+"""
+
+
 QUERIES = {
     "stratified_sample_documents": stratified_sample_documents,
     "train_test_split_documents": train_test_split_documents,
+    "source_mix_resample": source_mix_resample,
 }
 ORACLE = {
     "stratified_sample_documents": STRATIFIED_SAMPLE_SQL,
     "train_test_split_documents": TRAIN_TEST_SPLIT_SQL,
+    "source_mix_resample": SOURCE_MIX_SQL,
 }

@@ -131,3 +131,36 @@ class TestDeterministicSampling:
         total = load_table(spark, sf_dir, "documents").count()
         sampled = stratified_sample_documents(spark, sf_dir).count()
         assert 0 < sampled < total
+
+
+class TestSourceMixResample:
+    def test_copy_counts_match_rates(self, spark, sf_dir):
+        from jitsu_spark.operators.sampling import MIX_RATES, source_mix_resample
+        from pyspark.sql import functions as F
+
+        out = (
+            source_mix_resample(spark, sf_dir)
+            .groupBy("source", "doc_id")
+            .agg(F.max("epoch").alias("copies"))
+            .collect()
+        )
+        per_doc = {(r["source"], r["doc_id"]): r["copies"] for r in out}
+        for (src, _), copies in per_doc.items():
+            rate = MIX_RATES[src]
+            import math
+
+            lo, hi = math.floor(rate), math.ceil(rate)
+            assert copies in (lo, hi) and copies >= 1
+
+    def test_deterministic_across_runs(self, spark, sf_dir):
+        from jitsu_spark.operators.sampling import source_mix_resample
+
+        a = sorted(
+            (r["doc_id"], r["epoch"])
+            for r in source_mix_resample(spark, sf_dir).collect()
+        )
+        b = sorted(
+            (r["doc_id"], r["epoch"])
+            for r in source_mix_resample(spark, sf_dir).repartition(7).collect()
+        )
+        assert a == b
