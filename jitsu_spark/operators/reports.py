@@ -114,16 +114,10 @@ ANOMALY_TRAIL_MIN = 30  # trailing window (minutes) for the baseline
 ANOMALY_Z = 3.0
 
 
-def metrics_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-minute event-count z-scores against a trailing 30-minute
-    baseline. Emits minutes with a defined baseline (>= 2 trailing points);
-    |z| > 3 flags the spike/dip. The window runs over the ALREADY
-    aggregated minute series (one row per minute), so the trailing scan is
-    negligible at any corpus size."""
-    ev = load_table(spark, sf_dir, "events")
-    per_min = ev.groupBy(F.date_trunc("minute", "ts").alias("minute")).agg(
-        F.count(F.lit(1)).alias("n_events")
-    )
+def score_minute_series(per_min: DataFrame) -> DataFrame:
+    """Z-score a (minute, n_events) series against its trailing baseline.
+    Shared by the batch query below and the streaming rollup's foreachBatch
+    scorer (the alerting pass over each micro-batch's merged rollup)."""
     w = (
         f"OVER (ORDER BY minute ROWS BETWEEN {ANOMALY_TRAIL_MIN} PRECEDING"
         " AND 1 PRECEDING)"
@@ -143,6 +137,19 @@ def metrics_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round((n_events - baseline) / sd, 4) AS z",
         f"abs((n_events - baseline) / sd) > {ANOMALY_Z} AS is_anomaly",
     )
+
+
+def metrics_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-minute event-count z-scores against a trailing 30-minute
+    baseline. Emits minutes with a defined baseline (>= 2 trailing points);
+    |z| > 3 flags the spike/dip. The window runs over the ALREADY
+    aggregated minute series (one row per minute), so the trailing scan is
+    negligible at any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    per_min = ev.groupBy(F.date_trunc("minute", "ts").alias("minute")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return score_minute_series(per_min)
 
 
 ANOMALY_SQL = f"""

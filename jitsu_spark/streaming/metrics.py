@@ -83,3 +83,18 @@ def active_events_hourly_stream(
         .agg(F.approx_count_distinct("message_id").alias("active_events"))
         .select(F.col("w.start").alias("hour"), workspace_col, "active_events")
     )
+
+
+def anomaly_on_rollup(rollup: DataFrame) -> DataFrame:
+    """Alerting pass over the (merged) rollup store: total the per-status
+    minute counts and z-score them against the trailing baseline — run
+    inside foreachBatch after the rollup MERGE, so every micro-batch
+    re-evaluates the affected minutes. Reuses the batch scorer verbatim
+    (operators.reports.score_minute_series)."""
+    from ..operators.reports import score_minute_series
+
+    per_min = (
+        rollup.groupBy(F.col("period").alias("minute"))
+        .agg(F.sum("events").cast("long").alias("n_events"))
+    )
+    return score_minute_series(per_min)

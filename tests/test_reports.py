@@ -124,3 +124,35 @@ class TestSeriesCorrelation:
         assert (r["type_a"], r["type_b"]) == ("a", "b")
         assert r["n_minutes"] == 10
         assert r["corr"] == pytest.approx(1.0)
+
+
+class TestAnomalyOnRollup:
+    def test_rollup_scorer_matches_batch(self, spark, tmp_path):
+        """Scoring the rollup totals == scoring raw per-minute counts."""
+        rows = []
+        eid = 0
+        for m in range(35):
+            for k in range(1 + (m % 3)):
+                eid += 1
+                rows.append((eid, f"2024-01-01T02:{m:02d}:01", 1, "click"))
+        sf = _write_events(spark, tmp_path, rows)
+        from pyspark.sql import functions as F
+
+        from jitsu_spark.operators.reports import metrics_anomaly
+        from jitsu_spark.streaming.metrics import anomaly_on_rollup
+        from jitsu_spark.tables import load_table
+
+        ev = load_table(spark, sf, "events")
+        rollup = ev.groupBy(
+            F.date_trunc("minute", "ts").alias("period"),
+            F.col("event_type").alias("status"),
+        ).agg(F.count(F.lit(1)).alias("events"))
+        got = {
+            str(r["minute"]): (r["n_events"], r["z"])
+            for r in anomaly_on_rollup(rollup).collect()
+        }
+        want = {
+            str(r["minute"]): (r["n_events"], r["z"])
+            for r in metrics_anomaly(spark, sf).collect()
+        }
+        assert got == want and want
