@@ -94,9 +94,10 @@ def incremental_rollup_equivalence(spark: SparkSession, sf_dir: str) -> DataFram
     merged estimate is exactly count(distinct) and the hash compare is
     deterministic."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
-    cut = ev.agg(F.expr("percentile_approx(event_id, 0.5)")).collect()[0][0]
-    b1 = rollup_batch(ev.where(F.col("event_id") <= cut))
-    b2 = rollup_batch(ev.where(F.col("event_id") > cut))
+    # split by id parity: two interleaved "days" of traffic with no
+    # median-finding pre-scan (the batch boundary is arbitrary anyway)
+    b1 = rollup_batch(ev.where(F.col("event_id") % 2 == 0))
+    b2 = rollup_batch(ev.where(F.col("event_id") % 2 == 1))
     merged = (
         b1.unionByName(b2)
         .groupBy("period", "status")
