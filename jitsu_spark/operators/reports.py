@@ -254,15 +254,39 @@ WHERE n_minutes >= 2
 """
 
 
+def event_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-normalized first-order Markov matrix: P(to | from). One window
+    sum over the constant-size transition counts."""
+    counts = event_transitions(spark, sf_dir)
+    return counts.selectExpr(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        "round(n_transitions / sum(n_transitions)"
+        " OVER (PARTITION BY from_type), 4) AS p",
+    )
+
+
+TRANSITION_PROBS_SQL = f"""
+WITH counts AS ({TRANSITIONS_SQL})
+SELECT from_type, to_type, n_transitions,
+       round(n_transitions / sum(n_transitions)
+             OVER (PARTITION BY from_type), 4) AS p
+FROM counts
+"""
+
+
 QUERIES = {
     "retention_cohorts": retention_cohorts,
     "event_transitions": event_transitions,
+    "event_transition_probs": event_transition_probs,
     "metrics_anomaly": metrics_anomaly,
     "series_correlation": series_correlation,
 }
 ORACLE = {
     "retention_cohorts": RETENTION_SQL,
     "event_transitions": TRANSITIONS_SQL,
+    "event_transition_probs": TRANSITION_PROBS_SQL,
     "metrics_anomaly": ANOMALY_SQL,
     "series_correlation": SERIES_CORR_SQL,
 }
