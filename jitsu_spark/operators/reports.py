@@ -276,10 +276,90 @@ FROM counts
 """
 
 
+# ---------------------------------------------------------------------------
+# Strict-order windowed funnel
+# ---------------------------------------------------------------------------
+
+FUNNEL_STEP_HOURS = 72
+
+
+def funnel_3step_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """signup -> click -> purchase, each step within FUNNEL_STEP_HOURS of
+    the previous, strictly ordered. Three chained window passes over ONE
+    user_id shuffle (each step's deadline derives from the prior step's
+    min, so no self-joins); the final count reuses the same partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    h = FUNNEL_STEP_HOURS
+    w = "OVER (PARTITION BY user_id)"
+    staged = (
+        ev.selectExpr(
+            "user_id",
+            "event_type",
+            "ts",
+            f"min(CASE WHEN event_type = 'signup' THEN ts END) {w} AS s",
+        )
+        .selectExpr(
+            "user_id",
+            "event_type",
+            "ts",
+            "s",
+            f"min(CASE WHEN event_type = 'click' AND ts > s"
+            f" AND ts <= s + INTERVAL {h} HOURS THEN ts END) {w} AS c",
+        )
+        .selectExpr(
+            "user_id",
+            "s",
+            "c",
+            f"min(CASE WHEN event_type = 'purchase' AND ts > c"
+            f" AND ts <= c + INTERVAL {h} HOURS THEN ts END) {w} AS p",
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("s").alias("s"), F.max("c").alias("c"), F.max("p").alias("p")
+    )
+    return per_user.select(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("s").alias("n_signup"),
+        F.count("c").alias("n_click_after_signup"),
+        F.count("p").alias("n_purchase_after_click"),
+    )
+
+
+FUNNEL_3STEP_SQL = f"""
+WITH s1 AS (
+  SELECT user_id, event_type, {EVENTS_TS_US_SQL} AS ts,
+         min(CASE WHEN event_type = 'signup' THEN {EVENTS_TS_US_SQL} END)
+           OVER (PARTITION BY user_id) AS s
+  FROM events
+), s2 AS (
+  SELECT user_id, event_type, ts, s,
+         min(CASE WHEN event_type = 'click' AND ts > s
+                  AND ts <= s + INTERVAL {FUNNEL_STEP_HOURS} HOUR THEN ts END)
+           OVER (PARTITION BY user_id) AS c
+  FROM s1
+), s3 AS (
+  SELECT user_id, s, c,
+         min(CASE WHEN event_type = 'purchase' AND ts > c
+                  AND ts <= c + INTERVAL {FUNNEL_STEP_HOURS} HOUR THEN ts END)
+           OVER (PARTITION BY user_id) AS p
+  FROM s2
+), per_user AS (
+  SELECT user_id, max(s) AS s, max(c) AS c, max(p) AS p
+  FROM s3 GROUP BY 1
+)
+SELECT count(*) AS n_users,
+       count(s) AS n_signup,
+       count(c) AS n_click_after_signup,
+       count(p) AS n_purchase_after_click
+FROM per_user
+"""
+
+
 QUERIES = {
     "retention_cohorts": retention_cohorts,
     "event_transitions": event_transitions,
     "event_transition_probs": event_transition_probs,
+    "funnel_3step_windowed": funnel_3step_windowed,
     "metrics_anomaly": metrics_anomaly,
     "series_correlation": series_correlation,
 }
@@ -287,6 +367,7 @@ ORACLE = {
     "retention_cohorts": RETENTION_SQL,
     "event_transitions": TRANSITIONS_SQL,
     "event_transition_probs": TRANSITION_PROBS_SQL,
+    "funnel_3step_windowed": FUNNEL_3STEP_SQL,
     "metrics_anomaly": ANOMALY_SQL,
     "series_correlation": SERIES_CORR_SQL,
 }
