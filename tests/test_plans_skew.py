@@ -285,3 +285,38 @@ class TestQualityFilterPlans:
         import re
 
         assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+
+
+class TestReportPlans:
+    def test_funnel_single_user_shuffle(self, spark, sf_dir):
+        """Three chained windows + final agg must reuse ONE user_id
+        exchange — no per-step shuffles, no self-joins."""
+        from jitsu_spark.operators.reports import funnel_3step_windowed
+
+        plan = _plan(funnel_3step_windowed(spark, sf_dir))
+        import re
+
+        # one hash exchange on user_id + the final single-partition agg
+        exchanges = re.findall(r"\(\d+\) Exchange", plan)
+        assert len(exchanges) <= 2, plan[:2000]
+        assert "Join" not in plan
+
+    def test_transitions_single_shuffle_before_tiny_agg(self, spark, sf_dir):
+        from jitsu_spark.operators.reports import event_transitions
+
+        plan = _plan(event_transitions(spark, sf_dir))
+        assert "Join" not in plan
+        schema_line = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+        for unused in ("value", "props"):
+            assert unused not in schema_line
+
+    def test_anomaly_aggregates_before_window(self, spark, sf_dir):
+        """The trailing window must run over the minute aggregate, not raw
+        events: the plan has the HashAggregate below the Window."""
+        from jitsu_spark.operators.reports import metrics_anomaly
+
+        plan = _plan(metrics_anomaly(spark, sf_dir))
+        tree = plan.split("(1)")[0]
+        win_pos = tree.index("Window")
+        agg_pos = tree.rindex("HashAggregate")
+        assert agg_pos > win_pos  # deeper in the tree = executes first
