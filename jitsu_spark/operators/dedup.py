@@ -163,7 +163,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
-            b,
+            # shuffle-merge instead of broadcasting one side: both sides
+            # are the identical signature subtree, so the exchange is
+            # computed once and reused — signatures hash the corpus once
+            b.hint("shuffle_merge"),
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
