@@ -40,9 +40,13 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     weekly = ev.select(
         "user_id", F.date_trunc("week", "ts").alias("week")
     ).distinct()
-    cohort = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    # cohort week as a window MIN over the same user_id clustering the
+    # distinct produced — no aggregate + join-back, one user shuffle total
     return (
-        weekly.join(cohort, "user_id")
+        weekly.selectExpr(
+            "min(week) OVER (PARTITION BY user_id) AS cohort_week",
+            "week",
+        )
         .selectExpr(
             "cohort_week",
             "CAST(datediff(week, cohort_week) / 7 AS BIGINT) AS week_offset",
