@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.hints import maybe_broadcast
 from ..tables import EVENTS_TS_US_SQL, load_table
 
 # ---------------------------------------------------------------------------
@@ -359,10 +360,75 @@ FROM per_user
 """
 
 
+# ---------------------------------------------------------------------------
+# Audience overlap
+# ---------------------------------------------------------------------------
+
+
+def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard overlap between the distinct-user audiences of every
+    event-type pair — the 'how much does the purchase audience overlap the
+    signup audience' report. The self-join runs on the per-(type, user)
+    DISTINCT aggregate (bounded by users x types, never raw events), and
+    the result is |types|^2-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    tu = ev.select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    a, b = tu.alias("a"), tu.alias("b")
+    inter = (
+        a.join(
+            b.hint("shuffle_merge"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    return (
+        inter.join(
+            maybe_broadcast(sizes.selectExpr("event_type AS type_a", "n_users AS na")),
+            "type_a",
+        )
+        .join(
+            maybe_broadcast(sizes.selectExpr("event_type AS type_b", "n_users AS nb")),
+            "type_b",
+        )
+        .selectExpr(
+            "type_a",
+            "type_b",
+            "n_both",
+            "round(n_both / (na + nb - n_both), 4) AS jaccard",
+        )
+    )
+
+
+AUDIENCE_OVERLAP_SQL = """
+WITH tu AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), sizes AS (
+  SELECT event_type, count(*) AS n_users FROM tu GROUP BY 1
+), inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+  FROM tu a JOIN tu b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_both,
+       round(n_both / (sa.n_users + sb.n_users - n_both), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.event_type = type_a
+JOIN sizes sb ON sb.event_type = type_b
+"""
+
+
 QUERIES = {
     "retention_cohorts": retention_cohorts,
     "event_transitions": event_transitions,
     "event_transition_probs": event_transition_probs,
+    "audience_overlap": audience_overlap,
     "funnel_3step_windowed": funnel_3step_windowed,
     "metrics_anomaly": metrics_anomaly,
     "series_correlation": series_correlation,
@@ -372,6 +438,7 @@ ORACLE = {
     "event_transitions": TRANSITIONS_SQL,
     "event_transition_probs": TRANSITION_PROBS_SQL,
     "funnel_3step_windowed": FUNNEL_3STEP_SQL,
+    "audience_overlap": AUDIENCE_OVERLAP_SQL,
     "metrics_anomaly": ANOMALY_SQL,
     "series_correlation": SERIES_CORR_SQL,
 }
