@@ -457,6 +457,40 @@ SELECT (SELECT count(*) FROM truth) AS n_true,
 """
 
 
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shipped dedup decision: every document tagged keep/drop with
+    its reason — 'singleton' (no near-dup cluster), 'canonical' (cluster
+    representative), or 'near_dup' (dropped member). Left joins the
+    near-dup clusters (small side, size-gated broadcast) onto the corpus;
+    at scale the corpus never shuffles for this decision."""
+    from ..plans.hints import maybe_broadcast
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    clusters = near_dup_clusters(spark, sf_dir)
+    return (
+        docs.join(maybe_broadcast(clusters), "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "source",
+            "CASE WHEN cluster_id IS NULL THEN 'singleton'"
+            " WHEN is_canonical THEN 'canonical'"
+            " ELSE 'near_dup' END AS reason",
+            "cluster_id IS NULL OR is_canonical AS is_kept",
+        )
+    )
+
+
+DEDUP_KEEP_LIST_SQL = f"""
+WITH clusters AS ({NEAR_DUP_CLUSTERS_SQL})
+SELECT d.doc_id, d.source,
+       CASE WHEN c.cluster_id IS NULL THEN 'singleton'
+            WHEN c.is_canonical THEN 'canonical'
+            ELSE 'near_dup' END AS reason,
+       c.cluster_id IS NULL OR c.is_canonical AS is_kept
+FROM documents d LEFT JOIN clusters c USING (doc_id)
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "minhash_signatures": minhash_signatures,
@@ -465,6 +499,7 @@ QUERIES = {
     "simhash": simhash,
     "near_dup_clusters": near_dup_clusters,
     "lsh_recall_report": lsh_recall_report,
+    "dedup_keep_list": dedup_keep_list,
 }
 
 ORACLE = {
@@ -475,4 +510,5 @@ ORACLE = {
     "simhash": SIMHASH_SQL,
     "near_dup_clusters": NEAR_DUP_CLUSTERS_SQL,
     "lsh_recall_report": LSH_RECALL_SQL,
+    "dedup_keep_list": DEDUP_KEEP_LIST_SQL,
 }
