@@ -276,3 +276,22 @@ class TestEmbeddingNormStats:
         assert out[0]["n_zero"] == 1
         assert out[1]["avg_norm"] == 1.0 and out[1]["n_zero"] == 0
         assert out[0]["dim"] == 2
+
+
+class TestDedupKeepList:
+    def test_reasons_and_keep_flags(self, spark, tmp_path):
+        base = " ".join(f"w{i}" for i in range(60))
+        rows = [
+            (1, base, "a"),
+            (2, base, "a"),                              # near-dup of 1
+            (3, " ".join(f"z{i}" for i in range(60)), "b"),  # singleton
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+        from jitsu_spark.operators.dedup import dedup_keep_list
+
+        out = {r["doc_id"]: r for r in dedup_keep_list(spark, str(tmp_path)).collect()}
+        assert out[1]["reason"] == "canonical" and out[1]["is_kept"] is True
+        assert out[2]["reason"] == "near_dup" and out[2]["is_kept"] is False
+        assert out[3]["reason"] == "singleton" and out[3]["is_kept"] is True

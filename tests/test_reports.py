@@ -156,3 +156,23 @@ class TestAnomalyOnRollup:
             for r in metrics_anomaly(spark, sf).collect()
         }
         assert got == want and want
+
+
+class TestAudienceOverlap:
+    def test_jaccard_of_user_sets(self, spark, tmp_path):
+        # users 1,2,3 do 'click'; users 2,3 do 'purchase' -> J = 2/3
+        rows = [
+            (1, "2024-01-01T00:00:01", 1, "click"),
+            (2, "2024-01-01T00:00:02", 2, "click"),
+            (3, "2024-01-01T00:00:03", 3, "click"),
+            (4, "2024-01-01T00:00:04", 2, "purchase"),
+            (5, "2024-01-01T00:00:05", 3, "purchase"),
+            (6, "2024-01-01T00:00:06", 3, "purchase"),  # dup user ignored
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        from jitsu_spark.operators.reports import audience_overlap
+
+        (r,) = audience_overlap(spark, sf).collect()
+        assert (r["type_a"], r["type_b"]) == ("click", "purchase")
+        assert r["n_both"] == 2
+        assert r["jaccard"] == 0.6667
