@@ -63,15 +63,33 @@ def referenced_tables(spark: SparkSession, sql: str) -> set[str]:
         if cls == "UnresolvedRelation":
             tables.add(node.tableName().lower())
         if cls == "UnresolvedWith":
+            # CTE definition plans live in cteRelations (surfaced only via
+            # innerChildren, not children), so they must be walked explicitly
+            # or `WITH x AS (SELECT * FROM secret) SELECT * FROM x` would
+            # never surface `secret`.
             it = node.cteRelations().iterator()
             while it.hasNext():
-                ctes.add(it.next()._1().lower())
+                entry = it.next()
+                ctes.add(entry._1().lower())
+                walk(entry._2())
         it = node.children().iterator()
         while it.hasNext():
             walk(it.next())
         sit = node.subqueries().iterator()
         while sit.hasNext():
             walk(sit.next())
+        # Catch any other plan-carrying fields hidden from children()
+        # (views, command payloads) the same way explain() does.
+        try:
+            iit = node.innerChildren().iterator()
+            while iit.hasNext():
+                inner = iit.next()
+                if inner.getClass().getName().startswith(
+                    "org.apache.spark.sql.catalyst.plans.logical"
+                ):
+                    walk(inner)
+        except Exception:
+            pass  # innerChildren not reachable on this node type
 
     walk(plan)
     return tables - ctes
@@ -101,17 +119,28 @@ def validate_select(
             refs = referenced_tables(spark, sql)
         else:
             # textual fallback when no session is available: FROM/JOIN
-            # heads plus comma-continued FROM-list entries
+            # heads plus comma-continued FROM-list entries. Each entry may
+            # carry an alias (`FROM t1 a, t2 b`) — the alias is consumed so
+            # the comma chain keeps matching and every table is validated;
+            # a clause keyword is never mistaken for an alias.
             cte_names = {
                 m.group(1).lower()
                 for m in re.finditer(r"\b(\w+)\s+AS\s*\(", stripped, re.I)
             }
+            kw = (
+                r"(?:WHERE|GROUP|ORDER|HAVING|LIMIT|OFFSET|UNION|EXCEPT"
+                r"|INTERSECT|JOIN|ON|USING|INNER|LEFT|RIGHT|FULL|CROSS"
+                r"|NATURAL|SELECT|WITH|AS)"
+            )
+            entry = rf"[\w.]+(?:\s+(?:AS\s+)?(?!{kw}\b)\w+)?"
             refs = set()
             for m in re.finditer(
-                r"\b(?:FROM|JOIN)\s+([\w.]+(?:\s*,\s*[\w.]+)*)", stripped, re.I
+                rf"\b(?:FROM|JOIN)\s+({entry}(?:\s*,\s*{entry})*)",
+                stripped,
+                re.I,
             ):
                 for t in m.group(1).split(","):
-                    t = t.strip().lower()
+                    t = t.strip().split()[0].lower()
                     if t and t not in cte_names:
                         refs.add(t)
         for t in sorted(refs - allowed):

@@ -54,6 +54,17 @@ class TestValidate:
         # comma-separated FROM list must not slip past the whitelist
         with pytest.raises(SqlGatewayError, match="not allowed"):
             validate_select("SELECT * FROM events, secrets", {"events"})
+        # ... including when the entries carry aliases (textual fallback)
+        with pytest.raises(SqlGatewayError, match="secrets"):
+            validate_select("SELECT * FROM events a, secrets b", {"events"})
+        with pytest.raises(SqlGatewayError, match="secrets"):
+            validate_select(
+                "SELECT * FROM events AS a, secrets AS b", {"events"}
+            )
+        # an alias must never be mistaken for a table or a clause keyword
+        validate_select(
+            "SELECT * FROM events e WHERE e.event_id > 0", {"events"}
+        )
 
 
 class TestPlanResolvedWhitelist:
@@ -73,6 +84,31 @@ class TestPlanResolvedWhitelist:
                 {"events"},
                 spark=spark,
             )
+
+    def test_cte_body_tables_are_validated(self, spark):
+        # UnresolvedWith keeps CTE definition plans in cteRelations (not
+        # children), so a naive child walk never sees `secrets` — the
+        # round-2 bypass: WITH x AS (SELECT * FROM secrets) SELECT * FROM x
+        with pytest.raises(SqlGatewayError, match="secrets"):
+            validate_select(
+                "WITH x AS (SELECT * FROM secrets) SELECT * FROM x",
+                {"events"},
+                spark=spark,
+            )
+        # nested CTE bodies too
+        with pytest.raises(SqlGatewayError, match="secrets"):
+            validate_select(
+                "WITH x AS (WITH y AS (SELECT * FROM secrets) "
+                "SELECT * FROM y) SELECT * FROM x",
+                {"events"},
+                spark=spark,
+            )
+        # CTE over an allowed table still passes
+        validate_select(
+            "WITH x AS (SELECT * FROM events) SELECT * FROM x",
+            {"events"},
+            spark=spark,
+        )
 
     def test_cte_and_alias_still_pass(self, spark):
         validate_select(
