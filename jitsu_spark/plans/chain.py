@@ -17,8 +17,10 @@ test `libs/core-functions/src/index.ts:58-60`):
   - list[dict]      -> fan out (ONLY the last function may multiply,
                        `libs/core-functions/src/functions/lib/udf-wrapper-code.ts:99-103`)
   - unchanged       -> pass through
-Mid-chain errors forward the partial result to the destination stage with
-the error recorded (`functions-chain.ts:352-358`), except Drop errors.
+A mid-chain error records the error and passes the event through the
+failed function unchanged — the chain continues (`udf-wrapper-code.ts:
+109-131`; the pipeline-level partial result then forwards to the
+destination stage, `functions-chain.ts:352-358`), except Drop errors.
 
 UDF context (U1, `functions.d.ts:127-175`): log/props/store. The TTL store
 is the reference's Redis/Mongo KV (`functions.d.ts:11-22`, default TTL
@@ -149,6 +151,79 @@ class InMemoryTtlStore:
         self._d.pop(key, None)
 
 
+DEFAULT_FETCH_TIMEOUT_SEC = 2.0  # FETCH_TIMEOUT_MS (rotor.ts:26)
+
+
+@dataclass
+class FetchResponse:
+    """The slice of the WHATWG Response surface reference UDFs use
+    (`functions.d.ts:56` FetchType -> Response; udf code reads status/
+    ok/headers and awaits .json()/.text())."""
+
+    url: str
+    status: int
+    statusText: str
+    headers: dict[str, str]
+    body: bytes = b""
+
+    @property
+    def ok(self) -> bool:
+        return 200 <= self.status < 300
+
+    def text(self) -> str:
+        return self.body.decode("utf-8", errors="replace")
+
+    def json(self) -> Any:
+        return json.loads(self.text())
+
+
+# Pluggable transport (same seam as sinks_api webhook `Transport`):
+# (url, method, headers, body, timeout_sec) -> FetchResponse. Tests inject
+# a fake; production uses urllib with the 2 s abort budget.
+FetchTransport = Callable[[str, str, dict, bytes | None, float], FetchResponse]
+
+
+def _urllib_fetch_transport(
+    url: str, method: str, headers: dict, body: bytes | None, timeout_sec: float
+) -> FetchResponse:
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(url, data=body, headers=headers, method=method)
+    try:
+        with urllib.request.urlopen(req, timeout=timeout_sec) as resp:
+            return FetchResponse(
+                url=url,
+                status=resp.status,
+                statusText=resp.reason or "",
+                headers=dict(resp.headers),
+                body=resp.read(),
+            )
+    except urllib.error.HTTPError as e:
+        # fetch() resolves on HTTP errors — only network failures throw
+        return FetchResponse(
+            url=url,
+            status=e.code,
+            statusText=e.reason or "",
+            headers=dict(e.headers or {}),
+            body=e.read() if e.fp else b"",
+        )
+
+
+def _hide_sensitive_headers(headers: dict[str, str]) -> dict[str, str]:
+    """`lib/index.ts:426-431`: mask authorization/token header values."""
+    return {
+        k: "*****" if "authorization" in k.lower() or "token" in k.lower() else v
+        for k, v in headers.items()
+    }
+
+
+class FetchTimeoutError(Exception):
+    """The reference aborts the request at the timeout
+    (`AbortSignal.timeout`, `lib/index.ts:371-378`) and rethrows with this
+    message shape."""
+
+
 class CryptoHelpers:
     """The crypto namespace the reference injects into the UDF isolate
     (`udf_wrapper.ts:78-84` wiring node:crypto's hash/randomUUID/
@@ -199,9 +274,79 @@ class FunctionContext:
     store: Any = field(default_factory=InMemoryTtlStore)
     logs: list[str] = field(default_factory=list)
     crypto: CryptoHelpers = field(default_factory=CryptoHelpers)
+    fetch_transport: FetchTransport = _urllib_fetch_transport
+    fetch_timeout_sec: float = DEFAULT_FETCH_TIMEOUT_SEC
+    # captured request/response exchanges — the analogue of the reference's
+    # http-request events-log rows (lib/index.ts:345-360), also surfaced by
+    # run_function_test for assertions
+    fetch_log: list[dict] = field(default_factory=list)
 
     def log(self, msg: str) -> None:
         self.logs.append(str(msg))
+
+    def fetch(
+        self, url: str, opts: dict | None = None, log: bool = True
+    ) -> FetchResponse:
+        """ctx.fetch (`functions.d.ts:56-62` FetchType; impl makeFetch,
+        `lib/index.ts:326-423`): HTTP call with a hard 2 s default timeout.
+        HTTP error statuses resolve (like WHATWG fetch); network failures
+        and timeouts raise. Each exchange is captured with sensitive
+        headers masked unless `log=False` (the `extra.log` flag)."""
+        opts = opts or {}
+        method = (opts.get("method") or "GET").upper()
+        headers = dict(opts.get("headers") or {})
+        body = opts.get("body")
+        if isinstance(body, str):
+            body = body.encode()
+        entry = None
+        if log:
+            entry = {
+                "type": "http-request",
+                "url": url,
+                "method": method,
+                "headers": _hide_sensitive_headers(headers),
+                "body": body.decode("utf-8", errors="replace") if body else None,
+            }
+            self.fetch_log.append(entry)
+        t0 = time.time()
+        try:
+            resp = self.fetch_transport(
+                url, method, headers, body, self.fetch_timeout_sec
+            )
+        except FetchTimeoutError:
+            raise
+        except (TimeoutError, OSError) as ex:
+            elapsed_ms = int((time.time() - t0) * 1000)
+            is_timeout = isinstance(ex, TimeoutError) or "timed out" in str(ex)
+            msg = (
+                f"Fetch request exceeded timeout "
+                f"{int(self.fetch_timeout_sec * 1000)}ms and was aborted"
+                if is_timeout
+                else f"{type(ex).__name__}: {ex}"
+            )
+            if entry is not None:
+                entry.update(error=msg, elapsedMs=elapsed_ms)
+            if is_timeout:
+                raise FetchTimeoutError(msg) from ex
+            raise
+        if entry is not None:
+            entry.update(
+                status=resp.status,
+                statusText=resp.statusText,
+                elapsedMs=int((time.time() - t0) * 1000),
+                response=_try_json(resp.text()),
+            )
+        return resp
+
+
+def _try_json(text: str, cap: int = 2000) -> Any:
+    """`trimResponse` + `tryJson` (lib/index.ts:398-404): log the parsed
+    JSON when possible, else the (truncated) text."""
+    trimmed = text[:cap]
+    try:
+        return json.loads(text)
+    except (ValueError, TypeError):
+        return trimmed
 
 
 # A user function: (event dict, ctx) -> FuncReturn
@@ -222,6 +367,10 @@ class ConnectionConfig:
     function_timeout_sec: float | None = UDF_TIMEOUT_SEC  # U2 guard
     # opt-in allocation budget (tracemalloc; see FunctionMemoryError)
     function_memory_mb: float | None = None
+    # ctx.fetch wiring: injectable transport (tests / per-destination HTTP
+    # stacks) and the per-call timeout (FETCH_TIMEOUT_MS)
+    fetch_transport: FetchTransport = _urllib_fetch_transport
+    fetch_timeout_sec: float = DEFAULT_FETCH_TIMEOUT_SEC
 
 
 def passes_event_filter(event: dict, spec: str) -> bool:
@@ -245,12 +394,22 @@ def run_user_chain(
 ) -> tuple[list[dict], str | None]:
     """Execute the composed UDF pipeline on one event.
 
-    Returns (events_out, error). Implements the multiplication rule and
-    partial-result forwarding; raises RetryError through (the stream layer
-    owns retries). Each function call runs under the U2 wall-clock guard
-    (timeouts record like any mid-chain error); pass `memory_mb` to also
-    meter per-call Python allocations (opt-in, test-harness speed)."""
+    Returns (events_out, error). Error semantics mirror
+    `udf-wrapper-code.ts:77-131` (confirmed by the rotor chain test
+    expectations, `functions-chain.test.ts` `error_0`): a failing function
+    acts as IDENTITY — the error is recorded, the event passes through
+    unchanged, and the chain continues with the remaining functions. Each
+    function receives a deep copy of the event (`deepCopy`,
+    udf-wrapper-code.ts:97) so a failed call's partial mutations don't
+    leak. Mid-chain multiplication is likewise an in-chain error, not an
+    abort (it's thrown and caught inside the same loop,
+    udf-wrapper-code.ts:99-110). RetryError raises through (the stream
+    layer owns retries). Each call runs under the U2 wall-clock guard;
+    pass `memory_mb` to also meter per-call Python allocations."""
+    import copy
+
     current: list[dict] = [event]
+    first_err: str | None = None
     for i, fn in enumerate(functions):
         last = i == len(functions) - 1
         nxt: list[dict] = []
@@ -259,28 +418,34 @@ def run_user_chain(
                 if memory_mb:
                     r = _call_with_memory_guard(
                         lambda e, c: _call_with_timeout(fn, e, c, timeout_sec),
-                        ev,
+                        copy.deepcopy(ev),
                         ctx,
                         memory_mb,
                     )
                 else:
-                    r = _call_with_timeout(fn, ev, ctx, timeout_sec)
+                    r = _call_with_timeout(fn, copy.deepcopy(ev), ctx, timeout_sec)
+                if not last and isinstance(r, list) and len(r) > 1:
+                    # udf-wrapper-code.ts:99-103 — thrown, then caught by
+                    # the same error path: record + identity
+                    raise ValueError(
+                        f"Got {len(r)} events as result of function "
+                        f"#{i + 1} of {len(functions)}. Only the last "
+                        "function in a chain is allowed to multiply events."
+                    )
             except DropError:
                 continue
             except RetryError:
                 raise
-            except Exception as ex:  # partial forward (functions-chain.ts:352-358)
-                return current, f"{type(ex).__name__}: {ex}"
+            except Exception as ex:  # record + pass through (identity)
+                if first_err is None:
+                    first_err = f"{type(ex).__name__}: {ex}"
+                nxt.append(ev)
+                continue
             if r is None or r is False or r == DROP or r == []:
                 continue
             if isinstance(r, dict):
                 nxt.append(r)
             elif isinstance(r, list):
-                if not last and len(r) > 1:
-                    # udf-wrapper-code.ts:99-103
-                    raise ValueError(
-                        "only the last function in a chain may return multiple events"
-                    )
                 nxt.extend(r)
             elif r is True:
                 nxt.append(ev)
@@ -288,8 +453,8 @@ def run_user_chain(
                 raise TypeError(f"unsupported function return: {type(r)}")
         current = nxt
         if not current:
-            return [], None
-    return current, None
+            return [], first_err
+    return current, first_err
 
 
 def compile_chain(
@@ -309,8 +474,16 @@ def compile_chain(
     timeout_sec = config.function_timeout_sec
     memory_mb = config.function_memory_mb
 
+    fetch_transport = config.fetch_transport
+    fetch_timeout_sec = config.fetch_timeout_sec
+
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ctx = FunctionContext(props=props, store=store_factory())
+        ctx = FunctionContext(
+            props=props,
+            store=store_factory(),
+            fetch_transport=fetch_transport,
+            fetch_timeout_sec=fetch_timeout_sec,
+        )
         for pdf in batches:
             out_events: list[str] = []
             out_errors: list[str | None] = []
@@ -425,11 +598,25 @@ def run_function_test(
     event: dict,
     props: dict | None = None,
     store: Any | None = None,
+    fetch_transport: FetchTransport | None = None,
+    fetch_timeout_sec: float = DEFAULT_FETCH_TIMEOUT_SEC,
 ) -> dict:
     """U5 — the UDF test harness (`udf_wrapper.ts:322-498`, console
     `function/run`): execute one function against one event with a mock
-    context; return result events, error, captured logs, and the store for
-    state assertions."""
-    ctx = FunctionContext(props=props or {}, store=store or InMemoryTtlStore())
+    context; return result events, error, captured logs, the store for
+    state assertions, and every ctx.fetch exchange (request + response,
+    sensitive headers masked) like the console's http-request log."""
+    ctx = FunctionContext(
+        props=props or {},
+        store=store or InMemoryTtlStore(),
+        fetch_transport=fetch_transport or _urllib_fetch_transport,
+        fetch_timeout_sec=fetch_timeout_sec,
+    )
     events, err = run_user_chain(event, [fn], ctx)
-    return {"events": events, "error": err, "logs": ctx.logs, "store": ctx.store}
+    return {
+        "events": events,
+        "error": err,
+        "logs": ctx.logs,
+        "store": ctx.store,
+        "fetch_log": ctx.fetch_log,
+    }

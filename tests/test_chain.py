@@ -44,14 +44,16 @@ class TestFuncReturn:
         )
         assert out == [{"i": 1}, {"i": 2}]
 
-    def test_mid_chain_multiplication_forbidden(self):
-        # udf-wrapper-code.ts:99-103
-        with pytest.raises(ValueError, match="last function"):
-            run_user_chain(
-                {"a": 1},
-                [lambda e, c: [{"i": 1}, {"i": 2}], lambda e, c: e],
-                _ctx(),
-            )
+    def test_mid_chain_multiplication_is_in_chain_error(self):
+        # udf-wrapper-code.ts:99-110 — the violation is thrown and caught
+        # by the same error path: error recorded, event passes through
+        out, err = run_user_chain(
+            {"a": 1},
+            [lambda e, c: [{"i": 1}, {"i": 2}], lambda e, c: {**e, "next": 1}],
+            _ctx(),
+        )
+        assert out == [{"a": 1, "next": 1}]
+        assert "allowed to multiply" in err
 
     def test_error_forwards_partial_result(self):
         # functions-chain.ts:352-358
@@ -63,6 +65,35 @@ class TestFuncReturn:
         )
         assert out == [{"a": 1, "stage1": True}]
         assert "api down" in err
+
+    def test_failed_function_is_identity_chain_continues(self):
+        # the rotor chain test's `error_0` expectation: function1 and
+        # function3 both run, the failing function2 contributes nothing
+        def f1(e, c):
+            return {**e, "first": "1st", "counter": e.get("counter", 0) + 1}
+
+        def f2boom(e, c):
+            raise RuntimeError("Function is not meant to run")
+
+        def f3(e, c):
+            return {**e, "third": "3rd", "counter": e.get("counter", 0) + 1}
+
+        out, err = run_user_chain({"type": "track"}, [f1, f2boom, f3], _ctx())
+        assert out == [
+            {"type": "track", "first": "1st", "counter": 2, "third": "3rd"}
+        ]
+        assert "not meant to run" in err
+
+    def test_failed_mutation_does_not_leak(self):
+        # udf-wrapper-code.ts:97 deepCopy: a function that mutates the
+        # event then throws must not leak the partial mutation
+        def mutate_then_boom(e, c):
+            e["poison"] = True
+            raise RuntimeError("late failure")
+
+        out, err = run_user_chain({"a": 1}, [mutate_then_boom], _ctx())
+        assert out == [{"a": 1}]
+        assert "late failure" in err
 
     def test_drop_error_drops_silently(self):
         def dropper(e, c):
@@ -235,8 +266,11 @@ class TestMemoryGuard:
             big = list(range(3_000_000))  # ~100+ MB of ints
             return {**ev, "n": len(big)}
 
+        # timeout disabled: tracemalloc makes the hog slow enough to race
+        # the 5 s wall-clock guard on a loaded host, and this test is about
+        # the allocation budget only
         out, err = run_user_chain(
-            {"id": 1}, [hog], FunctionContext(), memory_mb=16
+            {"id": 1}, [hog], FunctionContext(), timeout_sec=None, memory_mb=16
         )
         assert err is not None and "FunctionMemoryError" in err
         # partial forward: the original event survives
