@@ -371,6 +371,11 @@ class ConnectionConfig:
     # stacks) and the per-call timeout (FETCH_TIMEOUT_MS)
     fetch_transport: FetchTransport = _urllib_fetch_transport
     fetch_timeout_sec: float = DEFAULT_FETCH_TIMEOUT_SEC
+    # durable ctx.store root (plans/store.py FileTtlStore). When set, every
+    # task gets a FileTtlStore namespaced by connection — state survives
+    # batches, restarts, and is shared across executors via the store
+    # mount, the role Redis/Mongo plays for rotor. None = in-memory double.
+    store_dir: str | None = None
 
 
 def passes_event_filter(event: dict, spec: str) -> bool:
@@ -459,7 +464,7 @@ def run_user_chain(
 
 def compile_chain(
     config: ConnectionConfig,
-    store_factory: Callable[[], Any] = InMemoryTtlStore,
+    store_factory: Callable[[], Any] | None = None,
 ) -> Callable[[DataFrame], DataFrame]:
     """connection config -> one DataFrame->DataFrame stage over JSON events.
 
@@ -476,6 +481,14 @@ def compile_chain(
 
     fetch_transport = config.fetch_transport
     fetch_timeout_sec = config.fetch_timeout_sec
+    if store_factory is None:
+        if config.store_dir:
+            from .store import FileTtlStore
+
+            store_dir, conn_id = config.store_dir, config.connection_id
+            store_factory = lambda: FileTtlStore(store_dir, conn_id)  # noqa: E731
+        else:
+            store_factory = InMemoryTtlStore
 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ctx = FunctionContext(

@@ -1,0 +1,207 @@
+"""Durable TTL key-value store for the UDF context (U1).
+
+The reference's `ctx.store` is a Redis- or Mongo-backed KV shared by every
+rotor instance and surviving restarts (`libs/core-functions/src/functions/
+lib/store.ts:28-56` Redis, `:66-220` Mongo `(_id, value, expireAt)` with
+last-writer-wins replaceOne and an `expireAt` TTL index). The engine's
+durable analogue is filesystem-backed: one JSON blob per key bucket under
+a store directory. On local mode that directory is local disk; on a
+cluster it is shared storage (HDFS/NFS/fuse-mounted object store) — the
+same "external shared KV" role Redis plays for rotor, with last-writer-
+wins rename semantics standing in for replaceOne. For managed Redis/Mongo
+deployments the store remains swappable behind the same surface.
+
+TTL surface parity (`store.ts:10-26` + `@jitsu/protocols/functions`
+TTLStore):
+  - `set(key, value, opts)` — opts may be seconds (number), a duration
+    string ("1h", "2d", "inf"), or `{"ttl": ...}`; default 31 days.
+  - `ttl(key)` -> seconds remaining, -1 for no expiry, -2 for missing
+    (Redis TTL return codes).
+  - `getWithTTL(key)` -> {"value": ..., "ttl": ...} or None.
+Expired keys are invisible on read and physically pruned by `prune()`
+(the analogue of Mongo's TTL monitor / Redis EX).
+
+`store_state_table` exposes the store as the keyed Spark state table
+SURVEY §1.4 describes — `(namespace, key, value, expire_at)` — for
+analytical reads, audits, and compaction jobs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import re
+import time
+from typing import Any
+
+DEFAULT_TTL_SEC = 60 * 60 * 24 * 31  # store.ts:7 — 31 days
+MAX_ALLOWED_TTL = 2147483647  # store.ts:8 — Redis EX cap
+
+_DURATION = re.compile(r"(\d+(?:\.\d+)?)\s*(ms|s|m|h|d|w|y)?", re.I)
+_UNIT_SEC = {
+    "ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0,
+    "d": 86400.0, "w": 604800.0, "y": 31557600.0,
+}
+
+
+def get_ttl_sec(opts: Any = None) -> int:
+    """`getTtlSec` (store.ts:10-26): number = seconds; string = duration
+    ("1h 30m") or "inf" (-1, no expiry); dict = {"ttl": ...}; None/parse
+    failure = default 31 d. Capped at the Redis max."""
+    seconds: float = DEFAULT_TTL_SEC
+    if isinstance(opts, bool):
+        pass  # bools are ints in Python; treat as "no opts"
+    elif isinstance(opts, (int, float)):
+        seconds = opts
+    elif isinstance(opts, str):
+        if opts.lower() == "inf":
+            return -1
+        total, matched = 0.0, False
+        for m in _DURATION.finditer(opts):
+            if not m.group(1):
+                continue
+            matched = True
+            total += float(m.group(1)) * _UNIT_SEC[(m.group(2) or "s").lower()]
+        seconds = total if matched and total > 0 else DEFAULT_TTL_SEC
+    elif isinstance(opts, dict):
+        return get_ttl_sec(opts.get("ttl"))
+    import math
+
+    return min(math.ceil(seconds), MAX_ALLOWED_TTL)
+
+
+class FileTtlStore:
+    """Durable TTL KV over a directory; the pipeline default for
+    `ctx.store` when a store path is configured.
+
+    Layout: `<root>/<namespace>/<md5(key)>.json` holding
+    `{"key", "value", "expire_at"}` (`expire_at` null = no expiry — the
+    Mongo document shape, store.ts:58-62). Writes are tmp+rename so
+    concurrent writers from different tasks/processes are last-writer-wins
+    atomic, matching replaceOne(upsert) semantics."""
+
+    def __init__(self, root: str, namespace: str = "default"):
+        self._dir = os.path.join(root, _safe_name(namespace))
+        os.makedirs(self._dir, exist_ok=True)
+
+    def _path(self, key: str) -> str:
+        return os.path.join(
+            self._dir, hashlib.md5(key.encode()).hexdigest() + ".json"
+        )
+
+    def _read(self, key: str) -> dict | None:
+        try:
+            with open(self._path(key)) as f:
+                rec = json.load(f)
+        except (FileNotFoundError, ValueError):
+            return None
+        exp = rec.get("expire_at")
+        if exp is not None and exp < time.time():
+            self.delete(key)
+            return None
+        return rec
+
+    def get(self, key: str):
+        rec = self._read(key)
+        return None if rec is None else rec["value"]
+
+    def getWithTTL(self, key: str) -> dict | None:
+        rec = self._read(key)
+        if rec is None:
+            return None
+        exp = rec.get("expire_at")
+        ttl = -1 if exp is None else max(int(exp - time.time()), 0)
+        return {"value": rec["value"], "ttl": ttl}
+
+    def set(self, key: str, value: Any, opts: Any = None, *, ttl_days: float | None = None):
+        # ttl_days keeps the InMemoryTtlStore call shape working
+        if ttl_days is not None and opts is None:
+            opts = ttl_days * 86400
+        ttl = get_ttl_sec(opts)
+        rec = {
+            "key": key,
+            "value": value,
+            "expire_at": None if ttl < 0 else time.time() + ttl,
+        }
+        path = self._path(key)
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(rec, f, separators=(",", ":"))
+        os.replace(tmp, path)  # atomic last-writer-wins
+
+    def delete(self, key: str) -> None:
+        try:
+            os.remove(self._path(key))
+        except FileNotFoundError:
+            pass
+
+    # reference surface name (`del` is reserved in Python)
+    def ttl(self, key: str) -> int:
+        rec = self._read(key)
+        if rec is None:
+            return -2
+        exp = rec.get("expire_at")
+        return -1 if exp is None else max(int(exp - time.time()), 0)
+
+    def prune(self) -> int:
+        """Physically remove expired entries (the Mongo TTL-monitor /
+        Redis-EX role); returns the number pruned."""
+        removed = 0
+        now = time.time()
+        for name in os.listdir(self._dir):
+            if not name.endswith(".json"):
+                continue
+            path = os.path.join(self._dir, name)
+            try:
+                with open(path) as f:
+                    rec = json.load(f)
+            except (FileNotFoundError, ValueError):
+                continue
+            exp = rec.get("expire_at")
+            if exp is not None and exp < now:
+                try:
+                    os.remove(path)
+                    removed += 1
+                except FileNotFoundError:
+                    pass
+        return removed
+
+
+def _safe_name(name: str) -> str:
+    return re.sub(r"[^A-Za-z0-9_.-]", "_", name)
+
+
+def store_state_table(spark, root: str):
+    """The SURVEY §1.4 keyed state-table view of the store:
+    `(namespace, key, value, expire_at)` with expired keys filtered — for
+    audits, backfills, and compaction jobs. Values surface as JSON text
+    (they are arbitrary UDF payloads)."""
+    import pyspark.sql.functions as F
+
+    schema = "namespace string, key string, value string, expire_at double"
+    has_files = any(
+        name.endswith(".json")
+        for ns in (os.listdir(root) if os.path.isdir(root) else [])
+        if os.path.isdir(os.path.join(root, ns))
+        for name in os.listdir(os.path.join(root, ns))
+    )
+    if not has_files:
+        return spark.createDataFrame([], schema)
+    raw = spark.read.text(os.path.join(root, "*", "*.json"))
+    return (
+        raw.select(
+            F.regexp_extract(
+                F.input_file_name(), r".*/([^/]+)/[^/]+\.json$", 1
+            ).alias("namespace"),
+            F.get_json_object("value", "$.key").alias("key"),
+            F.get_json_object("value", "$.value").alias("value"),
+            F.get_json_object("value", "$.expire_at")
+            .cast("double")
+            .alias("expire_at"),
+        )
+        .where(
+            F.col("expire_at").isNull()
+            | (F.col("expire_at") >= F.lit(time.time()))
+        )
+    )

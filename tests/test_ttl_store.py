@@ -1,0 +1,194 @@
+"""Durable TTL KV store (U1 depth) — `jitsu_spark/plans/store.py`.
+
+Semantics ported from `libs/core-functions/src/functions/lib/store.ts`:
+getTtlSec parsing (:10-26), Redis TTL return codes (-1 no expiry, -2
+missing), Mongo `(key, value, expireAt)` last-writer-wins documents
+(:58-62), and the in-memory reference double (`createMemoryStore`,
+:238-290). The cross-batch test is the engine's analogue of rotor's
+store surviving across events and instances.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+from jitsu_spark.plans.store import (
+    DEFAULT_TTL_SEC,
+    FileTtlStore,
+    get_ttl_sec,
+    store_state_table,
+)
+
+
+class TestGetTtlSec:
+    def test_default_31_days(self):
+        assert get_ttl_sec() == DEFAULT_TTL_SEC == 31 * 86400
+
+    def test_number_is_seconds(self):
+        assert get_ttl_sec(120) == 120
+        assert get_ttl_sec(0.5) == 1  # Math.ceil
+
+    def test_duration_strings(self):
+        assert get_ttl_sec("1h") == 3600
+        assert get_ttl_sec("2d") == 2 * 86400
+        assert get_ttl_sec("90s") == 90
+        assert get_ttl_sec("1h 30m") == 5400
+
+    def test_inf_means_no_expiry(self):
+        assert get_ttl_sec("inf") == -1
+        assert get_ttl_sec("INF") == -1
+
+    def test_dict_opts(self):
+        assert get_ttl_sec({"ttl": "1h"}) == 3600
+        assert get_ttl_sec({}) == DEFAULT_TTL_SEC
+
+    def test_capped_at_redis_max(self):
+        assert get_ttl_sec(10**12) == 2147483647
+
+
+class TestFileTtlStore:
+    def test_get_set_delete_roundtrip(self, tmp_path):
+        s = FileTtlStore(str(tmp_path), "conn1")
+        assert s.get("k") is None
+        s.set("k", {"n": 1, "tags": ["a"]})
+        assert s.get("k") == {"n": 1, "tags": ["a"]}
+        s.delete("k")
+        assert s.get("k") is None
+
+    def test_ttl_codes(self, tmp_path):
+        s = FileTtlStore(str(tmp_path), "conn1")
+        assert s.ttl("missing") == -2
+        s.set("forever", 1, "inf")
+        assert s.ttl("forever") == -1
+        s.set("hour", 1, "1h")
+        assert 3590 < s.ttl("hour") <= 3600
+
+    def test_get_with_ttl(self, tmp_path):
+        s = FileTtlStore(str(tmp_path), "c")
+        assert s.getWithTTL("k") is None
+        s.set("k", "v", 60)
+        got = s.getWithTTL("k")
+        assert got["value"] == "v" and 0 <= got["ttl"] <= 60
+
+    def test_expiry_invisible_on_read(self, tmp_path):
+        s = FileTtlStore(str(tmp_path), "c")
+        s.set("k", "v", -0.5)  # already expired
+        assert s.get("k") is None
+        assert s.ttl("k") == -2
+
+    def test_negative_ttl_means_no_expiry(self, tmp_path):
+        # Redis semantics (store.ts:43-47): EX only when ttl >= 0
+        s = FileTtlStore(str(tmp_path), "c")
+        s.set("k", 1, -5)
+        assert s.ttl("k") == -1
+
+    def test_prune_removes_expired_only(self, tmp_path):
+        s = FileTtlStore(str(tmp_path), "c")
+        s.set("dead", 1, 0)  # expires immediately
+        s.set("alive", 2, "1h")
+        time.sleep(0.05)
+        assert s.prune() == 1
+        assert s.get("alive") == 2
+
+    def test_durable_across_instances(self, tmp_path):
+        FileTtlStore(str(tmp_path), "c").set("k", [1, 2, 3])
+        assert FileTtlStore(str(tmp_path), "c").get("k") == [1, 2, 3]
+
+    def test_namespaces_isolated(self, tmp_path):
+        a = FileTtlStore(str(tmp_path), "conn-a")
+        b = FileTtlStore(str(tmp_path), "conn-b")
+        a.set("k", "from-a")
+        assert b.get("k") is None
+
+    def test_last_writer_wins(self, tmp_path):
+        a = FileTtlStore(str(tmp_path), "c")
+        b = FileTtlStore(str(tmp_path), "c")
+        a.set("k", "first")
+        b.set("k", "second")
+        assert a.get("k") == "second"
+
+    def test_ttl_days_compat_kwarg(self, tmp_path):
+        s = FileTtlStore(str(tmp_path), "c")
+        s.set("k", "v", ttl_days=1)
+        assert 86000 < s.ttl("k") <= 86400
+
+
+class TestCrossBatchPersistence:
+    """The VERDICT's 'done' bar: set in micro-batch 1, get in micro-batch
+    2 from a different task, expiry honored — mirroring rotor's shared
+    Redis store across events and restarts."""
+
+    def test_state_flows_between_batches(self, spark, tmp_path):
+        from jitsu_spark.plans.chain import ConnectionConfig, compile_chain
+
+        store_root = str(tmp_path / "store")
+
+        def counter(ev, ctx):
+            seen = ctx.store.get("total") or 0
+            ctx.store.set("total", seen + 1)
+            return {**ev, "seen_before": seen}
+
+        cfg = ConnectionConfig(
+            connection_id="c1", functions=[counter], store_dir=store_root
+        )
+        chain = compile_chain(cfg)
+
+        def run_batch(events):
+            df = spark.createDataFrame(
+                [(json.dumps(e),) for e in events], "event string"
+            ).coalesce(1)
+            return [json.loads(r.event) for r in chain(df).collect()]
+
+        out1 = run_batch([{"message_id": "m1", "type": "track"}])
+        # batch 2 is a fresh job — fresh Python workers, fresh store
+        # instances; only the store directory is shared
+        out2 = run_batch([{"message_id": "m2", "type": "track"}])
+        assert out1[0]["seen_before"] == 0
+        assert out2[0]["seen_before"] == 1
+
+    def test_expiry_honored_across_batches(self, spark, tmp_path):
+        from jitsu_spark.plans.chain import ConnectionConfig, compile_chain
+
+        store_root = str(tmp_path / "store")
+
+        def writer(ev, ctx):
+            ctx.store.set("blip", "here", 0.2)  # 1s after ceil
+            return ev
+
+        def reader(ev, ctx):
+            return {**ev, "blip": ctx.store.get("blip")}
+
+        df1 = spark.createDataFrame([(json.dumps({"a": 1}),)], "event string")
+        compile_chain(
+            ConnectionConfig(connection_id="c", functions=[writer], store_dir=store_root)
+        )(df1).collect()
+        time.sleep(1.5)
+        out = compile_chain(
+            ConnectionConfig(connection_id="c", functions=[reader], store_dir=store_root)
+        )(df1).collect()
+        assert json.loads(out[0].event)["blip"] is None
+
+
+def test_store_state_table_view(spark, tmp_path):
+    root = str(tmp_path / "store")
+    a = FileTtlStore(root, "conn-a")
+    a.set("k1", {"n": 1}, "1h")
+    a.set("k2", "plain", "inf")
+    a.set("gone", "x", 0)  # expires immediately
+    FileTtlStore(root, "conn-b").set("k1", [1, 2])
+
+    rows = store_state_table(spark, root).collect()
+    by = {(r.namespace, r.key): r for r in rows}
+    assert set(by) == {("conn-a", "k1"), ("conn-a", "k2"), ("conn-b", "k1")}
+    assert json.loads(by[("conn-a", "k1")].value) == {"n": 1}
+    assert by[("conn-a", "k2")].expire_at is None
+    assert json.loads(by[("conn-b", "k1")].value) == [1, 2]
+
+
+def test_store_state_table_empty(spark, tmp_path):
+    df = store_state_table(spark, str(tmp_path / "nothing"))
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == [
+        "namespace", "key", "value", "expire_at",
+    ]
