@@ -105,14 +105,24 @@ FROM ranked WHERE rn <= {TOP_K}
 """
 
 
-def _assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF assignment: each vector -> nearest centroid (by cosine)."""
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    centroids = emb.where(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+def _stride_centroids(emb: DataFrame) -> DataFrame:
+    """Deterministic stride-sampled centroids — the oracle-checked form
+    only (the SQL oracle can reproduce them). K = N/stride grows WITH the
+    corpus, so this is NOT the serving path; `build_ivf_store` trains a
+    fixed-K k-means|| codebook instead."""
+    return emb.where(F.col("vec_id") % CENTROID_STRIDE == 0).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("c_emb"),
         F.col("norm").alias("c_norm"),
     )
+
+
+def _assignments(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """IVF assignment: each vector -> nearest centroid (by cosine).
+
+    The centroid side is broadcast (size-gated): with a fixed-K codebook
+    the pass is one O(N*K) map over the corpus with an O(K) build side —
+    no shuffle of the corpus, K independent of N."""
     from pyspark.sql import Window
 
     scored = emb.join(maybe_broadcast(centroids)).withColumn(
@@ -125,6 +135,45 @@ def _assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("vec_id", "embedding", "norm", "centroid_id")
+    )
+
+
+def _probe_cells(queries: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Each query's NPROBE nearest centroids (broadcast centroid side)."""
+    from pyspark.sql import Window
+
+    qc = queries.join(maybe_broadcast(centroids)).withColumn(
+        "csim",
+        F.expr(DOT.format(a="c_emb", b="q_emb"))
+        / (F.col("c_norm") * F.col("q_norm")),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("csim"), F.asc("centroid_id")
+    )
+    return (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= NPROBE)
+        .select("query_id", "q_emb", "q_norm", "centroid_id")
+    )
+
+
+def _search_cells(cells: DataFrame, probe: DataFrame) -> DataFrame:
+    """Score a query against its probed cells, keep per-query top-k."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cells.join(probe, "centroid_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "sim",
+            F.expr(DOT.format(a="q_emb", b="embedding"))
+            / (F.col("q_norm") * F.col("norm")),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "sim")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"))
     )
 
 
@@ -160,47 +209,15 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness here means 'exactly the IVF-defined result', which the SQL
     oracle reproduces.
     """
-    assigned = _assignments(spark, sf_dir).cache()
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    centroids = emb.where(F.col("vec_id") % CENTROID_STRIDE == 0).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("norm").alias("c_norm"),
-    )
+    centroids = _stride_centroids(emb)
+    assigned = _assignments(emb, centroids).cache()
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("norm").alias("q_norm"),
     )
-    from pyspark.sql import Window
-
-    qc = queries.join(maybe_broadcast(centroids)).withColumn(
-        "csim",
-        F.expr(DOT.format(a="c_emb", b="q_emb"))
-        / (F.col("c_norm") * F.col("q_norm")),
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("centroid_id"))
-    probe = (
-        qc.withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= NPROBE)
-        .select("query_id", "q_emb", "q_norm", "centroid_id")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        assigned.join(probe, "centroid_id")
-        .where(F.col("vec_id") != F.col("query_id"))
-        .withColumn(
-            "sim",
-            F.expr(DOT.format(a="q_emb", b="embedding"))
-            / (F.col("q_norm") * F.col("norm")),
-        )
-        .select(
-            "query_id", F.col("vec_id").alias("neighbor_id"), "sim"
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= TOP_K)
-        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"))
-    )
+    return _search_cells(assigned, _probe_cells(queries, centroids))
 
 
 ANN_IVF_SQL = f"""
@@ -434,67 +451,69 @@ FROM pred p JOIN embeddings e ON e.vec_id = p.query_id
 
 
 # ---------------------------------------------------------------------------
-# Stored IVF index: the serving path at scale. The assignment pass writes
-# the corpus partitioned by cell; the probe join is on the partition
-# column, so dynamic partition pruning restricts the scan to the probed
-# cells — at 100 TB a query touches nprobe/K of the files instead of all
-# of them. (The registry `ann_ivf_topk` is the self-contained query form;
-# this is the build-once/probe-many form, plan-audited in tests.)
+# Stored IVF index: the serving path at scale. The codebook is a FIXED-K
+# k-means|| model (K independent of corpus size — the round-2 stride
+# centroids made K = N/40, turning assignment into O(N^2/40) with a
+# corpus-sized "broadcast" side). Assignment is one O(N*K) broadcast map;
+# the cells write partitioned by centroid_id; the probe join is on the
+# partition column, so dynamic partition pruning restricts the scan to the
+# probed cells — at 100 TB a query touches nprobe/K of the files instead
+# of all of them. The codebook persists beside the cells so probes always
+# use the exact centroids the index was built with. (The registry
+# `ann_ivf_topk` keeps the deterministic stride centroids solely because
+# the SQL oracle must reproduce them; it is the correctness form, not the
+# serving form.)
 # ---------------------------------------------------------------------------
 
+DEFAULT_IVF_K = 16  # serving-path cell count; scale ~sqrt(N) by CONFIG, not data
 
-def build_ivf_store(spark: SparkSession, sf_dir: str, store_dir: str) -> None:
-    """Materialize the IVF index: one directory partition per cell."""
-    _assignments(spark, sf_dir).write.mode("overwrite").partitionBy(
+
+def _cells_dir(store_dir: str) -> str:
+    return store_dir.rstrip("/") + "/cells"
+
+
+def _codebook_dir(store_dir: str) -> str:
+    return store_dir.rstrip("/") + "/codebook"
+
+
+def _load_codebook(spark: SparkSession, store_dir: str) -> DataFrame:
+    cb = spark.read.parquet(_codebook_dir(store_dir))
+    return cb.withColumn(
+        "c_norm", F.expr(f"sqrt({DOT.format(a='c_emb', b='c_emb')})")
+    )
+
+
+def build_ivf_store(
+    spark: SparkSession, sf_dir: str, store_dir: str, k: int = DEFAULT_IVF_K
+) -> None:
+    """Materialize the IVF index: fixed-K k-means|| codebook + one
+    directory partition per cell."""
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    kmeans_centroids(emb, k=k).write.mode("overwrite").parquet(
+        _codebook_dir(store_dir)
+    )
+    centroids = _load_codebook(spark, store_dir)
+    _assignments(emb, centroids).write.mode("overwrite").partitionBy(
         "centroid_id"
-    ).parquet(store_dir)
+    ).parquet(_cells_dir(store_dir))
 
 
 def ann_ivf_topk_stored(
     spark: SparkSession, sf_dir: str, store_dir: str
 ) -> DataFrame:
     """Probe the stored index: same IVF semantics as `ann_ivf_topk`, but
-    the data side is the cell-partitioned store and the probe list reaches
-    the scan as a partition filter (dynamic partition pruning)."""
-    from pyspark.sql import Window
-
+    the codebook comes from the store (fixed K), the data side is the
+    cell-partitioned store, and the probe list reaches the scan as a
+    partition filter (dynamic partition pruning)."""
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    centroids = emb.where(F.col("vec_id") % CENTROID_STRIDE == 0).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("norm").alias("c_norm"),
-    )
+    centroids = _load_codebook(spark, store_dir)
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("norm").alias("q_norm"),
     )
-    qc = queries.join(maybe_broadcast(centroids)).withColumn(
-        "csim",
-        F.expr(DOT.format(a="c_emb", b="q_emb"))
-        / (F.col("c_norm") * F.col("q_norm")),
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("centroid_id"))
-    probe = (
-        qc.withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= NPROBE)
-        .select("query_id", "q_emb", "q_norm", "centroid_id")
-    )
-    store = spark.read.parquet(store_dir)
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        store.join(probe, "centroid_id")
-        .where(F.col("vec_id") != F.col("query_id"))
-        .withColumn(
-            "sim",
-            F.expr(DOT.format(a="q_emb", b="embedding"))
-            / (F.col("q_norm") * F.col("norm")),
-        )
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), "sim")
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= TOP_K)
-        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"))
-    )
+    cells = spark.read.parquet(_cells_dir(store_dir))
+    return _search_cells(cells, _probe_cells(queries, centroids))
 
 
 QUERIES = {

@@ -85,24 +85,46 @@ def test_kmeans_centroids_beat_stride_sampling(spark, sf_dir):
 
 
 class TestStoredIvf:
-    def test_stored_probe_matches_query_form_and_prunes(self, spark, sf_dir, tmp_path):
+    def test_stored_probe_consistent_and_prunes(self, spark, sf_dir, tmp_path):
+        """Serving-path contract: fixed-K codebook persisted with the
+        cells; probing the store reproduces exactly what searching the
+        same cells in-memory with the same codebook yields; the probe
+        list reaches the store scan as a dynamic partition filter."""
+        from pyspark.sql import functions as F
+
         from jitsu_spark.operators.similarity import (
-            ann_ivf_topk,
+            N_QUERIES,
+            _load_codebook,
+            _probe_cells,
+            _search_cells,
+            _with_norm,
             ann_ivf_topk_stored,
             build_ivf_store,
         )
+        from jitsu_spark.tables import load_table
 
         store = str(tmp_path / "ivf_store")
-        build_ivf_store(spark, sf_dir, store)
+        build_ivf_store(spark, sf_dir, store, k=8)
         stored = ann_ivf_topk_stored(spark, sf_dir, store)
-        expect = {
-            (r["query_id"], r["neighbor_id"], r["sim"])
-            for r in ann_ivf_topk(spark, sf_dir).collect()
-        }
         got = {
             (r["query_id"], r["neighbor_id"], r["sim"]) for r in stored.collect()
         }
-        assert got == expect
+
+        emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+        centroids = _load_codebook(spark, store)
+        queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm").alias("q_norm"),
+        )
+        cells = spark.read.parquet(store + "/cells")
+        expect = {
+            (r["query_id"], r["neighbor_id"], r["sim"])
+            for r in _search_cells(
+                cells, _probe_cells(queries, centroids)
+            ).collect()
+        }
+        assert got == expect and len(got) > 0
         # the probe list must reach the store scan as a partition filter
         plan = stored._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
@@ -113,3 +135,28 @@ class TestStoredIvf:
             l for l in plan.splitlines() if "PartitionFilters" in l
         ]
         assert any("dynamicpruning" in l for l in scan_lines), scan_lines
+
+    def test_codebook_is_fixed_k_independent_of_corpus(self, spark, sf_dir, tmp_path):
+        """The round-2 scale bug: stride centroids made K = N/40. The
+        serving codebook must be exactly the configured K no matter the
+        corpus size, and the assignment pass must broadcast the O(K)
+        centroid side (never shuffle the corpus against it)."""
+        from jitsu_spark.operators.similarity import (
+            _assignments,
+            _load_codebook,
+            _with_norm,
+            build_ivf_store,
+        )
+        from jitsu_spark.tables import load_table
+
+        store = str(tmp_path / "ivf_k")
+        build_ivf_store(spark, sf_dir, store, k=8)
+        assert spark.read.parquet(store + "/codebook").count() == 8
+
+        emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+        plan = _assignments(emb, _load_codebook(spark, store))._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
