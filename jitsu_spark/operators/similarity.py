@@ -250,7 +250,20 @@ FROM (
 """
 
 
-N_BLOCKS = 8  # block-pair grid; sized so two blocks fit one task's memory
+N_BLOCKS_MIN = 8  # grid floor so small corpora still fan out
+# Per-task memory bound: a packed block holds at most ~this many vectors
+# (expected; hash-balanced), so one GEMM task touches two blocks of
+# ~16 MB each at 256-d float64 regardless of corpus size. The round-2
+# compile-time N_BLOCKS=8 packed N/8 of the corpus into ONE row — a
+# multi-GB row past ~10M vectors.
+MAX_BLOCK_ROWS = 8192
+
+
+def _n_blocks(n_vectors: int) -> int:
+    """Blocks needed so expected rows-per-block <= MAX_BLOCK_ROWS."""
+    import math
+
+    return max(N_BLOCKS_MIN, math.ceil(n_vectors / MAX_BLOCK_ROWS))
 
 
 def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -258,16 +271,18 @@ def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Fully distributed two-stage plan — nothing is collected to the driver:
     1. Candidate generation as a *block-pair* matrix product. Vectors hash
-       into N_BLOCKS blocks; each block packs into one row (collect_list);
-       the tiny block-pair join (bi <= bj: N_BLOCKS*(N_BLOCKS+1)/2 rows)
-       fans the grid out across executors, and each task runs one
-       `A @ B.T` GEMM in numpy, keeping pairs above threshold - epsilon.
-       Every (a, b) pair lands in exactly one block pair, so coverage is
-       exhaustive; total work is the inherent O(N^2) of an exact all-pairs
-       scan, but memory per task is two blocks and N_BLOCKS scales the
-       grid out with the data. (For approximate near-dup at extreme scale,
-       swap the blocker for the IVF cells / LSH buckets in this module —
-       same shape, sub-quadratic candidates.)
+       into n_blocks = max(8, ceil(N / MAX_BLOCK_ROWS)) blocks — the
+       block count is derived from a corpus count so a packed block stays
+       a bounded ~MAX_BLOCK_ROWS vectors (~16 MB) at ANY corpus size;
+       each block packs into one row (collect_list); the block-pair join
+       (bi <= bj: n_blocks*(n_blocks+1)/2 rows) fans the grid out across
+       executors, and each task runs one `A @ B.T` GEMM in numpy, keeping
+       pairs above threshold - epsilon. Every (a, b) pair lands in exactly
+       one block pair, so coverage is exhaustive; total work is the
+       inherent O(N^2) of an exact all-pairs scan — the op's contract —
+       but per-task memory is two bounded blocks. (For approximate
+       near-dup at extreme scale, swap the blocker for the IVF cells /
+       LSH buckets in this module — same shape, sub-quadratic candidates.)
     2. Exact re-score of the (few) candidates with the same sequential
        aggregate expression the SQL oracle uses, so the emitted sims are
        bit-identical to a full brute-force pass — the epsilon margin only
@@ -282,9 +297,10 @@ def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
     eps = 1e-6
 
+    n_blocks = _n_blocks(emb.count())
     packed = (
         emb.select(
-            F.pmod(F.hash("vec_id"), F.lit(N_BLOCKS)).alias("blk"),
+            F.pmod(F.hash("vec_id"), F.lit(n_blocks)).alias("blk"),
             "vec_id",
             "embedding",
         )
@@ -298,7 +314,7 @@ def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("blk").alias("blk_b"), F.col("vecs").alias("vecs_b")
     )
     tasks = pa.join(pb, F.col("blk_a") <= F.col("blk_b")).repartition(
-        N_BLOCKS * (N_BLOCKS + 1) // 2
+        min(n_blocks * (n_blocks + 1) // 2, 4096)
     )
 
     def gemm_pairs(batches):

@@ -84,6 +84,49 @@ def test_kmeans_centroids_beat_stride_sampling(spark, sf_dir):
     assert mean_sq_dist(refined) <= mean_sq_dist(stride) * 1.001
 
 
+class TestBlockGridBound:
+    """embedding_cosine_dups per-task memory: the block count must grow
+    with the corpus so a packed block never exceeds MAX_BLOCK_ROWS
+    (expected) vectors — at any N."""
+
+    def test_n_blocks_bounds_rows_per_block(self):
+        from jitsu_spark.operators.similarity import (
+            MAX_BLOCK_ROWS,
+            N_BLOCKS_MIN,
+            _n_blocks,
+        )
+
+        for n in (0, 1, 1000, MAX_BLOCK_ROWS, 10**6, 10**8, 10**10):
+            blocks = _n_blocks(n)
+            assert blocks >= N_BLOCKS_MIN
+            # expected rows per block bounded at any corpus size
+            assert n / blocks <= MAX_BLOCK_ROWS
+
+    def test_n_blocks_monotonic(self):
+        from jitsu_spark.operators.similarity import _n_blocks
+
+        sizes = [10**k for k in range(3, 11)]
+        got = [_n_blocks(n) for n in sizes]
+        assert got == sorted(got)
+
+    def test_packed_blocks_respect_bound_on_data(self, spark, sf_dir, monkeypatch):
+        """With the bound forced tiny, the actual packed rows stay near it
+        and results are unchanged (coverage is partition-independent)."""
+        import jitsu_spark.operators.similarity as sim
+
+        base = {
+            (r.vec_a, r.vec_b, r.sim)
+            for r in sim.embedding_cosine_dups(spark, sf_dir).collect()
+        }
+        monkeypatch.setattr(sim, "MAX_BLOCK_ROWS", 50)
+        monkeypatch.setattr(sim, "N_BLOCKS_MIN", 8)
+        small = {
+            (r.vec_a, r.vec_b, r.sim)
+            for r in sim.embedding_cosine_dups(spark, sf_dir).collect()
+        }
+        assert small == base
+
+
 class TestStoredIvf:
     def test_stored_probe_consistent_and_prunes(self, spark, sf_dir, tmp_path):
         """Serving-path contract: fixed-K codebook persisted with the
