@@ -420,14 +420,43 @@ FROM labeled JOIN sizes USING (cluster_id)
 """
 
 
+# Sampled-truth contract for the recall report: computing exact Jaccard
+# ground truth over the FULL corpus is O(N^2)-ish and impossible at
+# 100 TB. Above TRUTH_FULL_MAX_DOCS documents, truth is computed only
+# over a deterministic md5-bucket sample of docs
+# (TRUTH_SAMPLE_PER_MILLE/1000), and candidates are restricted to pairs
+# with BOTH ends in the sample. Pair Jaccard depends only on the two
+# docs, so the sampled estimate is unbiased for recall/precision; below
+# the threshold the report is exact and the SQL oracle reproduces it.
+TRUTH_FULL_MAX_DOCS = 100_000
+TRUTH_SAMPLE_PER_MILLE = 100  # 10% of docs -> ~1% of pairs
+
+
 def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Evaluation of the LSH candidate generator against exact Jaccard
     ground truth: recall (true pairs surfaced) and candidate precision
     (candidates that verify). The one-row report a pipeline owner watches
-    when tuning BANDS/ROWS_PER_BAND. Both inputs are the existing
-    operators; the intersection is a join on the (doc_a, doc_b) key."""
-    truth = ngram_jaccard_dups(spark, sf_dir).select("doc_a", "doc_b")
+    when tuning BANDS/ROWS_PER_BAND. Truth is exact below
+    TRUTH_FULL_MAX_DOCS documents and estimated on a deterministic
+    md5-bucket doc sample above it (see the contract note above); the
+    oracle covers the exact regime."""
+    from .sampling import _bucket
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
     cand = minhash_lsh_pairs(spark, sf_dir)
+    if n_docs <= TRUTH_FULL_MAX_DOCS:
+        truth = ngram_jaccard_dups(spark, sf_dir).select("doc_a", "doc_b")
+    else:
+        in_sample = lambda c: _bucket(c) < TRUTH_SAMPLE_PER_MILLE  # noqa: E731
+        sampled_shingles = _shingle_rows(spark, sf_dir).where(
+            in_sample(F.col("doc_id"))
+        )
+        truth = jaccard_pairs_from_shingles(sampled_shingles).select(
+            "doc_a", "doc_b"
+        )
+        cand = cand.where(
+            in_sample(F.col("doc_a")) & in_sample(F.col("doc_b"))
+        )
     hits = truth.join(cand, ["doc_a", "doc_b"])
     return (
         truth.agg(F.count(F.lit(1)).alias("n_true"))
@@ -437,8 +466,8 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_true",
             "n_candidates",
             "n_hits",
-            "round(n_hits / n_true, 4) AS recall",
-            "round(n_hits / n_candidates, 4) AS precision",
+            "round(try_divide(n_hits, n_true), 4) AS recall",
+            "round(try_divide(n_hits, n_candidates), 4) AS precision",
         )
     )
 

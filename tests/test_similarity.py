@@ -36,6 +36,37 @@ def test_lsh_recall_vs_jaccard(spark, sf_dir):
         assert recall >= 0.8, f"LSH recall {recall:.2f} too low"
 
 
+def test_lsh_recall_report_sampled_truth(spark, sf_dir, monkeypatch):
+    """Above the size threshold the report's ground truth runs on a
+    deterministic md5-bucket doc sample with candidates restricted to
+    sampled pairs — the sampled report must equal the full report
+    recomputed over exactly those sampled docs."""
+    from pyspark.sql import functions as F
+
+    import jitsu_spark.operators.dedup as dd
+    from jitsu_spark.operators.sampling import _bucket
+
+    monkeypatch.setattr(dd, "TRUTH_FULL_MAX_DOCS", 0)  # force sampled path
+    got = dd.lsh_recall_report(spark, sf_dir).collect()[0]
+
+    in_sample = lambda c: _bucket(c) < dd.TRUTH_SAMPLE_PER_MILLE  # noqa: E731
+    truth = (
+        dd.ngram_jaccard_dups(spark, sf_dir)
+        .where(in_sample(F.col("doc_a")) & in_sample(F.col("doc_b")))
+        .select("doc_a", "doc_b")
+    )
+    cand = dd.minhash_lsh_pairs(spark, sf_dir).where(
+        in_sample(F.col("doc_a")) & in_sample(F.col("doc_b"))
+    )
+    n_true = truth.count()
+    n_cand = cand.count()
+    n_hits = truth.join(cand, ["doc_a", "doc_b"]).count()
+    assert (got.n_true, got.n_candidates, got.n_hits) == (n_true, n_cand, n_hits)
+    # estimates live in [0, 1] (null only if the sample has no true pairs)
+    if n_true:
+        assert 0.0 <= got.recall <= 1.0
+
+
 def test_knn_self_exclusion(spark, sf_dir):
     from jitsu_spark.operators.similarity import cosine_topk_bruteforce
 
