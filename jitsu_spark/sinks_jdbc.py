@@ -87,15 +87,33 @@ class JdbcWarehouseSink:
             conn.close()
 
     def exists(self, table: str) -> bool:
+        """Case-insensitive existence probe. Databases fold unquoted
+        identifiers differently (Derby/Oracle UPPER, postgres/mysql
+        lower); probing only one case reports existing tables as missing
+        on the other family — and a false negative here would route
+        upsert() through CREATE/overwrite, silently dropping data. Probe
+        the dialect's stored case first (DatabaseMetaData.storesUpper/
+        LowerCaseIdentifiers), then both spellings."""
+        name = _check_ident(table)
         conn = self._connection()
         try:
-            rs = conn.getMetaData().getTables(
-                None, None, _check_ident(table).upper(), None
-            )
+            md = conn.getMetaData()
+            candidates = []
             try:
-                return rs.next()
-            finally:
-                rs.close()
+                if md.storesUpperCaseIdentifiers():
+                    candidates.append(name.upper())
+                if md.storesLowerCaseIdentifiers():
+                    candidates.append(name.lower())
+            except Exception:
+                pass  # driver without metadata support: fall through
+            for cand in [*candidates, name.upper(), name.lower(), name]:
+                rs = md.getTables(None, None, cand, None)
+                try:
+                    if rs.next():
+                        return True
+                finally:
+                    rs.close()
+            return False
         finally:
             conn.close()
 

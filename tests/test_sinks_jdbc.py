@@ -48,6 +48,22 @@ def test_upsert_creates_then_merges_newer_wins(spark, sink):
     assert len(got) == 3  # no duplicate keys after redelivery
 
 
+def test_exists_is_case_insensitive_no_overwrite_on_refold(spark, sink):
+    """ADVICE r2: a case-folding mismatch in exists() made upsert()
+    CREATE/overwrite an existing table — data loss. Derby stores
+    identifiers upper-case; existence must hold for any asked case, and a
+    re-upsert under a different spelling must MERGE, not recreate."""
+    sink.upsert(_df(spark, [("m1", T0, "a")]), "case_j")
+    assert sink.exists("case_j")
+    assert sink.exists("CASE_J")
+    assert sink.exists("Case_J")
+    assert not sink.exists("case_j_missing")
+    # different spelling of the same table must keep m1 (MERGE, not create)
+    sink.upsert(_df(spark, [("m2", T0, "b")]), "CASE_J")
+    got = {r.message_id for r in sink.read("case_j").collect()}
+    assert got == {"m1", "m2"}
+
+
 def test_upsert_dedups_within_batch(spark, sink):
     sink.upsert(
         _df(spark, [("m1", T0, "old"), ("m1", T1, "new")]), "dedup_j"
