@@ -44,30 +44,40 @@ def asof_backward(
     `state` must be unique per (keys, ts) — pre-aggregate upstream if not.
     Output = probe columns + `<col>_asof` for each state col.
     """
+    from pyspark.sql.types import StructField, StructType
+
     state_cols = state_cols or [
         c for c in state.columns if c not in keys and c != ts
     ]
+    probe_cols = [c for c in probe.columns if c not in keys and c != ts]
+    # The state row is carried as ONE struct so the newest state row wins
+    # atomically — carrying columns independently with last(ignorenulls)
+    # would back-fill a legitimately-NULL column of the newest state row
+    # from an older row, mixing columns of different state rows (diverges
+    # from ASOF JOIN semantics for nullable state columns).
+    state_struct_type = StructType(
+        [StructField("__ts", state.schema[ts].dataType)]
+        + [StructField(c, state.schema[c].dataType) for c in state_cols]
+    )
     s_tag = state.select(
         *keys,
         F.col(ts).alias("_ts"),
         F.lit(0).alias("_kind"),
-        *[F.col(c).alias(f"{c}_asof") for c in state_cols],
+        F.struct(
+            F.col(ts).alias("__ts"), *[F.col(c) for c in state_cols]
+        ).alias("_state"),
         *[
             F.lit(None).cast(probe.schema[c].dataType).alias(c)
-            for c in probe.columns
-            if c not in keys and c != ts
+            for c in probe_cols
         ],
-    ).withColumn("_state_ts", F.col("_ts"))
+    )
     p_tag = probe.select(
         *keys,
         F.col(ts).alias("_ts"),
         F.lit(1).alias("_kind"),
-        *[
-            F.lit(None).cast(state.schema[c].dataType).alias(f"{c}_asof")
-            for c in state_cols
-        ],
-        *[F.col(c) for c in probe.columns if c not in keys and c != ts],
-    ).withColumn("_state_ts", F.lit(None).cast(state.schema[ts].dataType))
+        F.lit(None).cast(state_struct_type).alias("_state"),
+        *[F.col(c) for c in probe_cols],
+    )
 
     # state sorts before probes at equal ts (_kind 0 < 1) -> ">=" semantics
     w = (
@@ -75,24 +85,19 @@ def asof_backward(
         .orderBy("_ts", "_kind")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-
-    def carry(c: Column) -> Column:
-        return F.last(c, ignorenulls=True).over(w)
-
     filled = s_tag.unionByName(p_tag).select(
         *keys,
         "_ts",
         "_kind",
-        carry(F.col("_state_ts")).alias(f"{ts}_asof"),
-        *[carry(F.col(f"{c}_asof")).alias(f"{c}_asof") for c in state_cols],
-        *[c for c in probe.columns if c not in keys and c != ts],
+        F.last("_state", ignorenulls=True).over(w).alias("_st"),
+        *probe_cols,
     )
     return filled.where(F.col("_kind") == 1).select(
         *keys,
         F.col("_ts").alias(ts),
-        *[c for c in probe.columns if c not in keys and c != ts],
-        f"{ts}_asof",
-        *[f"{c}_asof" for c in state_cols],
+        *probe_cols,
+        F.col("_st.__ts").alias(f"{ts}_asof"),
+        *[F.col(f"_st.{c}").alias(f"{c}_asof") for c in state_cols],
     )
 
 

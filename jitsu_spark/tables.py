@@ -31,22 +31,30 @@ EVENTS_TS_US_SQL = "make_timestamp(epoch_ns(ts) // 1000)"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); Spark has no ns timestamp
-        # type, so read it as a long and truncate to microseconds. Oracle SQL
-        # must mirror this with EVENTS_TS_US_SQL when ts appears raw in the
-        # output (date_trunc'd outputs are unaffected).
+        # Depending on the testdata generation, events.ts arrives as
+        # parquet TIMESTAMP(NANOS) (round-2 data; Spark has no ns type, so
+        # read as long and truncate to us) or TIMESTAMP(MICROS) NTZ
+        # (round-3 data). Either way normalize below so downstream
+        # operators see one type. Oracle SQL mirrors the ns truncation
+        # with EVENTS_TS_US_SQL when ts appears raw in the output (a
+        # no-op identity on us-precision data).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        from pyspark.sql import functions as F
-
-        # Only the driver's testdata carries TIMESTAMP(NANOS) (surfacing as
-        # bigint under nanosAsLong); synthetic fixtures written by tests use
-        # plain timestamps and need no truncation.
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Normalize TIMESTAMP_NTZ columns to TIMESTAMP: the operator layer is
+    # written against the classic type (unix_micros & co. reject NTZ), and
+    # the NTZ -> LTZ cast + collect round-trips the same wall-clock values
+    # under any session timezone, matching the naive DuckDB oracle.
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

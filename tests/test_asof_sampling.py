@@ -65,6 +65,29 @@ class TestAsofBackward:
             200: (None, None),
         }
 
+    def test_newest_state_row_wins_atomically(self, spark):
+        """ADVICE r2: state columns must come from ONE state row. If the
+        newest prior state row has a legitimate NULL in one column, that
+        NULL must survive — not be back-filled from an older state row."""
+        from jitsu_spark.operators.asof import asof_backward
+
+        probe = spark.createDataFrame(
+            [(1, _ts("2024-01-10"), 100)],
+            "user_id long, ts timestamp, event_id long",
+        )
+        state = spark.createDataFrame(
+            [
+                (1, _ts("2024-01-01"), "campaign_a", "ref_a"),
+                (1, _ts("2024-01-05"), None, "ref_b"),  # newest: NULL campaign
+            ],
+            "user_id long, ts timestamp, campaign string, referrer string",
+        )
+        out = asof_backward(probe, state, keys=["user_id"], ts="ts").collect()
+        (r,) = out
+        assert r.ts_asof == _ts("2024-01-05")
+        assert r.referrer_asof == "ref_b"
+        assert r.campaign_asof is None  # NOT "campaign_a"
+
     def test_single_shuffle(self, spark, sf_dir):
         """The as-of core is union+window: NO join operator, and only the
         window shuffle plus the signup-dedup pre-aggregate shuffle — never
