@@ -365,8 +365,15 @@ class ConnectionConfig:
     layout: str = "segment-single-table"
     keep_original_names: bool = False
     function_timeout_sec: float | None = UDF_TIMEOUT_SEC  # U2 guard
-    # opt-in allocation budget (tracemalloc; see FunctionMemoryError)
+    # allocation budget (tracemalloc; see FunctionMemoryError). None +
+    # untrusted=True -> the reference's 128 MB isolate limit applies by
+    # default; None + trusted -> off (hot-path speed). Explicit values win.
     function_memory_mb: float | None = None
+    # U2: mark chains carrying user-supplied code not vetted by the
+    # operator. Untrusted chains run with the allocation budget ON by
+    # default (udf_wrapper.ts:58 caps the isolate at 128 MB; exceeding it
+    # kills the call, records the error, and the batch completes).
+    untrusted: bool = False
     # ctx.fetch wiring: injectable transport (tests / per-destination HTTP
     # stacks) and the per-call timeout (FETCH_TIMEOUT_MS)
     fetch_transport: FetchTransport = _urllib_fetch_transport
@@ -478,6 +485,8 @@ def compile_chain(
     props = config.function_props
     timeout_sec = config.function_timeout_sec
     memory_mb = config.function_memory_mb
+    if memory_mb is None and config.untrusted:
+        memory_mb = UDF_MEMORY_MB  # default-on for untrusted chains
 
     fetch_transport = config.fetch_transport
     fetch_timeout_sec = config.fetch_timeout_sec

@@ -295,3 +295,52 @@ class TestMemoryGuard:
 
         out, err = run_user_chain({"id": 1}, [hog], FunctionContext())
         assert err is None and out[0]["n"] == 3_000_000
+
+    def test_untrusted_chain_defaults_budget_on(self, spark):
+        """U2 default-on: an allocation-bomb UDF in an untrusted chain is
+        killed (128 MB, udf_wrapper.ts:58), the error surfaces as an
+        events-log row, and the batch still completes — kill-don't-crash,
+        same contract as the 5 s wall-clock guard."""
+        import json
+
+        def bomb(e, ctx):
+            big = list(range(30_000_000))  # ~1+ GB of ints
+            return {**e, "n": len(big)}
+
+        def tail(e, ctx):
+            return {**e, "tail": True}
+
+        events = [{"message_id": "m1"}, {"message_id": "m2"}]
+        df = spark.createDataFrame(
+            [(json.dumps(e),) for e in events], "event string"
+        )
+        cfg = ConnectionConfig(
+            connection_id="c",
+            functions=[bomb, tail],
+            untrusted=True,
+            function_timeout_sec=None,  # isolate the allocation budget
+        )
+        rows = compile_chain(cfg)(df).collect()
+        out = {json.loads(r.event)["message_id"]: r for r in rows}
+        # batch completed: both events delivered, bomb acted as identity,
+        # the rest of the chain still ran
+        assert set(out) == {"m1", "m2"}
+        for r in rows:
+            ev = json.loads(r.event)
+            assert "n" not in ev and ev["tail"] is True
+            assert "FunctionMemoryError" in r._error
+
+    def test_trusted_chain_budget_stays_off(self, spark):
+        import json
+
+        def hog(e, ctx):
+            big = list(range(3_000_000))
+            return {**e, "n": len(big)}
+
+        df = spark.createDataFrame(
+            [(json.dumps({"message_id": "m1"}),)], "event string"
+        )
+        cfg = ConnectionConfig(connection_id="c", functions=[hog])
+        (row,) = compile_chain(cfg)(df).collect()
+        assert row._error is None
+        assert json.loads(row.event)["n"] == 3_000_000
