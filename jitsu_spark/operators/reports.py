@@ -120,21 +120,43 @@ ANOMALY_Z = 3.0
 
 
 def score_minute_series(per_min: DataFrame) -> DataFrame:
-    """Z-score a (minute, n_events) series against its trailing baseline.
-    Shared by the batch query below and the streaming rollup's foreachBatch
-    scorer (the alerting pass over each micro-batch's merged rollup)."""
-    w = (
-        f"OVER (ORDER BY minute ROWS BETWEEN {ANOMALY_TRAIL_MIN} PRECEDING"
-        " AND 1 PRECEDING)"
+    """Z-score a (minute, n_events) series against its trailing baseline
+    (the last ANOMALY_TRAIL_MIN wall-clock minutes, current minute
+    excluded). Shared by the batch query below and the streaming rollup's
+    foreachBatch scorer (the alerting pass over each micro-batch's merged
+    rollup).
+
+    Scale: the window is day-partitioned so a multi-year series scores in
+    parallel instead of one global-sort task. Each day additionally sees
+    the previous day's last ANOMALY_TRAIL_MIN minutes as context-only
+    rows (replicated, never emitted), which makes the day-partitioned
+    RANGE frame bitwise-equal to the global unpartitioned window — the
+    tail rows are exactly the rows a frame crossing midnight can reach."""
+    trail = f"INTERVAL {ANOMALY_TRAIL_MIN} MINUTES"
+    base = per_min.selectExpr(
+        "minute", "n_events", "date_trunc('DAY', minute) AS _day",
+        "false AS _ctx",
     )
-    scored = per_min.selectExpr(
+    context = per_min.selectExpr(
+        "minute", "n_events",
+        "date_trunc('DAY', minute) + INTERVAL 1 DAY AS _day",
+        "true AS _ctx",
+    ).where(
+        F.expr(f"minute >= date_trunc('DAY', minute) + INTERVAL 1 DAY - {trail}")
+    )
+    w = (
+        f"OVER (PARTITION BY _day ORDER BY minute RANGE BETWEEN {trail}"
+        " PRECEDING AND INTERVAL 1 MINUTE PRECEDING)"
+    )
+    scored = base.unionByName(context).selectExpr(
         "minute",
         "n_events",
+        "_ctx",
         f"avg(n_events) {w} AS baseline",
         f"stddev_samp(n_events) {w} AS sd",
     )
     return scored.where(
-        F.col("sd").isNotNull() & (F.col("sd") > 0)
+        (~F.col("_ctx")) & F.col("sd").isNotNull() & (F.col("sd") > 0)
     ).selectExpr(
         "minute",
         "n_events",
@@ -145,11 +167,12 @@ def score_minute_series(per_min: DataFrame) -> DataFrame:
 
 
 def metrics_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-minute event-count z-scores against a trailing 30-minute
-    baseline. Emits minutes with a defined baseline (>= 2 trailing points);
+    """Per-minute event-count z-scores against the trailing 30 wall-clock
+    minutes. Emits minutes with a defined baseline (>= 2 trailing points);
     |z| > 3 flags the spike/dip. The window runs over the ALREADY
-    aggregated minute series (one row per minute), so the trailing scan is
-    negligible at any corpus size."""
+    aggregated minute series (one row per minute) and is day-partitioned
+    with an overlap tail (see score_minute_series), so multi-year
+    backfills parallelize instead of serializing into one sort task."""
     ev = load_table(spark, sf_dir, "events")
     per_min = ev.groupBy(F.date_trunc("minute", "ts").alias("minute")).agg(
         F.count(F.lit(1)).alias("n_events")
@@ -166,8 +189,11 @@ WITH per_min AS (
          avg(n_events) OVER w AS baseline,
          stddev_samp(n_events) OVER w AS sd
   FROM per_min
-  WINDOW w AS (ORDER BY minute ROWS BETWEEN {ANOMALY_TRAIL_MIN} PRECEDING
-               AND 1 PRECEDING)
+  -- global time-based frame: the Spark side's day-partitioned window
+  -- with the overlap tail is exactly equivalent
+  WINDOW w AS (ORDER BY minute
+               RANGE BETWEEN INTERVAL {ANOMALY_TRAIL_MIN} MINUTE PRECEDING
+               AND INTERVAL 1 MINUTE PRECEDING)
 )
 SELECT minute, n_events,
        round(baseline, 4) AS baseline,

@@ -106,6 +106,71 @@ class TestAnomaly:
         assert not any(quiet_flags)
 
 
+    def test_day_partitioned_window_matches_global_at_midnight(self, spark, tmp_path):
+        """The scorer's day partitions + overlap tail must be equivalent
+        to one global trailing window, including frames that cross
+        midnight; the plan must show a PARTITION BY (no single-task
+        global sort)."""
+        rows, eid = [], 0
+        # 23:35-23:59 of day 1 then 00:00-00:30 of day 2, varying counts
+        for m in range(35, 60):
+            for _ in range(1 + m % 3):
+                eid += 1
+                rows.append((eid, f"2024-01-01T23:{m:02d}:10", 1, "click"))
+        for m in range(0, 31):
+            for _ in range(1 + m % 4):
+                eid += 1
+                rows.append((eid, f"2024-01-02T00:{m:02d}:10", 1, "click"))
+        sf = _write_events(spark, tmp_path, rows)
+        from pyspark.sql import functions as F
+
+        from jitsu_spark.operators.reports import (
+            ANOMALY_TRAIL_MIN,
+            ANOMALY_Z,
+            metrics_anomaly,
+        )
+        from jitsu_spark.tables import load_table
+
+        got = {
+            str(r["minute"]): (r["baseline"], r["z"], r["is_anomaly"])
+            for r in metrics_anomaly(spark, sf).collect()
+        }
+        # reference: one global unpartitioned time-range window
+        ev = load_table(spark, sf, "events")
+        per_min = ev.groupBy(F.date_trunc("minute", "ts").alias("minute")).agg(
+            F.count(F.lit(1)).alias("n_events")
+        )
+        w = (
+            f"OVER (ORDER BY minute RANGE BETWEEN INTERVAL"
+            f" {ANOMALY_TRAIL_MIN} MINUTES PRECEDING AND INTERVAL 1 MINUTE"
+            " PRECEDING)"
+        )
+        expect = {
+            str(r["minute"]): (r["baseline"], r["z"], r["is_anomaly"])
+            for r in per_min.selectExpr(
+                "minute", "n_events",
+                f"avg(n_events) {w} AS b", f"stddev_samp(n_events) {w} AS sd",
+            )
+            .where(F.col("sd").isNotNull() & (F.col("sd") > 0))
+            .selectExpr(
+                "minute",
+                "round(b, 4) AS baseline",
+                "round((n_events - b) / sd, 4) AS z",
+                f"abs((n_events - b) / sd) > {ANOMALY_Z} AS is_anomaly",
+            )
+            .collect()
+        }
+        assert got == expect
+        # early day-2 minutes (frame crosses midnight) are present
+        assert "2024-01-02 00:05:00" in got
+        plan = metrics_anomaly(spark, sf)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "Window" in plan and "_day" in plan  # partitioned window
+
+
 class TestSeriesCorrelation:
     def test_perfectly_correlated_series(self, spark, tmp_path):
         rows = []
