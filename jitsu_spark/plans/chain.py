@@ -124,8 +124,43 @@ def _call_with_timeout(fn, ev, ctx, timeout_sec):
         signal.signal(signal.SIGALRM, old)
 
 
+RETRY_ERROR_NAME = "RetryError"  # functions.ts:2
+DROP_RETRY_ERROR_NAME = "Drop & RetryError"  # functions.ts:1
+
+
 class RetryError(Exception):
-    """Transient failure -> retry machinery (streaming.retries)."""
+    """Transient failure -> retry machinery (`libs/functions/src/lib/
+    functions.ts:4-28`). `drop=True` is the reference's
+    "Drop & RetryError": the event is dropped from THIS attempt (instead
+    of passing through) but still requeued for retry."""
+
+    def __init__(self, message: str = "", drop: bool = False):
+        super().__init__(message)
+        self.drop = drop
+        self.name = DROP_RETRY_ERROR_NAME if drop else RETRY_ERROR_NAME
+
+
+def is_retryable_error(err: str | None) -> bool:
+    """True when a chain `_error` string records a RetryError — the
+    stream layer requeues these through RetryStore with the chain's
+    function id (udf.PIPELINE), everything else only logs."""
+    return bool(err) and (
+        err.startswith(RETRY_ERROR_NAME) or err.startswith(DROP_RETRY_ERROR_NAME)
+    )
+
+
+def function_filter(error_function_id: str | None) -> str:
+    """Port of `functionFilter` (`services/rotor/src/lib/
+    message-handler.ts:44-52`): which chain stages a retried event
+    re-runs, keyed by the function that failed. UDF failures re-run the
+    whole user pipeline + destination; destination failures re-run the
+    destination only."""
+    fid = error_function_id or ""
+    if fid.startswith("udf."):
+        return "udf-n-dst"
+    if fid.startswith("builtin.destination."):
+        return "dst-only"
+    return "all"
 
 
 class InMemoryTtlStore:
@@ -274,6 +309,9 @@ class FunctionContext:
     store: Any = field(default_factory=InMemoryTtlStore)
     logs: list[str] = field(default_factory=list)
     crypto: CryptoHelpers = field(default_factory=CryptoHelpers)
+    # EventContext.retries (functions.d.ts:170-171): how many retry
+    # attempts preceded this run — reference UDFs branch on it
+    retries: int = 0
     fetch_transport: FetchTransport = _urllib_fetch_transport
     fetch_timeout_sec: float = DEFAULT_FETCH_TIMEOUT_SEC
     # captured request/response exchanges — the analogue of the reference's
@@ -415,9 +453,12 @@ def run_user_chain(
     udf-wrapper-code.ts:97) so a failed call's partial mutations don't
     leak. Mid-chain multiplication is likewise an in-chain error, not an
     abort (it's thrown and caught inside the same loop,
-    udf-wrapper-code.ts:99-110). RetryError raises through (the stream
-    layer owns retries). Each call runs under the U2 wall-clock guard;
-    pass `memory_mb` to also meter per-call Python allocations."""
+    udf-wrapper-code.ts:99-110). RetryError records like other errors —
+    the event still flows this attempt (dropped instead when drop=True,
+    the "Drop & RetryError" variant) and the recorded name marks the row
+    retryable for the stream layer (is_retryable_error). Each call runs
+    under the U2 wall-clock guard; pass `memory_mb` to also meter
+    per-call Python allocations."""
     import copy
 
     current: list[dict] = [event]
@@ -446,8 +487,15 @@ def run_user_chain(
                     )
             except DropError:
                 continue
-            except RetryError:
-                raise
+            except RetryError as ex:
+                # functions-chain.ts:326-329 + test expectations: the
+                # event continues this attempt (drop variant removes it),
+                # the recorded name marks the row for requeue
+                if first_err is None:
+                    first_err = f"{ex.name}: {ex}"
+                if not ex.drop:
+                    nxt.append(ev)
+                continue
             except Exception as ex:  # record + pass through (identity)
                 if first_err is None:
                     first_err = f"{type(ex).__name__}: {ex}"
@@ -472,6 +520,7 @@ def run_user_chain(
 def compile_chain(
     config: ConnectionConfig,
     store_factory: Callable[[], Any] | None = None,
+    retries: int = 0,
 ) -> Callable[[DataFrame], DataFrame]:
     """connection config -> one DataFrame->DataFrame stage over JSON events.
 
@@ -505,6 +554,7 @@ def compile_chain(
             store=store_factory(),
             fetch_transport=fetch_transport,
             fetch_timeout_sec=fetch_timeout_sec,
+            retries=retries,
         )
         for pdf in batches:
             out_events: list[str] = []
@@ -562,16 +612,19 @@ def chain_log_rows(processed: DataFrame) -> DataFrame:
 
 
 def compile_pipeline(
-    config: ConnectionConfig, stage: str = "full"
+    config: ConnectionConfig, stage: str = "full", retries: int = 0
 ) -> Callable[[DataFrame], DataFrame]:
     """Full per-connection pipeline: UDF chain + data layout, ready for
     the streaming spine's `transform` slot or batch execution. Output:
     (_table, event) rows (the destination stage's bulker contract).
 
-    `stage` implements P4 retry-stage filtering
-    (`services/rotor/src/lib/message-handler.ts:43-52`): a retried event
-    that already cleared its UDFs re-runs "dst-only" (layout+load only);
-    "full" is the normal path (udf-n-dst).
+    `stage` implements P4 retry-stage filtering (`function_filter`,
+    message-handler.ts:44-52): a retried event whose failure came from
+    the destination re-runs "dst-only" (layout+load only); a UDF failure
+    re-runs "udf-n-dst" (user pipeline + destination — builtin
+    transformations here are plan-level and re-apply identically, so it
+    equals "full"/"all"); `retries` is the attempt count surfaced to
+    UDFs as ctx.retries.
     """
     from dataclasses import replace
 
@@ -579,9 +632,9 @@ def compile_pipeline(
 
     if stage == "dst-only":
         config = replace(config, functions=[])
-    elif stage != "full":
+    elif stage not in ("full", "all", "udf-n-dst"):
         raise ValueError(f"unknown stage {stage!r}")
-    chain = compile_chain(config)
+    chain = compile_chain(config, retries=retries)
 
     def transform(df: DataFrame) -> DataFrame:
         # errored events still reach the destination carrying their
@@ -622,6 +675,7 @@ def run_function_test(
     store: Any | None = None,
     fetch_transport: FetchTransport | None = None,
     fetch_timeout_sec: float = DEFAULT_FETCH_TIMEOUT_SEC,
+    retries: int = 0,
 ) -> dict:
     """U5 — the UDF test harness (`udf_wrapper.ts:322-498`, console
     `function/run`): execute one function against one event with a mock
@@ -633,6 +687,7 @@ def run_function_test(
         store=store or InMemoryTtlStore(),
         fetch_transport=fetch_transport or _urllib_fetch_transport,
         fetch_timeout_sec=fetch_timeout_sec,
+        retries=retries,
     )
     events, err = run_user_chain(event, [fn], ctx)
     return {

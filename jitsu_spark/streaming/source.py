@@ -54,36 +54,52 @@ def file_event_stream(
     return reader.json(path)
 
 
-def kafka_event_stream(
-    spark: SparkSession,
+# The IngestMessage envelope (types/protocols/async-request.d.ts:6-24):
+# one Kafka message per event, httpPayload carrying the analytics event.
+INGEST_MESSAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("messageId", T.StringType()),
+        T.StructField("connectionId", T.StringType()),
+        T.StructField("writeKey", T.StringType()),
+        T.StructField("ingestType", T.StringType()),
+        T.StructField("messageCreated", T.TimestampType()),
+        T.StructField("httpPayload", T.StringType()),
+    ]
+)
+
+DEFAULT_KAFKA_TOPIC = "destination-messages"  # kafka-config.ts:71-90
+
+
+def kafka_source_options(
     brokers: str,
-    topic: str = "destination-messages",
+    topic: str = DEFAULT_KAFKA_TOPIC,
     max_offsets_per_trigger: int | None = None,
-) -> DataFrame:
-    """Kafka source; value is the IngestMessage JSON envelope
-    (types/protocols/async-request.d.ts:6-24) whose httpPayload is the
-    event. Requires the spark-sql-kafka package on the cluster."""
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
-        .option("startingOffsets", "earliest")
-    )
+) -> dict[str, str]:
+    """The rotor consumer semantics (`rotor.ts:59-72,228-237`) as Spark
+    Kafka source options: subscribe to the destination topic, start from
+    the earliest uncommitted offset (at-least-once — Spark checkpoints
+    offsets per micro-batch, the analogue of autoCommit), and bound each
+    trigger (backpressure, the CONCURRENCY envelope's role). Kept as a
+    pure function so the config-swap contract is testable without a
+    broker or the spark-sql-kafka package."""
+    opts = {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+        "startingOffsets": "earliest",
+    }
     if max_offsets_per_trigger is not None:
-        reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
-    raw = reader.load()
-    env = T.StructType(
-        [
-            T.StructField("messageId", T.StringType()),
-            T.StructField("connectionId", T.StringType()),
-            T.StructField("writeKey", T.StringType()),
-            T.StructField("ingestType", T.StringType()),
-            T.StructField("messageCreated", T.TimestampType()),
-            T.StructField("httpPayload", T.StringType()),
-        ]
-    )
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
+def decode_ingest_messages(raw: DataFrame) -> DataFrame:
+    """Kafka (key, value, timestamp) -> flattened IngestMessage columns.
+    Works on any DataFrame with a binary/string `value` and `timestamp`
+    (the file-stream twin reuses it in tests)."""
     return raw.select(
-        F.from_json(F.col("value").cast("string"), env).alias("m"),
+        F.from_json(F.col("value").cast("string"), INGEST_MESSAGE_SCHEMA).alias(
+            "m"
+        ),
         F.col("timestamp").alias("received_at"),
     ).select(
         F.col("m.messageId").alias("message_id"),
@@ -92,3 +108,20 @@ def kafka_event_stream(
         F.col("m.httpPayload").alias("payload_json"),
         "received_at",
     )
+
+
+def kafka_event_stream(
+    spark: SparkSession,
+    brokers: str,
+    topic: str = DEFAULT_KAFKA_TOPIC,
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """Kafka source; value is the IngestMessage JSON envelope whose
+    httpPayload is the event. Requires the spark-sql-kafka package on the
+    cluster (config-swap vs the file twin; see kafka_source_options)."""
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_source_options(
+        brokers, topic, max_offsets_per_trigger
+    ).items():
+        reader = reader.option(k, v)
+    return decode_ingest_messages(reader.load())

@@ -69,6 +69,188 @@ def test_retry_replay_through_dst_only_stage(spark, tmp_path):
     assert sink.read("events").count() == 1
 
 
+class TestUdfStageRetryReplay:
+    """Port of the rotor chain retry scenarios (`functions-chain.test.ts`
+    `retry`/`drop_retry` connections, expectations retry_0/retry_1/
+    drop_retry_0): a UDF RetryError forwards the partial event this
+    attempt (or drops it, for the drop variant), marks the row
+    retryable, and the replay re-runs the WHOLE user pipeline
+    (udf-n-dst per functionFilter) with ctx.retries incremented."""
+
+    @staticmethod
+    def _chain():
+        from jitsu_spark.plans.chain import RetryError
+
+        def f1(e, ctx):
+            return {
+                **e,
+                "first": "1st",
+                "retries": ctx.retries,
+                "counter": e.get("counter", 0) + 1,
+            }
+
+        def f2retry(e, ctx):
+            e = {**e, "second": "2nd", "counter": e.get("counter", 0) + 1}
+            if ctx.retries < 1:
+                raise RetryError("Function runs successfully only on 2nd attempt")
+            return e
+
+        def f3(e, ctx):
+            return {**e, "third": "3rd", "counter": e.get("counter", 0) + 1}
+
+        return [f1, f2retry, f3]
+
+    def test_first_attempt_partial_then_replay_full(self, spark):
+        from jitsu_spark.plans.chain import (
+            ConnectionConfig,
+            compile_chain,
+            function_filter,
+            is_retryable_error,
+        )
+
+        df = spark.createDataFrame(
+            [(json.dumps({"type": "track", "properties": {}}),)],
+            "event string",
+        )
+        cfg = ConnectionConfig(connection_id="retry", functions=self._chain())
+
+        # attempt 0: partial event delivered (f2 contributed nothing),
+        # error marks the row retryable — the retry_0 expectation
+        (row0,) = compile_chain(cfg)(df).collect()
+        ev0 = json.loads(row0.event)
+        assert ev0 == {
+            "type": "track", "properties": {},
+            "first": "1st", "retries": 0, "counter": 2, "third": "3rd",
+        }
+        assert is_retryable_error(row0._error)
+        assert row0._error.startswith("RetryError")
+
+        # the failed stage is the udf pipeline -> whole chain re-runs
+        stage = function_filter("udf.PIPELINE")
+        assert stage == "udf-n-dst"
+
+        # attempt 1: full success — the retry_1 expectation
+        (row1,) = compile_chain(cfg, retries=1)(df).collect()
+        ev1 = json.loads(row1.event)
+        assert ev1 == {
+            "type": "track", "properties": {},
+            "first": "1st", "retries": 1, "counter": 3,
+            "second": "2nd", "third": "3rd",
+        }
+        assert row1._error is None
+
+    def test_drop_retry_suppresses_first_attempt(self, spark):
+        from jitsu_spark.plans.chain import (
+            ConnectionConfig,
+            RetryError,
+            compile_chain,
+        )
+
+        def f1(e, ctx):
+            return {**e, "first": "1st", "retries": ctx.retries,
+                    "counter": e.get("counter", 0) + 1}
+
+        def f2dropretry(e, ctx):
+            e = {**e, "second": "2nd", "counter": e.get("counter", 0) + 1}
+            if ctx.retries < 1:
+                raise RetryError("2nd attempt only", drop=True)
+            return e
+
+        def f3(e, ctx):
+            return {**e, "third": "3rd", "counter": e.get("counter", 0) + 1}
+
+        df = spark.createDataFrame(
+            [(json.dumps({"type": "track", "properties": {}}),)],
+            "event string",
+        )
+        cfg = ConnectionConfig(
+            connection_id="drop_retry", functions=[f1, f2dropretry, f3]
+        )
+        # attempt 0: dropped — nothing delivered (drop_retry delivers
+        # only after the retry in the reference test)
+        assert compile_chain(cfg)(df).collect() == []
+        # attempt 1: delivered in full — the drop_retry_0 expectation
+        (row,) = compile_chain(cfg, retries=1)(df).collect()
+        assert json.loads(row.event) == {
+            "type": "track", "properties": {},
+            "first": "1st", "retries": 1, "counter": 3,
+            "second": "2nd", "third": "3rd",
+        }
+
+    def test_function_filter_port(self):
+        from jitsu_spark.plans.chain import function_filter
+
+        assert function_filter("udf.PIPELINE") == "udf-n-dst"
+        assert function_filter("udf.myfn") == "udf-n-dst"
+        assert function_filter("builtin.destination.webhook") == "dst-only"
+        assert function_filter("builtin.transformation.x") == "all"
+        assert function_filter(None) == "all"
+
+    def test_replay_through_udf_n_dst_pipeline(self, spark, tmp_path):
+        """End-to-end with the RetryStore: the retryable failure is
+        recorded with the udf function id, comes due, and replays through
+        compile_pipeline at the udf-n-dst stage with retries=1."""
+        from pyspark.sql import functions as F
+
+        from jitsu_spark.plans.chain import (
+            ConnectionConfig,
+            compile_chain,
+            compile_pipeline,
+            function_filter,
+        )
+        from jitsu_spark.sinks import WarehouseSink
+        from jitsu_spark.streaming.retries import RetryStore
+
+        event = {
+            "messageId": "m1", "type": "track", "event": "E",
+            "timestamp": "2024-01-01T00:00:01.000Z", "properties": {},
+        }
+        df = spark.createDataFrame([(json.dumps(event),)], "event string")
+        cfg = ConnectionConfig(connection_id="c1", functions=self._chain(),
+                               layout="segment-single-table")
+
+        processed = compile_chain(cfg)(df)
+        # rotor requeues the ORIGINAL message, not the partial result —
+        # the partial result went to the destination this attempt already
+        errors = processed.where(
+            F.col("_error").startswith("RetryError")
+        ).select(
+            F.get_json_object("event", "$.messageId").alias("message_id"),
+            F.col("_error").alias("err"),
+        )
+        originals = df.select(
+            F.get_json_object("event", "$.messageId").alias("message_id"),
+            "event",
+        )
+        failures = originals.join(errors, "message_id").select(
+            "message_id",
+            F.lit(0).alias("attempt"),
+            "event",
+            "err",
+            F.lit("udf.PIPELINE").alias("function_id"),
+        )
+        store = RetryStore(spark, str(tmp_path / "retry"))
+        store.record_failures(failures, "err", "2024-01-01 00:00:00")
+        due = store.due("2024-01-01 00:20:00")
+        (due_row,) = due.collect()
+        assert due_row.function_id == "udf.PIPELINE"
+
+        stage = function_filter(due_row.function_id)
+        out = compile_pipeline(cfg, stage=stage, retries=1)(due.select("event"))
+        sink = WarehouseSink(spark, str(tmp_path / "wh"))
+        routed = out.withColumn(
+            "message_id", F.get_json_object("event", "$.message_id")
+        ).withColumn(
+            "ts", F.get_json_object("event", "$.timestamp").cast("timestamp")
+        )
+        sink.write_routed(routed)
+        # segment-single-table routes tracks to the "events" table
+        stored = sink.read("events").collect()
+        assert len(stored) == 1
+        ev = json.loads(stored[0].event)
+        assert ev["counter"] == 3 and ev["second"] == "2nd"
+
+
 class TestNewMappings:
     def test_posthog_identify_alias(self):
         from jitsu_spark.events.destinations import posthog_events

@@ -238,3 +238,48 @@ def test_metrics_rollup_stream(spark, tmp_path):
     }
     assert got[("2024-01-01 00:00:00", "track")] == (2, 2)
     assert got[("2024-01-01 00:01:00", "page")] == (1, 1)
+
+
+class TestKafkaContract:
+    """S2 stays a config-swap (no broker/jars in the sandbox); this pins
+    the swap itself: the source options must match the rotor consumer
+    semantics (`rotor.ts:59-72,228-237`, topic naming kafka-config.ts:
+    71-90) and the envelope decode must match IngestMessage
+    (async-request.d.ts:6-24), exercised through the file-stream twin."""
+
+    def test_source_options_match_rotor_consumer(self):
+        from jitsu_spark.streaming.source import kafka_source_options
+
+        opts = kafka_source_options("k1:9092,k2:9092")
+        assert opts == {
+            "kafka.bootstrap.servers": "k1:9092,k2:9092",
+            "subscribe": "destination-messages",  # kafka-config.ts topic
+            "startingOffsets": "earliest",  # at-least-once resume
+        }
+        # backpressure knob only when configured, as a string option
+        with_bp = kafka_source_options("k:9092", max_offsets_per_trigger=5000)
+        assert with_bp["maxOffsetsPerTrigger"] == "5000"
+
+    def test_envelope_decode_via_file_twin(self, spark):
+        import datetime as dt
+        import json as _json
+
+        from jitsu_spark.streaming.source import decode_ingest_messages
+
+        envelope = {
+            "messageId": "m1",
+            "connectionId": "c1",
+            "writeKey": "wk",
+            "ingestType": "browser",
+            "messageCreated": "2024-01-01T00:00:00Z",
+            "httpPayload": _json.dumps({"type": "track", "event": "E"}),
+        }
+        raw = spark.createDataFrame(
+            [(_json.dumps(envelope).encode(), dt.datetime(2024, 1, 1))],
+            "value binary, timestamp timestamp",
+        )
+        (row,) = decode_ingest_messages(raw).collect()
+        assert row.message_id == "m1"
+        assert row.connection_id == "c1"
+        assert row.write_key == "wk"
+        assert _json.loads(row.payload_json)["event"] == "E"
