@@ -37,24 +37,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # Depending on the testdata generation, events.ts arrives as
         # parquet TIMESTAMP(NANOS) (round-2 data; Spark has no ns type, so
         # read as long and truncate to us) or TIMESTAMP(MICROS) NTZ
-        # (round-3 data). Either way normalize below so downstream
-        # operators see one type. Oracle SQL mirrors the ns truncation
-        # with EVENTS_TS_US_SQL when ts appears raw in the output (a
-        # no-op identity on us-precision data).
+        # (round-3 data). Either way normalize to the classic TIMESTAMP
+        # the operator layer is written against (unix_micros & co. reject
+        # NTZ); the NTZ -> LTZ cast + collect round-trips the same
+        # wall-clock values under any session timezone, matching the
+        # naive DuckDB oracle. Oracle SQL mirrors the ns truncation with
+        # EVENTS_TS_US_SQL when ts appears raw in the output (a no-op
+        # identity on us-precision data).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    else:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # Normalize TIMESTAMP_NTZ columns to TIMESTAMP: the operator layer is
-    # written against the classic type (unix_micros & co. reject NTZ), and
-    # the NTZ -> LTZ cast + collect round-trips the same wall-clock values
-    # under any session timezone, matching the naive DuckDB oracle.
-    for col, dtype in df.dtypes:
-        if dtype == "timestamp_ntz":
-            df = df.withColumn(col, F.col(col).cast("timestamp"))
-    return df
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
+    # Other tables keep their native types: TPC-H date columns read as
+    # TIMESTAMP_NTZ compare fine against literals, and leaving the column
+    # unwrapped keeps range filters pushable into the parquet scan (a
+    # cast-wrapped column defeats PushedFilters).
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
