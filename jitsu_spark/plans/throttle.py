@@ -72,6 +72,15 @@ def shard_filter(
     )
 
 
+def _percent_bucket_duck(expr: str) -> str:
+    """DuckDB mirror of _percent_bucket (same md5 arithmetic family as
+    operators.sampling)."""
+    return (
+        f"CAST(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 7))::UBIGINT"
+        " AS BIGINT) % 100"
+    )
+
+
 def workspace_throttle_gate(
     df: DataFrame,
     workspace_throttle: dict[str, int],
@@ -89,3 +98,72 @@ def workspace_throttle_gate(
     for w, p in sorted(gated.items()):
         pct = F.when(F.col(workspace_col) == w, F.lit(int(min(100, p)))).otherwise(pct)
     return df.where(_percent_bucket(F.col(key)) >= pct)
+
+
+# ---------------------------------------------------------------------------
+# Registry queries (driver-checked): the shed gates over the events table.
+# ---------------------------------------------------------------------------
+
+THROTTLE_PCT = 30
+
+
+def throttle_shed_events(spark, sf_dir: str):
+    """Shed THROTTLE_PCT% of events deterministically by event_id — the
+    single-workspace gate as a correctness-gated query."""
+    from ..tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return throttle_gate(ev, THROTTLE_PCT, key="event_id").select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+THROTTLE_SHED_SQL = f"""
+SELECT event_id, user_id, event_type
+FROM events
+WHERE {_percent_bucket_duck('event_id')} >= {THROTTLE_PCT}
+"""
+
+
+def workspace_throttle_events(spark, sf_dir: str):
+    """Per-workspace shedding: workspaces derived as user_id % 3 with
+    percents {{w0: 50, w2: 100}} (w1 untouched) — exercises the literal
+    CASE gate end to end."""
+    from ..tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "workspace_id",
+        F.concat(
+            F.lit("w"), F.pmod(F.col("user_id"), F.lit(3)).cast("string")
+        ),
+    )
+    gated = workspace_throttle_gate(
+        ev, {"w0": 50, "w2": 100}, key="event_id"
+    )
+    return gated.groupBy("workspace_id").agg(
+        F.count(F.lit(1)).alias("n_kept")
+    )
+
+
+WORKSPACE_THROTTLE_SQL = f"""
+WITH ev AS (
+  SELECT event_id, 'w' || CAST(user_id % 3 AS VARCHAR) AS workspace_id
+  FROM events
+)
+SELECT workspace_id, count(*) AS n_kept
+FROM ev
+WHERE {_percent_bucket_duck('event_id')} >=
+      CASE workspace_id WHEN 'w0' THEN 50 WHEN 'w2' THEN 100 ELSE 0 END
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "throttle_shed_events": throttle_shed_events,
+    "workspace_throttle_events": workspace_throttle_events,
+}
+
+ORACLE = {
+    "throttle_shed_events": THROTTLE_SHED_SQL,
+    "workspace_throttle_events": WORKSPACE_THROTTLE_SQL,
+}

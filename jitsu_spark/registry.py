@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from . import gateway, multimodal
 from .events import destinations, destinations_crm, layouts
+from .plans import throttle
 from .operators import (
     asof,
     corpus,
@@ -48,6 +49,7 @@ _MODULES = [
     destinations_crm,
     multimodal,
     rollup,
+    throttle,
 ]
 
 QUERIES = {}

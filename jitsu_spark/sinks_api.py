@@ -106,6 +106,15 @@ def webhook_sink(
     df.foreachPartition(emit)
 
 
+def devnull_sink(df: DataFrame) -> int:
+    """The reference's `/dev/null` destination (`destinations.tsx:789-797`):
+    sends nothing anywhere, but the connection's function chain still
+    runs — count() cannot skip the chain's mapInPandas stage (it changes
+    cardinality), so every row materializes, side effects (ctx.store
+    writes, events-log rows) execute, and the count feeds metrics."""
+    return df.count()
+
+
 def mapped_destination_sink(
     df: DataFrame,
     map_fn: Callable[[dict], list[dict] | dict | None],
