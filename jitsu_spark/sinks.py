@@ -66,6 +66,17 @@ class WarehouseSink:
         df = self._conform(df, table, timestamp_col)
         df.write.mode("append").partitionBy(PARTITION_COL).parquet(self._path(table))
 
+    # -- replace (full_refresh sync mode) ------------------------------
+
+    def replace(self, df: DataFrame, table: str, timestamp_col: str = "ts") -> None:
+        """Swap the table's entire contents — the Airbyte full_refresh
+        contract (a sync replaces the table; contrast with upsert's
+        incremental MERGE)."""
+        df = self._conform(df, table, timestamp_col)
+        df.write.mode("overwrite").partitionBy(PARTITION_COL).parquet(
+            self._path(table)
+        )
+
     # -- upsert (deduplicate: true) ------------------------------------
 
     def upsert(

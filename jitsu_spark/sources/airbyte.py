@@ -1,0 +1,169 @@
+"""Airbyte-protocol connector output as a Spark source (S10 depth).
+
+The reference runs Airbyte-compatible connector images and consumes the
+Airbyte message protocol — JSONL on stdout where each line is one of
+`{"type": "RECORD", "record": {"stream", "data", "emitted_at"}}`,
+`{"type": "STATE", "state": {"data"}}`, `{"type": "LOG", "log":
+{"level", "message"}}` — and loads records to the warehouse under the
+sync's stream settings (`webapps/console/lib/schema/index.ts:228-245`:
+per-stream sync_mode full_refresh|incremental, optional table_name and
+cursor_field; SyncOptionsType adds tableNamePrefix/toSameCase).
+
+Spark shape: the captured message stream (a JSONL file/directory — the
+connector's stdout tee'd to storage, which is also how a 1000-executor
+cluster would consume a fleet of connector pods) reads distributed via
+spark.read.json with an explicit schema; records route per stream to
+the warehouse sink (full_refresh = overwrite, incremental = MERGE
+upsert), and the LAST state message is the cursor checkpoint persisted
+only after the load commits — the Airbyte at-least-once contract, which
+the MERGE dedup turns into exactly-once, same as the event spine.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+AIRBYTE_MESSAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("type", T.StringType()),
+        T.StructField(
+            "record",
+            T.StructType(
+                [
+                    T.StructField("stream", T.StringType()),
+                    T.StructField("namespace", T.StringType()),
+                    T.StructField("data", T.StringType()),
+                    T.StructField("emitted_at", T.LongType()),
+                ]
+            ),
+        ),
+        T.StructField(
+            "state",
+            T.StructType([T.StructField("data", T.StringType())]),
+        ),
+        T.StructField(
+            "log",
+            T.StructType(
+                [
+                    T.StructField("level", T.StringType()),
+                    T.StructField("message", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def read_airbyte_messages(spark: SparkSession, path: str) -> DataFrame:
+    """Parse a captured connector output (JSONL) into typed messages.
+    `data`/state payloads stay as JSON text (schemas vary per stream;
+    per-stream projection happens downstream)."""
+    raw = spark.read.text(path)
+    return raw.select(
+        F.from_json(
+            "value",
+            AIRBYTE_MESSAGE_SCHEMA,
+            {"mode": "PERMISSIVE"},
+        ).alias("m")
+    ).select("m.*")
+
+
+def stream_records(messages: DataFrame, stream: str) -> DataFrame:
+    """RECORD rows for one stream: (data JSON, emitted_at timestamp)."""
+    return (
+        messages.where(
+            (F.col("type") == "RECORD") & (F.col("record.stream") == stream)
+        )
+        .select(
+            F.col("record.data").alias("data"),
+            F.timestamp_millis(F.col("record.emitted_at")).alias("emitted_at"),
+        )
+    )
+
+
+def discovered_streams(messages: DataFrame) -> list[str]:
+    """Stream names present in the capture (small: one row per stream)."""
+    return sorted(
+        r.stream
+        for r in messages.where(F.col("type") == "RECORD")
+        .select(F.col("record.stream").alias("stream"))
+        .distinct()
+        .collect()
+    )
+
+
+def latest_state(messages: DataFrame) -> dict | None:
+    """The LAST state message's payload — the cursor checkpoint to
+    persist after the load commits (Airbyte: records preceding a STATE
+    are durable once that state is saved). Uses a monotonic line-order
+    surrogate; connectors emit states in order."""
+    states = (
+        messages.where(F.col("type") == "STATE")
+        .select(F.col("state.data").alias("data"))
+        .withColumn("_i", F.monotonically_increasing_id())
+    )
+    row = states.orderBy(F.desc("_i")).limit(1).collect()
+    return json.loads(row[0].data) if row else None
+
+
+def connector_logs(messages: DataFrame) -> DataFrame:
+    """LOG messages as events-log rows (S8 shape)."""
+    return messages.where(F.col("type") == "LOG").select(
+        F.lower(F.col("log.level")).alias("level"),
+        F.col("log.message").alias("message"),
+    )
+
+
+def target_table_name(
+    stream: str,
+    settings: dict,
+    table_name_prefix: str = "",
+    to_same_case: bool = False,
+) -> str:
+    """SyncOptionsType naming: explicit table_name wins, else the stream
+    name; prefix applies either way; toSameCase folds to lowercase."""
+    name = settings.get("table_name") or stream
+    name = f"{table_name_prefix}{name}"
+    return name.lower() if to_same_case else name
+
+
+def run_airbyte_sync(
+    spark: SparkSession,
+    capture_path: str,
+    sync_options: dict,
+    sink,
+) -> dict:
+    """Load a captured connector run into the warehouse per the sync's
+    stream settings. Returns {stream: {table, rows, mode}} plus the
+    state checkpoint under "_state".
+
+    full_refresh replaces the table; incremental MERGEs on the
+    configured primary key (default message surrogate = a hash of the
+    record payload — connectors without a PK cannot dedup, matching the
+    reference's primary-key requirement for deduplication)."""
+    messages = read_airbyte_messages(spark, capture_path)
+    prefix = sync_options.get("tableNamePrefix", "") or ""
+    same_case = bool(sync_options.get("toSameCase"))
+    report: dict = {}
+    for stream, settings in (sync_options.get("streams") or {}).items():
+        recs = stream_records(messages, stream)
+        table = target_table_name(stream, settings, prefix, same_case)
+        mode = settings.get("sync_mode", "full_refresh")
+        pk = settings.get("primary_key") or ["_record_hash"]
+        out = recs.select(
+            F.col("data").alias("event"),
+            F.col("emitted_at").alias("ts"),
+            F.sha2(F.col("data"), 256).alias("_record_hash"),
+        )
+        n = out.count()
+        if mode == "incremental":
+            sink.upsert(out, table, primary_key=pk, timestamp_col="ts")
+        else:
+            sink.replace(out, table)
+        report[stream] = {"table": table, "rows": n, "mode": mode}
+    report["_state"] = latest_state(messages)
+    return report

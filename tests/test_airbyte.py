@@ -1,0 +1,130 @@
+"""Airbyte message protocol (`jitsu_spark/sources/airbyte.py`) — parse a
+captured connector run, route per-stream records under SyncOptionsType
+settings (schema/index.ts:228-245), checkpoint the last STATE."""
+
+from __future__ import annotations
+
+import json
+import os
+
+
+def _write_capture(tmp_path, lines):
+    path = str(tmp_path / "capture")
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "out.jsonl"), "w") as f:
+        for line in lines:
+            f.write(json.dumps(line) + "\n")
+    return path
+
+
+def _rec(stream, data, at=1704067200000):
+    return {
+        "type": "RECORD",
+        "record": {"stream": stream, "data": json.dumps(data), "emitted_at": at},
+    }
+
+
+CAPTURE = [
+    {"type": "LOG", "log": {"level": "INFO", "message": "starting"}},
+    _rec("users", {"id": 1, "email": "a@x.io"}),
+    _rec("users", {"id": 2, "email": "b@x.io"}),
+    {"type": "STATE", "state": {"data": json.dumps({"users": {"cursor": 2}})}},
+    _rec("orders", {"order_id": 10, "total": 99.5}),
+    _rec("users", {"id": 3, "email": "c@x.io"}),
+    {"type": "STATE", "state": {"data": json.dumps({"users": {"cursor": 3}, "orders": {"cursor": 10}})}},
+    {"type": "LOG", "log": {"level": "ERROR", "message": "rate limited once"}},
+]
+
+
+class TestParsing:
+    def test_streams_and_records(self, spark, tmp_path):
+        from jitsu_spark.sources.airbyte import (
+            discovered_streams,
+            read_airbyte_messages,
+            stream_records,
+        )
+
+        msgs = read_airbyte_messages(spark, _write_capture(tmp_path, CAPTURE))
+        assert discovered_streams(msgs) == ["orders", "users"]
+        users = stream_records(msgs, "users").collect()
+        assert len(users) == 3
+        assert json.loads(users[0].data)["email"] == "a@x.io"
+        assert str(users[0].emitted_at).startswith("2024-01-01")
+
+    def test_latest_state_wins(self, spark, tmp_path):
+        from jitsu_spark.sources.airbyte import (
+            latest_state,
+            read_airbyte_messages,
+        )
+
+        msgs = read_airbyte_messages(spark, _write_capture(tmp_path, CAPTURE))
+        assert latest_state(msgs) == {
+            "users": {"cursor": 3},
+            "orders": {"cursor": 10},
+        }
+
+    def test_no_state_returns_none(self, spark, tmp_path):
+        from jitsu_spark.sources.airbyte import (
+            latest_state,
+            read_airbyte_messages,
+        )
+
+        msgs = read_airbyte_messages(
+            spark, _write_capture(tmp_path, [_rec("users", {"id": 1})])
+        )
+        assert latest_state(msgs) is None
+
+    def test_connector_logs(self, spark, tmp_path):
+        from jitsu_spark.sources.airbyte import (
+            connector_logs,
+            read_airbyte_messages,
+        )
+
+        msgs = read_airbyte_messages(spark, _write_capture(tmp_path, CAPTURE))
+        logs = {(r.level, r.message) for r in connector_logs(msgs).collect()}
+        assert logs == {("info", "starting"), ("error", "rate limited once")}
+
+
+class TestNaming:
+    def test_table_name_rules(self):
+        from jitsu_spark.sources.airbyte import target_table_name
+
+        assert target_table_name("Users", {}) == "Users"
+        assert target_table_name("Users", {"table_name": "crm_users"}) == "crm_users"
+        assert (
+            target_table_name("Users", {}, table_name_prefix="src_")
+            == "src_Users"
+        )
+        assert (
+            target_table_name("Users", {}, "src_", to_same_case=True)
+            == "src_users"
+        )
+
+
+class TestSyncRun:
+    def test_full_refresh_and_incremental(self, spark, tmp_path):
+        from jitsu_spark.sinks import WarehouseSink
+        from jitsu_spark.sources.airbyte import run_airbyte_sync
+
+        sink = WarehouseSink(spark, str(tmp_path / "wh"))
+        opts = {
+            "tableNamePrefix": "ab_",
+            "toSameCase": True,
+            "streams": {
+                "users": {"sync_mode": "incremental"},
+                "orders": {"sync_mode": "full_refresh"},
+            },
+        }
+        cap = _write_capture(tmp_path, CAPTURE)
+        report = run_airbyte_sync(spark, cap, opts, sink)
+        assert report["users"] == {"table": "ab_users", "rows": 3, "mode": "incremental"}
+        assert report["orders"]["mode"] == "full_refresh"
+        assert report["_state"]["users"]["cursor"] == 3
+        assert sink.read("ab_users").count() == 3
+        assert sink.read("ab_orders").count() == 1
+
+        # re-running the same capture is idempotent for incremental
+        # (record-hash MERGE) and stable for full_refresh (replace)
+        run_airbyte_sync(spark, cap, opts, sink)
+        assert sink.read("ab_users").count() == 3
+        assert sink.read("ab_orders").count() == 1
