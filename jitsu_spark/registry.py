@@ -17,6 +17,7 @@ from .operators import (
     events_ops,
     geo,
     identity,
+    packing,
     profiles,
     quality_filters,
     relational,
@@ -33,6 +34,7 @@ _MODULES = [
     relational_ext,
     asof,
     sampling,
+    packing,
     corpus,
     events_ops,
     reports,
