@@ -312,6 +312,28 @@ class FunctionContext:
     # EventContext.retries (functions.d.ts:170-171): how many retry
     # attempts preceded this run — reference UDFs branch on it
     retries: int = 0
+    # EventContext request-scoped fields (functions.d.ts:127-145):
+    # geo/ua/headers come from the incoming request — the chain refreshes
+    # them per event from the event's context block before the first
+    # function runs (set_event_context)
+    geo: dict[str, Any] = field(default_factory=dict)
+    ua: dict[str, Any] = field(default_factory=dict)
+    headers: dict[str, Any] = field(default_factory=dict)
+    # EventContext connection-scoped fields (functions.d.ts:146-169):
+    # constants for a compiled chain, from the connection config
+    source: dict[str, Any] = field(default_factory=dict)
+    destination: dict[str, Any] = field(default_factory=dict)
+    connection: dict[str, Any] = field(default_factory=dict)
+    workspace: dict[str, Any] = field(default_factory=dict)
+
+    def set_event_context(self, event: dict) -> None:
+        """Refresh the request-scoped fields from the incoming event's
+        context block (where ingest enrichment stores geo/ua/headers) —
+        built once per message, like the reference's eventContext."""
+        c = event.get("context") or {}
+        self.geo = c.get("geo") or {}
+        self.ua = c.get("ua") or {}
+        self.headers = c.get("headers") or {}
     fetch_transport: FetchTransport = _urllib_fetch_transport
     fetch_timeout_sec: float = DEFAULT_FETCH_TIMEOUT_SEC
     # captured request/response exchanges — the analogue of the reference's
@@ -421,6 +443,11 @@ class ConnectionConfig:
     # batches, restarts, and is shared across executors via the store
     # mount, the role Redis/Mongo plays for rotor. None = in-memory double.
     store_dir: str | None = None
+    # EventContext connection-scoped metadata exposed to UDFs
+    # (functions.d.ts:146-169): source/destination/workspace descriptors
+    source: dict = field(default_factory=dict)
+    destination: dict = field(default_factory=dict)
+    workspace: dict = field(default_factory=dict)
 
 
 def passes_event_filter(event: dict, spec: str) -> bool:
@@ -555,6 +582,10 @@ def compile_chain(
             fetch_transport=fetch_transport,
             fetch_timeout_sec=fetch_timeout_sec,
             retries=retries,
+            source=config.source,
+            destination=config.destination,
+            connection={"id": config.connection_id},
+            workspace=config.workspace,
         )
         for pdf in batches:
             out_events: list[str] = []
@@ -564,6 +595,7 @@ def compile_chain(
                 ev = json.loads(raw)
                 if not passes_event_filter(ev, spec):
                     continue
+                ctx.set_event_context(ev)
                 log_mark = len(ctx.logs)
                 evs, err = run_user_chain(
                     ev, functions, ctx, timeout_sec, memory_mb

@@ -117,6 +117,77 @@ class TestFuncReturn:
         assert ctx.logs == ["hello", "hello"]
 
 
+class TestEventContextFields:
+    """FullContext parity (functions.d.ts:127-175): geo/ua/headers are
+    request-scoped (refreshed per event from its context block);
+    source/destination/connection/workspace are connection constants."""
+
+    def test_per_event_geo_ua_headers(self, spark):
+        import json
+
+        def read_ctx(e, ctx):
+            return {
+                **e,
+                "seen_country": (ctx.geo.get("country") or {}).get("code"),
+                "seen_browser": (ctx.ua.get("browser") or {}).get("name"),
+                "seen_header": ctx.headers.get("x-forwarded-for"),
+            }
+
+        events = [
+            {
+                "message_id": "m1",
+                "context": {
+                    "geo": {"country": {"code": "AT"}},
+                    "ua": {"browser": {"name": "Firefox"}},
+                    "headers": {"x-forwarded-for": "1.2.3.4"},
+                },
+            },
+            {"message_id": "m2"},  # no context: fields reset to empty
+        ]
+        df = spark.createDataFrame(
+            [(json.dumps(e),) for e in events], "event string"
+        ).coalesce(1)
+        cfg = ConnectionConfig(connection_id="c", functions=[read_ctx])
+        out = {
+            json.loads(r.event)["message_id"]: json.loads(r.event)
+            for r in compile_chain(cfg)(df).collect()
+        }
+        assert out["m1"]["seen_country"] == "AT"
+        assert out["m1"]["seen_browser"] == "Firefox"
+        assert out["m1"]["seen_header"] == "1.2.3.4"
+        assert out["m2"]["seen_country"] is None
+        assert out["m2"]["seen_header"] is None
+
+    def test_connection_scoped_constants(self, spark):
+        import json
+
+        def read_ctx(e, ctx):
+            return {
+                **e,
+                "src": ctx.source.get("id"),
+                "dst": ctx.destination.get("type"),
+                "conn": ctx.connection.get("id"),
+                "ws": ctx.workspace.get("id"),
+            }
+
+        df = spark.createDataFrame(
+            [(json.dumps({"message_id": "m1"}),)], "event string"
+        )
+        cfg = ConnectionConfig(
+            connection_id="conn-9",
+            functions=[read_ctx],
+            source={"id": "site-a", "type": "browser"},
+            destination={"id": "wh-1", "type": "postgres"},
+            workspace={"id": "ws-7"},
+        )
+        (row,) = compile_chain(cfg)(df).collect()
+        ev = json.loads(row.event)
+        assert ev["src"] == "site-a"
+        assert ev["dst"] == "postgres"
+        assert ev["conn"] == "conn-9"
+        assert ev["ws"] == "ws-7"
+
+
 class TestEventFilter:
     # lib/index.ts:231-242
     def test_star_keeps_all(self):
