@@ -597,10 +597,17 @@ def compile_chain(
                     continue
                 ctx.set_event_context(ev)
                 log_mark = len(ctx.logs)
+                fetch_mark = len(ctx.fetch_log)
                 evs, err = run_user_chain(
                     ev, functions, ctx, timeout_sec, memory_mb
                 )
                 ev_logs = ctx.logs[log_mark:]
+                # ctx.fetch exchanges ride the same side channel as
+                # http-request events-log rows (lib/index.ts:345-360)
+                ev_logs += [
+                    json.dumps(x, separators=(",", ":"), default=str)
+                    for x in ctx.fetch_log[fetch_mark:]
+                ]
                 logs_json = json.dumps(ev_logs) if ev_logs else None
                 for e in evs:
                     out_events.append(json.dumps(e, separators=(",", ":")))

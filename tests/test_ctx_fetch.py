@@ -160,6 +160,34 @@ class TestFetch:
         assert "connection refused" in err
 
 
+def test_fetch_exchanges_ride_the_chain_log_channel(spark):
+    """In a compiled chain, each fetch exchange lands in the _logs side
+    channel as an http-request row (lib/index.ts:345-360) alongside
+    ctx.log lines."""
+    import json as _json
+
+    from jitsu_spark.plans.chain import ConnectionConfig, compile_chain
+
+    def call_api(ev, ctx):
+        ctx.log("calling geo")
+        ctx.fetch("http://geo/x")
+        return ev
+
+    t = _fake_transport({"http://geo/x": _resp(body=b'{"country": "AT"}')})
+    cfg = ConnectionConfig(
+        connection_id="c", functions=[call_api], fetch_transport=t
+    )
+    df = spark.createDataFrame(
+        [(_json.dumps({"message_id": "m1"}),)], "event string"
+    )
+    (row,) = compile_chain(cfg)(df).collect()
+    logs = _json.loads(row._logs)
+    assert logs[0] == "calling geo"
+    http = _json.loads(logs[1])
+    assert http["type"] == "http-request"
+    assert http["url"] == "http://geo/x" and http["status"] == 200
+
+
 class TestLiveFetch:
     """End-to-end over a real socket (the simple-syrup analogue)."""
 
