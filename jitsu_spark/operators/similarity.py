@@ -545,3 +545,66 @@ ORACLE = {
     "embedding_cosine_dups": EMB_DUPS_SQL,
     "knn_label_predict": KNN_LABEL_SQL,
 }
+
+
+def semantic_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SEMANTIC twin of dedup.dedup_keep_list: embedding-cosine
+    near-dup pairs -> connected components -> keep/drop verdict per
+    vector ('singleton' / 'canonical' = min vec_id in its component /
+    'near_dup'). Same shipped-decision shape as the LSH keep-list, with
+    cosine similarity as the duplicate signal — the dedup pass an
+    embedding-indexed corpus runs.
+
+    Scale: pairs come from the bounded block-pair GEMM (per-task memory
+    constant), components from label propagation (one shuffle per round),
+    and the verdict is a broadcast left join onto the corpus — the corpus
+    itself never shuffles."""
+    from .identity import id_graph_components
+
+    pairs = embedding_cosine_dups(spark, sf_dir)
+    comps = id_graph_components(
+        pairs.selectExpr("vec_a AS id_a", "vec_b AS id_b")
+    )
+    labeled = comps.selectExpr(
+        "CAST(id AS BIGINT) AS vec_id", "CAST(component AS BIGINT) AS cluster_id"
+    )
+    vecs = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return (
+        vecs.join(maybe_broadcast(labeled), "vec_id", "left")
+        .selectExpr(
+            "vec_id",
+            "label",
+            "CASE WHEN cluster_id IS NULL THEN 'singleton'"
+            " WHEN vec_id = cluster_id THEN 'canonical'"
+            " ELSE 'near_dup' END AS reason",
+            "cluster_id IS NULL OR vec_id = cluster_id AS is_kept",
+        )
+    )
+
+
+SEMANTIC_KEEP_LIST_SQL = f"""
+WITH RECURSIVE pairs AS ({EMB_DUPS_SQL}),
+edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION
+  SELECT vec_b, vec_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+labeled AS (
+  SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+)
+SELECT v.vec_id, v.label,
+       CASE WHEN l.cluster_id IS NULL THEN 'singleton'
+            WHEN v.vec_id = l.cluster_id THEN 'canonical'
+            ELSE 'near_dup' END AS reason,
+       l.cluster_id IS NULL OR v.vec_id = l.cluster_id AS is_kept
+FROM embeddings v LEFT JOIN labeled l USING (vec_id)
+"""
+
+QUERIES["semantic_dedup_keep_list"] = semantic_dedup_keep_list
+ORACLE["semantic_dedup_keep_list"] = SEMANTIC_KEEP_LIST_SQL
