@@ -106,14 +106,30 @@ class CronSchedule:
     def next_run(self, after: dt.datetime) -> dt.datetime:
         """First matching instant strictly after `after` (UTC result).
         Linear minute scan bounded to 4 years — schedules are config,
-        ticks are minutes; this is not a hot path."""
+        ticks are minutes; this is not a hot path.
+
+        DST: matching is by wall clock, so a time that doesn't exist on
+        spring-forward day (e.g. 02:30 America/New_York on the jump day)
+        is SKIPPED to the next day, and a time that occurs twice on
+        fall-back day fires on its first occurrence only (the scan
+        returns the earliest matching instant). Deterministic, never
+        double-fires."""
         if after.tzinfo is None:
             after = after.replace(tzinfo=dt.timezone.utc)
+        # a schedule slot is its LOCAL (date, hour, minute): on fall-back
+        # day the same wall time exists at two instants, and chaining
+        # next_run from the first must not fire the second
+        anchor_slot = None
+        if self.matches(after):
+            local = after.astimezone(self._tz)
+            anchor_slot = (local.date(), local.hour, local.minute)
         t = (after + dt.timedelta(minutes=1)).replace(second=0, microsecond=0)
         limit = after + dt.timedelta(days=4 * 366)
         while t <= limit:
             if self.matches(t):
-                return t.astimezone(dt.timezone.utc)
+                local = t.astimezone(self._tz)
+                if (local.date(), local.hour, local.minute) != anchor_slot:
+                    return t.astimezone(dt.timezone.utc)
             t += dt.timedelta(minutes=1)
         raise ValueError(f"no next run within 4 years for {self.expression!r}")
 

@@ -134,3 +134,52 @@ def test_devnull_sink_runs_chain_side_effects(spark, tmp_path):
     n = devnull_sink(compile_chain(cfg)(df))
     assert n == 1
     assert FileTtlStore(store_root, "c").get("seen:m1") is True
+
+
+class TestCronProperties:
+    """Property checks: next_run always lands on a matching instant,
+    strictly after the anchor, and no earlier match exists in between."""
+
+    def test_next_run_is_first_match(self):
+        import random
+
+        rng = random.Random(7)
+        exprs = [
+            "* * * * *", "*/7 * * * *", "30 9 * * *", "0 */6 * * *",
+            "15 14 1 * *", "0 0 * * 0", "*/10 2-4 * * 1-5",
+        ]
+        for expr in exprs:
+            c = CronSchedule(expr)
+            for _ in range(5):
+                anchor = dt.datetime(
+                    2024, rng.randint(1, 12), rng.randint(1, 28),
+                    rng.randint(0, 23), rng.randint(0, 59), tzinfo=UTC,
+                )
+                nxt = c.next_run(anchor)
+                assert nxt > anchor
+                assert c.matches(nxt), (expr, anchor, nxt)
+                # no earlier match strictly between anchor and nxt
+                probe = (anchor + dt.timedelta(minutes=1)).replace(
+                    second=0, microsecond=0
+                )
+                while probe < nxt:
+                    assert not c.matches(probe), (expr, anchor, probe, nxt)
+                    probe += dt.timedelta(minutes=1)
+
+    def test_dst_spring_forward_skips_missing_time(self):
+        # 2024-03-10 02:30 does not exist in America/New_York (2am jumps
+        # to 3am): the documented contract skips the vanished occurrence
+        # — next fire is Mar 11 02:30 EDT (06:30 UTC), and never twice
+        c = CronSchedule("30 2 * * *", "America/New_York")
+        nxt = c.next_run(_utc("2024-03-09T12:00:00"))
+        assert nxt == _utc("2024-03-11T06:30:00")
+        assert c.next_run(nxt) == _utc("2024-03-12T06:30:00")
+
+    def test_dst_fall_back_fires_once(self):
+        # 2024-11-03 01:30 occurs twice in America/New_York; the schedule
+        # fires on the FIRST occurrence (05:30 UTC, EDT) and next lands a
+        # day later — no double fire
+        c = CronSchedule("30 1 * * *", "America/New_York")
+        nxt = c.next_run(_utc("2024-11-03T00:00:00"))
+        assert nxt == _utc("2024-11-03T05:30:00")
+        assert c.next_run(nxt) == _utc("2024-11-04T06:30:00")
