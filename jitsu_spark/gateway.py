@@ -56,28 +56,40 @@ def referenced_tables(spark: SparkSession, sql: str) -> set[str]:
     rather than the raw text."""
     plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
     tables: set[str] = set()
-    ctes: set[str] = set()
 
-    def walk(node) -> None:
+    def walk(node, bound: frozenset[str]) -> None:
+        """`bound` is the set of CTE names in scope for THIS subtree —
+        scoping matters: a decoy CTE named after a forbidden table inside
+        a subquery must not excuse references to the real table outside
+        that subquery's scope (round-3 review bypass)."""
         cls = node.getClass().getSimpleName()
         if cls == "UnresolvedRelation":
-            tables.add(node.tableName().lower())
+            name = node.tableName().lower()
+            if name not in bound:
+                tables.add(name)
         if cls == "UnresolvedWith":
             # CTE definition plans live in cteRelations (surfaced only via
             # innerChildren, not children), so they must be walked explicitly
             # or `WITH x AS (SELECT * FROM secret) SELECT * FROM x` would
-            # never surface `secret`.
+            # never surface `secret`. The names bind within this WITH's
+            # subtree only (each definition also sees the sibling names —
+            # Spark allows forward/recursive references there).
+            names = set()
             it = node.cteRelations().iterator()
+            entries = []
             while it.hasNext():
                 entry = it.next()
-                ctes.add(entry._1().lower())
-                walk(entry._2())
+                names.add(entry._1().lower())
+                entries.append(entry._2())
+            bound = bound | names
+            for defn in entries:
+                walk(defn, bound)
         it = node.children().iterator()
         while it.hasNext():
-            walk(it.next())
+            walk(it.next(), bound)
         sit = node.subqueries().iterator()
         while sit.hasNext():
-            walk(sit.next())
+            walk(sit.next(), bound)
         # Catch any other plan-carrying fields hidden from children()
         # (views, command payloads) the same way explain() does.
         try:
@@ -87,12 +99,12 @@ def referenced_tables(spark: SparkSession, sql: str) -> set[str]:
                 if inner.getClass().getName().startswith(
                     "org.apache.spark.sql.catalyst.plans.logical"
                 ):
-                    walk(inner)
+                    walk(inner, bound)
         except Exception:
             pass  # innerChildren not reachable on this node type
 
-    walk(plan)
-    return tables - ctes
+    walk(plan, frozenset())
+    return tables
 
 
 def validate_select(
@@ -123,10 +135,22 @@ def validate_select(
             # carry an alias (`FROM t1 a, t2 b`) — the alias is consumed so
             # the comma chain keeps matching and every table is validated;
             # a clause keyword is never mistaken for an alias.
-            cte_names = {
-                m.group(1).lower()
-                for m in re.finditer(r"\b(\w+)\s+AS\s*\(", stripped, re.I)
-            }
+            # Only CTEs defined at the statement's top level (paren depth
+            # 0) may excuse a table name — a decoy `WITH secret AS (...)`
+            # nested inside a subquery must not whitelist the real
+            # `secret` table referenced outside it. Fail-closed: nested
+            # legitimate CTEs may be re-validated as tables and rejected.
+            cte_names = set()
+            depth = 0
+            for m in re.finditer(r"\b(\w+)\s+AS\s*\(|\(|\)", stripped, re.I):
+                if m.group(0) == "(":
+                    depth += 1
+                elif m.group(0) == ")":
+                    depth -= 1
+                else:
+                    if depth == 0:
+                        cte_names.add(m.group(1).lower())
+                    depth += 1  # the definition's own open paren
             kw = (
                 r"(?:WHERE|GROUP|ORDER|HAVING|LIMIT|OFFSET|UNION|EXCEPT"
                 r"|INTERSECT|JOIN|ON|USING|INNER|LEFT|RIGHT|FULL|CROSS"

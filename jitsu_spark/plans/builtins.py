@@ -73,9 +73,11 @@ _REGISTRY: dict[str, BuiltinSpec] | None = None
 
 
 def get_builtin_function(func_id: str) -> BuiltinSpec | None:
-    """Port of `getBuiltinFunction` (index.ts:53-56), including the
-    missing-prefix fix (`mixpanel` -> `builtin.mixpanel` lookup form is
-    normalized to the destination id here)."""
+    """Port of `getBuiltinFunction` (index.ts:53-56): an id without the
+    `builtin.` prefix gets it prepended before lookup (so
+    "destination.mixpanel" resolves; a bare "mixpanel" does NOT — it
+    becomes "builtin.mixpanel", unknown — exactly the reference
+    behavior)."""
     global _REGISTRY
     if _REGISTRY is None:
         _REGISTRY = _registry()

@@ -143,10 +143,14 @@ class RetryError(Exception):
 def is_retryable_error(err: str | None) -> bool:
     """True when a chain `_error` string records a RetryError — the
     stream layer requeues these through RetryStore with the chain's
-    function id (udf.PIPELINE), everything else only logs."""
-    return bool(err) and (
-        err.startswith(RETRY_ERROR_NAME) or err.startswith(DROP_RETRY_ERROR_NAME)
-    )
+    function id (udf.PIPELINE), everything else only logs. The recorded
+    form is "<name>: <message>", so match the name EXACTLY — a user
+    exception class that merely starts with "RetryError" (e.g.
+    RetryErrorBudgetExhausted) is a permanent failure, not a requeue."""
+    if not err:
+        return False
+    name = err.split(":", 1)[0]
+    return name in (RETRY_ERROR_NAME, DROP_RETRY_ERROR_NAME)
 
 
 def function_filter(error_function_id: str | None) -> str:
@@ -164,7 +168,14 @@ def function_filter(error_function_id: str | None) -> str:
 
 
 class InMemoryTtlStore:
-    """Test double for the TTL KV store (functions.d.ts:11-22)."""
+    """Test double for the TTL KV store (functions.d.ts:11-22).
+
+    SAME SetOpts surface as the durable FileTtlStore (plans/store.py):
+    opts is seconds / a duration string / "inf" / {"ttl": ...}; the
+    legacy ttl_days kwarg converts to seconds. A UDF written against
+    this double behaves identically when store_dir flips it to the
+    durable store — TTL units must never depend on which store backs
+    ctx.store."""
 
     def __init__(self):
         self._d: dict[str, tuple[Any, float | None]] = {}
@@ -179,8 +190,31 @@ class InMemoryTtlStore:
             return None
         return value
 
-    def set(self, key: str, value: Any, ttl_days: float = DEFAULT_STORE_TTL_DAYS):
-        self._d[key] = (value, time.time() + ttl_days * 86400)
+    def set(
+        self, key: str, value: Any, opts: Any = None, *, ttl_days: float | None = None
+    ):
+        from .store import get_ttl_sec
+
+        if ttl_days is not None and opts is None:
+            opts = ttl_days * 86400
+        ttl = get_ttl_sec(opts)
+        exp = None if ttl < 0 else time.time() + ttl
+        self._d[key] = (value, exp)
+
+    def getWithTTL(self, key: str) -> dict | None:
+        v = self._d.get(key)
+        if v is None:
+            return None
+        value, exp = v
+        if exp is not None and exp < time.time():
+            del self._d[key]
+            return None
+        ttl = -1 if exp is None else max(int(exp - time.time()), 0)
+        return {"value": value, "ttl": ttl}
+
+    def ttl(self, key: str) -> int:
+        got = self.getWithTTL(key)
+        return -2 if got is None else got["ttl"]
 
     def delete(self, key: str):
         self._d.pop(key, None)
@@ -596,17 +630,20 @@ def compile_chain(
                 if not passes_event_filter(ev, spec):
                     continue
                 ctx.set_event_context(ev)
-                log_mark = len(ctx.logs)
-                fetch_mark = len(ctx.fetch_log)
+                # per-event capture: cleared each event so a large
+                # partition holds only the current event's entries, not
+                # every log line / fetch exchange since the task started
+                ctx.logs.clear()
+                ctx.fetch_log.clear()
                 evs, err = run_user_chain(
                     ev, functions, ctx, timeout_sec, memory_mb
                 )
-                ev_logs = ctx.logs[log_mark:]
+                ev_logs = list(ctx.logs)
                 # ctx.fetch exchanges ride the same side channel as
                 # http-request events-log rows (lib/index.ts:345-360)
                 ev_logs += [
                     json.dumps(x, separators=(",", ":"), default=str)
-                    for x in ctx.fetch_log[fetch_mark:]
+                    for x in ctx.fetch_log
                 ]
                 logs_json = json.dumps(ev_logs) if ev_logs else None
                 for e in evs:

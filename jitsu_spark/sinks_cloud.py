@@ -28,16 +28,46 @@ from dataclasses import dataclass, field
 
 @dataclass(frozen=True)
 class WriterSpec:
-    """One Spark write invocation, fully determined by connection config."""
+    """One Spark write invocation, fully determined by connection config.
+
+    `options` go on the DataFrameWriter; `hadoop_conf` entries are
+    FILESYSTEM configuration (fs.s3a.* credentials, GCS auth) that Spark
+    ignores as writer options — they must reach
+    `spark.sparkContext.hadoopConfiguration` (or be set as
+    `spark.hadoop.<key>` at session build), which `apply_hadoop_conf`
+    does; `path` is the save target for path-based families (None for
+    table-based connectors)."""
 
     format: str
     options: dict = field(default_factory=dict)
+    hadoop_conf: dict = field(default_factory=dict)
+    path: str | None = None
     mode: str = "append"
     # bulker's deduplicate:true contract for this family:
     #   "merge"  -> staging table + warehouse-side MERGE on primary key
     #   "append" -> family cannot dedup (block storage)
     merge_strategy: str = "merge"
     capabilities: dict = field(default_factory=dict)
+
+
+def apply_hadoop_conf(spark, spec: "WriterSpec") -> None:
+    """Install the spec's filesystem credentials where Hadoop reads
+    them. Session-wide by necessity: Hadoop config is not per-write."""
+    hc = spark.sparkContext._jsc.hadoopConfiguration()
+    for k, v in spec.hadoop_conf.items():
+        hc.set(k, v)
+
+
+def write_with_spec(df, spec: "WriterSpec") -> None:
+    """Execute the spec: hadoop conf, then writer options, then save."""
+    apply_hadoop_conf(df.sparkSession, spec)
+    writer = df.write.format(spec.format).mode(spec.mode)
+    for k, v in spec.options.items():
+        writer = writer.option(k, v)
+    if spec.path is not None:
+        writer.save(spec.path)
+    else:
+        writer.save()
 
 
 _BLOCK_STORAGE_CAPS = {
@@ -116,18 +146,16 @@ def s3_writer(credentials: dict, table: str) -> WriterSpec:
     fmt, opts = _block_storage_format(credentials)
     folder = credentials.get("folder") or ""
     prefix = f"{folder.rstrip('/')}/" if folder else ""
-    opts.update(
-        {
-            "path": f"s3a://{credentials['bucket']}/{prefix}{table}",
-            "fs.s3a.access.key": credentials["accessKeyId"],
-            "fs.s3a.secret.key": credentials["secretAccessKey"],
-            "fs.s3a.endpoint.region": credentials.get("region", "us-west-1"),
-        }
-    )
+    hadoop = {
+        "fs.s3a.access.key": credentials["accessKeyId"],
+        "fs.s3a.secret.key": credentials["secretAccessKey"],
+        "fs.s3a.endpoint.region": credentials.get("region", "us-west-1"),
+    }
     if credentials.get("endpoint"):
-        opts["fs.s3a.endpoint"] = credentials["endpoint"]
+        hadoop["fs.s3a.endpoint"] = credentials["endpoint"]
     return WriterSpec(
-        format=fmt, options=opts, mode="append",
+        format=fmt, options=opts, hadoop_conf=hadoop,
+        path=f"s3a://{credentials['bucket']}/{prefix}{table}", mode="append",
         merge_strategy="append", capabilities=dict(_BLOCK_STORAGE_CAPS),
     )
 
@@ -138,14 +166,12 @@ def gcs_writer(credentials: dict, table: str) -> WriterSpec:
     fmt, opts = _block_storage_format(credentials)
     folder = credentials.get("folder") or ""
     prefix = f"{folder.rstrip('/')}/" if folder else ""
-    opts.update(
-        {
-            "path": f"gs://{credentials['bucket']}/{prefix}{table}",
-            "google.cloud.auth.service.account.json": credentials["accessKey"],
-        }
-    )
     return WriterSpec(
-        format=fmt, options=opts, mode="append",
+        format=fmt, options=opts,
+        hadoop_conf={
+            "google.cloud.auth.service.account.json": credentials["accessKey"]
+        },
+        path=f"gs://{credentials['bucket']}/{prefix}{table}", mode="append",
         merge_strategy="append", capabilities=dict(_BLOCK_STORAGE_CAPS),
     )
 

@@ -96,17 +96,36 @@ def discovered_streams(messages: DataFrame) -> list[str]:
     )
 
 
-def latest_state(messages: DataFrame) -> dict | None:
+def latest_state(spark: SparkSession, path: str) -> dict | None:
     """The LAST state message's payload — the cursor checkpoint to
     persist after the load commits (Airbyte: records preceding a STATE
-    are durable once that state is saved). Uses a monotonic line-order
-    surrogate; connectors emit states in order."""
-    states = (
-        messages.where(F.col("type") == "STATE")
-        .select(F.col("state.data").alias("data"))
-        .withColumn("_i", F.monotonically_increasing_id())
+    are durable once that state is saved).
+
+    "Last" is defined by exact (file name, line number) order —
+    monotonically_increasing_id over a line read follows Spark's
+    partition packing (splits ordered by size), which can crown a stale
+    state from an earlier file. wholetext + posexplode yields true line
+    positions; capture files are connector-run logs with bounded size,
+    so one file per row is fine."""
+    lines = (
+        spark.read.text(path, wholetext=True)
+        .select(
+            F.input_file_name().alias("file"),
+            F.posexplode(F.split("value", "\n")).alias("line_no", "line"),
+        )
+        .where(F.col("line").startswith('{'))
     )
-    row = states.orderBy(F.desc("_i")).limit(1).collect()
+    parsed = lines.select(
+        "file",
+        "line_no",
+        F.from_json("line", AIRBYTE_MESSAGE_SCHEMA).alias("m"),
+    ).where(F.col("m.type") == "STATE")
+    row = (
+        parsed.orderBy(F.desc("file"), F.desc("line_no"))
+        .select(F.col("m.state.data").alias("data"))
+        .limit(1)
+        .collect()
+    )
     return json.loads(row[0].data) if row else None
 
 
@@ -165,5 +184,5 @@ def run_airbyte_sync(
         else:
             sink.replace(out, table)
         report[stream] = {"table": table, "rows": n, "mode": mode}
-    report["_state"] = latest_state(messages)
+    report["_state"] = latest_state(spark, capture_path)
     return report

@@ -79,6 +79,12 @@ class CronSchedule:
             parsed[name] = _parse_field(spec, lo, hi, fold7=(name == "dow"))
         object.__setattr__(self, "_fields", parsed)
         object.__setattr__(self, "_tz", ZoneInfo(self.timezone))
+        # Vixie-cron dom/dow rule metadata: a field written with a
+        # leading '*' is unrestricted; an explicit full range like '1-31'
+        # is RESTRICTED (it participates in the either-or rule) even
+        # though its value set equals the star set.
+        object.__setattr__(self, "_dom_star", fields[2].startswith("*"))
+        object.__setattr__(self, "_dow_star", fields[4].startswith("*"))
 
     def matches(self, when: dt.datetime) -> bool:
         """True when the instant falls on the schedule, evaluated on the
@@ -89,11 +95,9 @@ class CronSchedule:
         ).astimezone(self._tz)
         f = self._fields
         dow = (local.weekday() + 1) % 7  # Monday=0 -> cron Sunday=0
-        dom_star = f["dom"] == set(range(1, 32))
-        dow_star = f["dow"] == set(range(0, 7))
         day_ok = (
             (local.day in f["dom"] and dow in f["dow"])
-            if (dom_star or dow_star)
+            if (self._dom_star or self._dow_star)
             else (local.day in f["dom"] or dow in f["dow"])
         )
         return (
@@ -116,20 +120,21 @@ class CronSchedule:
         double-fires."""
         if after.tzinfo is None:
             after = after.replace(tzinfo=dt.timezone.utc)
-        # a schedule slot is its LOCAL (date, hour, minute): on fall-back
-        # day the same wall time exists at two instants, and chaining
-        # next_run from the first must not fire the second
-        anchor_slot = None
-        if self.matches(after):
-            local = after.astimezone(self._tz)
-            anchor_slot = (local.date(), local.hour, local.minute)
+        # Fire slots are LOCAL wall-clock instants, and the local clock
+        # must advance strictly past the anchor's local time: on
+        # fall-back day every slot of the repeated hour exists at two
+        # instants, and requiring candidate_local > anchor_local skips
+        # the entire replayed hour — no slot double-fires, whatever the
+        # schedule density.
+        anchor_local = after.astimezone(self._tz).replace(tzinfo=None)
         t = (after + dt.timedelta(minutes=1)).replace(second=0, microsecond=0)
         limit = after + dt.timedelta(days=4 * 366)
         while t <= limit:
-            if self.matches(t):
-                local = t.astimezone(self._tz)
-                if (local.date(), local.hour, local.minute) != anchor_slot:
-                    return t.astimezone(dt.timezone.utc)
+            if (
+                t.astimezone(self._tz).replace(tzinfo=None) > anchor_local
+                and self.matches(t)
+            ):
+                return t.astimezone(dt.timezone.utc)
             t += dt.timedelta(minutes=1)
         raise ValueError(f"no next run within 4 years for {self.expression!r}")
 

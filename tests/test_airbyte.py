@@ -52,27 +52,49 @@ class TestParsing:
         assert str(users[0].emitted_at).startswith("2024-01-01")
 
     def test_latest_state_wins(self, spark, tmp_path):
-        from jitsu_spark.sources.airbyte import (
-            latest_state,
-            read_airbyte_messages,
-        )
+        from jitsu_spark.sources.airbyte import latest_state
 
-        msgs = read_airbyte_messages(spark, _write_capture(tmp_path, CAPTURE))
-        assert latest_state(msgs) == {
+        path = _write_capture(tmp_path, CAPTURE)
+        assert latest_state(spark, path) == {
             "users": {"cursor": 3},
             "orders": {"cursor": 10},
         }
 
-    def test_no_state_returns_none(self, spark, tmp_path):
-        from jitsu_spark.sources.airbyte import (
-            latest_state,
-            read_airbyte_messages,
-        )
+    def test_latest_state_ordered_by_file_then_line(self, spark, tmp_path):
+        """Round-3 review: with multiple capture files the checkpoint
+        must come from the LAST line of the LAST file, regardless of
+        how Spark packs input splits (a big early file must not win)."""
+        from jitsu_spark.sources.airbyte import latest_state
 
-        msgs = read_airbyte_messages(
-            spark, _write_capture(tmp_path, [_rec("users", {"id": 1})])
-        )
-        assert latest_state(msgs) is None
+        path = str(tmp_path / "cap")
+        os.makedirs(path)
+        # earlier file: much larger, carries a stale cursor
+        with open(os.path.join(path, "part-000.jsonl"), "w") as f:
+            for i in range(500):
+                f.write(json.dumps(_rec("users", {"id": i})) + "\n")
+            f.write(
+                json.dumps(
+                    {"type": "STATE",
+                     "state": {"data": json.dumps({"users": {"cursor": 1}})}}
+                )
+                + "\n"
+            )
+        # later file: tiny, carries the real final cursor
+        with open(os.path.join(path, "part-001.jsonl"), "w") as f:
+            f.write(
+                json.dumps(
+                    {"type": "STATE",
+                     "state": {"data": json.dumps({"users": {"cursor": 500}})}}
+                )
+                + "\n"
+            )
+        assert latest_state(spark, path) == {"users": {"cursor": 500}}
+
+    def test_no_state_returns_none(self, spark, tmp_path):
+        from jitsu_spark.sources.airbyte import latest_state
+
+        path = _write_capture(tmp_path, [_rec("users", {"id": 1})])
+        assert latest_state(spark, path) is None
 
     def test_connector_logs(self, spark, tmp_path):
         from jitsu_spark.sources.airbyte import (

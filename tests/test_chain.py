@@ -84,6 +84,34 @@ class TestFuncReturn:
         ]
         assert "not meant to run" in err
 
+    def test_pass_through_discards_in_place_mutations(self):
+        # deepCopy parity (udf-wrapper-code.ts:97 + :125-130): functions
+        # receive a COPY, and a pass-through return (True/undefined)
+        # forwards the ORIGINAL event — in-place mutations only persist
+        # when the function RETURNS the mutated event
+        def mutate_and_true(e, c):
+            e["enriched"] = 1
+            return True
+
+        out, err = run_user_chain({"a": 1}, [mutate_and_true], _ctx())
+        assert out == [{"a": 1}] and err is None
+
+        def mutate_and_return(e, c):
+            e["enriched"] = 1
+            return e
+
+        out, err = run_user_chain({"a": 1}, [mutate_and_return], _ctx())
+        assert out == [{"a": 1, "enriched": 1}] and err is None
+
+    def test_retryable_name_matched_exactly(self):
+        from jitsu_spark.plans.chain import is_retryable_error
+
+        assert is_retryable_error("RetryError: upstream 500")
+        assert is_retryable_error("Drop & RetryError: later")
+        assert not is_retryable_error("RetryErrorBudgetExhausted: permanent")
+        assert not is_retryable_error("ValueError: nope")
+        assert not is_retryable_error(None)
+
     def test_failed_mutation_does_not_leak(self):
         # udf-wrapper-code.ts:97 deepCopy: a function that mutates the
         # event then throws must not leak the partial mutation
@@ -207,13 +235,39 @@ class TestEventFilter:
 
 
 def test_ttl_store_expiry():
+    import time
+
     store = InMemoryTtlStore()
-    store.set("k", "v", ttl_days=-1)  # already expired
+    store.set("k", "v", 0)  # expires immediately
+    time.sleep(0.01)
     assert store.get("k") is None
     store.set("k", "v2")
     assert store.get("k") == "v2"
     store.delete("k")
     assert store.get("k") is None
+
+
+def test_ttl_stores_agree_on_units(tmp_path):
+    """Round-3 review: the in-memory double and the durable store MUST
+    interpret set()'s opts identically — a UDF tested against one keeps
+    the same TTLs on the other (seconds, duration strings, dict opts,
+    legacy ttl_days)."""
+    from jitsu_spark.plans.store import FileTtlStore
+
+    mem = InMemoryTtlStore()
+    dur = FileTtlStore(str(tmp_path), "c")
+    for opts, kw in [
+        (3600, {}),
+        ("1h", {}),
+        ({"ttl": "2d"}, {}),
+        ("inf", {}),
+        (None, {"ttl_days": 7}),
+        (None, {}),
+    ]:
+        mem.set("k", "v", opts, **kw)
+        dur.set("k", "v", opts, **kw)
+        m, d = mem.ttl("k"), dur.ttl("k")
+        assert m == d or abs(m - d) <= 1, (opts, kw, m, d)
 
 
 def test_compiled_chain_on_dataframe(spark):

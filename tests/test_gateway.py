@@ -110,6 +110,33 @@ class TestPlanResolvedWhitelist:
             spark=spark,
         )
 
+    def test_decoy_cte_cannot_shadow_real_table(self, spark):
+        # round-3 review bypass: a subquery-scoped CTE named after a
+        # forbidden table must not excuse the OUTER reference to the
+        # real table
+        with pytest.raises(SqlGatewayError, match="secret"):
+            validate_select(
+                "SELECT * FROM secret, "
+                "(WITH secret AS (SELECT 1 AS x) SELECT x FROM secret) s",
+                {"events"},
+                spark=spark,
+            )
+        # the textual fallback fails closed on the same shape
+        with pytest.raises(SqlGatewayError, match="secret"):
+            validate_select(
+                "SELECT * FROM secret, "
+                "(WITH secret AS (SELECT 1 AS x) SELECT x FROM secret) s",
+                {"events"},
+            )
+        # scoping is positional, not just nested: a top-level WITH binding
+        # still covers the whole statement
+        validate_select(
+            "WITH x AS (SELECT * FROM events) "
+            "SELECT * FROM x, (SELECT * FROM x) y",
+            {"events"},
+            spark=spark,
+        )
+
     def test_cte_and_alias_still_pass(self, spark):
         validate_select(
             "WITH x AS (SELECT * FROM events) "

@@ -183,3 +183,27 @@ class TestCronProperties:
         nxt = c.next_run(_utc("2024-11-03T00:00:00"))
         assert nxt == _utc("2024-11-03T05:30:00")
         assert c.next_run(nxt) == _utc("2024-11-04T06:30:00")
+
+    def test_dst_fall_back_multi_slot_no_replay(self):
+        # round-3 review: with several slots per hour, the repeated hour
+        # must not replay EARLIER slots either — chaining fires each
+        # local slot exactly once across the transition
+        c = CronSchedule("0,30 * * * *", "America/New_York")
+        fires = []
+        t = _utc("2024-11-03T04:45:00")  # 00:45 EDT
+        for _ in range(5):
+            t = c.next_run(t)
+            fires.append(t)
+        local = [f.astimezone(c._tz).strftime("%H:%M") for f in fires]
+        assert local == ["01:00", "01:30", "02:00", "02:30", "03:00"]
+        assert len(set(fires)) == len(fires)
+
+    def test_explicit_full_range_is_restricted(self):
+        # Vixie rule: '1-31' written out participates in the either-or
+        # rule (unlike '*'): "0 0 1-31 * 1" fires EVERY day, not Mondays
+        c = CronSchedule("0 0 1-31 * 1")
+        assert c.matches(_utc("2024-08-14T00:00:00"))  # a Wednesday
+        # but "0 0 * * 1" stays Monday-only
+        assert not CronSchedule("0 0 * * 1").matches(
+            _utc("2024-08-14T00:00:00")
+        )

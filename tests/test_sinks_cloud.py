@@ -59,9 +59,13 @@ class TestBlockStorage:
             "events",
         )
         assert spec.format == "json"
-        assert spec.options["path"] == "s3a://b/jitsu/events"
+        assert spec.path == "s3a://b/jitsu/events"
         assert spec.options["compression"] == "gzip"
-        assert spec.options["fs.s3a.endpoint.region"] == "eu-west-1"
+        # credentials are HADOOP conf, never writer options (Spark
+        # silently ignores fs.* writer options)
+        assert spec.hadoop_conf["fs.s3a.access.key"] == "AK"
+        assert spec.hadoop_conf["fs.s3a.endpoint.region"] == "eu-west-1"
+        assert not any(k.startswith("fs.") for k in spec.options)
         # destinations.tsx:563-575: append-only family
         assert spec.merge_strategy == "append"
         assert spec.capabilities["deduplicate"] is False
@@ -74,7 +78,7 @@ class TestBlockStorage:
              "endpoint": "http://minio:9000"},
             "t",
         )
-        assert spec.options["fs.s3a.endpoint"] == "http://minio:9000"
+        assert spec.hadoop_conf["fs.s3a.endpoint"] == "http://minio:9000"
 
     def test_gcs_csv(self):
         spec = cloud_writer_spec(
@@ -84,7 +88,9 @@ class TestBlockStorage:
         )
         assert spec.format == "csv"
         assert spec.options["header"] == "true"
-        assert spec.options["path"] == "gs://b/events"
+        assert spec.path == "gs://b/events"
+        assert "google.cloud.auth.service.account.json" in spec.hadoop_conf
+        assert not any(k.startswith("google.") for k in spec.options)
 
     def test_bad_format_rejected(self):
         with pytest.raises(ValueError, match="block storage format"):
@@ -102,20 +108,23 @@ def test_unknown_family_rejected():
 
 
 def test_writer_spec_drives_a_real_spark_write(spark, tmp_path):
-    """The spec is directly consumable by df.write — exercised with the
-    local json format standing in for the object store (same format
-    path the S3/GCS ndjson family uses)."""
+    """write_with_spec executes the spec end to end — exercised with a
+    local path standing in for the object store (same json format path
+    the S3/GCS ndjson family uses), hadoop conf installed for real."""
+    import dataclasses
+
+    from jitsu_spark.sinks_cloud import write_with_spec
+
     spec = cloud_writer_spec(
         "s3",
         {"accessKeyId": "a", "secretAccessKey": "s", "bucket": "b",
          "format": "ndjson"},
         "t",
     )
+    local_spec = dataclasses.replace(spec, path=str(tmp_path / "out"))
     df = spark.createDataFrame([(1, "x")], "id long, v string")
-    local = str(tmp_path / "out")
-    writer = df.write.format(spec.format).mode(spec.mode)
-    for k, v in spec.options.items():
-        if k != "path" and not k.startswith("fs.") and not k.startswith("google."):
-            writer = writer.option(k, v)
-    writer.save(local)
-    assert spark.read.json(local).count() == 1
+    write_with_spec(df, local_spec)
+    assert spark.read.json(local_spec.path).count() == 1
+    # the credentials really landed in hadoop configuration
+    hc = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hc.get("fs.s3a.access.key") == "a"
