@@ -71,19 +71,22 @@ def referenced_tables(spark: SparkSession, sql: str) -> set[str]:
             # CTE definition plans live in cteRelations (surfaced only via
             # innerChildren, not children), so they must be walked explicitly
             # or `WITH x AS (SELECT * FROM secret) SELECT * FROM x` would
-            # never surface `secret`. The names bind within this WITH's
-            # subtree only (each definition also sees the sibling names —
-            # Spark allows forward/recursive references there).
-            names = set()
+            # never surface `secret`. Binding is POSITIONAL: a definition
+            # sees only the names declared before it (plus itself, for
+            # recursive CTEs) — Spark resolves a forward reference to the
+            # REAL table (verified live), so `WITH a AS (SELECT * FROM
+            # secret), secret AS (...)` reads the real `secret` inside `a`
+            # and must be validated as such. The main body sees all names.
             it = node.cteRelations().iterator()
             entries = []
             while it.hasNext():
                 entry = it.next()
-                names.add(entry._1().lower())
-                entries.append(entry._2())
-            bound = bound | names
-            for defn in entries:
-                walk(defn, bound)
+                entries.append((entry._1().lower(), entry._2()))
+            preceding: set[str] = set()
+            for name, defn in entries:
+                walk(defn, bound | preceding | {name})
+                preceding.add(name)
+            bound = bound | {n for n, _ in entries}
         it = node.children().iterator()
         while it.hasNext():
             walk(it.next(), bound)

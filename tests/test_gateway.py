@@ -182,3 +182,25 @@ def test_query_response_shape(spark):
     assert resp["rows"] == 1
     assert resp["meta"] == [{"name": "one", "type": "int"}]
     assert resp["data"] == [{"#": 1, "one": 1}]
+
+
+def test_forward_cte_reference_reads_real_table(spark):
+    """Spark resolves a FORWARD reference inside an earlier CTE def to
+    the REAL table (verified live: WITH a AS (SELECT * FROM secret),
+    secret AS (SELECT 99) reads the actual `secret`). Binding is
+    positional, so that form must be rejected when `secret` is not
+    allowlisted."""
+    with pytest.raises(SqlGatewayError, match="secret"):
+        validate_select(
+            "WITH a AS (SELECT * FROM secret), secret AS (SELECT 99 AS x) "
+            "SELECT * FROM a",
+            {"events"},
+            spark=spark,
+        )
+    # backward reference (the legal SQL shape) still passes
+    validate_select(
+        "WITH b AS (SELECT * FROM events), a AS (SELECT * FROM b) "
+        "SELECT * FROM a",
+        {"events"},
+        spark=spark,
+    )
