@@ -46,3 +46,21 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
     assert len(sdf) == len(ddf), f"row count {len(sdf)} != {len(ddf)}"
     assert sorted(map(str.lower, sdf.columns)) == sorted(map(str.lower, ddf.columns))
     assert value_hash(sdf) == value_hash(ddf)
+
+
+def test_approx_active_users_within_design_error(spark, sf_dir):
+    """The sketch estimate tracks the exact count within HLL design
+    error at any scale — the invariant that holds where cross-engine
+    hash equality (exact only in the sparse regime) cannot."""
+    from jitsu_spark.operators.events_ops import (
+        active_users_daily,
+        active_users_daily_approx,
+    )
+
+    exact = {r[0]: r[1] for r in active_users_daily(spark, sf_dir).collect()}
+    approx = {
+        r[0]: r[1] for r in active_users_daily_approx(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for day, n in exact.items():
+        assert abs(approx[day] - n) <= max(0.05 * n, 2), (day, n, approx[day])
