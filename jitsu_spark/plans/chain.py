@@ -496,6 +496,20 @@ def passes_event_filter(event: dict, spec: str) -> bool:
     return etype in wanted or event.get("event") in wanted
 
 
+def _deep_copy_event(o):
+    """The reference's deepCopy (udf-wrapper-code.ts:52-71): a plain
+    JSON-shape walk (dict/list/scalar). ~4x faster than copy.deepcopy on
+    event dicts — this runs once per function call on the Python hot
+    path, so the generic machinery's memo/dispatch overhead matters."""
+    if isinstance(o, dict):
+        return {k: _deep_copy_event(v) if isinstance(v, (dict, list)) else v
+                for k, v in o.items()}
+    if isinstance(o, list):
+        return [_deep_copy_event(v) if isinstance(v, (dict, list)) else v
+                for v in o]
+    return o
+
+
 def run_user_chain(
     event: dict,
     functions: list[UserFunction],
@@ -520,8 +534,6 @@ def run_user_chain(
     retryable for the stream layer (is_retryable_error). Each call runs
     under the U2 wall-clock guard; pass `memory_mb` to also meter
     per-call Python allocations."""
-    import copy
-
     current: list[dict] = [event]
     first_err: str | None = None
     for i, fn in enumerate(functions):
@@ -532,12 +544,14 @@ def run_user_chain(
                 if memory_mb:
                     r = _call_with_memory_guard(
                         lambda e, c: _call_with_timeout(fn, e, c, timeout_sec),
-                        copy.deepcopy(ev),
+                        _deep_copy_event(ev),
                         ctx,
                         memory_mb,
                     )
                 else:
-                    r = _call_with_timeout(fn, copy.deepcopy(ev), ctx, timeout_sec)
+                    r = _call_with_timeout(
+                        fn, _deep_copy_event(ev), ctx, timeout_sec
+                    )
                 if not last and isinstance(r, list) and len(r) > 1:
                     # udf-wrapper-code.ts:99-103 — thrown, then caught by
                     # the same error path: record + identity
