@@ -11,11 +11,12 @@ Scale design:
   (query_id, candidate, sim) survivors do.
 - IVF: coarse quantization by nearest-centroid assignment; a query probes
   `NPROBE` cells, turning O(N) scans into O(N * nprobe / K). Centroids are
-  a deterministic sample in the oracle-checked query (`kmeans_centroids`
-  below is the drop-in k-means|| refinement, same query plan); at scale
-  the assignment pass is the standard
-  N x K broadcast product, and cells would be a partition/bucket column of
-  the stored table so probing prunes at the scan.
+  deterministic FIXED-K (the K smallest vec_ids) in the oracle-checked
+  query (`kmeans_centroids` below is the drop-in k-means|| refinement,
+  same query plan); the assignment pass is the standard N x K broadcast
+  product with an O(K) build side — K a constant, never scaling with the
+  corpus — and cells are a partition/bucket column of the stored table so
+  probing prunes at the scan.
 """
 
 from __future__ import annotations
@@ -28,7 +29,14 @@ from ..plans.hints import maybe_broadcast
 
 TOP_K = 5
 N_QUERIES = 10  # vec_id < 10 are the query vectors
-CENTROID_STRIDE = 40  # vec_id % stride == 0 -> centroid (deterministic "training")
+# Fixed-K deterministic centroids for the oracle-checked IVF form: the K
+# smallest vec_ids. K is a CONSTANT (independent of corpus size), so the
+# assignment pass is O(N*K) with an O(K) broadcast side at any N — the
+# round-2/3 stride form (vec_id % 40 == 0) made K = N/40, i.e. O(N^2/40)
+# with a corpus-sized "broadcast" side. DuckDB reproduces `vec_id < K`
+# trivially, so determinism costs nothing. (Serving uses k-means||
+# codebooks — `build_ivf_store` — for cell quality; same query plan.)
+IVF_ORACLE_K = 16
 NPROBE = 3
 DUP_COS_THRESHOLD = 0.45  # calibrated to the synthetic corpus (max pair ~0.51);
 # production near-dup dedup would use 0.95+ — the plan is identical.
@@ -105,12 +113,13 @@ FROM ranked WHERE rn <= {TOP_K}
 """
 
 
-def _stride_centroids(emb: DataFrame) -> DataFrame:
-    """Deterministic stride-sampled centroids — the oracle-checked form
-    only (the SQL oracle can reproduce them). K = N/stride grows WITH the
-    corpus, so this is NOT the serving path; `build_ivf_store` trains a
-    fixed-K k-means|| codebook instead."""
-    return emb.where(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+def _fixed_k_centroids(emb: DataFrame) -> DataFrame:
+    """Deterministic FIXED-K centroids (the K smallest vec_ids) — the
+    oracle-checked form (the SQL oracle reproduces `vec_id < K` exactly).
+    K never grows with the corpus, so the assignment pass stays O(N*K)
+    with an O(K) broadcast side at any scale. `build_ivf_store` swaps in
+    a k-means|| codebook for serving (better cells, same plan)."""
+    return emb.where(F.col("vec_id") < IVF_ORACLE_K).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("c_emb"),
         F.col("norm").alias("c_norm"),
@@ -184,7 +193,7 @@ e AS (
 ),
 cent AS (
   SELECT vec_id AS centroid_id, embedding AS c_emb, norm AS c_norm
-  FROM e WHERE vec_id % {CENTROID_STRIDE} = 0
+  FROM e WHERE vec_id < {IVF_ORACLE_K}
 ),
 assigned AS (
   SELECT vec_id, embedding, norm, centroid_id
@@ -210,7 +219,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle reproduces.
     """
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    centroids = _stride_centroids(emb)
+    centroids = _fixed_k_centroids(emb)
     assigned = _assignments(emb, centroids).cache()
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -390,11 +399,12 @@ def kmeans_centroids(
     (pyspark.ml KMeans — k-means|| init, the Spark-canonical trainer).
 
     Returns (centroid_id, c_emb array<double>). Drop-in replacement for
-    the stride-sampled centroids in `_assignments`: the IVF query plan is
-    unchanged, only cell quality improves (lower quantization error ->
-    better recall at the same NPROBE). Not part of the oracle contract —
-    k-means is iterative/seed-dependent, so `ann_ivf_topk` keeps the
-    deterministic stride centroids the SQL oracle can reproduce.
+    the fixed-K deterministic centroids in `_assignments`: the IVF query
+    plan is unchanged, only cell quality improves (lower quantization
+    error -> better recall at the same NPROBE). Not part of the oracle
+    contract — k-means is iterative/seed-dependent, so `ann_ivf_topk`
+    keeps the deterministic `vec_id < K` centroids the SQL oracle can
+    reproduce.
 
     Scale: each iteration is one broadcast-assign + one tree-aggregate
     over (cell, partial-sum) — linear scans, no pairwise blowup.
@@ -476,9 +486,9 @@ FROM pred p JOIN embeddings e ON e.vec_id = p.query_id
 # probed cells — at 100 TB a query touches nprobe/K of the files instead
 # of all of them. The codebook persists beside the cells so probes always
 # use the exact centroids the index was built with. (The registry
-# `ann_ivf_topk` keeps the deterministic stride centroids solely because
-# the SQL oracle must reproduce them; it is the correctness form, not the
-# serving form.)
+# `ann_ivf_topk` uses deterministic fixed-K `vec_id < K` centroids solely
+# because the SQL oracle must reproduce them; same O(N*K) plan shape,
+# lower cell quality — it is the correctness form, not the serving form.)
 # ---------------------------------------------------------------------------
 
 DEFAULT_IVF_K = 16  # serving-path cell count; scale ~sqrt(N) by CONFIG, not data

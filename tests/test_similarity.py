@@ -26,6 +26,68 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.35, f"IVF recall {recall:.2f} too low"
 
 
+class TestRegistryIvfFixedK:
+    """The oracle-checked `ann_ivf_topk` must be scale-safe too: its
+    centroid side is exactly IVF_ORACLE_K rows (a constant, independent
+    of corpus size) and the assignment join broadcasts that O(K) side —
+    the corpus never shuffles against it. (Round-3 stride centroids made
+    K = N/40, an O(N^2/40) assignment; retired this round.)"""
+
+    def test_centroid_count_is_constant_k(self, spark, sf_dir):
+        from jitsu_spark.operators.similarity import (
+            IVF_ORACLE_K,
+            _fixed_k_centroids,
+            _with_norm,
+        )
+        from jitsu_spark.tables import load_table
+
+        emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+        assert _fixed_k_centroids(emb).count() == IVF_ORACLE_K
+
+    def test_centroid_filter_independent_of_corpus_size(self, spark, sf_dir):
+        """Shrinking the corpus must not shrink K's *definition*: the
+        centroid predicate is `vec_id < K`, not a function of N."""
+        from pyspark.sql import functions as F
+
+        from jitsu_spark.operators.similarity import (
+            IVF_ORACLE_K,
+            _fixed_k_centroids,
+            _with_norm,
+        )
+        from jitsu_spark.tables import load_table
+
+        emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+        half = emb.where(F.col("vec_id") % 2 == 0)
+        # same K-bound predicate regardless of input cardinality
+        assert _fixed_k_centroids(half).count() <= IVF_ORACLE_K
+        assert (
+            _fixed_k_centroids(emb)
+            .where(F.col("centroid_id") >= IVF_ORACLE_K)
+            .count()
+            == 0
+        )
+
+    def test_assignment_broadcasts_centroid_side(self, spark, sf_dir):
+        from jitsu_spark.operators.similarity import (
+            _assignments,
+            _fixed_k_centroids,
+            _with_norm,
+        )
+        from jitsu_spark.tables import load_table
+
+        emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+        plan = (
+            _assignments(emb, _fixed_k_centroids(emb))
+            ._jdf.queryExecution()
+            .explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+        )
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
 def test_lsh_recall_vs_jaccard(spark, sf_dir):
     from jitsu_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_dups
 
@@ -75,13 +137,14 @@ def test_knn_self_exclusion(spark, sf_dir):
         assert -1.0001 <= r.sim <= 1.0001
 
 
-def test_kmeans_centroids_beat_stride_sampling(spark, sf_dir):
-    """Refined centroids must not quantize worse than the stride sample:
-    mean distance-to-nearest-centroid (the k-means objective) should drop."""
+def test_kmeans_centroids_beat_fixed_k_sampling(spark, sf_dir):
+    """Refined centroids must not quantize worse than the deterministic
+    fixed-K sample: mean distance-to-nearest-centroid (the k-means
+    objective) should drop."""
     from pyspark.sql import functions as F
 
     from jitsu_spark.operators.similarity import (
-        CENTROID_STRIDE,
+        IVF_ORACLE_K,
         DOT,
         kmeans_centroids,
     )
@@ -105,14 +168,13 @@ def test_kmeans_centroids_beat_stride_sampling(spark, sf_dir):
             .first()[0]
         )
 
-    stride = emb.where(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+    fixed = emb.where(F.col("vec_id") < IVF_ORACLE_K).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").cast("array<double>").alias("c_emb"),
     )
-    n_stride = stride.count()
-    refined = kmeans_centroids(emb, k=n_stride, max_iter=5)
-    assert refined.count() == n_stride
-    assert mean_sq_dist(refined) <= mean_sq_dist(stride) * 1.001
+    refined = kmeans_centroids(emb, k=IVF_ORACLE_K, max_iter=5)
+    assert refined.count() == IVF_ORACLE_K
+    assert mean_sq_dist(refined) <= mean_sq_dist(fixed) * 1.001
 
 
 class TestBlockGridBound:
