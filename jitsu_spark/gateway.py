@@ -133,6 +133,21 @@ def validate_select(
         if spark is not None:
             refs = referenced_tables(spark, sql)
         else:
+            # Fail closed on quoted identifiers BEFORE stripping: _strip()
+            # blanks backtick/double-quoted identifiers, so `FROM `secret``
+            # would contribute no FROM-head match and silently bypass the
+            # allowlist. Without a parser we cannot resolve what a quoted
+            # identifier names, so any one in the statement (outside
+            # comments and string literals) is rejected outright — the
+            # Catalyst path (spark != None) handles them correctly.
+            no_comments = re.sub(
+                r"'(?:[^']|'')*'|--[^\n]*|/\*.*?\*/", " ", sql, flags=re.S
+            )
+            if re.search(r'[`"]', no_comments):
+                raise SqlGatewayError(
+                    "quoted identifiers cannot be validated without a "
+                    "session; use unquoted table names"
+                )
             # textual fallback when no session is available: FROM/JOIN
             # heads plus comma-continued FROM-list entries. Each entry may
             # carry an alias (`FROM t1 a, t2 b`) — the alias is consumed so

@@ -175,7 +175,14 @@ class InMemoryTtlStore:
     legacy ttl_days kwarg converts to seconds. A UDF written against
     this double behaves identically when store_dir flips it to the
     durable store — TTL units must never depend on which store backs
-    ctx.store."""
+    ctx.store.
+
+    UNIT-CHANGE NOTICE (round 3): the third positional parameter was
+    `ttl_days` before round 3 and is now `opts` in SECONDS. A bare
+    numeric positional argument triggers a one-time DeprecationWarning
+    (`store.warn_numeric_opts`) so the 86400x shift is never silent;
+    callers meaning days must use `ttl_days=` or a "3d" duration
+    string."""
 
     def __init__(self):
         self._d: dict[str, tuple[Any, float | None]] = {}
@@ -193,10 +200,12 @@ class InMemoryTtlStore:
     def set(
         self, key: str, value: Any, opts: Any = None, *, ttl_days: float | None = None
     ):
-        from .store import get_ttl_sec
+        from .store import get_ttl_sec, warn_numeric_opts
 
         if ttl_days is not None and opts is None:
             opts = ttl_days * 86400
+        else:
+            warn_numeric_opts(opts)
         ttl = get_ttl_sec(opts)
         exp = None if ttl < 0 else time.time() + ttl
         self._d[key] = (value, exp)

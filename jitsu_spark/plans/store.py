@@ -45,6 +45,26 @@ _UNIT_SEC = {
 }
 
 
+def warn_numeric_opts(opts: Any) -> None:
+    """One-time transition warning: before round 3 the stores' third
+    positional parameter was `ttl_days`; it is now `opts` IN SECONDS
+    (reference `store.ts:10-26` parity). A pre-r3 UDF calling
+    `store.set(k, v, 3)` positionally now gets a TTL 86400x shorter with
+    no error — surface that loudly (once per call site) so the unit
+    change is never silent. Callers meaning days: `ttl_days=3`."""
+    if isinstance(opts, (int, float)) and not isinstance(opts, bool):
+        import warnings
+
+        warnings.warn(
+            "TtlStore.set third argument is interpreted as SECONDS "
+            "(reference store.ts semantics); before round 3 it meant "
+            "days. Pass ttl_days=... if you meant days, or a duration "
+            'string like "3d" to be explicit.',
+            DeprecationWarning,
+            stacklevel=3,
+        )
+
+
 def get_ttl_sec(opts: Any = None) -> int:
     """`getTtlSec` (store.ts:10-26): number = seconds; string = duration
     ("1h 30m") or "inf" (-1, no expiry); dict = {"ttl": ...}; None/parse
@@ -115,9 +135,13 @@ class FileTtlStore:
         return {"value": rec["value"], "ttl": ttl}
 
     def set(self, key: str, value: Any, opts: Any = None, *, ttl_days: float | None = None):
-        # ttl_days keeps the InMemoryTtlStore call shape working
+        # ttl_days keeps the InMemoryTtlStore call shape working.
+        # NOTE: `opts` as a bare number means SECONDS (store.ts parity);
+        # pre-r3 this slot meant days — warn_numeric_opts flags it once.
         if ttl_days is not None and opts is None:
             opts = ttl_days * 86400
+        else:
+            warn_numeric_opts(opts)
         ttl = get_ttl_sec(opts)
         rec = {
             "key": key,

@@ -22,6 +22,7 @@ the MERGE dedup turns into exactly-once, same as the event spine.
 from __future__ import annotations
 
 import json
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -101,12 +102,17 @@ def latest_state(spark: SparkSession, path: str) -> dict | None:
     persist after the load commits (Airbyte: records preceding a STATE
     are durable once that state is saved).
 
-    "Last" is defined by exact (file name, line number) order —
+    "Last" is defined by exact (file, line number) order, with files
+    ordered NUMERIC-AWARE (digit runs compare as integers) — plain
+    lexicographic descent would crown `part-9` over `part-10` and
+    persist a stale cursor from the earlier capture file.
     monotonically_increasing_id over a line read follows Spark's
     partition packing (splits ordered by size), which can crown a stale
     state from an earlier file. wholetext + posexplode yields true line
     positions; capture files are connector-run logs with bounded size,
-    so one file per row is fine."""
+    so one file per row is fine. The file list is one row per capture
+    file (bounded per sync run), so picking the last file on the driver
+    is a constant-size collect."""
     lines = (
         spark.read.text(path, wholetext=True)
         .select(
@@ -120,8 +126,21 @@ def latest_state(spark: SparkSession, path: str) -> dict | None:
         "line_no",
         F.from_json("line", AIRBYTE_MESSAGE_SCHEMA).alias("m"),
     ).where(F.col("m.type") == "STATE")
+    files = [r.file for r in parsed.select("file").distinct().collect()]
+    if not files:
+        return None
+
+    def natural_key(name: str) -> list:
+        # 'part-10' -> ['part-', 10, ''] so digit runs order numerically
+        return [
+            int(tok) if tok.isdigit() else tok
+            for tok in re.split(r"(\d+)", name)
+        ]
+
+    last_file = max(files, key=natural_key)
     row = (
-        parsed.orderBy(F.desc("file"), F.desc("line_no"))
+        parsed.where(F.col("file") == last_file)
+        .orderBy(F.desc("line_no"))
         .select(F.col("m.state.data").alias("data"))
         .limit(1)
         .collect()

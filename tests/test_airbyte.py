@@ -90,6 +90,32 @@ class TestParsing:
             )
         assert latest_state(spark, path) == {"users": {"cursor": 500}}
 
+    def test_latest_state_numeric_aware_file_order(self, spark, tmp_path):
+        """Round-4 ADVICE: unpadded numeric file names must order
+        numerically — lexicographic descent crowns part-9 over part-10
+        and persists a stale cursor from the earlier capture file."""
+        from jitsu_spark.sources.airbyte import latest_state
+
+        path = str(tmp_path / "cap")
+        os.makedirs(path)
+
+        def _state_line(cursor):
+            return (
+                json.dumps(
+                    {"type": "STATE",
+                     "state": {"data": json.dumps({"users": {"cursor": cursor}})}}
+                )
+                + "\n"
+            )
+
+        # part-9 sorts AFTER part-10 lexicographically but BEFORE it
+        # numerically; the real final cursor lives in part-10.
+        with open(os.path.join(path, "part-9.jsonl"), "w") as f:
+            f.write(_state_line(9))
+        with open(os.path.join(path, "part-10.jsonl"), "w") as f:
+            f.write(_state_line(100))
+        assert latest_state(spark, path) == {"users": {"cursor": 100}}
+
     def test_no_state_returns_none(self, spark, tmp_path):
         from jitsu_spark.sources.airbyte import latest_state
 

@@ -66,6 +66,31 @@ class TestValidate:
             "SELECT * FROM events e WHERE e.event_id > 0", {"events"}
         )
 
+    def test_quoted_identifiers_fail_closed_without_session(self):
+        """Round-4 ADVICE: _strip() blanks quoted identifiers, so
+        `FROM \\`secret\\`` contributed no FROM-head match and bypassed
+        the textual allowlist. Without a parser a quoted identifier is
+        unresolvable — reject it outright."""
+        for q in (
+            "SELECT * FROM `secret`",
+            'SELECT * FROM "secret"',
+            "SELECT * FROM events, `secret`",
+            'SELECT * FROM events JOIN "secret" ON true',
+            'WITH x AS (SELECT * FROM "secret") SELECT * FROM x',
+        ):
+            with pytest.raises(SqlGatewayError, match="quoted identifier"):
+                validate_select(q, {"events"})
+        # quoted STRINGS and quotes inside comments are fine — only
+        # identifier quoting is unresolvable
+        validate_select(
+            "SELECT * FROM events WHERE name = 'a\"b`c'", {"events"}
+        )
+        validate_select(
+            "SELECT * FROM events -- `comment` \"quoted\"", {"events"}
+        )
+        # with no allowlist the fallback never rejects quoting
+        validate_select("SELECT * FROM `events`")
+
 
 class TestPlanResolvedWhitelist:
     """Catalyst-parsed table resolution (`referenced_tables`) — the strict

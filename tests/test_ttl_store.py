@@ -192,3 +192,53 @@ def test_store_state_table_empty(spark, tmp_path):
     assert [f.name for f in df.schema.fields] == [
         "namespace", "key", "value", "expire_at",
     ]
+
+
+class TestNumericOptsTransitionWarning:
+    """Round-4 ADVICE: the stores' third positional parameter changed
+    meaning from ttl_days to opts-in-seconds in round 3; a bare numeric
+    must emit a DeprecationWarning so the 86400x unit shift is never
+    silent (while still applying SECONDS, the store.ts contract)."""
+
+    def test_file_store_warns_on_bare_numeric(self, tmp_path):
+        import warnings
+
+        s = FileTtlStore(str(tmp_path / "s"), "c")
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            s.set("k", "v", 3)
+        assert any(
+            issubclass(w.category, DeprecationWarning)
+            and "SECONDS" in str(w.message)
+            for w in caught
+        )
+        # semantics unchanged: 3 means 3 seconds
+        assert 0 < s.ttl("k") <= 3
+
+    def test_in_memory_store_warns_on_bare_numeric(self):
+        import warnings
+
+        from jitsu_spark.plans.chain import InMemoryTtlStore
+
+        s = InMemoryTtlStore()
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            s.set("k", "v", 3)
+        assert any(
+            issubclass(w.category, DeprecationWarning) for w in caught
+        )
+        assert 0 < s.ttl("k") <= 3
+
+    def test_no_warning_for_strings_dicts_or_ttl_days(self, tmp_path):
+        import warnings
+
+        s = FileTtlStore(str(tmp_path / "s2"), "c")
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            s.set("a", 1, "1h")
+            s.set("b", 1, {"ttl": 60})
+            s.set("c", 1, ttl_days=1)
+            s.set("d", 1)
+        assert not [
+            w for w in caught if issubclass(w.category, DeprecationWarning)
+        ]
