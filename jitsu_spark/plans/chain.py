@@ -58,11 +58,12 @@ class FunctionTimeoutError(Exception):
 
 class FunctionMemoryError(Exception):
     """U2 guard: a user function allocated past its budget. The reference
-    caps the isolate at 128 MB (`udf_wrapper.ts:58`); a shared CPython
-    worker cannot hard-kill an allocation, so this is an opt-in
-    tracemalloc-based post-call check (exact per-call Python allocation
-    delta; ~2x slower, so off by default and meant for vetting untrusted
-    functions in the test harness, not the hot path)."""
+    caps the isolate at 128 MB (`udf_wrapper.ts:58`). Untrusted chains
+    enforce this for real via RLIMIT_AS in a forked child
+    (plans/isolate.py — C-extension mallocs included); this in-process
+    variant is the opt-in tracemalloc-based post-call check (exact
+    per-call Python allocation delta; ~2x slower, the non-Linux fallback
+    and the trusted-chain vetting tool)."""
 
 
 UDF_MEMORY_MB = 128  # udf_wrapper.ts:58 isolate memory limit
@@ -473,9 +474,12 @@ class ConnectionConfig:
     # default; None + trusted -> off (hot-path speed). Explicit values win.
     function_memory_mb: float | None = None
     # U2: mark chains carrying user-supplied code not vetted by the
-    # operator. Untrusted chains run with the allocation budget ON by
-    # default (udf_wrapper.ts:58 caps the isolate at 128 MB; exceeding it
-    # kills the call, records the error, and the batch completes).
+    # operator. Untrusted chains run PROCESS-ISOLATED on Linux (forked
+    # child per task, RLIMIT_AS hard cap at the 128 MB udf_wrapper.ts:58
+    # budget, parent watchdog SIGKILL on native hangs — plans/isolate.py);
+    # elsewhere they fall back to the in-process tracemalloc budget.
+    # Either way an over-budget call records the error, the event passes
+    # through (identity), and the batch completes.
     untrusted: bool = False
     # ctx.fetch wiring: injectable transport (tests / per-destination HTTP
     # stacks) and the per-call timeout (FETCH_TIMEOUT_MS)
@@ -620,6 +624,13 @@ def compile_chain(
     memory_mb = config.function_memory_mb
     if memory_mb is None and config.untrusted:
         memory_mb = UDF_MEMORY_MB  # default-on for untrusted chains
+    # U2: untrusted chains get REAL isolation where the platform allows —
+    # forked child with an RLIMIT_AS hard cap and a parent watchdog kill
+    # (plans/isolate.py). In-process tracemalloc/SIGALRM guards remain the
+    # fallback (non-Linux) and the trusted-chain opt-in.
+    from .isolate import IsolatedChainRunner, supports_isolation
+
+    use_isolation = config.untrusted and supports_isolation()
 
     fetch_transport = config.fetch_transport
     fetch_timeout_sec = config.fetch_timeout_sec
@@ -632,8 +643,8 @@ def compile_chain(
         else:
             store_factory = InMemoryTtlStore
 
-    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ctx = FunctionContext(
+    def make_ctx() -> FunctionContext:
+        return FunctionContext(
             props=props,
             store=store_factory(),
             fetch_transport=fetch_transport,
@@ -644,14 +655,18 @@ def compile_chain(
             connection={"id": config.connection_id},
             workspace=config.workspace,
         )
-        for pdf in batches:
-            out_events: list[str] = []
-            out_errors: list[str | None] = []
-            out_logs: list[str | None] = []
-            for raw in pdf["event"]:
-                ev = json.loads(raw)
-                if not passes_event_filter(ev, spec):
-                    continue
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        runner = None
+        if use_isolation:
+            runner = IsolatedChainRunner(
+                functions, make_ctx, timeout_sec, memory_mb
+            )
+            run_one = runner.run
+        else:
+            ctx = make_ctx()
+
+            def run_one(ev: dict):
                 ctx.set_event_context(ev)
                 # per-event capture: cleared each event so a large
                 # partition holds only the current event's entries, not
@@ -661,21 +676,35 @@ def compile_chain(
                 evs, err = run_user_chain(
                     ev, functions, ctx, timeout_sec, memory_mb
                 )
-                ev_logs = list(ctx.logs)
-                # ctx.fetch exchanges ride the same side channel as
-                # http-request events-log rows (lib/index.ts:345-360)
-                ev_logs += [
-                    json.dumps(x, separators=(",", ":"), default=str)
-                    for x in ctx.fetch_log
-                ]
-                logs_json = json.dumps(ev_logs) if ev_logs else None
-                for e in evs:
-                    out_events.append(json.dumps(e, separators=(",", ":")))
-                    out_errors.append(err)
-                    out_logs.append(logs_json)
-            yield pd.DataFrame(
-                {"event": out_events, "_error": out_errors, "_logs": out_logs}
-            )
+                return evs, err, list(ctx.logs), list(ctx.fetch_log)
+
+        try:
+            for pdf in batches:
+                out_events: list[str] = []
+                out_errors: list[str | None] = []
+                out_logs: list[str | None] = []
+                for raw in pdf["event"]:
+                    ev = json.loads(raw)
+                    if not passes_event_filter(ev, spec):
+                        continue
+                    evs, err, ev_logs, fetch_entries = run_one(ev)
+                    # ctx.fetch exchanges ride the same side channel as
+                    # http-request events-log rows (lib/index.ts:345-360)
+                    ev_logs = list(ev_logs) + [
+                        json.dumps(x, separators=(",", ":"), default=str)
+                        for x in fetch_entries
+                    ]
+                    logs_json = json.dumps(ev_logs) if ev_logs else None
+                    for e in evs:
+                        out_events.append(json.dumps(e, separators=(",", ":")))
+                        out_errors.append(err)
+                        out_logs.append(logs_json)
+                yield pd.DataFrame(
+                    {"event": out_events, "_error": out_errors, "_logs": out_logs}
+                )
+        finally:
+            if runner is not None:
+                runner.close()
 
     def transform(df: DataFrame) -> DataFrame:
         return df.mapInPandas(stage, "event string, _error string, _logs string")

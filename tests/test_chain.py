@@ -453,7 +453,11 @@ class TestMemoryGuard:
         for r in rows:
             ev = json.loads(r.event)
             assert "n" not in ev and ev["tail"] is True
-            assert "FunctionMemoryError" in r._error
+            # in-process tracemalloc guard records FunctionMemoryError;
+            # the Linux subprocess isolate (round 4) surfaces the RLIMIT
+            # hit as a MemoryError from inside the child — both carry
+            # the MemoryError family name
+            assert "MemoryError" in r._error
 
     def test_trusted_chain_budget_stays_off(self, spark):
         import json

@@ -1,0 +1,200 @@
+"""U2 process isolation (`jitsu_spark/plans/isolate.py`): untrusted UDF
+chains run in a forked child with an RLIMIT_AS hard cap and a parent
+watchdog kill — the reference's disposable 128 MB isolate
+(`udf_wrapper.ts:58,234-239`). The round-3 gap: tracemalloc misses
+C-extension allocations and SIGALRM can be blocked or held off by native
+code; both escapes must now be contained."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from jitsu_spark.plans.chain import (
+    ConnectionConfig,
+    FunctionContext,
+    InMemoryTtlStore,
+    compile_chain,
+)
+from jitsu_spark.plans.isolate import IsolatedChainRunner, supports_isolation
+
+pytestmark = pytest.mark.skipif(
+    not supports_isolation(), reason="fork/RLIMIT isolation is Linux-only"
+)
+
+
+def _ctx_factory():
+    return FunctionContext(props={}, store=InMemoryTtlStore())
+
+
+def _ok(ev, ctx):
+    ev["seen"] = True
+    return ev
+
+
+def _numpy_alloc_bomb(ev, ctx):
+    # C-extension allocation: numpy mallocs outside the Python allocator,
+    # invisible to tracemalloc. Chunked so no single giant request — the
+    # cumulative budget has to be what stops it.
+    import numpy as np
+
+    hoard = []
+    for _ in range(200):
+        hoard.append(np.ones((4 << 20,), dtype=np.float64))  # 32 MB each
+    return ev
+
+
+def _native_spin_blocking_sigalrm(ev, ctx):
+    # Hostile UDF: blocks the in-child SIGALRM guard, then spins — the
+    # shape of native code SIGALRM cannot interrupt. Only the parent
+    # watchdog SIGKILL can end this.
+    import signal
+
+    signal.pthread_sigmask(signal.SIG_BLOCK, {signal.SIGALRM})
+    while True:
+        pass
+
+
+class TestRunnerDirect:
+    """Runner-level contracts, no Spark in the loop."""
+
+    def test_normal_events_round_trip(self):
+        r = IsolatedChainRunner([_ok], _ctx_factory, 5.0, 128)
+        try:
+            evs, err, logs, fetch = r.run({"type": "track", "n": 1})
+            assert err is None and evs == [{"type": "track", "n": 1, "seen": True}]
+            evs, err, *_ = r.run({"type": "track", "n": 2})
+            assert err is None and evs[0]["n"] == 2
+        finally:
+            r.close()
+
+    def test_alloc_bomb_contained_and_child_survives_batch(self):
+        r = IsolatedChainRunner([_numpy_alloc_bomb], _ctx_factory, 5.0, 128)
+        try:
+            evs, err, *_ = r.run({"id": "bomb"})
+            # RLIMIT_AS makes the malloc fail -> MemoryError recorded as
+            # an in-chain error (or, worst case, the child dies and the
+            # parent reports the death) — either way identity + error
+            assert err is not None and "MemoryError" in err
+            assert evs == [{"id": "bomb"}]
+            # the runner keeps serving the rest of the batch
+            evs, err, *_ = r.run({"id": "after"})
+            # chain still only has the bomb function; it errors again but
+            # the call returns promptly instead of wedging the task
+            assert evs == [{"id": "after"}]
+        finally:
+            r.close()
+
+    def test_native_spin_killed_by_watchdog(self):
+        r = IsolatedChainRunner(
+            [_native_spin_blocking_sigalrm], _ctx_factory, 1.0, 128
+        )
+        try:
+            import time
+
+            t0 = time.time()
+            evs, err, *_ = r.run({"id": "spin"})
+            elapsed = time.time() - t0
+            assert err is not None and "FunctionTimeoutError" in err
+            assert "killed" in err
+            assert evs == [{"id": "spin"}]
+            # budget = 1s + grace 2s; the kill must not hang the parent
+            assert elapsed < 10
+        finally:
+            r.close()
+
+    def test_respawn_after_kill_serves_next_event(self):
+        r = IsolatedChainRunner(
+            [_native_spin_blocking_sigalrm], _ctx_factory, 1.0, 128
+        )
+        try:
+            _, err1, *_ = r.run({"id": "a"})
+            assert "FunctionTimeoutError" in err1
+            # fresh child spawned transparently for the next event
+            _, err2, *_ = r.run({"id": "b"})
+            assert "FunctionTimeoutError" in err2
+        finally:
+            r.close()
+
+    def test_python_timeout_handled_in_child_without_respawn(self):
+        # a plain Python loop is interrupted by the in-child SIGALRM
+        # guard: error recorded, SAME child keeps serving (no disposal)
+        def py_spin(ev, ctx):
+            while True:
+                pass
+
+        r = IsolatedChainRunner([py_spin], _ctx_factory, 1.0, 128)
+        try:
+            _, err, *_ = r.run({"id": "x"})
+            assert err is not None and "FunctionTimeoutError" in err
+            pid_before = r._proc.pid
+            _, err2, *_ = r.run({"id": "y"})
+            assert r._proc.pid == pid_before  # in-child guard, no kill
+        finally:
+            r.close()
+
+
+class TestChainIntegration:
+    """End-to-end: untrusted ConnectionConfig -> mapInPandas stage with
+    hostile UDFs; the Spark batch completes, errors land in _error (the
+    events-log row source), the executor survives."""
+
+    def _events_df(self, spark, events):
+        return spark.createDataFrame(
+            [(json.dumps(e),) for e in events], "event string"
+        )
+
+    def test_bomb_and_spin_recorded_batch_completes(self, spark):
+        def tag(ev, ctx):
+            ev["tagged"] = True
+            return ev
+
+        def hostile(ev, ctx):
+            if ev.get("kind") == "bomb":
+                return _numpy_alloc_bomb(ev, ctx)
+            if ev.get("kind") == "spin":
+                return _native_spin_blocking_sigalrm(ev, ctx)
+            return ev
+
+        cfg = ConnectionConfig(
+            connection_id="c-iso",
+            functions=[hostile, tag],
+            untrusted=True,
+            function_timeout_sec=1.0,
+        )
+        df = self._events_df(
+            spark,
+            [
+                {"type": "track", "kind": "ok", "n": 1},
+                {"type": "track", "kind": "bomb", "n": 2},
+                {"type": "track", "kind": "spin", "n": 3},
+                {"type": "track", "kind": "ok", "n": 4},
+            ],
+        ).coalesce(1)
+        rows = compile_chain(cfg)(df).collect()
+        by_n = {json.loads(r.event)["n"]: r for r in rows}
+        assert set(by_n) == {1, 2, 3, 4}
+        # clean events fully processed by BOTH functions
+        assert json.loads(by_n[1].event)["tagged"] is True
+        assert json.loads(by_n[4].event)["tagged"] is True
+        assert by_n[1]._error is None and by_n[4]._error is None
+        # hostile events: identity + error recorded (events-log row feed)
+        assert "MemoryError" in by_n[2]._error
+        assert "FunctionTimeoutError" in by_n[3]._error
+
+    def test_trusted_chain_unchanged(self, spark):
+        # trusted chains keep the in-process path (no fork tax) with
+        # identical output semantics
+        def remember(ev, ctx):
+            ctx.store.set("last", ev["n"], "1h")
+            ev["pid_tag"] = True
+            return ev
+
+        cfg = ConnectionConfig(
+            connection_id="c-trusted", functions=[remember], untrusted=False
+        )
+        df = self._events_df(spark, [{"type": "track", "n": 7}]).coalesce(1)
+        out = compile_chain(cfg)(df).collect()
+        assert len(out) == 1 and out[0]._error is None
+        assert json.loads(out[0].event)["pid_tag"] is True
