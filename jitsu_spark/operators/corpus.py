@@ -91,5 +91,33 @@ ORDER BY source
 """
 
 
+def corpus_dedup_suite(
+    spark: SparkSession, sf_dir: str, store_dir: str
+) -> dict[str, DataFrame]:
+    """The composed dedup run a real pipeline executes: materialize the
+    LSH near-dup cluster map ONCE (`dedup.build_cluster_map` — the only
+    shingle scan in the whole suite), then derive every cluster consumer
+    from the stored map. Standalone, each consumer reruns the
+    shingle -> LSH -> components pass (~the corpus's most expensive scan);
+    composed, that pass runs exactly once and the consumers are
+    broadcast joins of the (small) stored map onto the corpus.
+
+    Returns {near_dup_clusters, dedup_keep_list, leakage_safe_split} —
+    each bit-identical to its standalone registry twin (pinned by
+    tests/test_cluster_map.py)."""
+    from .dedup import build_cluster_map, dedup_keep_list, load_cluster_map
+    from .packing import leakage_safe_split
+
+    build_cluster_map(spark, sf_dir, store_dir)
+    clusters = load_cluster_map(spark, store_dir)
+    return {
+        "near_dup_clusters": clusters,
+        "dedup_keep_list": dedup_keep_list(spark, sf_dir, clusters=clusters),
+        "leakage_safe_split": leakage_safe_split(
+            spark, sf_dir, clusters=clusters
+        ),
+    }
+
+
 QUERIES = {"corpus_prep_pipeline": corpus_prep_pipeline}
 ORACLE = {"corpus_prep_pipeline": CORPUS_PREP_SQL}

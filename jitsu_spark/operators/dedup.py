@@ -486,16 +486,45 @@ SELECT (SELECT count(*) FROM truth) AS n_true,
 """
 
 
-def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+# ---------------------------------------------------------------------------
+# Materialized cluster map (round-4): the shingle -> LSH -> components pass
+# is the most expensive corpus scan in the family, and every cluster
+# consumer (keep list, leakage-safe split, composed pipelines) needs the
+# SAME map. Build it once to a parquet store (the `build_ivf_store`
+# pattern) and feed the consumers from the store — a composed run does one
+# shingle scan total instead of one per consumer. The registry queries
+# stay self-contained (they recompute, keeping the oracle contract); a
+# real 100 TB pipeline calls `build_cluster_map` then passes
+# `clusters=load_cluster_map(...)` to each consumer.
+# ---------------------------------------------------------------------------
+
+
+def build_cluster_map(spark: SparkSession, sf_dir: str, store_dir: str) -> None:
+    """Materialize the LSH near-dup cluster map once:
+    (doc_id, cluster_id, cluster_size, is_canonical) parquet."""
+    near_dup_clusters(spark, sf_dir).write.mode("overwrite").parquet(store_dir)
+
+
+def load_cluster_map(spark: SparkSession, store_dir: str) -> DataFrame:
+    return spark.read.parquet(store_dir)
+
+
+def dedup_keep_list(
+    spark: SparkSession, sf_dir: str, clusters: DataFrame | None = None
+) -> DataFrame:
     """The shipped dedup decision: every document tagged keep/drop with
     its reason — 'singleton' (no near-dup cluster), 'canonical' (cluster
     representative), or 'near_dup' (dropped member). Left joins the
     near-dup clusters (small side, size-gated broadcast) onto the corpus;
-    at scale the corpus never shuffles for this decision."""
+    at scale the corpus never shuffles for this decision.
+
+    Pass `clusters` (from `load_cluster_map`) to reuse a materialized
+    map instead of recomputing the shingle/LSH/components pass."""
     from ..plans.hints import maybe_broadcast
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    clusters = near_dup_clusters(spark, sf_dir)
+    if clusters is None:
+        clusters = near_dup_clusters(spark, sf_dir)
     return (
         docs.join(maybe_broadcast(clusters), "doc_id", "left")
         .selectExpr(

@@ -69,12 +69,19 @@ FROM documents
 """
 
 
-def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+def leakage_safe_split(
+    spark: SparkSession, sf_dir: str, clusters: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, source, split): 90/5/5 assignment where every near-dup
     cluster lands in ONE split (keyed by cluster id; singletons by their
-    own doc id)."""
+    own doc id).
+
+    Pass `clusters` (from `dedup.load_cluster_map`) to reuse a
+    materialized map instead of recomputing the shingle/LSH pass."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    clusters = near_dup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    if clusters is None:
+        clusters = near_dup_clusters(spark, sf_dir)
+    clusters = clusters.select("doc_id", "cluster_id")
     from ..plans.hints import maybe_broadcast
 
     keyed = docs.join(maybe_broadcast(clusters), "doc_id", "left").withColumn(

@@ -557,7 +557,31 @@ ORACLE = {
 }
 
 
-def semantic_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+def build_semantic_cluster_map(
+    spark: SparkSession, sf_dir: str, store_dir: str
+) -> None:
+    """Materialize the embedding-cosine near-dup cluster map once
+    ((vec_id, cluster_id) parquet) — the GEMM pair pass is the corpus's
+    most expensive embedding scan, and every semantic-cluster consumer
+    needs the same map (the dedup.build_cluster_map pattern)."""
+    from .identity import id_graph_components
+
+    pairs = embedding_cosine_dups(spark, sf_dir)
+    comps = id_graph_components(
+        pairs.selectExpr("vec_a AS id_a", "vec_b AS id_b")
+    )
+    comps.selectExpr(
+        "CAST(id AS BIGINT) AS vec_id", "CAST(component AS BIGINT) AS cluster_id"
+    ).write.mode("overwrite").parquet(store_dir)
+
+
+def load_semantic_cluster_map(spark: SparkSession, store_dir: str) -> DataFrame:
+    return spark.read.parquet(store_dir)
+
+
+def semantic_dedup_keep_list(
+    spark: SparkSession, sf_dir: str, clusters: DataFrame | None = None
+) -> DataFrame:
     """The SEMANTIC twin of dedup.dedup_keep_list: embedding-cosine
     near-dup pairs -> connected components -> keep/drop verdict per
     vector ('singleton' / 'canonical' = min vec_id in its component /
@@ -568,16 +592,22 @@ def semantic_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pairs come from the bounded block-pair GEMM (per-task memory
     constant), components from label propagation (one shuffle per round),
     and the verdict is a broadcast left join onto the corpus — the corpus
-    itself never shuffles."""
-    from .identity import id_graph_components
+    itself never shuffles. Pass `clusters` (from
+    `load_semantic_cluster_map`) to reuse a materialized map instead of
+    recomputing the GEMM/components pass."""
+    if clusters is not None:
+        labeled = clusters.select("vec_id", "cluster_id")
+    else:
+        from .identity import id_graph_components
 
-    pairs = embedding_cosine_dups(spark, sf_dir)
-    comps = id_graph_components(
-        pairs.selectExpr("vec_a AS id_a", "vec_b AS id_b")
-    )
-    labeled = comps.selectExpr(
-        "CAST(id AS BIGINT) AS vec_id", "CAST(component AS BIGINT) AS cluster_id"
-    )
+        pairs = embedding_cosine_dups(spark, sf_dir)
+        comps = id_graph_components(
+            pairs.selectExpr("vec_a AS id_a", "vec_b AS id_b")
+        )
+        labeled = comps.selectExpr(
+            "CAST(id AS BIGINT) AS vec_id",
+            "CAST(component AS BIGINT) AS cluster_id",
+        )
     vecs = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
     return (
         vecs.join(maybe_broadcast(labeled), "vec_id", "left")
