@@ -11,6 +11,17 @@ same "external shared KV" role Redis plays for rotor, with last-writer-
 wins rename semantics standing in for replaceOne. For managed Redis/Mongo
 deployments the store remains swappable behind the same surface.
 
+Torn-read defense (round 4): rename is atomic on POSIX/HDFS/NFS, but a
+fuse-mounted object store may implement it as copy+delete, exposing
+half-written bytes to a concurrent reader. Every record therefore
+carries a content checksum; a reader that sees a record whose checksum
+does not verify treats it as a write-in-progress, retries briefly, and
+— if the bytes never become whole — reports the key missing rather than
+ever surfacing partial data. A torn write thus degrades to a lost write
+(the same observable outcome as a crashed Redis SET), never a corrupt
+read. Records written before round 4 (no checksum field) remain
+readable.
+
 TTL surface parity (`store.ts:10-26` + `@jitsu/protocols/functions`
 TTLStore):
   - `set(key, value, opts)` — opts may be seconds (number), a duration
@@ -91,6 +102,36 @@ def get_ttl_sec(opts: Any = None) -> int:
     return min(math.ceil(seconds), MAX_ALLOWED_TTL)
 
 
+TORN_READ_RETRIES = 5
+TORN_READ_BACKOFF_SEC = 0.02
+
+
+def _record_crc(rec: dict) -> str:
+    """Checksum over the record's semantic payload (key/value/expire_at,
+    canonical JSON) — order-independent of how the blob was serialized."""
+    payload = json.dumps(
+        {k: rec.get(k) for k in ("key", "value", "expire_at")},
+        sort_keys=True,
+        separators=(",", ":"),
+    )
+    return hashlib.md5(payload.encode()).hexdigest()
+
+
+def _decode_record(raw: str) -> dict | None:
+    """Parse + verify a record blob; None = torn/corrupt (retryable).
+    Legacy records without a crc field are accepted as-is."""
+    try:
+        rec = json.loads(raw)
+    except ValueError:
+        return None
+    if not isinstance(rec, dict) or "value" not in rec:
+        return None
+    crc = rec.get("crc")
+    if crc is not None and crc != _record_crc(rec):
+        return None
+    return rec
+
+
 class FileTtlStore:
     """Durable TTL KV over a directory; the pipeline default for
     `ctx.store` when a store path is configured.
@@ -111,10 +152,24 @@ class FileTtlStore:
         )
 
     def _read(self, key: str) -> dict | None:
-        try:
-            with open(self._path(key)) as f:
-                rec = json.load(f)
-        except (FileNotFoundError, ValueError):
+        path = self._path(key)
+        rec = None
+        for attempt in range(TORN_READ_RETRIES):
+            try:
+                with open(path) as f:
+                    raw = f.read()
+            except FileNotFoundError:
+                return None
+            rec = _decode_record(raw)
+            if rec is not None:
+                break
+            # checksum/parse failure = a non-atomic mount exposed a
+            # write in progress; give the copy a moment to complete
+            time.sleep(TORN_READ_BACKOFF_SEC)
+        if rec is None:
+            # never became whole: the writer died mid-copy. A torn write
+            # degrades to a LOST write (key missing) — partial data is
+            # never surfaced.
             return None
         exp = rec.get("expire_at")
         if exp is not None and exp < time.time():
@@ -148,11 +203,14 @@ class FileTtlStore:
             "value": value,
             "expire_at": None if ttl < 0 else time.time() + ttl,
         }
+        rec["crc"] = _record_crc(rec)  # torn-read detection (module note)
         path = self._path(key)
         tmp = f"{path}.{os.getpid()}.tmp"
         with open(tmp, "w") as f:
             json.dump(rec, f, separators=(",", ":"))
-        os.replace(tmp, path)  # atomic last-writer-wins
+            f.flush()
+            os.fsync(f.fileno())  # bytes durable before they're visible
+        os.replace(tmp, path)  # atomic last-writer-wins (POSIX/HDFS/NFS)
 
     def delete(self, key: str) -> None:
         try:
@@ -228,4 +286,6 @@ def store_state_table(spark, root: str):
             F.col("expire_at").isNull()
             | (F.col("expire_at") >= F.lit(time.time()))
         )
+        # torn/corrupt blobs parse to null keys — never surface them
+        .where(F.col("key").isNotNull())
     )
