@@ -116,19 +116,43 @@ class WarehouseSink:
         hi = F.lit(max(dates)).cast("date")
         existing = self.read(table).where(F.col(PARTITION_COL).between(lo, hi))
 
+        existing_dates = {
+            r[0] for r in existing.select(PARTITION_COL).distinct().collect()
+        }
         merged = _latest_per_key(
             existing.unionByName(batch, allowMissingColumns=not self.schema_freeze),
             pk,
             timestamp_col,
-        )
-        # Dynamic overwrite replaces exactly the partitions present in
-        # `merged`; everything else on disk stays as-is.
-        (
-            merged.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(PARTITION_COL)
-            .parquet(self._path(table))
-        )
+        ).cache()
+        try:
+            # Dynamic overwrite replaces exactly the partitions present in
+            # `merged`; everything else on disk stays as-is.
+            (
+                merged.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(PARTITION_COL)
+                .parquet(self._path(table))
+            )
+            # A key whose NEWER row lands in a different date partition
+            # leaves its old partition without any surviving row — dynamic
+            # overwrite never touches a partition absent from `merged`, so
+            # the stale duplicate would survive on disk (round-4 twin
+            # finding: the warehouse MERGE updates in place, the parquet
+            # path must match). Drop partitions inside the window that the
+            # merge emptied. (Directory removal = this local/posix layout;
+            # an HDFS deployment issues the same delete via FileSystem.)
+            merged_dates = {
+                r[0] for r in merged.select(PARTITION_COL).distinct().collect()
+            }
+        finally:
+            merged.unpersist()
+        import shutil
+
+        for d in existing_dates - merged_dates:
+            shutil.rmtree(
+                os.path.join(self._path(table), f"{PARTITION_COL}={d}"),
+                ignore_errors=True,
+            )
 
     # -- multi-table routing (bulker-destination.ts:340-385) -----------
 

@@ -176,6 +176,124 @@ def gcs_writer(credentials: dict, table: str) -> WriterSpec:
     )
 
 
+# ---------------------------------------------------------------------------
+# Staging + MERGE statement generation (round 4): the cloud families keep
+# bulker's deduplicate:true contract warehouse-side — Spark reduces the
+# batch to one row per key (sinks._latest_per_key), the connector stages
+# it, and ONE MERGE promotes the stage into the target inside the dedup
+# window. These are the statements that run as BigQuery jobs / Snowflake
+# queries; the ANSI dialect executes verbatim on Derby, which the tests
+# use as a live twin to prove the generated MERGE reproduces the parquet
+# WarehouseSink.upsert row-for-row (same window semantics: conflicts
+# outside [batch_min - window, batch_max] are left duplicated by design).
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_MERGE_IDENT = _re.compile(r"^[A-Za-z_][A-Za-z0-9_.]*$")
+
+MERGE_DIALECTS = {
+    # identifier quote, timestamp->date expression, date literal.
+    # table_q: how TABLE names are quoted — the live-twin ANSI form
+    # leaves them unquoted because engines that fold unquoted
+    # identifiers (Derby/Oracle upper, postgres lower) store the
+    # Spark-created table under the folded name, while Spark's JDBC
+    # writer QUOTES column names (case-preserved) — so columns must be
+    # quoted and tables must not.
+    "bigquery": {"q": "`", "table_q": "`", "to_date": "DATE({x})",
+                 "date_lit": "DATE '{d}'"},
+    "snowflake": {"q": '"', "table_q": '"', "to_date": "TO_DATE({x})",
+                  "date_lit": "DATE '{d}'"},
+    "ansi": {"q": '"', "table_q": "", "to_date": "CAST({x} AS DATE)",
+             "date_lit": "DATE('{d}')"},
+}
+
+_DATE_RE = _re.compile(r"^\d{4}-\d{2}-\d{2}$")
+
+
+def _mq(name: str, q: str) -> str:
+    if not _MERGE_IDENT.match(name):
+        raise ValueError(f"invalid SQL identifier: {name!r}")
+    if not q:
+        return name
+    # qualified names quote each part (dataset.table)
+    return ".".join(f"{q}{part}{q}" for part in name.split("."))
+
+
+def merge_window_bounds(
+    batch, timestamp_col: str = "ts", dedup_window_days: int = 31
+) -> tuple[str, str]:
+    """The dedup window the parquet path computes driver-side
+    (sinks.WarehouseSink.upsert): [batch min date - window, batch max
+    date], as ISO literals for the MERGE ON clause. One tiny agg —
+    the same collect the parquet path already does for its partition
+    pruning."""
+    from pyspark.sql import functions as F
+
+    row = batch.agg(
+        F.date_sub(
+            F.min(F.to_date(F.col(timestamp_col))), dedup_window_days
+        ).alias("lo"),
+        F.max(F.to_date(F.col(timestamp_col))).alias("hi"),
+    ).first()
+    return str(row["lo"]), str(row["hi"])
+
+
+def merge_statements(
+    family: str,
+    target_table: str,
+    staging_table: str,
+    columns: list[str],
+    primary_key: list[str],
+    timestamp_col: str = "ts",
+    window_lo: str | None = None,
+    window_hi: str | None = None,
+) -> list[str]:
+    """The staging-promotion statements for a cloud family: one MERGE
+    (window-bounded on the target's event date, newest-timestamp wins,
+    unmatched source rows insert) followed by the staging DROP.
+
+    Contract parity with `sinks.WarehouseSink.upsert`:
+    - the staged batch is already one row per primary key (the Spark
+      `_latest_per_key` reduction runs before staging — same as the
+      JDBC sink);
+    - a target row with the same key INSIDE the window: the newer
+      timestamp wins (`WHEN MATCHED AND s.ts >= t.ts`);
+    - a target row with the same key OUTSIDE the window: untouched, and
+      the source row still inserts — window-bounded dedup leaves that
+      duplicate by design, exactly like the parquet path's partition
+      pruning.
+    """
+    d = MERGE_DIALECTS[family if family in MERGE_DIALECTS else "ansi"]
+    q, tq = d["q"], d["table_q"]
+    pk = [c for c in primary_key]
+    for c in pk:
+        if c not in columns:
+            raise ValueError(f"primary key column {c!r} not in columns")
+    non_key = [c for c in columns if c not in pk]
+    t, s = _mq(target_table, tq), _mq(staging_table, tq)
+    on = " AND ".join(f"t.{_mq(k, q)} = s.{_mq(k, q)}" for k in pk)
+    if window_lo is not None and window_hi is not None:
+        for lit in (window_lo, window_hi):
+            if not _DATE_RE.match(lit):
+                raise ValueError(f"window bound {lit!r} is not YYYY-MM-DD")
+        t_date = d["to_date"].format(x=f"t.{_mq(timestamp_col, q)}")
+        on += (
+            f" AND {t_date} BETWEEN {d['date_lit'].format(d=window_lo)}"
+            f" AND {d['date_lit'].format(d=window_hi)}"
+        )
+    sets = ", ".join(f"t.{_mq(c, q)} = s.{_mq(c, q)}" for c in non_key)
+    ins_cols = ", ".join(_mq(c, q) for c in columns)
+    ins_vals = ", ".join(f"s.{_mq(c, q)}" for c in columns)
+    ts_q = _mq(timestamp_col, q)
+    return [
+        f"MERGE INTO {t} t USING {s} s ON {on} "
+        f"WHEN MATCHED AND s.{ts_q} >= t.{ts_q} THEN UPDATE SET {sets} "
+        f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})",
+        f"DROP TABLE {s}",
+    ]
+
+
 CLOUD_WRITERS = {
     "bigquery": bigquery_writer,
     "snowflake": snowflake_writer,

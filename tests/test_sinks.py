@@ -135,3 +135,34 @@ def test_backoff_series(spark):
         backoff_minutes(F.col("id").cast("int")).alias("m")
     )
     assert [r.m for r in df.collect()] == [10, 100, 1000, 1440]
+
+
+def test_upsert_cross_partition_conflict_drops_stale_partition(spark, sink):
+    """Round-4 twin finding: when a key's newer row lands in a DIFFERENT
+    date partition, dynamic overwrite never rewrites the loser's
+    partition — the stale duplicate survived on disk. The warehouse
+    MERGE twin updates in place; the parquet path must drop the emptied
+    partition to match."""
+    sink.upsert(_df(spark, [("m1", _ts("2024-03-01T00:00:00"), "v1")]), "xp")
+    sink.upsert(
+        _df(spark, [("m1", _ts("2024-03-02T00:00:00"), "v2"),
+                    ("m2", _ts("2024-03-01T12:00:00"), "other")]),
+        "xp",
+    )
+    rows = {(r.message_id, r.v) for r in sink.read("xp").collect()}
+    # m1 appears ONCE (newer wins, old partition's copy gone); m2 keeps
+    # the 03-01 partition alive so it is rewritten, not deleted
+    assert rows == {("m1", "v2"), ("m2", "other")}
+
+
+def test_upsert_cross_partition_conflict_removes_emptied_dir(spark, sink):
+    import os
+
+    sink.upsert(_df(spark, [("mA", _ts("2024-04-01T00:00:00"), "a")]), "xp2")
+    sink.upsert(_df(spark, [("mA", _ts("2024-04-05T00:00:00"), "a2")]), "xp2")
+    rows = {(r.message_id, r.v) for r in sink.read("xp2").collect()}
+    assert rows == {("mA", "a2")}
+    # the emptied 04-01 partition directory is physically gone
+    assert not os.path.isdir(
+        os.path.join(sink.base_dir, "xp2", "_p_date=2024-04-01")
+    )
