@@ -41,7 +41,12 @@ class SyncConfig:
 
 
 class SyncState:
-    """Per-sync cursor persistence (the Airbyte state message analogue)."""
+    """Per-sync state persistence: the cursor (incremental filter), the
+    raw Airbyte connection state (fed back to the connector on its next
+    run), and the last scheduler launch time (the `due_syncs` anchor).
+    All three live in one JSON file per sync, written whole after each
+    successful load — re-running after a crash replays an already-merged
+    slice, which the MERGE makes idempotent."""
 
     def __init__(self, state_dir: str):
         self.state_dir = state_dir
@@ -50,16 +55,42 @@ class SyncState:
     def _path(self, sync_id: str) -> str:
         return os.path.join(self.state_dir, f"{sync_id}.json")
 
-    def get_cursor(self, sync_id: str):
+    def _load(self, sync_id: str) -> dict:
         p = self._path(sync_id)
         if not os.path.exists(p):
-            return None
+            return {}
         with open(p) as f:
-            return json.load(f).get("cursor")
+            return json.load(f)
+
+    def _save(self, sync_id: str, updates: dict) -> None:
+        doc = self._load(sync_id)
+        doc.update(updates)
+        with open(self._path(sync_id), "w") as f:
+            json.dump(doc, f)
+
+    def get_cursor(self, sync_id: str):
+        return self._load(sync_id).get("cursor")
 
     def set_cursor(self, sync_id: str, cursor) -> None:
-        with open(self._path(sync_id), "w") as f:
-            json.dump({"cursor": cursor}, f)
+        self._save(sync_id, {"cursor": cursor})
+
+    # Airbyte connection-state passthrough (sources/airbyte.latest_state
+    # output — handed back to the connector on its next invocation)
+    def get_airbyte_state(self, sync_id: str) -> dict | None:
+        return self._load(sync_id).get("airbyte_state")
+
+    def set_airbyte_state(self, sync_id: str, state: dict | None) -> None:
+        self._save(sync_id, {"airbyte_state": state})
+
+    # scheduler anchor (due_syncs last_runs input)
+    def get_last_run(self, sync_id: str):
+        import datetime as dt
+
+        raw = self._load(sync_id).get("last_run")
+        return dt.datetime.fromisoformat(raw) if raw else None
+
+    def set_last_run(self, sync_id: str, when) -> None:
+        self._save(sync_id, {"last_run": when.isoformat()})
 
 
 def run_sync(
