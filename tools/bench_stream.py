@@ -79,6 +79,71 @@ def main() -> None:
     elapsed = time.time() - t0
     rows = sink.read("events").count()
 
+    # ---- UDF-stage spine (round 4): the same pipeline with a user
+    # function chain per event exercising the r3 runtime — ctx.fetch
+    # through a stub transport (no network; measures the runtime's fetch
+    # bookkeeping) and the durable FileTtlStore as a read-mostly config
+    # cache (one store read per event, a fetch+write per cold key).
+    from jitsu_spark.plans.chain import (
+        ConnectionConfig,
+        FetchResponse,
+        compile_chain,
+    )
+
+    def stub_transport(url, method, headers, body, timeout_sec):
+        return FetchResponse(
+            url=url, status=200, statusText="OK",
+            headers={"content-type": "application/json"},
+            body=b'{"flag": "on"}',
+        )
+
+    def udf_enrich(ev, ctx):
+        key = f"cfg_{hash(ev.get('user_id')) % 50}"
+        cached = ctx.store.get(key)
+        if cached is None:
+            cached = ctx.fetch("https://config.stub/flags", log=False).json()
+            ctx.store.set(key, cached, "1h")
+        ev["enriched"] = cached["flag"]
+        return ev
+
+    chain = compile_chain(
+        ConnectionConfig(
+            connection_id="bench",
+            functions=[udf_enrich],
+            fetch_transport=stub_transport,
+            store_dir=os.path.join(work, "store"),
+        )
+    )
+    ev_schema = (
+        "message_id string, type string, event string, user_id string, "
+        "timestamp string, enriched string"
+    )
+
+    def transform_udf(df):
+        packed = df.select(
+            F.to_json(
+                F.struct("message_id", "type", "event", "user_id", "timestamp")
+            ).alias("event")
+        )
+        out = chain(packed)
+        return (
+            out.select(F.from_json("event", ev_schema).alias("e"))
+            .select("e.*")
+            .withColumn("_table", F.lit("events"))
+        )
+
+    sink_udf = WarehouseSink(spark, os.path.join(work, "wh_udf"))
+    t1 = time.time()
+    q = run_pipeline(
+        file_event_stream(spark, src, max_files_per_trigger=1),
+        sink_udf,
+        checkpoint_dir=os.path.join(work, "ckpt_udf"),
+        transform=transform_udf,
+    )
+    q.awaitTermination()
+    elapsed_udf = time.time() - t1
+    rows_udf = sink_udf.read("events").count()
+
     print(
         json.dumps(
             {
@@ -88,6 +153,9 @@ def main() -> None:
                 "events": rows,
                 "batches": n_batches,
                 "wall_sec": round(elapsed, 2),
+                "udf_chain_events_per_sec": round(rows_udf / elapsed_udf, 1),
+                "udf_chain_wall_sec": round(elapsed_udf, 2),
+                "udf_chain_events": rows_udf,
             }
         )
     )
