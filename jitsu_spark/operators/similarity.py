@@ -275,6 +275,33 @@ def _n_blocks(n_vectors: int) -> int:
     return max(N_BLOCKS_MIN, math.ceil(n_vectors / MAX_BLOCK_ROWS))
 
 
+def _corpus_rows(sf_dir: str, table: str = "embeddings") -> int | None:
+    """Row count from the parquet FOOTER (metadata-only, no scan, no
+    Spark job) — the r3 review noted the block-grid derivation cost one
+    extra corpus scan per run (`emb.count()`); footer statistics are the
+    free answer. None when the layout isn't a plain parquet file/dir
+    (caller falls back to count())."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        path = os.path.join(sf_dir, f"{table}.parquet")
+        if os.path.isfile(path):
+            return pq.ParquetFile(path).metadata.num_rows
+        if os.path.isdir(path):
+            total = 0
+            for name in os.listdir(path):
+                if name.endswith(".parquet"):
+                    total += pq.ParquetFile(
+                        os.path.join(path, name)
+                    ).metadata.num_rows
+            return total or None
+    except Exception:
+        return None
+    return None
+
+
 def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: all pairs with cosine >= DUP_COS_THRESHOLD.
 
@@ -306,7 +333,8 @@ def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
     eps = 1e-6
 
-    n_blocks = _n_blocks(emb.count())
+    n_rows = _corpus_rows(sf_dir)
+    n_blocks = _n_blocks(n_rows if n_rows is not None else emb.count())
     packed = (
         emb.select(
             F.pmod(F.hash("vec_id"), F.lit(n_blocks)).alias("blk"),
