@@ -549,6 +549,96 @@ FROM documents d LEFT JOIN clusters c USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# Incremental dedup (round 4): the "new crawl vs existing corpus" pass.
+# A real pipeline doesn't re-dedup 100 TB per ingest — it keeps a
+# fingerprint store (content hash -> canonical doc) and checks each new
+# batch against it, then appends the genuinely-new fingerprints. Join
+# direction matters at scale: the store is corpus-sized and the batch is
+# small, so the BATCH side broadcasts and the store never shuffles; the
+# store layout is parquet partitioned by a hash prefix so the append
+# stays file-local and a future bucketed layout prunes probes.
+# ---------------------------------------------------------------------------
+
+FP_PREFIX_BUCKETS = 16
+
+
+def build_fingerprint_store(
+    spark: SparkSession, sf_dir: str, store_dir: str
+) -> None:
+    """Seed the store from an existing corpus: one (text_hash,
+    canonical_id) row per distinct content hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = (
+        docs.select("doc_id", F.md5("text").alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("canonical_id"))
+        .withColumn(
+            "bucket",
+            F.pmod(F.conv(F.substring("text_hash", 1, 2), 16, 10).cast("int"),
+                   F.lit(FP_PREFIX_BUCKETS)),
+        )
+    )
+    fp.write.mode("overwrite").partitionBy("bucket").parquet(store_dir)
+
+
+def dedup_incremental(
+    spark: SparkSession, new_docs: DataFrame, store_dir: str
+) -> DataFrame:
+    """Check a new batch against the fingerprint store and update it.
+
+    Returns one row per new doc: (doc_id, text_hash, verdict,
+    canonical_id) where verdict is 'dup_of_corpus' (hash already
+    stored), 'dup_in_batch' (another new doc with the same hash and a
+    smaller doc_id wins), or 'new' (this doc becomes the hash's
+    canonical — its fingerprint is appended to the store).
+
+    The store side is scanned, never shuffled: the hit lookup runs as
+    store-inner-join-broadcast(batch hashes) — the corpus-sized store
+    streams through a broadcast hash join whose build side is the tiny
+    batch, and the surviving hits (at most one per batch hash) are
+    themselves small enough to broadcast into the verdict join. A
+    left-outer with the batch preserved can't broadcast its own left
+    side, which is why the lookup is split out."""
+    from ..plans.hints import maybe_broadcast
+
+    store = spark.read.parquet(store_dir).select("text_hash", "canonical_id")
+    batch = new_docs.select("doc_id", F.md5("text").alias("text_hash"))
+    batch_canon = batch.groupBy("text_hash").agg(
+        F.min("doc_id").alias("batch_canonical")
+    )
+    hits = store.join(
+        maybe_broadcast(batch.select("text_hash").distinct()), "text_hash"
+    )
+    verdicts = (
+        batch.join(maybe_broadcast(batch_canon), "text_hash")
+        .join(maybe_broadcast(hits), "text_hash", "left")
+        .selectExpr(
+            "doc_id",
+            "text_hash",
+            "CASE WHEN canonical_id IS NOT NULL THEN 'dup_of_corpus'"
+            " WHEN doc_id <> batch_canonical THEN 'dup_in_batch'"
+            " ELSE 'new' END AS verdict",
+            "coalesce(canonical_id, batch_canonical) AS canonical_id",
+        )
+        # pin BEFORE the append: verdicts' lineage reads the store, and a
+        # caller action after the write would otherwise re-scan the
+        # just-appended fingerprints and flip 'new' to 'dup_of_corpus'
+        .localCheckpoint()
+    )
+    fresh = (
+        verdicts.where(F.col("verdict") == "new")
+        .select("text_hash", F.col("doc_id").alias("canonical_id"))
+        .withColumn(
+            "bucket",
+            F.pmod(F.conv(F.substring("text_hash", 1, 2), 16, 10).cast("int"),
+                   F.lit(FP_PREFIX_BUCKETS)),
+        )
+    )
+    fresh.write.mode("append").partitionBy("bucket").parquet(store_dir)
+    return verdicts
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "minhash_signatures": minhash_signatures,

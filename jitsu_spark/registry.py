@@ -13,6 +13,7 @@ from .plans import throttle
 from .operators import (
     asof,
     corpus,
+    corpus_stats,
     dedup,
     events_ops,
     geo,
@@ -41,6 +42,7 @@ _MODULES = [
     text_ops,
     quality_filters,
     dedup,
+    corpus_stats,
     similarity,
     layouts,
     profiles,

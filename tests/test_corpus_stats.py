@@ -1,0 +1,129 @@
+"""Corpus n-gram stats + incremental fingerprint dedup (round 4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+class TestBoilerplateStats:
+    def test_ratios_bounded_and_consistent(self, spark, sf_dir):
+        from jitsu_spark.operators.corpus_stats import (
+            boilerplate_shingle_stats,
+        )
+
+        rows = boilerplate_shingle_stats(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert 0 < r.n_shingles
+            assert 0 <= r.n_boilerplate <= r.n_shingles
+            # Spark rounds half-up, Python half-even: allow one ulp at
+            # the 4th decimal
+            assert abs(r.boilerplate_ratio - r.n_boilerplate / r.n_shingles) < 1e-4
+
+    def test_topk_is_deterministic_and_ordered(self, spark, sf_dir):
+        from jitsu_spark.operators.corpus_stats import TOPK_NGRAMS, ngram_topk
+
+        a = ngram_topk(spark, sf_dir).collect()
+        b = ngram_topk(spark, sf_dir).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+        assert len(a) <= TOPK_NGRAMS
+        dfs = [r.df for r in a]
+        assert dfs == sorted(dfs, reverse=True)
+        assert [r.rank for r in a] == list(range(1, len(a) + 1))
+
+    def test_topk_plan_uses_take_ordered_not_global_sort(self, spark, sf_dir):
+        from jitsu_spark.operators.corpus_stats import ngram_topk
+
+        plan = ngram_topk(spark, sf_dir)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        # the heavy cut is the limit (TakeOrderedAndProject); the rank
+        # window exists but runs over <= K rows after it
+        assert "TakeOrderedAndProject" in plan, plan
+
+
+class TestIncrementalDedup:
+    def test_new_batch_verdicts_and_store_growth(self, spark, sf_dir, tmp_path):
+        from jitsu_spark.operators.dedup import (
+            build_fingerprint_store,
+            dedup_incremental,
+        )
+        from jitsu_spark.tables import load_table
+
+        store = str(tmp_path / "fp")
+        build_fingerprint_store(spark, sf_dir, store)
+        n0 = spark.read.parquet(store).count()
+
+        corpus = load_table(spark, sf_dir, "documents")
+        dup_text = corpus.select("text").first()[0]
+        batch = spark.createDataFrame(
+            [
+                (10_000_001, dup_text),            # exact dup of corpus
+                (10_000_002, "completely fresh doc one two three"),
+                (10_000_003, "completely fresh doc one two three"),  # in-batch dup
+                (10_000_004, "another brand new document"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: (r.verdict, r.canonical_id)
+            for r in dedup_incremental(spark, batch, store).collect()
+        }
+        assert got[10_000_001][0] == "dup_of_corpus"
+        assert got[10_000_001][1] < 10_000_000  # canonical is the corpus doc
+        assert got[10_000_002] == ("new", 10_000_002)
+        assert got[10_000_003] == ("dup_in_batch", 10_000_002)
+        assert got[10_000_004] == ("new", 10_000_004)
+        # only the two genuinely-new fingerprints were appended
+        assert spark.read.parquet(store).count() == n0 + 2
+
+    def test_second_batch_sees_first_batch_fingerprints(
+        self, spark, sf_dir, tmp_path
+    ):
+        from jitsu_spark.operators.dedup import (
+            build_fingerprint_store,
+            dedup_incremental,
+        )
+
+        store = str(tmp_path / "fp2")
+        build_fingerprint_store(spark, sf_dir, store)
+        b1 = spark.createDataFrame(
+            [(20_000_001, "cross batch duplicate text")],
+            "doc_id long, text string",
+        )
+        b2 = spark.createDataFrame(
+            [(20_000_002, "cross batch duplicate text")],
+            "doc_id long, text string",
+        )
+        assert (
+            dedup_incremental(spark, b1, store).first().verdict == "new"
+        )
+        r2 = dedup_incremental(spark, b2, store).first()
+        assert r2.verdict == "dup_of_corpus"
+        assert r2.canonical_id == 20_000_001
+
+    def test_store_is_never_shuffled(self, spark, sf_dir, tmp_path):
+        """Join direction at scale: the corpus-sized store streams
+        through a broadcast join whose build side is the BATCH — the
+        store scan must not sit under a shuffle exchange."""
+        from jitsu_spark.operators.dedup import build_fingerprint_store
+        from jitsu_spark.plans.hints import maybe_broadcast
+
+        store_dir = str(tmp_path / "fp3")
+        build_fingerprint_store(spark, sf_dir, store_dir)
+        store = spark.read.parquet(store_dir).select("text_hash", "canonical_id")
+        batch = spark.createDataFrame(
+            [(1, "x")], "doc_id long, text string"
+        ).select("doc_id", F.md5("text").alias("text_hash"))
+        hits = store.join(
+            maybe_broadcast(batch.select("text_hash").distinct()), "text_hash"
+        )
+        plan = hits._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
