@@ -1,0 +1,356 @@
+"""IVF-PQ: product-quantized ANN serving index (round 4).
+
+`similarity.build_ivf_store` keeps full float vectors per cell — fine
+for recall, but at 100 TB a 256-d float32 corpus is ~1 KB/vector and the
+index IS the storage problem. Product quantization is the standard fix
+(Jegou et al., "Product Quantization for Nearest Neighbor Search",
+IEEE TPAMI 2011; the FAISS IVF-PQ default): split the (residual) vector
+into M subspaces, vector-quantize each with its own small codebook, and
+store M one-byte codes per vector — 256-d float32 -> M bytes (32x-128x
+smaller). Queries score candidates with an asymmetric distance
+computation (ADC): one M x KSUB lookup table per (query, cell), then a
+table-gather sum per candidate — no float vectors touched at query time.
+
+Spark mapping:
+- TRAIN on a bounded deterministic sample collected to the driver
+  (industry contract: FAISS trains on <=1M samples regardless of corpus
+  size — training cost must not scale with N). Lloyd iterations in
+  numpy, seeded.
+- ENCODE distributed: one Arrow-batched mapInPandas pass over the
+  cell-assigned corpus with the codebooks broadcast; writes cells
+  partitioned by centroid_id (same DPP-prunable layout as the float
+  store).
+- QUERY: probe cells via the coarse codebook (broadcast), build ADC
+  tables driver-side (queries x M x KSUB floats — tiny), broadcast
+  them, and score codes in one vectorized mapInPandas over ONLY the
+  probed partitions.
+
+Vectors are L2-normalized at build and query time, so L2 ADC ranking
+equals cosine ranking — recall is measured against the exact
+cosine top-k in tests. No SQL oracle by design (k-means training is
+iterative); the correctness contract is the recall floor + the
+plan audits, mirroring `kmeans_centroids`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .similarity import (
+    DEFAULT_IVF_K,
+    N_QUERIES,
+    NPROBE,
+    TOP_K,
+    _assignments,
+    _load_codebook,
+    _with_norm,
+    kmeans_centroids,
+)
+
+PQ_M = 8  # subspaces
+PQ_KSUB = 16  # centroids per subspace (codes fit a byte up to 256)
+PQ_TRAIN_MAX_SAMPLE = 100_000  # driver-side training cap, independent of N
+PQ_LLOYD_ITERS = 10
+
+
+def _pq_dirs(store_dir: str) -> dict[str, str]:
+    base = store_dir.rstrip("/")
+    return {
+        "cells": base + "/cells",
+        "codebook": base + "/codebook",
+        "pq": base + "/pq_codebooks",
+    }
+
+
+def _lloyd(sample: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
+    """Seeded Lloyd k-means on a driver-side sample (float64)."""
+    rng = np.random.default_rng(seed)
+    n = len(sample)
+    centers = sample[rng.choice(n, size=min(k, n), replace=False)].copy()
+    if len(centers) < k:  # degenerate tiny sample: pad by repetition
+        centers = np.vstack([centers] * (k // len(centers) + 1))[:k]
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                centers[c] = members.mean(axis=0)
+    return centers
+
+
+def _train_pq_codebooks(
+    residuals: np.ndarray, m: int, ksub: int, seed: int = 42
+) -> np.ndarray:
+    """(m, ksub, dsub) sub-codebooks trained per subspace."""
+    d = residuals.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        sub = residuals[:, j * dsub : (j + 1) * dsub]
+        books[j] = _lloyd(sub, ksub, PQ_LLOYD_ITERS, seed + j)
+    return books
+
+
+def build_ivfpq_store(
+    spark: SparkSession,
+    sf_dir: str,
+    store_dir: str,
+    k: int = DEFAULT_IVF_K,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+) -> None:
+    """Train coarse + PQ codebooks, encode the corpus, write the store."""
+    dirs = _pq_dirs(store_dir)
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    unit = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE) / norm)").alias(
+            "embedding"
+        ),
+    ).withColumn("norm", F.lit(1.0))
+
+    kmeans_centroids(unit, k=k).write.mode("overwrite").parquet(
+        dirs["codebook"]
+    )
+    centroids = _load_codebook(spark, dirs["codebook"].rsplit("/", 1)[0])
+    assigned = _assignments(unit, centroids).select(
+        "vec_id", "embedding", "centroid_id"
+    )
+
+    # ---- bounded deterministic training sample (residuals) ----
+    cent_rows = {
+        r["centroid_id"]: np.array(r["c_emb"], dtype=np.float64)
+        for r in centroids.select("centroid_id", "c_emb").collect()
+    }
+    n_total = emb.count()
+    frac = min(1.0, PQ_TRAIN_MAX_SAMPLE / max(n_total, 1))
+    sample_rows = (
+        assigned.where(F.pmod(F.hash("vec_id"), F.lit(1000)) < int(frac * 1000))
+        .select("embedding", "centroid_id")
+        .collect()
+        if frac < 1.0
+        else assigned.select("embedding", "centroid_id").collect()
+    )
+    residuals = np.array(
+        [
+            np.asarray(r["embedding"], dtype=np.float64)
+            - cent_rows[r["centroid_id"]]
+            for r in sample_rows
+        ]
+    )
+    books = _train_pq_codebooks(residuals, m, ksub)
+
+    # persist sub-codebooks as (subspace, code, sub_centroid)
+    pq_rows = [
+        (j, c, [float(x) for x in books[j, c]])
+        for j in range(m)
+        for c in range(ksub)
+    ]
+    spark.createDataFrame(
+        pq_rows, "subspace int, code int, sub_centroid array<double>"
+    ).write.mode("overwrite").parquet(dirs["pq"])
+
+    # ---- distributed encode: residual -> m byte codes ----
+    sc = spark.sparkContext
+    b_books = sc.broadcast(books)
+    b_cents = sc.broadcast(cent_rows)
+    dsub = books.shape[2]
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            cents = np.array(
+                [b_cents.value[c] for c in pdf["centroid_id"]]
+            )
+            res = mat - cents
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                sub = res[:, j * dsub : (j + 1) * dsub]
+                d2 = (
+                    (sub[:, None, :] - b_books.value[j][None, :, :]) ** 2
+                ).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].values,
+                    "codes": list(codes),
+                    "centroid_id": pdf["centroid_id"].values,
+                }
+            )
+
+    assigned.mapInPandas(
+        encode, "vec_id long, codes array<int>, centroid_id int"
+    ).write.mode("overwrite").partitionBy("centroid_id").parquet(dirs["cells"])
+
+
+REFINE_FACTOR = 4  # ADC shortlist size multiple before exact re-score
+
+
+def ann_ivfpq_topk_stored(
+    spark: SparkSession,
+    sf_dir: str,
+    store_dir: str,
+    nprobe: int = NPROBE,
+    top_k: int = TOP_K,
+    refine_factor: int = REFINE_FACTOR,
+) -> DataFrame:
+    """Probe the PQ store: ADC scoring over the probed cells, then an
+    exact re-score of the shortlist (the FAISS IndexRefineFlat pattern).
+
+    Distance tables are (n_queries x m x ksub) floats — built on the
+    driver from the query residuals and broadcast; candidate scoring is
+    a table-gather sum per code row, vectorized per Arrow batch. The
+    probe list reaches the cell scan as a partition filter. ADC keeps
+    `refine_factor * top_k` candidates per query; the refine step joins
+    that tiny shortlist back to the float vectors (broadcast, the corpus
+    never shuffles) and re-ranks by exact cosine — recovering the float
+    index's recall while the heavy scan still touches only PQ codes.
+    Set refine_factor=0 to skip refinement (pure ADC ranking)."""
+    dirs = _pq_dirs(store_dir)
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    queries = (
+        emb.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, x -> CAST(x AS DOUBLE) / norm)"
+            ).alias("q"),
+        )
+        .collect()
+    )
+    cent_rows = {
+        r["centroid_id"]: np.array(r["c_emb"], dtype=np.float64)
+        for r in _load_codebook(spark, store_dir)
+        .select("centroid_id", "c_emb")
+        .collect()
+    }
+    pq = spark.read.parquet(dirs["pq"]).collect()
+    m = 1 + max(r["subspace"] for r in pq)
+    ksub = 1 + max(r["code"] for r in pq)
+    dsub = len(pq[0]["sub_centroid"])
+    books = np.empty((m, ksub, dsub))
+    for r in pq:
+        books[r["subspace"], r["code"]] = r["sub_centroid"]
+
+    # probe: nprobe nearest coarse centroids per query (driver-side — the
+    # codebook is O(K), queries are a handful)
+    probes: list[tuple[int, int]] = []  # (query_id, centroid_id)
+    tables: dict[tuple[int, int], np.ndarray] = {}
+    for row in queries:
+        q = np.asarray(row["q"], dtype=np.float64)
+        dists = {
+            cid: float(((q - c) ** 2).sum()) for cid, c in cent_rows.items()
+        }
+        nearest = sorted(dists, key=lambda c: (dists[c], c))[:nprobe]
+        for cid in nearest:
+            res = q - cent_rows[cid]
+            table = np.empty((m, ksub))
+            for j in range(m):
+                sub = res[j * dsub : (j + 1) * dsub]
+                table[j] = ((books[j] - sub[None, :]) ** 2).sum(axis=1)
+            probes.append((row["vec_id"], cid))
+            tables[(row["vec_id"], cid)] = table
+
+    sc = spark.sparkContext
+    b_tables = sc.broadcast(tables)
+    probed_cells = sorted({cid for _, cid in probes})
+    by_cell: dict[int, list[int]] = {}
+    for qid, cid in probes:
+        by_cell.setdefault(cid, []).append(qid)
+    b_by_cell = sc.broadcast(by_cell)
+
+    cells = spark.read.parquet(dirs["cells"]).where(
+        F.col("centroid_id").isin(probed_cells)  # partition-pruned scan
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        cols = np.arange(m)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)
+            out_q, out_v, out_d = [], [], []
+            for cid, grp in pdf.groupby("centroid_id"):
+                gcodes = np.array(list(grp["codes"]), dtype=np.int64)
+                for qid in b_by_cell.value.get(int(cid), ()):
+                    table = b_tables.value[(qid, int(cid))]
+                    d = table[cols[None, :], gcodes].sum(axis=1)
+                    out_q.extend([qid] * len(grp))
+                    out_v.extend(grp["vec_id"].values)
+                    out_d.extend(d)
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_v, "adc_dist": out_d}
+            )
+
+    scored = cells.mapInPandas(
+        score, "query_id long, neighbor_id long, adc_dist double"
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    if not refine_factor:
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= top_k)
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round("adc_dist", 6).alias("adc_dist"),
+            )
+        )
+
+    shortlist = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= top_k * refine_factor)
+        .select("query_id", "neighbor_id")
+    )
+    # exact re-score of the tiny shortlist: broadcast it onto the float
+    # corpus twice (query + neighbor vectors) — the corpus never shuffles
+    from ..plans.hints import maybe_broadcast
+    from .similarity import DOT
+
+    qv = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    nv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("norm").alias("n_norm"),
+    )
+    exact = (
+        shortlist.join(maybe_broadcast(qv), "query_id")
+        .join(maybe_broadcast(nv), "neighbor_id")
+        .withColumn(
+            "sim",
+            F.expr(DOT.format(a="q_emb", b="n_emb"))
+            / (F.col("q_norm") * F.col("n_norm")),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= top_k)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"))
+    )
+
+
+QUERIES: dict = {}
+ORACLE: dict = {}

@@ -1,0 +1,100 @@
+"""IVF-PQ serving index (`jitsu_spark/operators/pq.py`): byte-coded
+cells + ADC scoring + exact refine. No SQL oracle (k-means training is
+iterative); the contract is the recall floor vs exact cosine top-k, the
+store shape, and the plan/scan audits."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def pq_store(spark, sf_dir, tmp_path_factory):
+    from jitsu_spark.operators.pq import build_ivfpq_store
+
+    store = str(tmp_path_factory.mktemp("pq") / "store")
+    build_ivfpq_store(spark, sf_dir, store)
+    return store
+
+
+def _pairs(df):
+    return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+
+class TestStoreShape:
+    def test_codes_are_m_bytes_per_vector(self, spark, sf_dir, pq_store):
+        from jitsu_spark.operators.pq import PQ_KSUB, PQ_M
+
+        from jitsu_spark.tables import load_table
+
+        cells = spark.read.parquet(pq_store + "/cells")
+        n_corpus = load_table(spark, sf_dir, "embeddings").count()
+        assert cells.count() == n_corpus  # every vector encoded once
+        row = cells.first()
+        assert len(row.codes) == PQ_M
+        assert all(0 <= c < PQ_KSUB for c in row.codes)
+
+    def test_pq_codebooks_complete(self, spark, pq_store):
+        from jitsu_spark.operators.pq import PQ_KSUB, PQ_M
+
+        pq = spark.read.parquet(pq_store + "/pq_codebooks")
+        assert pq.count() == PQ_M * PQ_KSUB
+
+    def test_cells_partitioned_by_centroid(self, spark, pq_store):
+        import os
+
+        parts = [
+            d
+            for d in os.listdir(pq_store + "/cells")
+            if d.startswith("centroid_id=")
+        ]
+        assert len(parts) > 1  # multiple prunable cell partitions
+
+
+class TestQuery:
+    def test_refined_recall_floor(self, spark, sf_dir, pq_store):
+        from jitsu_spark.operators.pq import ann_ivfpq_topk_stored
+        from jitsu_spark.operators.similarity import cosine_topk_bruteforce
+
+        exact = _pairs(cosine_topk_bruteforce(spark, sf_dir))
+        approx = _pairs(ann_ivfpq_topk_stored(spark, sf_dir, pq_store))
+        assert len(approx) > 0
+        recall = len(exact & approx) / len(exact)
+        # measured 0.48 at sf0.01 with refine=4 — the nprobe=3/16 float
+        # IVF ceiling is ~0.46 on this near-uniform corpus, so the
+        # refine step fully recovers the float index's recall
+        assert recall >= 0.3, f"PQ+refine recall {recall:.2f} too low"
+
+    def test_refine_beats_pure_adc(self, spark, sf_dir, pq_store):
+        from jitsu_spark.operators.pq import ann_ivfpq_topk_stored
+        from jitsu_spark.operators.similarity import cosine_topk_bruteforce
+
+        exact = _pairs(cosine_topk_bruteforce(spark, sf_dir))
+        adc = _pairs(
+            ann_ivfpq_topk_stored(spark, sf_dir, pq_store, refine_factor=0)
+        )
+        refined = _pairs(ann_ivfpq_topk_stored(spark, sf_dir, pq_store))
+        assert len(exact & refined) >= len(exact & adc)
+
+    def test_query_deterministic(self, spark, sf_dir, pq_store):
+        from jitsu_spark.operators.pq import ann_ivfpq_topk_stored
+
+        a = ann_ivfpq_topk_stored(spark, sf_dir, pq_store).collect()
+        b = ann_ivfpq_topk_stored(spark, sf_dir, pq_store).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    def test_probed_scan_is_partition_pruned(self, spark, sf_dir, pq_store):
+        """The cell scan must carry the probe list as a partition filter
+        — a query touches nprobe/K of the files, not all of them."""
+        from pyspark.sql import functions as F
+
+        cells = spark.read.parquet(pq_store + "/cells").where(
+            F.col("centroid_id").isin([0, 1, 2])
+        )
+        plan = cells._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "PartitionFilters" in plan
+        assert "centroid_id" in plan.split("PartitionFilters", 1)[1][:200]
