@@ -109,22 +109,27 @@ _A = [(j * 2654435761 + 12345) % MINHASH_P for j in range(NUM_HASHES)]
 _B = [(j * 40503 + 17) % MINHASH_P for j in range(NUM_HASHES)]
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures: NUM_HASHES universal-hash minima per document.
-
-    Partial aggregation compresses the exploded shingles back to one row
-    per doc before the shuffle completes.
-    """
-    sh = _shingle_rows(spark, sf_dir)
+def _signatures_from_shingles(sh: DataFrame) -> DataFrame:
+    """MinHash core over (doc_id, shingle) rows — shared so composed
+    queries can feed one cached shingle pass to several consumers."""
     x = F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("long")
-    sh = sh.select("doc_id", x.alias("x"))
+    xs = sh.select("doc_id", x.alias("x"))
     aggs = [
         F.min((F.lit(_A[j]) * F.col("x") + F.lit(_B[j])) % F.lit(MINHASH_P)).alias(
             f"h{j}"
         )
         for j in range(NUM_HASHES)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return xs.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures: NUM_HASHES universal-hash minima per document.
+
+    Partial aggregation compresses the exploded shingles back to one row
+    per doc before the shuffle completes.
+    """
+    return _signatures_from_shingles(_shingle_rows(spark, sf_dir))
 
 
 _X_DUCK = "CAST(('0x' || substr(md5(shingle), 1, 7))::UBIGINT AS BIGINT)"
@@ -139,14 +144,8 @@ GROUP BY doc_id
 """
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate pairs: docs sharing any band bucket.
-
-    Bands hash ROWS_PER_BAND consecutive minhashes; the self-join is keyed
-    on (band_idx, bucket) so only colliding docs meet. At scale this is the
-    standard sub-quadratic near-dup candidate generator.
-    """
-    sig = minhash_signatures(spark, sf_dir)
+def _lsh_pairs_from_signatures(sig: DataFrame) -> DataFrame:
+    """LSH banding + bucket self-join over precomputed signatures."""
     band_structs = []
     for b in range(BANDS):
         cols = [F.col(f"h{j}") for j in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)]
@@ -176,6 +175,16 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs: docs sharing any band bucket.
+
+    Bands hash ROWS_PER_BAND consecutive minhashes; the self-join is keyed
+    on (band_idx, bucket) so only colliding docs meet. At scale this is the
+    standard sub-quadratic near-dup candidate generator.
+    """
+    return _lsh_pairs_from_signatures(minhash_signatures(spark, sf_dir))
 
 
 MINHASH_LSH_SQL = f"""
@@ -443,14 +452,17 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sampling import _bucket
 
     n_docs = load_table(spark, sf_dir, "documents").count()
-    cand = minhash_lsh_pairs(spark, sf_dir)
+    # ONE shingle pass feeds both the candidate generator and the truth
+    # verifier (they previously each tokenized the corpus). cache() with
+    # the default MEMORY_AND_DISK level: shingle rows spill rather than
+    # recompute — at any scale one tokenize+spill beats two tokenizes.
+    sh = _shingle_rows(spark, sf_dir).cache()
+    cand = _lsh_pairs_from_signatures(_signatures_from_shingles(sh))
     if n_docs <= TRUTH_FULL_MAX_DOCS:
-        truth = ngram_jaccard_dups(spark, sf_dir).select("doc_a", "doc_b")
+        truth = jaccard_pairs_from_shingles(sh).select("doc_a", "doc_b")
     else:
         in_sample = lambda c: _bucket(c) < TRUTH_SAMPLE_PER_MILLE  # noqa: E731
-        sampled_shingles = _shingle_rows(spark, sf_dir).where(
-            in_sample(F.col("doc_id"))
-        )
+        sampled_shingles = sh.where(in_sample(F.col("doc_id")))
         truth = jaccard_pairs_from_shingles(sampled_shingles).select(
             "doc_a", "doc_b"
         )

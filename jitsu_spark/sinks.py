@@ -125,6 +125,14 @@ class WarehouseSink:
             timestamp_col,
         ).cache()
         try:
+            # Collect the surviving date set BEFORE the write: `merged`'s
+            # lineage reads the table's current files, and any
+            # recomputation after the dynamic overwrite would re-scan
+            # files the write just replaced (FILE_NOT_EXIST). The collect
+            # also fully materializes the cache the write then reuses.
+            merged_dates = {
+                r[0] for r in merged.select(PARTITION_COL).distinct().collect()
+            }
             # Dynamic overwrite replaces exactly the partitions present in
             # `merged`; everything else on disk stays as-is.
             (
@@ -133,19 +141,16 @@ class WarehouseSink:
                 .partitionBy(PARTITION_COL)
                 .parquet(self._path(table))
             )
-            # A key whose NEWER row lands in a different date partition
-            # leaves its old partition without any surviving row — dynamic
-            # overwrite never touches a partition absent from `merged`, so
-            # the stale duplicate would survive on disk (round-4 twin
-            # finding: the warehouse MERGE updates in place, the parquet
-            # path must match). Drop partitions inside the window that the
-            # merge emptied. (Directory removal = this local/posix layout;
-            # an HDFS deployment issues the same delete via FileSystem.)
-            merged_dates = {
-                r[0] for r in merged.select(PARTITION_COL).distinct().collect()
-            }
         finally:
             merged.unpersist()
+        # A key whose NEWER row lands in a different date partition
+        # leaves its old partition without any surviving row — dynamic
+        # overwrite never touches a partition absent from `merged`, so
+        # the stale duplicate would survive on disk (round-4 twin
+        # finding: the warehouse MERGE updates in place, the parquet
+        # path must match). Drop partitions inside the window that the
+        # merge emptied. (Directory removal = this local/posix layout;
+        # an HDFS deployment issues the same delete via FileSystem.)
         import shutil
 
         for d in existing_dates - merged_dates:
@@ -153,6 +158,10 @@ class WarehouseSink:
                 os.path.join(self._path(table), f"{PARTITION_COL}={d}"),
                 ignore_errors=True,
             )
+        # overwrite + deletion invalidate any cached file listing for
+        # this table path — refresh so subsequent reads in the same
+        # session never chase replaced part files
+        self.spark.catalog.refreshByPath(self._path(table))
 
     # -- multi-table routing (bulker-destination.ts:340-385) -----------
 
