@@ -67,8 +67,23 @@ def main() -> None:
     if extra:
         names = [n for n in extra.split(",") if n in QUERIES]
 
+    # Keep Python workers alive across the run: Spark reaps idle pyspark
+    # workers after ~60 s, so a Pandas-UDF query that happens to follow a
+    # long JVM-only stretch would be billed 32 worker respawns + numpy
+    # imports (~3-6 s of pure startup — measured on embedding_cosine_dups,
+    # 1.2 s steady-state vs 8 s after reaping). The warmup above already
+    # declares spawn cost out of scope; this keep-alive just makes that
+    # hold for EVERY query position, independent of registry order.
+    # one 2-row partition per core so every worker slot is touched
+    keepalive_df = spark.range(0, 2 * cpus, 1, cpus).toDF("id")
+
+    def _noop(batches):
+        for b in batches:
+            yield b
+
     timings: dict[str, float] = {}
     for name in names:
+        keepalive_df.mapInPandas(_noop, "id long").count()
         t0 = time.time()
         df = QUERIES[name](spark, sf_dir)
         # Materialize fully (all rows) without driver collect overhead.

@@ -452,11 +452,13 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sampling import _bucket
 
     n_docs = load_table(spark, sf_dir, "documents").count()
-    # ONE shingle pass feeds both the candidate generator and the truth
-    # verifier (they previously each tokenized the corpus). cache() with
-    # the default MEMORY_AND_DISK level: shingle rows spill rather than
-    # recompute — at any scale one tokenize+spill beats two tokenizes.
-    sh = _shingle_rows(spark, sf_dir).cache()
+    # Both branches tokenize from the (column-pruned) parquet scan
+    # rather than sharing a cached shingle materialization: the explode
+    # is cheap map-side work, the cost lives in the shuffles (which
+    # ReuseExchange already shares within each branch), and an
+    # InMemoryRelation barrier here measured ~2x SLOWER end-to-end at
+    # sf0.1 (9.9 s vs 3.4 s) than recomputing the narrow stage.
+    sh = _shingle_rows(spark, sf_dir)
     cand = _lsh_pairs_from_signatures(_signatures_from_shingles(sh))
     if n_docs <= TRUTH_FULL_MAX_DOCS:
         truth = jaccard_pairs_from_shingles(sh).select("doc_a", "doc_b")
