@@ -97,10 +97,18 @@ def id_graph_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
 
     pairs: DataFrame(id_a STRING, id_b STRING) undirected edges
     (e.g. $merge(distinct_ids=[userId, anonymousId])).
-    Label propagation: every id converges to the min id in its component.
-    Iterations double the reachable radius (large-star-ish), so chains of
-    length L need ~log2(L) rounds; identity graphs are shallow in practice.
-    Each round is one shuffle on id; checkpoint-worthy at real scale.
+    Label propagation with ESCALATING POINTER JUMPING: rounds run the
+    cheap one-hop min-label pull until convergence; a graph still
+    unconverged after `max_iter` one-hop rounds (diameter > max_iter)
+    escalates to rounds that also compress labels through the label
+    table itself (component := label(component)), doubling the radius
+    per round, and runs until actually converged. Round-4 fix: the
+    one-hop implementation simply STOPPED at max_iter and returned
+    wrong components for chains deeper than it. Shallow graphs — the
+    identity-graph common case — never pay the compression join; deep
+    chains finish in ~max_iter + log2(L) rounds. The compression join
+    is over the label table (N rows), never the edge multiset; a hard
+    cap of max_iter + 64 rounds bounds the loop (radius 2^64).
     """
     edges = (
         pairs.selectExpr("id_a AS src", "id_b AS dst")
@@ -114,15 +122,31 @@ def id_graph_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
         .withColumn("component", F.col("id"))
     )
     try:
-        for _ in range(max_iter):
+        for i in range(max_iter + 64):
             # candidate labels via one hop
-            prop = (
+            hop = (
                 edges.join(labels, edges.src == labels.id)
                 .select(F.col("dst").alias("id"), "component")
                 .union(labels.select("id", "component"))
                 .groupBy("id")
-                .agg(F.min("component").alias("new_component"))
+                .agg(F.min("component").alias("c1"))
             )
+            if i < max_iter:
+                prop = hop.select("id", F.col("c1").alias("new_component"))
+            else:
+                # pointer jumping: follow the label's OWN label — min
+                # labels skip across already-labeled regions, doubling
+                # the radius (engaged only after max_iter one-hop rounds
+                # failed to converge, so shallow graphs never pay this)
+                lookup = hop.select(
+                    F.col("id").alias("c1"), F.col("c1").alias("c2")
+                )
+                prop = hop.join(lookup, "c1", "left").select(
+                    "id",
+                    F.least(
+                        F.col("c1"), F.coalesce(F.col("c2"), F.col("c1"))
+                    ).alias("new_component"),
+                )
             # Materialize each round (localCheckpoint truncates lineage):
             # without it the plan doubles per iteration and the convergence
             # count re-executes the whole history — quadratic in rounds.

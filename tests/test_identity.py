@@ -143,3 +143,31 @@ def test_profile_incremental_semantics(spark, sf_dir):
     assert 0 < len(inc) <= len(full)
     joined = inc.join(full, how="left", rsuffix="_full")
     assert (joined["n_events"] == joined["n_events_full"]).all()
+
+
+def test_id_graph_deep_chain_converges_within_log_rounds(spark):
+    """Round-4: pointer jumping doubles the reachable radius per round,
+    so a 100-node chain converges inside max_iter=10 (~log2 rounds). The
+    previous one-hop propagation needed length-many rounds and silently
+    returned WRONG components for chains deeper than max_iter."""
+    from jitsu_spark.operators.identity import id_graph_components
+
+    n = 100
+    pairs = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(n - 1)],
+        "id_a string, id_b string",
+    )
+    comp = {r.id: r.component for r in id_graph_components(pairs).collect()}
+    assert len(comp) == n
+    assert set(comp.values()) == {"n000"}  # ONE component, min id wins
+
+
+def test_id_graph_two_deep_chains_stay_separate(spark):
+    from jitsu_spark.operators.identity import id_graph_components
+
+    edges = [(f"a{i:02d}", f"a{i + 1:02d}") for i in range(30)]
+    edges += [(f"b{i:02d}", f"b{i + 1:02d}") for i in range(30)]
+    pairs = spark.createDataFrame(edges, "id_a string, id_b string")
+    comp = {r.id: r.component for r in id_graph_components(pairs).collect()}
+    assert {comp[k] for k in comp if k.startswith("a")} == {"a00"}
+    assert {comp[k] for k in comp if k.startswith("b")} == {"b00"}
