@@ -107,12 +107,176 @@ SELECT rank, shingle, df FROM (
 """
 
 
+SPAN_K = 3  # gram width for duplicate-span detection
+
+
+def duplicate_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication report (the signal behind Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better" —
+    exact duplicated SPANS across documents, not whole-doc near-dups):
+    positions of grams shared with any other document, merged into
+    maximal spans (gaps-and-islands), per-doc span count / covered
+    tokens / coverage ratio.
+
+    Scale: one positional gram explode; the cross-doc gram set comes
+    from one partial-agg count; the island merge is a per-doc window —
+    the corpus shuffles once on gram and once on doc_id."""
+    from pyspark.sql import Window
+
+    docs = load_table_docs(spark, sf_dir)
+    grams = docs.selectExpr(
+        "doc_id",
+        "size(toks) AS n_tokens",
+        f"posexplode({_SHINGLES_T}) AS (pos, gram)",
+    )
+    shared = (
+        grams.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= 2)
+        .select("gram")
+    )
+    dup_pos = grams.join(shared, "gram").select("doc_id", "n_tokens", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = (
+        dup_pos.withColumn("prev", F.lag("pos").over(w))
+        .withColumn(
+            "new_island",
+            (F.col("prev").isNull() | (F.col("pos") - F.col("prev") > SPAN_K))
+            .cast("int"),
+        )
+        .withColumn(
+            "island",
+            F.sum("new_island").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    spans = islands.groupBy("doc_id", "n_tokens", "island").agg(
+        (F.max("pos") - F.min("pos") + SPAN_K).alias("span_tokens")
+    )
+    return spans.groupBy("doc_id", "n_tokens").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum("span_tokens").alias("dup_tokens"),
+        F.round(F.sum("span_tokens") / F.col("n_tokens"), 4).alias(
+            "dup_ratio"
+        ),
+    )
+
+
+def load_table_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with the token array materialized once (projection
+    boundary — same pattern as dedup._shingle_rows)."""
+    from ..tables import load_table
+    from .text_ops import TOKENS
+
+    return load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{TOKENS} AS toks"
+    )
+
+
+_SHINGLES_T = (
+    "CASE WHEN size(toks) >= 3 THEN "
+    "transform(sequence(0, size(toks) - 3),"
+    " i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) "
+    "ELSE array() END"
+)
+
+from .text_ops import TOKENS_DUCK as _TOKS_DUCK  # noqa: E402
+
+DUP_SPAN_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
+),
+grams AS (
+  SELECT doc_id, len(toks) AS n_tokens, i - 1 AS pos,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+  FROM toks, unnest(range(1, len(toks) - 1)) AS t(i)
+),
+shared AS (
+  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM grams)
+  GROUP BY gram HAVING count(*) >= 2
+),
+dup_pos AS (
+  SELECT g.doc_id, g.n_tokens, g.pos
+  FROM grams g JOIN shared USING (gram)
+),
+flagged AS (
+  SELECT doc_id, n_tokens, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                   OR pos - lag(pos) OVER w > {SPAN_K}
+              THEN 1 ELSE 0 END AS new_island
+  FROM dup_pos
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+islands AS (
+  SELECT doc_id, n_tokens, pos,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+),
+spans AS (
+  SELECT doc_id, n_tokens, island,
+         max(pos) - min(pos) + {SPAN_K} AS span_tokens
+  FROM islands GROUP BY doc_id, n_tokens, island
+)
+SELECT doc_id, n_tokens,
+       count(*) AS n_dup_spans,
+       CAST(sum(span_tokens) AS BIGINT) AS dup_tokens,
+       round(sum(span_tokens) * 1.0 / n_tokens, 4) AS dup_ratio
+FROM spans GROUP BY doc_id, n_tokens
+"""
+
+
+def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: each document's mean unigram
+    surprisal, -avg(ln p(token)), under the corpus's own unigram model
+    (the CCNet-style LM quality signal with the corpus standing in for
+    the reference LM). Low = templated/common tokens, high = rare-token
+    soup; both tails are filter candidates.
+
+    Scale: token explode -> one count aggregate (partial-agg friendly)
+    -> one join back on token (the frequency table is vocabulary-sized,
+    size-gated broadcast) -> per-doc average. Corpus text shuffles only
+    as (token) pairs."""
+    docs = load_table_docs(spark, sf_dir)
+    toks = docs.selectExpr("doc_id", "explode(toks) AS tok")
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.count()
+    scored = toks.join(maybe_broadcast(freq), "tok").select(
+        "doc_id", (-F.log(F.col("cnt") / F.lit(float(total)))).alias("s")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("s"), 4).alias("avg_surprisal"),
+    )
+
+
+UNIGRAM_SURPRISAL_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_DUCK}) AS tok FROM documents
+),
+freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+total AS (SELECT count(*) AS n FROM toks)
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       round(avg(-ln(f.cnt * 1.0 / total.n)), 4) AS avg_surprisal
+FROM toks t JOIN freq f USING (tok) CROSS JOIN total
+GROUP BY t.doc_id
+"""
+
+
 QUERIES = {
     "boilerplate_shingle_stats": boilerplate_shingle_stats,
     "ngram_topk": ngram_topk,
+    "duplicate_span_report": duplicate_span_report,
+    "unigram_surprisal": unigram_surprisal,
 }
 
 ORACLE = {
     "boilerplate_shingle_stats": BOILERPLATE_STATS_SQL,
     "ngram_topk": NGRAM_TOPK_SQL,
+    "duplicate_span_report": DUP_SPAN_SQL,
+    "unigram_surprisal": UNIGRAM_SURPRISAL_SQL,
 }

@@ -127,3 +127,57 @@ class TestIncrementalDedup:
         )
         assert "BroadcastHashJoin" in plan, plan
         assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+class TestDuplicateSpans:
+    def test_spans_are_disjoint_and_bounded(self, spark, sf_dir):
+        from jitsu_spark.operators.corpus_stats import duplicate_span_report
+
+        rows = duplicate_span_report(spark, sf_dir).collect()
+        assert rows  # synthetic corpus shares plenty of 3-grams
+        for r in rows:
+            assert 1 <= r.n_dup_spans
+            assert 0 < r.dup_tokens <= r.n_tokens  # disjoint islands
+            assert 0 < r.dup_ratio <= 1.0
+
+    def test_exact_dup_docs_fully_covered(self, spark, sf_dir, tmp_path):
+        """Two identical docs must report ~full coverage of each other."""
+        import os
+
+        import pandas as pd
+
+        out = str(tmp_path / "docs")
+        os.makedirs(out, exist_ok=True)
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "alpha beta gamma delta epsilon zeta",
+                    "alpha beta gamma delta epsilon zeta",
+                    "one lonely document with no twin here",
+                ],
+            }
+        ).to_parquet(os.path.join(out, "documents.parquet"))
+        from jitsu_spark.operators.corpus_stats import duplicate_span_report
+
+        got = {
+            r.doc_id: (r.dup_tokens, r.n_tokens)
+            for r in duplicate_span_report(spark, out).collect()
+        }
+        assert set(got) == {1, 2}  # doc 3 shares nothing
+        assert got[1] == (6, 6) and got[2] == (6, 6)  # full-span coverage
+
+
+class TestUnigramSurprisal:
+    def test_positive_and_rare_above_common(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from jitsu_spark.operators.corpus_stats import unigram_surprisal
+
+        df = unigram_surprisal(spark, sf_dir)
+        assert df.where(F.col("avg_surprisal") <= 0).count() == 0
+        # sanity: scores vary across the corpus (not a constant column)
+        stats = df.agg(
+            F.min("avg_surprisal").alias("lo"), F.max("avg_surprisal").alias("hi")
+        ).first()
+        assert stats.hi > stats.lo
