@@ -596,16 +596,13 @@ def build_fingerprint_store(
     fp.write.mode("overwrite").partitionBy("bucket").parquet(store_dir)
 
 
-def dedup_incremental(
+def fingerprint_verdicts(
     spark: SparkSession, new_docs: DataFrame, store_dir: str
 ) -> DataFrame:
-    """Check a new batch against the fingerprint store and update it.
-
-    Returns one row per new doc: (doc_id, text_hash, verdict,
-    canonical_id) where verdict is 'dup_of_corpus' (hash already
-    stored), 'dup_in_batch' (another new doc with the same hash and a
-    smaller doc_id wins), or 'new' (this doc becomes the hash's
-    canonical — its fingerprint is appended to the store).
+    """The pure lookup half of `dedup_incremental`: verdict rows only,
+    NO store mutation — so callers that need exactly-once composition
+    (the streaming gate) can order the corpus write BEFORE the store
+    append and stay idempotent under micro-batch replay.
 
     The store side is scanned, never shuffled: the hit lookup runs as
     store-inner-join-broadcast(batch hashes) — the corpus-sized store
@@ -616,7 +613,17 @@ def dedup_incremental(
     side, which is why the lookup is split out."""
     from ..plans.hints import maybe_broadcast
 
-    store = spark.read.parquet(store_dir).select("text_hash", "canonical_id")
+    try:
+        store = spark.read.parquet(store_dir).select(
+            "text_hash", "canonical_id"
+        )
+    except Exception:
+        # first-ever ingest: no store yet — everything is new (pure-JVM
+        # empty relation; no Python crossing)
+        store = spark.range(0).selectExpr(
+            "CAST(NULL AS STRING) AS text_hash",
+            "CAST(NULL AS BIGINT) AS canonical_id",
+        )
     batch = new_docs.select("doc_id", F.md5("text").alias("text_hash"))
     batch_canon = batch.groupBy("text_hash").agg(
         F.min("doc_id").alias("batch_canonical")
@@ -635,11 +642,19 @@ def dedup_incremental(
             " ELSE 'new' END AS verdict",
             "coalesce(canonical_id, batch_canonical) AS canonical_id",
         )
-        # pin BEFORE the append: verdicts' lineage reads the store, and a
-        # caller action after the write would otherwise re-scan the
+        # pin BEFORE any store append: verdicts' lineage reads the store,
+        # and a caller action after the write would otherwise re-scan the
         # just-appended fingerprints and flip 'new' to 'dup_of_corpus'
         .localCheckpoint()
     )
+    return verdicts
+
+
+def append_fingerprints(
+    spark: SparkSession, verdicts: DataFrame, store_dir: str
+) -> None:
+    """Persist the 'new' verdicts' fingerprints (the mutation half of
+    `dedup_incremental`)."""
     fresh = (
         verdicts.where(F.col("verdict") == "new")
         .select("text_hash", F.col("doc_id").alias("canonical_id"))
@@ -650,6 +665,21 @@ def dedup_incremental(
         )
     )
     fresh.write.mode("append").partitionBy("bucket").parquet(store_dir)
+
+
+def dedup_incremental(
+    spark: SparkSession, new_docs: DataFrame, store_dir: str
+) -> DataFrame:
+    """Check a new batch against the fingerprint store and update it.
+
+    Returns one row per new doc: (doc_id, text_hash, verdict,
+    canonical_id) where verdict is 'dup_of_corpus' (hash already
+    stored), 'dup_in_batch' (another new doc with the same hash and a
+    smaller doc_id wins), or 'new' (this doc becomes the hash's
+    canonical — its fingerprint is appended to the store). See
+    `fingerprint_verdicts` for the scale-safe join shape."""
+    verdicts = fingerprint_verdicts(spark, new_docs, store_dir)
+    append_fingerprints(spark, verdicts, store_dir)
     return verdicts
 
 

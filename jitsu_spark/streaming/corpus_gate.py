@@ -77,6 +77,74 @@ def gated_documents(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def process_gated_batch_durable(
+    batch: DataFrame, fingerprint_store_dir: str, sink, table: str = "corpus"
+) -> None:
+    """One micro-batch of the DURABLE gate: consult the corpus
+    fingerprint store (no mutation), MERGE the genuinely-new docs into
+    the corpus table, then append their fingerprints.
+
+    Replay-safety (at-least-once micro-batches -> exactly-once corpus):
+    the corpus write happens BEFORE the store append and is itself a
+    MERGE on content_hash, so
+    - crash after the MERGE, before the append: the replayed batch's
+      verdicts are 'new' again and the MERGE is idempotent;
+    - crash after both: the replayed docs verdict 'dup_of_corpus' and
+      are dropped — they are already in the corpus.
+    Either way no loss and no duplicates. (The opposite order would
+    lose docs: store-first + crash -> replay drops rows never written.)
+    """
+    from ..operators.dedup import append_fingerprints, fingerprint_verdicts
+
+    spark = batch.sparkSession
+    verdicts = fingerprint_verdicts(
+        spark, batch.select("doc_id", "text"), fingerprint_store_dir
+    )
+    keep = verdicts.where(F.col("verdict") == "new").select(
+        "doc_id", "text_hash"
+    )
+    fresh = batch.join(keep, "doc_id").withColumn(
+        "content_hash", F.col("text_hash")
+    ).drop("text_hash")
+    if fresh.take(1):
+        sink.upsert(
+            fresh,
+            table,
+            primary_key=["content_hash"],
+            timestamp_col="ingested_at",
+        )
+        append_fingerprints(spark, verdicts, fingerprint_store_dir)
+
+
+def run_corpus_gate_durable(
+    stream: DataFrame,
+    warehouse_sink,
+    checkpoint_dir: str,
+    fingerprint_store_dir: str,
+    table: str = "corpus",
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """The durable-dedup gate: quality filter -> per-batch consult of
+    the corpus FINGERPRINT STORE -> MERGE new docs -> append
+    fingerprints. Unlike `run_corpus_gate`'s watermarked
+    dropDuplicates, duplicates are dropped across restarts and beyond
+    any time horizon — the streaming twin of the batch
+    `dedup_incremental` pass, sharing its store with batch ingests."""
+    gated = stream.where(gate_expr())
+    writer = (
+        gated.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            lambda b, _id: process_gated_batch_durable(
+                b, fingerprint_store_dir, warehouse_sink, table
+            )
+        )
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
 def run_corpus_gate(
     stream: DataFrame,
     out_dir: str,

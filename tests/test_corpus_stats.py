@@ -181,3 +181,106 @@ class TestUnigramSurprisal:
             F.min("avg_surprisal").alias("lo"), F.max("avg_surprisal").alias("hi")
         ).first()
         assert stats.hi > stats.lo
+
+
+class TestDurableStreamingGate:
+    """run_corpus_gate_durable: cross-batch, cross-restart dedup through
+    the shared fingerprint store — replay-idempotent by construction
+    (corpus MERGE before store append)."""
+
+    GOOD = (
+        "the data pipeline processes a table of events and the result "
+        "lands in a warehouse with a schema to query and the numbers "
+        "stay the same for every run of the job and the report is ready"
+    )  # 37 words, stopword-rich, all-alpha: passes the Gopher gate
+
+    def _batch(self, spark, rows):
+        import datetime as dt
+
+        return spark.createDataFrame(
+            [
+                (i, t, "web", dt.datetime(2024, 5, 1, 12, 0, s))
+                for s, (i, t) in enumerate(rows)
+            ],
+            "doc_id long, text string, source string, ingested_at timestamp",
+        )
+
+    def test_two_batches_dedup_across_and_replay_idempotent(
+        self, spark, tmp_path
+    ):
+        from jitsu_spark.sinks import WarehouseSink
+        from jitsu_spark.streaming.corpus_gate import (
+            gate_expr,
+            process_gated_batch_durable,
+        )
+
+        sink = WarehouseSink(spark, str(tmp_path / "wh"))
+        store = str(tmp_path / "fp")
+
+        b1 = self._batch(
+            spark, [(1, self.GOOD), (2, self.GOOD + " twice")]
+        ).where(gate_expr())
+        b2 = self._batch(
+            spark,
+            [(3, self.GOOD), (4, self.GOOD + " thrice")],  # 3 dups 1
+        ).where(gate_expr())
+
+        process_gated_batch_durable(b1, store, sink)
+        process_gated_batch_durable(b2, store, sink)
+        docs = {r.doc_id for r in sink.read("corpus").collect()}
+        assert docs == {1, 2, 4}  # doc 3's content already ingested
+
+        # replay of batch 2 (at-least-once): corpus unchanged
+        process_gated_batch_durable(b2, store, sink)
+        assert {r.doc_id for r in sink.read("corpus").collect()} == {1, 2, 4}
+
+    def test_quality_gate_applies_before_store(self, spark, tmp_path):
+        from jitsu_spark.sinks import WarehouseSink
+        from jitsu_spark.streaming.corpus_gate import (
+            gate_expr,
+            process_gated_batch_durable,
+        )
+
+        sink = WarehouseSink(spark, str(tmp_path / "wh2"))
+        store = str(tmp_path / "fp2")
+        b = self._batch(
+            spark, [(1, self.GOOD), (2, "tooshort")]
+        ).where(gate_expr())
+        process_gated_batch_durable(b, store, sink)
+        assert {r.doc_id for r in sink.read("corpus").collect()} == {1}
+
+    def test_streaming_end_to_end(self, spark, tmp_path):
+        import json as _json
+        import os
+
+        from jitsu_spark.sinks import WarehouseSink
+        from jitsu_spark.streaming.corpus_gate import (
+            document_stream,
+            run_corpus_gate_durable,
+        )
+
+        src = str(tmp_path / "in")
+        os.makedirs(src)
+        with open(os.path.join(src, "shard0.jsonl"), "w") as f:
+            for i, text in ((1, self.GOOD), (2, self.GOOD)):  # 2 dups 1
+                f.write(
+                    _json.dumps(
+                        {
+                            "doc_id": i,
+                            "text": text,
+                            "source": "web",
+                            "ingested_at": "2024-05-01T12:00:00",
+                        }
+                    )
+                    + "\n"
+                )
+        sink = WarehouseSink(spark, str(tmp_path / "wh3"))
+        q = run_corpus_gate_durable(
+            document_stream(spark, src),
+            sink,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            fingerprint_store_dir=str(tmp_path / "fp3"),
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(120)
+        assert {r.doc_id for r in sink.read("corpus").collect()} == {1}
