@@ -284,3 +284,62 @@ class TestDurableStreamingGate:
         )
         q.awaitTermination(120)
         assert {r.doc_id for r in sink.read("corpus").collect()} == {1}
+
+
+def test_duplicate_spans_match_python_reference(spark, tmp_path):
+    """Crosscheck the distributed gaps-and-islands span merge against a
+    direct Python reference on a seeded random corpus with a tiny
+    vocabulary (forcing plenty of shared 3-grams)."""
+    import os
+    import random
+
+    import pandas as pd
+
+    from jitsu_spark.operators.corpus_stats import (
+        SPAN_K,
+        duplicate_span_report,
+    )
+
+    rng = random.Random(42)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    docs = {
+        i: [rng.choice(vocab) for _ in range(rng.randint(3, 25))]
+        for i in range(30)
+    }
+    out = str(tmp_path / "rand_docs")
+    os.makedirs(out)
+    pd.DataFrame(
+        {"doc_id": list(docs), "text": [" ".join(t) for t in docs.values()]}
+    ).to_parquet(os.path.join(out, "documents.parquet"))
+
+    # reference: shared grams -> positions -> merged spans
+    grams = {
+        d: [tuple(t[i : i + 3]) for i in range(len(t) - 2)]
+        for d, t in docs.items()
+    }
+    owners = {}
+    for d, gs in grams.items():
+        for g in set(gs):
+            owners.setdefault(g, set()).add(d)
+    shared = {g for g, ds in owners.items() if len(ds) >= 2}
+    expect = {}
+    for d, gs in grams.items():
+        pos = sorted(i for i, g in enumerate(gs) if g in shared)
+        if not pos:
+            continue
+        spans = []
+        start = prev = pos[0]
+        for p in pos[1:]:
+            if p - prev > SPAN_K:
+                spans.append((start, prev))
+                start = p
+            prev = p
+        spans.append((start, prev))
+        dup_tokens = sum(e - s + SPAN_K for s, e in spans)
+        expect[d] = (len(docs[d]), len(spans), dup_tokens)
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_dup_spans, r.dup_tokens)
+        for r in duplicate_span_report(spark, out).collect()
+    }
+    assert got == expect
