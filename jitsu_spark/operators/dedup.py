@@ -628,8 +628,15 @@ def fingerprint_verdicts(
     batch_canon = batch.groupBy("text_hash").agg(
         F.min("doc_id").alias("batch_canonical")
     )
-    hits = store.join(
-        maybe_broadcast(batch.select("text_hash").distinct()), "text_hash"
+    hits = (
+        store.join(
+            maybe_broadcast(batch.select("text_hash").distinct()), "text_hash"
+        )
+        # concurrent appenders can race the same hash into the store
+        # twice (append is not transactional); collapse to one canonical
+        # so the verdict join never multiplies batch rows
+        .groupBy("text_hash")
+        .agg(F.min("canonical_id").alias("canonical_id"))
     )
     verdicts = (
         batch.join(maybe_broadcast(batch_canon), "text_hash")

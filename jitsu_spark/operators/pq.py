@@ -210,7 +210,13 @@ def ann_ivfpq_topk_stored(
     Distance tables are (n_queries x m x ksub) floats — built on the
     driver from the query residuals and broadcast; candidate scoring is
     a table-gather sum per code row, vectorized per Arrow batch. The
-    probe list reaches the cell scan as a partition filter. ADC keeps
+    probe list reaches the cell scan as a partition filter. Driver
+    bound: table construction is O(Q x nprobe x m x ksub) — fine for
+    online/interactive Q; a BULK query set (10^5+) should build its
+    tables distributed (the same numpy loop inside a mapInPandas over
+    the query table) and swap the broadcast for a join on
+    (query_id, centroid_id); the cell-side scoring pass is unchanged.
+    ADC keeps
     `refine_factor * top_k` candidates per query; the refine step joins
     that tiny shortlist back to the float vectors (broadcast, the corpus
     never shuffles) and re-ranks by exact cosine — recovering the float

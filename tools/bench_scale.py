@@ -23,6 +23,10 @@ PROBE = [
     "id_graph",
     "ann_ivf_topk",
     "minhash_lsh_pairs",
+    # round-4 additions: shingle-heavy corpus stats
+    "duplicate_span_report",
+    "boilerplate_shingle_stats",
+    "unigram_surprisal",
 ]
 
 
