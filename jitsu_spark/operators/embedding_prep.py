@@ -1,0 +1,129 @@
+"""Embedding preparation: ZCA whitening (round 4).
+
+Whitening is the standard hygiene step before similarity indexing
+(Jegou & Chum, "Negative evidences and co-occurrences in image
+retrieval: the benefit of PCA and whitening", ECCV 2012): decorrelate
+dimensions and equalize variance so cosine/L2 distances aren't
+dominated by a few high-variance axes — it measurably improves both
+brute-force and PQ recall on real embedding distributions.
+
+Spark mapping (the classic two-phase big-data linear algebra shape):
+- FIT distributed: mean and covariance come from ONE pass — each
+  partition accumulates (count, sum(x), X^T X) with numpy and emits a
+  single partial row; the driver sums the partials and runs the d x d
+  eigendecomposition (d=256 -> trivial). No corpus collect, no shuffle
+  of vectors; the partials are O(d^2) per partition.
+- APPLY distributed: W (vec - mean) as a vectorized per-batch GEMM in
+  one mapInPandas pass with the O(d^2) model broadcast.
+
+Model persists as parquet beside the other stores (`build_ivf_store`
+pattern). No SQL oracle (eigendecomposition); the contract is the
+mathematical post-condition — whitened covariance == identity — tested
+directly, plus determinism.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+WHITEN_EPS = 1e-5  # eigenvalue floor: don't explode near-null directions
+
+
+def _moment_partials(df: DataFrame) -> DataFrame:
+    """Per-partition (n, sum, flattened X^T X) — the sufficient
+    statistics for mean + covariance in one corpus pass."""
+
+    def acc(batches):
+        import pandas as pd
+
+        n = 0
+        s = None
+        xtx = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            n += len(mat)
+            s = mat.sum(axis=0) if s is None else s + mat.sum(axis=0)
+            part = mat.T @ mat
+            xtx = part if xtx is None else xtx + part
+        if n:
+            yield pd.DataFrame(
+                {
+                    "n": [n],
+                    "s": [s.tolist()],
+                    "xtx": [xtx.ravel().tolist()],
+                }
+            )
+
+    return df.mapInPandas(
+        acc, "n long, s array<double>, xtx array<double>"
+    )
+
+
+def fit_whitening(
+    spark: SparkSession, sf_dir: str, eps: float = WHITEN_EPS
+) -> tuple[np.ndarray, np.ndarray]:
+    """(mean, W): W = U diag(1/sqrt(l + eps)) U^T (ZCA whitening)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    parts = _moment_partials(emb).collect()
+    n = sum(r["n"] for r in parts)
+    s = np.sum([np.array(r["s"]) for r in parts], axis=0)
+    d = len(s)
+    xtx = np.sum(
+        [np.array(r["xtx"]).reshape(d, d) for r in parts], axis=0
+    )
+    mean = s / n
+    cov = xtx / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # symmetric -> deterministic eigh
+    w = evecs @ np.diag(1.0 / np.sqrt(np.maximum(evals, 0) + eps)) @ evecs.T
+    return mean, w
+
+
+def build_whitening_model(
+    spark: SparkSession, sf_dir: str, store_dir: str, eps: float = WHITEN_EPS
+) -> None:
+    mean, w = fit_whitening(spark, sf_dir, eps)
+    d = len(mean)
+    spark.createDataFrame(
+        [(d, mean.tolist(), w.ravel().tolist())],
+        "dim int, mean array<double>, w array<double>",
+    ).write.mode("overwrite").parquet(store_dir)
+
+
+def apply_whitening(
+    spark: SparkSession, sf_dir: str, store_dir: str
+) -> DataFrame:
+    """(vec_id, embedding array<double>): whitened vectors, one
+    vectorized GEMM pass with the O(d^2) model broadcast."""
+    row = spark.read.parquet(store_dir).first()
+    d = row["dim"]
+    mean = np.array(row["mean"])
+    w = np.array(row["w"]).reshape(d, d)
+    b = spark.sparkContext.broadcast((mean, w))
+
+    def project(batches):
+        import pandas as pd
+
+        m, wt = b.value[0], b.value[1].T
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            out = (mat - m) @ wt
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].values, "embedding": list(out)}
+            )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return emb.mapInPandas(project, "vec_id long, embedding array<double>")
+
+
+QUERIES: dict = {}
+ORACLE: dict = {}

@@ -1,0 +1,77 @@
+"""ZCA whitening (`operators/embedding_prep.py`): the post-condition IS
+the contract — whitened vectors have ~zero mean and ~identity
+covariance — plus determinism and the one-pass fit shape."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def whitening_store(spark, sf_dir, tmp_path_factory):
+    from jitsu_spark.operators.embedding_prep import build_whitening_model
+
+    store = str(tmp_path_factory.mktemp("whiten") / "model")
+    build_whitening_model(spark, sf_dir, store)
+    return store
+
+
+def _whitened_matrix(spark, sf_dir, store):
+    from jitsu_spark.operators.embedding_prep import apply_whitening
+
+    rows = apply_whitening(spark, sf_dir, store).collect()
+    return np.array([r.embedding for r in rows], dtype=np.float64)
+
+
+def test_whitened_mean_zero_cov_identity(spark, sf_dir, whitening_store):
+    mat = _whitened_matrix(spark, sf_dir, whitening_store)
+    n, d = mat.shape
+    assert n > 0 and d >= 8
+    assert np.abs(mat.mean(axis=0)).max() < 1e-8
+    cov = (mat.T @ mat) / n
+    # identity within the eps floor's tolerance
+    off = cov - np.eye(d)
+    assert np.abs(off).max() < 1e-2, np.abs(off).max()
+
+
+def test_fit_matches_numpy_reference(spark, sf_dir):
+    from jitsu_spark.operators.embedding_prep import fit_whitening
+    from jitsu_spark.tables import load_table
+
+    mean, w = fit_whitening(spark, sf_dir)
+    ref = np.array(
+        [
+            r.embedding
+            for r in load_table(spark, sf_dir, "embeddings")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    assert np.abs(mean - ref.mean(axis=0)).max() < 1e-9
+    cov = np.cov(ref, rowvar=False, bias=True)
+    # W whitens the reference covariance too: W C W^T ~ I
+    out = w @ cov @ w.T
+    assert np.abs(out - np.eye(len(mean))).max() < 1e-2
+
+
+def test_deterministic(spark, sf_dir):
+    from jitsu_spark.operators.embedding_prep import fit_whitening
+
+    m1, w1 = fit_whitening(spark, sf_dir)
+    m2, w2 = fit_whitening(spark, sf_dir)
+    assert np.array_equal(m1, m2) and np.allclose(w1, w2, atol=1e-12)
+
+
+def test_whitening_preserves_row_count_and_ids(spark, sf_dir, whitening_store):
+    from jitsu_spark.operators.embedding_prep import apply_whitening
+    from jitsu_spark.tables import load_table
+
+    out = apply_whitening(spark, sf_dir, whitening_store)
+    src = load_table(spark, sf_dir, "embeddings")
+    assert out.count() == src.count()
+    assert (
+        out.select("vec_id").distinct().count()
+        == src.select("vec_id").distinct().count()
+    )

@@ -179,8 +179,17 @@ class TestChainIntegration:
         assert json.loads(by_n[1].event)["tagged"] is True
         assert json.loads(by_n[4].event)["tagged"] is True
         assert by_n[1]._error is None and by_n[4]._error is None
-        # hostile events: identity + error recorded (events-log row feed)
-        assert "MemoryError" in by_n[2]._error
+        # hostile events: identity + error recorded (events-log row feed).
+        # The bomb is contained by WHICHEVER guard fires first: the
+        # RLIMIT malloc failure (MemoryError) normally, or — when the
+        # fresh fork's first cold allocation pass outlasts the tight 1 s
+        # test budget — the wall-clock guard. Both are the containment
+        # contract; which one wins is a timing race by construction.
+        assert (
+            "MemoryError" in by_n[2]._error
+            or "FunctionTimeoutError" in by_n[2]._error
+        ), by_n[2]._error
+        # the signal-blocking spin can ONLY die by the parent watchdog
         assert "FunctionTimeoutError" in by_n[3]._error
 
     def test_trusted_chain_unchanged(self, spark):
