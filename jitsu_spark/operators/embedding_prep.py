@@ -125,5 +125,39 @@ def apply_whitening(
     return emb.mapInPandas(project, "vec_id long, embedding array<double>")
 
 
-QUERIES: dict = {}
-ORACLE: dict = {}
+def whitening_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (rows-only check — eigendecomposition has no SQL
+    form): per-dimension mean/variance of the whitened corpus, i.e. the
+    whitening post-condition as a queryable report (mean ~ 0, var ~ 1
+    up to the eps floor). Fit + project in-line; one corpus pass each."""
+    mean, w = fit_whitening(spark, sf_dir)
+    b = spark.sparkContext.broadcast((mean, w))
+
+    def project(batches):
+        import pandas as pd
+
+        m, wt = b.value[0], b.value[1].T
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            out = (mat - m) @ wt
+            yield pd.DataFrame({"embedding": list(out)})
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    proj = emb.mapInPandas(project, "embedding array<double>")
+    return (
+        proj.select(F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(
+            F.round(F.avg("x"), 3).alias("mean_w"),
+            F.round(F.var_pop("x"), 3).alias("var_w"),
+        )
+        .orderBy("dim")
+    )
+
+
+QUERIES: dict = {"whitening_report": whitening_report}
+ORACLE: dict = {}  # rows-only: eigendecomposition is non-SQL-expressible

@@ -15,6 +15,8 @@ from .operators import (
     corpus,
     corpus_stats,
     dedup,
+    embedding_prep,
+    pq,
     events_ops,
     geo,
     identity,
@@ -44,6 +46,8 @@ _MODULES = [
     dedup,
     corpus_stats,
     similarity,
+    pq,
+    embedding_prep,
     layouts,
     profiles,
     identity,
