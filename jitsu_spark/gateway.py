@@ -140,6 +140,16 @@ def validate_select(
             # identifier names, so any one in the statement (outside
             # comments and string literals) is rejected outright — the
             # Catalyst path (spark != None) handles them correctly.
+            # Backslashes first: Spark's default lexer honors \' inside
+            # string literals while this walker only knows '' doubling —
+            # a crafted `'a\''` makes the two disagree about where the
+            # literal ends and hides a FROM clause from every check
+            # below. No parser, no way to resolve it: fail closed.
+            if "\\" in sql:
+                raise SqlGatewayError(
+                    "backslash escapes cannot be validated without a "
+                    "session"
+                )
             no_comments = re.sub(
                 r"'(?:[^']|'')*'|--[^\n]*|/\*.*?\*/", " ", sql, flags=re.S
             )

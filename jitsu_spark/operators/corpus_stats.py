@@ -243,9 +243,15 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table_docs(spark, sf_dir)
     toks = docs.selectExpr("doc_id", "explode(toks) AS tok")
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    total = toks.count()
-    scored = toks.join(maybe_broadcast(freq), "tok").select(
-        "doc_id", (-F.log(F.col("cnt") / F.lit(float(total)))).alias("s")
+    # the corpus total folds into the plan as a 1-row broadcast cross
+    # join (same shape as the oracle's CROSS JOIN total) — an eager
+    # toks.count() here would re-scan and re-explode the whole corpus
+    # for one scalar
+    total = toks.agg(F.count(F.lit(1)).cast("double").alias("n_total"))
+    scored = (
+        toks.join(maybe_broadcast(freq), "tok")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", (-F.log(F.col("cnt") / F.col("n_total"))).alias("s"))
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),

@@ -41,10 +41,10 @@ from pyspark.sql import functions as F
 from ..tables import load_table
 from .similarity import (
     DEFAULT_IVF_K,
+    DOT,
     N_QUERIES,
     NPROBE,
     TOP_K,
-    _assignments,
     _load_codebook,
     _with_norm,
 )
@@ -96,6 +96,31 @@ def _train_pq_codebooks(
     return books
 
 
+def _assign_cells_l2(unit: DataFrame, centroids: DataFrame) -> DataFrame:
+    """L2 nearest-centroid assignment over unit vectors — the SAME
+    metric the sub-quantizer training and the query probe use.
+    (similarity._assignments ranks by cosine, which disagrees with L2
+    once centroid norms vary — Lloyd means of unit vectors are NOT unit
+    norm — so cosine-encoded cells would silently mismatch the L2 probe
+    and degrade recall.) argmin ||x - c||^2 = argmin |c|^2 - 2 x.c for
+    unit x; the O(K) centroid side broadcasts."""
+    from pyspark.sql import Window
+
+    from ..plans.hints import maybe_broadcast
+
+    scored = unit.join(maybe_broadcast(centroids)).withColumn(
+        "d2",
+        F.col("c_norm") * F.col("c_norm")
+        - 2 * F.expr(DOT.format(a="c_emb", b="embedding")),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "centroid_id")
+    )
+
+
 def build_ivfpq_store(
     spark: SparkSession,
     sf_dir: str,
@@ -128,8 +153,14 @@ def build_ivfpq_store(
     if n_total is None:
         n_total = emb.count()
     frac = min(1.0, PQ_TRAIN_MAX_SAMPLE / max(n_total, 1))
+    # max(1, ...): past ~1000x the sample cap int() would truncate the
+    # per-mille to 0 and keep NOTHING — exactly at the corpus sizes this
+    # builder exists for
     sample_df = (
-        unit.where(F.pmod(F.hash("vec_id"), F.lit(1000)) < int(frac * 1000))
+        unit.where(
+            F.pmod(F.hash("vec_id"), F.lit(1000))
+            < max(1, int(frac * 1000))
+        )
         if frac < 1.0
         else unit
     )
@@ -145,9 +176,7 @@ def build_ivfpq_store(
         "centroid_id int, c_emb array<double>",
     ).write.mode("overwrite").parquet(dirs["codebook"])
     centroids = _load_codebook(spark, dirs["codebook"].rsplit("/", 1)[0])
-    assigned = _assignments(unit, centroids).select(
-        "vec_id", "embedding", "centroid_id"
-    )
+    assigned = _assign_cells_l2(unit, centroids)
 
     # PQ sub-quantizers on the SAME sample's residuals
     d2 = ((sample[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
@@ -295,7 +324,6 @@ def ann_ivfpq_topk_stored(
         for pdf in batches:
             if not len(pdf):
                 continue
-            codes = np.array(list(pdf["codes"]), dtype=np.int64)
             out_q, out_v, out_d = [], [], []
             for cid, grp in pdf.groupby("centroid_id"):
                 gcodes = np.array(list(grp["codes"]), dtype=np.int64)

@@ -130,9 +130,15 @@ class IsolatedChainRunner:
         # wall-clock budget for one event through the whole chain: the
         # in-child guard enforces timeout_sec per function; the watchdog
         # only fires when that guard was defeated (native code / blocked
-        # signals), so it gets the full-chain budget plus grace
-        per_fn = timeout_sec if timeout_sec else 5.0
-        self._budget = per_fn * max(1, len(functions)) + ISOLATE_GRACE_SEC
+        # signals), so it gets the full-chain budget plus grace. An
+        # EXPLICIT no-timeout config (None/0) is honored — no watchdog
+        # deadline either (the memory cap still applies); imposing a
+        # made-up budget would silently override the operator's choice.
+        self._budget = (
+            timeout_sec * max(1, len(functions)) + ISOLATE_GRACE_SEC
+            if timeout_sec
+            else None
+        )
         self._mp = multiprocessing.get_context("fork")
         self._proc = None
         self._conn = None
@@ -183,7 +189,7 @@ class IsolatedChainRunner:
             self._kill()
             self._spawn()
             self._conn.send(event)
-        if not self._conn.poll(self._budget):
+        if not self._conn.poll(self._budget):  # None = wait forever
             # native hang / blocked SIGALRM: dispose the isolate
             # (udf_wrapper.ts:234-239) and pass the event through with
             # the error recorded — the batch continues on a fresh child

@@ -270,6 +270,10 @@ def merge_statements(
     for c in pk:
         if c not in columns:
             raise ValueError(f"primary key column {c!r} not in columns")
+    if timestamp_col not in columns:
+        raise ValueError(
+            f"timestamp column {timestamp_col!r} not in columns"
+        )
     non_key = [c for c in columns if c not in pk]
     t, s = _mq(target_table, tq), _mq(staging_table, tq)
     on = " AND ".join(f"t.{_mq(k, q)} = s.{_mq(k, q)}" for k in pk)
@@ -282,13 +286,23 @@ def merge_statements(
             f" AND {t_date} BETWEEN {d['date_lit'].format(d=window_lo)}"
             f" AND {d['date_lit'].format(d=window_hi)}"
         )
-    sets = ", ".join(f"t.{_mq(c, q)} = s.{_mq(c, q)}" for c in non_key)
     ins_cols = ", ".join(_mq(c, q) for c in columns)
     ins_vals = ", ".join(f"s.{_mq(c, q)}" for c in columns)
     ts_q = _mq(timestamp_col, q)
+    if non_key:
+        sets = ", ".join(f"t.{_mq(c, q)} = s.{_mq(c, q)}" for c in non_key)
+        matched = (
+            f"WHEN MATCHED AND s.{ts_q} >= t.{ts_q} "
+            f"THEN UPDATE SET {sets} "
+        )
+    else:
+        # every column is part of the key (link/fact table): an UPDATE
+        # would be a no-op and `UPDATE SET` with no assignments is a
+        # parse error — emit a pure insert-if-absent MERGE
+        matched = ""
     return [
         f"MERGE INTO {t} t USING {s} s ON {on} "
-        f"WHEN MATCHED AND s.{ts_q} >= t.{ts_q} THEN UPDATE SET {sets} "
+        f"{matched}"
         f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})",
         f"DROP TABLE {s}",
     ]

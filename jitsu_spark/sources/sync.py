@@ -63,10 +63,18 @@ class SyncState:
             return json.load(f)
 
     def _save(self, sync_id: str, updates: dict) -> None:
+        # tmp + fsync + atomic rename (the FileTtlStore pattern): a crash
+        # mid-write must never leave truncated JSON — that would brick
+        # the sync forever, defeating the at-least-once replay contract
         doc = self._load(sync_id)
         doc.update(updates)
-        with open(self._path(sync_id), "w") as f:
+        path = self._path(sync_id)
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "w") as f:
             json.dump(doc, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
 
     def get_cursor(self, sync_id: str):
         return self._load(sync_id).get("cursor")

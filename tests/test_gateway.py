@@ -229,3 +229,17 @@ def test_forward_cte_reference_reads_real_table(spark):
         {"events"},
         spark=spark,
     )
+
+
+def test_backslash_escapes_fail_closed_without_session():
+    """Round-4 review: Spark's lexer honors backslash escapes inside
+    string literals while the textual walker only knows '' doubling —
+    a crafted literal can hide a FROM clause from every textual check.
+    Without a parser the only safe answer is rejection."""
+    with pytest.raises(SqlGatewayError, match="backslash"):
+        validate_select(
+            "SELECT 'a\\'' AS c, x FROM secret WHERE 'z' = 'z' --'",
+            {"t1"},
+        )
+    # no allowlist -> the fallback never rejects (shape checks only)
+    validate_select("SELECT 'a\\nb' AS c")

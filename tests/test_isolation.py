@@ -207,3 +207,26 @@ class TestChainIntegration:
         out = compile_chain(cfg)(df).collect()
         assert len(out) == 1 and out[0]._error is None
         assert json.loads(out[0].event)["pid_tag"] is True
+
+
+def test_explicit_no_timeout_disables_watchdog_deadline():
+    """An operator's function_timeout_sec=None means NO deadline — the
+    runner must not invent one (the memory cap still applies)."""
+    r = IsolatedChainRunner([_ok], _ctx_factory, None, 128)
+    try:
+        assert r._budget is None
+        import time
+
+        def slow(ev, ctx):
+            time.sleep(6.5)  # longer than any default per-fn budget
+            ev["done"] = True
+            return ev
+
+        r2 = IsolatedChainRunner([slow], _ctx_factory, None, 128)
+        try:
+            evs, err, *_ = r2.run({"x": 1})
+            assert err is None and evs[0]["done"] is True
+        finally:
+            r2.close()
+    finally:
+        r.close()

@@ -181,3 +181,39 @@ class TestDialectForms:
     def test_all_cloud_families_have_a_dialect_or_default(self):
         # the merge-capable families resolve to a real dialect
         assert "bigquery" in MERGE_DIALECTS and "snowflake" in MERGE_DIALECTS
+
+
+class TestMergeEdgeCases:
+    def test_all_key_columns_emit_insert_only_merge(self):
+        stmts = merge_statements(
+            "ansi", "link_t", "link_t__stage", ["a", "b"], ["a", "b"],
+            timestamp_col="a",
+        )
+        assert "WHEN MATCHED" not in stmts[0]  # no empty UPDATE SET
+        assert "WHEN NOT MATCHED THEN INSERT" in stmts[0]
+
+    def test_all_key_merge_executes_on_derby(self, spark, derby):
+        import datetime as dt
+
+        df = spark.createDataFrame(
+            [("k1", dt.datetime(2024, 3, 1))], "message_id string, ts timestamp"
+        )
+        df.write.option(
+            "createTableColumnTypes", "message_id VARCHAR(64)"
+        ).jdbc(derby.url, "linkt", mode="overwrite", properties=derby.properties)
+        df.write.option(
+            "createTableColumnTypes", "message_id VARCHAR(64)"
+        ).jdbc(derby.url, "linkt__stage", mode="overwrite", properties=derby.properties)
+        for sql in merge_statements(
+            "ansi", "linkt", "linkt__stage", ["message_id", "ts"],
+            ["message_id", "ts"], timestamp_col="ts",
+        ):
+            derby._execute(sql)
+        assert derby.read("linkt").count() == 1  # idempotent, no dup
+
+    def test_timestamp_col_must_be_in_columns(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="timestamp column"):
+            merge_statements("ansi", "t", "s", ["a", "b"], ["a"],
+                             timestamp_col="ts")
