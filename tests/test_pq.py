@@ -23,22 +23,29 @@ def _pairs(df):
 
 class TestStoreShape:
     def test_codes_are_m_bytes_per_vector(self, spark, sf_dir, pq_store):
-        from jitsu_spark.operators.pq import PQ_KSUB, PQ_M
+        from jitsu_spark.operators.pq import PQ_KSUB
 
         from jitsu_spark.tables import load_table
 
         cells = spark.read.parquet(pq_store + "/cells")
-        n_corpus = load_table(spark, sf_dir, "embeddings").count()
+        emb = load_table(spark, sf_dir, "embeddings")
+        n_corpus = emb.count()
+        dim = len(emb.first().embedding)
         assert cells.count() == n_corpus  # every vector encoded once
         row = cells.first()
-        assert len(row.codes) == PQ_M
+        # m adapts to the dimension (dsub ~ 8) and codes stay in-range
+        from jitsu_spark.operators.pq import _default_m
+
+        assert len(row.codes) == _default_m(dim)
         assert all(0 <= c < PQ_KSUB for c in row.codes)
 
-    def test_pq_codebooks_complete(self, spark, pq_store):
-        from jitsu_spark.operators.pq import PQ_KSUB, PQ_M
+    def test_pq_codebooks_complete(self, spark, sf_dir, pq_store):
+        from jitsu_spark.operators.pq import PQ_KSUB, _default_m
+        from jitsu_spark.tables import load_table
 
+        dim = len(load_table(spark, sf_dir, "embeddings").first().embedding)
         pq = spark.read.parquet(pq_store + "/pq_codebooks")
-        assert pq.count() == PQ_M * PQ_KSUB
+        assert pq.count() == _default_m(dim) * PQ_KSUB
 
     def test_cells_partitioned_by_centroid(self, spark, pq_store):
         import os
