@@ -1,0 +1,249 @@
+"""Embedding-cluster curation: k-means-style topic clustering over the
+`embeddings` table plus the two cluster-driven curation reports a training
+pipeline runs on top of it (cluster quality / label purity, and
+SemDeDup/D4-style prototypicality pruning).
+
+Capability context: the reference's profile builder aggregates per-entity
+state (`services/profiles/src/builder.ts:28-33`) and its reports surface
+grouped quality metrics (`webapps/console/lib/shared/reporting.ts`); this
+module extends that "group, summarize, act" family to embedding space,
+where the groups are semantic clusters — the backbone of cluster-balanced
+sampling and semantic pruning in LLM-corpus curation (SemDeDup, D4).
+
+Determinism contract (oracle-checked forms):
+- Centroids are FIXED-K deterministic (the K smallest vec_ids) — same
+  contract as the oracle-checked IVF in `similarity.py`: K is a constant,
+  so assignment is one O(N*K) broadcast pass over the corpus and the
+  DuckDB oracle reproduces the centroid set exactly. Serving swaps in a
+  k-means|| codebook (`similarity.kmeans_centroids`) — identical plan,
+  better cells (`cluster_assign_served`).
+- Cosine uses the repo's sequential-fold DOT: bit-identical in Spark and
+  DuckDB, so argmax-by-similarity picks the same centroid in both engines.
+- All derived statistics that feed comparisons (mean similarity, purity,
+  prune thresholds) are integer per-mille arithmetic — no float summation
+  whose order could differ across engines.
+
+Scale: the corpus never shuffles for assignment (broadcast centroids);
+the per-cluster reports shuffle only (cluster_id, partial-state) with
+map-side partial aggregation; the prune window shuffles one row per
+vector keyed by cluster_id — K bounded partitions, each processed as a
+sorted window. At 100 TB: assignment is embarrassingly parallel; if a
+single cluster's membership outgrows one task's window sort, raise K
+(more, smaller clusters — the curation-quality fix too) or sub-rank on
+a salted pre-aggregation of the per-cluster top slice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.hints import maybe_broadcast
+from ..tables import load_table
+from .similarity import DOT, DOT_DUCK, _with_norm, kmeans_centroids
+
+K_CLUSTERS = 12
+# Drop the most prototypical 25% of each cluster (D4-style: the docs
+# nearest their centroid are the most redundant with the cluster's mass).
+PRUNE_TOP_PER_MILLE = 250
+
+
+def _fixed_centroids(emb: DataFrame) -> DataFrame:
+    """Deterministic fixed-K centroids: the K smallest vec_ids."""
+    return emb.where(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").alias("cluster_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+
+
+def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid (cosine) assignment: (vec_id, label, cluster_id,
+    csim). Broadcast centroid side; the corpus side never shuffles."""
+    scored = emb.join(maybe_broadcast(centroids)).withColumn(
+        "csim",
+        F.expr(DOT.format(a="c_emb", b="embedding"))
+        / (F.col("c_norm") * F.col("norm")),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("csim"), F.asc("cluster_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "label", "cluster_id", "csim")
+    )
+
+
+def _assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    return _assign(emb, _fixed_centroids(emb))
+
+
+def embedding_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector cluster assignment: (vec_id, cluster_id, sim)."""
+    return _assigned(spark, sf_dir).select(
+        "vec_id", "cluster_id", F.round("csim", 4).alias("sim")
+    )
+
+
+def cluster_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster curation report: size, mean similarity-to-centroid
+    (per-mille integer — no float summation), majority label and its
+    purity share (per-mille). The 'which clusters are coherent enough to
+    sample from' query."""
+    assigned = _assigned(spark, sf_dir).withColumn(
+        # shift to nonnegative so integer division is floor in both engines
+        "spm_shift",
+        F.expr("CAST(floor(csim * 1000) AS BIGINT) + 1000"),
+    )
+    per_cluster = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("spm_shift").alias("sum_spm"),
+    )
+    votes = assigned.groupBy("cluster_id", "label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    wv = Window.partitionBy("cluster_id").orderBy(
+        F.desc("votes"), F.asc("label")
+    )
+    top = (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") == 1)
+        .select("cluster_id", F.col("label").alias("top_label"), "votes")
+    )
+    return (
+        per_cluster.join(top, "cluster_id")
+        .selectExpr(
+            "cluster_id",
+            "n_vecs",
+            "(sum_spm DIV n_vecs) - 1000 AS mean_sim_pm",
+            "top_label",
+            "(votes * 1000) DIV n_vecs AS purity_pm",
+        )
+    )
+
+
+def cluster_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup/D4-style prototypicality prune verdict: within each
+    cluster, rank vectors by similarity-to-centroid (most prototypical
+    first) and drop the top PRUNE_TOP_PER_MILLE fraction — the items most
+    redundant with the cluster's semantic mass. Output one verdict row per
+    vector: (vec_id, cluster_id, proto_rank, keep)."""
+    assigned = _assigned(spark, sf_dir)
+    wr = Window.partitionBy("cluster_id").orderBy(
+        F.desc("csim"), F.asc("vec_id")
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        assigned.withColumn("proto_rank", F.row_number().over(wr))
+        .withColumn("n_c", F.count(F.lit(1)).over(wc))
+        .selectExpr(
+            "vec_id",
+            "cluster_id",
+            "proto_rank",
+            f"proto_rank > (n_c * {PRUNE_TOP_PER_MILLE}) DIV 1000 AS keep",
+        )
+    )
+
+
+def cluster_assign_served(
+    spark: SparkSession, sf_dir: str, k: int = K_CLUSTERS
+) -> DataFrame:
+    """Serving-path assignment: identical plan to the oracle form but with
+    a k-means|| codebook (`similarity.kmeans_centroids`) instead of fixed
+    seed vectors — better cells, not oracle-checked (k-means is
+    iterative/seed-dependent). Returns (vec_id, label, cluster_id, csim)."""
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    cents = kmeans_centroids(emb, k=k).select(
+        F.col("centroid_id").alias("cluster_id"),
+        F.col("c_emb"),
+        F.expr(f"sqrt({DOT.format(a='c_emb', b='c_emb')})").alias("c_norm"),
+    )
+    return _assign(emb, cents)
+
+
+_ASSIGNED_DUCK = f"""
+e AS (
+  SELECT vec_id, embedding, label,
+         sqrt({DOT_DUCK.format(a='embedding', b='embedding')}) AS norm
+  FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cluster_id, embedding AS c_emb, norm AS c_norm
+  FROM e WHERE vec_id < {K_CLUSTERS}
+),
+scored AS (
+  SELECT e.vec_id, e.label, cent.cluster_id,
+         {DOT_DUCK.format(a='c_emb', b='embedding')} / (cent.c_norm * e.norm) AS csim
+  FROM e CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, label, cluster_id, csim
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY csim DESC, cluster_id ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+"""
+
+CLUSTER_ASSIGN_SQL = f"""
+WITH {_ASSIGNED_DUCK}
+SELECT vec_id, cluster_id, round(csim, 4) AS sim FROM assigned
+"""
+
+CLUSTER_QUALITY_SQL = f"""
+WITH {_ASSIGNED_DUCK},
+shifted AS (
+  SELECT *, CAST(floor(csim * 1000) AS BIGINT) + 1000 AS spm_shift
+  FROM assigned
+),
+per_cluster AS (
+  SELECT cluster_id, count(*) AS n_vecs, sum(spm_shift) AS sum_spm
+  FROM shifted GROUP BY 1
+),
+votes AS (
+  SELECT cluster_id, label, count(*) AS votes
+  FROM assigned GROUP BY 1, 2
+),
+top AS (
+  SELECT cluster_id, label AS top_label, votes
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY cluster_id ORDER BY votes DESC, label ASC) AS rn
+    FROM votes
+  ) WHERE rn = 1
+)
+SELECT p.cluster_id, p.n_vecs,
+       CAST((p.sum_spm // p.n_vecs) - 1000 AS BIGINT) AS mean_sim_pm,
+       t.top_label,
+       CAST((t.votes * 1000) // p.n_vecs AS BIGINT) AS purity_pm
+FROM per_cluster p JOIN top t USING (cluster_id)
+"""
+
+CLUSTER_PRUNE_SQL = f"""
+WITH {_ASSIGNED_DUCK},
+ranked AS (
+  SELECT vec_id, cluster_id,
+         row_number() OVER (
+           PARTITION BY cluster_id ORDER BY csim DESC, vec_id ASC) AS proto_rank,
+         count(*) OVER (PARTITION BY cluster_id) AS n_c
+  FROM assigned
+)
+SELECT vec_id, cluster_id, proto_rank,
+       proto_rank > (n_c * {PRUNE_TOP_PER_MILLE}) // 1000 AS keep
+FROM ranked
+"""
+
+
+QUERIES = {
+    "embedding_cluster_assign": embedding_cluster_assign,
+    "cluster_quality_report": cluster_quality_report,
+    "cluster_prototype_prune": cluster_prototype_prune,
+}
+ORACLE = {
+    "embedding_cluster_assign": CLUSTER_ASSIGN_SQL,
+    "cluster_quality_report": CLUSTER_QUALITY_SQL,
+    "cluster_prototype_prune": CLUSTER_PRUNE_SQL,
+}

@@ -162,13 +162,96 @@ FROM rated WHERE n_copies > 0
 """
 
 
+def temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source rebalancing (alpha = 0.5): resample so each
+    source's share of the corpus moves from its natural share p_s toward
+    p_s^alpha / sum(p_t^alpha) — the multilingual/multi-source flattening
+    every large training mix applies (upsample thin curated sources,
+    downsample the dominant crawl). Unlike `source_mix_resample` (fixed
+    per-source rates), the rates here are DERIVED FROM THE DATA.
+
+    Shares are weighted by character mass (sum of n_chars per source), the
+    proxy for token mass a mix is actually balanced on.
+
+    Determinism across engines: alpha = 1/2 lets the weight be computed in
+    EXACT integer arithmetic — s_s = floor(sqrt(m_s)) (IEEE sqrt is
+    correctly rounded, so floor(sqrt(int)) is engine-exact), and the
+    per-source copy rate in per-mille is the integer
+    (s_s * M * 1000) div (m_s * T) with M = sum(m_s), T = sum(s_s).
+    No float summation anywhere, so Spark and the DuckDB oracle agree
+    bit-for-bit. The fractional copy is the usual md5-bucket draw.
+    Overflow headroom: s_s*M*1000 needs m_s*sqrt(m_s)*1e3 < 2^63 —
+    fine to ~40 TB of chars in one source; beyond that compute the rate
+    on MB-granular masses (same integer contract, scaled units).
+
+    Scale: two tiny aggregates (per-source mass: one partial-agg shuffle
+    of 20 rows; totals: a 1-row reduce), broadcast back onto the scan;
+    the corpus itself never shuffles and the explode is map-side — the
+    same zero-corpus-shuffle shape as `source_mix_resample`.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    masses = docs.groupBy("source").agg(F.sum("n_chars").alias("m_s"))
+    masses = masses.withColumn(
+        "s_s", F.expr("CAST(floor(sqrt(CAST(m_s AS DOUBLE))) AS BIGINT)")
+    )
+    totals = masses.select(
+        F.sum("m_s").alias("m_total"), F.sum("s_s").alias("s_total")
+    )
+    rates = masses.crossJoin(maybe_broadcast(totals)).selectExpr(
+        "source",
+        "(s_s * m_total * 1000) DIV (m_s * s_total) AS cpm",
+    )
+    return (
+        docs.join(maybe_broadcast(rates), "source")
+        .withColumn(
+            "n_copies",
+            F.expr("cpm DIV 1000")
+            + (_bucket(F.col("doc_id")) < F.expr("cpm % 1000")).cast("long"),
+        )
+        .where(F.col("n_copies") > 0)
+        .selectExpr(
+            "doc_id",
+            "source",
+            "explode(sequence(1, n_copies)) AS epoch",
+        )
+    )
+
+
+TEMPERATURE_RESAMPLE_SQL = f"""
+WITH masses AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS m_s,
+         CAST(floor(sqrt(CAST(sum(n_chars) AS DOUBLE))) AS BIGINT) AS s_s
+  FROM documents GROUP BY 1
+),
+totals AS (
+  SELECT CAST(sum(m_s) AS BIGINT) AS m_total,
+         CAST(sum(s_s) AS BIGINT) AS s_total
+  FROM masses
+),
+rates AS (
+  SELECT source, (s_s * m_total * 1000) // (m_s * s_total) AS cpm
+  FROM masses CROSS JOIN totals
+),
+rated AS (
+  SELECT doc_id, source,
+         cpm // 1000 + CASE WHEN {_bucket_duck('doc_id')} < cpm % 1000
+                            THEN 1 ELSE 0 END AS n_copies
+  FROM documents JOIN rates USING (source)
+)
+SELECT doc_id, source, unnest(range(1, n_copies + 1)) AS epoch
+FROM rated WHERE n_copies > 0
+"""
+
+
 QUERIES = {
     "stratified_sample_documents": stratified_sample_documents,
     "train_test_split_documents": train_test_split_documents,
     "source_mix_resample": source_mix_resample,
+    "temperature_resample": temperature_resample,
 }
 ORACLE = {
     "stratified_sample_documents": STRATIFIED_SAMPLE_SQL,
     "train_test_split_documents": TRAIN_TEST_SPLIT_SQL,
     "source_mix_resample": SOURCE_MIX_SQL,
+    "temperature_resample": TEMPERATURE_RESAMPLE_SQL,
 }

@@ -12,6 +12,7 @@ from .events import destinations, destinations_crm, layouts
 from .plans import throttle
 from .operators import (
     asof,
+    clustering,
     corpus,
     corpus_stats,
     dedup,
@@ -46,6 +47,7 @@ _MODULES = [
     dedup,
     corpus_stats,
     similarity,
+    clustering,
     pq,
     embedding_prep,
     layouts,

@@ -1,0 +1,184 @@
+"""Embedding-cluster curation: assignment coverage, prune arithmetic,
+served (k-means||) path, and temperature resampling properties."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+class TestClusterAssign:
+    def test_every_vector_assigned_exactly_once(self, spark):
+        from jitsu_spark.operators.clustering import embedding_cluster_assign
+        from jitsu_spark.tables import load_table
+
+        out = embedding_cluster_assign(spark, SF_DIR)
+        n_emb = load_table(spark, SF_DIR, "embeddings").count()
+        assert out.count() == n_emb
+        assert out.select("vec_id").distinct().count() == n_emb
+
+    def test_cluster_ids_are_the_fixed_seed_set(self, spark):
+        from jitsu_spark.operators.clustering import (
+            K_CLUSTERS,
+            embedding_cluster_assign,
+        )
+
+        ids = {
+            r.cluster_id
+            for r in embedding_cluster_assign(spark, SF_DIR)
+            .select("cluster_id")
+            .distinct()
+            .collect()
+        }
+        assert ids <= set(range(K_CLUSTERS))
+
+    def test_seed_vectors_assign_to_themselves(self, spark):
+        from jitsu_spark.operators.clustering import (
+            K_CLUSTERS,
+            embedding_cluster_assign,
+        )
+
+        seeds = (
+            embedding_cluster_assign(spark, SF_DIR)
+            .where(F.col("vec_id") < K_CLUSTERS)
+            .collect()
+        )
+        for r in seeds:
+            assert r.cluster_id == r.vec_id, r
+            assert r.sim == pytest.approx(1.0, abs=1e-3)
+
+
+class TestPrototypePrune:
+    def test_prune_drops_exactly_the_top_quarter(self, spark):
+        from jitsu_spark.operators.clustering import (
+            PRUNE_TOP_PER_MILLE,
+            cluster_prototype_prune,
+        )
+
+        out = cluster_prototype_prune(spark, SF_DIR)
+        per_cluster = (
+            out.groupBy("cluster_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("keep").cast("int")).alias("kept"),
+            )
+            .collect()
+        )
+        assert per_cluster
+        for r in per_cluster:
+            dropped = r.n * PRUNE_TOP_PER_MILLE // 1000
+            assert r.kept == r.n - dropped, r
+
+    def test_dropped_rows_are_the_most_prototypical(self, spark):
+        """Within each cluster every dropped rank precedes every kept rank."""
+        from jitsu_spark.operators.clustering import cluster_prototype_prune
+
+        out = cluster_prototype_prune(spark, SF_DIR)
+        joined = (
+            out.where(~F.col("keep"))
+            .groupBy("cluster_id")
+            .agg(F.max("proto_rank").alias("max_dropped"))
+            .join(
+                out.where(F.col("keep"))
+                .groupBy("cluster_id")
+                .agg(F.min("proto_rank").alias("min_kept")),
+                "cluster_id",
+            )
+            .collect()
+        )
+        assert joined  # at least one cluster both drops and keeps
+        for r in joined:
+            assert r.max_dropped < r.min_kept, r
+
+
+class TestServedPath:
+    def test_kmeans_served_assignment_covers_corpus(self, spark):
+        from jitsu_spark.operators.clustering import cluster_assign_served
+        from jitsu_spark.tables import load_table
+
+        out = cluster_assign_served(spark, SF_DIR, k=6)
+        n_emb = load_table(spark, SF_DIR, "embeddings").count()
+        assert out.count() == n_emb
+        ids = {r.cluster_id for r in out.select("cluster_id").distinct().collect()}
+        assert ids <= set(range(6))
+        assert len(ids) >= 2  # k-means|| actually split the corpus
+
+
+class TestTemperatureResample:
+    def test_rates_flatten_toward_uniform(self, spark):
+        """Heavier sources get cpm below 1000 x their natural share ratio;
+        lighter sources get cpm above — alpha=0.5 moves every share toward
+        the mean."""
+        from jitsu_spark.operators.clustering import maybe_broadcast  # noqa: F401
+        from jitsu_spark.tables import load_table
+
+        docs = load_table(spark, SF_DIR, "documents")
+        masses = {
+            r.source: r.m
+            for r in docs.groupBy("source").agg(F.sum("n_chars").alias("m")).collect()
+        }
+        from jitsu_spark.operators.sampling import temperature_resample
+
+        out = temperature_resample(spark, SF_DIR)
+        copies = {
+            r.source: r.c
+            for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+        n_docs = {
+            r.source: r.n
+            for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        mean_mass = sum(masses.values()) / len(masses)
+        for s, m in masses.items():
+            rate = copies.get(s, 0) / n_docs[s]
+            if m > mean_mass * 1.05:
+                assert rate <= 1.05, (s, rate)
+            if m < mean_mass * 0.95:
+                assert rate >= 0.95 * 0.9, (s, rate)
+
+    def test_copies_match_integer_rate_within_one(self, spark):
+        """Per source: emitted copies == n_docs*whole + |{bucket<frac}| —
+        the exact deterministic contract, no RNG drift."""
+        from jitsu_spark.operators.sampling import temperature_resample
+        from jitsu_spark.tables import load_table
+
+        out = temperature_resample(spark, SF_DIR)
+        docs = load_table(spark, SF_DIR, "documents")
+        # recompute cpm exactly as the operator does
+        masses = docs.groupBy("source").agg(F.sum("n_chars").alias("m_s")).collect()
+        import math
+
+        m = {r.source: r.m_s for r in masses}
+        s = {k: math.floor(math.sqrt(v)) for k, v in m.items()}
+        m_tot, s_tot = sum(m.values()), sum(s.values())
+        cpm = {k: (s[k] * m_tot * 1000) // (m[k] * s_tot) for k in m}
+        got = {
+            r.source: r.c
+            for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+        n_docs = {
+            r.source: r.n
+            for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        for k in m:
+            whole = cpm[k] // 1000
+            lo, hi = n_docs[k] * whole, n_docs[k] * (whole + 1)
+            assert lo <= got.get(k, 0) <= hi, (k, cpm[k], got.get(k))
+
+    def test_epochs_are_dense_from_one(self, spark):
+        from jitsu_spark.operators.sampling import temperature_resample
+
+        out = temperature_resample(spark, SF_DIR)
+        per_doc = (
+            out.groupBy("doc_id")
+            .agg(
+                F.min("epoch").alias("mn"),
+                F.max("epoch").alias("mx"),
+                F.count(F.lit(1)).alias("c"),
+            )
+            .collect()
+        )
+        for r in per_doc:
+            assert r.mn == 1 and r.mx == r.c, r

@@ -320,3 +320,33 @@ class TestReportPlans:
         win_pos = tree.index("Window")
         agg_pos = tree.rindex("HashAggregate")
         assert agg_pos > win_pos  # deeper in the tree = executes first
+
+
+class TestClusteringPlans:
+    """Scale audits for the round-4 cluster-curation family: the corpus
+    never shuffles for centroid assignment (broadcast K-row side) or for
+    rate application (broadcast 20-row rates)."""
+
+    def test_cluster_assignment_broadcasts_centroids(self, spark, sf_dir):
+        from jitsu_spark.operators.clustering import embedding_cluster_assign
+
+        plan = _plan(embedding_cluster_assign(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_temperature_rates_broadcast_onto_scan(self, spark, sf_dir):
+        from jitsu_spark.operators.sampling import temperature_resample
+
+        plan = _plan(temperature_resample(spark, sf_dir))
+        # the corpus-side join against the derived rates must broadcast;
+        # a SortMergeJoin here would shuffle 100 TB against 20 rows
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_prune_window_is_keyed_by_cluster(self, spark, sf_dir):
+        from jitsu_spark.operators.clustering import cluster_prototype_prune
+
+        plan = _plan(cluster_prototype_prune(spark, sf_dir))
+        # one row per vector flows into the per-cluster rank window
+        assert "Window" in plan
+        assert "SortMergeJoin" not in plan
