@@ -415,6 +415,217 @@ def ann_ivfpq_topk_stored(
     )
 
 
+def ann_ivfpq_topk_bulk(
+    spark: SparkSession,
+    sf_dir: str,
+    store_dir: str,
+    queries_df: DataFrame,
+    nprobe: int = NPROBE,
+    top_k: int = TOP_K,
+    refine_factor: int = REFINE_FACTOR,
+) -> DataFrame:
+    """BULK query path: the distributed swap `ann_ivfpq_topk_stored`'s
+    docstring promises for 10^5+ query sets, where driver-side table
+    construction (O(Q x nprobe x m x ksub)) and a Q-sized broadcast stop
+    scaling.
+
+    `queries_df` is (query_id long, q array<double>) with q
+    L2-normalized. Three distributed stages, none driver-bound:
+
+    1. PROBE: broadcast the O(K) coarse codebook onto the query table;
+       per-query nprobe nearest cells via one row_number window — the
+       same plan as corpus cell assignment, Q never collects.
+    2. TABLES: one mapInPandas over the (query, cell) probe rows builds
+       each ADC table (m x ksub doubles, ~16 KB) from the query residual
+       — the exact numpy loop the driver ran, now partition-parallel.
+    3. SCORE: cogroup PQ cells with tables on centroid_id
+       (applyInPandas over cogrouped groups): per cell, one table-gather
+       scores every (query, candidate) pair vectorized, and only each
+       query's per-cell top-(refine_factor*top_k) survive — the global
+       shortlist is a subset of the per-cell shortlists, so pruning
+       inside the cogroup is lossless. The shuffle carries byte codes
+       and 16 KB tables, never float vectors.
+
+    The exact-refine stage joins the surviving shortlist to the float
+    corpus and the query table by id — ordinary shuffled joins sized by
+    the shortlist (Q x refine_factor x top_k rows), with AQE free to
+    broadcast whichever side is small. Unprobed cells still appear in
+    the cogroup with zero queries and yield nothing; at bulk Q
+    (every cell probed by someone) the full-scan cost is the point —
+    it amortizes over the whole query set."""
+    dirs = _pq_dirs(store_dir)
+
+    centroids = _load_codebook(spark, store_dir)
+    pq = spark.read.parquet(dirs["pq"]).collect()
+    m = 1 + max(r["subspace"] for r in pq)
+    ksub = 1 + max(r["code"] for r in pq)
+    dsub = len(pq[0]["sub_centroid"])
+    books = np.empty((m, ksub, dsub))
+    for r in pq:
+        books[r["subspace"], r["code"]] = r["sub_centroid"]
+    cent_mat: dict[int, np.ndarray] = {}
+    for r in centroids.collect():
+        cent_mat[r["centroid_id"]] = np.array(r["c_emb"], dtype=np.float64)
+
+    # ---- 1. probe: nprobe nearest cells per query (broadcast K side) ----
+    from pyspark.sql import Window
+
+    from ..plans.hints import maybe_broadcast
+
+    scored = queries_df.join(maybe_broadcast(centroids)).withColumn(
+        "d2",
+        F.col("c_norm") * F.col("c_norm")
+        - 2 * F.expr(DOT.format(a="c_emb", b="q")),
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("centroid_id"))
+    probe = (
+        scored.withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "q", "centroid_id")
+    )
+
+    # ---- 2. distributed ADC tables ----
+    sc = spark.sparkContext
+    b_books = sc.broadcast(books)
+    b_cents = sc.broadcast(cent_mat)
+
+    def build_tables(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qmat = np.array(list(pdf["q"]), dtype=np.float64)
+            cmat = np.array([b_cents.value[c] for c in pdf["centroid_id"]])
+            res = qmat - cmat
+            tables = np.empty((len(pdf), m * ksub))
+            for j in range(m):
+                sub = res[:, j * dsub : (j + 1) * dsub]
+                # (rows, ksub) distances for subspace j
+                d2 = (
+                    (sub[:, None, :] - b_books.value[j][None, :, :]) ** 2
+                ).sum(axis=2)
+                tables[:, j * ksub : (j + 1) * ksub] = d2
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].values,
+                    "centroid_id": pdf["centroid_id"].values,
+                    "adc_table": list(tables),
+                }
+            )
+
+    tables_df = probe.mapInPandas(
+        build_tables,
+        "query_id long, centroid_id int, adc_table array<double>",
+    )
+
+    # ---- 3. cogrouped per-cell scoring with lossless per-cell pruning ----
+    cells = spark.read.parquet(dirs["cells"])
+    keep_per_cell = max(top_k * max(refine_factor, 1), top_k)
+
+    def score_cell(left, right):
+        import pandas as pd
+
+        if not len(left) or not len(right):
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "adc_dist": []}
+            ).astype({"query_id": "int64", "neighbor_id": "int64", "adc_dist": "float64"})
+        gcodes = np.array(list(left["codes"]), dtype=np.int64)
+        vec_ids = left["vec_id"].values
+        cols = np.arange(m)
+        out_q, out_v, out_d = [], [], []
+        for row in right.itertuples(index=False):
+            table = np.asarray(row.adc_table, dtype=np.float64).reshape(
+                m, ksub
+            )
+            d = table[cols[None, :], gcodes].sum(axis=1)
+            mask = vec_ids != row.query_id
+            dv, vv = d[mask], vec_ids[mask]
+            if len(dv) > keep_per_cell:
+                idx = np.argpartition(dv, keep_per_cell - 1)[:keep_per_cell]
+                dv, vv = dv[idx], vv[idx]
+            out_q.extend([row.query_id] * len(dv))
+            out_v.extend(vv)
+            out_d.extend(dv)
+        return pd.DataFrame(
+            {"query_id": out_q, "neighbor_id": out_v, "adc_dist": out_d}
+        )
+
+    candidates = (
+        cells.groupBy("centroid_id")
+        .cogroup(tables_df.groupBy("centroid_id"))
+        .applyInPandas(
+            score_cell, "query_id long, neighbor_id long, adc_dist double"
+        )
+    )
+
+    wa = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    if not refine_factor:
+        return (
+            candidates.withColumn("rn", F.row_number().over(wa))
+            .where(F.col("rn") <= top_k)
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round("adc_dist", 6).alias("adc_dist"),
+            )
+        )
+
+    shortlist = (
+        candidates.withColumn("rn", F.row_number().over(wa))
+        .where(F.col("rn") <= top_k * refine_factor)
+        .select("query_id", "neighbor_id")
+    )
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    nv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("norm").alias("n_norm"),
+    )
+    exact = (
+        shortlist.join(queries_df, "query_id")
+        .join(nv, "neighbor_id")
+        .withColumn(
+            "sim",
+            F.expr(DOT.format(a="q", b="n_emb")) / F.col("n_norm"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= top_k)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"))
+    )
+
+
+def unit_queries(emb_with_norm: DataFrame) -> DataFrame:
+    """(query_id, q) unit-normalized query table from a `_with_norm` frame
+    — the `queries_df` contract of `ann_ivfpq_topk_bulk`."""
+    return emb_with_norm.select(
+        F.col("vec_id").alias("query_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE) / norm)").alias(
+            "q"
+        ),
+    )
+
+
+def ann_ivfpq_bulk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (rows-only — k-means training has no SQL form):
+    build the PQ store and run the BULK path with the ENTIRE corpus as
+    the query set — the index-join/dedup-by-ANN shape the bulk path
+    exists for (every vector asks for its top-k neighbors)."""
+    import tempfile
+
+    store = tempfile.mkdtemp(prefix="ivfpq_bulk_") + "/store"
+    build_ivfpq_store(spark, sf_dir, store)
+    queries = unit_queries(_with_norm(load_table(spark, sf_dir, "embeddings")))
+    return ann_ivfpq_topk_bulk(spark, sf_dir, store, queries)
+
+
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry (rows-only check — k-means training has no SQL
     form): build the PQ store into a fresh temp dir and probe it. The
@@ -428,5 +639,8 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivfpq_topk_stored(spark, sf_dir, store)
 
 
-QUERIES: dict = {"ann_ivfpq_topk": ann_ivfpq_topk}
+QUERIES: dict = {
+    "ann_ivfpq_topk": ann_ivfpq_topk,
+    "ann_ivfpq_bulk_topk": ann_ivfpq_bulk_topk,
+}
 ORACLE: dict = {}  # rows-only: iterative training is non-SQL-expressible

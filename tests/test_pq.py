@@ -105,3 +105,102 @@ class TestQuery:
         )
         assert "PartitionFilters" in plan
         assert "centroid_id" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+class TestBulkQueryPath:
+    """`ann_ivfpq_topk_bulk` — the distributed table-build + cogrouped
+    scoring swap for large query sets. Contract: identical results to the
+    driver-side stored path for the same queries, full coverage when the
+    whole corpus queries itself, and a plan that scores via cogroup (no
+    Q-sized broadcast)."""
+
+    def _unit_queries(self, spark, sf_dir, limit=None):
+        from pyspark.sql import functions as F
+
+        from jitsu_spark.operators.pq import unit_queries
+        from jitsu_spark.operators.similarity import _with_norm
+        from jitsu_spark.tables import load_table
+
+        emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+        if limit is not None:
+            emb = emb.where(F.col("vec_id") < limit)
+        return unit_queries(emb)
+
+    def test_bulk_matches_stored_path_exactly(self, spark, sf_dir, pq_store):
+        from jitsu_spark.operators.pq import (
+            ann_ivfpq_topk_bulk,
+            ann_ivfpq_topk_stored,
+        )
+        from jitsu_spark.operators.similarity import N_QUERIES
+
+        stored = _pairs(ann_ivfpq_topk_stored(spark, sf_dir, pq_store))
+        bulk = _pairs(
+            ann_ivfpq_topk_bulk(
+                spark,
+                sf_dir,
+                pq_store,
+                self._unit_queries(spark, sf_dir, limit=N_QUERIES),
+            )
+        )
+        assert bulk == stored
+
+    def test_full_corpus_self_join_covers_every_query(
+        self, spark, sf_dir, pq_store
+    ):
+        from pyspark.sql import functions as F
+
+        from jitsu_spark.operators.pq import TOP_K, ann_ivfpq_topk_bulk
+        from jitsu_spark.tables import load_table
+
+        n = load_table(spark, sf_dir, "embeddings").count()
+        out = ann_ivfpq_topk_bulk(
+            spark, sf_dir, pq_store, self._unit_queries(spark, sf_dir)
+        )
+        per_q = out.groupBy("query_id").count()
+        stats = per_q.agg(
+            F.count(F.lit(1)).alias("nq"),
+            F.min("count").alias("mn"),
+            F.max("count").alias("mx"),
+        ).collect()[0]
+        assert stats.nq == n  # every vector got an answer
+        assert stats.mx <= TOP_K
+        assert stats.mn >= 1
+        # no self-matches
+        assert out.where(F.col("query_id") == F.col("neighbor_id")).count() == 0
+
+    def test_scoring_is_cogrouped_not_broadcast(self, spark, sf_dir, pq_store):
+        from jitsu_spark.operators.pq import ann_ivfpq_topk_bulk
+
+        df = ann_ivfpq_topk_bulk(
+            spark, sf_dir, pq_store, self._unit_queries(spark, sf_dir)
+        )
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "FlatMapCoGroupsInPandas" in plan
+
+    def test_per_cell_pruning_is_lossless(self, spark, sf_dir, pq_store):
+        """refine_factor=0 pure-ADC ranking from the bulk path equals the
+        stored path's pure-ADC ranking — the per-cell top-C cut keeps
+        every global survivor."""
+        from jitsu_spark.operators.pq import (
+            ann_ivfpq_topk_bulk,
+            ann_ivfpq_topk_stored,
+        )
+        from jitsu_spark.operators.similarity import N_QUERIES
+
+        stored = _pairs(
+            ann_ivfpq_topk_stored(spark, sf_dir, pq_store, refine_factor=0)
+        )
+        bulk = _pairs(
+            ann_ivfpq_topk_bulk(
+                spark,
+                sf_dir,
+                pq_store,
+                self._unit_queries(spark, sf_dir, limit=N_QUERIES),
+                refine_factor=0,
+            )
+        )
+        assert bulk == stored

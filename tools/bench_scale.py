@@ -27,6 +27,10 @@ PROBE = [
     "duplicate_span_report",
     "boilerplate_shingle_stats",
     "unigram_surprisal",
+    # round-4 additions: cluster curation + data-derived resampling
+    "embedding_cluster_assign",
+    "cluster_prototype_prune",
+    "temperature_resample",
 ]
 
 
@@ -51,8 +55,13 @@ def main() -> None:
     # warm the JVM + Python-worker paths so sf0.1 isn't billed the spin-up
     queries["ngram_jaccard_dups"](spark, "/root/testdata/sf0.001").count()
 
+    probe = PROBE
+    subset = os.environ.get("SPARK_GRAFT_PROBE_QUERIES")
+    if subset:
+        probe = [n for n in subset.split(",") if n in queries]
+
     report = {}
-    for name in PROBE:
+    for name in probe:
         q = queries[name]
         times = {}
         for label, d in (("sf0.1", sf01_dir), ("sf1", sf1_dir)):
