@@ -204,3 +204,44 @@ class TestBulkQueryPath:
             )
         )
         assert bulk == stored
+
+
+class TestApproxNearDups:
+    """`embedding_near_dups_from_store`: the sub-quadratic ANN swap for
+    the exact all-pairs near-dup op. At full probe depth every
+    above-threshold pair whose members rank each other top-k must
+    surface; recall vs the exact op is pinned."""
+
+    def test_recall_vs_exact_at_full_probe(self, spark, sf_dir, pq_store):
+        from jitsu_spark.operators.pq import embedding_near_dups_from_store
+        from jitsu_spark.operators.similarity import (
+            DEFAULT_IVF_K,
+            embedding_cosine_dups,
+        )
+
+        exact = {
+            (r.vec_a, r.vec_b)
+            for r in embedding_cosine_dups(spark, sf_dir).collect()
+        }
+        approx = {
+            (r.vec_a, r.vec_b)
+            for r in embedding_near_dups_from_store(
+                spark, sf_dir, pq_store, nprobe=DEFAULT_IVF_K
+            ).collect()
+        }
+        assert approx <= exact or not exact  # no false positives
+        if exact:
+            recall = len(approx & exact) / len(exact)
+            assert recall >= 0.9, (recall, exact - approx)
+
+    def test_pairs_are_canonical_and_unique(self, spark, sf_dir, pq_store):
+        from pyspark.sql import functions as F
+
+        from jitsu_spark.operators.pq import embedding_near_dups_from_store
+
+        out = embedding_near_dups_from_store(spark, sf_dir, pq_store)
+        assert out.where(F.col("vec_a") >= F.col("vec_b")).count() == 0
+        assert (
+            out.groupBy("vec_a", "vec_b").count().where("count > 1").count()
+            == 0
+        )
