@@ -423,6 +423,7 @@ def ann_ivfpq_topk_bulk(
     nprobe: int = NPROBE,
     top_k: int = TOP_K,
     refine_factor: int = REFINE_FACTOR,
+    round_sim: bool = True,
 ) -> DataFrame:
     """BULK query path: the distributed swap `ann_ivfpq_topk_stored`'s
     docstring promises for 10^5+ query sets, where driver-side table
@@ -542,7 +543,11 @@ def ann_ivfpq_topk_bulk(
             mask = vec_ids != row.query_id
             dv, vv = d[mask], vec_ids[mask]
             if len(dv) > keep_per_cell:
-                idx = np.argpartition(dv, keep_per_cell - 1)[:keep_per_cell]
+                # deterministic cut: order by (dist asc, vec_id asc) —
+                # argpartition alone keeps an ARBITRARY subset of tied
+                # distances (and identical PQ codes tie exactly), which
+                # would break bulk==stored parity run-to-run
+                idx = np.lexsort((vv, dv))[:keep_per_cell]
                 dv, vv = dv[idx], vv[idx]
             out_q.extend([row.query_id] * len(dv))
             out_v.extend(vv)
@@ -598,7 +603,11 @@ def ann_ivfpq_topk_bulk(
     return (
         exact.withColumn("rn", F.row_number().over(wr))
         .where(F.col("rn") <= top_k)
-        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.round("sim", 4) if round_sim else F.col("sim")).alias("sim"),
+        )
     )
 
 
@@ -613,21 +622,43 @@ def unit_queries(emb_with_norm: DataFrame) -> DataFrame:
     )
 
 
-# One store build per (process, sf_dir): the build is seeded and
-# deterministic, so every registry entry probing the same sf_dir can share
+# One store build per (process, dataset): the build is seeded and
+# deterministic, so every registry entry probing the same data can share
 # it — deployments build once and probe many; the memo mirrors that
 # instead of paying three identical builds in one bench/driver session.
-_STORE_MEMO: dict[str, str] = {}
+# Keyed by a parquet mtime/size fingerprint, not the path alone, so a
+# regenerated dataset under the same sf_dir triggers a rebuild instead
+# of silently serving a stale index.
+_STORE_MEMO: dict[tuple, str] = {}
+
+
+def _dataset_key(sf_dir: str) -> tuple:
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    parts = []
+    try:
+        if os.path.isdir(path):
+            for name in sorted(os.listdir(path)):
+                st = os.stat(os.path.join(path, name))
+                parts.append((name, st.st_size, st.st_mtime_ns))
+        else:
+            st = os.stat(path)
+            parts.append(("", st.st_size, st.st_mtime_ns))
+    except OSError:
+        pass
+    return (os.path.abspath(sf_dir), tuple(parts))
 
 
 def _ensure_store(spark: SparkSession, sf_dir: str) -> str:
-    store = _STORE_MEMO.get(sf_dir)
+    key = _dataset_key(sf_dir)
+    store = _STORE_MEMO.get(key)
     if store is None:
         import tempfile
 
         store = tempfile.mkdtemp(prefix="ivfpq_reg_") + "/store"
         build_ivfpq_store(spark, sf_dir, store)
-        _STORE_MEMO[sf_dir] = store
+        _STORE_MEMO[key] = store
     return store
 
 
@@ -670,7 +701,15 @@ def embedding_near_dups_from_store(
     thr = DUP_COS_THRESHOLD if threshold is None else threshold
     queries = unit_queries(_with_norm(load_table(spark, sf_dir, "embeddings")))
     topk = ann_ivfpq_topk_bulk(
-        spark, sf_dir, store_dir, queries, nprobe=nprobe, top_k=top_k
+        spark,
+        sf_dir,
+        store_dir,
+        queries,
+        nprobe=nprobe,
+        top_k=top_k,
+        # threshold on the UNROUNDED exact sim: rounding first would admit
+        # pairs at [thr - 5e-5, thr) the exact operator rejects
+        round_sim=False,
     )
     return (
         topk.where(F.col("sim") >= thr)
@@ -680,7 +719,7 @@ def embedding_near_dups_from_store(
             "sim",
         )
         .groupBy("vec_a", "vec_b")
-        .agg(F.max("sim").alias("sim"))
+        .agg(F.round(F.max("sim"), 4).alias("sim"))
     )
 
 

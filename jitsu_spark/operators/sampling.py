@@ -174,15 +174,18 @@ def temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     proxy for token mass a mix is actually balanced on.
 
     Determinism across engines: alpha = 1/2 lets the weight be computed in
-    EXACT integer arithmetic — s_s = floor(sqrt(m_s)) (IEEE sqrt is
-    correctly rounded, so floor(sqrt(int)) is engine-exact), and the
-    per-source copy rate in per-mille is the integer
-    (s_s * M * 1000) div (m_s * T) with M = sum(m_s), T = sum(s_s).
-    No float summation anywhere, so Spark and the DuckDB oracle agree
-    bit-for-bit. The fractional copy is the usual md5-bucket draw.
-    Overflow headroom: s_s*M*1000 needs m_s*sqrt(m_s)*1e3 < 2^63 —
-    fine to ~40 TB of chars in one source; beyond that compute the rate
-    on MB-granular masses (same integer contract, scaled units).
+    EXACT integer arithmetic — masses are first quantized to a
+    corpus-derived unit (unit = max(1, total_chars div 10^6), itself an
+    exact integer, so quantized total mass is ~10^6 regardless of corpus
+    size), then s_s = floor(sqrt(mu_s)) (IEEE sqrt is correctly rounded,
+    so floor(sqrt(int)) is engine-exact) and the per-source copy rate in
+    per-mille is the integer (s_s * MU * 1000) div (mu_s * T) with
+    MU = sum(mu_s), T = sum(s_s). No float summation anywhere, so Spark
+    and the DuckDB oracle agree bit-for-bit; the fractional copy is the
+    usual md5-bucket draw. The unit quantization bounds every product:
+    mu_s <= ~10^6, s_s <= ~10^3, so the numerator tops out near 10^12 —
+    int64-safe at ANY corpus size (the unquantized form overflowed past
+    ~44 GB of chars). Sub-unit sources clamp to mu_s = 1 (never dropped).
 
     Scale: two tiny aggregates (per-source mass: one partial-agg shuffle
     of 20 rows; totals: a 1-row reduce), broadcast back onto the scan;
@@ -191,15 +194,26 @@ def temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     masses = docs.groupBy("source").agg(F.sum("n_chars").alias("m_s"))
-    masses = masses.withColumn(
-        "s_s", F.expr("CAST(floor(sqrt(CAST(m_s AS DOUBLE))) AS BIGINT)")
+    unit = masses.select(
+        F.expr("greatest(CAST(1 AS BIGINT), sum(m_s) DIV 1000000)").alias(
+            "unit"
+        )
+    )
+    masses = (
+        masses.crossJoin(maybe_broadcast(unit))
+        .withColumn(
+            "mu_s", F.expr("greatest(CAST(1 AS BIGINT), m_s DIV unit)")
+        )
+        .withColumn(
+            "s_s", F.expr("CAST(floor(sqrt(CAST(mu_s AS DOUBLE))) AS BIGINT)")
+        )
     )
     totals = masses.select(
-        F.sum("m_s").alias("m_total"), F.sum("s_s").alias("s_total")
+        F.sum("mu_s").alias("mu_total"), F.sum("s_s").alias("s_total")
     )
     rates = masses.crossJoin(maybe_broadcast(totals)).selectExpr(
         "source",
-        "(s_s * m_total * 1000) DIV (m_s * s_total) AS cpm",
+        "(s_s * mu_total * 1000) DIV (mu_s * s_total) AS cpm",
     )
     return (
         docs.join(maybe_broadcast(rates), "source")
@@ -218,18 +232,29 @@ def temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TEMPERATURE_RESAMPLE_SQL = f"""
-WITH masses AS (
-  SELECT source, CAST(sum(n_chars) AS BIGINT) AS m_s,
-         CAST(floor(sqrt(CAST(sum(n_chars) AS DOUBLE))) AS BIGINT) AS s_s
+WITH raw_masses AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS m_s
   FROM documents GROUP BY 1
 ),
+unit AS (
+  SELECT greatest(CAST(1 AS BIGINT), CAST(sum(m_s) // 1000000 AS BIGINT))
+           AS unit
+  FROM raw_masses
+),
+masses AS (
+  SELECT source,
+         greatest(CAST(1 AS BIGINT), CAST(m_s // unit AS BIGINT)) AS mu_s,
+         CAST(floor(sqrt(CAST(greatest(CAST(1 AS BIGINT),
+                CAST(m_s // unit AS BIGINT)) AS DOUBLE))) AS BIGINT) AS s_s
+  FROM raw_masses CROSS JOIN unit
+),
 totals AS (
-  SELECT CAST(sum(m_s) AS BIGINT) AS m_total,
+  SELECT CAST(sum(mu_s) AS BIGINT) AS mu_total,
          CAST(sum(s_s) AS BIGINT) AS s_total
   FROM masses
 ),
 rates AS (
-  SELECT source, (s_s * m_total * 1000) // (m_s * s_total) AS cpm
+  SELECT source, (s_s * mu_total * 1000) // (mu_s * s_total) AS cpm
   FROM masses CROSS JOIN totals
 ),
 rated AS (

@@ -151,9 +151,11 @@ class TestTemperatureResample:
         import math
 
         m = {r.source: r.m_s for r in masses}
-        s = {k: math.floor(math.sqrt(v)) for k, v in m.items()}
-        m_tot, s_tot = sum(m.values()), sum(s.values())
-        cpm = {k: (s[k] * m_tot * 1000) // (m[k] * s_tot) for k in m}
+        unit = max(1, sum(m.values()) // 1_000_000)
+        mu = {k: max(1, v // unit) for k, v in m.items()}
+        s = {k: math.floor(math.sqrt(v)) for k, v in mu.items()}
+        mu_tot, s_tot = sum(mu.values()), sum(s.values())
+        cpm = {k: (s[k] * mu_tot * 1000) // (mu[k] * s_tot) for k in m}
         got = {
             r.source: r.c
             for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("c")).collect()
@@ -166,6 +168,28 @@ class TestTemperatureResample:
             whole = cpm[k] // 1000
             lo, hi = n_docs[k] * whole, n_docs[k] * (whole + 1)
             assert lo <= got.get(k, 0) <= hi, (k, cpm[k], got.get(k))
+
+    def test_rate_arithmetic_int64_safe_at_extreme_scale(self):
+        """The unit quantization bounds every intermediate product below
+        2^63 even for a 100 TB single source next to 1-byte sources —
+        the unquantized form overflowed past ~44 GB."""
+        import math
+
+        for masses in (
+            {"crawl": 10**14, "tiny": 1},
+            {"a": 10**15, "b": 10**15, "c": 5},
+            {f"s{i}": 10**12 + i for i in range(20)},
+            {"x": 7, "y": 11},
+        ):
+            unit = max(1, sum(masses.values()) // 1_000_000)
+            mu = {k: max(1, v // unit) for k, v in masses.items()}
+            s = {k: math.floor(math.sqrt(v)) for k, v in mu.items()}
+            mu_tot, s_tot = sum(mu.values()), sum(s.values())
+            for k in masses:
+                num = s[k] * mu_tot * 1000
+                den = mu[k] * s_tot
+                assert num < 2**63 and den < 2**63, (k, num, den)
+                assert num // den >= 0
 
     def test_epochs_are_dense_from_one(self, spark):
         from jitsu_spark.operators.sampling import temperature_resample

@@ -58,7 +58,13 @@ def main() -> None:
     probe = PROBE
     subset = os.environ.get("SPARK_GRAFT_PROBE_QUERIES")
     if subset:
-        probe = [n for n in subset.split(",") if n in queries]
+        probe = [n for n in subset.split(",") if n]
+        unknown = [n for n in probe if n not in queries]
+        if unknown:
+            raise SystemExit(
+                f"unknown probe queries: {unknown} (check spelling against "
+                "the registry)"
+            )
 
     report = {}
     for name in probe:
