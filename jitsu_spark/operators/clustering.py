@@ -40,7 +40,16 @@ from pyspark.sql import functions as F
 
 from ..plans.hints import maybe_broadcast
 from ..tables import load_table
-from .similarity import DOT, DOT_DUCK, _with_norm, kmeans_centroids
+from .similarity import (
+    _COSINE_SCORE,
+    DOT,
+    DOT_DUCK,
+    _argbest_expr,
+    _fixed_k_centroids,
+    _packed_centroids,
+    _with_norm,
+    kmeans_centroids,
+)
 
 K_CLUSTERS = 12
 # Drop the most prototypical 25% of each cluster (D4-style: the docs
@@ -48,36 +57,27 @@ K_CLUSTERS = 12
 PRUNE_TOP_PER_MILLE = 250
 
 
-def _fixed_centroids(emb: DataFrame) -> DataFrame:
-    """Deterministic fixed-K centroids: the K smallest vec_ids."""
-    return emb.where(F.col("vec_id") < K_CLUSTERS).select(
-        F.col("vec_id").alias("cluster_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("norm").alias("c_norm"),
-    )
-
-
 def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     """Nearest-centroid (cosine) assignment: (vec_id, label, cluster_id,
-    csim). Broadcast centroid side; the corpus side never shuffles."""
-    scored = emb.join(maybe_broadcast(centroids)).withColumn(
-        "csim",
-        F.expr(DOT.format(a="c_emb", b="embedding"))
-        / (F.col("c_norm") * F.col("norm")),
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc("csim"), F.asc("cluster_id")
-    )
+    csim). MAP-SIDE: the O(K) centroid table packs into one broadcast
+    row and each corpus row folds it with a single `aggregate`
+    (`similarity._argbest_expr` — the same single-sourced argmax the IVF
+    paths use) — the corpus never shuffles and nothing sorts."""
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "label", "cluster_id", "csim")
+        emb.join(maybe_broadcast(_packed_centroids(centroids)))
+        .withColumn("best", F.expr(_argbest_expr(_COSINE_SCORE)))
+        .select(
+            "vec_id",
+            "label",
+            F.col("best.cid").alias("cluster_id"),
+            F.col("best.score").alias("csim"),
+        )
     )
 
 
 def _assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    return _assign(emb, _fixed_centroids(emb))
+    return _assign(emb, _fixed_k_centroids(emb, K_CLUSTERS))
 
 
 def embedding_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -156,8 +156,8 @@ def cluster_assign_served(
     iterative/seed-dependent). Returns (vec_id, label, cluster_id, csim)."""
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
     cents = kmeans_centroids(emb, k=k).select(
-        F.col("centroid_id").alias("cluster_id"),
-        F.col("c_emb"),
+        "centroid_id",
+        "c_emb",
         F.expr(f"sqrt({DOT.format(a='c_emb', b='c_emb')})").alias("c_norm"),
     )
     return _assign(emb, cents)

@@ -106,28 +106,34 @@ def _train_pq_codebooks(
     return books
 
 
+# negative shifted-L2 of one packed centroid against the row's unit
+# `embedding`: argmin ||x - c||^2 = argmax 2 x.c - |c|^2 for unit x.
+# Negating flips the argbest fold's higher-wins into L2's lower-wins
+# while keeping the smallest-centroid_id tie-break.
+_NEG_L2_SCORE = (
+    "2 * " + DOT.format(a="c.c_emb", b="embedding") + " - c.c_norm * c.c_norm"
+)
+
+
 def _assign_cells_l2(unit: DataFrame, centroids: DataFrame) -> DataFrame:
     """L2 nearest-centroid assignment over unit vectors — the SAME
     metric the sub-quantizer training and the query probe use.
     (similarity._assignments ranks by cosine, which disagrees with L2
     once centroid norms vary — Lloyd means of unit vectors are NOT unit
     norm — so cosine-encoded cells would silently mismatch the L2 probe
-    and degrade recall.) argmin ||x - c||^2 = argmin |c|^2 - 2 x.c for
-    unit x; the O(K) centroid side broadcasts."""
-    from pyspark.sql import Window
+    and degrade recall.)
 
+    MAP-SIDE like `similarity._assignments`: the O(K) codebook packs
+    into one broadcast row and each corpus row folds it with a single
+    `aggregate` (`similarity._argbest_expr`) — the corpus never shuffles
+    (the previous window form exchanged and sorted N*K scored rows)."""
     from ..plans.hints import maybe_broadcast
+    from .similarity import _argbest_expr, _packed_centroids
 
-    scored = unit.join(maybe_broadcast(centroids)).withColumn(
-        "d2",
-        F.col("c_norm") * F.col("c_norm")
-        - 2 * F.expr(DOT.format(a="c_emb", b="embedding")),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("centroid_id"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "embedding", "centroid_id")
+        unit.join(maybe_broadcast(_packed_centroids(centroids)))
+        .withColumn("best", F.expr(_argbest_expr(_NEG_L2_SCORE)))
+        .select("vec_id", "embedding", F.col("best.cid").alias("centroid_id"))
     )
 
 
@@ -468,21 +474,29 @@ def ann_ivfpq_topk_bulk(
     for r in centroids.collect():
         cent_mat[r["centroid_id"]] = np.array(r["c_emb"], dtype=np.float64)
 
-    # ---- 1. probe: nprobe nearest cells per query (broadcast K side) ----
+    # ---- 1. probe: nprobe nearest cells per query, MAP-SIDE ----
+    # The K centroids pack into one broadcast row; each query row sorts
+    # the K (d2, centroid_id) pairs in-place and keeps nprobe — zero
+    # shuffle. (The previous window form exchanged Q x K rows each
+    # carrying the ~2 KB query vector — ~K/nprobe x avoidable volume on
+    # the path whose whole point is 10^5+ queries.)
     from pyspark.sql import Window
 
     from ..plans.hints import maybe_broadcast
+    from .similarity import _packed_centroids
 
-    scored = queries_df.join(maybe_broadcast(centroids)).withColumn(
-        "d2",
-        F.col("c_norm") * F.col("c_norm")
-        - 2 * F.expr(DOT.format(a="c_emb", b="q")),
-    )
-    wp = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("centroid_id"))
+    probe_expr = f"""
+    slice(
+      sort_array(transform(cents, c -> named_struct(
+        'd2', CAST(c.c_norm * c.c_norm
+                   - 2 * {DOT.format(a='c.c_emb', b='q')} AS DOUBLE),
+        'centroid_id', c.centroid_id))),
+      1, {int(nprobe)})
+    """
     probe = (
-        scored.withColumn("rn", F.row_number().over(wp))
-        .where(F.col("rn") <= nprobe)
-        .select("query_id", "q", "centroid_id")
+        queries_df.join(maybe_broadcast(_packed_centroids(centroids)))
+        .select("query_id", "q", F.explode(F.expr(probe_expr)).alias("pc"))
+        .select("query_id", "q", F.col("pc.centroid_id").alias("centroid_id"))
     )
 
     # ---- 2. distributed ADC tables ----

@@ -113,37 +113,78 @@ FROM ranked WHERE rn <= {TOP_K}
 """
 
 
-def _fixed_k_centroids(emb: DataFrame) -> DataFrame:
+def _fixed_k_centroids(emb: DataFrame, k: int = IVF_ORACLE_K) -> DataFrame:
     """Deterministic FIXED-K centroids (the K smallest vec_ids) — the
     oracle-checked form (the SQL oracle reproduces `vec_id < K` exactly).
     K never grows with the corpus, so the assignment pass stays O(N*K)
     with an O(K) broadcast side at any scale. `build_ivf_store` swaps in
-    a k-means|| codebook for serving (better cells, same plan)."""
-    return emb.where(F.col("vec_id") < IVF_ORACLE_K).select(
+    a k-means|| codebook for serving (better cells, same plan). Shared by
+    the clustering module (different K, same contract)."""
+    return emb.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("c_emb"),
         F.col("norm").alias("c_norm"),
     )
 
 
+def _packed_centroids(centroids: DataFrame) -> DataFrame:
+    """Pack the O(K) centroid table into ONE row holding a sorted
+    array<struct(centroid_id, c_emb, c_norm)> — the broadcast side of the
+    map-side assignment/probe forms (struct sort = ascending centroid_id,
+    which the strict-greater fold relies on for its tie-break)."""
+    return centroids.agg(
+        F.sort_array(
+            F.collect_list(F.struct("centroid_id", "c_emb", "c_norm"))
+        ).alias("cents")
+    )
+
+
+def _argbest_expr(score_expr: str) -> str:
+    """SQL expression: fold the packed `cents` array keeping the best
+    (score, centroid_id) as struct(score DOUBLE, cid INT). `score_expr`
+    scores one centroid struct `c` against the current row; HIGHER wins;
+    ties keep the SMALLEST centroid_id (strict > over the ascending-id
+    array). Each centroid is scored exactly once (transform before the
+    fold). Matches the windowed (desc score, asc centroid_id)
+    row_number=1 semantics bit-for-bit for non-NaN scores."""
+    return f"""
+    aggregate(
+      transform(cents, c -> named_struct(
+        'score', CAST(({score_expr}) AS DOUBLE),
+        'cid', CAST(c.centroid_id AS BIGINT))),
+      named_struct('score', CAST('-Infinity' AS DOUBLE),
+                   'cid', CAST(-1 AS BIGINT)),
+      (acc, s) -> CASE WHEN s.score > acc.score THEN s ELSE acc END
+    )
+    """
+
+
+# cosine of one packed centroid against the row's (embedding, norm)
+_COSINE_SCORE = (
+    DOT.format(a="c.c_emb", b="embedding") + " / (c.c_norm * norm)"
+)
+
+
 def _assignments(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     """IVF assignment: each vector -> nearest centroid (by cosine).
 
-    The centroid side is broadcast (size-gated): with a fixed-K codebook
-    the pass is one O(N*K) map over the corpus with an O(K) build side —
-    no shuffle of the corpus, K independent of N."""
-    from pyspark.sql import Window
-
-    scored = emb.join(maybe_broadcast(centroids)).withColumn(
-        "csim",
-        F.expr(DOT.format(a="c_emb", b="embedding"))
-        / (F.col("c_norm") * F.col("norm")),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("centroid_id"))
+    MAP-SIDE at any scale: the K centroids pack into one broadcast row
+    (`_packed_centroids`) and each corpus row folds that array with a
+    single `aggregate` — the corpus NEVER shuffles and nothing sorts.
+    (The previous window form exchanged and sorted N*K scored rows —
+    12-16x the corpus — before picking the argmax; at 100 TB that
+    shuffle was the plan's real cost.) Scoring is the same sequential
+    DOT fold, evaluated once per centroid, so the chosen cell and its
+    similarity are bit-identical to the windowed form."""
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "embedding", "norm", "centroid_id")
+        emb.join(maybe_broadcast(_packed_centroids(centroids)))
+        .withColumn("best", F.expr(_argbest_expr(_COSINE_SCORE)))
+        .select(
+            "vec_id",
+            "embedding",
+            "norm",
+            F.col("best.cid").alias("centroid_id"),
+        )
     )
 
 

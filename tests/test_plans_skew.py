@@ -333,6 +333,11 @@ class TestClusteringPlans:
         plan = _plan(embedding_cluster_assign(spark, sf_dir))
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
         assert "SortMergeJoin" not in plan
+        # MAP-SIDE argmax: no window, no hash exchange of the corpus —
+        # the fold over the packed centroid array replaces the N*K
+        # window shuffle
+        assert "Window" not in plan
+        assert "Exchange hashpartitioning" not in plan
 
     def test_temperature_rates_broadcast_onto_scan(self, spark, sf_dir):
         from jitsu_spark.operators.sampling import temperature_resample

@@ -86,6 +86,10 @@ class TestRegistryIvfFixedK:
             )
         )
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+        # map-side argbest fold: the corpus must not be window-shuffled
+        # (the pre-fold form exchanged and sorted N*K scored rows)
+        assert "Window" not in plan
+        assert "Exchange hashpartitioning" not in plan
 
 
 def test_lsh_recall_vs_jaccard(spark, sf_dir):
