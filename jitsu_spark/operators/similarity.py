@@ -189,21 +189,33 @@ def _assignments(emb: DataFrame, centroids: DataFrame) -> DataFrame:
 
 
 def _probe_cells(queries: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Each query's NPROBE nearest centroids (broadcast centroid side)."""
-    from pyspark.sql import Window
-
-    qc = queries.join(maybe_broadcast(centroids)).withColumn(
-        "csim",
-        F.expr(DOT.format(a="c_emb", b="q_emb"))
-        / (F.col("c_norm") * F.col("q_norm")),
-    )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.desc("csim"), F.asc("centroid_id")
-    )
+    """Each query's NPROBE nearest centroids — MAP-SIDE like
+    `_assignments`: the packed codebook broadcasts as one row and each
+    query row sorts the K (negated-cosine, centroid_id) pairs in-place
+    and keeps NPROBE. Struct sort ascending on the negated sim
+    reproduces the windowed (desc csim, asc centroid_id) order exactly
+    (negation is float-exact); the query table never shuffles — the
+    same property the bulk PQ path needs at 10^5+ queries."""
+    probe_expr = f"""
+    slice(
+      sort_array(transform(cents, c -> named_struct(
+        'negsim', CAST(-({DOT.format(a='c.c_emb', b='q_emb')}
+                        / (c.c_norm * q_norm)) AS DOUBLE),
+        'centroid_id', c.centroid_id))),
+      1, {int(NPROBE)})
+    """
     return (
-        qc.withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= NPROBE)
-        .select("query_id", "q_emb", "q_norm", "centroid_id")
+        queries.join(maybe_broadcast(_packed_centroids(centroids)))
+        .select(
+            "query_id",
+            "q_emb",
+            "q_norm",
+            F.explode(F.expr(probe_expr)).alias("pc"),
+        )
+        .select(
+            "query_id", "q_emb", "q_norm",
+            F.col("pc.centroid_id").alias("centroid_id"),
+        )
     )
 
 
