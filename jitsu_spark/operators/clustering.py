@@ -147,6 +147,38 @@ def cluster_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CLUSTER_QUOTA = 30  # per-cluster cap for the balanced subset
+
+
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced subset: cap every semantic cluster at
+    CLUSTER_QUOTA members so no topic dominates — the balanced-mix
+    selection step (fine-tuning sets, eval pools) that runs after
+    assignment. Members are chosen by deterministic md5-bucket order
+    (ties by vec_id), so the subset is stable under repartitioning,
+    reruns, and engines — the same no-RNG contract as
+    `sampling.stratified_sample_documents`.
+
+    Scale: assignment is the map-side fold; the per-cluster rank is one
+    window keyed by cluster_id over (vec_id, bucket) rows — skinny rows,
+    K bounded partitions."""
+    assigned = _assigned(spark, sf_dir).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 7), 16, 10
+        ).cast("long")
+        % 1000,
+    )
+    wr = Window.partitionBy("cluster_id").orderBy(
+        F.asc("bucket"), F.asc("vec_id")
+    )
+    return (
+        assigned.withColumn("pick_rank", F.row_number().over(wr))
+        .where(F.col("pick_rank") <= CLUSTER_QUOTA)
+        .select("vec_id", "cluster_id", "pick_rank")
+    )
+
+
 def cluster_assign_served(
     spark: SparkSession, sf_dir: str, k: int = K_CLUSTERS
 ) -> DataFrame:
@@ -237,13 +269,34 @@ FROM ranked
 """
 
 
+CLUSTER_BALANCED_SQL = f"""
+WITH {_ASSIGNED_DUCK},
+bucketed AS (
+  SELECT vec_id, cluster_id,
+         CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 7))::UBIGINT
+              AS BIGINT) % 1000 AS bucket
+  FROM assigned
+)
+SELECT vec_id, cluster_id, pick_rank
+FROM (
+  SELECT vec_id, cluster_id,
+         row_number() OVER (
+           PARTITION BY cluster_id ORDER BY bucket ASC, vec_id ASC)
+           AS pick_rank
+  FROM bucketed
+) WHERE pick_rank <= {CLUSTER_QUOTA}
+"""
+
+
 QUERIES = {
     "embedding_cluster_assign": embedding_cluster_assign,
     "cluster_quality_report": cluster_quality_report,
     "cluster_prototype_prune": cluster_prototype_prune,
+    "cluster_balanced_sample": cluster_balanced_sample,
 }
 ORACLE = {
     "embedding_cluster_assign": CLUSTER_ASSIGN_SQL,
     "cluster_quality_report": CLUSTER_QUALITY_SQL,
     "cluster_prototype_prune": CLUSTER_PRUNE_SQL,
+    "cluster_balanced_sample": CLUSTER_BALANCED_SQL,
 }

@@ -206,3 +206,36 @@ class TestTemperatureResample:
         )
         for r in per_doc:
             assert r.mn == 1 and r.mx == r.c, r
+
+
+class TestClusterBalancedSample:
+    def test_every_cluster_capped_at_quota(self, spark):
+        from jitsu_spark.operators.clustering import (
+            CLUSTER_QUOTA,
+            cluster_balanced_sample,
+            embedding_cluster_assign,
+        )
+
+        out = cluster_balanced_sample(spark, SF_DIR)
+        sizes = {
+            r.cluster_id: r.c
+            for r in out.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        full = {
+            r.cluster_id: r.c
+            for r in embedding_cluster_assign(spark, SF_DIR)
+            .groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        for cid, n in full.items():
+            assert sizes.get(cid, 0) == min(n, CLUSTER_QUOTA), (cid, n)
+
+    def test_selection_is_rerun_stable(self, spark):
+        from jitsu_spark.operators.clustering import cluster_balanced_sample
+
+        a = {(r.vec_id, r.cluster_id) for r in cluster_balanced_sample(spark, SF_DIR).collect()}
+        b = {(r.vec_id, r.cluster_id) for r in cluster_balanced_sample(spark, SF_DIR).collect()}
+        assert a == b
