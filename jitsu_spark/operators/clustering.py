@@ -179,6 +179,63 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semantic_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed semantic-curation job — the cluster-family counterpart of
+    `corpus.corpus_prep_pipeline`: assign -> prototypicality-prune (drop
+    the most redundant 25% per cluster) -> quota-cap the survivors
+    (balanced subset) -> join the verdict onto `documents` (doc_id ==
+    vec_id in the synthetic corpus) and account the outcome per source.
+    Output one row per source: docs in, docs kept, chars kept — the
+    "what did semantic curation do to my mix" report a pipeline owner
+    reads before training.
+
+    ONE assignment pass feeds all three stages (same DataFrame lineage);
+    the corpus joins the verdict by id, never shuffles for assignment."""
+    assigned = _assigned(spark, sf_dir)
+    wr = Window.partitionBy("cluster_id").orderBy(
+        F.desc("csim"), F.asc("vec_id")
+    )
+    wc = Window.partitionBy("cluster_id")
+    survivors = (
+        assigned.withColumn("proto_rank", F.row_number().over(wr))
+        .withColumn("n_c", F.count(F.lit(1)).over(wc))
+        .where(
+            F.expr(
+                f"proto_rank > (n_c * {PRUNE_TOP_PER_MILLE}) DIV 1000"
+            )
+        )
+        .withColumn(
+            "bucket",
+            F.conv(
+                F.substring(F.md5(F.col("vec_id").cast("string")), 1, 7),
+                16,
+                10,
+            ).cast("long")
+            % 1000,
+        )
+    )
+    wq = Window.partitionBy("cluster_id").orderBy(
+        F.asc("bucket"), F.asc("vec_id")
+    )
+    kept = (
+        survivors.withColumn("pick_rank", F.row_number().over(wq))
+        .where(F.col("pick_rank") <= CLUSTER_QUOTA)
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.join(kept.withColumn("kept", F.lit(1)), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("kept"), F.lit(0))).alias("n_kept"),
+            F.sum(
+                F.when(F.col("kept") == 1, F.col("n_chars")).otherwise(0)
+            ).alias("kept_chars"),
+        )
+    )
+
+
 def cluster_assign_served(
     spark: SparkSession, sf_dir: str, k: int = K_CLUSTERS
 ) -> DataFrame:
@@ -288,15 +345,55 @@ FROM (
 """
 
 
+SEMANTIC_CURATION_SQL = f"""
+WITH {_ASSIGNED_DUCK},
+ranked AS (
+  SELECT vec_id, cluster_id,
+         row_number() OVER (
+           PARTITION BY cluster_id ORDER BY csim DESC, vec_id ASC)
+           AS proto_rank,
+         count(*) OVER (PARTITION BY cluster_id) AS n_c
+  FROM assigned
+),
+survivors AS (
+  SELECT vec_id, cluster_id,
+         CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 7))::UBIGINT
+              AS BIGINT) % 1000 AS bucket
+  FROM ranked
+  WHERE proto_rank > (n_c * {PRUNE_TOP_PER_MILLE}) // 1000
+),
+kept AS (
+  SELECT vec_id AS doc_id
+  FROM (
+    SELECT vec_id,
+           row_number() OVER (
+             PARTITION BY cluster_id ORDER BY bucket ASC, vec_id ASC)
+             AS pick_rank
+    FROM survivors
+  ) WHERE pick_rank <= {CLUSTER_QUOTA}
+)
+SELECT d.source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN k.doc_id IS NOT NULL THEN d.n_chars ELSE 0 END)
+            AS BIGINT) AS kept_chars
+FROM documents d LEFT JOIN kept k USING (doc_id)
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "embedding_cluster_assign": embedding_cluster_assign,
     "cluster_quality_report": cluster_quality_report,
     "cluster_prototype_prune": cluster_prototype_prune,
     "cluster_balanced_sample": cluster_balanced_sample,
+    "semantic_curation_pipeline": semantic_curation_pipeline,
 }
 ORACLE = {
     "embedding_cluster_assign": CLUSTER_ASSIGN_SQL,
     "cluster_quality_report": CLUSTER_QUALITY_SQL,
     "cluster_prototype_prune": CLUSTER_PRUNE_SQL,
     "cluster_balanced_sample": CLUSTER_BALANCED_SQL,
+    "semantic_curation_pipeline": SEMANTIC_CURATION_SQL,
 }

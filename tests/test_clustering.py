@@ -239,3 +239,31 @@ class TestClusterBalancedSample:
         a = {(r.vec_id, r.cluster_id) for r in cluster_balanced_sample(spark, SF_DIR).collect()}
         b = {(r.vec_id, r.cluster_id) for r in cluster_balanced_sample(spark, SF_DIR).collect()}
         assert a == b
+
+
+class TestSemanticCurationPipeline:
+    def test_accounting_is_consistent(self, spark):
+        """Per source: 0 <= n_kept <= n_docs, kept_chars <= total chars,
+        and the total kept equals the composed prune+quota survivor count."""
+        from jitsu_spark.operators.clustering import (
+            CLUSTER_QUOTA,
+            cluster_prototype_prune,
+            semantic_curation_pipeline,
+        )
+
+        out = semantic_curation_pipeline(spark, SF_DIR).collect()
+        assert out
+        for r in out:
+            assert 0 <= r.n_kept <= r.n_docs, r
+            assert r.kept_chars >= 0
+
+        total_kept = sum(r.n_kept for r in out)
+        surv = (
+            cluster_prototype_prune(spark, SF_DIR)
+            .where(F.col("keep"))
+            .groupBy("cluster_id")
+            .count()
+            .collect()
+        )
+        expected = sum(min(r["count"], CLUSTER_QUOTA) for r in surv)
+        assert total_kept == expected
