@@ -66,6 +66,9 @@ def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     return (
         emb.join(maybe_broadcast(_packed_centroids(centroids)))
         .withColumn("best", F.expr(_argbest_expr(_COSINE_SCORE)))
+        # drop the empty-codebook init sentinel (cid=-1, score=-Inf) —
+        # matches the inner-join semantics of the windowed form
+        .where(F.col("best.cid") >= 0)
         .select(
             "vec_id",
             "label",
@@ -124,30 +127,56 @@ def cluster_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The prune/quota stages are defined ONCE here and reused by both the
+# standalone operators and the composed pipeline — a drift in either
+# predicate would silently break test_accounting_is_consistent's
+# standalone-vs-composed equality.
+_PRUNE_KEEP = f"proto_rank > (n_c * {PRUNE_TOP_PER_MILLE}) DIV 1000"
+
+
+def _proto_ranked(assigned: DataFrame) -> DataFrame:
+    """Add (proto_rank, n_c): per-cluster rank by similarity-to-centroid,
+    most prototypical first (ties by vec_id)."""
+    wr = Window.partitionBy("cluster_id").orderBy(
+        F.desc("csim"), F.asc("vec_id")
+    )
+    wc = Window.partitionBy("cluster_id")
+    return assigned.withColumn(
+        "proto_rank", F.row_number().over(wr)
+    ).withColumn("n_c", F.count(F.lit(1)).over(wc))
+
+
 def cluster_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup/D4-style prototypicality prune verdict: within each
     cluster, rank vectors by similarity-to-centroid (most prototypical
     first) and drop the top PRUNE_TOP_PER_MILLE fraction — the items most
     redundant with the cluster's semantic mass. Output one verdict row per
     vector: (vec_id, cluster_id, proto_rank, keep)."""
-    assigned = _assigned(spark, sf_dir)
-    wr = Window.partitionBy("cluster_id").orderBy(
-        F.desc("csim"), F.asc("vec_id")
-    )
-    wc = Window.partitionBy("cluster_id")
-    return (
-        assigned.withColumn("proto_rank", F.row_number().over(wr))
-        .withColumn("n_c", F.count(F.lit(1)).over(wc))
-        .selectExpr(
-            "vec_id",
-            "cluster_id",
-            "proto_rank",
-            f"proto_rank > (n_c * {PRUNE_TOP_PER_MILLE}) DIV 1000 AS keep",
-        )
+    return _proto_ranked(_assigned(spark, sf_dir)).selectExpr(
+        "vec_id",
+        "cluster_id",
+        "proto_rank",
+        f"{_PRUNE_KEEP} AS keep",
     )
 
 
 CLUSTER_QUOTA = 30  # per-cluster cap for the balanced subset
+
+
+def _quota_pick(df: DataFrame) -> DataFrame:
+    """Add (bucket, pick_rank) and keep CLUSTER_QUOTA rows per cluster,
+    chosen by deterministic md5-bucket order (`sampling._bucket`, ties by
+    vec_id) — stable under repartitioning, reruns, and engines."""
+    from .sampling import _bucket
+
+    wq = Window.partitionBy("cluster_id").orderBy(
+        F.asc("bucket"), F.asc("vec_id")
+    )
+    return (
+        df.withColumn("bucket", _bucket(F.col("vec_id")))
+        .withColumn("pick_rank", F.row_number().over(wq))
+        .where(F.col("pick_rank") <= CLUSTER_QUOTA)
+    )
 
 
 def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -162,20 +191,8 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: assignment is the map-side fold; the per-cluster rank is one
     window keyed by cluster_id over (vec_id, bucket) rows — skinny rows,
     K bounded partitions."""
-    assigned = _assigned(spark, sf_dir).withColumn(
-        "bucket",
-        F.conv(
-            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 7), 16, 10
-        ).cast("long")
-        % 1000,
-    )
-    wr = Window.partitionBy("cluster_id").orderBy(
-        F.asc("bucket"), F.asc("vec_id")
-    )
-    return (
-        assigned.withColumn("pick_rank", F.row_number().over(wr))
-        .where(F.col("pick_rank") <= CLUSTER_QUOTA)
-        .select("vec_id", "cluster_id", "pick_rank")
+    return _quota_pick(_assigned(spark, sf_dir)).select(
+        "vec_id", "cluster_id", "pick_rank"
     )
 
 
@@ -189,39 +206,14 @@ def semantic_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "what did semantic curation do to my mix" report a pipeline owner
     reads before training.
 
-    ONE assignment pass feeds all three stages (same DataFrame lineage);
-    the corpus joins the verdict by id, never shuffles for assignment."""
-    assigned = _assigned(spark, sf_dir)
-    wr = Window.partitionBy("cluster_id").orderBy(
-        F.desc("csim"), F.asc("vec_id")
+    ONE assignment pass feeds all three stages (same DataFrame lineage,
+    same `_proto_ranked`/`_quota_pick` helpers as the standalone
+    operators — no predicate drift possible); the corpus joins the
+    verdict by id, never shuffles for assignment."""
+    survivors = _proto_ranked(_assigned(spark, sf_dir)).where(
+        F.expr(_PRUNE_KEEP)
     )
-    wc = Window.partitionBy("cluster_id")
-    survivors = (
-        assigned.withColumn("proto_rank", F.row_number().over(wr))
-        .withColumn("n_c", F.count(F.lit(1)).over(wc))
-        .where(
-            F.expr(
-                f"proto_rank > (n_c * {PRUNE_TOP_PER_MILLE}) DIV 1000"
-            )
-        )
-        .withColumn(
-            "bucket",
-            F.conv(
-                F.substring(F.md5(F.col("vec_id").cast("string")), 1, 7),
-                16,
-                10,
-            ).cast("long")
-            % 1000,
-        )
-    )
-    wq = Window.partitionBy("cluster_id").orderBy(
-        F.asc("bucket"), F.asc("vec_id")
-    )
-    kept = (
-        survivors.withColumn("pick_rank", F.row_number().over(wq))
-        .where(F.col("pick_rank") <= CLUSTER_QUOTA)
-        .select(F.col("vec_id").alias("doc_id"))
-    )
+    kept = _quota_pick(survivors).select(F.col("vec_id").alias("doc_id"))
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.join(kept.withColumn("kept", F.lit(1)), "doc_id", "left")
@@ -311,42 +303,9 @@ SELECT p.cluster_id, p.n_vecs,
 FROM per_cluster p JOIN top t USING (cluster_id)
 """
 
-CLUSTER_PRUNE_SQL = f"""
-WITH {_ASSIGNED_DUCK},
-ranked AS (
-  SELECT vec_id, cluster_id,
-         row_number() OVER (
-           PARTITION BY cluster_id ORDER BY csim DESC, vec_id ASC) AS proto_rank,
-         count(*) OVER (PARTITION BY cluster_id) AS n_c
-  FROM assigned
-)
-SELECT vec_id, cluster_id, proto_rank,
-       proto_rank > (n_c * {PRUNE_TOP_PER_MILLE}) // 1000 AS keep
-FROM ranked
-"""
-
-
-CLUSTER_BALANCED_SQL = f"""
-WITH {_ASSIGNED_DUCK},
-bucketed AS (
-  SELECT vec_id, cluster_id,
-         CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 7))::UBIGINT
-              AS BIGINT) % 1000 AS bucket
-  FROM assigned
-)
-SELECT vec_id, cluster_id, pick_rank
-FROM (
-  SELECT vec_id, cluster_id,
-         row_number() OVER (
-           PARTITION BY cluster_id ORDER BY bucket ASC, vec_id ASC)
-           AS pick_rank
-  FROM bucketed
-) WHERE pick_rank <= {CLUSTER_QUOTA}
-"""
-
-
-SEMANTIC_CURATION_SQL = f"""
-WITH {_ASSIGNED_DUCK},
+# Shared SQL fragments mirroring _proto_ranked / _PRUNE_KEEP /
+# _quota_pick — one source of truth per stage on the oracle side too.
+_RANKED_DUCK = """
 ranked AS (
   SELECT vec_id, cluster_id,
          row_number() OVER (
@@ -354,23 +313,51 @@ ranked AS (
            AS proto_rank,
          count(*) OVER (PARTITION BY cluster_id) AS n_c
   FROM assigned
-),
-survivors AS (
-  SELECT vec_id, cluster_id,
-         CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 7))::UBIGINT
-              AS BIGINT) % 1000 AS bucket
-  FROM ranked
-  WHERE proto_rank > (n_c * {PRUNE_TOP_PER_MILLE}) // 1000
-),
-kept AS (
-  SELECT vec_id AS doc_id
+)
+"""
+_PRUNE_KEEP_DUCK = f"proto_rank > (n_c * {PRUNE_TOP_PER_MILLE}) // 1000"
+
+
+def _quota_pick_duck(src: str) -> str:
+    from .sampling import _bucket_duck
+
+    return f"""
+  SELECT vec_id, cluster_id, pick_rank
   FROM (
-    SELECT vec_id,
+    SELECT vec_id, cluster_id,
            row_number() OVER (
              PARTITION BY cluster_id ORDER BY bucket ASC, vec_id ASC)
              AS pick_rank
-    FROM survivors
+    FROM (SELECT vec_id, cluster_id,
+                 {_bucket_duck('vec_id')} AS bucket
+          FROM {src})
   ) WHERE pick_rank <= {CLUSTER_QUOTA}
+"""
+
+
+CLUSTER_PRUNE_SQL = f"""
+WITH {_ASSIGNED_DUCK},
+{_RANKED_DUCK}
+SELECT vec_id, cluster_id, proto_rank,
+       {_PRUNE_KEEP_DUCK} AS keep
+FROM ranked
+"""
+
+
+CLUSTER_BALANCED_SQL = f"""
+WITH {_ASSIGNED_DUCK}
+{_quota_pick_duck('assigned')}
+"""
+
+
+SEMANTIC_CURATION_SQL = f"""
+WITH {_ASSIGNED_DUCK},
+{_RANKED_DUCK},
+survivors AS (
+  SELECT vec_id, cluster_id FROM ranked WHERE {_PRUNE_KEEP_DUCK}
+),
+kept AS (
+  SELECT vec_id AS doc_id FROM ({_quota_pick_duck('survivors')})
 )
 SELECT d.source,
        count(*) AS n_docs,

@@ -133,6 +133,9 @@ def _assign_cells_l2(unit: DataFrame, centroids: DataFrame) -> DataFrame:
     return (
         unit.join(maybe_broadcast(_packed_centroids(centroids)))
         .withColumn("best", F.expr(_argbest_expr(_NEG_L2_SCORE)))
+        # drop the empty-codebook init sentinel (cid=-1) — inner-join
+        # semantics of the retired windowed form
+        .where(F.col("best.cid") >= 0)
         .select("vec_id", "embedding", F.col("best.cid").alias("centroid_id"))
     )
 
@@ -439,9 +442,10 @@ def ann_ivfpq_topk_bulk(
     `queries_df` is (query_id long, q array<double>) with q
     L2-normalized. Three distributed stages, none driver-bound:
 
-    1. PROBE: broadcast the O(K) coarse codebook onto the query table;
-       per-query nprobe nearest cells via one row_number window — the
-       same plan as corpus cell assignment, Q never collects.
+    1. PROBE: the O(K) coarse codebook packs into one broadcast row and
+       each query row sorts/slices the K (d2, centroid_id) pairs
+       in-place for its nprobe cells — fully map-side, the query table
+       never shuffles and Q never collects.
     2. TABLES: one mapInPandas over the (query, cell) probe rows builds
        each ADC table (m x ksub doubles, ~16 KB) from the query residual
        — the exact numpy loop the driver ran, now partition-parallel.
@@ -480,7 +484,7 @@ def ann_ivfpq_topk_bulk(
     # shuffle. (The previous window form exchanged Q x K rows each
     # carrying the ~2 KB query vector — ~K/nprobe x avoidable volume on
     # the path whose whole point is 10^5+ queries.)
-    from pyspark.sql import Window
+    from pyspark.sql import Window  # used by the top-k/refine stages below
 
     from ..plans.hints import maybe_broadcast
     from .similarity import _packed_centroids

@@ -179,6 +179,12 @@ def _assignments(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     return (
         emb.join(maybe_broadcast(_packed_centroids(centroids)))
         .withColumn("best", F.expr(_argbest_expr(_COSINE_SCORE)))
+        # cid = -1 is the fold's init sentinel: it survives only when the
+        # centroid table was EMPTY (collect_list aggregates to one row
+        # with an empty array). Filter it so empty-codebook semantics
+        # match the retired inner-join form (no rows), instead of
+        # emitting every corpus row with a garbage cell.
+        .where(F.col("best.cid") >= 0)
         .select(
             "vec_id",
             "embedding",

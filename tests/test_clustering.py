@@ -267,3 +267,22 @@ class TestSemanticCurationPipeline:
         )
         expected = sum(min(r["count"], CLUSTER_QUOTA) for r in surv)
         assert total_kept == expected
+
+
+class TestEmptyCodebook:
+    def test_empty_centroid_table_yields_no_assignments(self, spark):
+        """The map-side fold's init sentinel (cid=-1) must not leak:
+        an empty codebook assigns nothing, matching the retired
+        inner-join semantics."""
+        from jitsu_spark.operators.clustering import _assign
+        from jitsu_spark.operators.similarity import (
+            _assignments,
+            _fixed_k_centroids,
+            _with_norm,
+        )
+        from jitsu_spark.tables import load_table
+
+        emb = _with_norm(load_table(spark, SF_DIR, "embeddings"))
+        empty = _fixed_k_centroids(emb, 0)
+        assert _assign(emb, empty).count() == 0
+        assert _assignments(emb, empty).count() == 0
