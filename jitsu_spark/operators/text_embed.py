@@ -1,0 +1,175 @@
+"""Feature-hashed document embeddings: deterministic text -> vector
+projection entirely in-engine, so raw text corpora enter embedding space
+(cluster curation, ANN dedup, similarity search) WITHOUT an external
+model or a Python UDF.
+
+The classic hashing trick (Weinberger et al., "Feature Hashing for
+Large Scale Multitask Learning", ICML 2009; sklearn HashingVectorizer):
+each token hashes to one of EMBED_DIM buckets with a +/-1 sign drawn
+from an independent hash bit; a document's vector is the signed bucket
+count, L2-normalized. Cosine between such vectors approximates token
+multiset overlap — exactly the signal semantic near-dup and topic
+clustering need on raw text — and the projection is stateless: no
+vocabulary, no training, no drift between batches.
+
+Determinism contract: bucket = 28-bit md5 prefix mod EMBED_DIM and sign
+= md5 hex digit 8 mod 2 are exact integer arithmetic on both engines
+(the `sampling._bucket` convention); bucket sums are integer; the only
+float ops are one normalization (sum of exact integer squares ->
+correctly-rounded sqrt -> per-element divide) rounded to 6 decimals —
+bit-identical in Spark and the DuckDB oracle.
+
+Scale: the Spark side is ZERO-SHUFFLE — tokens never explode; each row
+folds its own token array with higher-order functions (transform +
+filter sizes), so embedding 100 TB of text is a single map-side scan.
+Cost is O(tokens x EMBED_DIM) per doc (the dense form trades a shuffle
+for arithmetic; at EMBED_DIM=64 that is ~12k predicate evals for a
+100-token doc). The SQL oracle uses the equivalent explode + group-by
+form — same integers, same result.
+
+CONSUMER CONTRACT: the `embedding` column of `feature_hash_embed` is a
+live HOF expression, not data. A consumer that references it more than
+once per row (a norm projection references it 3x; the K-way
+centroid-assignment fold K more) re-evaluates the whole hash chain per
+reference, and the blowup compounds MULTIPLICATIVELY through stacked
+projections — measured minutes-vs-seconds at 500 docs. Materialize the
+RAW output first (cache()+count(), or write parquet and read back —
+what a 100 TB pipeline does anyway: embed once, store, then curate)
+BEFORE adding derived projections. Single-pass consumers (the registry
+explode, one similarity score per row) can stay unmaterialized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .text_ops import TOKENS, TOKENS_DUCK
+
+EMBED_DIM = 64
+
+# per-token (bucket, sign) from two independent md5 slices — exact
+# integer arithmetic, identical bits on both engines
+_HASHES = f"""
+transform({TOKENS}, t -> named_struct(
+  'b', CAST(conv(substring(md5(t), 1, 7), 16, 10) AS BIGINT) % {EMBED_DIM},
+  's', CASE WHEN CAST(conv(substring(md5(t), 8, 1), 16, 10) AS BIGINT) % 2 = 0
+            THEN 1 ELSE -1 END))
+"""
+
+# Signed bucket count as count(+1 hits) - count(-1 hits): two `filter`
+# sizes per dim instead of an `aggregate` fold — measured ~1000x faster
+# (0.3 s vs 380 s for 500 docs; the nested aggregate-in-transform fold
+# evaluates pathologically in Spark's interpreted HOF path), and exact
+# integer arithmetic either way.
+_RAW_VEC = f"""
+transform(sequence(0, {EMBED_DIM - 1}), i ->
+  CAST(size(filter(hashes, h -> h.b = i AND h.s = 1))
+       - size(filter(hashes, h -> h.b = i AND h.s = -1)) AS DOUBLE))
+"""
+
+
+def feature_hash_embed(docs: DataFrame) -> DataFrame:
+    """(doc_id, embedding array<double>): signed-hash bucket counts over
+    whitespace tokens, L2-normalized (all-zero vectors — empty docs —
+    stay zero). One map-side scan, no explode, no shuffle. This is the
+    library API downstream semantic ops consume; the registry entry
+    explodes it to scalar rows for the hash-compare gate."""
+    return (
+        docs.selectExpr("doc_id", f"{_HASHES} AS hashes")
+        .selectExpr("doc_id", f"{_RAW_VEC} AS raw")
+        .selectExpr(
+            "doc_id",
+            "sqrt(aggregate(zip_with(raw, raw, (x, y) -> x * y),"
+            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)) AS norm",
+            "raw",
+        )
+        .selectExpr(
+            "doc_id",
+            "CASE WHEN norm = 0.0 THEN raw"
+            " ELSE transform(raw, x -> round(x / norm, 6)) END AS embedding",
+        )
+    )
+
+
+def doc_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry form: one scalar row per (doc_id, dim) — array columns
+    don't survive the driver's value-hash compare, so the vector is
+    exploded; the array API is `feature_hash_embed`.
+
+    Plan note: this does NOT posexplode the computed array — a Generate
+    whose child is the collapsed HOF expression re-evaluates it
+    pathologically (measured minutes vs sub-second for 500 docs).
+    Instead the Generate explodes a CONSTANT dim sequence while `hashes`
+    and `norm` cross it as materialized columns, and each (doc, dim) row
+    computes its one scalar from them — same arithmetic, same rounding,
+    linear cost."""
+    docs = load_table(spark, sf_dir, "documents")
+    s2 = docs.selectExpr("doc_id", f"{_HASHES} AS hashes").selectExpr(
+        "doc_id",
+        "hashes",
+        f"""sqrt(aggregate(zip_with({_RAW_VEC}, {_RAW_VEC},
+                 (x, y) -> x * y), CAST(0.0 AS DOUBLE),
+                 (acc, v) -> acc + v)) AS norm""",
+    )
+    return s2.select(
+        "doc_id",
+        "hashes",
+        "norm",
+        F.explode(F.expr(f"sequence(0, {EMBED_DIM - 1})")).alias("dim"),
+    ).selectExpr(
+        "doc_id",
+        "dim",
+        "CASE WHEN norm = 0.0"
+        " THEN CAST(size(filter(hashes, h -> h.b = dim AND h.s = 1))"
+        "      - size(filter(hashes, h -> h.b = dim AND h.s = -1)) AS DOUBLE)"
+        " ELSE round(CAST(size(filter(hashes, h -> h.b = dim AND h.s = 1))"
+        "      - size(filter(hashes, h -> h.b = dim AND h.s = -1)) AS DOUBLE)"
+        " / norm, 6) END AS val",
+    )
+
+
+FEATURE_HASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKENS_DUCK}) AS tok FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 7))::UBIGINT AS BIGINT)
+           % {EMBED_DIM} AS bucket,
+         CASE WHEN CAST(('0x' || substr(md5(tok), 8, 1))::UBIGINT AS BIGINT)
+                   % 2 = 0 THEN 1 ELSE -1 END AS sign
+  FROM toks
+),
+sums AS (
+  SELECT doc_id, bucket, sum(sign) AS v FROM hashed GROUP BY 1, 2
+),
+vecs AS (
+  SELECT doc_id,
+         map_from_entries(list(struct_pack(k := bucket, v := v))) AS m
+  FROM sums GROUP BY 1
+),
+raws AS (
+  SELECT d.doc_id,
+         list_transform(range(0, {EMBED_DIM}),
+                        i -> CAST(coalesce(m[i][1], 0) AS DOUBLE)) AS raw
+  FROM documents d LEFT JOIN vecs USING (doc_id)
+),
+normed AS (
+  SELECT doc_id, raw, sqrt(list_dot_product(raw, raw)) AS norm FROM raws
+),
+final AS (
+  SELECT doc_id,
+         CASE WHEN norm = 0.0 THEN raw
+              ELSE list_transform(raw, x -> round(x / norm, 6)) END
+           AS embedding
+  FROM normed
+)
+SELECT doc_id, i AS dim, embedding[i + 1] AS val
+FROM final, range(0, {EMBED_DIM}) t(i)
+"""
+
+
+QUERIES = {"doc_feature_hash_embed": doc_feature_hash_embed}
+ORACLE = {"doc_feature_hash_embed": FEATURE_HASH_SQL}

@@ -30,6 +30,7 @@ from .operators import (
     rollup,
     sampling,
     similarity,
+    text_embed,
     text_ops,
 )
 
@@ -48,6 +49,7 @@ _MODULES = [
     corpus_stats,
     similarity,
     clustering,
+    text_embed,
     pq,
     embedding_prep,
     layouts,

@@ -1,0 +1,110 @@
+"""Feature-hashed document embeddings: unit norm, determinism, the
+token-overlap similarity signal, and composition with cluster curation."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _vecs(spark, rows):
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from jitsu_spark.operators.text_embed import feature_hash_embed
+
+    return {r.doc_id: r.embedding for r in feature_hash_embed(docs).collect()}
+
+
+def _cos(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return dot / (na * nb) if na and nb else 0.0
+
+
+class TestFeatureHashEmbed:
+    def test_vectors_are_unit_norm_or_zero(self, spark):
+        from jitsu_spark.operators.text_embed import feature_hash_embed
+        from jitsu_spark.tables import load_table
+
+        vecs = feature_hash_embed(
+            load_table(spark, SF_DIR, "documents")
+        ).collect()
+        assert vecs
+        for r in vecs:
+            n = math.sqrt(sum(x * x for x in r.embedding))
+            assert n == 0.0 or abs(n - 1.0) < 1e-4, (r.doc_id, n)
+
+    def test_empty_doc_gets_zero_vector(self, spark):
+        v = _vecs(spark, [(1, ""), (2, "   ")])
+        for k in (1, 2):
+            assert all(x == 0.0 for x in v[k])
+
+    def test_shared_tokens_raise_cosine(self, spark):
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        near = base + " lambda"
+        far = "one two three four five six seven eight nine ten"
+        v = _vecs(spark, [(1, base), (2, near), (3, far)])
+        assert _cos(v[1], v[2]) > 0.9
+        assert _cos(v[1], v[3]) < 0.5
+
+    def test_deterministic_across_runs(self, spark):
+        from jitsu_spark.operators.text_embed import doc_feature_hash_embed
+
+        a = {(r.doc_id, r.dim): r.val for r in doc_feature_hash_embed(spark, SF_DIR).collect()}
+        b = {(r.doc_id, r.dim): r.val for r in doc_feature_hash_embed(spark, SF_DIR).collect()}
+        assert a == b
+
+    def test_registry_form_matches_library_array(self, spark):
+        from jitsu_spark.operators.text_embed import (
+            doc_feature_hash_embed,
+            feature_hash_embed,
+        )
+        from jitsu_spark.tables import load_table
+
+        lib = {
+            r.doc_id: r.embedding
+            for r in feature_hash_embed(load_table(spark, SF_DIR, "documents"))
+            .limit(50)
+            .collect()
+        }
+        reg = doc_feature_hash_embed(spark, SF_DIR).where(
+            F.col("doc_id").isin(list(lib))
+        )
+        for r in reg.collect():
+            assert lib[r.doc_id][r.dim] == r.val, (r.doc_id, r.dim)
+
+    def test_composes_with_cluster_assignment(self, spark):
+        """Raw text -> hashed embeddings -> map-side cluster assignment:
+        the full in-engine semantic-curation bridge."""
+        from jitsu_spark.operators.clustering import _assign
+        from jitsu_spark.operators.similarity import (
+            DOT,
+            _fixed_k_centroids,
+        )
+        from jitsu_spark.operators.text_embed import feature_hash_embed
+        from jitsu_spark.tables import load_table
+
+        # materialize the RAW embed output BEFORE any projection that
+        # re-references `embedding` (the norm select references it 3x,
+        # the assignment fold K more) — a live HOF column re-evaluates
+        # per reference and the blowup compounds multiplicatively
+        # (text_embed module docstring documents this contract)
+        base = feature_hash_embed(load_table(spark, SF_DIR, "documents")).cache()
+        base.count()
+        emb = (
+            base.selectExpr(
+                "doc_id AS vec_id",
+                "CAST(NULL AS INT) AS label",
+                "embedding",
+                f"sqrt({DOT.format(a='embedding', b='embedding')}) AS norm",
+            )
+            .where(F.col("norm") > 0)
+        )
+        out = _assign(emb, _fixed_k_centroids(emb, 8))
+        n = emb.count()
+        assert out.count() == n
+        ids = {r.cluster_id for r in out.select("cluster_id").distinct().collect()}
+        assert ids <= set(range(8)) and len(ids) >= 2
