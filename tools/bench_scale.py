@@ -72,8 +72,12 @@ def main() -> None:
         times = {}
         for label, d in (("sf0.1", sf01_dir), ("sf1", sf1_dir)):
             t0 = time.time()
-            n = q(spark, d).count()
-            times[label] = {"sec": round(time.time() - t0, 2), "rows": n}
+            # noop write = full materialization of every column (count()
+            # lets Catalyst prune computed columns, under-measuring
+            # scan-heavy projections); row count taken untimed after
+            q(spark, d).write.format("noop").mode("overwrite").save()
+            sec = round(time.time() - t0, 2)
+            times[label] = {"sec": sec, "rows": q(spark, d).count()}
         growth = round(times["sf1"]["sec"] / max(times["sf0.1"]["sec"], 1e-9), 1)
         report[name] = {**times, "growth_10x": growth}
         print(
