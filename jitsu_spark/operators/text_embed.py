@@ -96,37 +96,48 @@ def feature_hash_embed(docs: DataFrame) -> DataFrame:
 def doc_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry form: one scalar row per (doc_id, dim) — array columns
     don't survive the driver's value-hash compare, so the vector is
-    exploded; the array API is `feature_hash_embed`.
+    emitted exploded; the array API is `feature_hash_embed`.
 
-    Plan note: this does NOT posexplode the computed array — a Generate
-    whose child is the collapsed HOF expression re-evaluates it
-    pathologically (measured minutes vs sub-second for 500 docs).
-    Instead the Generate explodes a CONSTANT dim sequence while `hashes`
-    and `norm` cross it as materialized columns, and each (doc, dim) row
-    computes its one scalar from them — same arithmetic, same rounding,
-    linear cost."""
+    Plan: the Spark side mirrors the oracle's explode + group-by twin —
+    token rows shuffle as skinny (doc_id, bucket, sign) triples with
+    map-side combine, norms come from one more tiny aggregate, and the
+    (doc, dim) grid left-joins the bucket sums. Equivalent integers in
+    both engines (v^2 terms are integer-valued doubles, so summation
+    order cannot matter). The zero-shuffle HOF form stays the library
+    API for corpus-scale embedding where the token shuffle is the
+    enemy; this scalar-row form is the gate/bench plan (~5x faster at
+    bench scale than evaluating 128 interpreted HOF filters per doc)."""
     docs = load_table(spark, sf_dir, "documents")
-    s2 = docs.selectExpr("doc_id", f"{_HASHES} AS hashes").selectExpr(
-        "doc_id",
-        "hashes",
-        f"""sqrt(aggregate(zip_with({_RAW_VEC}, {_RAW_VEC},
-                 (x, y) -> x * y), CAST(0.0 AS DOUBLE),
-                 (acc, v) -> acc + v)) AS norm""",
+    sums = (
+        docs.select("doc_id", F.explode(F.expr(TOKENS)).alias("tok"))
+        .selectExpr(
+            "doc_id",
+            f"CAST(conv(substring(md5(tok), 1, 7), 16, 10) AS BIGINT)"
+            f" % {EMBED_DIM} AS dim",
+            "CASE WHEN CAST(conv(substring(md5(tok), 8, 1), 16, 10) AS BIGINT)"
+            " % 2 = 0 THEN 1 ELSE -1 END AS sign",
+        )
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("sign").alias("v"))
     )
-    return s2.select(
+    norms = sums.groupBy("doc_id").agg(
+        F.expr("sqrt(CAST(sum(v * v) AS DOUBLE))").alias("norm")
+    )
+    grid = docs.select(
         "doc_id",
-        "hashes",
-        "norm",
         F.explode(F.expr(f"sequence(0, {EMBED_DIM - 1})")).alias("dim"),
-    ).selectExpr(
-        "doc_id",
-        "dim",
-        "CASE WHEN norm = 0.0"
-        " THEN CAST(size(filter(hashes, h -> h.b = dim AND h.s = 1))"
-        "      - size(filter(hashes, h -> h.b = dim AND h.s = -1)) AS DOUBLE)"
-        " ELSE round(CAST(size(filter(hashes, h -> h.b = dim AND h.s = 1))"
-        "      - size(filter(hashes, h -> h.b = dim AND h.s = -1)) AS DOUBLE)"
-        " / norm, 6) END AS val",
+    )
+    return (
+        grid.join(sums, ["doc_id", "dim"], "left")
+        .join(norms, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "CAST(dim AS BIGINT) AS dim",
+            "CASE WHEN norm IS NULL OR norm = 0.0"
+            " THEN CAST(coalesce(v, 0) AS DOUBLE)"
+            " ELSE round(CAST(coalesce(v, 0) AS DOUBLE) / norm, 6)"
+            " END AS val",
+        )
     )
 
 
