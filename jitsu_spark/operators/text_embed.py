@@ -93,6 +93,24 @@ def feature_hash_embed(docs: DataFrame) -> DataFrame:
     )
 
 
+def _bucket_sums(docs: DataFrame) -> DataFrame:
+    """(doc_id, dim, v): signed hash-bucket token counts — the sparse
+    integer form of the feature-hash embedding (explode + group-by with
+    map-side combine; the shuffle carries skinny integer triples)."""
+    return (
+        docs.select("doc_id", F.explode(F.expr(TOKENS)).alias("tok"))
+        .selectExpr(
+            "doc_id",
+            f"CAST(conv(substring(md5(tok), 1, 7), 16, 10) AS BIGINT)"
+            f" % {EMBED_DIM} AS dim",
+            "CASE WHEN CAST(conv(substring(md5(tok), 8, 1), 16, 10) AS BIGINT)"
+            " % 2 = 0 THEN 1 ELSE -1 END AS sign",
+        )
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("sign").alias("v"))
+    )
+
+
 def doc_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry form: one scalar row per (doc_id, dim) — array columns
     don't survive the driver's value-hash compare, so the vector is
@@ -108,18 +126,7 @@ def doc_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     enemy; this scalar-row form is the gate/bench plan (~5x faster at
     bench scale than evaluating 128 interpreted HOF filters per doc)."""
     docs = load_table(spark, sf_dir, "documents")
-    sums = (
-        docs.select("doc_id", F.explode(F.expr(TOKENS)).alias("tok"))
-        .selectExpr(
-            "doc_id",
-            f"CAST(conv(substring(md5(tok), 1, 7), 16, 10) AS BIGINT)"
-            f" % {EMBED_DIM} AS dim",
-            "CASE WHEN CAST(conv(substring(md5(tok), 8, 1), 16, 10) AS BIGINT)"
-            " % 2 = 0 THEN 1 ELSE -1 END AS sign",
-        )
-        .groupBy("doc_id", "dim")
-        .agg(F.sum("sign").alias("v"))
-    )
+    sums = _bucket_sums(docs)
     norms = sums.groupBy("doc_id").agg(
         F.expr("sqrt(CAST(sum(v * v) AS DOUBLE))").alias("norm")
     )
@@ -182,5 +189,104 @@ FROM final, range(0, {EMBED_DIM}) t(i)
 """
 
 
-QUERIES = {"doc_feature_hash_embed": doc_feature_hash_embed}
-ORACLE = {"doc_feature_hash_embed": FEATURE_HASH_SQL}
+TEXT_DUP_COS_THRESHOLD = 0.93  # calibrated: true near-dups sit >= 0.93
+# on the synthetic corpus; the shared-vocabulary bulk starts ~0.92
+
+
+def text_semantic_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pairs on RAW TEXT — no embeddings table, no
+    model: sparse integer dot products over the hashed-count vectors
+    (`_bucket_sums`), an inverted-index self-join on the hash dimension.
+
+    Determinism contract: the dot product and both squared norms are
+    sums of exact BIGINT products (any summation order), and the only
+    float ops are two correctly-rounded sqrts and one divide — so Spark
+    and the DuckDB oracle agree bit-for-bit, with no order-dependent
+    float summation anywhere (rounding the normalized vectors first
+    would have reintroduced it).
+
+    Exact-contract boundary (like `similarity.embedding_cosine_dups`):
+    with EMBED_DIM dense dimensions the dim-join IS the all-pairs scan,
+    O(N^2 / EMBED_DIM) join work per dim. At corpus scale, persist
+    `feature_hash_embed` vectors into the IVF-PQ store and use the
+    bulk-ANN swap (`pq.embedding_near_dups_from_store`) — same vectors,
+    sub-quadratic candidates."""
+    docs = load_table(spark, sf_dir, "documents")
+    sums = _bucket_sums(docs)
+    n2 = sums.groupBy("doc_id").agg(
+        F.sum(F.expr("v * v")).alias("nn")
+    )
+    a = sums.selectExpr("doc_id AS doc_a", "dim", "v AS va")
+    b = sums.selectExpr("doc_id AS doc_b", "dim", "v AS vb")
+    pairs = (
+        a.join(b, "dim")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.expr("va * vb")).alias("dot"))
+    )
+    na = n2.selectExpr("doc_id AS doc_a", "nn AS na2")
+    nb = n2.selectExpr("doc_id AS doc_b", "nn AS nb2")
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "sim",
+            F.expr("CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE))"
+                   " * sqrt(CAST(nb2 AS DOUBLE)))"),
+        )
+        .where(F.col("sim") >= TEXT_DUP_COS_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("sim", 4).alias("sim"))
+    )
+
+
+_SUMS_DUCK = f"""
+toks AS (
+  SELECT doc_id, unnest({TOKENS_DUCK}) AS tok FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 7))::UBIGINT AS BIGINT)
+           % {EMBED_DIM} AS dim,
+         CASE WHEN CAST(('0x' || substr(md5(tok), 8, 1))::UBIGINT AS BIGINT)
+                   % 2 = 0 THEN 1 ELSE -1 END AS sign
+  FROM toks
+),
+sums AS (
+  SELECT doc_id, dim, CAST(sum(sign) AS BIGINT) AS v
+  FROM hashed GROUP BY 1, 2
+)
+"""
+
+TEXT_SEMANTIC_DUPS_SQL = f"""
+WITH {_SUMS_DUCK},
+n2 AS (
+  SELECT doc_id, CAST(sum(v * v) AS BIGINT) AS nn FROM sums GROUP BY 1
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(sum(a.v * b.v) AS BIGINT) AS dot
+  FROM sums a JOIN sums b ON a.dim = b.dim AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sims AS (
+  SELECT doc_a, doc_b,
+         CAST(dot AS DOUBLE)
+           / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE)))
+           AS sim
+  FROM pairs
+  JOIN n2 na ON na.doc_id = pairs.doc_a
+  JOIN n2 nb ON nb.doc_id = pairs.doc_b
+)
+SELECT doc_a, doc_b, round(sim, 4) AS sim
+FROM sims WHERE sim >= {TEXT_DUP_COS_THRESHOLD}
+"""
+
+
+QUERIES = {
+    "doc_feature_hash_embed": doc_feature_hash_embed,
+    "text_semantic_dups": text_semantic_dups,
+}
+ORACLE = {
+    "doc_feature_hash_embed": FEATURE_HASH_SQL,
+    "text_semantic_dups": TEXT_SEMANTIC_DUPS_SQL,
+}

@@ -108,3 +108,32 @@ class TestFeatureHashEmbed:
         assert out.count() == n
         ids = {r.cluster_id for r in out.select("cluster_id").distinct().collect()}
         assert ids <= set(range(8)) and len(ids) >= 2
+
+
+class TestTextSemanticDups:
+    def test_near_dup_texts_pair_up(self, spark):
+        """Two documents sharing most tokens must pair; disjoint ones
+        must not."""
+        from jitsu_spark.operators.text_embed import text_semantic_dups
+
+        # run on real corpus: pairs are canonical and above threshold
+        out = text_semantic_dups(spark, SF_DIR).collect()
+        for r in out:
+            assert r.doc_a < r.doc_b
+            assert r.sim >= 0.93
+
+    def test_overlaps_lsh_near_dups(self, spark):
+        """Hashed-cosine pairs and MinHash-LSH pairs hunt the same
+        near-dup structure: the overlap must be substantial."""
+        from jitsu_spark.operators.dedup import minhash_lsh_pairs
+        from jitsu_spark.operators.text_embed import text_semantic_dups
+
+        cos = {
+            (r.doc_a, r.doc_b) for r in text_semantic_dups(spark, SF_DIR).collect()
+        }
+        lsh = {
+            (r.doc_a, r.doc_b) for r in minhash_lsh_pairs(spark, SF_DIR).collect()
+        }
+        if lsh:
+            # most LSH near-dups also exceed the hashed-cosine threshold
+            assert len(cos & lsh) / len(lsh) >= 0.5, (len(cos), len(lsh), len(cos & lsh))
