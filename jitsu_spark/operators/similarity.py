@@ -361,41 +361,25 @@ def _corpus_rows(sf_dir: str, table: str = "embeddings") -> int | None:
     return None
 
 
-def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: all pairs with cosine >= DUP_COS_THRESHOLD.
-
-    Fully distributed two-stage plan — nothing is collected to the driver:
-    1. Candidate generation as a *block-pair* matrix product. Vectors hash
-       into n_blocks = max(8, ceil(N / MAX_BLOCK_ROWS)) blocks — the
-       block count is derived from a corpus count so a packed block stays
-       a bounded ~MAX_BLOCK_ROWS vectors (~16 MB) at ANY corpus size;
-       each block packs into one row (collect_list); the block-pair join
-       (bi <= bj: n_blocks*(n_blocks+1)/2 rows) fans the grid out across
-       executors, and each task runs one `A @ B.T` GEMM in numpy, keeping
-       pairs above threshold - epsilon. Every (a, b) pair lands in exactly
-       one block pair, so coverage is exhaustive; total work is the
-       inherent O(N^2) of an exact all-pairs scan — the op's contract —
-       but per-task memory is two bounded blocks. (For approximate
-       near-dup at extreme scale, swap the blocker for the IVF cells /
-       LSH buckets in this module — same shape, sub-quadratic candidates.)
-    2. Exact re-score of the (few) candidates with the same sequential
-       aggregate expression the SQL oracle uses, so the emitted sims are
-       bit-identical to a full brute-force pass — the epsilon margin only
-       admits extra candidates for the exact filter to reject. The
-       embedding sides get size-gated broadcast hints (plans/hints.py).
-    """
+def gemm_candidate_pairs(
+    vec_df: DataFrame, n_vectors: int, threshold: float, eps: float = 1e-6
+) -> DataFrame:
+    """Block-pair GEMM candidate generation over ANY (vec_id, embedding)
+    frame — the shared all-pairs cosine candidate engine (used by
+    `embedding_cosine_dups` and `text_embed.text_semantic_dups`).
+    Vectors hash into bounded ~MAX_BLOCK_ROWS blocks; each block-pair
+    task runs one numpy `A @ B.T` on row-normalized matrices and keeps
+    pairs above threshold - eps. Exhaustive coverage, bounded per-task
+    memory; callers exact-re-score the survivors (the epsilon margin
+    only admits extra candidates for the exact filter to reject).
+    Zero-norm rows normalize to NaN and never pass the mask (callers
+    drop them or accept their absence)."""
     import numpy as np
     import pandas as pd
 
-    from ..plans.hints import maybe_broadcast
-
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    eps = 1e-6
-
-    n_rows = _corpus_rows(sf_dir)
-    n_blocks = _n_blocks(n_rows if n_rows is not None else emb.count())
+    n_blocks = _n_blocks(n_vectors)
     packed = (
-        emb.select(
+        vec_df.select(
             F.pmod(F.hash("vec_id"), F.lit(n_blocks)).alias("blk"),
             "vec_id",
             "embedding",
@@ -428,9 +412,10 @@ def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                 mat_b = np.array(
                     [v["embedding"] for v in task["vecs_b"]], dtype=np.float64
                 )
-                mat_a /= np.linalg.norm(mat_a, axis=1, keepdims=True)
-                mat_b /= np.linalg.norm(mat_b, axis=1, keepdims=True)
-                mask = mat_a @ mat_b.T >= DUP_COS_THRESHOLD - eps
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    mat_a /= np.linalg.norm(mat_a, axis=1, keepdims=True)
+                    mat_b /= np.linalg.norm(mat_b, axis=1, keepdims=True)
+                mask = mat_a @ mat_b.T >= threshold - eps
                 if task["blk_a"] == task["blk_b"]:
                     # diagonal block: id order dedups the symmetric halves
                     mask &= ids_a[:, None] < ids_b[None, :]
@@ -444,7 +429,42 @@ def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                     }
                 )
 
-    cand = tasks.mapInPandas(gemm_pairs, "vec_a long, vec_b long")
+    return tasks.mapInPandas(gemm_pairs, "vec_a long, vec_b long")
+
+
+def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: all pairs with cosine >= DUP_COS_THRESHOLD.
+
+    Fully distributed two-stage plan — nothing is collected to the driver:
+    1. Candidate generation as a *block-pair* matrix product. Vectors hash
+       into n_blocks = max(8, ceil(N / MAX_BLOCK_ROWS)) blocks — the
+       block count is derived from a corpus count so a packed block stays
+       a bounded ~MAX_BLOCK_ROWS vectors (~16 MB) at ANY corpus size;
+       each block packs into one row (collect_list); the block-pair join
+       (bi <= bj: n_blocks*(n_blocks+1)/2 rows) fans the grid out across
+       executors, and each task runs one `A @ B.T` GEMM in numpy, keeping
+       pairs above threshold - epsilon. Every (a, b) pair lands in exactly
+       one block pair, so coverage is exhaustive; total work is the
+       inherent O(N^2) of an exact all-pairs scan — the op's contract —
+       but per-task memory is two bounded blocks. (For approximate
+       near-dup at extreme scale, swap the blocker for the IVF cells /
+       LSH buckets in this module — same shape, sub-quadratic candidates.)
+    2. Exact re-score of the (few) candidates with the same sequential
+       aggregate expression the SQL oracle uses, so the emitted sims are
+       bit-identical to a full brute-force pass — the epsilon margin only
+       admits extra candidates for the exact filter to reject. The
+       embedding sides get size-gated broadcast hints (plans/hints.py).
+    """
+    from ..plans.hints import maybe_broadcast
+
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+
+    n_rows = _corpus_rows(sf_dir)
+    cand = gemm_candidate_pairs(
+        emb.select("vec_id", "embedding"),
+        n_rows if n_rows is not None else emb.count(),
+        DUP_COS_THRESHOLD,
+    )
     a = emb.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),

@@ -205,37 +205,66 @@ def text_semantic_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     float summation anywhere (rounding the normalized vectors first
     would have reintroduced it).
 
-    Exact-contract boundary (like `similarity.embedding_cosine_dups`):
-    with EMBED_DIM dense dimensions the dim-join IS the all-pairs scan,
-    O(N^2 / EMBED_DIM) join work per dim. At corpus scale, persist
+    Plan (the `embedding_cosine_dups` shape, shared engine): dense
+    integer vectors assemble from the bucket sums; candidates come from
+    the block-pair GEMM (`similarity.gemm_candidate_pairs`, bounded
+    per-task memory, threshold - epsilon mask); the few survivors are
+    exact-re-scored with the integer arithmetic above — the GEMM is a
+    sieve, never the source of truth. Total work is the inherent O(N^2)
+    of the exact all-pairs contract; for approximate-at-scale, persist
     `feature_hash_embed` vectors into the IVF-PQ store and use the
-    bulk-ANN swap (`pq.embedding_near_dups_from_store`) — same vectors,
-    sub-quadratic candidates."""
+    bulk-ANN swap (`pq.embedding_near_dups_from_store`)."""
+    from .similarity import _corpus_rows, gemm_candidate_pairs
+
     docs = load_table(spark, sf_dir, "documents")
     sums = _bucket_sums(docs)
-    n2 = sums.groupBy("doc_id").agg(
-        F.sum(F.expr("v * v")).alias("nn")
+    vecs = (
+        sums.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("dim", "v"))
+            ).alias("m"),
+            F.sum(F.expr("v * v")).alias("nn"),
+        )
+        .where(F.col("nn") > 0)
+        .selectExpr(
+            "doc_id",
+            f"transform(sequence(0, {EMBED_DIM - 1}),"
+            " i -> CAST(coalesce(m[CAST(i AS BIGINT)], 0) AS DOUBLE))"
+            " AS vec",
+            "nn",
+        )
     )
-    a = sums.selectExpr("doc_id AS doc_a", "dim", "v AS va")
-    b = sums.selectExpr("doc_id AS doc_b", "dim", "v AS vb")
-    pairs = (
-        a.join(b, "dim")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.expr("va * vb")).alias("dot"))
+    n_rows = _corpus_rows(sf_dir, "documents")
+    cand = gemm_candidate_pairs(
+        vecs.selectExpr("doc_id AS vec_id", "vec AS embedding"),
+        n_rows if n_rows is not None else vecs.count(),
+        TEXT_DUP_COS_THRESHOLD,
     )
-    na = n2.selectExpr("doc_id AS doc_a", "nn AS na2")
-    nb = n2.selectExpr("doc_id AS doc_b", "nn AS nb2")
+    from ..plans.hints import maybe_broadcast
+
+    a = vecs.selectExpr("doc_id AS vec_a", "vec AS va", "nn AS na2")
+    b = vecs.selectExpr("doc_id AS vec_b", "vec AS vb", "nn AS nb2")
     return (
-        pairs.join(na, "doc_a")
-        .join(nb, "doc_b")
+        cand.join(maybe_broadcast(a), "vec_a")
+        .join(maybe_broadcast(b), "vec_b")
         .withColumn(
             "sim",
-            F.expr("CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE))"
-                   " * sqrt(CAST(nb2 AS DOUBLE)))"),
+            # dot of integer-valued doubles: every product and partial
+            # sum is an exact integer < 2^53, so the fold matches the
+            # oracle's sum bit-for-bit regardless of order
+            F.expr(
+                "aggregate(zip_with(va, vb, (x, y) -> x * y),"
+                " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+                " / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))"
+            ),
         )
         .where(F.col("sim") >= TEXT_DUP_COS_THRESHOLD)
-        .select("doc_a", "doc_b", F.round("sim", 4).alias("sim"))
+        .select(
+            F.col("vec_a").alias("doc_a"),
+            F.col("vec_b").alias("doc_b"),
+            F.round("sim", 4).alias("sim"),
+        )
     )
 
 
