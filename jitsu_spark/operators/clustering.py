@@ -134,9 +134,10 @@ def cluster_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PRUNE_KEEP = f"proto_rank > (n_c * {PRUNE_TOP_PER_MILLE}) DIV 1000"
 
 
-def _proto_ranked(assigned: DataFrame) -> DataFrame:
-    """Add (proto_rank, n_c): per-cluster rank by similarity-to-centroid,
-    most prototypical first (ties by vec_id)."""
+def _proto_ranked_window(assigned: DataFrame) -> DataFrame:
+    """Small-scale twin of `_proto_ranked`: direct per-cluster windows.
+    PARTITION BY cluster_id at fixed K=12 puts N/12 rows in ONE task's
+    sort — kept only as the parity reference for the range-bucketed form."""
     wr = Window.partitionBy("cluster_id").orderBy(
         F.desc("csim"), F.asc("vec_id")
     )
@@ -144,6 +145,61 @@ def _proto_ranked(assigned: DataFrame) -> DataFrame:
     return assigned.withColumn(
         "proto_rank", F.row_number().over(wr)
     ).withColumn("n_c", F.count(F.lit(1)).over(wc))
+
+
+# Range-bucket granularity for the two-phase ranks: csim in [-1, 1] maps to
+# ~2000 integer bands, so each task sorts only the rows whose similarity
+# falls in one 0.001-wide band of one cluster (raise for tighter bands).
+RANK_BANDS_PER_UNIT = 1000
+
+
+def _proto_ranked(assigned: DataFrame) -> DataFrame:
+    """Add (proto_rank, n_c): per-cluster rank by similarity-to-centroid,
+    most prototypical first (ties by vec_id). EXACTLY equal to the window
+    twin, computed as a range-bucketed two-phase rank so no task ever
+    sorts a whole cluster:
+
+    1. band = floor(csim * RANK_BANDS_PER_UNIT) — a monotone range key, so
+       within-band local order + cross-band offsets compose to the global
+       row_number (a hash salt could not be merged exactly).
+    2. The per-(cluster, band) count histogram is compact (K x ~2001 rows
+       regardless of N); cumulative counts over it give each band's rank
+       offset and the cluster total n_c — the same broadcast-histogram
+       pattern as quality_filters.quality_percentile_gate.
+    3. row_number repartitions by (cluster_id, band): each sort task holds
+       one similarity band of one cluster, not a K-th of the corpus.
+    """
+    banded = assigned.withColumn(
+        "pband", F.expr(f"CAST(floor(csim * {RANK_BANDS_PER_UNIT}) AS BIGINT)")
+    )
+    hist = banded.groupBy("cluster_id", "pband").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    offs = hist.selectExpr(
+        "cluster_id AS o_cluster",
+        "pband AS o_band",
+        # rows in strictly-higher bands rank ahead of this band
+        "coalesce(sum(cnt) OVER (PARTITION BY cluster_id ORDER BY pband DESC"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L) AS n_before",
+        "sum(cnt) OVER (PARTITION BY cluster_id) AS n_c",
+    )
+    wl = Window.partitionBy("cluster_id", "pband").orderBy(
+        F.desc("csim"), F.asc("vec_id")
+    )
+    return (
+        banded.withColumn("local_rank", F.row_number().over(wl))
+        .join(
+            maybe_broadcast(offs),
+            (F.col("cluster_id") == F.col("o_cluster"))
+            & (F.col("pband") == F.col("o_band")),
+        )
+        # cast back to the window twin's row_number type (int)
+        .withColumn(
+            "proto_rank",
+            (F.col("n_before") + F.col("local_rank")).cast("int"),
+        )
+        .drop("pband", "local_rank", "o_cluster", "o_band", "n_before")
+    )
 
 
 def cluster_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -163,10 +219,9 @@ def cluster_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 CLUSTER_QUOTA = 30  # per-cluster cap for the balanced subset
 
 
-def _quota_pick(df: DataFrame) -> DataFrame:
-    """Add (bucket, pick_rank) and keep CLUSTER_QUOTA rows per cluster,
-    chosen by deterministic md5-bucket order (`sampling._bucket`, ties by
-    vec_id) — stable under repartitioning, reruns, and engines."""
+def _quota_pick_window(df: DataFrame) -> DataFrame:
+    """Small-scale twin of `_quota_pick`: one window sorting each cluster's
+    FULL membership just to keep CLUSTER_QUOTA rows — parity reference only."""
     from .sampling import _bucket
 
     wq = Window.partitionBy("cluster_id").orderBy(
@@ -176,6 +231,45 @@ def _quota_pick(df: DataFrame) -> DataFrame:
         df.withColumn("bucket", _bucket(F.col("vec_id")))
         .withColumn("pick_rank", F.row_number().over(wq))
         .where(F.col("pick_rank") <= CLUSTER_QUOTA)
+    )
+
+
+def _quota_pick(df: DataFrame) -> DataFrame:
+    """Add (bucket, pick_rank) and keep CLUSTER_QUOTA rows per cluster,
+    chosen by deterministic md5-bucket order (`sampling._bucket`, ties by
+    vec_id) — stable under repartitioning, reruns, and engines.
+
+    Two-phase form, exactly equal to the window twin: the md5 bucket
+    (0..999) IS the leading sort key, so it doubles as the range band.
+    The per-(cluster, bucket) histogram yields each bucket's rank offset;
+    buckets whose offset already exceeds the quota are PRUNED before the
+    rank window runs, so the sort input shrinks to the first few buckets
+    of each cluster (~quota rows per cluster) instead of full membership."""
+    from .sampling import _bucket
+
+    bucketed = df.withColumn("bucket", _bucket(F.col("vec_id")))
+    hist = bucketed.groupBy("cluster_id", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    offs = hist.selectExpr(
+        "cluster_id AS o_cluster",
+        "bucket AS o_bucket",
+        "coalesce(sum(cnt) OVER (PARTITION BY cluster_id ORDER BY bucket ASC"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L) AS n_before",
+    ).where(F.col("n_before") < CLUSTER_QUOTA)
+    wq = Window.partitionBy("cluster_id", "bucket").orderBy(F.asc("vec_id"))
+    return (
+        bucketed.join(
+            maybe_broadcast(offs),
+            (F.col("cluster_id") == F.col("o_cluster"))
+            & (F.col("bucket") == F.col("o_bucket")),
+        )
+        .withColumn(
+            "pick_rank",
+            (F.col("n_before") + F.row_number().over(wq)).cast("int"),
+        )
+        .where(F.col("pick_rank") <= CLUSTER_QUOTA)
+        .drop("o_cluster", "o_bucket", "n_before")
     )
 
 

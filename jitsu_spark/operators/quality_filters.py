@@ -410,19 +410,23 @@ FROM starts
 GATE_PERCENTILE = 0.25  # drop the worst quartile of each source
 
 
-def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rank docs by stopword ratio within their source (percent_rank) and
-    gate at GATE_PERCENTILE. One shuffle on source for the window; the
-    metric itself is scan-side. Ties rank identically in every engine, so
-    the gate is deterministic."""
+def _gate_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc stopword ratio — the scan-side metric both gate forms rank."""
     docs = load_table(spark, sf_dir, "documents")
-    scored = docs.selectExpr(
+    return docs.selectExpr(
         "doc_id",
         "source",
         f"round(size(filter({TOKENS}, x -> x IN ({_SW}))) / size({TOKENS}), 6)"
         " AS sw_ratio",
     )
-    return scored.selectExpr(
+
+
+def quality_percentile_gate_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-scale twin: direct percent_rank window. PARTITION BY source puts
+    an entire source in ONE task's sort — sources are few and huge at 100 TB
+    (a 20 TB source = one executor sorting 20 TB), so this form exists only
+    as the oracle-checked reference for `quality_percentile_gate`."""
+    return _gate_scored(spark, sf_dir).selectExpr(
         "doc_id",
         "source",
         "sw_ratio",
@@ -430,6 +434,51 @@ def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS pct_rank",
         f"percent_rank() OVER (PARTITION BY source ORDER BY sw_ratio)"
         f" >= {GATE_PERCENTILE} AS keep",
+    )
+
+
+def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale form: identical output to the window twin, but the only window
+    runs over a COMPACT per-(source, sw_ratio) value histogram, never the
+    corpus.
+
+    percent_rank(x) = (rank-1)/(n-1) where rank-1 is exactly the count of
+    rows strictly below x (ties share the min rank). sw_ratio is rounded to
+    6 decimals, so the histogram has at most 1e6+1 rows per source no
+    matter how many documents a source holds — the groupBy partial-
+    aggregates map-side and the cumulative window sorts a bounded table.
+    The per-value pct_rank then joins back onto the corpus (size-gated
+    broadcast; above the gate AQE re-plans from measured sizes — the
+    histogram is bounded by value space, not by N, so it measures small).
+    Net: one bounded shuffle + one broadcast join replace the single-task
+    per-source corpus sort the window form needs."""
+    scored = _gate_scored(spark, sf_dir)
+    hist = scored.groupBy("source", "sw_ratio").agg(F.count(F.lit(1)).alias("cnt"))
+    ranks = hist.selectExpr(
+        "source AS r_source",
+        "sw_ratio AS r_ratio",
+        # count strictly below = cumulative cnt excluding the current value
+        "coalesce(sum(cnt) OVER (PARTITION BY source ORDER BY sw_ratio"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L) AS cnt_lt",
+        "sum(cnt) OVER (PARTITION BY source) AS n_total",
+    ).selectExpr(
+        "r_source",
+        "r_ratio",
+        # single-row partitions: percent_rank defines 0.0 (not 0/0)
+        "CASE WHEN n_total = 1 THEN 0.0D"
+        " ELSE cnt_lt / (n_total - 1) END AS pr",
+    )
+    joined = scored.join(
+        maybe_broadcast(ranks),
+        scored["source"].eqNullSafe(ranks["r_source"])
+        & scored["sw_ratio"].eqNullSafe(ranks["r_ratio"]),
+    )
+    return joined.selectExpr(
+        "doc_id",
+        "source",
+        "sw_ratio",
+        "round(pr, 6) AS pct_rank",
+        f"pr >= {GATE_PERCENTILE} AS keep",
     )
 
 

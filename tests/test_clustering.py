@@ -93,6 +93,66 @@ class TestPrototypePrune:
             assert r.max_dropped < r.min_kept, r
 
 
+class TestTwoPhaseRankParity:
+    """The range-bucketed ranks must reproduce the window twins EXACTLY
+    (same ranks, same n_c, same picks) — the twins are the semantic
+    contract, the banded forms the 100 TB plan."""
+
+    def test_proto_rank_matches_window_twin(self, spark):
+        from jitsu_spark.operators.clustering import (
+            _assigned,
+            _proto_ranked,
+            _proto_ranked_window,
+        )
+
+        a = _assigned(spark, SF_DIR)
+        cols = ["vec_id", "cluster_id", "proto_rank", "n_c"]
+        got = sorted(map(tuple, _proto_ranked(a).select(*cols).collect()))
+        want = sorted(
+            map(tuple, _proto_ranked_window(a).select(*cols).collect())
+        )
+        assert got == want
+
+    def test_quota_pick_matches_window_twin(self, spark):
+        from jitsu_spark.operators.clustering import (
+            _assigned,
+            _quota_pick,
+            _quota_pick_window,
+        )
+
+        a = _assigned(spark, SF_DIR)
+        cols = ["vec_id", "cluster_id", "pick_rank"]
+        got = sorted(map(tuple, _quota_pick(a).select(*cols).collect()))
+        want = sorted(map(tuple, _quota_pick_window(a).select(*cols).collect()))
+        assert got == want
+
+    def test_band_boundary_ties(self, spark):
+        """Rows whose csim lands exactly on a band boundary and ties within
+        a band must still rank identically to the window form."""
+        from jitsu_spark.operators.clustering import (
+            _proto_ranked,
+            _proto_ranked_window,
+        )
+
+        rows = [
+            # (vec_id, label, cluster_id, csim): boundary value 0.5 twice
+            # (tie broken by vec_id), plus values straddling the band edge
+            (1, 0, 0, 0.5), (2, 0, 0, 0.5), (3, 0, 0, 0.4999),
+            (4, 0, 0, 0.5001), (5, 0, 0, -0.25), (6, 0, 1, 1.0),
+        ]
+        a = spark.createDataFrame(
+            rows, "vec_id long, label int, cluster_id long, csim double"
+        )
+        cols = ["vec_id", "cluster_id", "proto_rank", "n_c"]
+        got = sorted(map(tuple, _proto_ranked(a).select(*cols).collect()))
+        want = sorted(
+            map(tuple, _proto_ranked_window(a).select(*cols).collect())
+        )
+        assert got == want
+        ranks = {t[0]: t[2] for t in got}
+        assert ranks == {4: 1, 1: 2, 2: 3, 3: 4, 5: 5, 6: 1}
+
+
 class TestServedPath:
     def test_kmeans_served_assignment_covers_corpus(self, spark):
         from jitsu_spark.operators.clustering import cluster_assign_served

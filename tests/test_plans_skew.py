@@ -274,6 +274,24 @@ class TestQualityFilterPlans:
         for unused in ("lang", "source", "n_chars"):
             assert unused not in schema_line
 
+    def test_percentile_gate_windows_only_over_histogram(self, spark, sf_dir):
+        """The served gate must never sort the corpus in a per-source window
+        task: its Window nodes sit ABOVE the value-histogram HashAggregate
+        (deeper = executes first), inside the broadcast build side — the
+        corpus probe side is scan + project only."""
+        from jitsu_spark.operators.quality_filters import quality_percentile_gate
+
+        plan = _plan(quality_percentile_gate(spark, sf_dir))
+        tree = plan.split("\n\n")[0]
+        assert "BroadcastHashJoin" in tree
+        assert "SortMergeJoin" not in plan
+        # the probe branch (printed before the BroadcastExchange) is window-free
+        probe_side = tree.split("BroadcastExchange")[0]
+        assert "Window" not in probe_side
+        # the build side's windows run over the aggregate, not a raw scan
+        build_side = tree.split("BroadcastExchange")[1]
+        assert build_side.index("Window") < build_side.index("HashAggregate")
+
     def test_contamination_broadcasts_heldout_side(self, spark, sf_dir):
         from jitsu_spark.operators.quality_filters import contamination_check
 
@@ -348,10 +366,36 @@ class TestClusteringPlans:
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
 
-    def test_prune_window_is_keyed_by_cluster(self, spark, sf_dir):
+    def test_prune_rank_sort_is_band_bounded(self, spark, sf_dir):
+        """The two-phase rank must never sort a whole cluster in one task:
+        every row_number window is partitioned by (cluster_id, pband) —
+        one similarity band per sort task — and the verdict joins back via
+        broadcast, not a corpus shuffle."""
+        import re
+
         from jitsu_spark.operators.clustering import cluster_prototype_prune
 
         plan = _plan(cluster_prototype_prune(spark, sf_dir))
-        # one row per vector flows into the per-cluster rank window
-        assert "Window" in plan
+        rn_specs = re.findall(
+            r"row_number\(\) windowspecdefinition\([^)]*\)", plan
+        )
+        assert rn_specs
+        assert all("pband" in s for s in rn_specs), rn_specs
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_quota_rank_sort_is_bucket_bounded(self, spark, sf_dir):
+        """Same audit for the balanced-sample quota pick: row_number is
+        keyed by (cluster_id, bucket), with non-contributing buckets
+        pruned before the window."""
+        import re
+
+        from jitsu_spark.operators.clustering import cluster_balanced_sample
+
+        plan = _plan(cluster_balanced_sample(spark, sf_dir))
+        rn_specs = re.findall(
+            r"row_number\(\) windowspecdefinition\([^)]*\)", plan
+        )
+        assert rn_specs
+        assert all("bucket" in s for s in rn_specs), rn_specs
         assert "SortMergeJoin" not in plan

@@ -257,6 +257,49 @@ class TestPercentileGate:
         assert out[1]["keep"] is True and abs(out[1]["pct_rank"] - 1 / 3) < 1e-6
         assert out[3]["keep"] is True and out[3]["pct_rank"] == 1.0
 
+    def test_scale_form_matches_window_twin(self, spark, sf_dir):
+        """The broadcast-threshold form must reproduce the window form's
+        pct_rank and keep EXACTLY (same doubles, not just same decisions)."""
+        from jitsu_spark.operators.quality_filters import (
+            quality_percentile_gate,
+            quality_percentile_gate_window,
+        )
+
+        got = sorted(map(tuple, quality_percentile_gate(spark, sf_dir).collect()))
+        want = sorted(
+            map(tuple, quality_percentile_gate_window(spark, sf_dir).collect())
+        )
+        assert got == want
+
+    def test_scale_form_ties_and_singletons(self, spark, tmp_path):
+        """Tied sw_ratios share the min rank (percent_rank semantics) and a
+        single-doc source gets pct_rank 0.0, in both forms."""
+        rows = [
+            # source A: two tied at the bottom, one above
+            (1, "word word word word", "A"),
+            (2, "word word word word", "A"),
+            (3, "the word word word", "A"),
+            # source B: a single document
+            (4, "the the word word", "B"),
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+        from jitsu_spark.operators.quality_filters import (
+            quality_percentile_gate,
+            quality_percentile_gate_window,
+        )
+
+        got = sorted(map(tuple, quality_percentile_gate(spark, str(tmp_path)).collect()))
+        want = sorted(
+            map(tuple, quality_percentile_gate_window(spark, str(tmp_path)).collect())
+        )
+        assert got == want
+        by_id = {t[0]: t for t in got}
+        assert by_id[1][3] == by_id[2][3] == 0.0  # tied min rank
+        assert by_id[3][3] == 1.0
+        assert by_id[4][3] == 0.0 and by_id[4][4] is False  # singleton source
+
 
 class TestEmbeddingNormStats:
     def test_zero_vector_detected(self, spark, tmp_path):
