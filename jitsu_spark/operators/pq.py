@@ -74,6 +74,20 @@ def _pq_dirs(store_dir: str) -> dict[str, str]:
     }
 
 
+def _pairwise_d2(x: np.ndarray, centers: np.ndarray) -> np.ndarray:
+    """(n, k) squared L2 distances via the GEMM expansion
+    ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2.
+
+    The naive broadcast form ((x[:,None,:] - centers[None,:,:])**2).sum(2)
+    materializes an (n, k, d) float64 temp — ~3.3 GB per Lloyd iteration
+    at the PQ_TRAIN_MAX_SAMPLE=100k cap with d=256, k=16: an OOM on a
+    normal 8-16 GB driver exactly when the cap engages. The expansion's
+    largest temp is the (n, k) product itself (~13-51 MB at the cap)."""
+    x2 = np.einsum("ij,ij->i", x, x)[:, None]
+    c2 = np.einsum("ij,ij->i", centers, centers)[None, :]
+    return x2 - 2.0 * (x @ centers.T) + c2
+
+
 def _lloyd(sample: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
     """Seeded Lloyd k-means on a driver-side sample (float64)."""
     rng = np.random.default_rng(seed)
@@ -82,8 +96,7 @@ def _lloyd(sample: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
     if len(centers) < k:  # degenerate tiny sample: pad by repetition
         centers = np.vstack([centers] * (k // len(centers) + 1))[:k]
     for _ in range(iters):
-        d2 = ((sample[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
+        assign = _pairwise_d2(sample, centers).argmin(axis=1)
         for c in range(k):
             members = sample[assign == c]
             if len(members):
@@ -200,8 +213,7 @@ def build_ivfpq_store(
     assigned = _assign_cells_l2(unit, centroids)
 
     # PQ sub-quantizers on the SAME sample's residuals
-    d2 = ((sample[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-    residuals = sample - centers[d2.argmin(axis=1)]
+    residuals = sample - centers[_pairwise_d2(sample, centers).argmin(axis=1)]
     books = _train_pq_codebooks(residuals, m, ksub)
 
     # persist sub-codebooks as (subspace, code, sub_centroid)
@@ -255,6 +267,99 @@ def build_ivfpq_store(
 REFINE_FACTOR = 4  # ADC shortlist size multiple before exact re-score
 
 
+# ---------------------------------------------------------------------------
+# Stages SHARED by the stored (driver-table) and bulk (distributed-table)
+# query paths. Parity between the two paths is by construction: the probe
+# ranks cells with the same JVM expression, tables come from the same numpy
+# routine, scoring is the same table-gather, and the refine stage uses the
+# same normalized-dot expression — so `test_bulk_matches_stored_path_exactly`
+# holds because the code is shared, not because the dataset has no near-ties.
+# ---------------------------------------------------------------------------
+
+
+def _probe_cells_pq(
+    queries_df: DataFrame, centroids: DataFrame, nprobe: int
+) -> DataFrame:
+    """(query_id, q, centroid_id) probe rows: each query's nprobe nearest
+    cells by shifted L2 (||c||^2 - 2 q.c — rank-equal to ||q-c||^2 for any
+    fixed q), MAP-SIDE: the O(K) codebook packs into one broadcast row and
+    each query row sorts/slices K (d2, centroid_id) pairs in-place — the
+    query table never shuffles and Q never collects."""
+    from ..plans.hints import maybe_broadcast
+    from .similarity import _packed_centroids
+
+    probe_expr = f"""
+    slice(
+      sort_array(transform(cents, c -> named_struct(
+        'd2', CAST(c.c_norm * c.c_norm
+                   - 2 * {DOT.format(a='c.c_emb', b='q')} AS DOUBLE),
+        'centroid_id', c.centroid_id))),
+      1, {int(nprobe)})
+    """
+    return (
+        queries_df.join(maybe_broadcast(_packed_centroids(centroids)))
+        .select("query_id", "q", F.explode(F.expr(probe_expr)).alias("pc"))
+        .select("query_id", "q", F.col("pc.centroid_id").alias("centroid_id"))
+    )
+
+
+def _adc_table_block(res: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(rows, m*ksub) ADC distance tables from a residual block — the ONE
+    numpy routine both the driver (stored path) and the executors (bulk
+    path) run, so the two paths produce bit-identical tables."""
+    m, ksub, dsub = books.shape
+    tables = np.empty((len(res), m * ksub))
+    for j in range(m):
+        sub = res[:, j * dsub : (j + 1) * dsub]
+        d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        tables[:, j * ksub : (j + 1) * ksub] = d2
+    return tables
+
+
+def _refine_exact(
+    shortlist: DataFrame,
+    queries_df: DataFrame,
+    emb: DataFrame,
+    top_k: int,
+    round_sim: bool = True,
+    hint_broadcast: bool = False,
+) -> DataFrame:
+    """Exact cosine re-rank of an ADC shortlist (FAISS IndexRefineFlat).
+    `queries_df` is (query_id, q) with q unit-normalized, so
+    sim = q . n_emb / ||n_emb|| — the SAME expression in both paths."""
+    from pyspark.sql import Window
+
+    from ..plans.hints import maybe_broadcast
+
+    nv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("norm").alias("n_norm"),
+    )
+    qside = maybe_broadcast(queries_df) if hint_broadcast else queries_df
+    nside = maybe_broadcast(nv) if hint_broadcast else nv
+    exact = (
+        shortlist.join(qside, "query_id")
+        .join(nside, "neighbor_id")
+        .withColumn(
+            "sim",
+            F.expr(DOT.format(a="q", b="n_emb")) / F.col("n_norm"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= top_k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.round("sim", 4) if round_sim else F.col("sim")).alias("sim"),
+        )
+    )
+
+
 def ann_ivfpq_topk_stored(
     spark: SparkSession,
     sf_dir: str,
@@ -291,21 +396,10 @@ def ann_ivfpq_topk_stored(
     the recall target, as in FAISS."""
     dirs = _pq_dirs(store_dir)
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    queries = (
-        emb.where(F.col("vec_id") < N_QUERIES)
-        .select(
-            "vec_id",
-            F.expr(
-                "transform(embedding, x -> CAST(x AS DOUBLE) / norm)"
-            ).alias("q"),
-        )
-        .collect()
-    )
+    centroids = _load_codebook(spark, store_dir)
     cent_rows = {
         r["centroid_id"]: np.array(r["c_emb"], dtype=np.float64)
-        for r in _load_codebook(spark, store_dir)
-        .select("centroid_id", "c_emb")
-        .collect()
+        for r in centroids.select("centroid_id", "c_emb").collect()
     }
     pq = spark.read.parquet(dirs["pq"]).collect()
     m = 1 + max(r["subspace"] for r in pq)
@@ -315,31 +409,24 @@ def ann_ivfpq_topk_stored(
     for r in pq:
         books[r["subspace"], r["code"]] = r["sub_centroid"]
 
-    # probe: nprobe nearest coarse centroids per query (driver-side — the
-    # codebook is O(K), queries are a handful)
-    probes: list[tuple[int, int]] = []  # (query_id, centroid_id)
+    # probe via the SAME JVM expression as the bulk path (shared
+    # `_probe_cells_pq`), collected — queries are a handful here, and the
+    # shared expression means both paths pick the same cells even on ties
+    queries_df = unit_queries(emb).where(F.col("query_id") < N_QUERIES)
+    probe_rows = _probe_cells_pq(queries_df, centroids, nprobe).collect()
     tables: dict[tuple[int, int], np.ndarray] = {}
-    for row in queries:
+    by_cell: dict[int, list[int]] = {}
+    for row in probe_rows:
+        qid, cid = row["query_id"], row["centroid_id"]
         q = np.asarray(row["q"], dtype=np.float64)
-        dists = {
-            cid: float(((q - c) ** 2).sum()) for cid, c in cent_rows.items()
-        }
-        nearest = sorted(dists, key=lambda c: (dists[c], c))[:nprobe]
-        for cid in nearest:
-            res = q - cent_rows[cid]
-            table = np.empty((m, ksub))
-            for j in range(m):
-                sub = res[j * dsub : (j + 1) * dsub]
-                table[j] = ((books[j] - sub[None, :]) ** 2).sum(axis=1)
-            probes.append((row["vec_id"], cid))
-            tables[(row["vec_id"], cid)] = table
+        res = (q - cent_rows[cid])[None, :]
+        # same numpy routine as the bulk executors -> bit-identical tables
+        tables[(qid, cid)] = _adc_table_block(res, books)[0].reshape(m, ksub)
+        by_cell.setdefault(cid, []).append(qid)
 
     sc = spark.sparkContext
     b_tables = sc.broadcast(tables)
-    probed_cells = sorted({cid for _, cid in probes})
-    by_cell: dict[int, list[int]] = {}
-    for qid, cid in probes:
-        by_cell.setdefault(cid, []).append(qid)
+    probed_cells = sorted(by_cell)
     b_by_cell = sc.broadcast(by_cell)
 
     cells = spark.read.parquet(dirs["cells"]).where(
@@ -390,37 +477,11 @@ def ann_ivfpq_topk_stored(
         .where(F.col("rn") <= top_k * refine_factor)
         .select("query_id", "neighbor_id")
     )
-    # exact re-score of the tiny shortlist: broadcast it onto the float
-    # corpus twice (query + neighbor vectors) — the corpus never shuffles
-    from ..plans.hints import maybe_broadcast
-    from .similarity import DOT
-
-    qv = emb.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("norm").alias("q_norm"),
-    )
-    nv = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("n_emb"),
-        F.col("norm").alias("n_norm"),
-    )
-    exact = (
-        shortlist.join(maybe_broadcast(qv), "query_id")
-        .join(maybe_broadcast(nv), "neighbor_id")
-        .withColumn(
-            "sim",
-            F.expr(DOT.format(a="q_emb", b="n_emb"))
-            / (F.col("q_norm") * F.col("n_norm")),
-        )
-    )
-    wr = Window.partitionBy("query_id").orderBy(
-        F.desc("sim"), F.asc("neighbor_id")
-    )
-    return (
-        exact.withColumn("rn", F.row_number().over(wr))
-        .where(F.col("rn") <= top_k)
-        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"))
+    # exact re-score of the tiny shortlist via the SHARED refine stage
+    # (same normalized-dot expression as the bulk path); broadcast hints
+    # keep the corpus from shuffling for this handful of queries
+    return _refine_exact(
+        shortlist, queries_df, emb, top_k, hint_broadcast=True
     )
 
 
@@ -433,6 +494,8 @@ def ann_ivfpq_topk_bulk(
     top_k: int = TOP_K,
     refine_factor: int = REFINE_FACTOR,
     round_sim: bool = True,
+    exclude_self: bool = True,
+    query_salt_buckets: int = 8,
 ) -> DataFrame:
     """BULK query path: the distributed swap `ann_ivfpq_topk_stored`'s
     docstring promises for 10^5+ query sets, where driver-side table
@@ -442,28 +505,41 @@ def ann_ivfpq_topk_bulk(
     `queries_df` is (query_id long, q array<double>) with q
     L2-normalized. Three distributed stages, none driver-bound:
 
-    1. PROBE: the O(K) coarse codebook packs into one broadcast row and
-       each query row sorts/slices the K (d2, centroid_id) pairs
-       in-place for its nprobe cells — fully map-side, the query table
-       never shuffles and Q never collects.
+    1. PROBE: `_probe_cells_pq` (shared with the stored path) — the O(K)
+       coarse codebook packs into one broadcast row and each query row
+       sorts/slices the K (d2, centroid_id) pairs in-place for its nprobe
+       cells — fully map-side, the query table never shuffles and Q never
+       collects.
     2. TABLES: one mapInPandas over the (query, cell) probe rows builds
        each ADC table (m x ksub doubles, ~16 KB) from the query residual
-       — the exact numpy loop the driver ran, now partition-parallel.
-    3. SCORE: cogroup PQ cells with tables on centroid_id
-       (applyInPandas over cogrouped groups): per cell, one table-gather
-       scores every (query, candidate) pair vectorized, and only each
-       query's per-cell top-(refine_factor*top_k) survive — the global
-       shortlist is a subset of the per-cell shortlists, so pruning
-       inside the cogroup is lossless. The shuffle carries byte codes
-       and 16 KB tables, never float vectors.
+       via `_adc_table_block` — the same numpy routine the stored path
+       runs on the driver, now partition-parallel.
+    3. SCORE: cogroup PQ cells with tables on (centroid_id, qbucket)
+       where qbucket = hash(query_id) % query_salt_buckets. The salt
+       bounds per-task memory (each group holds one cell's codes plus
+       ~Q/buckets tables, not every probing query's) and lifts
+       parallelism from K to K x buckets — without it, 10^5+ query sets
+       make single cells multi-GB pandas groups on one executor. Cell
+       codes replicate `query_salt_buckets` times across the shuffle
+       (bytes, not floats); a query's tables all land in ONE bucket, so
+       the per-cell top-(refine_factor*top_k) pruning inside each salted
+       group is still lossless per query. The global shortlist is a
+       subset of the per-cell shortlists, so pruning in the cogroup is
+       exact.
 
-    The exact-refine stage joins the surviving shortlist to the float
-    corpus and the query table by id — ordinary shuffled joins sized by
-    the shortlist (Q x refine_factor x top_k rows), with AQE free to
-    broadcast whichever side is small. Unprobed cells still appear in
-    the cogroup with zero queries and yield nothing; at bulk Q
-    (every cell probed by someone) the full-scan cost is the point —
-    it amortizes over the whole query set."""
+    `exclude_self`: drop candidates whose vec_id equals the probing
+    query_id — the right default for corpus self-joins (dedup, bulk
+    kNN-graph), where query ids ARE corpus ids. Pass False for external
+    query sets whose ids merely happen to collide with corpus vec_ids;
+    otherwise a legitimate nearest neighbor would be silently dropped.
+
+    The exact-refine stage (`_refine_exact`, shared with the stored
+    path) joins the surviving shortlist to the float corpus and the
+    query table by id — ordinary shuffled joins sized by the shortlist
+    (Q x refine_factor x top_k rows), with AQE free to broadcast
+    whichever side is small. Unprobed (cell, bucket) groups yield
+    nothing; at bulk Q (every cell probed by someone) the full-scan cost
+    is the point — it amortizes over the whole query set."""
     dirs = _pq_dirs(store_dir)
 
     centroids = _load_codebook(spark, store_dir)
@@ -479,29 +555,9 @@ def ann_ivfpq_topk_bulk(
         cent_mat[r["centroid_id"]] = np.array(r["c_emb"], dtype=np.float64)
 
     # ---- 1. probe: nprobe nearest cells per query, MAP-SIDE ----
-    # The K centroids pack into one broadcast row; each query row sorts
-    # the K (d2, centroid_id) pairs in-place and keeps nprobe — zero
-    # shuffle. (The previous window form exchanged Q x K rows each
-    # carrying the ~2 KB query vector — ~K/nprobe x avoidable volume on
-    # the path whose whole point is 10^5+ queries.)
     from pyspark.sql import Window  # used by the top-k/refine stages below
 
-    from ..plans.hints import maybe_broadcast
-    from .similarity import _packed_centroids
-
-    probe_expr = f"""
-    slice(
-      sort_array(transform(cents, c -> named_struct(
-        'd2', CAST(c.c_norm * c.c_norm
-                   - 2 * {DOT.format(a='c.c_emb', b='q')} AS DOUBLE),
-        'centroid_id', c.centroid_id))),
-      1, {int(nprobe)})
-    """
-    probe = (
-        queries_df.join(maybe_broadcast(_packed_centroids(centroids)))
-        .select("query_id", "q", F.explode(F.expr(probe_expr)).alias("pc"))
-        .select("query_id", "q", F.col("pc.centroid_id").alias("centroid_id"))
-    )
+    probe = _probe_cells_pq(queries_df, centroids, nprobe)
 
     # ---- 2. distributed ADC tables ----
     sc = spark.sparkContext
@@ -516,15 +572,7 @@ def ann_ivfpq_topk_bulk(
                 continue
             qmat = np.array(list(pdf["q"]), dtype=np.float64)
             cmat = np.array([b_cents.value[c] for c in pdf["centroid_id"]])
-            res = qmat - cmat
-            tables = np.empty((len(pdf), m * ksub))
-            for j in range(m):
-                sub = res[:, j * dsub : (j + 1) * dsub]
-                # (rows, ksub) distances for subspace j
-                d2 = (
-                    (sub[:, None, :] - b_books.value[j][None, :, :]) ** 2
-                ).sum(axis=2)
-                tables[:, j * ksub : (j + 1) * ksub] = d2
+            tables = _adc_table_block(qmat - cmat, b_books.value)
             yield pd.DataFrame(
                 {
                     "query_id": pdf["query_id"].values,
@@ -533,13 +581,18 @@ def ann_ivfpq_topk_bulk(
                 }
             )
 
+    n_buckets = max(1, int(query_salt_buckets))
     tables_df = probe.mapInPandas(
         build_tables,
         "query_id long, centroid_id int, adc_table array<double>",
-    )
+    ).withColumn("qbucket", F.pmod(F.hash("query_id"), F.lit(n_buckets)))
 
     # ---- 3. cogrouped per-cell scoring with lossless per-cell pruning ----
-    cells = spark.read.parquet(dirs["cells"])
+    # each cell's codes join every query bucket (explode = bounded
+    # replication of byte codes, the price of bounded per-task memory)
+    cells = spark.read.parquet(dirs["cells"]).withColumn(
+        "qbucket", F.explode(F.expr(f"sequence(0, {n_buckets - 1})"))
+    )
     keep_per_cell = max(top_k * max(refine_factor, 1), top_k)
 
     def score_cell(left, right):
@@ -558,8 +611,11 @@ def ann_ivfpq_topk_bulk(
                 m, ksub
             )
             d = table[cols[None, :], gcodes].sum(axis=1)
-            mask = vec_ids != row.query_id
-            dv, vv = d[mask], vec_ids[mask]
+            if exclude_self:
+                mask = vec_ids != row.query_id
+                dv, vv = d[mask], vec_ids[mask]
+            else:
+                dv, vv = d, vec_ids
             if len(dv) > keep_per_cell:
                 # deterministic cut: order by (dist asc, vec_id asc) —
                 # argpartition alone keeps an ARBITRARY subset of tied
@@ -575,8 +631,8 @@ def ann_ivfpq_topk_bulk(
         )
 
     candidates = (
-        cells.groupBy("centroid_id")
-        .cogroup(tables_df.groupBy("centroid_id"))
+        cells.groupBy("centroid_id", "qbucket")
+        .cogroup(tables_df.groupBy("centroid_id", "qbucket"))
         .applyInPandas(
             score_cell, "query_id long, neighbor_id long, adc_dist double"
         )
@@ -602,31 +658,7 @@ def ann_ivfpq_topk_bulk(
         .select("query_id", "neighbor_id")
     )
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    nv = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("n_emb"),
-        F.col("norm").alias("n_norm"),
-    )
-    exact = (
-        shortlist.join(queries_df, "query_id")
-        .join(nv, "neighbor_id")
-        .withColumn(
-            "sim",
-            F.expr(DOT.format(a="q", b="n_emb")) / F.col("n_norm"),
-        )
-    )
-    wr = Window.partitionBy("query_id").orderBy(
-        F.desc("sim"), F.asc("neighbor_id")
-    )
-    return (
-        exact.withColumn("rn", F.row_number().over(wr))
-        .where(F.col("rn") <= top_k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            (F.round("sim", 4) if round_sim else F.col("sim")).alias("sim"),
-        )
-    )
+    return _refine_exact(shortlist, queries_df, emb, top_k, round_sim=round_sim)
 
 
 def unit_queries(emb_with_norm: DataFrame) -> DataFrame:
@@ -650,7 +682,11 @@ def unit_queries(emb_with_norm: DataFrame) -> DataFrame:
 _STORE_MEMO: dict[tuple, str] = {}
 
 
-def _dataset_key(sf_dir: str) -> tuple:
+def _dataset_key(sf_dir: str) -> tuple | None:
+    """Parquet mtime/size fingerprint, or None when the stat fails (e.g.
+    a race with dataset regeneration) — None disables memoization for the
+    call instead of returning a degenerate key that could collide across
+    dataset versions and serve a stale store."""
     import os
 
     path = os.path.join(sf_dir, "embeddings.parquet")
@@ -664,19 +700,20 @@ def _dataset_key(sf_dir: str) -> tuple:
             st = os.stat(path)
             parts.append(("", st.st_size, st.st_mtime_ns))
     except OSError:
-        pass
+        return None
     return (os.path.abspath(sf_dir), tuple(parts))
 
 
 def _ensure_store(spark: SparkSession, sf_dir: str) -> str:
     key = _dataset_key(sf_dir)
-    store = _STORE_MEMO.get(key)
+    store = _STORE_MEMO.get(key) if key is not None else None
     if store is None:
         import tempfile
 
         store = tempfile.mkdtemp(prefix="ivfpq_reg_") + "/store"
         build_ivfpq_store(spark, sf_dir, store)
-        _STORE_MEMO[key] = store
+        if key is not None:
+            _STORE_MEMO[key] = store
     return store
 
 

@@ -21,6 +21,19 @@ def _pairs(df):
     return {(r.query_id, r.neighbor_id) for r in df.collect()}
 
 
+def _unit_q(spark, sf_dir, limit=None):
+    from pyspark.sql import functions as F
+
+    from jitsu_spark.operators.pq import unit_queries
+    from jitsu_spark.operators.similarity import _with_norm
+    from jitsu_spark.tables import load_table
+
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    if limit is not None:
+        emb = emb.where(F.col("vec_id") < limit)
+    return unit_queries(emb)
+
+
 class TestStoreShape:
     def test_codes_are_m_bytes_per_vector(self, spark, sf_dir, pq_store):
         from jitsu_spark.operators.pq import PQ_KSUB
@@ -115,31 +128,30 @@ class TestBulkQueryPath:
     Q-sized broadcast)."""
 
     def _unit_queries(self, spark, sf_dir, limit=None):
-        from pyspark.sql import functions as F
-
-        from jitsu_spark.operators.pq import unit_queries
-        from jitsu_spark.operators.similarity import _with_norm
-        from jitsu_spark.tables import load_table
-
-        emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
-        if limit is not None:
-            emb = emb.where(F.col("vec_id") < limit)
-        return unit_queries(emb)
+        return _unit_q(spark, sf_dir, limit)
 
     def test_bulk_matches_stored_path_exactly(self, spark, sf_dir, pq_store):
+        """Full-tuple parity (ids AND sims): guaranteed by construction —
+        both paths share `_probe_cells_pq`, `_adc_table_block`, and
+        `_refine_exact`, so identical rounding, not dataset luck."""
         from jitsu_spark.operators.pq import (
             ann_ivfpq_topk_bulk,
             ann_ivfpq_topk_stored,
         )
         from jitsu_spark.operators.similarity import N_QUERIES
 
-        stored = _pairs(ann_ivfpq_topk_stored(spark, sf_dir, pq_store))
-        bulk = _pairs(
-            ann_ivfpq_topk_bulk(
-                spark,
-                sf_dir,
-                pq_store,
-                self._unit_queries(spark, sf_dir, limit=N_QUERIES),
+        stored = sorted(
+            map(tuple, ann_ivfpq_topk_stored(spark, sf_dir, pq_store).collect())
+        )
+        bulk = sorted(
+            map(
+                tuple,
+                ann_ivfpq_topk_bulk(
+                    spark,
+                    sf_dir,
+                    pq_store,
+                    self._unit_queries(spark, sf_dir, limit=N_QUERIES),
+                ).collect(),
             )
         )
         assert bulk == stored
@@ -204,6 +216,129 @@ class TestBulkQueryPath:
             )
         )
         assert bulk == stored
+
+
+class TestSaltedCogroup:
+    def test_bucket_count_invariance(self, spark, sf_dir, pq_store):
+        """The query-hash salt is a pure parallelism/memory knob: any
+        bucket count yields identical results (a query's tables all land
+        in one bucket, so per-cell pruning stays lossless)."""
+        from jitsu_spark.operators.pq import ann_ivfpq_topk_bulk
+        from jitsu_spark.operators.similarity import N_QUERIES
+
+        outs = []
+        for buckets in (1, 5):
+            q = _unit_q(spark, sf_dir, limit=N_QUERIES)
+            outs.append(
+                sorted(
+                    map(
+                        tuple,
+                        ann_ivfpq_topk_bulk(
+                            spark,
+                            sf_dir,
+                            pq_store,
+                            q,
+                            query_salt_buckets=buckets,
+                        ).collect(),
+                    )
+                )
+            )
+        assert outs[0] == outs[1]
+
+
+class TestExcludeSelf:
+    def test_self_matches_kept_when_disabled(self, spark, sf_dir, pq_store):
+        """exclude_self=False: a query whose id collides with a corpus
+        vec_id keeps that vector as a legitimate neighbor (it IS its own
+        nearest, sim ~1.0) — the external-query-set contract."""
+        from pyspark.sql import functions as F
+
+        from jitsu_spark.operators.pq import ann_ivfpq_topk_bulk
+
+        q = _unit_q(spark, sf_dir, limit=5)
+        out = ann_ivfpq_topk_bulk(
+            spark, sf_dir, pq_store, q, exclude_self=False
+        )
+        selfs = out.where(F.col("query_id") == F.col("neighbor_id"))
+        got = {r.query_id: r.sim for r in selfs.collect()}
+        assert set(got) == {0, 1, 2, 3, 4}
+        assert all(abs(s - 1.0) < 1e-3 for s in got.values())
+
+
+class TestLloydMemory:
+    def test_train_at_cap_under_memory_ceiling(self):
+        """Training at PQ_TRAIN_MAX_SAMPLE with d=256, k=16 must stay
+        within ~1 GB beyond the sample itself: the retired broadcast form
+        materialized an (n, k, d) float64 temp (~3.3 GB/iteration) — an
+        OOM on a normal 8-16 GB driver exactly when the cap engages.
+        Runs in a subprocess so other tests' high-water marks can't mask
+        a regression."""
+        import subprocess
+        import sys
+
+        script = r"""
+import resource
+import numpy as np
+import sys
+sys.path.insert(0, ".")
+from jitsu_spark.operators.pq import PQ_TRAIN_MAX_SAMPLE, _lloyd
+rng = np.random.default_rng(0)
+sample = rng.standard_normal((PQ_TRAIN_MAX_SAMPLE, 256))
+before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+centers = _lloyd(sample, 16, 3, seed=7)
+after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+assert centers.shape == (16, 256)
+delta_mb = (after - before) / 1024.0  # ru_maxrss is KB on linux
+assert delta_mb < 1024, f"_lloyd grew rss by {delta_mb:.0f} MB"
+print(f"ok delta={delta_mb:.0f}MB")
+"""
+        proc = subprocess.run(
+            [sys.executable, "-c", script],
+            capture_output=True,
+            text=True,
+            cwd=".",
+            timeout=600,
+        )
+        assert proc.returncode == 0, proc.stderr
+        assert "ok" in proc.stdout
+
+    def test_lloyd_seeded_deterministic(self):
+        import numpy as np
+
+        from jitsu_spark.operators.pq import _lloyd
+
+        rng = np.random.default_rng(1)
+        sample = rng.standard_normal((500, 16))
+        a = _lloyd(sample, 8, 5, seed=3)
+        b = _lloyd(sample, 8, 5, seed=3)
+        assert (a == b).all()
+
+    def test_pairwise_d2_matches_naive(self):
+        """GEMM expansion equals the naive broadcast form to float
+        tolerance (argmin ties aside, which the synthetic corpus lacks)."""
+        import numpy as np
+
+        from jitsu_spark.operators.pq import _pairwise_d2
+
+        rng = np.random.default_rng(2)
+        x = rng.standard_normal((100, 32))
+        c = rng.standard_normal((7, 32))
+        naive = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        got = _pairwise_d2(x, c)
+        assert np.allclose(got, naive, atol=1e-9)
+        assert (got.argmin(axis=1) == naive.argmin(axis=1)).all()
+
+
+class TestStoreMemo:
+    def test_stat_failure_disables_memoization(self, tmp_path):
+        from jitsu_spark.operators.pq import _dataset_key
+
+        assert _dataset_key(str(tmp_path / "missing")) is None
+        # a real dataset dir fingerprints to a concrete key
+        p = tmp_path / "embeddings.parquet"
+        p.write_bytes(b"x")
+        key = _dataset_key(str(tmp_path))
+        assert key is not None and key[1]
 
 
 class TestApproxNearDups:
