@@ -343,6 +343,7 @@ e AS (
   SELECT vec_id, embedding, label,
          sqrt({DOT_DUCK.format(a='embedding', b='embedding')}) AS norm
   FROM embeddings
+  WHERE {DOT_DUCK.format(a='embedding', b='embedding')} > 0
 ),
 cent AS (
   SELECT vec_id AS cluster_id, embedding AS c_emb, norm AS c_norm

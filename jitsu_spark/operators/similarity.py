@@ -49,10 +49,21 @@ DOT = (
 DOT_DUCK = "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
 
 
-def _with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
-    return df.withColumn(
-        "norm", F.expr(f"sqrt({DOT.format(a=vec, b=vec)})")
-    )
+def _with_norm(
+    df: DataFrame, vec: str = "embedding", drop_zero: bool = True
+) -> DataFrame:
+    """Attach ||vec|| and (by default) DROP zero-norm rows at the boundary.
+
+    A zero vector has no cosine direction; its NaN scores order
+    differently across the map-side argbest fold (ascending sort_array
+    puts NaN last), the windowed twins (desc window ranked NaN first) and
+    DuckDB — so the 'non-NaN only' parity caveat is enforced here by
+    construction instead of by dataset luck. Every oracle reading the
+    embeddings table applies the same `norm > 0` filter. Pass
+    drop_zero=False only for diagnostics that must SEE degenerate rows
+    (`quality_filters.embedding_norm_stats` computes its own norm)."""
+    out = df.withColumn("norm", F.expr(f"sqrt({DOT.format(a=vec, b=vec)})"))
+    return out.where(F.col("norm") > 0) if drop_zero else out
 
 
 def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -95,6 +106,7 @@ COSINE_TOPK_SQL = f"""
 WITH e AS (
   SELECT vec_id, embedding, sqrt({DOT_DUCK.format(a='embedding', b='embedding')}) AS norm
   FROM embeddings
+  WHERE {DOT_DUCK.format(a='embedding', b='embedding')} > 0
 ),
 q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm FROM e WHERE vec_id < {N_QUERIES}),
 scored AS (
@@ -131,7 +143,12 @@ def _packed_centroids(centroids: DataFrame) -> DataFrame:
     """Pack the O(K) centroid table into ONE row holding a sorted
     array<struct(centroid_id, c_emb, c_norm)> — the broadcast side of the
     map-side assignment/probe forms (struct sort = ascending centroid_id,
-    which the strict-greater fold relies on for its tie-break)."""
+    which the strict-greater fold relies on for its tie-break).
+    Zero-norm centroids are dropped at this boundary: they have no cosine
+    direction and would score NaN in `_COSINE_SCORE` (same contract as
+    `_with_norm`; Lloyd means of a nonempty unit-vector cell are nonzero,
+    so this only guards degenerate codebooks)."""
+    centroids = centroids.where(F.col("c_norm") > 0)
     return centroids.agg(
         F.sort_array(
             F.collect_list(F.struct("centroid_id", "c_emb", "c_norm"))
@@ -249,6 +266,7 @@ _ASSIGN_DUCK = f"""
 e AS (
   SELECT vec_id, embedding, sqrt({DOT_DUCK.format(a='embedding', b='embedding')}) AS norm
   FROM embeddings
+  WHERE {DOT_DUCK.format(a='embedding', b='embedding')} > 0
 ),
 cent AS (
   SELECT vec_id AS centroid_id, embedding AS c_emb, norm AS c_norm
@@ -491,6 +509,7 @@ EMB_DUPS_SQL = f"""
 WITH e AS (
   SELECT vec_id, embedding, sqrt({DOT_DUCK.format(a='embedding', b='embedding')}) AS norm
   FROM embeddings
+  WHERE {DOT_DUCK.format(a='embedding', b='embedding')} > 0
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round({DOT_DUCK.format(a='a.embedding', b='b.embedding')} / (a.norm * b.norm), 4) AS sim

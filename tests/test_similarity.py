@@ -26,6 +26,51 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.35, f"IVF recall {recall:.2f} too low"
 
 
+class TestZeroNormBoundary:
+    """`_with_norm` drops zero-norm vectors by construction (they have no
+    cosine direction; their NaN scores ordered differently across the
+    argbest fold, the windowed twins, and DuckDB)."""
+
+    def test_zero_vector_excluded_everywhere(self, spark, tmp_path):
+        rows = [
+            (0, [1.0, 0.0], 0),
+            (1, [0.9, 0.1], 0),
+            (2, [0.0, 0.0], 1),  # degenerate: no direction
+            (3, [0.0, 1.0], 1),
+        ]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+        from jitsu_spark.operators.similarity import (
+            _with_norm,
+            cosine_topk_bruteforce,
+        )
+        from jitsu_spark.tables import load_table
+
+        emb = load_table(spark, str(tmp_path), "embeddings")
+        assert _with_norm(emb).count() == 3
+        assert _with_norm(emb, drop_zero=False).count() == 4
+        out = cosine_topk_bruteforce(spark, str(tmp_path))
+        ids = {r.query_id for r in out.collect()} | {
+            r.neighbor_id for r in out.collect()
+        }
+        assert 2 not in ids  # neither queries nor candidates
+        # no NaN sims anywhere
+        assert all(r.sim == r.sim for r in out.collect())
+
+    def test_zero_norm_centroid_dropped_from_pack(self, spark):
+        from pyspark.sql import functions as F
+
+        from jitsu_spark.operators.similarity import _packed_centroids
+
+        cents = spark.createDataFrame(
+            [(0, [1.0, 0.0], 1.0), (1, [0.0, 0.0], 0.0)],
+            "centroid_id int, c_emb array<double>, c_norm double",
+        )
+        packed = _packed_centroids(cents).collect()[0]["cents"]
+        assert [c["centroid_id"] for c in packed] == [0]
+
+
 class TestRegistryIvfFixedK:
     """The oracle-checked `ann_ivf_topk` must be scale-safe too: its
     centroid side is exactly IVF_ORACLE_K rows (a constant, independent
