@@ -286,16 +286,37 @@ def jaccard_pairs_from_shingles(
     )
 
 
+# Corpus-derived default for the DF cap: below DF_CAP_MIN_DOCS the cap
+# stays a no-op (the exact, oracle-checked regime — test SF never trips
+# it); above, it defaults to DF_CAP_PER_MILLE of the corpus row count
+# read from the parquet footer (metadata-only — no scan, no Spark job).
+DF_CAP_MIN_DOCS = 100_000
+DF_CAP_PER_MILLE = 1  # 0.1% of N
+
+
+def _default_df_cap(sf_dir: str) -> int | None:
+    from .similarity import _corpus_rows
+
+    n = _corpus_rows(sf_dir, "documents")
+    if n is None or n <= DF_CAP_MIN_DOCS:
+        return None  # exact regime: guard disabled
+    return max(1, n * DF_CAP_PER_MILLE // 1000)
+
+
 def ngram_jaccard_dups(
     spark: SparkSession, sf_dir: str, max_doc_frequency: int | None = None
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (>= JACCARD_THRESHOLD).
 
     Inverted-index self-join on shingle with the document-frequency skew
-    guard (see jaccard_pairs_from_shingles). This is the verify stage
-    behind the LSH candidates; run standalone with the cap at its no-op
-    default it is exact (no approximation).
+    guard (see jaccard_pairs_from_shingles). The cap defaults from the
+    corpus size itself (`_default_df_cap`: footer-stats row count, 0.1%
+    of N above DF_CAP_MIN_DOCS) — so production corpora get the skew
+    guard WITHOUT configuration, while at test SF the default stays a
+    no-op and the result is exact (the oracle regime).
     """
+    if max_doc_frequency is None:
+        max_doc_frequency = _default_df_cap(sf_dir)
     return jaccard_pairs_from_shingles(
         _shingle_rows(spark, sf_dir), max_doc_frequency
     )
@@ -450,8 +471,15 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-bucket doc sample above it (see the contract note above); the
     oracle covers the exact regime."""
     from .sampling import _bucket
+    from .similarity import _corpus_rows
 
-    n_docs = load_table(spark, sf_dir, "documents").count()
+    # exact-vs-sampled regime choice needs only the ROW COUNT: parquet
+    # footer statistics answer it without a corpus scan (the full
+    # `documents.count()` action this replaced was a whole extra read
+    # just to pick a branch); count() remains the non-parquet fallback
+    n_docs = _corpus_rows(sf_dir, "documents")
+    if n_docs is None:
+        n_docs = load_table(spark, sf_dir, "documents").count()
     # Both branches tokenize from the (column-pruned) parquet scan
     # rather than sharing a cached shingle materialization: the explode
     # is cheap map-side work, the cost lives in the shuffles (which

@@ -178,6 +178,28 @@ def test_lsh_recall_report_sampled_truth(spark, sf_dir, monkeypatch):
         assert 0.0 <= got.recall <= 1.0
 
 
+def test_default_df_cap_regimes(sf_dir):
+    """Below DF_CAP_MIN_DOCS the corpus-derived cap is None — the exact,
+    oracle-checked regime test SF must stay in."""
+    import jitsu_spark.operators.dedup as dd
+
+    assert dd._default_df_cap(sf_dir) is None  # test SF: 500 docs
+
+
+def test_default_df_cap_floor_and_scale(sf_dir, monkeypatch):
+    import jitsu_spark.operators.dedup as dd
+    from jitsu_spark.operators import similarity as sim
+
+    monkeypatch.setattr(dd, "DF_CAP_MIN_DOCS", 100)
+    assert dd._default_df_cap(sf_dir) == 1  # 500 docs -> floor of 1
+
+    monkeypatch.setattr(sim, "_corpus_rows", lambda *a, **k: 50_000_000)
+    assert dd._default_df_cap(sf_dir) == 50_000  # 0.1% of N
+
+    monkeypatch.setattr(sim, "_corpus_rows", lambda *a, **k: None)
+    assert dd._default_df_cap(sf_dir) is None  # non-parquet fallback
+
+
 def test_knn_self_exclusion(spark, sf_dir):
     from jitsu_spark.operators.similarity import cosine_topk_bruteforce
 
