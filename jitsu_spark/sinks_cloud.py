@@ -122,6 +122,63 @@ def snowflake_writer(credentials: dict, table: str) -> WriterSpec:
     )
 
 
+# destinations.tsx:241-249: default port per ClickHouse protocol
+_CLICKHOUSE_PORTS = {
+    "http": 8123,
+    "https": 8443,
+    "clickhouse": 9000,
+    "clickhouse-secure": 9440,
+}
+
+
+def clickhouse_writer(credentials: dict, table: str) -> WriterSpec:
+    """clickhouse credentials {protocol, hosts, username, password,
+    cluster?, database, parameters?} (destinations.tsx:239-266; catalog
+    entry :369 — the reference's FIRST warehouse destination) -> Spark
+    JDBC invocation against the ClickHouse JDBC driver.
+
+    Upsert model (merge_strategy="replacing_insert"): ClickHouse has no
+    MERGE statement — bulker's deduplicate:true maps to a
+    ReplacingMergeTree(version) table ORDERed BY the primary key, plain
+    INSERTs, and dedup that happens at background merge / FINAL read
+    (see `replacing_insert_statements` / `final_read_sql`). Capability
+    flags carry the family limitations: stream mode is locked behind
+    async inserts (destinations.tsx:380-382) and dedup is EVENTUAL —
+    reads see duplicates until a merge unless they ask FINAL."""
+    protocol = credentials.get("protocol", "clickhouse-secure")
+    if protocol not in _CLICKHOUSE_PORTS:
+        raise ValueError(f"unknown clickhouse protocol {protocol!r}")
+    hosts = []
+    for h in credentials["hosts"]:
+        hosts.append(h if ":" in h else f"{h}:{_CLICKHOUSE_PORTS[protocol]}")
+    database = credentials.get("database", "default")
+    opts = {
+        "url": f"jdbc:clickhouse://{','.join(hosts)}/{database}",
+        "driver": "com.clickhouse.jdbc.ClickHouseDriver",
+        "dbtable": table,
+        "user": credentials.get("username", "default"),
+        "password": credentials["password"],
+    }
+    if protocol in ("https", "clickhouse-secure"):
+        opts["ssl"] = "true"
+    opts.update(credentials.get("parameters") or {})
+    return WriterSpec(
+        format="jdbc",
+        options=opts,
+        merge_strategy="replacing_insert",
+        capabilities={
+            # destinations.tsx:380-382 streamModeLocked
+            "stream_mode": False,
+            "deduplicate": True,
+            "identity_stitching": True,
+            # ReplacingMergeTree semantics, not MERGE semantics:
+            "dedup_is_eventual": True,     # until background merges run
+            "dedup_is_global": True,       # whole key space, no 31 d window
+            "read_requires_final": True,   # SELECT ... FINAL (or argMax)
+        },
+    )
+
+
 def _block_storage_format(settings: dict) -> tuple[str, dict]:
     """blockStorageSettings {folder, format: ndjson|ndjson_flat|csv,
     compression: gzip|none} (destinations.tsx:209-223) -> Spark sink
@@ -206,6 +263,11 @@ MERGE_DIALECTS = {
                   "date_lit": "DATE '{d}'"},
     "ansi": {"q": '"', "table_q": "", "to_date": "CAST({x} AS DATE)",
              "date_lit": "DATE('{d}')"},
+    # ClickHouse is NOT a MERGE engine: merge_statements refuses it and
+    # points at replacing_insert_statements (ReplacingMergeTree upsert).
+    "clickhouse": {"q": "`", "table_q": "`", "to_date": "toDate({x})",
+                   "date_lit": "toDate('{d}')",
+                   "strategy": "replacing_insert"},
 }
 
 _DATE_RE = _re.compile(r"^\d{4}-\d{2}-\d{2}$")
@@ -265,6 +327,11 @@ def merge_statements(
       pruning.
     """
     d = MERGE_DIALECTS[family if family in MERGE_DIALECTS else "ansi"]
+    if d.get("strategy") == "replacing_insert":
+        raise ValueError(
+            f"{family} has no MERGE statement — use "
+            "replacing_insert_statements (ReplacingMergeTree upsert)"
+        )
     q, tq = d["q"], d["table_q"]
     pk = [c for c in primary_key]
     for c in pk:
@@ -308,9 +375,110 @@ def merge_statements(
     ]
 
 
+# ---------------------------------------------------------------------------
+# ClickHouse upsert form (round 5): bulker's deduplicate:true on its FIRST
+# catalog destination (destinations.tsx:369). ClickHouse has no MERGE —
+# the contract is a ReplacingMergeTree(version) table ORDERed BY the
+# primary key, INSERT-only promotion from staging, and dedup applied by
+# background part merges or at read time with FINAL. Two statement
+# families below:
+#   replacing_insert_statements -> the promotion (engine DDL + INSERT +
+#     staging DROP) in ClickHouse dialect, with an ANSI twin whose INSERT
+#     runs verbatim on Derby;
+#   final_read_sql -> the dedup-at-read form: `SELECT ... FINAL` in
+#     ClickHouse, and the NOT EXISTS newest-version emulation in ANSI —
+#     which is exactly what FINAL computes, so the twin proves the
+#     semantics (insert-everything + newest-wins-at-read) row-for-row
+#     against WarehouseSink.upsert for in-window data. The documented
+#     divergence: ReplacingMergeTree dedups GLOBALLY (no 31-day window),
+#     so an out-of-window conflict collapses here but stays duplicated in
+#     the MERGE families — flagged via capabilities.dedup_is_global and
+#     pinned by a test.
+# ---------------------------------------------------------------------------
+
+
+def replacing_insert_statements(
+    family: str,
+    target_table: str,
+    staging_table: str,
+    columns: list[str],
+    primary_key: list[str],
+    timestamp_col: str = "ts",
+    include_ddl: bool = False,
+    column_types: dict[str, str] | None = None,
+) -> list[str]:
+    """Staging-promotion statements for a ReplacingMergeTree upsert:
+    optional CREATE TABLE (engine DDL needs column types), INSERT of the
+    staged batch (already one row per key — `sinks._latest_per_key` runs
+    before staging, same as every other family), and the staging DROP.
+    `family` must be 'clickhouse' or 'ansi' (the Derby live-twin form,
+    which skips the engine clause)."""
+    d = MERGE_DIALECTS[family]
+    q, tq = d["q"], d["table_q"]
+    for c in primary_key:
+        if c not in columns:
+            raise ValueError(f"primary key column {c!r} not in columns")
+    if timestamp_col not in columns:
+        raise ValueError(f"timestamp column {timestamp_col!r} not in columns")
+    t, s = _mq(target_table, tq), _mq(staging_table, tq)
+    cols = ", ".join(_mq(c, q) for c in columns)
+    stmts = []
+    if include_ddl:
+        if family != "clickhouse":
+            raise ValueError("engine DDL is ClickHouse-specific")
+        if not column_types or set(column_types) != set(columns):
+            raise ValueError("include_ddl requires column_types for every column")
+        col_defs = ", ".join(
+            f"{_mq(c, q)} {column_types[c]}" for c in columns
+        )
+        order_by = ", ".join(_mq(c, q) for c in primary_key)
+        stmts.append(
+            f"CREATE TABLE IF NOT EXISTS {t} ({col_defs}) "
+            f"ENGINE = ReplacingMergeTree({_mq(timestamp_col, q)}) "
+            f"ORDER BY ({order_by})"
+        )
+    stmts.append(f"INSERT INTO {t} ({cols}) SELECT {cols} FROM {s}")
+    stmts.append(f"DROP TABLE {s}")
+    return stmts
+
+
+def final_read_sql(
+    family: str,
+    table: str,
+    columns: list[str],
+    primary_key: list[str],
+    timestamp_col: str = "ts",
+) -> str:
+    """The dedup-at-read query: what a consumer must run against a
+    ReplacingMergeTree table to see upserted (newest-version-per-key)
+    rows before background merges settle. ClickHouse spells it FINAL;
+    the ANSI form is the newest-wins emulation (ties on the version
+    column keep all tied rows — stage batches are one row per key, so
+    ties require identical-ts cross-batch redeliveries, which both
+    engines then keep/collapse identically for identical payloads)."""
+    d = MERGE_DIALECTS[family]
+    q, tq = d["q"], d["table_q"]
+    for c in primary_key:
+        if c not in columns:
+            raise ValueError(f"primary key column {c!r} not in columns")
+    t = _mq(table, tq)
+    cols = ", ".join(_mq(c, q) for c in columns)
+    if family == "clickhouse":
+        return f"SELECT {cols} FROM {t} FINAL"
+    on = " AND ".join(f"b.{_mq(k, q)} = a.{_mq(k, q)}" for k in primary_key)
+    ts = _mq(timestamp_col, q)
+    # DISTINCT collapses byte-identical redeliveries the way FINAL keeps
+    # one physical row for them
+    return (
+        f"SELECT DISTINCT {cols} FROM {t} a WHERE NOT EXISTS ("
+        f"SELECT 1 FROM {t} b WHERE {on} AND b.{ts} > a.{ts})"
+    )
+
+
 CLOUD_WRITERS = {
     "bigquery": bigquery_writer,
     "snowflake": snowflake_writer,
+    "clickhouse": clickhouse_writer,
     "s3": s3_writer,
     "gcs": gcs_writer,
 }

@@ -183,6 +183,152 @@ class TestDialectForms:
         assert "bigquery" in MERGE_DIALECTS and "snowflake" in MERGE_DIALECTS
 
 
+class TestClickhouseReplacingInsertTwin:
+    """ClickHouse has no MERGE: deduplicate:true = ReplacingMergeTree
+    ORDER BY pk + INSERT-only promotion + newest-wins at read (FINAL).
+    The ANSI twin executes the generated INSERT promotion on Derby and
+    the FINAL-read emulation must match WarehouseSink.upsert for
+    in-window data; the GLOBAL-dedup divergence on out-of-window
+    conflicts is pinned explicitly (capabilities.dedup_is_global)."""
+
+    def _ch_style_upsert(self, derby, df, table):
+        from jitsu_spark.sinks_cloud import replacing_insert_statements
+
+        batch = _latest_per_key(df, PK, "ts")
+        opts = {
+            "createTableColumnTypes":
+                "message_id VARCHAR(256), payload VARCHAR(4096)",
+        }
+        if not derby.exists(table):
+            batch.write.options(**opts).jdbc(
+                derby.url, table, mode="overwrite", properties=derby.properties
+            )
+            return
+        stage = f"{table}__stage"
+        batch.write.options(**opts).jdbc(
+            derby.url, stage, mode="overwrite", properties=derby.properties
+        )
+        for sql in replacing_insert_statements("ansi", table, stage, COLS, PK):
+            derby._execute(sql)
+
+    def _final_read(self, spark, derby, table):
+        from jitsu_spark.sinks_cloud import final_read_sql
+
+        sql = final_read_sql("ansi", table, COLS, PK)
+        df = spark.read.jdbc(
+            derby.url, f"({sql}) q", properties=derby.properties
+        )
+        return {(r.message_id, r.ts, r.payload) for r in df.collect()}
+
+    def test_final_read_matches_parquet_upsert_in_window(
+        self, spark, tmp_path, derby
+    ):
+        wh = WarehouseSink(spark, str(tmp_path / "whch"))
+        b1 = _df(spark, [("m1", T0, "a"), ("m2", T0, "b")])
+        b2 = _df(
+            spark,
+            [
+                ("m1", T1, "A2"),
+                ("m2", T0, "b"),  # byte-identical redelivery
+                ("m3", T0, "c-old"),
+                ("m3", T1, "c-new"),  # in-batch dup -> reduction collapses
+            ],
+        )
+        for batch in (b1, b2):
+            wh.upsert(batch, "evch")
+            self._ch_style_upsert(derby, batch, "evch_twin")
+        final = self._final_read(spark, derby, "evch_twin")
+        assert final == _rows_parquet(wh, "evch")
+        assert {m for m, _, _ in final} == {"m1", "m2", "m3"}
+        # the BASE table keeps every inserted version (dedup is at read
+        # / background merge, not at insert) — the eventual-dedup flag
+        base = _rows_jdbc(derby, "evch_twin")
+        assert len([r for r in base if r[0] == "m1"]) == 2
+
+    def test_global_dedup_divergence_out_of_window(
+        self, spark, tmp_path, derby
+    ):
+        """ReplacingMergeTree dedups the whole key space: the conflict the
+        31-day-window MERGE families leave duplicated COLLAPSES here —
+        the documented family divergence (capabilities.dedup_is_global)."""
+        wh = WarehouseSink(spark, str(tmp_path / "whchw"))
+        old = _df(spark, [("mX", T_OLD, "ancient")])
+        new = _df(spark, [("mX", T0, "fresh")])
+        for batch in (old, new):
+            wh.upsert(batch, "evchw")
+            self._ch_style_upsert(derby, batch, "evchw_twin")
+        final = self._final_read(spark, derby, "evchw_twin")
+        assert final == {("mX", T0, "fresh")}  # global newest-wins
+        parquet = _rows_parquet(wh, "evchw")
+        assert len(parquet) == 2  # window-bounded MERGE keeps both
+
+    def test_clickhouse_statement_forms(self):
+        from jitsu_spark.sinks_cloud import (
+            final_read_sql,
+            replacing_insert_statements,
+        )
+
+        stmts = replacing_insert_statements(
+            "clickhouse", "events", "events__stage", COLS, PK,
+            include_ddl=True,
+            column_types={
+                "message_id": "String", "ts": "DateTime64(3)",
+                "payload": "String",
+            },
+        )
+        assert stmts[0].startswith("CREATE TABLE IF NOT EXISTS `events`")
+        assert "ENGINE = ReplacingMergeTree(`ts`)" in stmts[0]
+        assert "ORDER BY (`message_id`)" in stmts[0]
+        assert stmts[1].startswith("INSERT INTO `events`")
+        assert stmts[2] == "DROP TABLE `events__stage`"
+        assert final_read_sql("clickhouse", "events", COLS, PK).endswith(
+            "FROM `events` FINAL"
+        )
+
+    def test_merge_statements_refuse_clickhouse(self):
+        with pytest.raises(ValueError, match="no MERGE"):
+            merge_statements("clickhouse", "t", "s", COLS, PK)
+
+    def test_writer_spec_flags_and_url(self):
+        from jitsu_spark.sinks_cloud import cloud_writer_spec
+
+        spec = cloud_writer_spec(
+            "clickhouse",
+            {
+                "protocol": "clickhouse-secure",
+                "hosts": ["ch1.example.com", "ch2.example.com:9001"],
+                "username": "default",
+                "password": "pw",
+                "database": "newjitsu_metrics",
+            },
+            "events",
+        )
+        assert spec.format == "jdbc"
+        assert spec.options["url"] == (
+            "jdbc:clickhouse://ch1.example.com:9440,ch2.example.com:9001"
+            "/newjitsu_metrics"
+        )
+        assert spec.options["ssl"] == "true"
+        assert spec.merge_strategy == "replacing_insert"
+        caps = spec.capabilities
+        assert caps["dedup_is_global"] and caps["dedup_is_eventual"]
+        assert caps["read_requires_final"] and not caps["stream_mode"]
+
+    def test_ddl_requires_full_column_types(self):
+        from jitsu_spark.sinks_cloud import replacing_insert_statements
+
+        with pytest.raises(ValueError, match="column_types"):
+            replacing_insert_statements(
+                "clickhouse", "t", "s", COLS, PK, include_ddl=True,
+                column_types={"ts": "DateTime"},
+            )
+        with pytest.raises(ValueError, match="ClickHouse-specific"):
+            replacing_insert_statements(
+                "ansi", "t", "s", COLS, PK, include_ddl=True,
+                column_types={c: "X" for c in COLS},
+            )
+
+
 class TestMergeEdgeCases:
     def test_all_key_columns_emit_insert_only_merge(self):
         stmts = merge_statements(
