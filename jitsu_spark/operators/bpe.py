@@ -1,0 +1,221 @@
+"""Trained-BPE token counting: token budgets under a REAL merges table,
+not just the pre-tokenizer estimate (`text_ops.bpe_token_count`).
+
+Capability context: the reference pipeline treats per-event scalar
+transforms as plan operators (`libs/core-functions/src/functions/lib/
+strings.ts:11-35`); this is the corpus-scale member a token-budgeted
+training pipeline needs — "how many tokens is this corpus under MY
+tokenizer" — parameterized by a (rank, left, right) merges table like
+GPT-2's merges.txt.
+
+Algorithm note (why the chain form is correct BPE): trained merges have
+the creation-order property — rule r's operands are single characters or
+symbols created by rules with rank < r. Therefore applying the rules IN
+RANK ORDER, each as one left-to-right replace-all pass, produces the
+same segmentation as the GPT-2 encode loop (repeatedly merge the
+lowest-rank pair present): once rule r has run, no later rule can create
+a new occurrence of any rule <= r's pair. That makes fixture-scale BPE
+expressible as a CHAIN OF replace() EXPRESSIONS over a delimited
+character string — whole-stage codegen, zero Python, and an exact DuckDB
+oracle (the same chain) — while big merges tables (50k rules = 50k
+nested expressions is not a plan) take the broadcast + mapInPandas
+GPT-2 encoder, proven equal to the chain on the fixture.
+
+Scale: both forms are map-only over the corpus — no shuffle, no
+driver materialization beyond the O(vocab) merges collect that feeds
+the broadcast (FAISS-style bounded contract: merges tables are ~50k
+rows regardless of corpus size).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+# Symbol / word-boundary delimiters for the expression form. Control
+# characters: never produced by the synthetic corpus and never part of a
+# merge symbol, so merges cannot span them. Documents containing them
+# would need remapping first (production would use the mapInPandas form
+# anyway).
+_SYM = "\x1f"  # terminates every symbol
+_WB = "\x1e"  # replaces whitespace runs (words never merge across it)
+
+# Deterministic fixture merges (rank, left, right): common English
+# bigraphs plus two second-order rules, ordered so every operand is a
+# character or the product of a strictly earlier rule — the creation-
+# order property real trained merges have by construction.
+FIXTURE_MERGES: list[tuple[int, str, str]] = [
+    (0, "t", "h"),
+    (1, "th", "e"),   # uses rank-0's output
+    (2, "i", "n"),
+    (3, "a", "n"),
+    (4, "e", "r"),
+    (5, "o", "n"),
+    (6, "r", "e"),
+    (7, "e", "n"),
+    (8, "a", "t"),
+    (9, "o", "r"),
+    (10, "an", "d"),  # uses rank-3's output
+    (11, "in", "g"),  # uses rank-2's output
+    (12, "e", "s"),
+    (13, "o", "u"),
+    (14, "i", "s"),
+    (15, "i", "t"),
+    (16, "a", "l"),
+    (17, "l", "e"),
+    (18, "c", "h"),
+    (19, "s", "t"),
+]
+
+
+def merges_fixture_df(spark: SparkSession) -> DataFrame:
+    """The fixture as the (rank, left, right) merges-table contract both
+    encode forms accept."""
+    return spark.createDataFrame(
+        FIXTURE_MERGES, "rank int, left string, right string"
+    )
+
+
+def bpe_symbol_chain(
+    text: Column, merges: list[tuple[int, str, str]]
+) -> Column:
+    """The delimited symbol string after applying `merges` in rank order
+    — each rule one replace() pass (left-to-right, non-overlapping, the
+    BPE replace-all semantics in both Spark and DuckDB)."""
+    col = F.regexp_replace(text, r"\s+", _WB)
+    # every symbol both PRECEDED and FOLLOWED by the delimiter: a char
+    # split leaves only trailing delimiters, under which the pair pattern
+    # "e<d>n<d>" would false-match inside "...the<d>n<d>" (the left symbol
+    # as a SUFFIX of a longer one). The prepended delimiter plus the WB
+    # chars' own trailing delimiters give every symbol its leading one.
+    col = F.concat(F.lit(_SYM), F.regexp_replace(col, "(.)", "$1" + _SYM))
+    for _, left, right in sorted(merges):
+        # TWO passes per rule: adjacent occurrences share their boundary
+        # delimiter, so a single left-to-right pass consumes the next
+        # occurrence's leading delimiter and skips it. A pass-1 miss
+        # always immediately FOLLOWS a pass-1 match, so misses are
+        # isolated and one more pass catches every one — two passes are
+        # exactly replace-all (leftmost-greedy, the BPE merge order).
+        for _ in range(2):
+            col = F.replace(
+                col,
+                F.lit(_SYM + left + _SYM + right + _SYM),
+                F.lit(_SYM + left + right + _SYM),
+            )
+    return col
+
+
+def _count_char(col: str, ch: str) -> str:
+    return f"(length({col}) - length(replace({col}, '{ch}', '')))"
+
+
+def bpe_token_count_expr(
+    docs: DataFrame, merges: list[tuple[int, str, str]]
+) -> DataFrame:
+    """(doc_id, n_tokens) under the merges table, pure expressions.
+    Token count = symbol terminators minus word boundaries (each
+    whitespace run contributes exactly one delimited boundary symbol)."""
+    sym = bpe_symbol_chain(F.col("text"), merges).alias("s")
+    # delimiters = one per symbol + one per word boundary + the leading one
+    return docs.select("doc_id", sym).selectExpr(
+        "doc_id",
+        f"CAST({_count_char('s', _SYM)} - {_count_char('s', _WB)} - 1"
+        " AS BIGINT) AS n_tokens",
+    )
+
+
+def bpe_token_count_pandas(
+    docs: DataFrame, merges_df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_tokens): the GPT-2 encode loop over a broadcast ranks
+    dict — the scale path for real merges tables, where 50k rules cannot
+    be 50k nested expressions. One Arrow-batched map pass; per-word
+    memoization amortizes the loop over Zipf-repeated words."""
+    ranks = {
+        (r["left"], r["right"]): r["rank"]
+        for r in merges_df.select("rank", "left", "right").collect()
+    }
+    bc = docs.sparkSession.sparkContext.broadcast(ranks)
+
+    def encode(batches):
+        import pandas as pd
+
+        rk = bc.value
+        from functools import lru_cache
+
+        @lru_cache(maxsize=1 << 16)
+        def count_word(w: str) -> int:
+            syms: tuple[str, ...] = tuple(w)
+            while len(syms) > 1:
+                present = {
+                    (syms[i], syms[i + 1]) for i in range(len(syms) - 1)
+                } & rk.keys()
+                if not present:
+                    break
+                a, b = min(present, key=rk.__getitem__)
+                out: list[str] = []
+                i = 0
+                while i < len(syms):
+                    if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = tuple(out)
+            return len(syms)
+
+        for pdf in batches:
+            n = pdf[text_col].map(
+                lambda t: sum(count_word(w) for w in t.split())
+            )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "n_tokens": n.astype("int64")}
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        encode, "doc_id long, n_tokens long"
+    )
+
+
+def bpe_trained_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: per-doc token counts under the fixture merges via
+    the expression chain (fully oracle-checked; the mapInPandas twin is
+    pinned equal in tests)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_token_count_expr(docs, FIXTURE_MERGES)
+
+
+def _chain_duck() -> str:
+    """The same delimit + rank-ordered replace chain in DuckDB SQL
+    (replacement expressions concatenate the backreference with chr())."""
+    col = (
+        "chr(31) || regexp_replace(regexp_replace(text, '\\s+', chr(30), 'g'),"
+        " '(.)', '\\1' || chr(31), 'g')"
+    )
+    for _, left, right in sorted(FIXTURE_MERGES):
+        pat = f"chr(31) || '{left}' || chr(31) || '{right}' || chr(31)"
+        rep = f"chr(31) || '{left}{right}' || chr(31)"
+        for _ in range(2):  # two passes per rule — see bpe_symbol_chain
+            col = f"replace({col}, {pat}, {rep})"
+    return col
+
+
+_COUNT_DUCK = (
+    "(length(s) - length(replace(s, chr(31), '')))"
+    " - (length(s) - length(replace(s, chr(30), ''))) - 1"
+)
+
+BPE_TRAINED_SQL = f"""
+WITH chained AS (
+  SELECT doc_id, {_chain_duck()} AS s FROM documents
+)
+SELECT doc_id, CAST({_COUNT_DUCK} AS BIGINT) AS n_tokens
+FROM chained
+"""
+
+
+QUERIES = {"bpe_trained_token_count": bpe_trained_token_count}
+ORACLE = {"bpe_trained_token_count": BPE_TRAINED_SQL}

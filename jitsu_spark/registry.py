@@ -12,6 +12,7 @@ from .events import destinations, destinations_crm, layouts
 from .plans import throttle
 from .operators import (
     asof,
+    bpe,
     clustering,
     corpus,
     corpus_stats,
@@ -35,6 +36,7 @@ from .operators import (
 )
 
 _MODULES = [
+    bpe,
     relational,
     relational_ext,
     asof,
@@ -83,6 +85,8 @@ for _m in _MODULES:
 # break imports when operators are renamed.
 _PRIORITY = [
     "q1_pricing_summary",
+    # -- new in r5 --
+    "bpe_trained_token_count",
     # -- never driver-checked through r04 --
     "bpe_token_count", "url_stats_by_source", "length_histogram",
     "gopher_quality_flags", "repetition_stats", "pii_redact",

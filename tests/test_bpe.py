@@ -1,0 +1,132 @@
+"""Trained-BPE token counting (`jitsu_spark/operators/bpe.py`): the
+expression chain is real BPE (hand-checked segmentations), and the
+mapInPandas GPT-2 encoder — the big-merges-table scale path — is pinned
+equal to it on the fixture."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_DIR
+
+
+def _counts(df):
+    return {r.doc_id: r.n_tokens for r in df.collect()}
+
+
+class TestChainSegmentation:
+    def test_hand_checked_counts(self, spark):
+        from jitsu_spark.operators.bpe import (
+            FIXTURE_MERGES,
+            bpe_token_count_expr,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                # "the" -> t+h=th, th+e=the -> 1 token
+                (1, "the"),
+                # "than": t+h=th; (th,a) unranked; a+n=an -> th,an = 2
+                (2, "than"),
+                # "and" -> a+n=an, an+d=and -> 1
+                (3, "and"),
+                # "xyz" -> no merges apply -> 3
+                (4, "xyz"),
+                # two words never merge across the boundary
+                (5, "the and"),
+                # repeated pair, leftmost-first: "thth" -> th,th -> 2
+                (6, "thth"),
+                # empty-ish: punctuation only, no rules -> 1 char = 1
+                (7, "!"),
+            ],
+            "doc_id long, text string",
+        )
+        got = _counts(bpe_token_count_expr(docs, FIXTURE_MERGES))
+        assert got == {1: 1, 2: 2, 3: 1, 4: 3, 5: 2, 6: 2, 7: 1}
+
+    def test_rank_order_beats_text_order(self, spark):
+        """'then': (th,e) rank 1 wins over (e,n) rank 7 -> the+n = 2, not
+        th+en."""
+        from jitsu_spark.operators.bpe import (
+            FIXTURE_MERGES,
+            bpe_token_count_expr,
+            bpe_symbol_chain,
+        )
+        from pyspark.sql import functions as F
+
+        docs = spark.createDataFrame([(1, "then")], "doc_id long, text string")
+        sym = docs.select(
+            bpe_symbol_chain(F.col("text"), FIXTURE_MERGES).alias("s")
+        ).first()["s"]
+        assert sym == "\x1fthe\x1fn\x1f"
+        assert _counts(bpe_token_count_expr(docs, FIXTURE_MERGES)) == {1: 2}
+
+    def test_consecutive_and_overlapping_occurrences(self, spark):
+        """The two-pass replace must merge ALL adjacent pair occurrences
+        ('thth' -> th,th; a same-symbol run merges leftmost-greedy)."""
+        from jitsu_spark.operators.bpe import (
+            bpe_token_count_expr,
+            bpe_token_count_pandas,
+        )
+
+        merges = [(0, "a", "b"), (1, "c", "c")]
+        mdf_rows = [(1, "abababab"), (2, "ccc"), (3, "cccc"), (4, "ababab")]
+        docs = spark.createDataFrame(mdf_rows, "doc_id long, text string")
+        want = {1: 4, 2: 2, 3: 2, 4: 3}  # ab x4; cc,c; cc,cc; ab x3
+        assert _counts(bpe_token_count_expr(docs, merges)) == want
+        mdf = spark.createDataFrame(merges, "rank int, left string, right string")
+        assert _counts(bpe_token_count_pandas(docs, mdf)) == want
+
+
+
+class TestPandasTwinParity:
+    def test_pandas_encoder_equals_chain_on_fixture(self, spark):
+        from jitsu_spark.operators.bpe import (
+            FIXTURE_MERGES,
+            bpe_token_count_expr,
+            bpe_token_count_pandas,
+            merges_fixture_df,
+        )
+        from jitsu_spark.tables import load_table
+
+        docs = load_table(spark, SF_DIR, "documents")
+        chain = _counts(bpe_token_count_expr(docs, FIXTURE_MERGES))
+        pandas = _counts(
+            bpe_token_count_pandas(docs, merges_fixture_df(spark))
+        )
+        assert chain == pandas and len(chain) == docs.count()
+
+    def test_pandas_encoder_lowest_rank_first(self, spark):
+        """A merges table where text order and rank order disagree: the
+        encoder must pick by rank (GPT-2 loop), matching the chain."""
+        from jitsu_spark.operators.bpe import (
+            bpe_token_count_expr,
+            bpe_token_count_pandas,
+        )
+
+        merges = [(0, "b", "c"), (1, "a", "b")]
+        docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+        merges_df = spark.createDataFrame(
+            merges, "rank int, left string, right string"
+        )
+        # (b,c) rank 0 merges first: a + bc = 2 tokens (text-order would
+        # give ab + c = 2 as well — distinguish via the segmentation)
+        assert _counts(bpe_token_count_expr(docs, merges)) == {1: 2}
+        assert _counts(bpe_token_count_pandas(docs, merges_df)) == {1: 2}
+        # now make the outcomes differ: (a,b) then (ab,c) vs (b,c) first
+        merges2 = [(0, "b", "c"), (1, "a", "bc")]
+        m2df = spark.createDataFrame(
+            merges2, "rank int, left string, right string"
+        )
+        assert _counts(bpe_token_count_expr(docs, merges2)) == {1: 1}
+        assert _counts(bpe_token_count_pandas(docs, m2df)) == {1: 1}
+
+
+class TestPlanShape:
+    def test_chain_form_is_map_only(self, spark):
+        from jitsu_spark.operators.bpe import bpe_trained_token_count
+
+        df = bpe_trained_token_count(spark, SF_DIR)
+        plan = df._jdf.queryExecution().explainString(
+            df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "Exchange" not in plan  # pure projection over the scan
