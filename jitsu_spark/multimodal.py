@@ -52,11 +52,42 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
-def _decode_real(payload: bytes, mime: str):
-    """Production decode hook (PIL / soundfile / pyav)."""
+def pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _decode_real(payload: bytes, mime: str) -> dict:
+    """Production decode: PIL for images, import-try gated exactly like
+    pymongo in `sinks_api.py` — the seam is real code, not a stub, and
+    runs wherever the interpreter has Pillow (tests skip without it).
+    Returns the same (payload_len, checksum) contract as the fake decode
+    — the checksum over DECODED PIXELS instead of payload bytes — plus
+    decoded dimensions for audit against the metadata struct. Audio/video
+    mimes still raise: soundfile/pyav seams stay open."""
+    if mime and mime.startswith("image/"):
+        try:
+            import io
+
+            from PIL import Image
+        except ImportError as e:  # pragma: no cover - env without PIL
+            raise NotImplementedError(
+                "Pillow is not installed; swap DECODER or install PIL"
+            ) from e
+        with Image.open(io.BytesIO(payload)) as img:
+            digest = hashlib.md5(img.tobytes()).digest()
+            return {
+                "payload_len": len(payload),
+                "checksum": int.from_bytes(digest[:4], "big"),
+                "decoded_width": img.width,
+                "decoded_height": img.height,
+            }
     raise NotImplementedError(
-        "media codecs are not available in this environment; "
-        "swap DECODER with a real implementation"
+        f"no codec for mime {mime!r}; swap DECODER with a real implementation"
     )
 
 
@@ -103,12 +134,15 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def extract_features(media: DataFrame) -> DataFrame:
-    """Decode + feature-extract each payload (Arrow-batched)."""
+def extract_features(media: DataFrame, decoder=None) -> DataFrame:
+    """Decode + feature-extract each payload (Arrow-batched). `decoder`
+    is captured in the task closure (module globals re-resolve on the
+    workers, so a swapped DECODER must travel by value)."""
+    decode = DECODER if decoder is None else decoder
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [DECODER(p, m) for p, m in zip(pdf["payload"], pdf["mime"])]
+            feats = [decode(p, m) for p, m in zip(pdf["payload"], pdf["mime"])]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].values,

@@ -8,11 +8,47 @@ import pytest
 
 
 class TestMultimodal:
-    def test_real_decoder_is_gated(self):
+    def test_real_decoder_is_gated_without_pil(self):
+        from jitsu_spark.multimodal import _decode_real, pil_available
+
+        if pil_available():
+            pytest.skip("PIL installed: gate cannot fire for images here")
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            _decode_real(b"x", "image/png")
+
+    def test_non_image_mimes_always_gated(self):
         from jitsu_spark.multimodal import _decode_real
 
-        with pytest.raises(NotImplementedError):
-            _decode_real(b"x", "image/png")
+        for mime in ("audio/wav", "video/mp4", None):
+            with pytest.raises(NotImplementedError, match="no codec"):
+                _decode_real(b"x", mime)
+
+    def test_real_decoder_with_pil(self, spark):
+        """Wherever the image has Pillow, the real decode path runs
+        end-to-end through the same mapInPandas plumbing: decoded pixel
+        checksum + true dimensions."""
+        from jitsu_spark import multimodal as mm
+
+        if not mm.pil_available():
+            pytest.skip("Pillow not installed in this image")
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (3, 2), (255, 0, 0)).save(buf, format="PNG")
+        png = buf.getvalue()
+        feats = mm._decode_real(png, "image/png")
+        assert feats["decoded_width"] == 3 and feats["decoded_height"] == 2
+        assert feats["payload_len"] == len(png)
+
+        media = spark.createDataFrame(
+            [(1, "image", bytearray(png), ("image/png", 3, 2, None))],
+            mm.MEDIA_SCHEMA,
+        )
+        rows = mm.extract_features(media, decoder=mm._decode_real).collect()
+        assert len(rows) == 1 and rows[0].payload_len == len(png)
+        assert rows[0].checksum == feats["checksum"]  # pixel checksum
 
     def test_media_schema_and_features(self, spark, sf_dir):
         from jitsu_spark.multimodal import extract_features, media_from_documents
