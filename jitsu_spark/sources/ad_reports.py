@@ -1,0 +1,410 @@
+"""Ad-report syncs: Google Ads / Facebook Insights -> Mixpanel "Ad Data".
+
+Ports `webapps/console/lib/server/syncs/mixpanel.ts:1-387` — the
+reference's native (non-Airbyte) SyncFunctions that pull daily ad spend
+reports and import them into Mixpanel. The network edges (the ads APIs
+and the Mixpanel /import endpoint) are injected transports, so the
+contract — credential schemas, the lookback/initial-sync day window, rpc
+pagination, row->event mapping, per-day state — is executable and
+golden-tested without live APIs (the CRM-destination pattern,
+`events/destinations_crm.py`).
+
+Contract details ported 1:1 (file:line cites against mixpanel.ts):
+- day window (:71-89): the last `lookback_window` days ALWAYS re-sync
+  (late-arriving spend corrections); days back to `initial_sync_days`
+  sync only if the store has no `day-synced.<day>` record; days emit in
+  sorted order.
+- run budget (:39,137-142,379-384): stop after `max_run_time_seconds`,
+  leaving the rest for the next scheduled run — Facebook checks BEFORE
+  each day, Google AFTER (faithful to the source).
+- Facebook (:100-218): one account (warn + first when multiple), GET
+  graph.facebook.com/v17.0/act_<id>/insights at level=ad with the
+  spend>0 filter, follow `paging.next`, batch per page.
+- Google (:291-387): customer_id is a comma list; a single MANAGER id
+  expands to its enabled non-manager level-1 sub-accounts (GAQL
+  customer_client query, :225-257); per (day, customer) one GAQL
+  campaign metrics query with cost_micros > 0; cost = cost_micros/1e6.
+- Mixpanel import (:48-59): POST /import?project_id=… with Basic auth of
+  base64(serviceAccountUserName:serviceAccountPassword).
+- $insert_id "G-<day>-<campaign_id>" for BOTH sources (:183,:366 — the
+  reference reuses the G- prefix for Facebook; ported as-is so re-syncs
+  of a lookback day overwrite the same Mixpanel rows idempotently).
+
+Spark integration: the mapped events also return as rows for
+`report_rows_df`, so the same sync can land in the warehouse through
+`sources/sync.run_sync` (MixpanelAdReportRaw shape, :28-37).
+"""
+
+from __future__ import annotations
+
+import base64
+import datetime as dt
+import json
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+MAX_RUN_TIME_SECONDS = 60  # mixpanel.ts:39
+LOOKBACK_WINDOW_DAYS = 2  # mixpanel.ts:117,322
+INITIAL_SYNC_DAYS = 30
+FACEBOOK_PAGE_LIMIT = 1000  # mixpanel.ts:156
+FACEBOOK_API = "https://graph.facebook.com/v17.0"
+MIXPANEL_IMPORT = "https://api.mixpanel.com/import"
+
+# mixpanel.ts:121-131
+FACEBOOK_REPORT_FIELDS = [
+    "campaign_id", "campaign_name", "spend", "impressions", "clicks",
+    "ad_name", "ad_id", "adset_name", "adset_id",
+]
+
+
+@dataclass(frozen=True)
+class GoogleAdsCredentials:  # mixpanel.ts:10-19
+    client_id: str
+    access_token: str
+    client_secret: str
+    refresh_token: str
+    developer_token: str
+    customer_id: str  # comma-separated list
+
+
+@dataclass(frozen=True)
+class FacebookCredentials:  # mixpanel.ts:21-28
+    client_id: str
+    account_ids: list[str]
+    access_token: str
+    client_secret: str
+    page_size: int | None = None
+    insights_lookback_window: int | None = None
+
+
+@dataclass(frozen=True)
+class MixpanelDestination:  # getAuth/sendMixpanelMessage, :45-59
+    project_id: str
+    service_account_username: str
+    service_account_password: str
+
+
+@dataclass
+class SyncRunResult:
+    events: list[dict] = field(default_factory=list)
+    days_synced: list[str] = field(default_factory=list)
+    stopped_early: bool = False
+    log: list[str] = field(default_factory=list)
+
+
+def days_to_sync(
+    store,
+    lookback_window: int = LOOKBACK_WINDOW_DAYS,
+    initial_sync_days: int = INITIAL_SYNC_DAYS,
+    now: dt.datetime | None = None,
+) -> dict[str, dict | None]:
+    """mixpanel.ts:71-89 getDaysToSync: {day -> prior sync status | None};
+    None = will sync. Sorted by day (sortByKey)."""
+    now = now or dt.datetime.now(dt.timezone.utc)
+    result: dict[str, dict | None] = {}
+    for i in range(lookback_window):
+        day = (now - dt.timedelta(days=i)).strftime("%Y-%m-%d")
+        result[day] = None  # always re-sync
+    for i in range(initial_sync_days - lookback_window):
+        day = (now - dt.timedelta(days=i + lookback_window)).strftime(
+            "%Y-%m-%d"
+        )
+        result[day] = store.get(f"day-synced.{day}") or None
+    return dict(sorted(result.items()))
+
+
+def _pending(days: dict[str, dict | None]) -> list[str]:
+    return [d for d, status in days.items() if status is None]
+
+
+def mixpanel_auth_header(destination: MixpanelDestination) -> str:
+    raw = (
+        f"{destination.service_account_username}:"
+        f"{destination.service_account_password}"
+    )
+    return "Basic " + base64.b64encode(raw.encode()).decode()
+
+
+def send_to_mixpanel(transport, destination: MixpanelDestination, events) -> None:
+    """mixpanel.ts:49-59 sendMixpanelMessage."""
+    transport(
+        f"{MIXPANEL_IMPORT}?project_id={destination.project_id}",
+        method="POST",
+        headers={
+            "Authorization": mixpanel_auth_header(destination),
+            "Content-Type": "application/json",
+        },
+        body=events,
+    )
+
+
+def _day_start_utc(day: str) -> dt.datetime:
+    return dt.datetime.strptime(day, "%Y-%m-%d").replace(
+        tzinfo=dt.timezone.utc
+    )
+
+
+def facebook_ads_sync(
+    source: FacebookCredentials,
+    destination: MixpanelDestination,
+    store,
+    transport: Callable,
+    now: dt.datetime | None = None,
+    clock: Callable[[], float] | None = None,
+    max_run_time_seconds: int = MAX_RUN_TIME_SECONDS,
+) -> SyncRunResult:
+    """mixpanel.ts:100-218 mixpanelFacebookAdsSync."""
+    import time as _time
+
+    clock = clock or _time.monotonic
+    started = clock()
+    res = SyncRunResult()
+    if not source.account_ids:
+        raise ValueError("No account ids provided")
+    if len(source.account_ids) > 1:
+        res.log.append(
+            f"Multiple account ids provided - {json.dumps(source.account_ids)}."
+            f" Using the first one: {source.account_ids[0]}"
+        )
+    days = days_to_sync(store, now=now)
+    base_url = f"{FACEBOOK_API}/act_{source.account_ids[0]}/insights"
+    for day in _pending(days):
+        if clock() - started > max_run_time_seconds:  # BEFORE the day, :137
+            res.stopped_early = True
+            res.log.append(
+                f"Syncing took more than {max_run_time_seconds} seconds."
+                " Stopping."
+            )
+            break
+        total_rows = 0
+        next_page_url: str | None = None
+        while True:
+            headers = {"Content-Type": "application/json"}
+            if next_page_url:
+                data = transport(next_page_url, headers=headers)
+            else:
+                data = transport(
+                    base_url,
+                    query={
+                        "access_token": source.access_token,
+                        "level": "ad",
+                        "fields": ",".join(FACEBOOK_REPORT_FIELDS),
+                        "time_range": json.dumps(
+                            {"since": day, "until": day}
+                        ),
+                        "limit": FACEBOOK_PAGE_LIMIT,
+                        "filtering": json.dumps(
+                            [{"field": "spend", "operator": "GREATER_THAN",
+                              "value": 0}]
+                        ),
+                    },
+                    headers=headers,
+                )
+            next_page_url = (data.get("paging") or {}).get("next")
+            reports = data.get("data") or []
+            total_rows += len(reports)
+            page_events = []
+            for row in reports:
+                campaign_day = _day_start_utc(day)
+                campaign_id = row["campaign_id"]
+                page_events.append(
+                    {
+                        "event": "Ad Data",
+                        "properties": {
+                            # :183 — the G- prefix is faithful to source
+                            "$insert_id": (
+                                f"G-{campaign_day.isoformat()}-{campaign_id}"
+                            ),
+                            "time": int(campaign_day.timestamp() * 1000),
+                            "source": "facebook",
+                            "campaign_id": campaign_id,
+                            "utm_source": "facebook",
+                            "utm_campaign": row["campaign_name"],
+                            "utm_content": row["adset_name"],
+                            "utm_term": row["ad_name"],
+                            "cost": float(row["spend"]),
+                            "impressions": int(row["impressions"]),
+                            "clicks": int(row["clicks"]),
+                        },
+                    }
+                )
+            if page_events:
+                send_to_mixpanel(transport, destination, page_events)
+                res.events.extend(page_events)
+            if not next_page_url:
+                break
+        store.set(
+            f"day-synced.{day}",
+            {"totalDailyReportRows": total_rows,
+             "time": dt.datetime.now(dt.timezone.utc).isoformat()},
+        )
+        res.days_synced.append(day)
+    return res
+
+
+# GAQL texts ported verbatim (modulo whitespace) so a reader can diff
+# them against mixpanel.ts:233-257 and :344-357.
+GAQL_MANAGER_CHECK = (
+    "SELECT customer.manager, customer.descriptive_name FROM customer"
+    " WHERE customer.id = {customer_id}"
+)
+GAQL_SUB_ACCOUNTS = (
+    "SELECT customer_client.id, customer_client.status,"
+    " customer_client.manager, customer_client.descriptive_name"
+    " FROM customer_client WHERE customer_client.level = 1"
+    " AND customer_client.status = 'ENABLED'"
+    " and customer_client.manager = false"
+)
+GAQL_DAILY_CAMPAIGNS = (
+    "SELECT segments.date, campaign.id, campaign.name,"
+    " metrics.cost_micros, metrics.clicks, metrics.impressions"
+    " FROM campaign WHERE metrics.cost_micros > 0"
+    " AND segments.date BETWEEN '{day}' AND '{day}'"
+)
+
+
+def google_ads_sync(
+    source: GoogleAdsCredentials,
+    destination: MixpanelDestination,
+    store,
+    transport: Callable,
+    gaql: Callable[[str, str, str], list[dict]],
+    now: dt.datetime | None = None,
+    clock: Callable[[], float] | None = None,
+    max_run_time_seconds: int = MAX_RUN_TIME_SECONDS,
+) -> SyncRunResult:
+    """mixpanel.ts:291-387 mixpanelGoogleAdsSync. `gaql(customer_id,
+    login_customer_id, query) -> rows` is the injected Google Ads API
+    edge (the google-ads-api Customer.query call)."""
+    import time as _time
+
+    clock = clock or _time.monotonic
+    started = clock()
+    res = SyncRunResult()
+    customer_ids = [c for c in source.customer_id.split(",") if c]
+    if not customer_ids:
+        raise ValueError("No customer ids provided")
+
+    login_customer: str | None = None
+    if len(customer_ids) == 1:
+        info = gaql(
+            customer_ids[0],
+            customer_ids[0],
+            GAQL_MANAGER_CHECK.format(customer_id=customer_ids[0]),
+        )
+        if info and info[0].get("customer", {}).get("manager"):
+            subs = gaql(customer_ids[0], customer_ids[0], GAQL_SUB_ACCOUNTS)
+            res.log.append(
+                f"Google Ads account {customer_ids[0]} is a manager account"
+                f" with {len(subs)} sub-accounts."
+            )
+            login_customer = customer_ids[0]
+            customer_ids = [
+                str(r["customer_client"]["id"]) for r in subs
+            ]
+
+    days = days_to_sync(store, now=now)
+    for day in _pending(days):
+        for customer_id in customer_ids:
+            campaigns = gaql(
+                customer_id,
+                login_customer or customer_id,
+                GAQL_DAILY_CAMPAIGNS.format(day=day),
+            )
+            if campaigns:
+                events = [
+                    {
+                        "event": "Ad Data",
+                        "properties": {
+                            "$insert_id": (
+                                f"G-{c['segments']['date']}-"
+                                f"{c['campaign']['id']}"
+                            ),
+                            "time": int(
+                                _day_start_utc(
+                                    c["segments"]["date"]
+                                ).timestamp() * 1000
+                            ),
+                            "source": "Google",
+                            "campaign_id": c["campaign"]["id"],
+                            "utm_source": "google",
+                            "utm_campaign": c["campaign"]["name"],
+                            "cost": c["metrics"]["cost_micros"] / 1_000_000,
+                            "impressions": c["metrics"]["impressions"],
+                            "clicks": c["metrics"]["clicks"],
+                        },
+                    }
+                    for c in campaigns
+                ]
+                send_to_mixpanel(transport, destination, events)
+                res.events.extend(events)
+        store.set(
+            f"day-synced.{day}",
+            {"time": dt.datetime.now(dt.timezone.utc).isoformat()},
+        )
+        res.days_synced.append(day)
+        if clock() - started > max_run_time_seconds:  # AFTER the day, :379
+            res.stopped_early = True
+            res.log.append(
+                f"Syncing took more than {max_run_time_seconds} seconds."
+                " Stopping."
+            )
+            break
+    return res
+
+
+class DictStore:
+    """In-memory KV store (the ctx.store contract the SyncFunctions use);
+    `sources/sync.SyncState` persists the same shape per sync via
+    `kv_adapter`."""
+
+    def __init__(self, data: dict | None = None):
+        self.data = dict(data or {})
+
+    def get(self, key: str):
+        return self.data.get(key)
+
+    def set(self, key: str, value) -> None:
+        self.data[key] = value
+
+
+def kv_adapter(state, sync_id: str):
+    """ctx.store view over a `sources/sync.SyncState` file doc: keys live
+    under the sync's `kv` map, persisted atomically with its other state."""
+
+    class _Kv:
+        def get(self, key: str):
+            return (state._load(sync_id).get("kv") or {}).get(key)
+
+        def set(self, key: str, value) -> None:
+            kv = state._load(sync_id).get("kv") or {}
+            kv[key] = value
+            state._save(sync_id, {"kv": kv})
+
+    return _Kv()
+
+
+def report_rows_df(spark, events: list[dict]):
+    """MixpanelAdReportRaw rows (mixpanel.ts:30-37) from mapped events —
+    the warehouse-landing shape for `sources/sync.run_sync`."""
+    rows = [
+        (
+            dt.datetime.fromtimestamp(
+                e["properties"]["time"] / 1000, dt.timezone.utc
+            ),
+            e["properties"]["source"],
+            str(e["properties"]["campaign_id"]),
+            e["properties"]["utm_source"],
+            e["properties"]["utm_campaign"],
+            float(e["properties"]["cost"]),
+            int(e["properties"]["impressions"]),
+            int(e["properties"]["clicks"]),
+        )
+        for e in events
+    ]
+    return spark.createDataFrame(
+        rows,
+        "time timestamp, source string, campaign_id string,"
+        " utm_source string, utm_campaign string, cost double,"
+        " impressions long, clicks long",
+    )
