@@ -268,15 +268,154 @@ FROM rated WHERE n_copies > 0
 """
 
 
+# ---------------------------------------------------------------------------
+# Token-budget corpus selection (round 5): "fill each source's token
+# budget" — the composition step of a fixed-size training mix ("30% web,
+# 20% code, ... up to N tokens each"). Docs are taken per source in
+# deterministic md5-bucket order (ties by doc_id) until the source's
+# cumulative token count reaches its budget; every doc gets an audit row
+# with its cumulative position and the verdict.
+#
+# The naive plan is a per-source window cumsum — a single task sorting a
+# whole source (the quality_percentile_gate failure mode). Served form
+# reuses the two-phase histogram pattern for a CUMULATIVE SUM: the
+# per-(source, bucket) token totals are a compact table (<=1000 buckets
+# per source regardless of N); cumulative bucket offsets + per-source
+# totals compute there and broadcast back; the only corpus-side window
+# is the within-bucket running sum, partitioned by (source, bucket).
+# ---------------------------------------------------------------------------
+
+# Each source's budget = this fraction (per-mille) of its own total
+# tokens — data-derived, so the registry entry needs no config and the
+# selection boundary lands mid-source (the interesting case).
+BUDGET_PER_MILLE = 500
+
+
+def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .text_ops import TOKENS
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.selectExpr(
+        "doc_id",
+        "source",
+        f"CAST(size({TOKENS}) AS BIGINT) AS n_tok",
+    ).withColumn("bucket", _bucket(F.col("doc_id")))
+    hist = scored.groupBy("source", "bucket").agg(
+        F.sum("n_tok").alias("btok")
+    )
+    offs = hist.selectExpr(
+        "source AS o_source",
+        "bucket AS o_bucket",
+        "coalesce(sum(btok) OVER (PARTITION BY source ORDER BY bucket ASC"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L)"
+        " AS bucket_before",
+        "sum(btok) OVER (PARTITION BY source) AS total_tok",
+    )
+    wl = (
+        Window.partitionBy("source", "bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = scored.withColumn(
+        "within_before", F.coalesce(F.sum("n_tok").over(wl), F.lit(0))
+    )
+    return (
+        ranked.join(
+            maybe_broadcast(offs),
+            (F.col("source") == F.col("o_source"))
+            & (F.col("bucket") == F.col("o_bucket")),
+        )
+        .selectExpr(
+            "doc_id",
+            "source",
+            "n_tok",
+            "bucket_before + within_before AS cum_before",
+            f"(total_tok * {BUDGET_PER_MILLE}) DIV 1000 AS budget_tok",
+            "bucket_before + within_before"
+            f" < (total_tok * {BUDGET_PER_MILLE}) DIV 1000 AS selected",
+        )
+    )
+
+
+def token_budget_select_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-scale twin: the direct per-source window cumsum (one task
+    sorts a whole source) — parity reference only."""
+    from pyspark.sql import Window
+
+    from .text_ops import TOKENS
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.selectExpr(
+        "doc_id",
+        "source",
+        f"CAST(size({TOKENS}) AS BIGINT) AS n_tok",
+    ).withColumn("bucket", _bucket(F.col("doc_id")))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("bucket", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wt = Window.partitionBy("source")
+    return (
+        scored.withColumn(
+            "cum_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+        )
+        .withColumn("total_tok", F.sum("n_tok").over(wt))
+        .selectExpr(
+            "doc_id",
+            "source",
+            "n_tok",
+            "cum_before",
+            f"(total_tok * {BUDGET_PER_MILLE}) DIV 1000 AS budget_tok",
+            f"cum_before < (total_tok * {BUDGET_PER_MILLE}) DIV 1000"
+            " AS selected",
+        )
+    )
+
+
+def _token_budget_duck() -> str:
+    from .text_ops import TOKENS_DUCK
+
+    return f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         CAST(len({TOKENS_DUCK}) AS BIGINT) AS n_tok,
+         {_bucket_duck('doc_id')} AS bucket
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, source, n_tok,
+         coalesce(sum(n_tok) OVER (PARTITION BY source
+           ORDER BY bucket ASC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before,
+         sum(n_tok) OVER (PARTITION BY source) AS total_tok
+  FROM scored
+)
+SELECT doc_id, source, n_tok,
+       CAST(cum_before AS BIGINT) AS cum_before,
+       CAST((total_tok * {BUDGET_PER_MILLE}) // 1000 AS BIGINT) AS budget_tok,
+       cum_before < (total_tok * {BUDGET_PER_MILLE}) // 1000 AS selected
+FROM cum
+"""
+
+
+TOKEN_BUDGET_SQL = _token_budget_duck()
+
+
 QUERIES = {
     "stratified_sample_documents": stratified_sample_documents,
     "train_test_split_documents": train_test_split_documents,
     "source_mix_resample": source_mix_resample,
     "temperature_resample": temperature_resample,
+    "token_budget_select": token_budget_select,
 }
 ORACLE = {
     "stratified_sample_documents": STRATIFIED_SAMPLE_SQL,
     "train_test_split_documents": TRAIN_TEST_SPLIT_SQL,
     "source_mix_resample": SOURCE_MIX_SQL,
     "temperature_resample": TEMPERATURE_RESAMPLE_SQL,
+    "token_budget_select": TOKEN_BUDGET_SQL,
 }

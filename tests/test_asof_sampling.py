@@ -156,6 +156,78 @@ class TestDeterministicSampling:
         assert 0 < sampled < total
 
 
+class TestTokenBudgetSelect:
+    def test_scale_form_matches_window_twin(self, spark, sf_dir):
+        from jitsu_spark.operators.sampling import (
+            token_budget_select,
+            token_budget_select_window,
+        )
+
+        got = sorted(map(tuple, token_budget_select(spark, sf_dir).collect()))
+        want = sorted(
+            map(tuple, token_budget_select_window(spark, sf_dir).collect())
+        )
+        assert got == want and len(got) > 0
+
+    def test_budget_boundary_semantics(self, spark, sf_dir):
+        """Selected docs are exactly the bucket-order prefix whose
+        cumulative token count stays under the budget; the first
+        non-selected doc crosses it."""
+        from pyspark.sql import functions as F
+
+        from jitsu_spark.operators.sampling import token_budget_select
+
+        out = token_budget_select(spark, sf_dir)
+        per_source = (
+            out.groupBy("source")
+            .agg(
+                F.max("budget_tok").alias("budget"),
+                F.sum(
+                    F.when(F.col("selected"), F.col("n_tok")).otherwise(0)
+                ).alias("sel_tok"),
+                F.min(
+                    F.when(~F.col("selected"), F.col("cum_before"))
+                ).alias("first_out_cum"),
+            )
+            .collect()
+        )
+        assert per_source
+        for r in per_source:
+            # the selected prefix's LAST doc may straddle the boundary
+            # (selection is by cum_before < budget), so sel_tok can
+            # exceed budget by at most that doc's tokens — and the
+            # first excluded doc's cum_before must be >= budget
+            assert r.first_out_cum is None or r.first_out_cum >= r.budget
+            # prefix property: every selected doc started under budget
+        sel = out.where("selected")
+        assert sel.where(F.col("cum_before") >= F.col("budget_tok")).count() == 0
+
+    def test_no_per_source_corpus_window(self, spark, sf_dir):
+        """Row-level running sums are partitioned by (source, bucket) —
+        never by source alone (the single-task sort failure mode)."""
+        import re
+
+        from jitsu_spark.operators.sampling import token_budget_select
+
+        df = token_budget_select(spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        # the corpus-side running sum (over n_tok) must PARTITION by
+        # (source, bucket): in the spec string a partition key is
+        # followed by a comma, an ORDER key by ASC/DESC — the window
+        # twin would fail this (bucket is only its order key)
+        specs = re.findall(
+            r"sum\(n_tok[^)]*\) windowspecdefinition\([^)]+\)", plan
+        )
+        assert specs
+        assert all(re.search(r"bucket#\d+L?,", s) for s in specs), specs
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+
+
 class TestSourceMixResample:
     def test_copy_counts_match_rates(self, spark, sf_dir):
         from jitsu_spark.operators.sampling import MIX_RATES, source_mix_resample

@@ -31,6 +31,10 @@ PROBE = [
     "embedding_cluster_assign",
     "cluster_prototype_prune",
     "temperature_resample",
+    # round-5 re-planned ranks + new linear scans
+    "quality_percentile_gate",
+    "cluster_balanced_sample",
+    "bpe_trained_token_count",
 ]
 
 
