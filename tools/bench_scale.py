@@ -35,6 +35,7 @@ PROBE = [
     "quality_percentile_gate",
     "cluster_balanced_sample",
     "bpe_trained_token_count",
+    "token_budget_select",
 ]
 
 
