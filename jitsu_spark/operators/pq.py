@@ -717,14 +717,60 @@ def _ensure_store(spark: SparkSession, sf_dir: str) -> str:
     return store
 
 
+# Target ADC tables per salted cogroup: ~1024 x 16 KB = ~16 MB of tables
+# next to one cell's byte codes — comfortably inside an executor task.
+SALT_TARGET_TABLES_PER_GROUP = 1024
+SALT_MAX_BUCKETS = 64
+
+
+def salt_buckets_for(
+    n_queries: int | None,
+    nprobe: int = NPROBE,
+    k: int = DEFAULT_IVF_K,
+    parallelism: int | None = None,
+) -> int:
+    """Size the bulk cogroup's query-hash salt to the query-set scale.
+
+    The salt serves two roles: (a) MEMORY — each (cell, bucket) group
+    should hold roughly SALT_TARGET_TABLES_PER_GROUP ADC tables
+    (~16 MB) next to one cell's byte codes; (b) PARALLELISM — the
+    scoring stage runs K x buckets tasks, so when K is below the
+    cluster's core count the salt is also what keeps cores busy. The
+    answer is the max of both needs, capped at SALT_MAX_BUCKETS (the
+    replication bound: cell BYTE codes ship once per bucket). Unknown Q
+    falls back to the memory-safe middle default."""
+    import math
+
+    floor = 1
+    if parallelism:
+        floor = min(SALT_MAX_BUCKETS, math.ceil(parallelism / max(k, 1)))
+    if n_queries is None:
+        return max(8, floor)
+    per_cell = n_queries * nprobe / max(k, 1)
+    mem = math.ceil(per_cell / SALT_TARGET_TABLES_PER_GROUP)
+    return max(1, floor, min(SALT_MAX_BUCKETS, mem))
+
+
 def ann_ivfpq_bulk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry (rows-only — k-means training has no SQL form):
     build the PQ store and run the BULK path with the ENTIRE corpus as
     the query set — the index-join/dedup-by-ANN shape the bulk path
-    exists for (every vector asks for its top-k neighbors)."""
+    exists for (every vector asks for its top-k neighbors). The salt is
+    sized from the corpus row count (parquet footer, no scan)."""
+    from .similarity import _corpus_rows
+
     store = _ensure_store(spark, sf_dir)
     queries = unit_queries(_with_norm(load_table(spark, sf_dir, "embeddings")))
-    return ann_ivfpq_topk_bulk(spark, sf_dir, store, queries)
+    return ann_ivfpq_topk_bulk(
+        spark,
+        sf_dir,
+        store,
+        queries,
+        query_salt_buckets=salt_buckets_for(
+            _corpus_rows(sf_dir),
+            parallelism=spark.sparkContext.defaultParallelism,
+        ),
+    )
 
 
 def embedding_near_dups_from_store(
@@ -751,7 +797,7 @@ def embedding_near_dups_from_store(
     above threshold surface only the strongest; raise top_k for dense
     duplicate clusters. Recall vs the exact op is pinned in
     `tests/test_pq.py` at full probe depth."""
-    from .similarity import DUP_COS_THRESHOLD
+    from .similarity import DUP_COS_THRESHOLD, _corpus_rows
 
     thr = DUP_COS_THRESHOLD if threshold is None else threshold
     queries = unit_queries(_with_norm(load_table(spark, sf_dir, "embeddings")))
@@ -765,6 +811,11 @@ def embedding_near_dups_from_store(
         # threshold on the UNROUNDED exact sim: rounding first would admit
         # pairs at [thr - 5e-5, thr) the exact operator rejects
         round_sim=False,
+        query_salt_buckets=salt_buckets_for(
+            _corpus_rows(sf_dir),
+            nprobe,
+            parallelism=spark.sparkContext.defaultParallelism,
+        ),
     )
     return (
         topk.where(F.col("sim") >= thr)

@@ -246,6 +246,20 @@ class TestSaltedCogroup:
         assert outs[0] == outs[1]
 
 
+class TestSaltSizing:
+    def test_buckets_scale_with_query_count(self):
+        from jitsu_spark.operators.pq import (
+            SALT_MAX_BUCKETS,
+            salt_buckets_for,
+        )
+
+        assert salt_buckets_for(10) == 1  # interactive: no replication
+        assert salt_buckets_for(2_000) == 1  # sf0.1 corpus self-join
+        assert salt_buckets_for(20_000) == 4
+        assert salt_buckets_for(1_000_000) == SALT_MAX_BUCKETS
+        assert salt_buckets_for(None) == 8  # unknown Q -> safe middle
+
+
 class TestExcludeSelf:
     def test_self_matches_kept_when_disabled(self, spark, sf_dir, pq_store):
         """exclude_self=False: a query whose id collides with a corpus
