@@ -65,6 +65,34 @@ def _default_m(dim: int) -> int:
     return m
 
 
+def _write_driver_parquet(
+    out_dir: str, columns: dict[str, list], types: dict[str, str]
+) -> None:
+    """Write a tiny driver-resident table as one parquet file readable by
+    `spark.read.parquet(out_dir)` — no Spark job, no commit protocol."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    type_map = {
+        "int32": pa.int32(),
+        "int64": pa.int64(),
+        "list<double>": pa.list_(pa.float64()),
+    }
+    arrays = {
+        name: pa.array(values, type_map[types[name]])
+        for name, values in columns.items()
+    }
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)  # mode("overwrite") parity
+    os.makedirs(out_dir, exist_ok=True)
+    papq.write_table(
+        pa.table(arrays), os.path.join(out_dir, "part-00000.parquet")
+    )
+
+
 def _pq_dirs(store_dir: str) -> dict[str, str]:
     base = store_dir.rstrip("/")
     return {
@@ -205,10 +233,18 @@ def build_ivfpq_store(
 
     # coarse codebook: seeded Lloyd on the sample (driver-side, O(sample))
     centers = _lloyd(sample, k, PQ_LLOYD_ITERS, seed=7)
-    spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
-        "centroid_id int, c_emb array<double>",
-    ).write.mode("overwrite").parquet(dirs["codebook"])
+    # codebooks are DRIVER-RESIDENT O(K) / O(m*ksub) artifacts — write
+    # them with pyarrow directly instead of shipping 16/512 rows through
+    # a Spark job + commit protocol (~2.5 s of pure overhead per build);
+    # Spark reads the files identically
+    _write_driver_parquet(
+        dirs["codebook"],
+        {
+            "centroid_id": list(range(len(centers))),
+            "c_emb": [[float(x) for x in c] for c in centers],
+        },
+        {"centroid_id": "int32", "c_emb": "list<double>"},
+    )
     centroids = _load_codebook(spark, dirs["codebook"].rsplit("/", 1)[0])
     assigned = _assign_cells_l2(unit, centroids)
 
@@ -217,14 +253,19 @@ def build_ivfpq_store(
     books = _train_pq_codebooks(residuals, m, ksub)
 
     # persist sub-codebooks as (subspace, code, sub_centroid)
-    pq_rows = [
-        (j, c, [float(x) for x in books[j, c]])
-        for j in range(m)
-        for c in range(ksub)
-    ]
-    spark.createDataFrame(
-        pq_rows, "subspace int, code int, sub_centroid array<double>"
-    ).write.mode("overwrite").parquet(dirs["pq"])
+    _write_driver_parquet(
+        dirs["pq"],
+        {
+            "subspace": [j for j in range(m) for _ in range(ksub)],
+            "code": [c for _ in range(m) for c in range(ksub)],
+            "sub_centroid": [
+                [float(x) for x in books[j, c]]
+                for j in range(m)
+                for c in range(ksub)
+            ],
+        },
+        {"subspace": "int32", "code": "int32", "sub_centroid": "list<double>"},
+    )
 
     # ---- distributed encode: residual -> m byte codes ----
     cent_rows = {i: centers[i] for i in range(len(centers))}
