@@ -167,3 +167,89 @@ class TestQualityFilterProperties:
         got = duckdb.sql(f"SELECT {_bucket_duck(str(doc_id))} AS b").fetchone()[0]
         assert got == expected
         assert 0 <= got < 1000
+
+
+# ---------------------------------------------------------------------------
+# Trained-BPE equivalence (operators/bpe.py): the expression-chain form
+# (rank-ordered two-pass string replace over a delimiter-framed string)
+# must equal the GPT-2 encode loop (repeatedly merge the lowest-rank pair
+# present) for EVERY text and every merges table with the creation-order
+# property. These properties exercise the claim far beyond the fixtures —
+# in pure Python, with the same string semantics Spark's replace() uses.
+# ---------------------------------------------------------------------------
+
+_SYM, _WB = "\x1f", "\x1e"
+
+
+def _chain_count(text: str, merges) -> int:
+    """Pure-python twin of bpe.bpe_symbol_chain + the token count —
+    str.replace has the same left-to-right non-overlapping semantics as
+    Spark/DuckDB replace()."""
+    import re as _re
+
+    s = _re.sub(r"\s+", _WB, text)
+    s = _SYM + "".join(ch + _SYM for ch in s)
+    for _, left, right in sorted(merges):
+        pat = _SYM + left + _SYM + right + _SYM
+        rep = _SYM + left + right + _SYM
+        for _ in range(2):  # the two-pass replace-all claim under test
+            s = s.replace(pat, rep)
+    return s.count(_SYM) - s.count(_WB) - 1
+
+
+def _gpt2_count(text: str, merges) -> int:
+    ranks = {(l, r): rank for rank, l, r in merges}
+
+    def word(w):
+        syms = tuple(w)
+        while len(syms) > 1:
+            present = {
+                (syms[i], syms[i + 1]) for i in range(len(syms) - 1)
+            } & ranks.keys()
+            if not present:
+                break
+            a, b = min(present, key=ranks.__getitem__)
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = tuple(out)
+        return len(syms)
+
+    return sum(word(w) for w in text.split())
+
+
+@st.composite
+def _valid_merges(draw):
+    """Random merges table with the creation-order property: each rule's
+    operands are single chars or products of strictly earlier rules."""
+    alphabet = ["a", "b", "c", "d"]
+    n = draw(st.integers(0, 8))
+    symbols = list(alphabet)
+    merges = []
+    for rank in range(n):
+        left = draw(st.sampled_from(symbols))
+        right = draw(st.sampled_from(symbols))
+        merges.append((rank, left, right))
+        symbols.append(left + right)
+    return merges
+
+
+class TestBpeChainEquivalence:
+    @given(
+        st.text(alphabet="abcd ", max_size=40),
+        _valid_merges(),
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_two_pass_chain_equals_gpt2_loop(self, text, merges):
+        assert _chain_count(text, merges) == _gpt2_count(text, merges)
+
+    @given(st.text(alphabet="abcd ", max_size=40))
+    @settings(max_examples=100, deadline=None)
+    def test_no_merges_counts_characters(self, text):
+        expect = sum(len(w) for w in text.split())
+        assert _chain_count(text, []) == expect == _gpt2_count(text, [])
