@@ -273,10 +273,106 @@ GROUP BY t.doc_id
 """
 
 
+def duplicate_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL pass behind `duplicate_span_report` — what Lee et al.
+    2022 actually apply: excise cross-document duplicated spans from the
+    corpus, keeping one canonical occurrence.
+
+    Deterministic rule: for every gram shared by >= 2 documents, the
+    smallest doc_id holding it is canonical; every position that gram
+    covers in OTHER documents is removed. Output is the full corpus,
+    one row per document: (doc_id, n_tokens, n_removed, cleaned_text)
+    with cleaned_text the kept tokens re-joined by single spaces
+    (whitespace-normalizing, like every token-level op here).
+
+    Scale: one positional gram explode; the duplicated-gram table
+    aggregates with map-side combine and carries (gram, canon) only;
+    removal positions collapse to one bounded array per document
+    (collect_set <= doc length); the corpus-side cleanup is a single
+    join + a filter-with-index projection — no per-doc sort, no Python."""
+    docs = load_table_docs(spark, sf_dir)
+    grams = docs.selectExpr(
+        "doc_id", f"posexplode({_SHINGLES_T}) AS (pos, gram)"
+    )
+    dup = (
+        grams.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("canon"))
+        .where(F.col("df") >= 2)
+        .select("gram", "canon")
+    )
+    rm = (
+        grams.join(maybe_broadcast(dup), "gram")
+        .where(F.col("doc_id") != F.col("canon"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"sequence(pos, pos + {SPAN_K} - 1)")
+            ).alias("rp"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("rp").alias("rm"))
+    )
+    return (
+        docs.join(maybe_broadcast(rm), "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "size(toks) AS n_tokens",
+            "CASE WHEN rm IS NULL THEN toks"
+            " ELSE filter(toks, (x, i) -> NOT array_contains(rm, i)) END"
+            " AS kept",
+        )
+        .selectExpr(
+            "doc_id",
+            "CAST(n_tokens AS BIGINT) AS n_tokens",
+            "CAST(n_tokens - size(kept) AS BIGINT) AS n_removed",
+            "concat_ws(' ', kept) AS cleaned_text",
+        )
+    )
+
+
+DUP_SPAN_DEDUP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
+),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+  FROM toks, unnest(range(1, len(toks) - 1)) AS t(i)
+),
+dup AS (
+  SELECT gram, min(doc_id) AS canon
+  FROM (SELECT DISTINCT doc_id, gram FROM grams)
+  GROUP BY gram HAVING count(*) >= 2
+),
+rm AS (
+  SELECT doc_id, list(DISTINCT pos + o.off) AS rm
+  FROM grams g
+  JOIN dup USING (gram)
+  CROSS JOIN (SELECT unnest(range(0, {SPAN_K})) AS off) o
+  WHERE g.doc_id <> dup.canon
+  GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN rm.rm IS NULL THEN 0
+            ELSE len(toks) - len(list_filter(toks,
+                 (x, i) -> NOT list_contains(rm.rm, i - 1))) END
+            AS BIGINT) AS n_removed,
+       coalesce(CASE WHEN rm.rm IS NULL THEN array_to_string(toks, ' ')
+            ELSE array_to_string(list_filter(toks,
+                 (x, i) -> NOT list_contains(rm.rm, i - 1)), ' ') END, '')
+         AS cleaned_text
+FROM toks t LEFT JOIN rm ON t.doc_id = rm.doc_id
+"""
+
+
 QUERIES = {
     "boilerplate_shingle_stats": boilerplate_shingle_stats,
     "ngram_topk": ngram_topk,
     "duplicate_span_report": duplicate_span_report,
+    "duplicate_span_dedup": duplicate_span_dedup,
     "unigram_surprisal": unigram_surprisal,
 }
 
@@ -284,5 +380,6 @@ ORACLE = {
     "boilerplate_shingle_stats": BOILERPLATE_STATS_SQL,
     "ngram_topk": NGRAM_TOPK_SQL,
     "duplicate_span_report": DUP_SPAN_SQL,
+    "duplicate_span_dedup": DUP_SPAN_DEDUP_SQL,
     "unigram_surprisal": UNIGRAM_SURPRISAL_SQL,
 }

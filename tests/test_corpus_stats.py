@@ -343,3 +343,55 @@ def test_duplicate_spans_match_python_reference(spark, tmp_path):
         for r in duplicate_span_report(spark, out).collect()
     }
     assert got == expect
+
+
+class TestDuplicateSpanDedup:
+    def test_canonical_keeps_others_lose_covered_tokens(self, spark, tmp_path):
+        rows = [
+            # docs 1 and 2 share the 3-gram "x y z"; doc 1 (min id) is
+            # canonical and keeps it, doc 2 loses exactly those 3 tokens
+            (1, "x y z alpha beta gamma"),
+            (2, "p q x y z r s"),
+            # doc 3 shares nothing -> untouched
+            (3, "u v w u2 v2 w2"),
+            # doc 4 is an exact copy of doc 3's text -> doc 3 becomes
+            # canonical for every gram, doc 4 empties completely
+            (4, "u v w u2 v2 w2"),
+        ]
+        spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+            "overwrite"
+        ).parquet(f"{tmp_path}/documents.parquet")
+        from jitsu_spark.operators.corpus_stats import duplicate_span_dedup
+
+        out = {
+            r.doc_id: (r.n_tokens, r.n_removed, r.cleaned_text)
+            for r in duplicate_span_dedup(spark, str(tmp_path)).collect()
+        }
+        assert out[1] == (6, 0, "x y z alpha beta gamma")
+        assert out[2] == (7, 3, "p q r s")
+        assert out[3] == (6, 0, "u v w u2 v2 w2")
+        assert out[4] == (6, 6, "")
+
+    def test_overlapping_grams_remove_union(self, spark, tmp_path):
+        rows = [
+            (1, "a b c d"),           # canonical for both grams
+            (2, "z a b c d z2"),      # grams "a b c" and "b c d" overlap:
+        ]                              # union removes 4 tokens, not 6
+        spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+            "overwrite"
+        ).parquet(f"{tmp_path}/documents.parquet")
+        from jitsu_spark.operators.corpus_stats import duplicate_span_dedup
+
+        out = {
+            r.doc_id: (r.n_removed, r.cleaned_text)
+            for r in duplicate_span_dedup(spark, str(tmp_path)).collect()
+        }
+        assert out[1] == (0, "a b c d")
+        assert out[2] == (4, "z z2")
+
+    def test_output_covers_whole_corpus(self, spark, sf_dir):
+        from jitsu_spark.operators.corpus_stats import duplicate_span_dedup
+        from jitsu_spark.tables import load_table
+
+        out = duplicate_span_dedup(spark, sf_dir)
+        assert out.count() == load_table(spark, sf_dir, "documents").count()
