@@ -159,5 +159,87 @@ def whitening_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES: dict = {"whitening_report": whitening_report}
-ORACLE: dict = {}  # rows-only: eigendecomposition is non-SQL-expressible
+# ---------------------------------------------------------------------------
+# Symmetric int8 scalar quantization (round 5): the storage-prep pass an
+# embedding corpus runs before indexing — float32 -> int8 + one scale per
+# vector is a 4x footprint cut (the standard serving trade; FAISS
+# ScalarQuantizer QT_8bit family). Pure expressions: absmax fold, explicit
+# half-up rounding (CAST(floor(x/scale + 0.5))) so Spark and DuckDB round
+# identically (their round() tie rules differ), reconstruction error via
+# the same sequential-fold dot both engines agree on bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector quantization audit: (vec_id, dim, scale, max_abs_err,
+    mse) under symmetric int8 (q = round(x/scale), scale = absmax/127).
+    Zero vectors quantize to all-zero with scale 0. One map-only scan —
+    quantizing 100 TB is embarrassingly parallel; the quantized arrays
+    themselves are a projection away (this entry emits the scalar audit
+    columns the hash gate can compare)."""
+    from .similarity import DOT
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    absmax = (
+        "aggregate(embedding, CAST(0.0 AS DOUBLE),"
+        " (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"
+    )
+    q = (
+        "CASE WHEN scale = 0.0D THEN transform(embedding, x -> 0)"
+        " ELSE transform(embedding, x ->"
+        " CAST(floor(CAST(x AS DOUBLE) / scale + 0.5D) AS INT)) END"
+    )
+    err = "zip_with(embedding, q, (x, qi) -> CAST(x AS DOUBLE) - qi * scale)"
+    return (
+        emb.selectExpr("vec_id", "embedding", f"{absmax} / 127.0D AS scale")
+        .selectExpr("vec_id", "embedding", "scale", f"{q} AS q")
+        .selectExpr("vec_id", "embedding", "scale", f"{err} AS err")
+        .selectExpr(
+            "vec_id",
+            "size(embedding) AS dim",
+            "round(scale, 8) AS scale",
+            "round(aggregate(err, CAST(0.0 AS DOUBLE),"
+            " (a, e) -> greatest(a, abs(e))), 8) AS max_abs_err",
+            f"round({DOT.format(a='err', b='err')} / size(embedding), 10)"
+            " AS mse",
+        )
+    )
+
+
+INT8_QUANT_SQL = """
+WITH scaled AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
+           AS scale
+  FROM embeddings
+),
+quant AS (
+  SELECT vec_id, e, scale,
+         CASE WHEN scale = 0.0 THEN list_transform(e, x -> 0)
+              ELSE list_transform(e, x -> CAST(floor(x / scale + 0.5) AS INT))
+         END AS q
+  FROM scaled
+),
+errs AS (
+  SELECT vec_id, e, scale,
+         list_transform(range(1, len(e) + 1), i -> e[i] - q[i] * scale)
+           AS err
+  FROM quant
+)
+SELECT vec_id,
+       CAST(len(e) AS INT) AS dim,
+       round(scale, 8) AS scale,
+       round(list_max(list_transform(err, x -> abs(x))), 8) AS max_abs_err,
+       round(list_dot_product(err, err) / len(e), 10) AS mse
+FROM errs
+"""
+
+
+QUERIES: dict = {
+    "whitening_report": whitening_report,
+    "embedding_int8_quantize": embedding_int8_quantize,
+}
+ORACLE: dict = {
+    # whitening_report stays rows-only (eigendecomposition has no SQL form)
+    "embedding_int8_quantize": INT8_QUANT_SQL,
+}

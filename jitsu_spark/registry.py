@@ -89,6 +89,7 @@ _PRIORITY = [
     "bpe_trained_token_count",
     "token_budget_select",
     "duplicate_span_dedup",
+    "embedding_int8_quantize",
     # -- never driver-checked through r04 --
     "bpe_token_count", "url_stats_by_source", "length_histogram",
     "gopher_quality_flags", "repetition_stats", "pii_redact",

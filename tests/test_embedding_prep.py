@@ -75,3 +75,43 @@ def test_whitening_preserves_row_count_and_ids(spark, sf_dir, whitening_store):
         out.select("vec_id").distinct().count()
         == src.select("vec_id").distinct().count()
     )
+
+
+class TestInt8Quantize:
+    def test_quantization_bounds_and_zero_vector(self, spark, tmp_path):
+        rows = [
+            (1, [1.27, -1.27, 0.635], 0),
+            (2, [0.0, 0.0, 0.0], 0),  # zero vector: scale 0, q all 0
+        ]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+        from jitsu_spark.operators.embedding_prep import (
+            embedding_int8_quantize,
+        )
+
+        out = {
+            r.vec_id: r
+            for r in embedding_int8_quantize(spark, str(tmp_path)).collect()
+        }
+        r1 = out[1]
+        assert r1.dim == 3
+        assert abs(r1.scale - 1.27 / 127) < 1e-6  # absmax / 127
+        # max error bounded by half a quantization step
+        assert r1.max_abs_err <= r1.scale / 2 + 1e-9
+        assert r1.mse <= (r1.scale / 2) ** 2 + 1e-12
+        r2 = out[2]
+        assert r2.scale == 0.0 and r2.max_abs_err == 0.0 and r2.mse == 0.0
+
+    def test_error_bound_holds_on_corpus(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from jitsu_spark.operators.embedding_prep import (
+            embedding_int8_quantize,
+        )
+
+        out = embedding_int8_quantize(spark, sf_dir)
+        bad = out.where(
+            F.col("max_abs_err") > F.col("scale") / 2 + 1e-9
+        ).count()
+        assert bad == 0 and out.count() > 0
