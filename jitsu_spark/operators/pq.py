@@ -888,9 +888,55 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivfpq_topk_stored(spark, sf_dir, _ensure_store(spark, sf_dir))
 
 
+def pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-quality evaluation — the IVF-PQ counterpart of
+    `dedup.lsh_recall_report`: measure the refined PQ index's recall
+    against exact cosine top-k, at the serving nprobe AND at full probe
+    depth (separating probe loss from quantization loss — the two knobs
+    a pipeline owner tunes independently). One row:
+    (n_queries, top_k, nprobe, recall_at_nprobe, recall_full_probe).
+
+    Scale: ground truth is the broadcast-query brute-force pass over the
+    corpus — bounded by the fixed query set (N_QUERIES), not by N; the
+    probes reuse the memoized store. Rows-only (k-means training has no
+    SQL form), like the rest of the PQ family."""
+    from .similarity import cosine_topk_bruteforce
+
+    store = _ensure_store(spark, sf_dir)
+    k_cells = _load_codebook(spark, store).count()
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_bruteforce(spark, sf_dir).collect()
+    }
+    got_default = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_ivfpq_topk_stored(spark, sf_dir, store).collect()
+    }
+    got_full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_ivfpq_topk_stored(
+            spark, sf_dir, store, nprobe=k_cells
+        ).collect()
+    }
+    n_true = max(len(exact), 1)
+    row = (
+        len({q for q, _ in exact}),
+        TOP_K,
+        NPROBE,
+        round(len(exact & got_default) / n_true, 4),
+        round(len(exact & got_full) / n_true, 4),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_queries int, top_k int, nprobe int,"
+        " recall_at_nprobe double, recall_full_probe double",
+    )
+
+
 QUERIES: dict = {
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "ann_ivfpq_bulk_topk": ann_ivfpq_bulk_topk,
     "embedding_near_dups_approx": embedding_near_dups_approx,
+    "pq_recall_report": pq_recall_report,
 }
 ORACLE: dict = {}  # rows-only: iterative training is non-SQL-expressible

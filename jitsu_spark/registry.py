@@ -90,6 +90,7 @@ _PRIORITY = [
     "token_budget_select",
     "duplicate_span_dedup",
     "embedding_int8_quantize",
+    "pq_recall_report",
     # -- never driver-checked through r04 --
     "bpe_token_count", "url_stats_by_source", "length_histogram",
     "gopher_quality_flags", "repetition_stats", "pii_redact",

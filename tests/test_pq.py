@@ -343,6 +343,25 @@ print(f"ok delta={delta_mb:.0f}MB")
         assert (got.argmin(axis=1) == naive.argmin(axis=1)).all()
 
 
+class TestRecallReport:
+    def test_full_probe_recovers_exact_and_default_is_partial(
+        self, spark, sf_dir
+    ):
+        from jitsu_spark.operators.pq import pq_recall_report
+        from jitsu_spark.operators.similarity import N_QUERIES, NPROBE, TOP_K
+
+        row = pq_recall_report(spark, sf_dir).collect()[0]
+        assert row.n_queries == N_QUERIES
+        assert (row.top_k, row.nprobe) == (TOP_K, NPROBE)
+        # full probe removes probe loss; the remaining gap is shortlist
+        # quantization loss (near-uniform corpus, d=64/m=8 — measured
+        # 0.76 at this SF; real clustered embeddings sit far higher)
+        assert row.recall_full_probe >= 0.7
+        # partial probe trades recall for scan fraction — meaningful,
+        # and never above the full-probe number
+        assert 0.2 <= row.recall_at_nprobe <= row.recall_full_probe
+
+
 class TestStoreMemo:
     def test_stat_failure_disables_memoization(self, tmp_path):
         from jitsu_spark.operators.pq import _dataset_key
