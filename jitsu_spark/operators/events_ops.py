@@ -347,16 +347,11 @@ GROUP BY user_id
 """
 
 
-def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W4-analog — gap-based sessionization (30-min inactivity gap).
-
-    The reference expresses session-ish state via TTL'd KV buffers
-    (`libs/core-functions/src/functions/lib/store.ts:7`, user-recognition
-    event buffers `user-recognition.ts:24-82`); the relational equivalent is
-    a per-user lag window. Single shuffle on user_id; both window and the
-    final groupBy reuse that partitioning (no second exchange).
-    """
-    ev = load_table(spark, sf_dir, "events")
+def sessionize_df(ev: DataFrame) -> DataFrame:
+    """Gap-based sessionization core over any (user_id, ts, event_id)
+    frame — shared by the registry entry and the bucketed-layout path
+    (`plans/bucketing.py`), where the input's bucketing makes the
+    user_id exchange disappear entirely."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_sec = SESSION_GAP_MIN * 60
     with_gap = ev.withColumn(
@@ -390,6 +385,19 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_session_sec"),
         )
     )
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4-analog — gap-based sessionization (30-min inactivity gap).
+
+    The reference expresses session-ish state via TTL'd KV buffers
+    (`libs/core-functions/src/functions/lib/store.ts:7`, user-recognition
+    event buffers `user-recognition.ts:24-82`); the relational equivalent is
+    a per-user lag window. Single shuffle on user_id; both window and the
+    final groupBy reuse that partitioning (no second exchange) — and a
+    user_id-bucketed table layout removes even that one
+    (`plans/bucketing.py`)."""
+    return sessionize_df(load_table(spark, sf_dir, "events"))
 
 
 SESSIONIZE_SQL = f"""

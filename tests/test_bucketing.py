@@ -1,0 +1,65 @@
+"""Bucketed co-located layouts (`jitsu_spark/plans/bucketing.py`):
+results identical to the scan-based path, and the user_id exchange gone
+from every per-user operator fed from the bucketed table."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def bucketed_events(spark):
+    from jitsu_spark.plans.bucketing import bucketed_events_table
+
+    tbl = bucketed_events_table(spark, SF_DIR, table_name="t_events_bucketed")
+    yield tbl
+    spark.sql("DROP TABLE IF EXISTS t_events_bucketed")
+
+
+class TestBucketedSessionize:
+    def test_results_match_scan_path(self, spark, bucketed_events):
+        from jitsu_spark.operators.events_ops import sessionize, sessionize_df
+
+        got = sorted(map(tuple, sessionize_df(bucketed_events).collect()))
+        want = sorted(map(tuple, sessionize(spark, SF_DIR).collect()))
+        assert got == want and len(got) > 0
+
+    def test_no_user_id_exchange(self, spark, bucketed_events):
+        """The whole point: the write-time bucketing satisfies the
+        window's ClusteredDistribution(user_id), so the plan has no
+        hash exchange at all — the scan path has exactly one."""
+        from jitsu_spark.operators.events_ops import sessionize, sessionize_df
+
+        bucketed_plan = _plan(sessionize_df(bucketed_events))
+        # formatted plans print the Exchange node and its
+        # hashpartitioning arguments on separate lines — assert on both
+        assert "Exchange" not in bucketed_plan
+        assert "hashpartitioning(user_id" not in bucketed_plan
+        scan_plan = _plan(sessionize(spark, SF_DIR))
+        assert "hashpartitioning(user_id" in scan_plan
+
+    def test_cobucketed_self_join_is_shuffle_free(self, spark, bucketed_events):
+        """Two frames from the same bucketed table join on user_id with
+        no exchange on either side (co-located join)."""
+        from pyspark.sql import functions as F
+
+        a = bucketed_events.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        b = bucketed_events.groupBy("user_id").agg(
+            F.max("ts").alias("last_ts")
+        )
+        joined = a.join(b, "user_id")
+        plan = _plan(joined)
+        assert "hashpartitioning(user_id" not in plan
+        assert joined.count() > 0

@@ -353,9 +353,11 @@ class TestClusteringPlans:
         assert "SortMergeJoin" not in plan
         # MAP-SIDE argmax: no window, no hash exchange of the corpus —
         # the fold over the packed centroid array replaces the N*K
-        # window shuffle
+        # window shuffle. (Formatted plans print the Exchange node and
+        # its hashpartitioning arguments on separate lines, so assert
+        # on the argument string, not the simple-mode concatenation.)
         assert "Window" not in plan
-        assert "Exchange hashpartitioning" not in plan
+        assert "hashpartitioning" not in plan
 
     def test_temperature_rates_broadcast_onto_scan(self, spark, sf_dir):
         from jitsu_spark.operators.sampling import temperature_resample
