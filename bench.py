@@ -122,10 +122,15 @@ def main() -> None:
     print(json.dumps(result))
     # The driver records only the stdout tail, which has truncated the
     # headline value in past rounds (BENCH_r04). Persist the full summary
-    # so round-over-round comparison never depends on tail truncation.
+    # so round-over-round comparison never depends on tail truncation —
+    # full-suite runs only: a narrowed subset run must not clobber the
+    # committed full summary.
     summary_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_SUMMARY.json"
     )
+    if extra:
+        spark.stop()
+        return  # subset runs never clobber the full-suite summary
     try:
         with open(summary_path, "w") as fh:
             json.dump(result, fh, indent=1, sort_keys=True)

@@ -313,7 +313,11 @@ def ngram_jaccard_dups(
     corpus size itself (`_default_df_cap`: footer-stats row count, 0.1%
     of N above DF_CAP_MIN_DOCS) — so production corpora get the skew
     guard WITHOUT configuration, while at test SF the default stays a
-    no-op and the result is exact (the oracle regime).
+    no-op and the result is exact (the oracle regime). Above
+    DF_CAP_MIN_DOCS the result is deliberately approximate (hot-shingle
+    pairs dropped) and the registered SQL oracle no longer applies —
+    pass max_doc_frequency=MAX_SHINGLE_DF_DEFAULT to force the exact
+    O(hot^2) form at any size.
     """
     if max_doc_frequency is None:
         max_doc_frequency = _default_df_cap(sf_dir)

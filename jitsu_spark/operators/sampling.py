@@ -324,7 +324,9 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ranked.join(
             maybe_broadcast(offs),
-            (F.col("source") == F.col("o_source"))
+            # null-safe on source: a NULL-source stratum is still a
+            # stratum (the window twin and the oracle both keep it)
+            F.col("source").eqNullSafe(F.col("o_source"))
             & (F.col("bucket") == F.col("o_bucket")),
         )
         .selectExpr(

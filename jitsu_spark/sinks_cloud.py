@@ -122,12 +122,18 @@ def snowflake_writer(credentials: dict, table: str) -> WriterSpec:
     )
 
 
-# destinations.tsx:241-249: default port per ClickHouse protocol
-_CLICKHOUSE_PORTS = {
+# destinations.tsx:241-249: the reference's default port per protocol —
+# the Go bulker speaks both native TCP (9000/9440) and HTTP. The JDBC
+# driver this WriterSpec names (com.clickhouse.jdbc.ClickHouseDriver)
+# is HTTP(S)-only, so hosts WITHOUT an explicit port map to the HTTP
+# interface port for the chosen security level (native protocol
+# selections bridge to their HTTP equivalent); hosts WITH a port are
+# passed through untouched.
+_CLICKHOUSE_JDBC_PORTS = {
     "http": 8123,
     "https": 8443,
-    "clickhouse": 9000,
-    "clickhouse-secure": 9440,
+    "clickhouse": 8123,          # native plaintext -> HTTP
+    "clickhouse-secure": 8443,   # native TLS -> HTTPS
 }
 
 
@@ -146,11 +152,13 @@ def clickhouse_writer(credentials: dict, table: str) -> WriterSpec:
     async inserts (destinations.tsx:380-382) and dedup is EVENTUAL —
     reads see duplicates until a merge unless they ask FINAL."""
     protocol = credentials.get("protocol", "clickhouse-secure")
-    if protocol not in _CLICKHOUSE_PORTS:
+    if protocol not in _CLICKHOUSE_JDBC_PORTS:
         raise ValueError(f"unknown clickhouse protocol {protocol!r}")
     hosts = []
     for h in credentials["hosts"]:
-        hosts.append(h if ":" in h else f"{h}:{_CLICKHOUSE_PORTS[protocol]}")
+        hosts.append(
+            h if ":" in h else f"{h}:{_CLICKHOUSE_JDBC_PORTS[protocol]}"
+        )
     database = credentials.get("database", "default")
     opts = {
         "url": f"jdbc:clickhouse://{','.join(hosts)}/{database}",
@@ -406,13 +414,23 @@ def replacing_insert_statements(
     timestamp_col: str = "ts",
     include_ddl: bool = False,
     column_types: dict[str, str] | None = None,
+    cluster: str | None = None,
 ) -> list[str]:
     """Staging-promotion statements for a ReplacingMergeTree upsert:
     optional CREATE TABLE (engine DDL needs column types), INSERT of the
     staged batch (already one row per key — `sinks._latest_per_key` runs
     before staging, same as every other family), and the staging DROP.
     `family` must be 'clickhouse' or 'ansi' (the Derby live-twin form,
-    which skips the engine clause)."""
+    which skips the engine clause) — a MERGE family here would silently
+    get a dedup-free plain INSERT promotion, so it is refused the same
+    way merge_statements refuses clickhouse. `cluster` (the ported
+    credential, destinations.tsx:253-256) adds ON CLUSTER to the DDL so
+    the table exists on every node of a clustered deployment."""
+    if family != "ansi" and MERGE_DIALECTS.get(family, {}).get("strategy") != "replacing_insert":
+        raise ValueError(
+            f"{family} is a MERGE family — use merge_statements; "
+            "replacing_insert_statements is for ReplacingMergeTree engines"
+        )
     d = MERGE_DIALECTS[family]
     q, tq = d["q"], d["table_q"]
     for c in primary_key:
@@ -432,8 +450,9 @@ def replacing_insert_statements(
             f"{_mq(c, q)} {column_types[c]}" for c in columns
         )
         order_by = ", ".join(_mq(c, q) for c in primary_key)
+        on_cluster = f"ON CLUSTER {_mq(cluster, q)} " if cluster else ""
         stmts.append(
-            f"CREATE TABLE IF NOT EXISTS {t} ({col_defs}) "
+            f"CREATE TABLE IF NOT EXISTS {t} {on_cluster}({col_defs}) "
             f"ENGINE = ReplacingMergeTree({_mq(timestamp_col, q)}) "
             f"ORDER BY ({order_by})"
         )
@@ -455,7 +474,18 @@ def final_read_sql(
     the ANSI form is the newest-wins emulation (ties on the version
     column keep all tied rows — stage batches are one row per key, so
     ties require identical-ts cross-batch redeliveries, which both
-    engines then keep/collapse identically for identical payloads)."""
+    engines then keep/collapse identically for identical payloads).
+    Same family contract as replacing_insert_statements: clickhouse or
+    the ansi twin only — MERGE families dedup at promotion time."""
+    if (
+        family != "ansi"
+        and MERGE_DIALECTS.get(family, {}).get("strategy")
+        != "replacing_insert"
+    ):
+        raise ValueError(
+            f"{family} is a MERGE family — its tables are already deduped"
+            " at MERGE time; final_read_sql is for ReplacingMergeTree"
+        )
     d = MERGE_DIALECTS[family]
     q, tq = d["q"], d["table_q"]
     for c in primary_key:

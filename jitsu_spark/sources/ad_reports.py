@@ -144,6 +144,15 @@ def _day_start_utc(day: str) -> dt.datetime:
     )
 
 
+def _js_iso(ts: dt.datetime) -> str:
+    """Date.prototype.toISOString parity ('2024-03-09T00:00:00.000Z'):
+    the reference builds Facebook $insert_id from this exact string
+    (mixpanel.ts:180-183), so re-syncs from either implementation must
+    produce byte-identical ids to stay idempotent in Mixpanel (Python's
+    isoformat would emit '+00:00' and no milliseconds — a different id)."""
+    return ts.strftime("%Y-%m-%dT%H:%M:%S.") + f"{ts.microsecond // 1000:03d}Z"
+
+
 def facebook_ads_sync(
     source: FacebookCredentials,
     destination: MixpanelDestination,
@@ -211,9 +220,10 @@ def facebook_ads_sync(
                     {
                         "event": "Ad Data",
                         "properties": {
-                            # :183 — the G- prefix is faithful to source
+                            # :183 — the G- prefix AND the JS
+                            # toISOString format are faithful to source
                             "$insert_id": (
-                                f"G-{campaign_day.isoformat()}-{campaign_id}"
+                                f"G-{_js_iso(campaign_day)}-{campaign_id}"
                             ),
                             "time": int(campaign_day.timestamp() * 1000),
                             "source": "facebook",

@@ -127,7 +127,9 @@ class TestFacebookSync:
         ev = mp[0]["body"][0]
         p = ev["properties"]
         assert ev["event"] == "Ad Data"
-        assert p["$insert_id"] == "G-2024-03-09T00:00:00+00:00-camp1"
+        # JS Date.toISOString format — byte-identical to the reference's
+        # ids so cross-implementation re-syncs stay idempotent
+        assert p["$insert_id"] == "G-2024-03-09T00:00:00.000Z-camp1"
         assert p["time"] == int(
             dt.datetime(2024, 3, 9, tzinfo=dt.timezone.utc).timestamp() * 1000
         )

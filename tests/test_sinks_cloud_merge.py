@@ -304,8 +304,10 @@ class TestClickhouseReplacingInsertTwin:
             "events",
         )
         assert spec.format == "jdbc"
+        # JDBC bridge: the driver is HTTP(S)-only, so the secure native
+        # protocol maps to 8443; explicit ports pass through untouched
         assert spec.options["url"] == (
-            "jdbc:clickhouse://ch1.example.com:9440,ch2.example.com:9001"
+            "jdbc:clickhouse://ch1.example.com:8443,ch2.example.com:9001"
             "/newjitsu_metrics"
         )
         assert spec.options["ssl"] == "true"
@@ -313,6 +315,31 @@ class TestClickhouseReplacingInsertTwin:
         caps = spec.capabilities
         assert caps["dedup_is_global"] and caps["dedup_is_eventual"]
         assert caps["read_requires_final"] and not caps["stream_mode"]
+
+    def test_replacing_insert_refuses_merge_families(self):
+        from jitsu_spark.sinks_cloud import (
+            final_read_sql,
+            replacing_insert_statements,
+        )
+
+        for family in ("snowflake", "bigquery"):
+            with pytest.raises(ValueError, match="MERGE family"):
+                replacing_insert_statements(family, "t", "s", COLS, PK)
+            with pytest.raises(ValueError, match="MERGE family"):
+                final_read_sql(family, "t", COLS, PK)
+
+    def test_on_cluster_ddl(self):
+        from jitsu_spark.sinks_cloud import replacing_insert_statements
+
+        stmts = replacing_insert_statements(
+            "clickhouse", "events", "events__stage", COLS, PK,
+            include_ddl=True, cluster="main",
+            column_types={
+                "message_id": "String", "ts": "DateTime64(3)",
+                "payload": "String",
+            },
+        )
+        assert "ON CLUSTER `main` " in stmts[0]
 
     def test_ddl_requires_full_column_types(self):
         from jitsu_spark.sinks_cloud import replacing_insert_statements
