@@ -14,7 +14,12 @@ symbols created by rules with rank < r. Therefore applying the rules IN
 RANK ORDER, each as one left-to-right replace-all pass, produces the
 same segmentation as the GPT-2 encode loop (repeatedly merge the
 lowest-rank pair present): once rule r has run, no later rule can create
-a new occurrence of any rule <= r's pair. That makes fixture-scale BPE
+a new occurrence of any rule <= r's pair. The chain form additionally
+requires left != right per rule (enforced): same-symbol rules make pair
+occurrences OVERLAP on runs, and leftmost-greedy run pairing is not
+expressible as string replace (nor as RE2, which lacks lookahead) — the
+mapInPandas encoder handles those, and real tables need it anyway.
+Within that contract, fixture-scale BPE is
 expressible as a CHAIN OF replace() EXPRESSIONS over a delimited
 character string — whole-stage codegen, zero Python, and an exact DuckDB
 oracle (the same chain) — while big merges tables (50k rules = 50k
@@ -78,12 +83,39 @@ def merges_fixture_df(spark: SparkSession) -> DataFrame:
     )
 
 
+def _check_chain_merges(merges: list[tuple[int, str, str]]) -> None:
+    """The expression chain is exact ONLY for rules with left != right.
+
+    For distinct operands, adjacent pair occurrences are character-
+    disjoint: a pass-1 miss (its leading delimiter consumed by the
+    previous match's trailing one) stays at the SAME token pair and is
+    isolated, so the second pass completes replace-all exactly. For a
+    SAME-symbol rule (a, a), occurrences overlap on a run of a's, and a
+    left-to-right string scan that loses one boundary delimiter re-pairs
+    the run wrongly ('aaaaaa' -> aa,a,aa,a instead of the merge loop's
+    aa,aa,aa) — and no fixed number of replace passes can express
+    leftmost-greedy run pairing (RE2 has no lookahead, so the oracle
+    cannot either). Real trained tables DO contain same-symbol rules
+    (GPT-2 merges whitespace/dash runs), so the chain refuses them
+    loudly instead of miscounting silently; `bpe_token_count_pandas` —
+    the intended path for real tables — handles them exactly."""
+    for _, left, right in merges:
+        if left == right:
+            raise ValueError(
+                f"merge rule ({left!r}, {right!r}) has identical operands:"
+                " same-symbol runs are not expressible as a replace chain"
+                " — use bpe_token_count_pandas"
+            )
+
+
 def bpe_symbol_chain(
     text: Column, merges: list[tuple[int, str, str]]
 ) -> Column:
     """The delimited symbol string after applying `merges` in rank order
     — each rule one replace() pass (left-to-right, non-overlapping, the
-    BPE replace-all semantics in both Spark and DuckDB)."""
+    BPE replace-all semantics in both Spark and DuckDB). Refuses
+    same-symbol rules (`_check_chain_merges`)."""
+    _check_chain_merges(merges)
     col = F.regexp_replace(text, r"\s+", _WB)
     # every symbol both PRECEDED and FOLLOWED by the delimiter: a char
     # split leaves only trailing delimiters, under which the pair pattern
@@ -94,10 +126,12 @@ def bpe_symbol_chain(
     for _, left, right in sorted(merges):
         # TWO passes per rule: adjacent occurrences share their boundary
         # delimiter, so a single left-to-right pass consumes the next
-        # occurrence's leading delimiter and skips it. A pass-1 miss
-        # always immediately FOLLOWS a pass-1 match, so misses are
-        # isolated and one more pass catches every one — two passes are
-        # exactly replace-all (leftmost-greedy, the BPE merge order).
+        # occurrence's leading delimiter and skips it. With left != right
+        # (enforced above) occurrences are character-disjoint, a pass-1
+        # miss always immediately FOLLOWS a pass-1 match at an unchanged
+        # position, so misses are isolated and one more pass catches
+        # every one — two passes are exactly replace-all (leftmost-
+        # greedy, the BPE merge order).
         for _ in range(2):
             col = F.replace(
                 col,
@@ -167,9 +201,17 @@ def bpe_token_count_pandas(
                 syms = tuple(out)
             return len(syms)
 
+        import re as _re
+
+        # ASCII \s+ to match the chain form's Java regex default —
+        # Python str.split() is Unicode-aware (NBSP etc.) and would
+        # diverge on scraped web text
+        _ws = _re.compile(r"\s+", _re.ASCII)
         for pdf in batches:
             n = pdf[text_col].map(
-                lambda t: sum(count_word(w) for w in t.split())
+                lambda t: sum(
+                    count_word(w) for w in _ws.split(t) if w
+                )
             )
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "n_tokens": n.astype("int64")}
@@ -190,7 +232,9 @@ def bpe_trained_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _chain_duck() -> str:
     """The same delimit + rank-ordered replace chain in DuckDB SQL
-    (replacement expressions concatenate the backreference with chr())."""
+    (replacement expressions concatenate the backreference with chr());
+    same same-symbol-rule refusal as the Spark side."""
+    _check_chain_merges(FIXTURE_MERGES)
     col = (
         "chr(31) || regexp_replace(regexp_replace(text, '\\s+', chr(30), 'g'),"
         " '(.)', '\\1' || chr(31), 'g')"

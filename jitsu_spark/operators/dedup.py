@@ -300,7 +300,16 @@ def _default_df_cap(sf_dir: str) -> int | None:
     n = _corpus_rows(sf_dir, "documents")
     if n is None or n <= DF_CAP_MIN_DOCS:
         return None  # exact regime: guard disabled
-    return max(1, n * DF_CAP_PER_MILLE // 1000)
+    cap = max(1, n * DF_CAP_PER_MILLE // 1000)
+    import warnings
+
+    warnings.warn(
+        f"ngram_jaccard_dups: corpus has {n} docs (> {DF_CAP_MIN_DOCS});"
+        f" hot-shingle DF cap {cap} engaged — results are approximate"
+        " (pass max_doc_frequency=MAX_SHINGLE_DF_DEFAULT for exact)",
+        stacklevel=3,
+    )
+    return cap
 
 
 def ngram_jaccard_dups(

@@ -291,17 +291,24 @@ FROM rated WHERE n_copies > 0
 BUDGET_PER_MILLE = 500
 
 
-def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
+def _tb_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc (doc_id, source, n_tok, bucket) — the ONE scored frame both
+    token-budget forms rank (shared so the window twin can never drift
+    from the two-phase form's metric or bucket key)."""
     from .text_ops import TOKENS
 
     docs = load_table(spark, sf_dir, "documents")
-    scored = docs.selectExpr(
+    return docs.selectExpr(
         "doc_id",
         "source",
         f"CAST(size({TOKENS}) AS BIGINT) AS n_tok",
     ).withColumn("bucket", _bucket(F.col("doc_id")))
+
+
+def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    scored = _tb_scored(spark, sf_dir)
     hist = scored.groupBy("source", "bucket").agg(
         F.sum("n_tok").alias("btok")
     )
@@ -346,14 +353,7 @@ def token_budget_select_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorts a whole source) — parity reference only."""
     from pyspark.sql import Window
 
-    from .text_ops import TOKENS
-
-    docs = load_table(spark, sf_dir, "documents")
-    scored = docs.selectExpr(
-        "doc_id",
-        "source",
-        f"CAST(size({TOKENS}) AS BIGINT) AS n_tok",
-    ).withColumn("bucket", _bucket(F.col("doc_id")))
+    scored = _tb_scored(spark, sf_dir)
     w = (
         Window.partitionBy("source")
         .orderBy("bucket", "doc_id")

@@ -474,7 +474,10 @@ def final_read_sql(
     the ANSI form is the newest-wins emulation (ties on the version
     column keep all tied rows — stage batches are one row per key, so
     ties require identical-ts cross-batch redeliveries, which both
-    engines then keep/collapse identically for identical payloads).
+    engines then keep/collapse identically for identical payloads;
+    same-key same-ts rows with DIFFERENT payloads are a version tie
+    ClickHouse itself resolves arbitrarily — FINAL keeps one of them,
+    the ANSI twin keeps both, and no deterministic emulation exists).
     Same family contract as replacing_insert_statements: clickhouse or
     the ansi twin only — MERGE families dedup at promotion time."""
     if (

@@ -175,7 +175,12 @@ def facebook_ads_sync(
             f"Multiple account ids provided - {json.dumps(source.account_ids)}."
             f" Using the first one: {source.account_ids[0]}"
         )
-    days = days_to_sync(store, now=now)
+    # the reference DECLARES these credential knobs but hardcodes 2/1000
+    # (mixpanel.ts:117,156 vs :21-28); honoring them here is the evident
+    # intent — defaults reproduce the reference behavior exactly
+    lookback = source.insights_lookback_window or LOOKBACK_WINDOW_DAYS
+    page_limit = source.page_size or FACEBOOK_PAGE_LIMIT
+    days = days_to_sync(store, lookback_window=lookback, now=now)
     base_url = f"{FACEBOOK_API}/act_{source.account_ids[0]}/insights"
     for day in _pending(days):
         if clock() - started > max_run_time_seconds:  # BEFORE the day, :137
@@ -201,7 +206,7 @@ def facebook_ads_sync(
                         "time_range": json.dumps(
                             {"since": day, "until": day}
                         ),
-                        "limit": FACEBOOK_PAGE_LIMIT,
+                        "limit": page_limit,
                         "filtering": json.dumps(
                             [{"field": "spend", "operator": "GREATER_THAN",
                               "value": 0}]

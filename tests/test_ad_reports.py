@@ -316,3 +316,26 @@ class TestWarehouseLanding:
         assert kv2.get("day-synced.2024-03-01") == {"n": 5}
         # and the sync's own cursor state is untouched
         assert state.get_cursor("ads1") is None
+
+
+class TestHonoredCredentialKnobs:
+    def test_insights_lookback_window_and_page_size(self):
+        """The reference DECLARES these knobs but hardcodes 2/1000; we
+        honor them (defaults reproduce the reference exactly)."""
+        cap = Capture(pages=[{"data": []}] * 40)
+        creds = FacebookCredentials(
+            client_id="c", account_ids=["1"], access_token="t",
+            client_secret="s", page_size=250, insights_lookback_window=5,
+        )
+        store = DictStore(
+            {
+                f"day-synced.{(NOW - dt.timedelta(days=i)).strftime('%Y-%m-%d')}":
+                {"t": 1}
+                for i in range(0, 30)
+            }
+        )
+        res = facebook_ads_sync(creds, DEST, store, cap, now=NOW)
+        # 5 lookback days re-sync despite all being marked
+        assert len(res.days_synced) == 5
+        fb = [c for c in cap.calls if "graph.facebook" in c["url"]]
+        assert all(c["query"]["limit"] == 250 for c in fb)

@@ -58,21 +58,61 @@ class TestChainSegmentation:
         assert sym == "\x1fthe\x1fn\x1f"
         assert _counts(bpe_token_count_expr(docs, FIXTURE_MERGES)) == {1: 2}
 
-    def test_consecutive_and_overlapping_occurrences(self, spark):
-        """The two-pass replace must merge ALL adjacent pair occurrences
-        ('thth' -> th,th; a same-symbol run merges leftmost-greedy)."""
+    def test_consecutive_occurrences_merge_fully(self, spark):
+        """The two-pass replace must merge ALL adjacent distinct-pair
+        occurrences ('abab...' -> ab x n)."""
         from jitsu_spark.operators.bpe import (
             bpe_token_count_expr,
             bpe_token_count_pandas,
         )
 
-        merges = [(0, "a", "b"), (1, "c", "c")]
-        mdf_rows = [(1, "abababab"), (2, "ccc"), (3, "cccc"), (4, "ababab")]
-        docs = spark.createDataFrame(mdf_rows, "doc_id long, text string")
-        want = {1: 4, 2: 2, 3: 2, 4: 3}  # ab x4; cc,c; cc,cc; ab x3
+        merges = [(0, "a", "b")]
+        rows = [(1, "abababab"), (2, "ababab"), (3, "ab ab"), (4, "xabay")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        want = {1: 4, 2: 3, 3: 2, 4: 4}  # x,ab,a,y: the lone a stays
         assert _counts(bpe_token_count_expr(docs, merges)) == want
         mdf = spark.createDataFrame(merges, "rank int, left string, right string")
         assert _counts(bpe_token_count_pandas(docs, mdf)) == want
+
+    def test_same_symbol_rules_refused_by_chain_only(self, spark):
+        """Same-symbol rules make pair occurrences overlap (runs): the
+        chain form REFUSES them (it would mis-pair 'aaaaaa' as
+        aa,a,aa,a) while the GPT-2 pandas encoder pairs leftmost-greedy."""
+        import pytest
+
+        from jitsu_spark.operators.bpe import (
+            bpe_token_count_expr,
+            bpe_token_count_pandas,
+        )
+
+        merges = [(0, "c", "c")]
+        docs = spark.createDataFrame(
+            [(1, "ccc"), (2, "cccc"), (3, "cccccc")],
+            "doc_id long, text string",
+        )
+        with pytest.raises(ValueError, match="identical operands"):
+            bpe_token_count_expr(docs, merges)
+        mdf = spark.createDataFrame(merges, "rank int, left string, right string")
+        # leftmost-greedy run pairing: ceil(k/2)
+        assert _counts(bpe_token_count_pandas(docs, mdf)) == {1: 2, 2: 2, 3: 3}
+
+    def test_pandas_matches_chain_on_ascii_vs_unicode_whitespace(self, spark):
+        """Both forms treat ONLY ASCII whitespace as word boundaries — a
+        NBSP is a symbol character in both (scraped-web-text parity)."""
+        from jitsu_spark.operators.bpe import (
+            bpe_token_count_expr,
+            bpe_token_count_pandas,
+            merges_fixture_df,
+            FIXTURE_MERGES,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "the\u00a0cat"), (2, " the  cat ")],
+            "doc_id long, text string",
+        )
+        chain = _counts(bpe_token_count_expr(docs, FIXTURE_MERGES))
+        pandas = _counts(bpe_token_count_pandas(docs, merges_fixture_df(spark)))
+        assert chain == pandas
 
 
 

@@ -226,14 +226,19 @@ def _gpt2_count(text: str, merges) -> int:
 @st.composite
 def _valid_merges(draw):
     """Random merges table with the creation-order property: each rule's
-    operands are single chars or products of strictly earlier rules."""
+    operands are single chars or products of strictly earlier rules.
+    left != right per rule — the chain form's enforced contract (same-
+    symbol rules overlap on runs and are refused; see
+    tests/test_bpe.py::test_same_symbol_rules_refused_by_chain_only)."""
     alphabet = ["a", "b", "c", "d"]
     n = draw(st.integers(0, 8))
     symbols = list(alphabet)
     merges = []
     for rank in range(n):
         left = draw(st.sampled_from(symbols))
-        right = draw(st.sampled_from(symbols))
+        right = draw(
+            st.sampled_from([s for s in symbols if s != left])
+        )
         merges.append((rank, left, right))
         symbols.append(left + right)
     return merges
