@@ -222,6 +222,137 @@ def bpe_token_count_pandas(
     )
 
 
+# -- BPE merges TRAINING -----------------------------------------------------
+#
+# Learning the merges table itself, completing the tokenizer family
+# (train -> count -> budget). The scalable shape is the one real BPE
+# trainers use (Sennrich 2016; HuggingFace tokenizers trains from word
+# counts): the corpus-sized work is ONE distributed word-frequency
+# aggregation — map-side partial agg, single shuffle on word — and the
+# iterative merge loop runs over the aggregated (word, freq) table,
+# whose size is Zipf-bounded by distinct-word count, not corpus bytes.
+# A top-V cap (count desc, word asc — deterministic) bounds driver
+# memory by contract, exactly like PQ_TRAIN_MAX_SAMPLE bounds Lloyd
+# training in `pq.py`: at 100 TB the head of the word distribution
+# carries virtually all pair mass, so truncating the tail perturbs
+# low-rank merges only.
+
+BPE_TRAIN_MAX_WORDS = 200_000
+
+
+def word_frequency_table(
+    docs: DataFrame, text_col: str = "text", max_words: int = BPE_TRAIN_MAX_WORDS
+) -> DataFrame:
+    """(word, freq) — the distributed stage of BPE training.
+
+    ASCII `\\s+` split to match both encode forms. The top-V cap runs as
+    TakeOrdered (per-partition top-V, then merge) — no global sort."""
+    words = docs.select(
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("word")
+    ).where(F.col("word") != "")
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    return counts.orderBy(F.desc("freq"), F.asc("word")).limit(max_words)
+
+
+def _train_merges_from_counts(
+    wc: list[tuple[str, int]], n_merges: int, min_pair_freq: int = 2
+) -> list[tuple[int, str, str]]:
+    """The driver-side merge loop over an aggregated word-frequency list.
+
+    Incremental pair-count maintenance (only words containing the chosen
+    pair are re-segmented per round). Deterministic by construction:
+    best pair = highest total freq, ties broken by (left, right)
+    ascending — pinned against a recount-from-scratch reference in
+    `tests/test_bpe.py`. Stops early when no pair reaches
+    `min_pair_freq` (merging hapax pairs memorizes noise)."""
+    words: list[list[str]] = [list(w) for w, _ in wc]
+    freqs = [f for _, f in wc]
+
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+
+    def add_word_pairs(idx: int, sign: int) -> None:
+        syms, f = words[idx], freqs[idx]
+        for a, b in zip(syms, syms[1:]):
+            p = (a, b)
+            pair_counts[p] = pair_counts.get(p, 0) + sign * f
+            if sign > 0:
+                pair_words.setdefault(p, set()).add(idx)
+
+    for i in range(len(words)):
+        add_word_pairs(i, +1)
+
+    merges: list[tuple[int, str, str]] = []
+    for rank in range(n_merges):
+        best: tuple[str, str] | None = None
+        best_n = min_pair_freq - 1
+        for p, n in pair_counts.items():
+            if n > best_n or (n == best_n and best is not None and p < best):
+                best, best_n = p, n
+        if best is None:
+            break
+        a, b = best
+        merges.append((rank, a, b))
+        merged = a + b
+        for idx in sorted(pair_words.get(best, ())):
+            syms = words[idx]
+            add_word_pairs(idx, -1)
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[idx] = out
+            add_word_pairs(idx, +1)
+        # prune zero/negative residue so the argmax scan stays O(live pairs)
+        for p in [p for p, n in pair_counts.items() if n <= 0]:
+            del pair_counts[p]
+            pair_words.pop(p, None)
+        pair_words.pop(best, None)
+        pair_counts.pop(best, None)
+    return merges
+
+
+def learn_bpe_merges(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    max_words: int = BPE_TRAIN_MAX_WORDS,
+    min_pair_freq: int = 2,
+) -> DataFrame:
+    """(rank, left, right) — a trained merges table in exactly the
+    contract `bpe_token_count_pandas` consumes. Corpus-scale work is the
+    one word-count shuffle; the collect is bounded at `max_words` rows."""
+    wc = [
+        (r["word"], r["freq"])
+        for r in word_frequency_table(docs, text_col, max_words).collect()
+    ]
+    # collect() order is the TakeOrdered order, but re-sort defensively:
+    # the trainer's determinism must not depend on partition arrival.
+    wc.sort(key=lambda t: (-t[1], t[0]))
+    merges = _train_merges_from_counts(wc, n_merges, min_pair_freq)
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        merges or [], "rank int, left string, right string"
+    )
+
+
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: learn 48 merges from the documents corpus.
+
+    Rows-only (the iterative argmax loop has no SQL form); the hard
+    gates live in `tests/test_bpe.py`: recount-from-scratch reference
+    parity, repartition invariance, and an end-to-end check that the
+    learned table drives `bpe_token_count_pandas` to strictly fewer
+    tokens than the character baseline."""
+    docs = load_table(spark, sf_dir, "documents")
+    return learn_bpe_merges(docs, n_merges=48)
+
+
 def bpe_trained_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: per-doc token counts under the fixture merges via
     the expression chain (fully oracle-checked; the mapInPandas twin is
@@ -261,5 +392,8 @@ FROM chained
 """
 
 
-QUERIES = {"bpe_trained_token_count": bpe_trained_token_count}
+QUERIES = {
+    "bpe_trained_token_count": bpe_trained_token_count,
+    "bpe_learn_merges": bpe_learn_merges,
+}
 ORACLE = {"bpe_trained_token_count": BPE_TRAINED_SQL}

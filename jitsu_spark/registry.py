@@ -86,6 +86,7 @@ for _m in _MODULES:
 _PRIORITY = [
     "q1_pricing_summary",
     # -- new in r5 --
+    "bpe_learn_merges",
     "bpe_trained_token_count",
     "token_budget_select",
     "duplicate_span_dedup",

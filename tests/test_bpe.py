@@ -159,6 +159,108 @@ class TestPandasTwinParity:
         assert _counts(bpe_token_count_pandas(docs, m2df)) == {1: 1}
 
 
+def _naive_train(wc, n_merges, min_pair_freq=2):
+    """Recount-from-scratch reference trainer: full pair recount every
+    round, same (count desc, pair asc) argmax — the spec the incremental
+    trainer must match."""
+    words = [list(w) for w, _ in wc]
+    freqs = [f for _, f in wc]
+    merges = []
+    for rank in range(n_merges):
+        counts = {}
+        for syms, f in zip(words, freqs):
+            for p in zip(syms, syms[1:]):
+                counts[p] = counts.get(p, 0) + f
+        eligible = {p: n for p, n in counts.items() if n >= min_pair_freq}
+        if not eligible:
+            break
+        best = min(eligible.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((rank, best[0], best[1]))
+        a, b = best
+        for i, syms in enumerate(words):
+            out, j = [], 0
+            while j < len(syms):
+                if j < len(syms) - 1 and syms[j] == a and syms[j + 1] == b:
+                    out.append(a + b)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            words[i] = out
+    return merges
+
+
+class TestTrainMerges:
+    def test_incremental_matches_naive_reference(self):
+        from jitsu_spark.operators.bpe import _train_merges_from_counts
+
+        wc = [
+            ("the", 10), ("then", 4), ("than", 3), ("and", 6),
+            ("banana", 2), ("aaaa", 5), ("mississippi", 2), ("abab", 3),
+        ]
+        for n in (1, 5, 12, 40):
+            assert _train_merges_from_counts(wc, n) == _naive_train(wc, n)
+
+    def test_property_incremental_equals_naive(self):
+        from hypothesis import given, settings, strategies as st
+
+        from jitsu_spark.operators.bpe import _train_merges_from_counts
+
+        word = st.text(alphabet="abcd", min_size=1, max_size=8)
+        corpus = st.dictionaries(word, st.integers(1, 9), min_size=1, max_size=12)
+
+        @settings(max_examples=60, deadline=None)
+        @given(corpus, st.integers(1, 10))
+        def check(wcmap, n):
+            wc = sorted(wcmap.items(), key=lambda t: (-t[1], t[0]))
+            assert _train_merges_from_counts(wc, n) == _naive_train(wc, n)
+
+        check()
+
+    def test_min_pair_freq_floor(self):
+        """Every word unique -> all pair counts 1 -> nothing merges at the
+        default floor of 2; floor 1 merges greedily."""
+        from jitsu_spark.operators.bpe import _train_merges_from_counts
+
+        wc = [("xy", 1), ("zw", 1)]
+        assert _train_merges_from_counts(wc, 10) == []
+        got = _train_merges_from_counts(wc, 10, min_pair_freq=1)
+        assert got == [(0, "x", "y"), (1, "z", "w")]
+
+    def test_learned_table_contract_and_determinism(self, spark):
+        """The registry entry returns the (rank,left,right) contract,
+        invariant under input repartitioning, and drives the pandas
+        encoder to real compression on the corpus it was trained on."""
+        from jitsu_spark.operators.bpe import (
+            bpe_token_count_pandas,
+            learn_bpe_merges,
+        )
+        from jitsu_spark.tables import load_table
+
+        docs = load_table(spark, SF_DIR, "documents")
+        mdf = learn_bpe_merges(docs, n_merges=24)
+        rows = sorted((r["rank"], r["left"], r["right"]) for r in mdf.collect())
+        assert len(rows) == 24 and [r[0] for r in rows] == list(range(24))
+
+        rows2 = sorted(
+            (r["rank"], r["left"], r["right"])
+            for r in learn_bpe_merges(docs.repartition(7), n_merges=24).collect()
+        )
+        assert rows2 == rows
+
+        from pyspark.sql import functions as F
+
+        toks = (
+            bpe_token_count_pandas(docs, mdf)
+            .agg(F.sum("n_tokens").alias("t"))
+            .first()["t"]
+        )
+        chars = docs.selectExpr(
+            "sum(length(regexp_replace(text, '\\\\s+', ''))) AS c"
+        ).first()["c"]
+        assert 0 < toks < chars  # learned merges actually compress
+
+
 class TestPlanShape:
     def test_chain_form_is_map_only(self, spark):
         from jitsu_spark.operators.bpe import bpe_trained_token_count
