@@ -91,6 +91,89 @@ ORDER BY source
 """
 
 
+# -- snapshot diff -----------------------------------------------------------
+#
+# Incremental corpus versioning: which docs were added / removed /
+# changed between two snapshots — the op that turns a full-reprocess
+# pipeline into an incremental one (only the diff re-enters dedup /
+# quality / indexing). Same role the warehouse sink's MERGE dedup plays
+# for events (`sinks.py`), applied to the corpus side.
+
+DIFF_REMOVED_LT = 50     # old-only buckets: present before, deleted now
+DIFF_ADDED_GE = 950      # new-only buckets: crawled since the snapshot
+DIFF_CHANGED_LO = 450    # re-crawled docs whose content drifted
+DIFF_CHANGED_HI = 500
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """(key, status in added|removed|changed) between two snapshots.
+
+    Scale: the content hash is computed MAP-SIDE before the join, so only
+    (key, 32-char md5) crosses the wire — never the document bodies. The
+    diff itself is one co-partitioned full-outer join on the key; with
+    both snapshots stored key-bucketed (`plans/bucketing.py`) even that
+    exchange disappears. Unchanged rows (the overwhelming majority of a
+    daily snapshot pair) are filtered before any downstream consumer."""
+    oh = old.select(F.col(key), F.md5(content_col).alias("old_h"))
+    nh = new.select(F.col(key), F.md5(content_col).alias("new_h"))
+    j = oh.join(nh, key, "full_outer")
+    status = (
+        F.when(F.col("old_h").isNull(), F.lit("added"))
+        .when(F.col("new_h").isNull(), F.lit("removed"))
+        .when(F.col("old_h") != F.col("new_h"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(F.col(key), status.alias("status")).where(
+        F.col("status") != "unchanged"
+    )
+
+
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: diff two deterministic md5-bucket-derived snapshots
+    of the documents table (old = buckets < 950, new = buckets >= 50 with
+    content drift injected in [450, 500)) — removed / added / changed are
+    each exercised, and the derivation is reproducible in the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = _bucket(F.col("doc_id"))
+    old = docs.where(b < DIFF_ADDED_GE)
+    new = docs.where(b >= DIFF_REMOVED_LT).withColumn(
+        "text",
+        F.when(
+            b.between(DIFF_CHANGED_LO, DIFF_CHANGED_HI - 1),
+            F.concat(F.col("text"), F.lit(" [rev2]")),
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new)
+
+
+SNAPSHOT_DIFF_SQL = f"""
+WITH old AS (
+  SELECT doc_id, md5(text) AS old_h FROM documents
+  WHERE {_bucket_duck('doc_id')} < {DIFF_ADDED_GE}
+),
+new AS (
+  SELECT doc_id,
+         md5(CASE WHEN {_bucket_duck('doc_id')} BETWEEN {DIFF_CHANGED_LO}
+                       AND {DIFF_CHANGED_HI - 1}
+                  THEN text || ' [rev2]' ELSE text END) AS new_h
+  FROM documents
+  WHERE {_bucket_duck('doc_id')} >= {DIFF_REMOVED_LT}
+)
+SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+       CASE WHEN old_h IS NULL THEN 'added'
+            WHEN new_h IS NULL THEN 'removed'
+            WHEN old_h <> new_h THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+WHERE old_h IS NULL OR new_h IS NULL OR old_h <> new_h
+"""
+
+
 def corpus_dedup_suite(
     spark: SparkSession, sf_dir: str, store_dir: str
 ) -> dict[str, DataFrame]:
@@ -119,5 +202,11 @@ def corpus_dedup_suite(
     }
 
 
-QUERIES = {"corpus_prep_pipeline": corpus_prep_pipeline}
-ORACLE = {"corpus_prep_pipeline": CORPUS_PREP_SQL}
+QUERIES = {
+    "corpus_prep_pipeline": corpus_prep_pipeline,
+    "corpus_snapshot_diff": corpus_snapshot_diff,
+}
+ORACLE = {
+    "corpus_prep_pipeline": CORPUS_PREP_SQL,
+    "corpus_snapshot_diff": SNAPSHOT_DIFF_SQL,
+}

@@ -87,6 +87,7 @@ _PRIORITY = [
     "q1_pricing_summary",
     # -- new in r5 --
     "bpe_learn_merges",
+    "corpus_snapshot_diff",
     "bpe_trained_token_count",
     "token_budget_select",
     "duplicate_span_dedup",
