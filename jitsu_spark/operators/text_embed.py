@@ -70,23 +70,29 @@ transform(sequence(0, {EMBED_DIM - 1}), i ->
 """
 
 
-def feature_hash_embed(docs: DataFrame) -> DataFrame:
-    """(doc_id, embedding array<double>): signed-hash bucket counts over
-    whitespace tokens, L2-normalized (all-zero vectors — empty docs —
-    stay zero). One map-side scan, no explode, no shuffle. This is the
-    library API downstream semantic ops consume; the registry entry
-    explodes it to scalar rows for the hash-compare gate."""
+def feature_hash_embed(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, *keep, embedding array<double>): signed-hash bucket
+    counts over whitespace tokens, L2-normalized (all-zero vectors —
+    empty docs — stay zero). One map-side scan, no explode, no shuffle.
+    This is the library API downstream semantic ops consume; the registry
+    entry explodes it to scalar rows for the hash-compare gate. `keep`
+    names already-computed columns of `docs` to carry through the chain —
+    consumers that need side features (e.g. the quality classifier's
+    sw_ratio) ride the same scan instead of self-joining a second one."""
+    k = list(keep)
     return (
-        docs.selectExpr("doc_id", f"{_HASHES} AS hashes")
-        .selectExpr("doc_id", f"{_RAW_VEC} AS raw")
+        docs.selectExpr("doc_id", *k, f"{_HASHES} AS hashes")
+        .selectExpr("doc_id", *k, f"{_RAW_VEC} AS raw")
         .selectExpr(
             "doc_id",
+            *k,
             "sqrt(aggregate(zip_with(raw, raw, (x, y) -> x * y),"
             " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)) AS norm",
             "raw",
         )
         .selectExpr(
             "doc_id",
+            *k,
             "CASE WHEN norm = 0.0 THEN raw"
             " ELSE transform(raw, x -> round(x / norm, 6)) END AS embedding",
         )

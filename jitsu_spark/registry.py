@@ -25,6 +25,7 @@ from .operators import (
     packing,
     profiles,
     quality_filters,
+    quality_model,
     relational,
     relational_ext,
     reports,
@@ -47,6 +48,7 @@ _MODULES = [
     reports,
     text_ops,
     quality_filters,
+    quality_model,
     dedup,
     corpus_stats,
     similarity,
@@ -88,6 +90,7 @@ _PRIORITY = [
     # -- new in r5 --
     "bpe_learn_merges",
     "corpus_snapshot_diff",
+    "quality_classifier_score",
     "bpe_trained_token_count",
     "token_budget_select",
     "duplicate_span_dedup",
