@@ -36,6 +36,11 @@ PROBE = [
     "cluster_balanced_sample",
     "bpe_trained_token_count",
     "token_budget_select",
+    # round-5 late additions: tokenizer training, incremental diff,
+    # model-based quality scoring
+    "bpe_learn_merges",
+    "corpus_snapshot_diff",
+    "quality_classifier_score",
 ]
 
 
