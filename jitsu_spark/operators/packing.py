@@ -69,6 +69,63 @@ FROM documents
 """
 
 
+def tokenize_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data assembly: count tokens under the TRAINED
+    merges table (`bpe`), then pack the real token counts into budget
+    bins — `sequence_pack_bins` with the tokenizer the training run will
+    actually use instead of the whitespace proxy (the counts differ, so
+    bin boundaries differ; budgeting on the proxy over/under-fills
+    context windows).
+
+    Fully oracle-checked end to end: the fixture merges compile to the
+    same replace-chain expression in both engines, and the packing
+    window is shared SQL. With a production-sized merges table the count
+    stage swaps to `bpe.bpe_token_count_pandas` (broadcast ranks +
+    mapInPandas) and the window is unchanged — same single shuffle on
+    source either way, everything before it map-side."""
+    from .bpe import FIXTURE_MERGES, _SYM, _WB, _count_char, bpe_symbol_chain
+
+    docs = load_table(spark, sf_dir, "documents")
+    sym = bpe_symbol_chain(F.col("text"), FIXTURE_MERGES).alias("s")
+    counted = docs.select("doc_id", "source", sym).selectExpr(
+        "doc_id",
+        "source",
+        f"CAST({_count_char('s', _SYM)} - {_count_char('s', _WB)} - 1"
+        " AS BIGINT) AS n_tokens",
+    )
+    w = (
+        "OVER (PARTITION BY source ORDER BY doc_id"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+    )
+    return counted.selectExpr(
+        "doc_id",
+        "source",
+        "n_tokens",
+        f"CAST(floor(coalesce(sum(n_tokens) {w}, 0)"
+        f" / {PACK_BUDGET_TOKENS}) AS BIGINT) AS bin_id",
+    )
+
+
+def _tokenize_pack_sql() -> str:
+    from .bpe import _COUNT_DUCK, _chain_duck
+
+    return f"""
+WITH chained AS (
+  SELECT doc_id, source, {_chain_duck()} AS s FROM documents
+),
+counted AS (
+  SELECT doc_id, source, CAST({_COUNT_DUCK} AS BIGINT) AS n_tokens
+  FROM chained
+)
+SELECT doc_id, source, n_tokens,
+       CAST(floor(coalesce(sum(n_tokens) OVER (
+         PARTITION BY source ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         / {PACK_BUDGET_TOKENS}) AS BIGINT) AS bin_id
+FROM counted
+"""
+
+
 def leakage_safe_split(
     spark: SparkSession, sf_dir: str, clusters: DataFrame | None = None
 ) -> DataFrame:
@@ -111,9 +168,11 @@ FROM documents d LEFT JOIN clusters c USING (doc_id)
 QUERIES = {
     "sequence_pack_bins": sequence_pack_bins,
     "leakage_safe_split": leakage_safe_split,
+    "tokenize_pack_pipeline": tokenize_pack_pipeline,
 }
 
 ORACLE = {
     "sequence_pack_bins": SEQUENCE_PACK_SQL,
     "leakage_safe_split": LEAKAGE_SAFE_SPLIT_SQL,
+    "tokenize_pack_pipeline": _tokenize_pack_sql(),
 }

@@ -91,6 +91,7 @@ _PRIORITY = [
     "bpe_learn_merges",
     "corpus_snapshot_diff",
     "quality_classifier_score",
+    "tokenize_pack_pipeline",
     "bpe_trained_token_count",
     "token_budget_select",
     "duplicate_span_dedup",

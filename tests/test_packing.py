@@ -61,3 +61,42 @@ def test_split_covers_all_docs_with_expected_shares(spark, sf_dir):
     assert sum(counts.values()) == n_docs
     assert counts["train"] > counts.get("val", 0)
     assert counts["train"] > counts.get("test", 0)
+
+
+def test_tokenize_pack_bins_respect_budget_atomicity(spark, sf_dir):
+    """Composed trained-tokenizer packing: per (source, bin), tokens
+    BEFORE the final doc stay under budget (a doc may straddle and close
+    its bin — document atomicity), and trained counts genuinely differ
+    from the whitespace proxy so the composition changes bin edges."""
+    from pyspark.sql import functions as F
+
+    from jitsu_spark.operators.packing import (
+        PACK_BUDGET_TOKENS,
+        sequence_pack_bins,
+        tokenize_pack_pipeline,
+    )
+
+    packed = tokenize_pack_pipeline(spark, sf_dir).cache()
+    by_bin = (
+        packed.groupBy("source", "bin_id")
+        .agg(
+            F.sum("n_tokens").alias("total"),
+            F.max("n_tokens").alias("last_max"),
+        )
+        .collect()
+    )
+    assert by_bin
+    for r in by_bin:
+        # tokens minus SOME doc (>= the straddler) must fit the budget
+        assert r["total"] - r["last_max"] < PACK_BUDGET_TOKENS
+
+    proxy = sequence_pack_bins(spark, sf_dir).selectExpr(
+        "doc_id", "n_tokens AS ws_tokens"
+    )
+    diff = (
+        packed.join(proxy, "doc_id")
+        .where("n_tokens <> ws_tokens")
+        .count()
+    )
+    packed.unpersist()
+    assert diff > 0  # the trained tokenizer actually compresses
