@@ -65,12 +65,16 @@ def _moment_partials(df: DataFrame) -> DataFrame:
     )
 
 
-def fit_whitening(
-    spark: SparkSession, sf_dir: str, eps: float = WHITEN_EPS
-) -> tuple[np.ndarray, np.ndarray]:
-    """(mean, W): W = U diag(1/sqrt(l + eps)) U^T (ZCA whitening)."""
+def corpus_moments(
+    spark: SparkSession, sf_dir: str
+) -> tuple[int, np.ndarray, np.ndarray]:
+    """(n, mean, cov) of the embedding corpus from one distributed pass
+    — the shared FIT input for whitening and PCA. Partials are summed in
+    sorted-partition order so the float reduction is reproducible."""
     emb = load_table(spark, sf_dir, "embeddings").select("embedding")
-    parts = _moment_partials(emb).collect()
+    parts = sorted(
+        _moment_partials(emb).collect(), key=lambda r: (r["n"], r["s"][:2])
+    )
     n = sum(r["n"] for r in parts)
     s = np.sum([np.array(r["s"]) for r in parts], axis=0)
     d = len(s)
@@ -79,6 +83,14 @@ def fit_whitening(
     )
     mean = s / n
     cov = xtx / n - np.outer(mean, mean)
+    return n, mean, cov
+
+
+def fit_whitening(
+    spark: SparkSession, sf_dir: str, eps: float = WHITEN_EPS
+) -> tuple[np.ndarray, np.ndarray]:
+    """(mean, W): W = U diag(1/sqrt(l + eps)) U^T (ZCA whitening)."""
+    _, mean, cov = corpus_moments(spark, sf_dir)
     evals, evecs = np.linalg.eigh(cov)  # symmetric -> deterministic eigh
     w = evecs @ np.diag(1.0 / np.sqrt(np.maximum(evals, 0) + eps)) @ evecs.T
     return mean, w
@@ -156,6 +168,104 @@ def whitening_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.var_pop("x"), 3).alias("var_w"),
         )
         .orderBy("dim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA (round 5): top-k projection — the dimensionality-
+# reduction half of the same moment machinery whitening uses. The classic
+# pre-indexing trade (Jegou & Chum 2012 again): project 256-d embeddings
+# to the k dominant axes before PQ/IVF so codebooks spend bits on signal,
+# and store 16x less for curation passes that only need coarse geometry.
+# FIT is the shared one-pass moments + a driver d x d eigh (d=256 —
+# trivial); APPLY is one broadcast-GEMM mapInPandas pass, same shape as
+# apply_whitening. Sign convention: each component's largest-|coord| axis
+# is made positive, so the fitted basis is unique, not eigh-luck.
+# ---------------------------------------------------------------------------
+
+PCA_K = 16
+
+
+def _pca_from_cov(
+    cov: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(components (k,d), evals (k,)) — top-k principal axes in
+    descending-variance order, sign-normalized."""
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # (k, d)
+    top = np.abs(comps).argmax(axis=1)
+    signs = np.sign(comps[np.arange(len(comps)), top])
+    signs[signs == 0] = 1.0
+    return comps * signs[:, None], evals[order]
+
+
+def fit_pca(
+    spark: SparkSession, sf_dir: str, k: int = PCA_K
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(mean, components (k,d), evals (k,))."""
+    _, mean, cov = corpus_moments(spark, sf_dir)
+    comps, evals = _pca_from_cov(cov, k)
+    return mean, comps, evals
+
+
+def pca_project(
+    emb: DataFrame, mean: np.ndarray, comps: np.ndarray
+) -> DataFrame:
+    """(vec_id, embedding array<double> of dim k): (x - mean) @ comps^T
+    as one vectorized GEMM pass with the O(k*d) model broadcast."""
+    b = emb.sparkSession.sparkContext.broadcast((mean, comps))
+
+    def project(batches):
+        import pandas as pd
+
+        m, ct = b.value[0], b.value[1].T
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            out = (mat - m) @ ct
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].values, "embedding": list(out)}
+            )
+
+    return emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).mapInPandas(project, "vec_id long, embedding array<double>")
+
+
+def pca_project_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (rows-only — eigendecomposition has no SQL form):
+    per-component diagnostics of the top-k projection — explained-
+    variance ratio plus the projected corpus's empirical mean/variance,
+    i.e. the PCA post-conditions (mean ~ 0, var == its eigenvalue,
+    ratios descending) as a queryable report. One corpus pass to fit,
+    one to project."""
+    _, mean, cov = corpus_moments(spark, sf_dir)
+    comps, evals = _pca_from_cov(cov, PCA_K)
+    total_var = float(np.trace(cov))
+    proj = pca_project(
+        load_table(spark, sf_dir, "embeddings"), mean, comps
+    )
+    ratios = spark.createDataFrame(
+        [
+            (i, round(float(v) / total_var, 4))
+            for i, v in enumerate(evals)
+        ],
+        "component int, explained_var_ratio double",
+    )
+    stats = (
+        proj.select(F.posexplode("embedding").alias("component", "x"))
+        .groupBy("component")
+        .agg(
+            F.round(F.avg("x"), 3).alias("mean_p"),
+            F.round(F.var_pop("x"), 3).alias("var_p"),
+        )
+    )
+    from ..plans.hints import maybe_broadcast
+
+    return stats.join(maybe_broadcast(ratios), "component").orderBy(
+        "component"
     )
 
 
@@ -238,6 +348,7 @@ FROM errs
 QUERIES: dict = {
     "whitening_report": whitening_report,
     "embedding_int8_quantize": embedding_int8_quantize,
+    "pca_project_report": pca_project_report,
 }
 ORACLE: dict = {
     # whitening_report stays rows-only (eigendecomposition has no SQL form)

@@ -92,6 +92,7 @@ _PRIORITY = [
     "corpus_snapshot_diff",
     "quality_classifier_score",
     "tokenize_pack_pipeline",
+    "pca_project_report",
     "bpe_trained_token_count",
     "token_budget_select",
     "duplicate_span_dedup",

@@ -115,3 +115,64 @@ class TestInt8Quantize:
             F.col("max_abs_err") > F.col("scale") / 2 + 1e-9
         ).count()
         assert bad == 0 and out.count() > 0
+
+
+class TestPca:
+    def test_post_conditions_on_report(self, spark, sf_dir):
+        """Projected mean ~ 0; projected variance equals the component's
+        eigenvalue share; ratios strictly descending and in (0, 1]."""
+        from jitsu_spark.operators.embedding_prep import (
+            PCA_K,
+            pca_project_report,
+        )
+
+        rows = pca_project_report(spark, sf_dir).collect()
+        assert [r["component"] for r in rows] == list(range(PCA_K))
+        ratios = [r["explained_var_ratio"] for r in rows]
+        assert all(0 < r <= 1 for r in ratios)
+        assert all(a >= b for a, b in zip(ratios, ratios[1:]))
+        for r in rows:
+            assert abs(r["mean_p"]) <= 0.001
+        # var_p (3 dp) must equal the eigenvalue the fit reports
+        import numpy as np
+
+        from jitsu_spark.operators.embedding_prep import fit_pca
+
+        _, _, evals = fit_pca(spark, sf_dir)
+        for r, ev in zip(rows, evals):
+            assert abs(r["var_p"] - ev) < 2e-3
+
+    def test_basis_orthonormal_and_projection_decorrelated(self, spark, sf_dir):
+        import numpy as np
+
+        from jitsu_spark.operators.embedding_prep import (
+            fit_pca,
+            pca_project,
+        )
+        from jitsu_spark.tables import load_table
+
+        mean, comps, evals = fit_pca(spark, sf_dir, k=8)
+        assert np.allclose(comps @ comps.T, np.eye(8), atol=1e-10)
+        # sign convention: largest-|coord| entry positive per component
+        top = np.abs(comps).argmax(axis=1)
+        assert (comps[np.arange(8), top] > 0).all()
+
+        proj = pca_project(
+            load_table(spark, sf_dir, "embeddings"), mean, comps
+        )
+        mat = np.array([r["embedding"] for r in proj.collect()])
+        cov = np.cov(mat.T, bias=True)
+        off = cov - np.diag(np.diag(cov))
+        assert np.abs(off).max() < 1e-8  # decorrelated
+        assert np.allclose(np.diag(cov), evals, rtol=1e-8)
+
+    def test_projection_preserves_ids_and_dim(self, spark, sf_dir):
+        from jitsu_spark.operators.embedding_prep import fit_pca, pca_project
+        from jitsu_spark.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        mean, comps, _ = fit_pca(spark, sf_dir, k=4)
+        out = pca_project(emb, mean, comps)
+        rows = out.collect()
+        assert len(rows) == emb.count()
+        assert all(len(r["embedding"]) == 4 for r in rows)
