@@ -269,10 +269,22 @@ def build_ivfpq_store(
 
     # ---- distributed encode: residual -> m byte codes ----
     cent_rows = {i: centers[i] for i in range(len(centers))}
-    sc = spark.sparkContext
+    _encode_assigned(assigned, cent_rows, books).write.mode(
+        "overwrite"
+    ).partitionBy("centroid_id").parquet(dirs["cells"])
+
+
+def _encode_assigned(
+    assigned: DataFrame, cent_rows: dict[int, np.ndarray], books: np.ndarray
+) -> DataFrame:
+    """(vec_id, codes, centroid_id): residual PQ encode of cell-assigned
+    unit vectors — the ONE distributed encode pass `build_ivfpq_store`
+    and `append_to_ivfpq_store` share, so appended codes are
+    bit-identical to build-time codes by construction."""
+    m, _, dsub = books.shape
+    sc = assigned.sparkSession.sparkContext
     b_books = sc.broadcast(books)
     b_cents = sc.broadcast(cent_rows)
-    dsub = books.shape[2]
 
     def encode(batches):
         import pandas as pd
@@ -300,9 +312,69 @@ def build_ivfpq_store(
                 }
             )
 
-    assigned.mapInPandas(
+    return assigned.mapInPandas(
         encode, "vec_id long, codes array<int>, centroid_id int"
-    ).write.mode("overwrite").partitionBy("centroid_id").parquet(dirs["cells"])
+    )
+
+
+def _load_pq_books(spark: SparkSession, store_dir: str) -> np.ndarray:
+    """(m, ksub, dsub) sub-codebooks from the store — the O(m*ksub)
+    driver-resident artifact every query/append path loads."""
+    pq = spark.read.parquet(_pq_dirs(store_dir)["pq"]).collect()
+    m = 1 + max(r["subspace"] for r in pq)
+    ksub = 1 + max(r["code"] for r in pq)
+    dsub = len(pq[0]["sub_centroid"])
+    books = np.empty((m, ksub, dsub))
+    for r in pq:
+        books[r["subspace"], r["code"]] = r["sub_centroid"]
+    return books
+
+
+def _load_centers_map(
+    centroids: DataFrame,
+) -> dict[int, np.ndarray]:
+    return {
+        r["centroid_id"]: np.array(r["c_emb"], dtype=np.float64)
+        for r in centroids.select("centroid_id", "c_emb").collect()
+    }
+
+
+def append_to_ivfpq_store(
+    spark: SparkSession, store_dir: str, new_vectors: DataFrame
+) -> None:
+    """FAISS `add()` for the serving index: encode a NEW batch with the
+    STORED codebooks — no retrain — and append into the cell partitions,
+    so the next probe sees the fresh vectors without a rebuild.
+
+    `new_vectors` is (vec_id, embedding); vectors are unit-normalized
+    here exactly as the build pass does. Scale: assignment is the same
+    map-side packed-codebook fold as the build (the batch never
+    shuffles) and the encode is one mapInPandas pass; the append writes
+    only into the partitions the batch's cells touch. Caller contract:
+    vec_ids are new (the store has no MERGE semantics — id-level
+    re-encode is a compact/rebuild concern), and the raw vectors must
+    also land in the corpus table the exact-refine stage reads, as in
+    any index-beside-table deployment. Codebook drift: appended batches
+    are encoded under the ORIGINAL training distribution; FAISS practice
+    applies — monitor recall (`pq_recall_report`) and rebuild when the
+    distribution moves."""
+    dirs = _pq_dirs(store_dir)
+    centroids = _load_codebook(spark, store_dir)
+    books = _load_pq_books(spark, store_dir)
+    unit = (
+        _with_norm(new_vectors)
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, x -> CAST(x AS DOUBLE) / norm)"
+            ).alias("embedding"),
+        )
+        .withColumn("norm", F.lit(1.0))
+    )
+    assigned = _assign_cells_l2(unit, centroids)
+    _encode_assigned(assigned, _load_centers_map(centroids), books).write.mode(
+        "append"
+    ).partitionBy("centroid_id").parquet(dirs["cells"])
 
 
 REFINE_FACTOR = 4  # ADC shortlist size multiple before exact re-score
@@ -438,17 +510,9 @@ def ann_ivfpq_topk_stored(
     dirs = _pq_dirs(store_dir)
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
     centroids = _load_codebook(spark, store_dir)
-    cent_rows = {
-        r["centroid_id"]: np.array(r["c_emb"], dtype=np.float64)
-        for r in centroids.select("centroid_id", "c_emb").collect()
-    }
-    pq = spark.read.parquet(dirs["pq"]).collect()
-    m = 1 + max(r["subspace"] for r in pq)
-    ksub = 1 + max(r["code"] for r in pq)
-    dsub = len(pq[0]["sub_centroid"])
-    books = np.empty((m, ksub, dsub))
-    for r in pq:
-        books[r["subspace"], r["code"]] = r["sub_centroid"]
+    cent_rows = _load_centers_map(centroids)
+    books = _load_pq_books(spark, store_dir)
+    m, ksub, _ = books.shape
 
     # probe via the SAME JVM expression as the bulk path (shared
     # `_probe_cells_pq`), collected — queries are a handful here, and the
@@ -584,16 +648,9 @@ def ann_ivfpq_topk_bulk(
     dirs = _pq_dirs(store_dir)
 
     centroids = _load_codebook(spark, store_dir)
-    pq = spark.read.parquet(dirs["pq"]).collect()
-    m = 1 + max(r["subspace"] for r in pq)
-    ksub = 1 + max(r["code"] for r in pq)
-    dsub = len(pq[0]["sub_centroid"])
-    books = np.empty((m, ksub, dsub))
-    for r in pq:
-        books[r["subspace"], r["code"]] = r["sub_centroid"]
-    cent_mat: dict[int, np.ndarray] = {}
-    for r in centroids.collect():
-        cent_mat[r["centroid_id"]] = np.array(r["c_emb"], dtype=np.float64)
+    books = _load_pq_books(spark, store_dir)
+    m, ksub, _ = books.shape
+    cent_mat = _load_centers_map(centroids)
 
     # ---- 1. probe: nprobe nearest cells per query, MAP-SIDE ----
     from pyspark.sql import Window  # used by the top-k/refine stages below

@@ -413,3 +413,131 @@ class TestApproxNearDups:
             out.groupBy("vec_a", "vec_b").count().where("count > 1").count()
             == 0
         )
+
+
+class TestStoreAppend:
+    """`append_to_ivfpq_store`: FAISS add() — encode new batches with the
+    stored codebooks, no retrain, findable on the next probe."""
+
+    def _new_batch(self, spark, sf_dir, n=8, offset=10_000_000):
+        import numpy as np
+
+        from jitsu_spark.tables import load_table
+
+        base = load_table(spark, sf_dir, "embeddings").limit(n).collect()
+        rng = np.random.default_rng(11)
+        rows = []
+        for r in base:
+            v = np.array(r["embedding"], dtype=np.float64)
+            v = v + rng.normal(0, 0.01, size=v.shape)
+            rows.append((int(r["vec_id"]) + offset, [float(x) for x in v]))
+        return rows
+
+    def test_append_matches_independent_numpy_encode(
+        self, spark, sf_dir, tmp_path
+    ):
+        import numpy as np
+
+        from jitsu_spark.operators.pq import (
+            _load_centers_map,
+            _load_pq_books,
+            _pq_dirs,
+            append_to_ivfpq_store,
+            build_ivfpq_store,
+        )
+        from jitsu_spark.operators.similarity import _load_codebook
+
+        store = str(tmp_path / "store")
+        build_ivfpq_store(spark, sf_dir, store)
+        cells_path = _pq_dirs(store)["cells"]
+        n_before = spark.read.parquet(cells_path).count()
+
+        rows = self._new_batch(spark, sf_dir)
+        new_df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        append_to_ivfpq_store(spark, store, new_df)
+
+        cells = spark.read.parquet(cells_path)
+        assert cells.count() == n_before + len(rows)
+
+        got = {
+            r["vec_id"]: (r["centroid_id"], tuple(r["codes"]))
+            for r in cells.where("vec_id >= 10000000").collect()
+        }
+        assert len(got) == len(rows)
+
+        centers = _load_centers_map(_load_codebook(spark, store))
+        books = _load_pq_books(spark, store)
+        m, _, dsub = books.shape
+        for vid, emb in rows:
+            v = np.array(emb)
+            u = v / np.linalg.norm(v)
+            d2 = {
+                cid: float(((u - c) ** 2).sum()) for cid, c in centers.items()
+            }
+            want_cell = min(d2, key=lambda c: (d2[c], c))
+            res = u - centers[want_cell]
+            want_codes = tuple(
+                int(
+                    (
+                        (res[j * dsub : (j + 1) * dsub] - books[j]) ** 2
+                    ).sum(axis=1).argmin()
+                )
+                for j in range(m)
+            )
+            assert got[vid] == (want_cell, want_codes), vid
+
+    def test_appended_vectors_findable_end_to_end(self, spark, sf_dir, tmp_path):
+        """Grow the corpus table alongside the index (the index-beside-
+        table contract): bulk-probe with the new vectors as queries —
+        each must surface ITSELF as top-1 with sim ~ 1 through the full
+        probe/ADC/refine path."""
+        import numpy as np
+
+        from jitsu_spark.operators.pq import (
+            append_to_ivfpq_store,
+            ann_ivfpq_topk_bulk,
+            build_ivfpq_store,
+        )
+        from jitsu_spark.tables import load_table
+
+        store = str(tmp_path / "store")
+        build_ivfpq_store(spark, sf_dir, store)
+        rows = self._new_batch(spark, sf_dir, n=5)
+        new_df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        append_to_ivfpq_store(spark, store, new_df)
+
+        # corpus table including the appended raw vectors
+        grown_dir = str(tmp_path / "grown")
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        ).unionByName(new_df).write.parquet(f"{grown_dir}/embeddings.parquet")
+
+        queries = spark.createDataFrame(
+            [
+                (vid, [float(x) for x in np.array(v) / np.linalg.norm(v)])
+                for vid, v in rows
+            ],
+            "query_id long, q array<double>",
+        )
+        top = ann_ivfpq_topk_bulk(
+            spark, grown_dir, store, queries, exclude_self=False
+        )
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("sim"), F.asc("neighbor_id")
+        )
+        best = {
+            r["query_id"]: (r["neighbor_id"], r["sim"])
+            for r in top.withColumn("rn", F.row_number().over(w))
+            .where("rn = 1")
+            .collect()
+        }
+        for vid, _ in rows:
+            nb, sim = best[vid]
+            assert nb == vid and sim >= 0.9999, (vid, nb, sim)
