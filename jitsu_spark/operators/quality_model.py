@@ -81,16 +81,20 @@ def train_quality_classifier(
             _bucket(F.concat(F.col("doc_id").cast("string"), F.lit(":cap")))
             < cap_per_mille
         )
+    # materialize the capped train vectors FIRST (one featurize pass —
+    # the live-HOF embedding is expensive to evaluate, and both the
+    # threshold scan and every L-BFGS iteration read from here), then
+    # take the label threshold from the materialized frame.
+    vecs = train.select(
+        array_to_vector("embedding").alias("features"), "sw_ratio"
+    ).localCheckpoint(eager=True)
     # exact percentile: the buffer is bounded by the train cap contract;
     # swap percentile_approx in when cap_per_mille shrinks at scale
-    thr = train.agg(F.expr("percentile(sw_ratio, 0.5)").alias("t")).first()["t"]
-    labeled = train.select(
-        array_to_vector("embedding").alias("features"),
+    thr = vecs.agg(F.expr("percentile(sw_ratio, 0.5)").alias("t")).first()["t"]
+    labeled = vecs.select(
+        "features",
         (F.col("sw_ratio") >= F.lit(thr)).cast("double").alias("label"),
     )
-    # bounded by the cap: materialize once so L-BFGS iterations re-read
-    # vectors, not the hash-chain expression
-    labeled = labeled.localCheckpoint(eager=True)
     lr = LogisticRegression(
         maxIter=30, regParam=1e-3, standardization=True, tol=1e-7
     )
