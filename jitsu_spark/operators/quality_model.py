@@ -13,22 +13,37 @@ Shape of the operator:
      the TRAIN buckets only (no held-out leakage). Balanced by
      construction, so accuracy is a meaningful metric with a 0.5 floor.
   3. train     — LogisticRegression on the md5-bucket train split
-     (buckets < 800), capped at TRAIN_CAP_PER_MILLE of the corpus: at
-     100 TB the classifier trains on a bounded deterministic sample (the
-     bounded-training contract `pq.PQ_TRAIN_MAX_SAMPLE` set), while
+     (buckets < 800), capped at an ABSOLUTE `QM_TRAIN_MAX_SAMPLE` rows
+     (the `pq.PQ_TRAIN_MAX_SAMPLE` bounded-training contract): the cap
+     bucket threshold is derived from the parquet FOOTER row count
+     (metadata-only, no scan), so at 100 TB the classifier trains on a
+     fixed ~100k-row deterministic sample regardless of N, while
      SCORING stays a single full-corpus map pass through the fitted
-     model's JVM transform.
+     model's JVM transform. Once the cap engages, the label threshold
+     switches from exact `percentile` to `percentile_approx` so no
+     single task buffers the train set's values; at test SF the cap is
+     a no-op and the exact form (the parity regime) runs.
   4. score     — P(high quality) for every doc + its held-out flag, so
      downstream gates (`quality_percentile_gate`, temperature sampling)
      can consume the calibrated column directly.
 
-Rows-only registry entry: iterative L-BFGS has no SQL form. The hard
-gates live in `tests/test_quality_model.py`: held-out accuracy well
-above the 0.5 balanced baseline, probability bounds, prediction/
-probability consistency, and the no-leakage threshold contract.
+Rows-only registry entry: iterative L-BFGS has no SQL form.
+
+Determinism regime: this entry is TOLERANCE-checked, not
+bit-deterministic — L-BFGS gradients are treeAggregate float sums whose
+combine order depends on partition layout, so 4-dp probabilities can
+differ across repartitionings of the same data. Given a FITTED model,
+the scoring pass itself IS deterministic (pure JVM transform); the
+hard gates in `tests/test_quality_model.py` therefore pin held-out
+accuracy (well above the 0.5 balanced baseline), probability bounds,
+prediction/probability consistency, the no-leakage threshold contract,
+the absolute-cap row bound, and fixed-model scoring determinism —
+never exact probability bits across layouts.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -36,12 +51,18 @@ from pyspark.sql import functions as F
 from ..tables import load_table
 from .sampling import _bucket
 from .text_ops import TOKENS, _SW
-from .text_embed import feature_hash_embed
 
 TRAIN_BUCKET_LT = 800     # md5 buckets 0..799 train; 800..999 held out
-TRAIN_CAP_PER_MILLE = 1000  # bench SF trains on every train-bucket doc;
-# production sets this well below 1000 so the iterative stage touches a
-# fixed fraction of the corpus regardless of N (scoring is always full)
+# Absolute bound on the iterative (L-BFGS) stage: the train sample never
+# exceeds ~this many rows no matter the corpus size. 100k 64-d float64
+# vectors ≈ 51 MB — comfortably a driver-adjacent working set for the
+# treeAggregate passes, same envelope as pq.PQ_TRAIN_MAX_SAMPLE.
+QM_TRAIN_MAX_SAMPLE = 100_000
+# Cap-bucket granularity. Per-mille would floor the achievable fraction
+# at 1/1000 of the pool (still 80M rows at 1e11 docs); a 60-bit md5
+# slice mod 1e9 keeps the expected sample within ~2x of the absolute
+# target for any corpus up to ~1e13 train rows.
+CAP_SCALE = 1_000_000_000
 
 _SW_RATIO = (
     f"size(filter({TOKENS}, x -> x IN ({_SW})))"
@@ -49,10 +70,43 @@ _SW_RATIO = (
 )
 
 
+def _cap_bucket(key) -> "F.Column":
+    """Fine-grained deterministic bucket in [0, CAP_SCALE): 60-bit md5
+    prefix (15 hex digits) mod 1e9, salted so it is independent of the
+    train/held-out `sampling._bucket` split (which reads digits 1-7 of
+    the unsalted key)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(key.cast("string"), F.lit(":cap"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % CAP_SCALE
+    )
+
+
+def _train_cap(n_corpus_rows: int | None) -> int:
+    """Cap-bucket threshold (out of CAP_SCALE) that bounds the expected
+    train-sample size at QM_TRAIN_MAX_SAMPLE absolute rows (the
+    `salt_buckets_for` footer-stats pattern in reverse). The train split
+    keeps TRAIN_BUCKET_LT/1000 of the corpus, so the cap applies to
+    n * TRAIN_BUCKET_LT/1000 candidate rows. Returns CAP_SCALE (cap
+    disabled — the exact, oracle-parity regime) when the corpus is
+    small or its size is unknown."""
+    if n_corpus_rows is None:
+        return CAP_SCALE
+    n_train = n_corpus_rows * TRAIN_BUCKET_LT // 1000
+    if n_train <= QM_TRAIN_MAX_SAMPLE:
+        return CAP_SCALE
+    return max(1, math.ceil(CAP_SCALE * QM_TRAIN_MAX_SAMPLE / n_train))
+
+
 def _featurized(docs: DataFrame) -> DataFrame:
     """(doc_id, embedding, sw_ratio, is_train) in one pass over the
     corpus scan; embedding is referenced once per consumer row, honoring
     the live-HOF consumer contract in `text_embed`."""
+    from .text_embed import feature_hash_embed
+
     with_ratio = docs.selectExpr(
         "doc_id", "text", f"{_SW_RATIO} AS sw_ratio"
     )
@@ -63,34 +117,41 @@ def _featurized(docs: DataFrame) -> DataFrame:
 
 def train_quality_classifier(
     feats: DataFrame,
-    cap_per_mille: int = TRAIN_CAP_PER_MILLE,
+    train_cap: int = CAP_SCALE,
     seed: int = 7,
 ):
     """Fit the LR model on the train buckets; returns (model, threshold).
 
     The label threshold (median stopword ratio) is computed on the SAME
-    capped train set the model sees — held-out rows influence neither."""
+    capped train set the model sees — held-out rows influence neither.
+    `train_cap` is the cap-bucket threshold out of CAP_SCALE (derive it
+    with `_train_cap(footer_rows)`); when it engages (< CAP_SCALE) the
+    threshold uses `percentile_approx` so no task buffers the whole
+    train set — below the cap the exact `percentile` runs (the parity
+    regime)."""
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.functions import array_to_vector
 
     train = feats.where("is_train")
-    if cap_per_mille < 1000:
-        # second independent md5 (salted key) so the cap is uncorrelated
-        # with the train/held-out split
-        train = train.where(
-            _bucket(F.concat(F.col("doc_id").cast("string"), F.lit(":cap")))
-            < cap_per_mille
-        )
+    if train_cap < CAP_SCALE:
+        # independent salted md5 slice so the cap is uncorrelated with
+        # the train/held-out split
+        train = train.where(_cap_bucket(F.col("doc_id")) < train_cap)
     # materialize the capped train vectors FIRST (one featurize pass —
     # the live-HOF embedding is expensive to evaluate, and both the
     # threshold scan and every L-BFGS iteration read from here), then
-    # take the label threshold from the materialized frame.
+    # take the label threshold from the materialized frame. The
+    # materialized set is bounded by the absolute cap, so this holds
+    # ~QM_TRAIN_MAX_SAMPLE rows at any corpus size.
     vecs = train.select(
         array_to_vector("embedding").alias("features"), "sw_ratio"
     ).localCheckpoint(eager=True)
-    # exact percentile: the buffer is bounded by the train cap contract;
-    # swap percentile_approx in when cap_per_mille shrinks at scale
-    thr = vecs.agg(F.expr("percentile(sw_ratio, 0.5)").alias("t")).first()["t"]
+    median_expr = (
+        "percentile_approx(sw_ratio, 0.5, 10000)"
+        if train_cap < CAP_SCALE
+        else "percentile(sw_ratio, 0.5)"
+    )
+    thr = vecs.agg(F.expr(median_expr).alias("t")).first()["t"]
     labeled = vecs.select(
         "features",
         (F.col("sw_ratio") >= F.lit(thr)).cast("double").alias("label"),
@@ -105,17 +166,24 @@ def train_quality_classifier(
 def score_quality(feats: DataFrame, model, thr: float) -> DataFrame:
     """One full-corpus transform pass: (doc_id, prob, pred, label,
     is_holdout). prob is P(label=1) = P(stopword-profile 'high quality');
-    label is the weak heuristic truth for evaluation."""
+    label is the weak heuristic truth for evaluation.
+
+    The featurized frame is materialized (localCheckpoint) BEFORE
+    `model.transform`: transform derives rawPrediction, probability and
+    prediction from the same features vector, so feeding it the live-HOF
+    embedding would re-evaluate the full hash chain up to 3x per row
+    after projection collapse (the text_embed multi-consumer contract).
+    One eager pass here makes scoring a single featurize + one JVM
+    model map."""
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    scored = model.transform(
-        feats.select(
-            "doc_id",
-            "sw_ratio",
-            "is_train",
-            array_to_vector("embedding").alias("features"),
-        )
-    )
+    featurized = feats.select(
+        "doc_id",
+        "sw_ratio",
+        "is_train",
+        array_to_vector("embedding").alias("features"),
+    ).localCheckpoint(eager=True)
+    scored = model.transform(featurized)
     return scored.select(
         "doc_id",
         F.round(vector_to_array("probability")[1], 4).alias("prob"),
@@ -127,10 +195,14 @@ def score_quality(feats: DataFrame, model, thr: float) -> DataFrame:
 
 def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry (rows-only — see module docstring): train on the
-    md5 train buckets, score the whole corpus."""
+    md5 train buckets with the footer-derived absolute cap, score the
+    whole corpus."""
+    from .similarity import _corpus_rows
+
     docs = load_table(spark, sf_dir, "documents")
     feats = _featurized(docs)
-    model, thr = train_quality_classifier(feats)
+    cap = _train_cap(_corpus_rows(sf_dir, "documents"))
+    model, thr = train_quality_classifier(feats, train_cap=cap)
     return score_quality(feats, model, thr)
 
 

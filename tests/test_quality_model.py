@@ -74,9 +74,84 @@ class TestQualityClassifier:
         assert abs(thr - want) < 1e-12
 
     def test_train_cap_bounds_the_iterative_stage(self, spark):
-        """cap_per_mille < 1000 trains on a strict deterministic subset
-        (the 100 TB contract: bounded training, full scoring) and still
+        """An engaged cap trains on a strict deterministic subset (the
+        100 TB contract: bounded training, full scoring) and still
         produces a usable model."""
+        from jitsu_spark.operators.quality_model import (
+            CAP_SCALE,
+            _featurized,
+            score_quality,
+            train_quality_classifier,
+        )
+        from jitsu_spark.tables import load_table
+
+        feats = _featurized(load_table(spark, SF_DIR, "documents"))
+        model, thr = train_quality_classifier(feats, train_cap=CAP_SCALE * 3 // 10)
+        assert model.summary.totalIterations > 0
+        n_train_full = feats.where("is_train").count()
+        assert model.summary.predictions.count() < n_train_full
+        out = score_quality(feats, model, thr)
+        assert out.count() == feats.count()
+
+    def test_cap_derivation_is_absolute(self):
+        """The footer-derived cap bounds the EXPECTED train sample at
+        QM_TRAIN_MAX_SAMPLE absolute rows for any corpus size — the
+        round-5 weak item: per-mille (relative) caps still trained on
+        100 GB at 100 TB. Synthetic footer counts stand in for the
+        parquet metadata (the derivation consumes only n_rows)."""
+        from jitsu_spark.operators.quality_model import (
+            CAP_SCALE,
+            QM_TRAIN_MAX_SAMPLE,
+            TRAIN_BUCKET_LT,
+            _train_cap,
+        )
+
+        # small/unknown corpora: cap disabled (exact parity regime)
+        assert _train_cap(None) == CAP_SCALE
+        assert _train_cap(50_000) == CAP_SCALE
+        assert _train_cap(QM_TRAIN_MAX_SAMPLE * 1000 // TRAIN_BUCKET_LT) == CAP_SCALE
+        # large corpora: expected sample = n_train * cap / CAP_SCALE
+        # stays within 2x of the absolute target — at 1e8, 1e11 (the
+        # ~100 TB regime) and 1e13 rows alike
+        for n in (10**8, 10**11, 10**13):
+            cap = _train_cap(n)
+            assert cap < CAP_SCALE
+            n_train = n * TRAIN_BUCKET_LT // 1000
+            expected = n_train * cap / CAP_SCALE
+            assert expected <= 2 * QM_TRAIN_MAX_SAMPLE, (n, cap, expected)
+            # and the cap never starves training either
+            assert expected >= QM_TRAIN_MAX_SAMPLE / 2, (n, cap, expected)
+
+    def test_engaged_cap_filters_rows_and_uses_approx_median(self, spark):
+        """When the cap engages, the train filter keeps ~cap/CAP_SCALE
+        of the pool and the threshold comes from percentile_approx —
+        equal to the exact median on the same capped subset within the
+        10k-accuracy sketch tolerance."""
+        from pyspark.sql import functions as F
+
+        from jitsu_spark.operators.quality_model import (
+            CAP_SCALE,
+            _cap_bucket,
+            _featurized,
+            train_quality_classifier,
+        )
+        from jitsu_spark.tables import load_table
+
+        feats = _featurized(load_table(spark, SF_DIR, "documents"))
+        cap = CAP_SCALE // 2
+        _, thr = train_quality_classifier(feats, train_cap=cap)
+        capped = feats.where("is_train").where(_cap_bucket(F.col("doc_id")) < cap)
+        n_pool = feats.where("is_train").count()
+        n_capped = capped.count()
+        assert 0 < n_capped < n_pool
+        exact = capped.agg(F.expr("percentile(sw_ratio, 0.5)")).first()[0]
+        assert abs(thr - exact) < 1e-9
+
+    def test_fixed_model_scoring_is_deterministic(self, spark):
+        """Determinism regime (module docstring): TRAINING is
+        tolerance-checked (treeAggregate float-sum order), but scoring
+        under a FIXED model is a pure JVM map — identical rows across
+        repartitionings of the input."""
         from jitsu_spark.operators.quality_model import (
             _featurized,
             score_quality,
@@ -85,12 +160,10 @@ class TestQualityClassifier:
         from jitsu_spark.tables import load_table
 
         feats = _featurized(load_table(spark, SF_DIR, "documents"))
-        model, thr = train_quality_classifier(feats, cap_per_mille=300)
-        assert model.summary.totalIterations > 0
-        n_train_full = feats.where("is_train").count()
-        assert model.summary.predictions.count() < n_train_full
-        out = score_quality(feats, model, thr)
-        assert out.count() == feats.count()
+        model, thr = train_quality_classifier(feats)
+        a = score_quality(feats, model, thr)
+        b = score_quality(feats.repartition(7, "doc_id"), model, thr)
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
     def test_scoring_is_one_map_pass(self, scored):
         """Full-corpus scoring never shuffles: no Exchange in the plan
