@@ -273,26 +273,56 @@ GROUP BY t.doc_id
 """
 
 
-def duplicate_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The REMOVAL pass behind `duplicate_span_report` — what Lee et al.
-    2022 actually apply: excise cross-document duplicated spans from the
-    corpus, keeping one canonical occurrence.
+# Production-realistic default span width for the removal pass: Lee et
+# al. 2022 deduplicate substrings of >= 50 tokens. The oracle fixture
+# keeps SPAN_K=3 (the corpus's shingle width) so the DuckDB parity form
+# stays cheap and exact.
+DUP_SPAN_K_DEFAULT = 50
 
-    Deterministic rule: for every gram shared by >= 2 documents, the
+
+def _kgram_expr(k: int) -> str:
+    """Positional k-gram shingles over `toks` — the generic-width form
+    of `_SHINGLES_T` (identical output at k=3: concat_ws over a slice
+    equals the explicit 3-way concat, oracle-checked)."""
+    return (
+        f"CASE WHEN size(toks) >= {k} THEN "
+        f"transform(sequence(0, size(toks) - {k}),"
+        f" i -> concat_ws(' ', slice(toks, i + 1, {k}))) "
+        "ELSE array() END"
+    )
+
+
+def remove_duplicate_spans(
+    spark: SparkSession, sf_dir: str, k: int = DUP_SPAN_K_DEFAULT
+) -> DataFrame:
+    """The REMOVAL pass behind `duplicate_span_report` — what Lee et al.
+    2022 actually apply: excise cross-document duplicated spans (>= k
+    tokens, via shared k-grams) from the corpus, keeping one canonical
+    occurrence.
+
+    Deterministic rule: for every k-gram shared by >= 2 documents, the
     smallest doc_id holding it is canonical; every position that gram
     covers in OTHER documents is removed. Output is the full corpus,
     one row per document: (doc_id, n_tokens, n_removed, cleaned_text)
     with cleaned_text the kept tokens re-joined by single spaces
     (whitespace-normalizing, like every token-level op here).
 
-    Scale: one positional gram explode; the duplicated-gram table
-    aggregates with map-side combine and carries (gram, canon) only;
-    removal positions collapse to one bounded array per document
-    (collect_set <= doc length); the corpus-side cleanup is a single
-    join + a filter-with-index projection — no per-doc sort, no Python."""
+    Scale — the r5-review fix: removal candidates stay ONE ROW PER HIT
+    POSITION and collapse to MERGED (start, end) intervals via the
+    report's gaps-and-islands pass before touching the corpus — the
+    old `sequence(pos, pos + k - 1)` position explode multiplied
+    candidate rows k-fold (50x at the production k), and the per-doc
+    removal array held every covered index instead of one struct per
+    maximal span. One positional gram explode; the duplicated-gram
+    table aggregates with map-side combine and carries (gram, canon)
+    only; the island window is per-doc (bounded by doc length); the
+    corpus-side cleanup is a single join + an interval-containment
+    filter projection — no per-doc text sort, no Python."""
+    from pyspark.sql import Window
+
     docs = load_table_docs(spark, sf_dir)
     grams = docs.selectExpr(
-        "doc_id", f"posexplode({_SHINGLES_T}) AS (pos, gram)"
+        "doc_id", f"posexplode({_kgram_expr(k)}) AS (pos, gram)"
     )
     dup = (
         grams.select("doc_id", "gram")
@@ -302,25 +332,46 @@ def duplicate_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("df") >= 2)
         .select("gram", "canon")
     )
-    rm = (
+    # hit positions (one row each — no k-fold explode), merged into
+    # maximal intervals [s, e]: positions p, p' chain into one island
+    # when p' - p <= k (their covered ranges overlap or touch)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    hits = (
         grams.join(maybe_broadcast(dup), "gram")
         .where(F.col("doc_id") != F.col("canon"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(f"sequence(pos, pos + {SPAN_K} - 1)")
-            ).alias("rp"),
+        .select("doc_id", "pos")
+    )
+    islands = (
+        hits.withColumn("prev", F.lag("pos").over(w))
+        .withColumn(
+            "new_island",
+            (F.col("prev").isNull() | (F.col("pos") - F.col("prev") > k))
+            .cast("int"),
+        )
+        .withColumn(
+            "island",
+            F.sum("new_island").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    rm = (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + F.lit(k - 1)).alias("e"),
         )
         .groupBy("doc_id")
-        .agg(F.collect_set("rp").alias("rm"))
+        .agg(F.collect_list(F.struct("s", "e")).alias("iv"))
     )
     return (
         docs.join(maybe_broadcast(rm), "doc_id", "left")
         .selectExpr(
             "doc_id",
             "size(toks) AS n_tokens",
-            "CASE WHEN rm IS NULL THEN toks"
-            " ELSE filter(toks, (x, i) -> NOT array_contains(rm, i)) END"
+            "CASE WHEN iv IS NULL THEN toks"
+            " ELSE filter(toks, (x, i) ->"
+            " NOT exists(iv, v -> i >= v.s AND i <= v.e)) END"
             " AS kept",
         )
         .selectExpr(
@@ -330,6 +381,14 @@ def duplicate_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "concat_ws(' ', kept) AS cleaned_text",
         )
     )
+
+
+def duplicate_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: `remove_duplicate_spans` at the oracle fixture
+    width k=SPAN_K (the corpus's 3-gram shingle unit — DuckDB parity
+    stays exact and cheap). Production calls pass k=DUP_SPAN_K_DEFAULT
+    (50) or their own width; the plan shape is identical at any k."""
+    return remove_duplicate_spans(spark, sf_dir, k=SPAN_K)
 
 
 DUP_SPAN_DEDUP_SQL = f"""

@@ -395,3 +395,67 @@ class TestDuplicateSpanDedup:
 
         out = duplicate_span_dedup(spark, sf_dir)
         assert out.count() == load_table(spark, sf_dir, "documents").count()
+
+    def test_production_width_k50(self, spark, tmp_path):
+        """k is a per-call parameter (r5 review): at the Lee et al.
+        width of 50 only >= 50-token shared substrings are excised."""
+        shared50 = " ".join(f"s{i}" for i in range(50))
+        shared10 = " ".join(f"t{i}" for i in range(10))
+        rows = [
+            # doc 1 canonical for both shared blocks
+            (1, f"{shared50} mid {shared10}"),
+            # doc 2 repeats both: at k=50 only the 50-token block goes
+            (2, f"head {shared50} tail {shared10}"),
+            # doc 3 repeats only the 10-token block -> untouched at k=50
+            (3, f"solo {shared10} end"),
+        ]
+        spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+            "overwrite"
+        ).parquet(f"{tmp_path}/documents.parquet")
+        from jitsu_spark.operators.corpus_stats import remove_duplicate_spans
+
+        out = {
+            r.doc_id: (r.n_removed, r.cleaned_text)
+            for r in remove_duplicate_spans(spark, str(tmp_path), k=50).collect()
+        }
+        assert out[1] == (0, f"{shared50} mid {shared10}")
+        assert out[2] == (50, f"head tail {shared10}")
+        assert out[3] == (0, f"solo {shared10} end")
+
+    def test_intervals_replace_position_explode(self, spark, tmp_path):
+        """Plan shape (r5 review): removal candidates are merged
+        (start, end) intervals — no `sequence(pos, ...)` explode, so
+        candidate rows don't amplify k-fold at k=50."""
+        rows = [(1, "a b c d"), (2, "z a b c d z2")]
+        spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+            "overwrite"
+        ).parquet(f"{tmp_path}/documents.parquet")
+        from jitsu_spark.operators.corpus_stats import remove_duplicate_spans
+
+        out = remove_duplicate_spans(spark, str(tmp_path), k=50)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "sequence(pos" not in plan
+
+    def test_merged_intervals_equal_position_union(self, spark, tmp_path):
+        """Adjacent/overlapping hit positions merge into one interval
+        covering exactly the union of their k-token ranges — including
+        the touching case (gap == k)."""
+        # doc 2 repeats "a b c" at pos 1 and again at pos 7 (gap 6 > 3:
+        # two islands) and "c d e" overlapping at pos 3 (gap 2: merges)
+        rows = [
+            (1, "a b c d e"),
+            (2, "z a b c d e x y a b c w"),
+        ]
+        spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+            "overwrite"
+        ).parquet(f"{tmp_path}/documents.parquet")
+        from jitsu_spark.operators.corpus_stats import remove_duplicate_spans
+
+        out = {
+            r.doc_id: (r.n_removed, r.cleaned_text)
+            for r in remove_duplicate_spans(spark, str(tmp_path), k=3).collect()
+        }
+        # doc 2: grams "a b c"(1),"b c d"(2),"c d e"(3) merge -> [1,5];
+        # second "a b c"(8) -> [8,10]; union removes 8 tokens
+        assert out[2] == (8, "z x y w")
+        assert out[1] == (0, "a b c d e")
