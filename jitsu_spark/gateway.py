@@ -242,6 +242,34 @@ QUERIES = {"sql_gateway_limit": sql_gateway_limit}
 ORACLE = {"sql_gateway_limit": SQL_GATEWAY_SQL}
 
 
+def schema_response(
+    spark: SparkSession, allowed_tables: set[str] | None = None
+) -> dict:
+    """Schema-introspection companion to the query endpoint — the
+    reference pairs `sql/query.ts` with an `information_schema.columns`
+    scan returning `{table: [{name, type}, ...]}` ordered by table name
+    and ordinal position (`sql/schema.ts:38-63`).
+
+    Spark shape: `spark.catalog.listColumns` over the session catalog,
+    restricted to the same allowlist the query gateway enforces
+    (fail-closed: an allowlisted name missing from the catalog is
+    skipped, never guessed). listColumns preserves the table's column
+    order — the ordinal_position analogue."""
+    if allowed_tables is not None:
+        names = sorted(t.lower() for t in allowed_tables)
+    else:
+        names = sorted(t.name.lower() for t in spark.catalog.listTables())
+    out: dict[str, list[dict[str, str]]] = {}
+    for t in names:
+        if not spark.catalog.tableExists(t):
+            continue
+        out[t] = [
+            {"name": c.name, "type": c.dataType}
+            for c in spark.catalog.listColumns(t)
+        ]
+    return out
+
+
 def query_response(df: DataFrame) -> dict:
     """The reference's response shape (`query.ts:78-84`): column meta,
     row data (with a '#' index), row count."""

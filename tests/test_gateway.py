@@ -243,3 +243,32 @@ def test_backslash_escapes_fail_closed_without_session():
         )
     # no allowlist -> the fallback never rejects (shape checks only)
     validate_select("SELECT 'a\\nb' AS c")
+
+
+def test_schema_response_golden(spark):
+    """`schema_response` mirrors the reference's information_schema
+    scan (`sql/schema.ts:38-63`): {table: [{name, type}, ...]} keyed by
+    allowlisted table, columns in table order, absent tables skipped
+    (fail-closed, never guessed)."""
+    from jitsu_spark.gateway import schema_response
+
+    spark.sql("SELECT 1 AS a, 'x' AS b, CAST(2.5 AS DOUBLE) AS c").createOrReplaceTempView(
+        "gw_schema_t1"
+    )
+    spark.range(3).createOrReplaceTempView("gw_schema_t2")
+    resp = schema_response(
+        spark, {"gw_schema_t1", "gw_schema_t2", "not_a_table"}
+    )
+    assert resp == {
+        "gw_schema_t1": [
+            {"name": "a", "type": "int"},
+            {"name": "b", "type": "string"},
+            {"name": "c", "type": "double"},
+        ],
+        "gw_schema_t2": [{"name": "id", "type": "bigint"}],
+    }
+    # no allowlist: every catalog table is listed
+    everything = schema_response(spark)
+    assert "gw_schema_t1" in everything and "gw_schema_t2" in everything
+    spark.catalog.dropTempView("gw_schema_t1")
+    spark.catalog.dropTempView("gw_schema_t2")
