@@ -16,10 +16,14 @@ Spark-side design (all real and tested):
   so one task streams many Arrow batches without materializing the
   partition.
 
-The codec itself (PIL/ffmpeg/soundfile) is NOT in this container, so
-`_decode_real` raises NotImplementedError and the pipeline runs a
-deterministic fake decode (documented below) — swap `DECODER` in
-production. This mirrors how the engine gates optional native deps.
+Codecs are import-try gated per modality: images decode with Pillow
+where it exists, audio with soundfile where it exists (stdlib `wave`
+covers WAV everywhere, so PCM decode is real even in this container);
+video (pyav/ffmpeg) raises NotImplementedError until its library is
+present. The registry pipeline runs the deterministic fake decode
+(documented below) so oracles reproduce it byte-for-byte — swap
+`DECODER` in production. This mirrors how the engine gates optional
+native deps (pymongo in `sinks_api.py`).
 """
 
 from __future__ import annotations
@@ -61,14 +65,61 @@ def pil_available() -> bool:
         return False
 
 
+def soundfile_available() -> bool:
+    try:
+        import soundfile  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _decode_audio(payload: bytes, mime: str) -> dict:
+    """Audio branch of `_decode_real`, gated exactly like PIL: prefer
+    soundfile (any libsndfile format) when the interpreter has it; fall
+    back to the stdlib `wave` reader for WAV mimes so RIFF/PCM decode is
+    real even in this container. Checksum is over the DECODED sample
+    frames (not payload bytes) — the same decoded-content contract as
+    the image branch."""
+    import io
+
+    if soundfile_available():
+        import soundfile as sf
+
+        data, rate = sf.read(io.BytesIO(payload), dtype="int16")
+        n_frames = data.shape[0]
+        channels = 1 if data.ndim == 1 else data.shape[1]
+        digest = hashlib.md5(data.tobytes()).digest()
+    elif mime in ("audio/wav", "audio/x-wav", "audio/wave"):
+        import wave
+
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            n_frames = w.getnframes()
+            channels = w.getnchannels()
+            rate = w.getframerate()
+            digest = hashlib.md5(w.readframes(n_frames)).digest()
+    else:
+        raise NotImplementedError(
+            f"no codec for mime {mime!r}: soundfile not installed and the"
+            " stdlib wave reader only handles audio/wav"
+        )
+    return {
+        "payload_len": len(payload),
+        "checksum": int.from_bytes(digest[:4], "big"),
+        "decoded_duration_ms": int(n_frames * 1000 / rate) if rate else 0,
+        "decoded_channels": channels,
+    }
+
+
 def _decode_real(payload: bytes, mime: str) -> dict:
     """Production decode: PIL for images, import-try gated exactly like
     pymongo in `sinks_api.py` — the seam is real code, not a stub, and
     runs wherever the interpreter has Pillow (tests skip without it).
     Returns the same (payload_len, checksum) contract as the fake decode
     — the checksum over DECODED PIXELS instead of payload bytes — plus
-    decoded dimensions for audit against the metadata struct. Audio/video
-    mimes still raise: soundfile/pyav seams stay open."""
+    decoded dimensions for audit against the metadata struct. Audio runs
+    through `_decode_audio` (soundfile if present, stdlib wave for WAV);
+    video mimes still raise: the pyav seam stays open."""
     if mime and mime.startswith("image/"):
         try:
             import io
@@ -86,6 +137,8 @@ def _decode_real(payload: bytes, mime: str) -> dict:
                 "decoded_width": img.width,
                 "decoded_height": img.height,
             }
+    if mime and mime.startswith("audio/"):
+        return _decode_audio(payload, mime)
     raise NotImplementedError(
         f"no codec for mime {mime!r}; swap DECODER with a real implementation"
     )

@@ -16,12 +16,59 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError, match="Pillow"):
             _decode_real(b"x", "image/png")
 
-    def test_non_image_mimes_always_gated(self):
-        from jitsu_spark.multimodal import _decode_real
+    def test_uncovered_mimes_always_gated(self):
+        from jitsu_spark.multimodal import _decode_real, soundfile_available
 
-        for mime in ("audio/wav", "video/mp4", None):
+        for mime in ("video/mp4", None):
             with pytest.raises(NotImplementedError, match="no codec"):
                 _decode_real(b"x", mime)
+        if not soundfile_available():
+            # the stdlib wave fallback only covers WAV mimes
+            with pytest.raises(NotImplementedError, match="no codec"):
+                _decode_real(b"x", "audio/mpeg")
+
+    def test_wav_decode_is_real(self, spark):
+        """The audio branch decodes RIFF/PCM WAV wherever the
+        interpreter runs (stdlib wave; soundfile takes over when
+        installed): checksum over decoded sample frames + true duration
+        and channel count, through the same mapInPandas plumbing."""
+        import io
+        import struct
+        import wave as wave_mod
+
+        from jitsu_spark import multimodal as mm
+
+        rate, n = 8000, 1600  # 200 ms of mono 16-bit PCM
+        buf = io.BytesIO()
+        with wave_mod.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(
+                b"".join(struct.pack("<h", (i * 37) % 2000 - 1000) for i in range(n))
+            )
+        wav = buf.getvalue()
+        feats = mm._decode_real(wav, "audio/wav")
+        assert feats["payload_len"] == len(wav)
+        assert feats["decoded_duration_ms"] == 200
+        assert feats["decoded_channels"] == 1
+        # payload-bytes checksum differs from decoded-frames checksum
+        assert feats["checksum"] != mm._decode_fake(wav, "audio/wav")["checksum"]
+
+        media = spark.createDataFrame(
+            [(1, "audio", bytearray(wav), ("audio/wav", None, None, 200))],
+            mm.MEDIA_SCHEMA,
+        )
+        rows = mm.extract_features(media, decoder=mm._decode_real).collect()
+        assert len(rows) == 1 and rows[0].checksum == feats["checksum"]
+
+    def test_wav_garbage_payload_fails_loudly(self):
+        from jitsu_spark.multimodal import _decode_real, soundfile_available
+
+        with pytest.raises(Exception) as exc:
+            _decode_real(b"not a riff header", "audio/wav")
+        # a decode error, never a silent fake-decode fallback
+        assert not isinstance(exc.value, NotImplementedError) or soundfile_available()
 
     def test_real_decoder_with_pil(self, spark):
         """Wherever the image has Pillow, the real decode path runs
