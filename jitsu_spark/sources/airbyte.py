@@ -97,6 +97,31 @@ def discovered_streams(messages: DataFrame) -> list[str]:
     )
 
 
+def _last_state_line(file_path: str) -> str | None:
+    """Stream ONE capture file line-by-line keeping only the most recent
+    STATE line — O(1) memory however large the connector run was. The
+    cheap `"STATE"` substring probe gates the JSON parse so a 10 GB
+    capture of RECORD lines costs one pass of substring checks, not
+    10 GB of json.loads."""
+    last = None
+    # capture files are the connector's stdout tee'd to storage; this
+    # engine's capture store is posix (file:). For an object-store
+    # capture path, swap this open() for fsspec/Hadoop-FS streaming —
+    # the reader contract (iterate lines, keep last STATE) is unchanged.
+    local = re.sub(r"^file:/{0,2}", "/", file_path)
+    with open(local, encoding="utf-8", errors="replace") as f:
+        for line in f:
+            if '"STATE"' not in line:
+                continue
+            try:
+                msg = json.loads(line)
+            except ValueError:
+                continue
+            if msg.get("type") == "STATE":
+                last = line
+    return last
+
+
 def latest_state(spark: SparkSession, path: str) -> dict | None:
     """The LAST state message's payload — the cursor checkpoint to
     persist after the load commits (Airbyte: records preceding a STATE
@@ -106,25 +131,22 @@ def latest_state(spark: SparkSession, path: str) -> dict | None:
     ordered NUMERIC-AWARE (digit runs compare as integers) — plain
     lexicographic descent would crown `part-9` over `part-10` and
     persist a stale cursor from the earlier capture file.
-    monotonically_increasing_id over a line read follows Spark's
-    partition packing (splits ordered by size), which can crown a stale
-    state from an earlier file. wholetext + posexplode yields true line
-    positions; capture files are connector-run logs with bounded size,
-    so one file per row is fine. The file list is one row per capture
-    file (bounded per sync run), so picking the last file on the driver
-    is a constant-size collect."""
-    lines = (
-        spark.read.text(path, wholetext=True)
-        .select(
-            F.input_file_name().alias("file"),
-            F.posexplode(F.split("value", "\n")).alias("line_no", "line"),
-        )
-        .where(F.col("line").startswith('{'))
+
+    Scale (r5 review): the old form read every capture file WHOLE
+    (`wholetext=True` — one row per file) to get line positions, so a
+    10 GB connector run materialized 10 GB in one task. Now discovery
+    is a distributed LINE scan (split-friendly: Hadoop's line reader
+    keeps lines intact across splits; order within a file is NOT needed
+    here, only which files contain STATE), and the within-file "last"
+    comes from streaming ONLY the winning file through an O(1)-memory
+    tail reader. The only collect is the distinct file list — one row
+    per capture file."""
+    lines = spark.read.text(path).select(
+        F.input_file_name().alias("file"),
+        F.col("value").alias("line"),
     )
     parsed = lines.select(
-        "file",
-        "line_no",
-        F.from_json("line", AIRBYTE_MESSAGE_SCHEMA).alias("m"),
+        "file", F.from_json("line", AIRBYTE_MESSAGE_SCHEMA).alias("m")
     ).where(F.col("m.type") == "STATE")
     files = [r.file for r in parsed.select("file").distinct().collect()]
     if not files:
@@ -137,15 +159,10 @@ def latest_state(spark: SparkSession, path: str) -> dict | None:
             for tok in re.split(r"(\d+)", name)
         ]
 
-    last_file = max(files, key=natural_key)
-    row = (
-        parsed.where(F.col("file") == last_file)
-        .orderBy(F.desc("line_no"))
-        .select(F.col("m.state.data").alias("data"))
-        .limit(1)
-        .collect()
-    )
-    return json.loads(row[0].data) if row else None
+    last_line = _last_state_line(max(files, key=natural_key))
+    if last_line is None:
+        return None
+    return json.loads(json.loads(last_line)["state"]["data"])
 
 
 def connector_logs(messages: DataFrame) -> DataFrame:
