@@ -118,14 +118,25 @@ def snapshot_diff(
     diff itself is one co-partitioned full-outer join on the key; with
     both snapshots stored key-bucketed (`plans/bucketing.py`) even that
     exchange disappears. Unchanged rows (the overwhelming majority of a
-    daily snapshot pair) are filtered before any downstream consumer."""
-    oh = old.select(F.col(key), F.md5(content_col).alias("old_h"))
-    nh = new.select(F.col(key), F.md5(content_col).alias("new_h"))
+    daily snapshot pair) are filtered before any downstream consumer.
+
+    Presence is carried by explicit per-side markers, NOT hash nullness
+    (r5 review: md5(NULL) = NULL, so a doc present in both snapshots
+    with NULL content would masquerade as added/removed). NULL == NULL
+    content compares as unchanged (null-safe equality)."""
+    oh = old.select(
+        F.col(key), F.md5(content_col).alias("old_h"),
+        F.lit(True).alias("_in_old"),
+    )
+    nh = new.select(
+        F.col(key), F.md5(content_col).alias("new_h"),
+        F.lit(True).alias("_in_new"),
+    )
     j = oh.join(nh, key, "full_outer")
     status = (
-        F.when(F.col("old_h").isNull(), F.lit("added"))
-        .when(F.col("new_h").isNull(), F.lit("removed"))
-        .when(F.col("old_h") != F.col("new_h"), F.lit("changed"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(~F.col("old_h").eqNullSafe(F.col("new_h")), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
     return j.select(F.col(key), status.alias("status")).where(

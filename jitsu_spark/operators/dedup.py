@@ -665,6 +665,21 @@ def fingerprint_verdicts(
             "CAST(NULL AS STRING) AS text_hash",
             "CAST(NULL AS BIGINT) AS canonical_id",
         )
+    verdicts = verdicts_against_store(new_docs, store)
+    # pin BEFORE any store append: verdicts' lineage reads the store,
+    # and a caller action after the write would otherwise re-scan the
+    # just-appended fingerprints and flip 'new' to 'dup_of_corpus'
+    return verdicts.localCheckpoint()
+
+
+def verdicts_against_store(new_docs: DataFrame, store: DataFrame) -> DataFrame:
+    """The join core of `fingerprint_verdicts`, parameterized over ANY
+    (text_hash, canonical_id) store frame — a parquet fingerprint store
+    or an in-plan hash set (the composed incremental pipeline derives
+    one from the retained corpus). Pure plan, no checkpoint: callers
+    that mutate the store afterwards pin the lineage themselves."""
+    from ..plans.hints import maybe_broadcast
+
     batch = new_docs.select("doc_id", F.md5("text").alias("text_hash"))
     batch_canon = batch.groupBy("text_hash").agg(
         F.min("doc_id").alias("batch_canonical")
@@ -679,7 +694,7 @@ def fingerprint_verdicts(
         .groupBy("text_hash")
         .agg(F.min("canonical_id").alias("canonical_id"))
     )
-    verdicts = (
+    return (
         batch.join(maybe_broadcast(batch_canon), "text_hash")
         .join(maybe_broadcast(hits), "text_hash", "left")
         .selectExpr(
@@ -690,12 +705,7 @@ def fingerprint_verdicts(
             " ELSE 'new' END AS verdict",
             "coalesce(canonical_id, batch_canonical) AS canonical_id",
         )
-        # pin BEFORE any store append: verdicts' lineage reads the store,
-        # and a caller action after the write would otherwise re-scan the
-        # just-appended fingerprints and flip 'new' to 'dup_of_corpus'
-        .localCheckpoint()
     )
-    return verdicts
 
 
 def append_fingerprints(
