@@ -83,6 +83,33 @@ def merges_fixture_df(spark: SparkSession) -> DataFrame:
     )
 
 
+def canonicalize_merges(
+    merges,
+) -> list[tuple[int, str, str]]:
+    """Min-rank-wins dedup per (left, right), returned sorted by rank.
+
+    A TRAINED table can never contain the same pair at two ranks (merging
+    a pair zeroes its adjacency count, and merges only concatenate, so a
+    consumed single-symbol adjacency is never re-created —
+    `learn_bpe_merges` cannot emit duplicates). But the merges-table
+    contract accepts user-supplied tables, and the two encode forms
+    resolved duplicates differently (the replace chain applied the
+    FIRST-rank copy first and the later copies were no-ops; the pandas
+    encoder's dict build let the LAST rank win), silently breaking their
+    pinned-equal contract. Both paths now canonicalize here — keep the
+    minimum rank per pair, which matches both real BPE semantics and the
+    chain's effective behavior. Dedup preserves the creation-order
+    property: a pair's first occurrence references operands created by
+    strictly earlier rules, whose own first occurrences sit at ranks no
+    later than the referenced ones."""
+    best: dict[tuple[str, str], int] = {}
+    for rank, left, right in merges:
+        p = (left, right)
+        if p not in best or rank < best[p]:
+            best[p] = rank
+    return sorted((r, l, rt) for (l, rt), r in best.items())
+
+
 def _check_chain_merges(merges: list[tuple[int, str, str]]) -> None:
     """The expression chain is exact ONLY for rules with left != right.
 
@@ -113,8 +140,10 @@ def bpe_symbol_chain(
 ) -> Column:
     """The delimited symbol string after applying `merges` in rank order
     — each rule one replace() pass (left-to-right, non-overlapping, the
-    BPE replace-all semantics in both Spark and DuckDB). Refuses
+    BPE replace-all semantics in both Spark and DuckDB). Duplicate-pair
+    tables canonicalize to min-rank-wins (`canonicalize_merges`); refuses
     same-symbol rules (`_check_chain_merges`)."""
+    merges = canonicalize_merges(merges)
     _check_chain_merges(merges)
     col = F.regexp_replace(text, r"\s+", _WB)
     # every symbol both PRECEDED and FOLLOWED by the delimiter: a char
@@ -168,8 +197,11 @@ def bpe_token_count_pandas(
     be 50k nested expressions. One Arrow-batched map pass; per-word
     memoization amortizes the loop over Zipf-repeated words."""
     ranks = {
-        (r["left"], r["right"]): r["rank"]
-        for r in merges_df.select("rank", "left", "right").collect()
+        (left, right): rank
+        for rank, left, right in canonicalize_merges(
+            (r["rank"], r["left"], r["right"])
+            for r in merges_df.select("rank", "left", "right").collect()
+        )
     }
     bc = docs.sparkSession.sparkContext.broadcast(ranks)
 

@@ -158,6 +158,36 @@ class TestPandasTwinParity:
         assert _counts(bpe_token_count_expr(docs, merges2)) == {1: 1}
         assert _counts(bpe_token_count_pandas(docs, m2df)) == {1: 1}
 
+    def test_duplicate_pair_table_canonicalizes_on_both_paths(self, spark):
+        """The r6 falsifying table — a pair repeated at several ranks.
+        Both paths canonicalize min-rank-wins, so chain == encoder ==
+        the GPT-2 count under the canonical table: rank-0 (b,a) merges
+        first, so 'abab' segments a|ba|b = 3 tokens (the old last-rank-
+        wins dict picked (a,b) first and got 2)."""
+        merges = [
+            (0, "b", "a"),
+            (1, "a", "b"),
+            (2, "a", "b"),
+            (3, "a", "b"),
+            (4, "b", "a"),
+        ]
+        from jitsu_spark.operators.bpe import (
+            bpe_token_count_expr,
+            bpe_token_count_pandas,
+            canonicalize_merges,
+        )
+
+        assert canonicalize_merges(merges) == [(0, "b", "a"), (1, "a", "b")]
+        docs = spark.createDataFrame(
+            [(1, "abab"), (2, "ba ab")], "doc_id long, text string"
+        )
+        merges_df = spark.createDataFrame(
+            merges, "rank int, left string, right string"
+        )
+        chain = _counts(bpe_token_count_expr(docs, merges))
+        pandas = _counts(bpe_token_count_pandas(docs, merges_df))
+        assert chain == pandas == {1: 3, 2: 2}
+
 
 def _naive_train(wc, n_merges, min_pair_freq=2):
     """Recount-from-scratch reference trainer: full pair recount every

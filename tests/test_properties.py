@@ -187,9 +187,11 @@ def _chain_count(text: str, merges) -> int:
     Spark/DuckDB replace()."""
     import re as _re
 
+    from jitsu_spark.operators.bpe import canonicalize_merges
+
     s = _re.sub(r"\s+", _WB, text)
     s = _SYM + "".join(ch + _SYM for ch in s)
-    for _, left, right in sorted(merges):
+    for _, left, right in canonicalize_merges(merges):
         pat = _SYM + left + _SYM + right + _SYM
         rep = _SYM + left + right + _SYM
         for _ in range(2):  # the two-pass replace-all claim under test
@@ -198,7 +200,9 @@ def _chain_count(text: str, merges) -> int:
 
 
 def _gpt2_count(text: str, merges) -> int:
-    ranks = {(l, r): rank for rank, l, r in merges}
+    from jitsu_spark.operators.bpe import canonicalize_merges
+
+    ranks = {(l, r): rank for rank, l, r in canonicalize_merges(merges)}
 
     def word(w):
         syms = tuple(w)
@@ -234,11 +238,22 @@ def _valid_merges(draw):
     n = draw(st.integers(0, 8))
     symbols = list(alphabet)
     merges = []
+    used: set[tuple[str, str]] = set()
     for rank in range(n):
-        left = draw(st.sampled_from(symbols))
-        right = draw(
-            st.sampled_from([s for s in symbols if s != left])
-        )
+        # unique pairs only: a trained table can never repeat a pair
+        # (merging zeroes its adjacency count and merges only concatenate)
+        # — duplicate tables are canonicalized, covered by
+        # TestDuplicatePairCanonicalization below.
+        candidates = [
+            (a, b)
+            for a in symbols
+            for b in symbols
+            if a != b and (a, b) not in used
+        ]
+        if not candidates:
+            break
+        left, right = draw(st.sampled_from(candidates))
+        used.add((left, right))
         merges.append((rank, left, right))
         symbols.append(left + right)
     return merges
@@ -258,3 +273,62 @@ class TestBpeChainEquivalence:
     def test_no_merges_counts_characters(self, text):
         expect = sum(len(w) for w in text.split())
         assert _chain_count(text, []) == expect == _gpt2_count(text, [])
+
+
+class TestDuplicatePairCanonicalization:
+    """A user-supplied table CAN repeat a pair at several ranks (trained
+    tables never do). Both encode paths canonicalize min-rank-wins, so
+    the pinned-equal contract holds on malformed input too — the r6
+    falsifying example is pinned here."""
+
+    # hypothesis' recorded counterexample from round 6: the chain resolved
+    # the duplicates first-rank-wins while the encoder dict let rank 4 win.
+    R6_EXAMPLE = [
+        (0, "b", "a"),
+        (1, "a", "b"),
+        (2, "a", "b"),
+        (3, "a", "b"),
+        (4, "b", "a"),
+    ]
+
+    def test_canonicalize_keeps_min_rank(self):
+        from jitsu_spark.operators.bpe import canonicalize_merges
+
+        assert canonicalize_merges(self.R6_EXAMPLE) == [
+            (0, "b", "a"),
+            (1, "a", "b"),
+        ]
+        # idempotent, and a no-op on an already-unique table
+        assert canonicalize_merges(
+            canonicalize_merges(self.R6_EXAMPLE)
+        ) == canonicalize_merges(self.R6_EXAMPLE)
+
+    def test_r6_falsifying_example_now_agrees(self):
+        # canonical table merges (b,a) first: a|ba|b = 3 tokens (the old
+        # last-rank-wins dict picked (a,b) first and got 2 — the bug)
+        assert (
+            _chain_count("abab", self.R6_EXAMPLE)
+            == _gpt2_count("abab", self.R6_EXAMPLE)
+            == 3
+        )
+
+    @given(
+        st.text(alphabet="abcd ", max_size=40),
+        _valid_merges(),
+        st.data(),
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_duplicated_rules_never_change_the_count(self, text, merges, data):
+        """Re-appending existing rules at later ranks is a no-op under
+        canonicalization, on both paths."""
+        if not merges:
+            return
+        dup = list(merges)
+        extra = data.draw(
+            st.lists(st.sampled_from(merges), min_size=1, max_size=4)
+        )
+        base_rank = max(r for r, _, _ in merges) + 1
+        for i, (_, left, right) in enumerate(extra):
+            dup.append((base_rank + i, left, right))
+        assert _chain_count(text, dup) == _chain_count(text, merges)
+        assert _gpt2_count(text, dup) == _gpt2_count(text, merges)
