@@ -77,52 +77,43 @@ for _m in _MODULES:
     ORACLES.update(getattr(_m, "ORACLE", {}))
 
 # The driver samples the FIRST ~50 entries in insertion order for its
-# per-round correctness run (CORRECTNESS_r{N}.json). Rounds 1-4 always
-# sampled the same module-order prefix, so the text/dedup/similarity/
-# clustering/layout/gateway surface never received a driver row. Promote
-# those entries to the front (q1 stays first as the smoke query; then the
-# 33 never-driver-checked names; then the 27 checked only before r04) so
-# round 5's sample converts judge-verified entries into driver-verified
-# ones. Names absent from the registry are ignored, so this list can't
+# per-round correctness run (CORRECTNESS_r{N}.json). The prefix rotates
+# each round so every family periodically converts judge-verified rows
+# into driver-verified ones. Round-7 rotation (r6 review item 2): the
+# relational q-family last had driver rows in r4 — it leads; then every
+# surface round 7 touches (BPE canonicalization, quality-model
+# checkpoint fix, PQ zero-norm reporting, embedding-prep sort key,
+# gateway allowlist, multimodal video gate, the composed incremental-
+# corpus entry); then the events/funnel/sampling families last sampled
+# r1-r4. Names absent from the registry are ignored, so this list can't
 # break imports when operators are renamed.
 _PRIORITY = [
     "q1_pricing_summary",
-    # -- new in r5 --
-    "bpe_learn_merges",
-    "corpus_snapshot_diff",
-    "quality_classifier_score",
-    "tokenize_pack_pipeline",
-    "pca_project_report",
-    "bpe_trained_token_count",
-    "token_budget_select",
-    "duplicate_span_dedup",
-    "embedding_int8_quantize",
-    "pq_recall_report",
-    # -- never driver-checked through r04 --
-    "bpe_token_count", "url_stats_by_source", "length_histogram",
-    "gopher_quality_flags", "repetition_stats", "pii_redact",
-    "contamination_check", "chunk_documents", "quality_percentile_gate",
-    "embedding_norm_stats", "near_dup_clusters", "lsh_recall_report",
-    "dedup_keep_list", "boilerplate_shingle_stats", "ngram_topk",
-    "duplicate_span_report", "unigram_surprisal", "semantic_dedup_keep_list",
-    "embedding_cluster_assign", "cluster_quality_report",
-    "cluster_prototype_prune", "cluster_balanced_sample",
-    "semantic_curation_pipeline", "doc_feature_hash_embed",
-    "text_semantic_dups", "ann_ivfpq_topk", "ann_ivfpq_bulk_topk",
-    "embedding_near_dups_approx", "whitening_report",
-    "hubspot_mapping_typed", "intercom_mapping_typed",
-    "throttle_shed_events", "workspace_throttle_events",
-    # -- last driver-checked before r04 --
-    "series_correlation", "text_quality_score", "token_count_by_source",
-    "lang_id_heuristic", "doc_fingerprint", "dedup_exact",
-    "minhash_signatures", "minhash_lsh_pairs", "ngram_jaccard_dups",
-    "simhash", "cosine_topk_bruteforce", "ann_ivf_topk",
-    "embedding_cosine_dups", "knn_label_predict",
-    "layout_single_table_typed", "layout_segment_fanout",
-    "layout_jitsu_legacy_typed", "profile_build", "identity_stitch",
-    "id_graph", "geo_enrich_range_join", "ua_parse_bot_filter",
-    "sql_gateway_limit", "ga4_mapping_typed", "mixpanel_mapping_typed",
-    "media_feature_extract", "incremental_rollup_equivalence",
+    # -- relational q-family: last driver-sampled r4 --
+    "q2_min_cost_supplier", "q3_top_revenue_orders", "q4_priority_count",
+    "q5_region_revenue", "q6_forecast_revenue", "q7_nation_volume",
+    "q8_market_share", "q9_product_profit", "q10_returned_items",
+    "q11_important_parts", "q12_late_priority_lines",
+    "q13_order_count_distribution", "q14_promo_share", "q15_top_supplier",
+    "q16_supplier_count_by_part", "q17_small_quantity_revenue",
+    "q18_large_orders", "q19_disjunctive_revenue", "q20_excess_suppliers",
+    "q21_waiting_suppliers", "q22_idle_customers",
+    # -- touched in r7 --
+    "bpe_trained_token_count", "bpe_token_count", "bpe_learn_merges",
+    "corpus_increment_pipeline", "quality_classifier_score",
+    "pq_recall_report", "whitening_report", "pca_project_report",
+    "sql_gateway_limit", "media_feature_extract", "profile_build",
+    "funnel_3step_windowed",
+    # -- events / funnel / sampling families: last sampled r1-r4 --
+    "sessionize", "metrics_rollup_minute", "active_users_daily",
+    "active_users_daily_approx", "asof_signup_attribution",
+    "funnel_signup_purchase", "retention_cohorts", "event_transitions",
+    "event_transition_probs", "audience_overlap", "event_value_percentiles",
+    "report_event_stat", "report_rollup_totals", "signup_no_purchase_except",
+    "events_log_tail", "props_json_extract", "metrics_anomaly",
+    "stratified_sample_documents", "train_test_split_documents",
+    "source_mix_resample", "temperature_resample", "sequence_pack_bins",
+    "leakage_safe_split", "corpus_prep_pipeline",
 ]
 
 QUERIES = {}
