@@ -185,6 +185,197 @@ WHERE old_h IS NULL OR new_h IS NULL OR old_h <> new_h
 """
 
 
+# -- composed incremental-corpus pipeline ------------------------------------
+#
+# The "daily crawl increment" job the incremental operators exist for:
+# diff yesterday's corpus against today's crawl, re-ingest ONLY the
+# added/changed docs through fingerprint dedup against the retained
+# corpus, and re-run token-budget selection over the merged result.
+# Composes snapshot_diff -> dedup.verdicts_against_store (in-plan store)
+# -> sampling.token_budget_over in ONE declarative plan.
+#
+# Scale notes (100 TB stance):
+# - The diff and the fingerprint store both move (key, 32-char md5)
+#   pairs only — document bodies never shuffle for bookkeeping.
+# - The affected/increment id lists are diff-sized (a daily delta),
+#   broadcast into semi/anti joins against the snapshots.
+# - verdicts_against_store keeps its audited direction: the store side
+#   streams, the batch side broadcasts.
+# - The budget stage is the two-phase histogram cumsum — no per-source
+#   single-task sort.
+
+INCR_BUDGET_PER_MILLE = 800
+
+
+def incremental_corpus(
+    old: DataFrame, new: DataFrame, per_mille: int = INCR_BUDGET_PER_MILLE
+) -> DataFrame:
+    """One increment tick over (old snapshot, new crawl) frames with
+    (doc_id, source, text). The previous tick's corpus is the old
+    snapshot's exact-dedup canonicals (min doc_id per content hash);
+    docs the diff marks removed/changed leave it, docs marked
+    added/changed re-enter through the fingerprint gate. Output: one row
+    per merged-corpus doc — (doc_id, source, origin retained|ingested,
+    n_tok, cum_before, budget_tok, selected).
+
+    Pinned equal (tests/test_corpus_increment.py) to the from-scratch
+    spec on the same universe: one doc per distinct content hash of
+    retained ∪ batch, retained canonical preferred, else min batch
+    doc_id — the first-seen-wins semantics every incremental dedup store
+    implements."""
+    from ..plans.hints import maybe_broadcast
+    from .dedup import verdicts_against_store
+    from .sampling import _bucket, token_budget_over
+    from .text_ops import TOKENS
+
+    diff = snapshot_diff(old, new)
+    affected = diff.where(
+        F.col("status").isin("removed", "changed")
+    ).select("doc_id")
+    # the previous tick's corpus: old-snapshot exact-dedup canonicals
+    old_canon = (
+        old.select("doc_id", F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    retained_ids = old_canon.join(
+        maybe_broadcast(affected), "doc_id", "left_anti"
+    )
+    retained = old.join(retained_ids, "doc_id", "left_semi")
+    batch_ids = diff.where(
+        F.col("status").isin("added", "changed")
+    ).select("doc_id")
+    batch = new.join(maybe_broadcast(batch_ids), "doc_id", "left_semi")
+    # retained docs are canonical-per-hash, so this store is hash-unique
+    store = retained.select(
+        F.md5("text").alias("text_hash"),
+        F.col("doc_id").alias("canonical_id"),
+    )
+    verdicts = verdicts_against_store(batch, store)
+    ingested = batch.join(
+        maybe_broadcast(
+            verdicts.where(F.col("verdict") == "new").select("doc_id")
+        ),
+        "doc_id",
+        "left_semi",
+    )
+    merged = retained.withColumn(
+        "origin", F.lit("retained")
+    ).unionByName(ingested.withColumn("origin", F.lit("ingested")))
+    scored = merged.selectExpr(
+        "doc_id",
+        "source",
+        "origin",
+        f"CAST(size({TOKENS}) AS BIGINT) AS n_tok",
+    ).withColumn("bucket", _bucket(F.col("doc_id")))
+    return token_budget_over(scored, per_mille).select(
+        "doc_id", "source", "origin", "n_tok",
+        "cum_before", "budget_tok", "selected",
+    )
+
+
+def corpus_increment_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: run the composed increment job on the same
+    deterministic snapshot derivation `corpus_snapshot_diff` uses (old =
+    buckets < 950, new = buckets >= 50 with drift injected in
+    [450, 500)) — added, removed, and changed docs all exercised."""
+    from .sampling import _bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = _bucket(F.col("doc_id"))
+    old = docs.where(b < DIFF_ADDED_GE).select("doc_id", "source", "text")
+    new = (
+        docs.where(b >= DIFF_REMOVED_LT)
+        .withColumn(
+            "text",
+            F.when(
+                b.between(DIFF_CHANGED_LO, DIFF_CHANGED_HI - 1),
+                F.concat(F.col("text"), F.lit(" [rev2]")),
+            ).otherwise(F.col("text")),
+        )
+        .select("doc_id", "source", "text")
+    )
+    return incremental_corpus(old, new)
+
+
+def _incr_pipeline_duck() -> str:
+    from .sampling import _bucket_duck
+    from .text_ops import TOKENS_DUCK
+
+    return f"""
+WITH old AS (
+  SELECT doc_id, source, text FROM documents
+  WHERE {_bucket_duck('doc_id')} < {DIFF_ADDED_GE}
+),
+new AS (
+  SELECT doc_id, source,
+         CASE WHEN {_bucket_duck('doc_id')} BETWEEN {DIFF_CHANGED_LO}
+                   AND {DIFF_CHANGED_HI - 1}
+              THEN text || ' [rev2]' ELSE text END AS text
+  FROM documents
+  WHERE {_bucket_duck('doc_id')} >= {DIFF_REMOVED_LT}
+),
+diff AS (
+  SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+         CASE WHEN old.doc_id IS NULL THEN 'added'
+              WHEN new.doc_id IS NULL THEN 'removed'
+              WHEN md5(old.text) <> md5(new.text) THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+),
+old_canon AS (
+  SELECT min(doc_id) AS doc_id FROM old GROUP BY md5(text)
+),
+retained AS (
+  SELECT o.* FROM old o JOIN old_canon c USING (doc_id)
+  WHERE o.doc_id NOT IN
+        (SELECT doc_id FROM diff WHERE status IN ('removed', 'changed'))
+),
+batch AS (
+  SELECT n.* FROM new n
+  WHERE n.doc_id IN
+        (SELECT doc_id FROM diff WHERE status IN ('added', 'changed'))
+),
+ingested AS (
+  SELECT b.* FROM batch b
+  JOIN (SELECT md5(text) AS h, min(doc_id) AS bmin
+        FROM batch GROUP BY 1) bc
+    ON md5(b.text) = bc.h AND b.doc_id = bc.bmin
+  WHERE md5(b.text) NOT IN (SELECT md5(text) FROM retained)
+),
+merged AS (
+  SELECT doc_id, source, text, 'retained' AS origin FROM retained
+  UNION ALL
+  SELECT doc_id, source, text, 'ingested' AS origin FROM ingested
+),
+scored AS (
+  SELECT doc_id, source, origin,
+         CAST(len({TOKENS_DUCK}) AS BIGINT) AS n_tok,
+         {_bucket_duck('doc_id')} AS bucket
+  FROM merged
+),
+cum AS (
+  SELECT doc_id, source, origin, n_tok,
+         coalesce(sum(n_tok) OVER (PARTITION BY source
+           ORDER BY bucket ASC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before,
+         sum(n_tok) OVER (PARTITION BY source) AS total_tok
+  FROM scored
+)
+SELECT doc_id, source, origin, n_tok,
+       CAST(cum_before AS BIGINT) AS cum_before,
+       CAST((total_tok * {INCR_BUDGET_PER_MILLE}) // 1000 AS BIGINT)
+         AS budget_tok,
+       cum_before < (total_tok * {INCR_BUDGET_PER_MILLE}) // 1000 AS selected
+FROM cum
+"""
+
+
+CORPUS_INCREMENT_SQL = _incr_pipeline_duck()
+
+
 def corpus_dedup_suite(
     spark: SparkSession, sf_dir: str, store_dir: str
 ) -> dict[str, DataFrame]:
@@ -216,8 +407,10 @@ def corpus_dedup_suite(
 QUERIES = {
     "corpus_prep_pipeline": corpus_prep_pipeline,
     "corpus_snapshot_diff": corpus_snapshot_diff,
+    "corpus_increment_pipeline": corpus_increment_pipeline,
 }
 ORACLE = {
     "corpus_prep_pipeline": CORPUS_PREP_SQL,
     "corpus_snapshot_diff": SNAPSHOT_DIFF_SQL,
+    "corpus_increment_pipeline": CORPUS_INCREMENT_SQL,
 }

@@ -305,10 +305,20 @@ def _tb_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("bucket", _bucket(F.col("doc_id")))
 
 
-def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+def token_budget_over(
+    scored: DataFrame, per_mille: int = BUDGET_PER_MILLE
+) -> DataFrame:
+    """Two-phase cumulative token budget over ANY frame carrying
+    (doc_id, source, n_tok, bucket) — extra columns pass through (the
+    composed incremental-corpus pipeline threads `origin`). Appends
+    cum_before / budget_tok / selected and drops the bucket key.
+
+    Scale shape: the per-(source, bucket) token histogram is a compact
+    table (<=1000 buckets per source regardless of N); cumulative bucket
+    offsets + per-source totals compute there and broadcast back, so the
+    only corpus-side window is the within-bucket running sum."""
     from pyspark.sql import Window
 
-    scored = _tb_scored(spark, sf_dir)
     hist = scored.groupBy("source", "bucket").agg(
         F.sum("n_tok").alias("btok")
     )
@@ -336,15 +346,23 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("source").eqNullSafe(F.col("o_source"))
             & (F.col("bucket") == F.col("o_bucket")),
         )
-        .selectExpr(
-            "doc_id",
-            "source",
-            "n_tok",
-            "bucket_before + within_before AS cum_before",
-            f"(total_tok * {BUDGET_PER_MILLE}) DIV 1000 AS budget_tok",
-            "bucket_before + within_before"
-            f" < (total_tok * {BUDGET_PER_MILLE}) DIV 1000 AS selected",
+        .withColumn(
+            "cum_before", F.expr("bucket_before + within_before")
         )
+        .withColumn(
+            "budget_tok", F.expr(f"(total_tok * {per_mille}) DIV 1000")
+        )
+        .withColumn("selected", F.expr("cum_before < budget_tok"))
+        .drop(
+            "o_source", "o_bucket", "bucket_before", "within_before",
+            "total_tok", "bucket",
+        )
+    )
+
+
+def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_budget_over(_tb_scored(spark, sf_dir)).select(
+        "doc_id", "source", "n_tok", "cum_before", "budget_tok", "selected"
     )
 
 
