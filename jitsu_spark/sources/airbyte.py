@@ -62,15 +62,18 @@ AIRBYTE_MESSAGE_SCHEMA = T.StructType(
 def read_airbyte_messages(spark: SparkSession, path: str) -> DataFrame:
     """Parse a captured connector output (JSONL) into typed messages.
     `data`/state payloads stay as JSON text (schemas vary per stream;
-    per-stream projection happens downstream)."""
+    per-stream projection happens downstream). The raw line rides along
+    as `_raw` so scans that only need one message type can gate the JSON
+    parse on a cheap substring probe (`discovered_streams`)."""
     raw = spark.read.text(path)
     return raw.select(
         F.from_json(
             "value",
             AIRBYTE_MESSAGE_SCHEMA,
             {"mode": "PERMISSIVE"},
-        ).alias("m")
-    ).select("m.*")
+        ).alias("m"),
+        F.col("value").alias("_raw"),
+    ).select("m.*", "_raw")
 
 
 def stream_records(messages: DataFrame, stream: str) -> DataFrame:
@@ -86,30 +89,53 @@ def stream_records(messages: DataFrame, stream: str) -> DataFrame:
     )
 
 
-def discovered_streams(messages: DataFrame) -> list[str]:
-    """Stream names present in the capture (small: one row per stream)."""
-    return sorted(
-        r.stream
-        for r in messages.where(F.col("type") == "RECORD")
+def _record_stream_names(messages: DataFrame) -> DataFrame:
+    """Distinct RECORD stream names. When the frame still carries its
+    raw line, a `"RECORD"` substring probe gates the JSON parse — on a
+    10 GB capture the discovery pass is then one substring scan plus
+    from_json over only the RECORD lines (Catalyst pushes the raw-line
+    filter below the parse projection; plan-asserted in
+    tests/test_airbyte.py)."""
+    pre = (
+        messages.where(F.col("_raw").contains('"RECORD"'))
+        if "_raw" in messages.columns
+        else messages
+    )
+    return (
+        pre.where(F.col("type") == "RECORD")
         .select(F.col("record.stream").alias("stream"))
         .distinct()
-        .collect()
     )
 
 
-def _last_state_line(file_path: str) -> str | None:
-    """Stream ONE capture file line-by-line keeping only the most recent
-    STATE line — O(1) memory however large the connector run was. The
-    cheap `"STATE"` substring probe gates the JSON parse so a 10 GB
+def discovered_streams(messages: DataFrame) -> list[str]:
+    """Stream names present in the capture (small: one row per stream)."""
+    return sorted(r.stream for r in _record_stream_names(messages).collect())
+
+
+def _local_capture_path(file_uri: str) -> str | None:
+    """Decode an `input_file_name()` value to a driver-openable posix
+    path, or None for non-posix schemes. input_file_name returns a
+    URI-ENCODED path (spaces and special chars become %XX), so the raw
+    value must be unquoted before open() — and hdfs://s3a:// capture
+    stores can't be opened driver-locally at all (they take the
+    Spark-side tail instead)."""
+    from urllib.parse import unquote, urlparse
+
+    p = urlparse(file_uri)
+    if p.scheme in ("", "file"):
+        return unquote(p.path) if p.path else unquote(file_uri)
+    return None
+
+
+def _last_state_line(local_path: str) -> str | None:
+    """Stream ONE local capture file line-by-line keeping only the most
+    recent STATE line — O(1) memory however large the connector run was.
+    The cheap `"STATE"` substring probe gates the JSON parse so a 10 GB
     capture of RECORD lines costs one pass of substring checks, not
     10 GB of json.loads."""
     last = None
-    # capture files are the connector's stdout tee'd to storage; this
-    # engine's capture store is posix (file:). For an object-store
-    # capture path, swap this open() for fsspec/Hadoop-FS streaming —
-    # the reader contract (iterate lines, keep last STATE) is unchanged.
-    local = re.sub(r"^file:/{0,2}", "/", file_path)
-    with open(local, encoding="utf-8", errors="replace") as f:
+    with open(local_path, encoding="utf-8", errors="replace") as f:
         for line in f:
             if '"STATE"' not in line:
                 continue
@@ -120,6 +146,27 @@ def _last_state_line(file_path: str) -> str | None:
             if msg.get("type") == "STATE":
                 last = line
     return last
+
+
+def _last_state_line_spark(spark: SparkSession, file_uri: str) -> str | None:
+    """Distributed tail for non-posix capture stores (hdfs://, s3a://):
+    read just the winning file, gate on the `"STATE"` substring before
+    parsing, and take the line at the highest
+    monotonically_increasing_id — ids rise with (split, in-split offset)
+    for the text source, so the max id over STATE lines is the
+    file-order last. Only the single winning row is collected."""
+    rows = (
+        spark.read.text(file_uri)
+        .select(F.monotonically_increasing_id().alias("pos"), "value")
+        .where(F.col("value").contains('"STATE"'))
+        .where(
+            F.from_json("value", AIRBYTE_MESSAGE_SCHEMA)["type"] == "STATE"
+        )
+        .orderBy(F.desc("pos"))
+        .limit(1)
+        .collect()
+    )
+    return rows[0]["value"] if rows else None
 
 
 def latest_state(spark: SparkSession, path: str) -> dict | None:
@@ -138,19 +185,23 @@ def latest_state(spark: SparkSession, path: str) -> dict | None:
     is a distributed LINE scan (split-friendly: Hadoop's line reader
     keeps lines intact across splits; order within a file is NOT needed
     here, only which files contain STATE), and the within-file "last"
-    comes from streaming ONLY the winning file through an O(1)-memory
-    tail reader. The only collect is the distinct file list — one row
-    per capture file."""
+    comes from streaming ONLY the winning file — an O(1)-memory driver
+    tail for posix paths (URI-decoded first; r6 advice), a Spark-side
+    tail for object-store schemes. The only collect is the distinct
+    file list — one row per capture file.
+
+    Robustness (r6 advice): files are tried in DESCENDING natural order
+    — if the naturally-last file's tail line fails the strict parse or
+    lacks state.data, an earlier capture file's valid cursor is returned
+    instead of dropping a stale-but-valid checkpoint."""
     lines = spark.read.text(path).select(
         F.input_file_name().alias("file"),
         F.col("value").alias("line"),
     )
-    parsed = lines.select(
+    parsed = lines.where(F.col("line").contains('"STATE"')).select(
         "file", F.from_json("line", AIRBYTE_MESSAGE_SCHEMA).alias("m")
     ).where(F.col("m.type") == "STATE")
     files = [r.file for r in parsed.select("file").distinct().collect()]
-    if not files:
-        return None
 
     def natural_key(name: str) -> list:
         # 'part-10' -> ['part-', 10, ''] so digit runs order numerically
@@ -159,10 +210,22 @@ def latest_state(spark: SparkSession, path: str) -> dict | None:
             for tok in re.split(r"(\d+)", name)
         ]
 
-    last_line = _last_state_line(max(files, key=natural_key))
-    if last_line is None:
-        return None
-    return json.loads(json.loads(last_line)["state"]["data"])
+    for fname in sorted(files, key=natural_key, reverse=True):
+        local = _local_capture_path(fname)
+        if local is not None:
+            last_line = _last_state_line(local)
+        else:
+            last_line = _last_state_line_spark(spark, fname)
+        if last_line is None:
+            continue
+        try:
+            data = json.loads(last_line)["state"]["data"]
+            if data is None:
+                continue
+            return json.loads(data)
+        except (ValueError, KeyError, TypeError):
+            continue
+    return None
 
 
 def connector_logs(messages: DataFrame) -> DataFrame:

@@ -133,6 +133,101 @@ class TestParsing:
         assert logs == {("info", "starting"), ("error", "rate limited once")}
 
 
+class TestStateRobustness:
+    """Round-6 ADVICE: URI-encoded paths, non-posix fallback, and
+    descending-file retry when the last file's state is unusable."""
+
+    def test_latest_state_with_uri_encoded_path(self, spark, tmp_path):
+        """input_file_name() URI-encodes paths (space -> %20); the driver
+        tail must decode before open() or it raises FileNotFoundError."""
+        from jitsu_spark.sources.airbyte import latest_state
+
+        path = str(tmp_path / "cap with space")
+        os.makedirs(path)
+        with open(os.path.join(path, "out.jsonl"), "w") as f:
+            for line in CAPTURE:
+                f.write(json.dumps(line) + "\n")
+        assert latest_state(spark, path) == {
+            "users": {"cursor": 3},
+            "orders": {"cursor": 10},
+        }
+
+    def test_local_capture_path_decoding(self):
+        from jitsu_spark.sources.airbyte import _local_capture_path
+
+        assert (
+            _local_capture_path("file:/tmp/cap%20with%20space/out.jsonl")
+            == "/tmp/cap with space/out.jsonl"
+        )
+        assert _local_capture_path("/tmp/plain/out.jsonl") == "/tmp/plain/out.jsonl"
+        # object-store schemes route to the Spark-side tail
+        assert _local_capture_path("s3a://bucket/cap/out.jsonl") is None
+        assert _local_capture_path("hdfs://nn/cap/out.jsonl") is None
+
+    def test_spark_side_tail_matches_driver_tail(self, spark, tmp_path):
+        """The non-posix fallback tail returns the same file-order-last
+        STATE line as the O(1) driver reader (exercised here over file:
+        since the sandbox has no object store — the code path is scheme-
+        agnostic: read one file, max monotonically_increasing_id)."""
+        from jitsu_spark.sources.airbyte import (
+            _last_state_line,
+            _last_state_line_spark,
+        )
+
+        path = _write_capture(tmp_path, CAPTURE)
+        f = os.path.join(path, "out.jsonl")
+        assert _last_state_line_spark(spark, f).strip() == _last_state_line(
+            f
+        ).strip()
+
+    def test_falls_back_to_earlier_file_on_bad_state(self, spark, tmp_path):
+        """If the naturally-last file's last STATE line lacks state.data,
+        the previous file's valid cursor wins instead of returning None."""
+        from jitsu_spark.sources.airbyte import latest_state
+
+        path = str(tmp_path / "cap")
+        os.makedirs(path)
+        with open(os.path.join(path, "part-0.jsonl"), "w") as f:
+            f.write(
+                json.dumps(
+                    {"type": "STATE",
+                     "state": {"data": json.dumps({"users": {"cursor": 7}})}}
+                )
+                + "\n"
+            )
+        with open(os.path.join(path, "part-1.jsonl"), "w") as f:
+            # STATE-typed but with a null payload: parses permissively,
+            # fails the strict data extraction
+            f.write(json.dumps({"type": "STATE", "state": {}}) + "\n")
+        assert latest_state(spark, path) == {"users": {"cursor": 7}}
+
+    def test_all_states_bad_returns_none(self, spark, tmp_path):
+        from jitsu_spark.sources.airbyte import latest_state
+
+        path = str(tmp_path / "cap")
+        os.makedirs(path)
+        with open(os.path.join(path, "part-0.jsonl"), "w") as f:
+            f.write(json.dumps({"type": "STATE", "state": {}}) + "\n")
+        assert latest_state(spark, path) is None
+
+    def test_discovery_probe_gates_json_parse(self, spark, tmp_path):
+        """r6 review item 9: stream discovery filters on the raw line's
+        '"RECORD"' substring BELOW the from_json projection, so a huge
+        capture's non-record lines never pay the JSON parse."""
+        from jitsu_spark.sources.airbyte import (
+            _record_stream_names,
+            read_airbyte_messages,
+        )
+
+        msgs = read_airbyte_messages(spark, _write_capture(tmp_path, CAPTURE))
+        plan = _record_stream_names(msgs)._jdf.queryExecution(
+        ).optimizedPlan().toString()
+        assert "Contains" in plan
+        # deeper tree nodes print later: the Contains filter must sit
+        # BELOW (after) the from_json projection in the optimized plan
+        assert plan.index("Contains") > plan.index("from_json")
+
+
 class TestNaming:
     def test_table_name_rules(self):
         from jitsu_spark.sources.airbyte import target_table_name
