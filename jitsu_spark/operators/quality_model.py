@@ -18,8 +18,9 @@ Shape of the operator:
      bucket threshold is derived from the parquet FOOTER row count
      (metadata-only, no scan), so at 100 TB the classifier trains on a
      fixed ~100k-row deterministic sample regardless of N, while
-     SCORING stays a single full-corpus map pass through the fitted
-     model's JVM transform. Once the cap engages, the label threshold
+     SCORING stays a single full-corpus map pass: the fitted model is
+     folded into a JVM sigmoid(dot) expression — no transform, no
+     corpus materialization (r6 advice). Once the cap engages, the label threshold
      switches from exact `percentile` to `percentile_approx` so no
      single task buffers the train set's values; at test SF the cap is
      a no-op and the exact form (the parity regime) runs.
@@ -164,30 +165,38 @@ def train_quality_classifier(
 
 
 def score_quality(feats: DataFrame, model, thr: float) -> DataFrame:
-    """One full-corpus transform pass: (doc_id, prob, pred, label,
-    is_holdout). prob is P(label=1) = P(stopword-profile 'high quality');
-    label is the weak heuristic truth for evaluation.
+    """One full-corpus map pass: (doc_id, prob, pred, label, is_holdout).
+    prob is P(label=1) = P(stopword-profile 'high quality'); label is
+    the weak heuristic truth for evaluation.
 
-    The featurized frame is materialized (localCheckpoint) BEFORE
-    `model.transform`: transform derives rawPrediction, probability and
-    prediction from the same features vector, so feeding it the live-HOF
-    embedding would re-evaluate the full hash chain up to 3x per row
-    after projection collapse (the text_embed multi-consumer contract).
-    One eager pass here makes scoring a single featurize + one JVM
-    model map."""
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
-    featurized = feats.select(
+    The fitted model is FOLDED INTO A JVM EXPRESSION — margin =
+    dot(embedding, coefficients) + intercept via zip_with/aggregate over
+    a literal coefficient array; prob = sigmoid(margin), pred =
+    margin > 0 (LR's default 0.5 probability threshold). No
+    `model.transform`, no Python, and crucially NO materialization of
+    the featurized corpus: the r6 form localCheckpoint(eager)ed the
+    full (doc_id, 64-d embedding) frame to stop transform's 3x live-HOF
+    re-evaluation, which at the 100 TB design point parks a corpus-
+    scale working set in non-replicated executor block storage and
+    makes any executor loss fatal (checkpoint truncates lineage). The
+    expression form keeps full lineage (fault-tolerant, storage-free);
+    its cost is the margin chain evaluated twice per row (prob + pred —
+    HOF subexpressions are exempt from Spark's subexpression
+    elimination), a bounded, embarrassingly-parallel map cost instead
+    of a corpus-sized storage + recovery liability."""
+    coefs = [float(w) for w in model.coefficients]
+    intercept = float(model.intercept)
+    coef_lit = F.array(*[F.lit(w) for w in coefs])
+    margin = F.aggregate(
+        F.zip_with(F.col("embedding"), coef_lit, lambda e, w: e * w),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) + F.lit(intercept)
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+    return feats.select(
         "doc_id",
-        "sw_ratio",
-        "is_train",
-        array_to_vector("embedding").alias("features"),
-    ).localCheckpoint(eager=True)
-    scored = model.transform(featurized)
-    return scored.select(
-        "doc_id",
-        F.round(vector_to_array("probability")[1], 4).alias("prob"),
-        F.col("prediction").cast("int").alias("pred"),
+        F.round(prob, 4).alias("prob"),
+        (margin > 0).cast("int").alias("pred"),
         (F.col("sw_ratio") >= F.lit(thr)).cast("int").alias("label"),
         (~F.col("is_train")).alias("is_holdout"),
     )

@@ -144,8 +144,15 @@ class TestQualityClassifier:
         n_pool = feats.where("is_train").count()
         n_capped = capped.count()
         assert 0 < n_capped < n_pool
-        exact = capped.agg(F.expr("percentile(sw_ratio, 0.5)")).first()[0]
-        assert abs(thr - exact) < 1e-9
+        # percentile_approx returns an actual data value while the exact
+        # percentile interpolates between middle order statistics — only
+        # the sketch's real guarantee is asserted (r6 advice): thr lies
+        # within the exact [0.499, 0.501] quantile band
+        lo, hi = capped.agg(
+            F.expr("percentile(sw_ratio, 0.499)"),
+            F.expr("percentile(sw_ratio, 0.501)"),
+        ).first()
+        assert lo - 1e-12 <= thr <= hi + 1e-12
 
     def test_fixed_model_scoring_is_deterministic(self, spark):
         """Determinism regime (module docstring): TRAINING is
@@ -165,12 +172,28 @@ class TestQualityClassifier:
         b = score_quality(feats.repartition(7, "doc_id"), model, thr)
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
-    def test_scoring_is_one_map_pass(self, scored):
-        """Full-corpus scoring never shuffles: no Exchange in the plan
-        (features are map-side HOFs; the model transform is row-local)."""
-        plan = scored._jdf.queryExecution().explainString(
-            scored.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+    def test_scoring_is_one_map_pass(self, spark):
+        """Full-corpus scoring never shuffles AND never materializes:
+        no Exchange in the plan (features are map-side HOFs; the model
+        is a row-local expression), no ExistingRDD scan (r6 advice: a
+        corpus-scale localCheckpoint hides behind a no-Exchange check —
+        the lineage must reach the parquet source so executor loss
+        recomputes instead of failing the job)."""
+        from jitsu_spark.operators.quality_model import (
+            _featurized,
+            score_quality,
+            train_quality_classifier,
+        )
+        from jitsu_spark.tables import load_table
+
+        feats = _featurized(load_table(spark, SF_DIR, "documents"))
+        model, thr = train_quality_classifier(feats)
+        out = score_quality(feats, model, thr)
+        plan = out._jdf.queryExecution().explainString(
+            out.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                 "formatted"
             )
         )
         assert "Exchange" not in plan
+        assert "ExistingRDD" not in plan
+        assert "Scan parquet" in plan
