@@ -242,9 +242,15 @@ QUERIES = {"sql_gateway_limit": sql_gateway_limit}
 ORACLE = {"sql_gateway_limit": SQL_GATEWAY_SQL}
 
 
-def schema_response(
-    spark: SparkSession, allowed_tables: set[str] | None = None
-) -> dict:
+# Explicit opt-in sentinel for schema_response: enumerate every catalog
+# table. A *value* (not a default) so a caller that forgets to thread
+# the session allowlist denies everything instead of leaking the full
+# catalog schema (r6 advice: None defaulted to list-everything —
+# fail-open on an endpoint documented as fail-closed).
+LIST_ALL_TABLES = object()
+
+
+def schema_response(spark: SparkSession, allowed_tables) -> dict:
     """Schema-introspection companion to the query endpoint — the
     reference pairs `sql/query.ts` with an `information_schema.columns`
     scan returning `{table: [{name, type}, ...]}` ordered by table name
@@ -253,12 +259,16 @@ def schema_response(
     Spark shape: `spark.catalog.listColumns` over the session catalog,
     restricted to the same allowlist the query gateway enforces
     (fail-closed: an allowlisted name missing from the catalog is
-    skipped, never guessed). listColumns preserves the table's column
-    order — the ordinal_position analogue."""
-    if allowed_tables is not None:
-        names = sorted(t.lower() for t in allowed_tables)
-    else:
+    skipped, never guessed; a None/empty allowlist denies everything —
+    pass the module sentinel `LIST_ALL_TABLES` to opt into full-catalog
+    enumeration). listColumns preserves the table's column order — the
+    ordinal_position analogue."""
+    if allowed_tables is LIST_ALL_TABLES:
         names = sorted(t.name.lower() for t in spark.catalog.listTables())
+    elif not allowed_tables:
+        return {}
+    else:
+        names = sorted(t.lower() for t in allowed_tables)
     out: dict[str, list[dict[str, str]]] = {}
     for t in names:
         if not spark.catalog.tableExists(t):

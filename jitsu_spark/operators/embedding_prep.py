@@ -34,12 +34,18 @@ WHITEN_EPS = 1e-5  # eigenvalue floor: don't explode near-null directions
 
 
 def _moment_partials(df: DataFrame) -> DataFrame:
-    """Per-partition (n, sum, flattened X^T X) — the sufficient
-    statistics for mean + covariance in one corpus pass."""
+    """Per-partition (pid, n, sum, flattened X^T X) — the sufficient
+    statistics for mean + covariance in one corpus pass. The partition
+    id rides along as a genuinely unique sort key for the driver-side
+    reduction (r6 advice: sorting on (n, s[:2]) can tie, leaving the
+    float-sum order — and thus the last bits of the moments —
+    partition-arrival-dependent)."""
 
     def acc(batches):
         import pandas as pd
+        from pyspark import TaskContext
 
+        pid = TaskContext.get().partitionId()
         n = 0
         s = None
         xtx = None
@@ -54,6 +60,7 @@ def _moment_partials(df: DataFrame) -> DataFrame:
         if n:
             yield pd.DataFrame(
                 {
+                    "pid": [pid],
                     "n": [n],
                     "s": [s.tolist()],
                     "xtx": [xtx.ravel().tolist()],
@@ -61,7 +68,7 @@ def _moment_partials(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(
-        acc, "n long, s array<double>, xtx array<double>"
+        acc, "pid int, n long, s array<double>, xtx array<double>"
     )
 
 
@@ -70,11 +77,10 @@ def corpus_moments(
 ) -> tuple[int, np.ndarray, np.ndarray]:
     """(n, mean, cov) of the embedding corpus from one distributed pass
     — the shared FIT input for whitening and PCA. Partials are summed in
-    sorted-partition order so the float reduction is reproducible."""
+    partition-id order — a unique key, so the float reduction is
+    byte-reproducible regardless of collect() arrival order."""
     emb = load_table(spark, sf_dir, "embeddings").select("embedding")
-    parts = sorted(
-        _moment_partials(emb).collect(), key=lambda r: (r["n"], r["s"][:2])
-    )
+    parts = sorted(_moment_partials(emb).collect(), key=lambda r: r["pid"])
     n = sum(r["n"] for r in parts)
     s = np.sum([np.array(r["s"]) for r in parts], axis=0)
     d = len(s)

@@ -340,8 +340,11 @@ def _load_centers_map(
 
 
 def append_to_ivfpq_store(
-    spark: SparkSession, store_dir: str, new_vectors: DataFrame
-) -> None:
+    spark: SparkSession,
+    store_dir: str,
+    new_vectors: DataFrame,
+    on_zero_norm: str = "error",
+) -> dict:
     """FAISS `add()` for the serving index: encode a NEW batch with the
     STORED codebooks — no retrain — and append into the cell partitions,
     so the next probe sees the fresh vectors without a rebuild.
@@ -357,12 +360,36 @@ def append_to_ivfpq_store(
     any index-beside-table deployment. Codebook drift: appended batches
     are encoded under the ORIGINAL training distribution; FAISS practice
     applies — monitor recall (`pq_recall_report`) and rebuild when the
-    distribution moves."""
+    distribution moves.
+
+    Zero-norm vectors have no cosine direction and cannot be indexed;
+    they are surfaced, never silently eaten (r6 advice: the old
+    `_with_norm` boundary filter dropped them invisibly, so a FAISS-add
+    caller could not detect the loss). Default `on_zero_norm='error'`
+    raises with the offending vec_ids; `'skip'` drops them and reports
+    them in the returned dict. Returns {"appended": n,
+    "dropped_zero_norm": [vec_id, ...]} so callers can reconcile
+    counts."""
+    if on_zero_norm not in ("error", "skip"):
+        raise ValueError(f"on_zero_norm must be 'error' or 'skip', got {on_zero_norm!r}")
     dirs = _pq_dirs(store_dir)
     centroids = _load_codebook(spark, store_dir)
     books = _load_pq_books(spark, store_dir)
+    normed = _with_norm(new_vectors, drop_zero=False)
+    # ~(norm > 0) also catches NaN norms (an embedding containing NaN)
+    dropped = sorted(
+        r["vec_id"]
+        for r in normed.where(~(F.col("norm") > 0)).select("vec_id").collect()
+    )
+    if dropped and on_zero_norm == "error":
+        raise ValueError(
+            f"append_to_ivfpq_store: {len(dropped)} vector(s) with zero or"
+            f" non-finite norm cannot be indexed: vec_ids"
+            f" {dropped[:20]}{'...' if len(dropped) > 20 else ''}."
+            " Pass on_zero_norm='skip' to drop them explicitly."
+        )
     unit = (
-        _with_norm(new_vectors)
+        normed.where(F.col("norm") > 0)
         .select(
             "vec_id",
             F.expr(
@@ -371,10 +398,15 @@ def append_to_ivfpq_store(
         )
         .withColumn("norm", F.lit(1.0))
     )
+    # append batches are small by contract (FAISS add), so the count
+    # action for the reconciliation report is one cheap extra pass
+    n_appended = unit.count()
     assigned = _assign_cells_l2(unit, centroids)
-    _encode_assigned(assigned, _load_centers_map(centroids), books).write.mode(
-        "append"
-    ).partitionBy("centroid_id").parquet(dirs["cells"])
+    encoded = _encode_assigned(assigned, _load_centers_map(centroids), books)
+    encoded.write.mode("append").partitionBy("centroid_id").parquet(
+        dirs["cells"]
+    )
+    return {"appended": n_appended, "dropped_zero_norm": dropped}
 
 
 REFINE_FACTOR = 4  # ADC shortlist size multiple before exact re-score

@@ -64,6 +64,30 @@ def test_deterministic(spark, sf_dir):
     assert np.array_equal(m1, m2) and np.allclose(w1, w2, atol=1e-12)
 
 
+def test_moment_partials_sort_key_unique_under_ties(spark):
+    """r6 advice: partitions engineered to tie on the old (n, s[:2])
+    sort key must still reduce in a unique, stable order — the partition
+    id is the key now, and repeated runs stay byte-identical."""
+    from jitsu_spark.operators.embedding_prep import _moment_partials
+
+    # 4 partitions with IDENTICAL contents: n and s tie exactly
+    rows = [([1.0, 2.0, 3.0],), ([4.0, 5.0, 6.0],)]
+    df = spark.createDataFrame(
+        rows * 4, "embedding array<double>"
+    ).repartition(4)
+    parts = _moment_partials(df).collect()
+    pids = [r["pid"] for r in parts]
+    assert len(pids) == len(set(pids))  # genuinely unique sort key
+    ns = {r["n"] for r in parts}
+    runs = []
+    for _ in range(2):
+        ordered = sorted(_moment_partials(df).collect(), key=lambda r: r["pid"])
+        s = np.sum([np.array(r["s"]) for r in ordered], axis=0)
+        runs.append(s.tobytes())
+    assert runs[0] == runs[1]
+    assert ns  # partials actually produced
+
+
 def test_whitening_preserves_row_count_and_ids(spark, sf_dir, whitening_store):
     from jitsu_spark.operators.embedding_prep import apply_whitening
     from jitsu_spark.tables import load_table

@@ -267,8 +267,17 @@ def test_schema_response_golden(spark):
         ],
         "gw_schema_t2": [{"name": "id", "type": "bigint"}],
     }
-    # no allowlist: every catalog table is listed
-    everything = schema_response(spark)
+    # full-catalog enumeration needs the EXPLICIT sentinel; a missing
+    # or empty allowlist denies everything (r6 advice: fail-closed)
+    from jitsu_spark.gateway import LIST_ALL_TABLES
+
+    everything = schema_response(spark, LIST_ALL_TABLES)
     assert "gw_schema_t1" in everything and "gw_schema_t2" in everything
+    assert schema_response(spark, None) == {}
+    assert schema_response(spark, set()) == {}
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError):
+        schema_response(spark)  # allowlist can no longer be omitted
     spark.catalog.dropTempView("gw_schema_t1")
     spark.catalog.dropTempView("gw_schema_t2")

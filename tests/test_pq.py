@@ -488,6 +488,49 @@ class TestStoreAppend:
             )
             assert got[vid] == (want_cell, want_codes), vid
 
+    def test_zero_norm_vectors_are_surfaced_not_eaten(
+        self, spark, sf_dir, tmp_path
+    ):
+        """r6 advice: the old boundary filter silently dropped zero-norm
+        vectors, so the FAISS-add caller could not detect loss. Default
+        errors with the vec_ids; 'skip' reports them and the cell count
+        reconciles with the returned 'appended'."""
+        import pytest
+
+        from jitsu_spark.operators.pq import (
+            _pq_dirs,
+            append_to_ivfpq_store,
+            build_ivfpq_store,
+        )
+
+        store = str(tmp_path / "store")
+        build_ivfpq_store(spark, sf_dir, store)
+        cells_path = _pq_dirs(store)["cells"]
+        n_before = spark.read.parquet(cells_path).count()
+
+        rows = self._new_batch(spark, sf_dir, n=4)
+        dim = len(rows[0][1])
+        rows_with_zero = rows + [(20_000_001, [0.0] * dim)]
+        new_df = spark.createDataFrame(
+            rows_with_zero, "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="20000001"):
+            append_to_ivfpq_store(spark, store, new_df)
+        # the failed call appended nothing
+        assert spark.read.parquet(cells_path).count() == n_before
+
+        report = append_to_ivfpq_store(
+            spark, store, new_df, on_zero_norm="skip"
+        )
+        assert report == {
+            "appended": len(rows),
+            "dropped_zero_norm": [20_000_001],
+        }
+        assert (
+            spark.read.parquet(cells_path).count()
+            == n_before + report["appended"]
+        )
+
     def test_appended_vectors_findable_end_to_end(self, spark, sf_dir, tmp_path):
         """Grow the corpus table alongside the index (the index-beside-
         table contract): bulk-probe with the new vectors as queries —
