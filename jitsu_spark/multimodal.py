@@ -18,9 +18,9 @@ Spark-side design (all real and tested):
 
 Codecs are import-try gated per modality: images decode with Pillow
 where it exists, audio with soundfile where it exists (stdlib `wave`
-covers WAV everywhere, so PCM decode is real even in this container);
-video (pyav/ffmpeg) raises NotImplementedError until its library is
-present. The registry pipeline runs the deterministic fake decode
+covers WAV everywhere, so PCM decode is real even in this container),
+video with pyav/ffmpeg where it exists (no stdlib fallback — absent
+pyav it raises NotImplementedError loudly). The registry pipeline runs the deterministic fake decode
 (documented below) so oracles reproduce it byte-for-byte — swap
 `DECODER` in production. This mirrors how the engine gates optional
 native deps (pymongo in `sinks_api.py`).
@@ -74,6 +74,60 @@ def soundfile_available() -> bool:
         return False
 
 
+def av_available() -> bool:
+    try:
+        import av  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _decode_video(payload: bytes, mime: str) -> dict:
+    """Video branch of `_decode_real`, gated exactly like PIL/soundfile:
+    pyav (ffmpeg bindings) where the interpreter has it; no stdlib
+    fallback exists for video, so absent pyav this raises
+    NotImplementedError — loudly, never a silent skip. Checksum is over
+    the DECODED frame planes (same decoded-content contract as the
+    image/audio branches); a garbage payload fails loudly from av's own
+    demuxer error."""
+    if not av_available():
+        raise NotImplementedError(
+            f"no codec for mime {mime!r}: pyav is not installed —"
+            " install av or swap DECODER"
+        )
+    import io
+
+    import av
+
+    with av.open(io.BytesIO(payload)) as container:
+        stream = next(
+            (s for s in container.streams if s.type == "video"), None
+        )
+        if stream is None:
+            raise ValueError(
+                f"payload declared {mime!r} but contains no video stream"
+            )
+        digest = hashlib.md5()
+        n_frames = 0
+        width = height = 0
+        for frame in container.decode(stream):
+            n_frames += 1
+            width, height = frame.width, frame.height
+            digest.update(frame.to_ndarray(format="rgb24").tobytes())
+        duration_ms = (
+            int(container.duration / 1000) if container.duration else 0
+        )
+    return {
+        "payload_len": len(payload),
+        "checksum": int.from_bytes(digest.digest()[:4], "big"),
+        "decoded_width": width,
+        "decoded_height": height,
+        "decoded_frames": n_frames,
+        "decoded_duration_ms": duration_ms,
+    }
+
+
 def _decode_audio(payload: bytes, mime: str) -> dict:
     """Audio branch of `_decode_real`, gated exactly like PIL: prefer
     soundfile (any libsndfile format) when the interpreter has it; fall
@@ -118,8 +172,8 @@ def _decode_real(payload: bytes, mime: str) -> dict:
     Returns the same (payload_len, checksum) contract as the fake decode
     — the checksum over DECODED PIXELS instead of payload bytes — plus
     decoded dimensions for audit against the metadata struct. Audio runs
-    through `_decode_audio` (soundfile if present, stdlib wave for WAV);
-    video mimes still raise: the pyav seam stays open."""
+    through `_decode_audio` (soundfile if present, stdlib wave for WAV),
+    video through `_decode_video` (pyav if present)."""
     if mime and mime.startswith("image/"):
         try:
             import io
@@ -139,6 +193,8 @@ def _decode_real(payload: bytes, mime: str) -> dict:
             }
     if mime and mime.startswith("audio/"):
         return _decode_audio(payload, mime)
+    if mime and mime.startswith("video/"):
+        return _decode_video(payload, mime)
     raise NotImplementedError(
         f"no codec for mime {mime!r}; swap DECODER with a real implementation"
     )

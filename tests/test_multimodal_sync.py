@@ -19,13 +19,67 @@ class TestMultimodal:
     def test_uncovered_mimes_always_gated(self):
         from jitsu_spark.multimodal import _decode_real, soundfile_available
 
-        for mime in ("video/mp4", None):
-            with pytest.raises(NotImplementedError, match="no codec"):
-                _decode_real(b"x", mime)
+        with pytest.raises(NotImplementedError, match="no codec"):
+            _decode_real(b"x", None)
+        with pytest.raises(NotImplementedError, match="no codec"):
+            _decode_real(b"x", "application/pdf")
         if not soundfile_available():
             # the stdlib wave fallback only covers WAV mimes
             with pytest.raises(NotImplementedError, match="no codec"):
                 _decode_real(b"x", "audio/mpeg")
+
+    def test_video_decoder_is_gated_without_pyav(self):
+        """The last codec seam (r6 review item 8): video mimes route to
+        the pyav gate — absent av the failure is loud and names the
+        missing library, never a silent skip."""
+        from jitsu_spark.multimodal import _decode_real, av_available
+
+        if av_available():
+            pytest.skip("pyav installed: gate cannot fire here")
+        with pytest.raises(NotImplementedError, match="pyav"):
+            _decode_real(b"x", "video/mp4")
+
+    def test_video_garbage_payload_fails_loudly(self):
+        """With pyav present, a garbage payload must raise from the
+        demuxer — the fails-loudly contract of every codec branch."""
+        from jitsu_spark.multimodal import _decode_video, av_available
+
+        if not av_available():
+            pytest.skip("pyav not installed in this container")
+        with pytest.raises(Exception):
+            _decode_video(b"not an mp4 container", "video/mp4")
+
+    def test_video_decode_real_roundtrip(self):
+        """With pyav present, encode a tiny synthetic clip and decode it
+        back: frame count, dimensions and decoded-content checksum come
+        from the real codec path."""
+        from jitsu_spark import multimodal as mm
+
+        if not mm.av_available():
+            pytest.skip("pyav not installed in this container")
+        import io
+
+        import av
+        import numpy as np
+
+        buf = io.BytesIO()
+        with av.open(buf, "w", format="mp4") as out:
+            stream = out.add_stream("mpeg4", rate=4)
+            stream.width, stream.height = 32, 16
+            stream.pix_fmt = "yuv420p"
+            for i in range(8):
+                arr = np.full((16, 32, 3), i * 16, dtype=np.uint8)
+                frame = av.VideoFrame.from_ndarray(arr, format="rgb24")
+                for packet in stream.encode(frame):
+                    out.mux(packet)
+            for packet in stream.encode():
+                out.mux(packet)
+        payload = buf.getvalue()
+        feats = mm._decode_real(payload, "video/mp4")
+        assert feats["payload_len"] == len(payload)
+        assert feats["decoded_frames"] == 8
+        assert (feats["decoded_width"], feats["decoded_height"]) == (32, 16)
+        assert feats["checksum"] > 0
 
     def test_wav_decode_is_real(self, spark):
         """The audio branch decodes RIFF/PCM WAV wherever the
