@@ -75,6 +75,63 @@ FIXTURE_MERGES: list[tuple[int, str, str]] = [
 ]
 
 
+# -- GPT-2 byte-level pre-tokenization (r6 review item 4) --------------------
+#
+# Real GPT-2 does not split on whitespace: it pre-tokenizes with a
+# contraction/category regex and maps each pre-token's UTF-8 bytes
+# through a printable-unicode alphabet before merging (Radford et al.
+# 2019 encoder; the regex and bytes_to_unicode construction are public).
+# Both are available behind `pre_tokenizer="gpt2"` on the pandas encoder
+# and the training word table; the default stays "whitespace" so every
+# existing oracle contract is byte-identical.
+#
+# The SAME pattern string drives both sides: Python's `regex` module
+# (which, like the original, supports \p{L}/\p{N}) in the encoder, and
+# Java's regex in the distributed word table — with (?U) prepended on
+# the Java side so \s means Unicode whitespace there too (Java defaults
+# \s to ASCII; Python regex and GPT-2 use the Unicode class). Known
+# residual divergence: none for the curated parity set in
+# tests/test_bpe.py; both engines implement the Unicode categories.
+
+GPT2_PRETOKEN_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+    r"|\s+(?!\S)|\s+"
+)
+
+
+def gpt2_pre_tokenize(text: str) -> list[str]:
+    """The GPT-2 pre-token list. Lossless: the pre-tokens concatenate
+    back to exactly the input (property-tested)."""
+    import regex
+
+    return regex.findall(GPT2_PRETOKEN_PATTERN, text)
+
+
+def bytes_to_unicode() -> dict[int, str]:
+    """GPT-2's reversible byte -> printable-unicode-char map: the 188
+    printable latin-1 bytes map to themselves, the rest to 256+i — a
+    bijection over all 256 byte values, so byte-level BPE can treat any
+    UTF-8 string as a sequence of 'characters' with no unknowns."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, map(chr, cs)))
+
+
+def _byte_level_word(word: str, b2u: dict[int, str]) -> str:
+    return "".join(b2u[b] for b in word.encode("utf-8"))
+
+
 def merges_fixture_df(spark: SparkSession) -> DataFrame:
     """The fixture as the (rank, left, right) merges-table contract both
     encode forms accept."""
@@ -190,12 +247,24 @@ def bpe_token_count_expr(
 
 
 def bpe_token_count_pandas(
-    docs: DataFrame, merges_df: DataFrame, text_col: str = "text"
+    docs: DataFrame,
+    merges_df: DataFrame,
+    text_col: str = "text",
+    pre_tokenizer: str = "whitespace",
 ) -> DataFrame:
     """(doc_id, n_tokens): the GPT-2 encode loop over a broadcast ranks
     dict — the scale path for real merges tables, where 50k rules cannot
     be 50k nested expressions. One Arrow-batched map pass; per-word
-    memoization amortizes the loop over Zipf-repeated words."""
+    memoization amortizes the loop over Zipf-repeated words.
+
+    pre_tokenizer="whitespace" (default, the oracle-pinned contract)
+    splits on ASCII \\s+; "gpt2" applies the real GPT-2 regime — the
+    contraction/category regex plus the byte-level alphabet, so the
+    merges table is interpreted over byte-level symbols and with an
+    EMPTY table the count equals the text's UTF-8 byte length (the
+    byte-fallback property, pinned in tests)."""
+    if pre_tokenizer not in ("whitespace", "gpt2"):
+        raise ValueError(f"unknown pre_tokenizer {pre_tokenizer!r}")
     ranks = {
         (left, right): rank
         for rank, left, right in canonicalize_merges(
@@ -233,17 +302,31 @@ def bpe_token_count_pandas(
                 syms = tuple(out)
             return len(syms)
 
-        import re as _re
+        if pre_tokenizer == "gpt2":
+            import regex as _regex
 
-        # ASCII \s+ to match the chain form's Java regex default —
-        # Python str.split() is Unicode-aware (NBSP etc.) and would
-        # diverge on scraped web text
-        _ws = _re.compile(r"\s+", _re.ASCII)
+            pat = _regex.compile(GPT2_PRETOKEN_PATTERN)
+            b2u = bytes_to_unicode()
+
+            def split_words(t):
+                return [
+                    _byte_level_word(w, b2u) for w in pat.findall(t)
+                ]
+
+        else:
+            import re as _re
+
+            # ASCII \s+ to match the chain form's Java regex default —
+            # Python str.split() is Unicode-aware (NBSP etc.) and would
+            # diverge on scraped web text
+            _ws = _re.compile(r"\s+", _re.ASCII)
+
+            def split_words(t):
+                return [w for w in _ws.split(t) if w]
+
         for pdf in batches:
             n = pdf[text_col].map(
-                lambda t: sum(
-                    count_word(w) for w in _ws.split(t) if w
-                )
+                lambda t: sum(count_word(w) for w in split_words(t))
             )
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "n_tokens": n.astype("int64")}
@@ -273,15 +356,36 @@ BPE_TRAIN_MAX_WORDS = 200_000
 
 
 def word_frequency_table(
-    docs: DataFrame, text_col: str = "text", max_words: int = BPE_TRAIN_MAX_WORDS
+    docs: DataFrame,
+    text_col: str = "text",
+    max_words: int = BPE_TRAIN_MAX_WORDS,
+    pre_tokenizer: str = "whitespace",
 ) -> DataFrame:
     """(word, freq) — the distributed stage of BPE training.
 
-    ASCII `\\s+` split to match both encode forms. The top-V cap runs as
+    pre_tokenizer="whitespace": ASCII `\\s+` split to match both encode
+    forms. "gpt2": the GPT-2 contraction/category regex, run JVM-SIDE
+    via regexp_extract_all with the SAME pattern string the Python
+    encoder compiles ((?U) prepended so Java's \\s is Unicode like
+    Python regex's) — rows stay raw pre-tokens; the trainer applies the
+    byte-level alphabet (`learn_bpe_merges`). The top-V cap runs as
     TakeOrdered (per-partition top-V, then merge) — no global sort."""
-    words = docs.select(
-        F.explode(F.split(F.col(text_col), r"\s+")).alias("word")
-    ).where(F.col("word") != "")
+    if pre_tokenizer == "gpt2":
+        words = docs.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.col(text_col),
+                    F.lit("(?U)" + GPT2_PRETOKEN_PATTERN),
+                    F.lit(0),
+                )
+            ).alias("word")
+        )
+    elif pre_tokenizer == "whitespace":
+        words = docs.select(
+            F.explode(F.split(F.col(text_col), r"\s+")).alias("word")
+        ).where(F.col("word") != "")
+    else:
+        raise ValueError(f"unknown pre_tokenizer {pre_tokenizer!r}")
     counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
     return counts.orderBy(F.desc("freq"), F.asc("word")).limit(max_words)
 
@@ -355,14 +459,28 @@ def learn_bpe_merges(
     text_col: str = "text",
     max_words: int = BPE_TRAIN_MAX_WORDS,
     min_pair_freq: int = 2,
+    pre_tokenizer: str = "whitespace",
 ) -> DataFrame:
     """(rank, left, right) — a trained merges table in exactly the
-    contract `bpe_token_count_pandas` consumes. Corpus-scale work is the
-    one word-count shuffle; the collect is bounded at `max_words` rows."""
+    contract `bpe_token_count_pandas` consumes (train and count with the
+    SAME pre_tokenizer). Corpus-scale work is the one word-count
+    shuffle; the collect is bounded at `max_words` rows. In gpt2 mode
+    the collected pre-tokens map through the byte-level alphabet before
+    training, so the merges are byte-level symbols — the same domain the
+    gpt2 encoder merges over."""
     wc = [
         (r["word"], r["freq"])
-        for r in word_frequency_table(docs, text_col, max_words).collect()
+        for r in word_frequency_table(
+            docs, text_col, max_words, pre_tokenizer
+        ).collect()
     ]
+    if pre_tokenizer == "gpt2":
+        b2u = bytes_to_unicode()
+        folded: dict[str, int] = {}
+        for w, f in wc:
+            bw = _byte_level_word(w, b2u)
+            folded[bw] = folded.get(bw, 0) + f
+        wc = list(folded.items())
     # collect() order is the TakeOrdered order, but re-sort defensively:
     # the trainer's determinism must not depend on partition arrival.
     wc.sort(key=lambda t: (-t[1], t[0]))

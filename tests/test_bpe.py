@@ -189,6 +189,99 @@ class TestPandasTwinParity:
         assert chain == pandas == {1: 3, 2: 2}
 
 
+class TestGpt2Mode:
+    """Spark-side contracts of pre_tokenizer='gpt2' (r6 review item 4):
+    the Java and Python splitters agree, the empty-table count equals
+    the UTF-8 byte length, and train->count composes. The registry
+    entries keep the default whitespace regime (oracle unchanged)."""
+
+    PARITY_TEXTS = [
+        "the cat sat",
+        "don't can't we'll i'm you've he's they'd",
+        "hello,world!  spaced\tout\nlines",
+        "digits 123 mix3d up 4ever",
+        "snake_case and __dunder__ plus-hyphen",
+        "àccénts öäü ßharp çedilla",
+        "日本語のテキスト and 中文",
+        "emoji 🙂 and symbols €±§",
+        "nbsp inside and trailing space ",
+        "'quoted' \"double\" (paren) [brack]",
+    ]
+
+    def test_java_and_python_splitters_agree(self, spark):
+        from jitsu_spark.operators.bpe import (
+            GPT2_PRETOKEN_PATTERN,
+            gpt2_pre_tokenize,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.PARITY_TEXTS)],
+            "doc_id long, text string",
+        )
+        rows = df.select(
+            "doc_id",
+            F.regexp_extract_all(
+                "text", F.lit("(?U)" + GPT2_PRETOKEN_PATTERN), F.lit(0)
+            ).alias("toks"),
+        ).collect()
+        got = {r["doc_id"]: list(r["toks"]) for r in rows}
+        want = {
+            i: gpt2_pre_tokenize(t) for i, t in enumerate(self.PARITY_TEXTS)
+        }
+        assert got == want
+
+    def test_empty_table_counts_utf8_bytes(self, spark):
+        from jitsu_spark.operators.bpe import bpe_token_count_pandas
+
+        texts = self.PARITY_TEXTS
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        empty = spark.createDataFrame(
+            [], "rank int, left string, right string"
+        )
+        got = _counts(bpe_token_count_pandas(docs, empty, pre_tokenizer="gpt2"))
+        assert got == {
+            i: len(t.encode("utf-8")) for i, t in enumerate(texts)
+        }
+
+    def test_train_count_roundtrip_reduces_tokens(self, spark, sf_dir):
+        from jitsu_spark.operators.bpe import (
+            bpe_token_count_pandas,
+            learn_bpe_merges,
+        )
+        from jitsu_spark.tables import load_table
+        from pyspark.sql import functions as F
+
+        docs = load_table(spark, sf_dir, "documents").limit(100)
+        merges = learn_bpe_merges(docs, n_merges=24, pre_tokenizer="gpt2")
+        assert merges.count() > 0
+        counted = bpe_token_count_pandas(docs, merges, pre_tokenizer="gpt2")
+        total = counted.agg(F.sum("n_tokens")).first()[0]
+        byte_total = docs.agg(
+            F.sum(F.octet_length("text"))
+        ).first()[0]
+        assert 0 < total < byte_total
+
+    def test_unknown_pre_tokenizer_rejected(self, spark):
+        import pytest
+
+        from jitsu_spark.operators.bpe import (
+            bpe_token_count_pandas,
+            word_frequency_table,
+        )
+
+        docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        empty = spark.createDataFrame(
+            [], "rank int, left string, right string"
+        )
+        with pytest.raises(ValueError, match="pre_tokenizer"):
+            bpe_token_count_pandas(docs, empty, pre_tokenizer="bogus")
+        with pytest.raises(ValueError, match="pre_tokenizer"):
+            word_frequency_table(docs, pre_tokenizer="bogus")
+
+
 def _naive_train(wc, n_merges, min_pair_freq=2):
     """Recount-from-scratch reference trainer: full pair recount every
     round, same (count desc, pair asc) argmax — the spec the incremental

@@ -275,6 +275,65 @@ class TestBpeChainEquivalence:
         assert _chain_count(text, []) == expect == _gpt2_count(text, [])
 
 
+class TestGpt2PreTokenizer:
+    """Pure-python properties of the GPT-2 pre-tokenization regime
+    (r6 review item 4): losslessness, whitespace-domain agreement with
+    the default splitter, and the byte alphabet's bijection."""
+
+    @given(st.text(max_size=120))
+    @settings(max_examples=300, deadline=None)
+    def test_pre_tokens_reconstruct_text(self, text):
+        from jitsu_spark.operators.bpe import gpt2_pre_tokenize
+
+        assert "".join(gpt2_pre_tokenize(text)) == text
+
+    @given(
+        st.lists(
+            st.text(alphabet="abcdefgh", min_size=1, max_size=8),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_agrees_with_whitespace_split_on_plain_words(self, words):
+        """On single-space-separated ascii-letter text the gpt2 regex
+        degenerates to whitespace splitting (modulo the leading space
+        each non-initial word keeps)."""
+        from jitsu_spark.operators.bpe import gpt2_pre_tokenize
+
+        text = " ".join(words)
+        toks = gpt2_pre_tokenize(text)
+        assert [t.lstrip(" ") for t in toks] == text.split()
+        # and every non-initial pre-token carries its leading space
+        assert all(t.startswith(" ") for t in toks[1:])
+
+    def test_bytes_to_unicode_is_a_bijection(self):
+        from jitsu_spark.operators.bpe import bytes_to_unicode
+
+        b2u = bytes_to_unicode()
+        assert sorted(b2u) == list(range(256))
+        assert len(set(b2u.values())) == 256
+        assert all(len(c) == 1 for c in b2u.values())
+
+    @given(st.text(max_size=80))
+    @settings(max_examples=200, deadline=None)
+    def test_byte_level_words_cover_exactly_the_utf8_bytes(self, text):
+        """Losslessness + bijection compose: the byte-level pre-token
+        symbols of any text count exactly its UTF-8 bytes — the
+        no-unknown-tokens property byte-level BPE exists for."""
+        from jitsu_spark.operators.bpe import (
+            _byte_level_word,
+            bytes_to_unicode,
+            gpt2_pre_tokenize,
+        )
+
+        b2u = bytes_to_unicode()
+        total = sum(
+            len(_byte_level_word(w, b2u)) for w in gpt2_pre_tokenize(text)
+        )
+        assert total == len(text.encode("utf-8"))
+
+
 class TestDuplicatePairCanonicalization:
     """A user-supplied table CAN repeat a pair at several ranks (trained
     tables never do). Both encode paths canonicalize min-rank-wins, so
