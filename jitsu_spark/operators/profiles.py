@@ -121,10 +121,19 @@ def build_profiles(
     profile_fn: Callable[[pd.DataFrame], pd.DataFrame] = default_profile_fn,
     schema: StructType = PROFILE_SCHEMA,
     since: str | None = None,
+    assume_clustered: bool = False,
 ) -> DataFrame:
     """Run the profile UDAF; with `since`, only users with new events are
     recomputed (the reference's incremental watermark, `builder.ts:305-342`)
-    but each recomputed user still sees FULL history."""
+    but each recomputed user still sees FULL history.
+
+    `assume_clustered=True` skips the user_id repartition on the fast
+    path — valid ONLY when the caller guarantees every user's rows share
+    one scan partition (a `plans/bucketing` user_id-bucketed table: one
+    read partition per bucket). The partition fold concatenates its
+    Arrow batches before segmenting, so bucket-complete input is the
+    whole requirement; the profile build then plans with ZERO exchanges
+    (asserted in tests/test_bucketing.py)."""
     if since is not None:
         changed = (
             events.where(F.col("ts") > F.lit(since).cast("timestamp"))
@@ -136,9 +145,9 @@ def build_profiles(
         # Fast path for the built-in: prune to the consumed columns (Arrow
         # ships only these), hash-shuffle by user, vectorize per partition.
         pruned = events.select("user_id", "ts", "event_id", "event_type")
-        return pruned.repartition("user_id").mapInPandas(
-            _default_profiles_partition, schema
-        )
+        if not assume_clustered:
+            pruned = pruned.repartition("user_id")
+        return pruned.mapInPandas(_default_profiles_partition, schema)
     return events.groupBy("user_id").applyInPandas(profile_fn, schema)
 
 

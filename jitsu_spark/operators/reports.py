@@ -319,7 +319,14 @@ def funnel_3step_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the previous, strictly ordered. Three chained window passes over ONE
     user_id shuffle (each step's deadline derives from the prior step's
     min, so no self-joins); the final count reuses the same partitioning."""
-    ev = load_table(spark, sf_dir, "events")
+    return funnel_3step_windowed_df(load_table(spark, sf_dir, "events"))
+
+
+def funnel_3step_windowed_df(ev: DataFrame) -> DataFrame:
+    """DataFrame form of `funnel_3step_windowed` — fed a user_id-bucketed
+    table (`plans/bucketing`) the three window stages and the per-user
+    aggregate all read the write-time clustering, so the only exchange
+    left is the final single-partition rollup of 4 counters."""
     h = FUNNEL_STEP_HOURS
     w = "OVER (PARTITION BY user_id)"
     staged = (

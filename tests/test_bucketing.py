@@ -48,6 +48,45 @@ class TestBucketedSessionize:
         scan_plan = _plan(sessionize(spark, SF_DIR))
         assert "hashpartitioning(user_id" in scan_plan
 
+    def test_bucketed_profile_build_is_exchange_free(
+        self, spark, bucketed_events
+    ):
+        """r6 review item 5: the profile UDAF fed the bucketed table
+        with assume_clustered skips its user_id repartition — results
+        identical to the scan path, zero Exchange anywhere in the plan."""
+        from jitsu_spark.operators.profiles import build_profiles, profile_build
+
+        fast = build_profiles(bucketed_events, assume_clustered=True)
+        plan = _plan(fast)
+        assert "Exchange" not in plan
+        assert "hashpartitioning(user_id" not in plan
+        got = sorted(map(tuple, fast.collect()))
+        want = sorted(map(tuple, profile_build(spark, SF_DIR).collect()))
+        assert got == want and len(got) > 0
+        # the scan path keeps its explicit user_id shuffle
+        assert "hashpartitioning(user_id" in _plan(profile_build(spark, SF_DIR))
+
+    def test_bucketed_funnel_only_rolls_up(self, spark, bucketed_events):
+        """r6 review item 5: all three funnel window stages + the
+        per-user aggregate read the write-time clustering; the only
+        exchange left is the final SinglePartition rollup of 4 counters."""
+        from jitsu_spark.operators.reports import (
+            funnel_3step_windowed,
+            funnel_3step_windowed_df,
+        )
+
+        fast = funnel_3step_windowed_df(bucketed_events)
+        plan = _plan(fast)
+        assert "hashpartitioning(user_id" not in plan
+        # exactly ONE exchange node survives, and it's the rollup
+        assert plan.count("+- Exchange") == 1 and "SinglePartition" in plan
+        got = fast.collect()
+        want = funnel_3step_windowed(spark, SF_DIR).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+        assert "hashpartitioning(user_id" in _plan(
+            funnel_3step_windowed(spark, SF_DIR)
+        )
+
     def test_cobucketed_self_join_is_shuffle_free(self, spark, bucketed_events):
         """Two frames from the same bucketed table join on user_id with
         no exchange on either side (co-located join)."""
