@@ -259,6 +259,105 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- bigram language-model scoring (round 7) ---------------------------------
+#
+# The next step up from unigram_surprisal toward CCNet's actual regime:
+# CCNet buckets documents by the perplexity of a reference LM; here the
+# reference LM is an add-k-smoothed bigram model trained on the
+# deterministic md5 train buckets (the quality_model split convention,
+# no held-out leakage), and every document — train and held-out alike —
+# is scored with its mean bigram negative log-likelihood.
+#
+# Scale: one bigram explode; the model tables (bigram counts, context
+# counts, vocab size) are vocabulary-sized — Zipf-bounded, size-gated
+# broadcast exactly like unigram_surprisal's frequency table (beyond
+# broadcast they degrade to token-keyed shuffles, still never text).
+# Scoring is the join of the corpus bigrams against those tables plus
+# one per-doc average. Zero Python.
+
+LM_ADD_K = 0.5
+
+_BIGRAMS_T = (
+    "CASE WHEN size(toks) >= 2 THEN "
+    "transform(sequence(0, size(toks) - 2),"
+    " i -> struct(toks[i] AS w1, toks[i+1] AS w2)) "
+    "ELSE array() END"
+)
+
+
+def bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bigrams, avg_nll): mean bigram negative log-likelihood
+    under the train-bucket LM — P(w2|w1) = (c(w1,w2) + k) /
+    (c(w1) + k·V), unseen contexts fall back to the uniform 1/V floor
+    via the same formula. Documents with < 2 tokens have no bigrams and
+    no row (same as the oracle). Monotone in CCNet's perplexity
+    (ppl = exp(avg_nll)); the NLL form avoids a second cross-engine
+    transcendental."""
+    from .quality_model import TRAIN_BUCKET_LT
+    from .sampling import _bucket
+
+    docs = load_table_docs(spark, sf_dir)
+    bg = docs.selectExpr(
+        "doc_id", f"explode({_BIGRAMS_T}) AS bg"
+    ).selectExpr("doc_id", "bg.w1 AS w1", "bg.w2 AS w2")
+    train = bg.where(_bucket(F.col("doc_id")) < TRAIN_BUCKET_LT)
+    c2 = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = train.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = train.agg(F.countDistinct("w2").cast("double").alias("v"))
+    k = LM_ADD_K
+    scored = (
+        bg.join(maybe_broadcast(c2), ["w1", "w2"], "left")
+        .join(maybe_broadcast(c1), ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (
+                -F.log(
+                    (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(k))
+                    / (
+                        F.coalesce(F.col("c1"), F.lit(0))
+                        + F.lit(k) * F.col("v")
+                    )
+                )
+            ).alias("nll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("nll"), 4).alias("avg_nll"),
+    )
+
+
+def _bigram_lm_duck() -> str:
+    from .quality_model import TRAIN_BUCKET_LT
+    from .sampling import _bucket_duck
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
+),
+bg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM toks, unnest(range(1, len(toks))) AS t(i)
+),
+train AS (
+  SELECT * FROM bg WHERE {_bucket_duck('doc_id')} < {TRAIN_BUCKET_LT}
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM train GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM train GROUP BY 1),
+vocab AS (SELECT count(DISTINCT w2) * 1.0 AS v FROM train)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(avg(-ln((coalesce(c2.c2, 0) + {LM_ADD_K})
+                     / (coalesce(c1.c1, 0) + {LM_ADD_K} * vocab.v))), 4)
+         AS avg_nll
+FROM bg LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1) CROSS JOIN vocab
+GROUP BY doc_id
+"""
+
+
+BIGRAM_LM_SQL = _bigram_lm_duck()
+
+
 UNIGRAM_SURPRISAL_SQL = f"""
 WITH toks AS (
   SELECT doc_id, unnest({_TOKS_DUCK}) AS tok FROM documents
@@ -433,6 +532,7 @@ QUERIES = {
     "duplicate_span_report": duplicate_span_report,
     "duplicate_span_dedup": duplicate_span_dedup,
     "unigram_surprisal": unigram_surprisal,
+    "bigram_lm_nll": bigram_lm_nll,
 }
 
 ORACLE = {
@@ -441,4 +541,5 @@ ORACLE = {
     "duplicate_span_report": DUP_SPAN_SQL,
     "duplicate_span_dedup": DUP_SPAN_DEDUP_SQL,
     "unigram_surprisal": UNIGRAM_SURPRISAL_SQL,
+    "bigram_lm_nll": BIGRAM_LM_SQL,
 }

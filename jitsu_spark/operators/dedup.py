@@ -397,6 +397,91 @@ FROM votes
 """
 
 
+# SimHash near-dup search (Manku/Jain/Sarma 2007 shape): split the
+# fingerprint into HAMMING_MAX + 1 disjoint bands — by pigeonhole, two
+# fingerprints within Hamming distance <= HAMMING_MAX must agree EXACTLY
+# on at least one band, so a banded equality self-join finds every such
+# pair with no all-pairs scan, then popcount(xor) verifies the exact
+# distance. The production configuration is the Google-paper regime —
+# 64-bit fingerprints, distance <= 3, 16-bit bands, expected bucket
+# occupancy corpus_size / 2^16; the 16-bit fixture fingerprints use
+# distance <= 1 with two 8-bit bands (<= 3 on 16 bits matches ~1% of
+# RANDOM pairs — far looser than the paper's 3/64 — and the shared
+# synthetic vocabulary concentrates fingerprints enough to make that a
+# majority of all pairs).
+SIMHASH_HAMMING_MAX = 1
+SIMHASH_BANDS = SIMHASH_HAMMING_MAX + 1
+
+
+def simhash_hamming_pairs(
+    fp: DataFrame,
+    n_bits: int = SIMHASH_BITS,
+    max_hamming: int = SIMHASH_HAMMING_MAX,
+    n_bands: int = SIMHASH_BANDS,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) for every fingerprint pair within
+    `max_hamming` — EXACT (pigeonhole-complete, popcount-verified), the
+    banded plan of the quadratic spec the oracle runs. `fp` is
+    (doc_id, simhash)."""
+    assert n_bands > max_hamming, "pigeonhole needs max_hamming + 1 bands"
+    bits_per = n_bits // n_bands
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            f"(simhash div {1 << (b * bits_per)})"
+                            f" % {1 << bits_per}"
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        # a pair agreeing on several bands surfaces once per band
+        .distinct()
+    )
+    return cand.selectExpr(
+        "doc_a",
+        "doc_b",
+        "CAST(bit_count(sim_a ^ sim_b) AS INT) AS hamming",
+    ).where(F.col("hamming") <= max_hamming)
+
+
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: exact Hamming-<=3 fingerprint pairs over the
+    `simhash` signatures via the banded self-join."""
+    return simhash_hamming_pairs(simhash(spark, sf_dir))
+
+
+SIMHASH_NEAR_DUPS_SQL = f"""
+WITH fp AS ({SIMHASH_SQL})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_MAX}
+"""
+
+
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: LSH candidate pairs -> connected components ->
     per-doc cluster assignment with the canonical representative (min
@@ -747,6 +832,7 @@ QUERIES = {
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "ngram_jaccard_dups": ngram_jaccard_dups,
     "simhash": simhash,
+    "simhash_near_dups": simhash_near_dups,
     "near_dup_clusters": near_dup_clusters,
     "lsh_recall_report": lsh_recall_report,
     "dedup_keep_list": dedup_keep_list,
@@ -758,6 +844,7 @@ ORACLE = {
     "minhash_lsh_pairs": MINHASH_LSH_SQL,
     "ngram_jaccard_dups": NGRAM_JACCARD_SQL,
     "simhash": SIMHASH_SQL,
+    "simhash_near_dups": SIMHASH_NEAR_DUPS_SQL,
     "near_dup_clusters": NEAR_DUP_CLUSTERS_SQL,
     "lsh_recall_report": LSH_RECALL_SQL,
     "dedup_keep_list": DEDUP_KEEP_LIST_SQL,

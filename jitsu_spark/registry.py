@@ -100,7 +100,8 @@ _PRIORITY = [
     "q21_waiting_suppliers", "q22_idle_customers",
     # -- touched in r7 --
     "bpe_trained_token_count", "bpe_token_count", "bpe_learn_merges",
-    "corpus_increment_pipeline", "quality_classifier_score",
+    "corpus_increment_pipeline", "simhash_near_dups", "bigram_lm_nll",
+    "quality_classifier_score",
     "pq_recall_report", "whitening_report", "pca_project_report",
     "sql_gateway_limit", "media_feature_extract", "profile_build",
     "funnel_3step_windowed",

@@ -459,3 +459,69 @@ class TestDuplicateSpanDedup:
         # second "a b c"(8) -> [8,10]; union removes 8 tokens
         assert out[2] == (8, "z x y w")
         assert out[1] == (0, "a b c d e")
+
+
+class TestBigramLmNll:
+    def test_matches_python_reference(self, spark, sf_dir):
+        """Pure-python add-k bigram LM over the collected token arrays
+        reproduces avg_nll to the rounded 4 decimals."""
+        import math
+
+        from jitsu_spark.operators.corpus_stats import (
+            LM_ADD_K,
+            bigram_lm_nll,
+            load_table_docs,
+        )
+        from jitsu_spark.operators.quality_model import TRAIN_BUCKET_LT
+        from tests.test_corpus_increment import _bucket_py
+
+        toks = {
+            r["doc_id"]: list(r["toks"])
+            for r in load_table_docs(spark, sf_dir).collect()
+        }
+        bigrams = {
+            d: list(zip(t, t[1:])) for d, t in toks.items() if len(t) >= 2
+        }
+        c2, c1, vocab = {}, {}, set()
+        for d, bgs in bigrams.items():
+            if _bucket_py(d) >= TRAIN_BUCKET_LT:
+                continue
+            for w1, w2 in bgs:
+                c2[(w1, w2)] = c2.get((w1, w2), 0) + 1
+                c1[w1] = c1.get(w1, 0) + 1
+                vocab.add(w2)
+        v = float(len(vocab))
+        k = LM_ADD_K
+        want = {}
+        for d, bgs in bigrams.items():
+            nll = [
+                -math.log(
+                    (c2.get(bg, 0) + k) / (c1.get(bg[0], 0) + k * v)
+                )
+                for bg in bgs
+            ]
+            want[d] = (len(bgs), round(sum(nll) / len(nll), 4))
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["avg_nll"])
+            for r in bigram_lm_nll(spark, sf_dir).collect()
+        }
+        assert got == want and len(got) > 0
+
+    def test_positive_and_oov_floor(self, spark, sf_dir):
+        """NLL is positive (probabilities < 1 under smoothing) and
+        bounded by the uniform-floor worst case -ln(k / (k*V)) = ln(V)
+        ... plus the seen-context correction, so simply: finite."""
+        from pyspark.sql import functions as F
+
+        from jitsu_spark.operators.corpus_stats import bigram_lm_nll
+
+        stats = bigram_lm_nll(spark, sf_dir).agg(
+            F.min("avg_nll"), F.max("avg_nll"), F.count("*")
+        ).first()
+        assert stats[0] > 0 and math_isfinite(stats[1]) and stats[2] > 0
+
+
+def math_isfinite(x) -> bool:
+    import math
+
+    return x is not None and math.isfinite(x)

@@ -178,6 +178,62 @@ def test_lsh_recall_report_sampled_truth(spark, sf_dir, monkeypatch):
         assert 0.0 <= got.recall <= 1.0
 
 
+class TestSimhashNearDups:
+    def test_banded_pairs_equal_bruteforce(self, spark, sf_dir):
+        """The pigeonhole claim: the banded self-join finds EXACTLY the
+        pairs a quadratic popcount scan finds (python reference over the
+        collected fingerprints)."""
+        from jitsu_spark.operators.dedup import (
+            SIMHASH_HAMMING_MAX,
+            simhash,
+            simhash_hamming_pairs,
+        )
+
+        fp = {
+            r["doc_id"]: r["simhash"]
+            for r in simhash(spark, sf_dir).collect()
+        }
+        ids = sorted(fp)
+        want = {
+            (a, b, bin(fp[a] ^ fp[b]).count("1"))
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if bin(fp[a] ^ fp[b]).count("1") <= SIMHASH_HAMMING_MAX
+        }
+        got = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in simhash_hamming_pairs(simhash(spark, sf_dir)).collect()
+        }
+        assert got == want and len(got) > 0
+
+    def test_no_cartesian_product(self, spark, sf_dir):
+        from jitsu_spark.operators.dedup import simhash_near_dups
+
+        plan = simhash_near_dups(spark, sf_dir)._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+    def test_wider_fingerprint_constants(self, spark):
+        """The production 64-bit/<=3/4-band configuration runs through
+        the same code path (synthetic fingerprints, python-checked)."""
+        from jitsu_spark.operators.dedup import simhash_hamming_pairs
+
+        rows = [
+            (1, 0x0123456789ABCD00),
+            (2, 0x0123456789ABCD01),  # hamming 1 from doc 1
+            (3, 0x0123456789ABCD07),  # hamming 2 from doc 2, 3 from doc 1
+            (4, 0x7FFFFFFFFFFFFFFF),
+        ]
+        fp = spark.createDataFrame(rows, "doc_id long, simhash long")
+        got = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in simhash_hamming_pairs(
+                fp, n_bits=64, max_hamming=3, n_bands=4
+            ).collect()
+        }
+        assert got == {(1, 2): 1, (1, 3): 3, (2, 3): 2}
+
+
 def test_default_df_cap_regimes(sf_dir):
     """Below DF_CAP_MIN_DOCS the corpus-derived cap is None — the exact,
     oracle-checked regime test SF must stay in."""
