@@ -110,3 +110,20 @@ class TestSemanticClusterMap:
         # MapInPandas) node; from the store there must be none
         for marker in ("MapInPandas", "ArrowEval", "collect_list"):
             assert marker not in plan, f"GEMM pass leaked: {marker}"
+
+
+def test_registry_entry_memoized_and_identical(spark, sf_dir):
+    """r7: the registry entry serves the per-(process, dataset) memo —
+    bit-identical to the live LSH/components pass, built exactly once."""
+    from jitsu_spark.operators.dedup import (
+        _CLUSTER_MEMO,
+        near_dup_clusters,
+        near_dup_clusters_live,
+    )
+
+    a = sorted(map(tuple, near_dup_clusters(spark, sf_dir).collect()))
+    live = sorted(map(tuple, near_dup_clusters_live(spark, sf_dir).collect()))
+    assert a == live and len(a) > 0
+    n_keys = len(_CLUSTER_MEMO)
+    b = sorted(map(tuple, near_dup_clusters(spark, sf_dir).collect()))
+    assert b == a and len(_CLUSTER_MEMO) == n_keys
