@@ -544,6 +544,123 @@ GROUP BY label
 """
 
 
+# ---------------------------------------------------------------------------
+# Composed filter-attrition funnel (round 7) — the FineWeb-style
+# stage-by-stage report a pipeline owner reads before shipping a filter
+# chain: how many documents each successive gate drops. Stages run in
+# the order a real web-corpus pipeline applies them (language ID ->
+# Gopher rule bundle -> repetition gate), each stage's survivors feeding
+# the next, so per-stage counts are CUMULATIVE attrition, not
+# independent marginals.
+#
+# Scale: one scan computes the language + Gopher flags as expressions;
+# the repetition verdict is the one bigram aggregate joined back on
+# doc_id (co-keyed, one shuffle); the funnel itself aggregates to 4
+# counter cells unpivoted into rows. Zero Python.
+# ---------------------------------------------------------------------------
+
+FUNNEL_STAGES = ["all", "lang_en", "gopher", "repetition"]
+
+
+def quality_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(stage_idx, stage, n_in, n_kept, drop_rate): cumulative attrition
+    through lang-ID -> Gopher -> repetition. Docs with < 2 tokens have
+    no bigram row and fail the repetition stage (coalesce false) — at
+    funnel position 3 that is moot in practice because the Gopher
+    min-words rule drops them earlier."""
+    e_ratio = "length(regexp_replace(text, '[^e]', '')) / length(text)"
+    t_ratio = "length(regexp_replace(text, '[^t]', '')) / length(text)"
+    docs = load_table(spark, sf_dir, "documents")
+    flags = docs.selectExpr(
+        "doc_id",
+        f"{e_ratio} > 0.09 AND {t_ratio} > 0.06 AS s_lang",
+        f"size({TOKENS}) AS n_words",
+        f"{TOKENS} AS t",
+    ).selectExpr(
+        "doc_id",
+        "s_lang",
+        f"n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS}"
+        " AND (round(aggregate(t, 0L, (a, x) -> a + length(x)) / size(t), 4)"
+        f" BETWEEN {MIN_MEAN_WORD_LEN} AND {MAX_MEAN_WORD_LEN})"
+        f" AND size(filter(t, x -> x IN ({_SW}))) >= {MIN_STOPWORDS}"
+        " AND round(size(filter(t, x -> x rlike '[a-zA-Z]')) / size(t), 4)"
+        f" >= {MIN_ALPHA_FRAC} AS s_gopher",
+    )
+    rep = repetition_stats(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("s_rep")
+    )
+    cum = flags.join(rep, "doc_id", "left").selectExpr(
+        "s_lang AS c1",
+        "s_lang AND s_gopher AS c2",
+        "s_lang AND s_gopher AND coalesce(s_rep, false) AS c3",
+    )
+    agg = cum.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("c1").cast("long")).alias("k1"),
+        F.sum(F.col("c2").cast("long")).alias("k2"),
+        F.sum(F.col("c3").cast("long")).alias("k3"),
+    )
+    return agg.selectExpr(
+        "stack(4,"
+        " 0, 'all',        n,  n,"
+        " 1, 'lang_en',    n,  k1,"
+        " 2, 'gopher',     k1, k2,"
+        " 3, 'repetition', k2, k3"
+        ") AS (stage_idx, stage, n_in, n_kept)"
+    ).selectExpr(
+        "stage_idx",
+        "stage",
+        "n_in",
+        "n_kept",
+        "round(1.0 - n_kept / n_in, 4) AS drop_rate",
+    )
+
+
+QUALITY_FUNNEL_SQL = f"""
+WITH flags AS (
+  SELECT doc_id,
+         length(regexp_replace(text, '[^e]', '', 'g')) / length(text) > 0.09
+           AND length(regexp_replace(text, '[^t]', '', 'g')) / length(text)
+               > 0.06 AS s_lang,
+         len({TOKENS_DUCK}) BETWEEN {MIN_WORDS} AND {MAX_WORDS}
+           AND round(list_sum(list_transform({TOKENS_DUCK},
+                                             x -> length(x)))
+                     / len({TOKENS_DUCK}), 4)
+               BETWEEN {MIN_MEAN_WORD_LEN} AND {MAX_MEAN_WORD_LEN}
+           AND len(list_filter({TOKENS_DUCK}, x -> x IN ({_SW})))
+               >= {MIN_STOPWORDS}
+           AND round(len(list_filter({TOKENS_DUCK},
+                                     x -> regexp_matches(x, '[a-zA-Z]')))
+                     / len({TOKENS_DUCK}), 4) >= {MIN_ALPHA_FRAC} AS s_gopher
+  FROM documents
+),
+rep AS (
+  SELECT doc_id, keep AS s_rep FROM ({REPETITION_SQL})
+),
+cum AS (
+  SELECT s_lang AS c1,
+         s_lang AND s_gopher AS c2,
+         s_lang AND s_gopher AND coalesce(s_rep, false) AS c3
+  FROM flags LEFT JOIN rep USING (doc_id)
+),
+agg AS (
+  SELECT count(*) AS n,
+         CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+         CAST(sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT) AS k2,
+         CAST(sum(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT) AS k3
+  FROM cum
+)
+SELECT stage_idx, stage, n_in, n_kept,
+       round(1.0 - n_kept / n_in, 4) AS drop_rate
+FROM (
+  SELECT 0 AS stage_idx, 'all' AS stage, n AS n_in, n AS n_kept FROM agg
+  UNION ALL SELECT 1, 'lang_en', n, k1 FROM agg
+  UNION ALL SELECT 2, 'gopher', k1, k2 FROM agg
+  UNION ALL SELECT 3, 'repetition', k2, k3 FROM agg
+)
+"""
+
+
 QUERIES = {
     "gopher_quality_flags": gopher_quality_flags,
     "repetition_stats": repetition_stats,
@@ -552,8 +669,10 @@ QUERIES = {
     "chunk_documents": chunk_documents,
     "quality_percentile_gate": quality_percentile_gate,
     "embedding_norm_stats": embedding_norm_stats,
+    "quality_funnel_report": quality_funnel_report,
 }
 ORACLE = {
+    "quality_funnel_report": QUALITY_FUNNEL_SQL,
     "gopher_quality_flags": GOPHER_QUALITY_SQL,
     "repetition_stats": REPETITION_SQL,
     "pii_redact": PII_REDACT_SQL,

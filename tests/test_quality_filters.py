@@ -338,3 +338,59 @@ class TestDedupKeepList:
         assert out[1]["reason"] == "canonical" and out[1]["is_kept"] is True
         assert out[2]["reason"] == "near_dup" and out[2]["is_kept"] is False
         assert out[3]["reason"] == "singleton" and out[3]["is_kept"] is True
+
+
+class TestQualityFunnelReport:
+    def test_funnel_is_cumulative_and_consistent(self, spark, sf_dir):
+        """Stages chain: each stage's n_in is the previous stage's
+        n_kept, kept counts never increase, and drop_rate matches."""
+        from jitsu_spark.operators.quality_filters import (
+            FUNNEL_STAGES,
+            quality_funnel_report,
+        )
+        from jitsu_spark.tables import load_table
+
+        rows = sorted(
+            quality_funnel_report(spark, sf_dir).collect(),
+            key=lambda r: r["stage_idx"],
+        )
+        assert [r["stage"] for r in rows] == FUNNEL_STAGES
+        n_docs = load_table(spark, sf_dir, "documents").count()
+        assert rows[0]["n_in"] == rows[0]["n_kept"] == n_docs
+        for prev, cur in zip(rows, rows[1:]):
+            assert cur["n_in"] == prev["n_kept"]
+            assert cur["n_kept"] <= cur["n_in"]
+            assert cur["drop_rate"] == round(
+                1.0 - cur["n_kept"] / cur["n_in"], 4
+            )
+        # the funnel actually drops something on the synthetic corpus
+        assert rows[-1]["n_kept"] < n_docs
+
+    def test_matches_component_filters(self, spark, sf_dir):
+        """The funnel's terminal survivor count equals composing the
+        standalone filter entries by hand."""
+        from jitsu_spark.operators.quality_filters import (
+            gopher_quality_flags,
+            quality_funnel_report,
+            repetition_stats,
+        )
+        from jitsu_spark.operators.text_ops import lang_id_heuristic
+
+        lang_ok = {
+            r["doc_id"]
+            for r in lang_id_heuristic(spark, sf_dir).collect()
+            if r["lang_pred"] == "en"
+        }
+        gopher_ok = {
+            r["doc_id"]
+            for r in gopher_quality_flags(spark, sf_dir).collect()
+            if r["keep"]
+        }
+        rep_ok = {
+            r["doc_id"]
+            for r in repetition_stats(spark, sf_dir).collect()
+            if r["keep"]
+        }
+        want = len(lang_ok & gopher_ok & rep_ok)
+        rows = {r["stage"]: r for r in quality_funnel_report(spark, sf_dir).collect()}
+        assert rows["repetition"]["n_kept"] == want
