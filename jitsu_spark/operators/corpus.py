@@ -228,7 +228,14 @@ def incremental_corpus(
     from .sampling import _bucket, token_budget_over
     from .text_ops import TOKENS
 
-    diff = snapshot_diff(old, new)
+    # The diff is DELTA-sized (only changed rows) and feeds four
+    # consumers (affected, batch_ids, and through them every later
+    # stage); left live, each consumer re-derives the full-outer join —
+    # the plan audit showed 40 parquet scans. One bounded
+    # localCheckpoint pins it (the fingerprint_verdicts pattern:
+    # checkpointing is reserved for delta-bounded frames, never the
+    # corpus — r6 advice).
+    diff = snapshot_diff(old, new).localCheckpoint(eager=True)
     affected = diff.where(
         F.col("status").isin("removed", "changed")
     ).select("doc_id")
@@ -246,7 +253,12 @@ def incremental_corpus(
     batch_ids = diff.where(
         F.col("status").isin("added", "changed")
     ).select("doc_id")
-    batch = new.join(maybe_broadcast(batch_ids), "doc_id", "left_semi")
+    # batch is also delta-sized (the increment's docs, text included)
+    # and referenced four times across the verdict join and the merge —
+    # same bounded-checkpoint rationale as the diff
+    batch = new.join(
+        maybe_broadcast(batch_ids), "doc_id", "left_semi"
+    ).localCheckpoint(eager=True)
     # retained docs are canonical-per-hash, so this store is hash-unique
     store = retained.select(
         F.md5("text").alias("text_hash"),
