@@ -422,11 +422,22 @@ def simhash_hamming_pairs(
     """(doc_a, doc_b, hamming) for every fingerprint pair within
     `max_hamming` — EXACT (pigeonhole-complete, popcount-verified), the
     banded plan of the quadratic spec the oracle runs. `fp` is
-    (doc_id, simhash)."""
+    (doc_id, simhash).
+
+    The band join runs over DISTINCT fingerprint VALUES, not documents
+    (Manku 2007's table-of-fingerprints): identical fingerprints — the
+    common case in a near-dup corpus — would otherwise explode every
+    band bucket quadratically in document count (the doc-level join
+    materialized 5M candidates for 500 docs here). Value-level
+    candidates are bounded by distinct-print count; document pairs then
+    expand through two co-keyed joins: same-print groups directly (the
+    hamming-0 pairs), cross-print groups through the verified value
+    pairs — each unordered pair produced exactly once, so no distinct
+    over document pairs at all."""
     assert n_bands > max_hamming, "pigeonhole needs max_hamming + 1 bands"
     bits_per = n_bits // n_bands
-    bands = fp.select(
-        "doc_id",
+    prints = fp.select("simhash").distinct()
+    bands = prints.select(
         "simhash",
         F.explode(
             F.array(
@@ -442,35 +453,75 @@ def simhash_hamming_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "simhash", "bk.band", "bk.key")
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
+    ).select("simhash", "bk.band", "bk.key")
+    pa, pb = bands.alias("a"), bands.alias("b")
+    print_pairs = (
+        pa.join(
+            pb,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.simhash") < F.col("b.simhash")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
             F.col("a.simhash").alias("sim_a"),
             F.col("b.simhash").alias("sim_b"),
         )
-        # a pair agreeing on several bands surfaces once per band
+        # a value pair agreeing on several bands surfaces once per band
         .distinct()
+        .selectExpr(
+            "sim_a",
+            "sim_b",
+            "CAST(bit_count(sim_a ^ sim_b) AS INT) AS hamming",
+        )
+        .where((F.col("hamming") > 0) & (F.col("hamming") <= max_hamming))
     )
-    return cand.selectExpr(
-        "doc_a",
-        "doc_b",
-        "CAST(bit_count(sim_a ^ sim_b) AS INT) AS hamming",
-    ).where(F.col("hamming") <= max_hamming)
+    from ..plans.hints import maybe_broadcast
+
+    # hamming-0: all intra-group document pairs of one fingerprint
+    same = (
+        fp.alias("x")
+        .join(
+            fp.alias("y"),
+            (F.col("x.simhash") == F.col("y.simhash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    # cross-print: expand each verified value pair through its members
+    cross = (
+        fp.alias("x")
+        .join(
+            maybe_broadcast(print_pairs),
+            F.col("x.simhash") == F.col("sim_a"),
+        )
+        .join(fp.alias("y"), F.col("y.simhash") == F.col("sim_b"))
+        .select(
+            F.least(F.col("x.doc_id"), F.col("y.doc_id")).alias("doc_a"),
+            F.greatest(F.col("x.doc_id"), F.col("y.doc_id")).alias("doc_b"),
+            "hamming",
+        )
+    )
+    return same.unionByName(cross)
 
 
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry entry: exact Hamming-<=3 fingerprint pairs over the
-    `simhash` signatures via the banded self-join."""
-    return simhash_hamming_pairs(simhash(spark, sf_dir))
+    """Registry entry: exact Hamming-<=max fingerprint pairs over the
+    `simhash` signatures via the banded self-join.
+
+    The fingerprint pass is materialized to a parquet side table first —
+    the production shape (fingerprints persist beside the corpus, ~20
+    bytes/doc, and every near-dup sweep reads them) — so the self-join's
+    two branches scan the stored table instead of each re-deriving the
+    token explode + majority-vote aggregate."""
+    import tempfile
+
+    fp_dir = tempfile.mkdtemp(prefix="simhash_fp_") + "/fp"
+    simhash(spark, sf_dir).write.mode("overwrite").parquet(fp_dir)
+    return simhash_hamming_pairs(spark.read.parquet(fp_dir))
 
 
 SIMHASH_NEAR_DUPS_SQL = f"""
