@@ -516,12 +516,22 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     the production shape (fingerprints persist beside the corpus, ~20
     bytes/doc, and every near-dup sweep reads them) — so the self-join's
     two branches scan the stored table instead of each re-deriving the
-    token explode + majority-vote aggregate."""
-    import tempfile
+    token explode + majority-vote aggregate. Memoized per (process,
+    dataset) like the cluster map, so repeated calls share one store
+    instead of leaking temp dirs."""
+    key = _docs_dataset_key(sf_dir)
+    fp_dir = _SIMHASH_MEMO.get(key) if key is not None else None
+    if fp_dir is None:
+        import tempfile
 
-    fp_dir = tempfile.mkdtemp(prefix="simhash_fp_") + "/fp"
-    simhash(spark, sf_dir).write.mode("overwrite").parquet(fp_dir)
+        fp_dir = tempfile.mkdtemp(prefix="simhash_fp_") + "/fp"
+        simhash(spark, sf_dir).write.mode("overwrite").parquet(fp_dir)
+        if key is not None:
+            _SIMHASH_MEMO[key] = fp_dir
     return simhash_hamming_pairs(spark.read.parquet(fp_dir))
+
+
+_SIMHASH_MEMO: dict[tuple, str] = {}
 
 
 SIMHASH_NEAR_DUPS_SQL = f"""
