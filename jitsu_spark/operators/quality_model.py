@@ -2,9 +2,12 @@
 in-engine features and score every document — the "quality classifier"
 stage of the classic pre-training pipelines (GPT-3's LR filter over
 WebText-vs-CommonCrawl, CCNet/RedPajama's fasttext gate), expressed
-Spark-first: features and scoring are JVM-side expressions, training is
-`pyspark.ml` LogisticRegression (distributed L-BFGS — one treeAggregate
-gradient pass per iteration, no per-row Python).
+Spark-first: features and scoring are JVM-side expressions; training is
+driver-side IRLS over the absolute-capped sample (r7 — the bounded-
+training contract pq/bpe already use, replacing pyspark.ml's
+distributed L-BFGS whose per-iteration job overhead dominated at small
+sample sizes and whose treeAggregate float-sum order made coefficients
+layout-dependent).
 
 Shape of the operator:
   1. features  — the deterministic 64-d feature-hash embedding
@@ -12,8 +15,8 @@ Shape of the operator:
   2. weak label — median split on stopword ratio, the median computed on
      the TRAIN buckets only (no held-out leakage). Balanced by
      construction, so accuracy is a meaningful metric with a 0.5 floor.
-  3. train     — LogisticRegression on the md5-bucket train split
-     (buckets < 800), capped at an ABSOLUTE `QM_TRAIN_MAX_SAMPLE` rows
+  3. train     — L2 logistic regression (driver IRLS) on the md5-bucket
+     train split (buckets < 800), capped at an ABSOLUTE `QM_TRAIN_MAX_SAMPLE` rows
      (the `pq.PQ_TRAIN_MAX_SAMPLE` bounded-training contract): the cap
      bucket threshold is derived from the parquet FOOTER row count
      (metadata-only, no scan), so at 100 TB the classifier trains on a
@@ -28,18 +31,17 @@ Shape of the operator:
      downstream gates (`quality_percentile_gate`, temperature sampling)
      can consume the calibrated column directly.
 
-Rows-only registry entry: iterative L-BFGS has no SQL form.
+Rows-only registry entry: the iterative Newton solve has no SQL form.
 
-Determinism regime: this entry is TOLERANCE-checked, not
-bit-deterministic — L-BFGS gradients are treeAggregate float sums whose
-combine order depends on partition layout, so 4-dp probabilities can
-differ across repartitionings of the same data. Given a FITTED model,
-the scoring pass itself IS deterministic (pure JVM transform); the
-hard gates in `tests/test_quality_model.py` therefore pin held-out
-accuracy (well above the 0.5 balanced baseline), probability bounds,
-prediction/probability consistency, the no-leakage threshold contract,
-the absolute-cap row bound, and fixed-model scoring determinism —
-never exact probability bits across layouts.
+Determinism regime (r7): fully deterministic — the train sample is a
+deterministic md5-bucket slice, the collected rows sort by doc_id
+before the solve, and numpy IRLS is order-fixed, so coefficients are
+byte-identical across repartitionings of the same data; scoring is a
+pure JVM expression of those coefficients. The hard gates in
+`tests/test_quality_model.py` pin held-out accuracy (well above the
+0.5 balanced baseline), probability bounds, prediction/probability
+consistency, the no-leakage threshold contract, the absolute-cap row
+bound, and train+score determinism across input layouts.
 """
 
 from __future__ import annotations
@@ -116,6 +118,60 @@ def _featurized(docs: DataFrame) -> DataFrame:
     )
 
 
+class QualityModel:
+    """The fitted linear model score_quality folds into its JVM
+    expression — coefficients/intercept in ORIGINAL feature space, plus
+    the training diagnostics the tests gate on."""
+
+    def __init__(self, coefficients, intercept, n_iterations, n_train):
+        self.coefficients = coefficients
+        self.intercept = float(intercept)
+        self.n_iterations = int(n_iterations)
+        self.n_train = int(n_train)
+
+
+LR_REG_PARAM = 1e-3
+LR_MAX_ITER = 30
+LR_TOL = 1e-10
+
+
+def _fit_logistic_irls(
+    X, y, reg: float = LR_REG_PARAM, max_iter: int = LR_MAX_ITER,
+    tol: float = LR_TOL,
+):
+    """L2-regularized logistic regression by IRLS (Newton) over a
+    standardized design — the same objective Spark's LR minimizes
+    ((1/n)·logloss + reg·||w_std||²/2, intercept unpenalized,
+    coefficients returned in original space). d=64 makes each Newton
+    step a 65×65 solve; convergence in < 10 iterations. Deterministic
+    by construction: fixed input order in, identical bytes out."""
+    import numpy as np
+
+    n, d = X.shape
+    mu = X.mean(axis=0)
+    sd = X.std(axis=0)
+    sd = np.where(sd == 0, 1.0, sd)
+    Xs = np.hstack([(X - mu) / sd, np.ones((n, 1))])
+    w = np.zeros(d + 1)
+    lam = reg * n  # objective scaled by n: sum-loss + lam/2 ||w||^2
+    reg_vec = np.full(d + 1, lam)
+    reg_vec[d] = 0.0  # intercept unpenalized
+    it = 0
+    for it in range(1, max_iter + 1):
+        z = Xs @ w
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = Xs.T @ (p - y) + reg_vec * w
+        wt = np.clip(p * (1.0 - p), 1e-12, None)
+        H = (Xs * wt[:, None]).T @ Xs + np.diag(reg_vec)
+        step = np.linalg.solve(H, g)
+        w = w - step
+        if np.abs(step).max() < tol:
+            break
+    coef = w[:d] / sd
+    intercept = w[d] - float((w[:d] * mu / sd).sum())
+    return coef, intercept, it
+
+
 def train_quality_classifier(
     feats: DataFrame,
     train_cap: int = CAP_SCALE,
@@ -129,39 +185,45 @@ def train_quality_classifier(
     with `_train_cap(footer_rows)`); when it engages (< CAP_SCALE) the
     threshold uses `percentile_approx` so no task buffers the whole
     train set — below the cap the exact `percentile` runs (the parity
-    regime)."""
-    from pyspark.ml.classification import LogisticRegression
-    from pyspark.ml.functions import array_to_vector
+    regime).
+
+    Training is DRIVER-SIDE (r7): the capped sample is collect-scale by
+    the absolute-cap contract (~100k 64-d rows ≈ 51 MB — the same
+    envelope pq's Lloyd training and bpe's merge loop already collect),
+    so the iterative stage runs as numpy IRLS over the sorted sample
+    instead of N distributed treeAggregate jobs whose per-iteration
+    scheduling overhead dominated and whose float-sum order made
+    coefficients layout-dependent. Sorting by doc_id before the solve
+    makes training BYTE-DETERMINISTIC for a fixed dataset; only the
+    corpus-scale passes (featurize + scoring) stay distributed."""
+    import numpy as np
 
     train = feats.where("is_train")
     if train_cap < CAP_SCALE:
         # independent salted md5 slice so the cap is uncorrelated with
         # the train/held-out split
         train = train.where(_cap_bucket(F.col("doc_id")) < train_cap)
-    # materialize the capped train vectors FIRST (one featurize pass —
-    # the live-HOF embedding is expensive to evaluate, and both the
-    # threshold scan and every L-BFGS iteration read from here), then
-    # take the label threshold from the materialized frame. The
-    # materialized set is bounded by the absolute cap, so this holds
-    # ~QM_TRAIN_MAX_SAMPLE rows at any corpus size.
-    vecs = train.select(
-        array_to_vector("embedding").alias("features"), "sw_ratio"
-    ).localCheckpoint(eager=True)
+    capped = train.select("doc_id", "embedding", "sw_ratio")
+    # threshold stays a SPARK aggregate (same expression as before, so
+    # the pinned no-leakage contract keeps its exact arithmetic)
     median_expr = (
         "percentile_approx(sw_ratio, 0.5, 10000)"
         if train_cap < CAP_SCALE
         else "percentile(sw_ratio, 0.5)"
     )
-    thr = vecs.agg(F.expr(median_expr).alias("t")).first()["t"]
-    labeled = vecs.select(
-        "features",
-        (F.col("sw_ratio") >= F.lit(thr)).cast("double").alias("label"),
+    rows = capped.collect()  # bounded by the absolute cap
+    rows.sort(key=lambda r: r["doc_id"])
+    thr = (
+        capped.sparkSession.createDataFrame(
+            [(r["sw_ratio"],) for r in rows], "sw_ratio double"
+        )
+        .agg(F.expr(median_expr).alias("t"))
+        .first()["t"]
     )
-    lr = LogisticRegression(
-        maxIter=30, regParam=1e-3, standardization=True, tol=1e-7
-    )
-    model = lr.fit(labeled)
-    return model, float(thr)
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    y = (np.array([r["sw_ratio"] for r in rows]) >= thr).astype(np.float64)
+    coef, intercept, n_iter = _fit_logistic_irls(X, y)
+    return QualityModel(coef, intercept, n_iter, len(rows)), float(thr)
 
 
 def score_quality(feats: DataFrame, model, thr: float) -> DataFrame:

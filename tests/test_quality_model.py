@@ -87,9 +87,9 @@ class TestQualityClassifier:
 
         feats = _featurized(load_table(spark, SF_DIR, "documents"))
         model, thr = train_quality_classifier(feats, train_cap=CAP_SCALE * 3 // 10)
-        assert model.summary.totalIterations > 0
+        assert model.n_iterations > 0
         n_train_full = feats.where("is_train").count()
-        assert model.summary.predictions.count() < n_train_full
+        assert model.n_train < n_train_full
         out = score_quality(feats, model, thr)
         assert out.count() == feats.count()
 
@@ -155,10 +155,13 @@ class TestQualityClassifier:
         assert lo - 1e-12 <= thr <= hi + 1e-12
 
     def test_fixed_model_scoring_is_deterministic(self, spark):
-        """Determinism regime (module docstring): TRAINING is
-        tolerance-checked (treeAggregate float-sum order), but scoring
-        under a FIXED model is a pure JVM map — identical rows across
+        """Determinism regime (module docstring, r7): TRAINING is
+        byte-deterministic (doc_id-sorted sample, order-fixed numpy
+        IRLS) and scoring under a fixed model is a pure JVM map —
+        identical coefficients AND identical rows across
         repartitionings of the input."""
+        import numpy as np
+
         from jitsu_spark.operators.quality_model import (
             _featurized,
             score_quality,
@@ -168,6 +171,14 @@ class TestQualityClassifier:
 
         feats = _featurized(load_table(spark, SF_DIR, "documents"))
         model, thr = train_quality_classifier(feats)
+        model2, thr2 = train_quality_classifier(
+            _featurized(
+                load_table(spark, SF_DIR, "documents").repartition(7, "doc_id")
+            )
+        )
+        assert thr == thr2
+        assert np.array_equal(model.coefficients, model2.coefficients)
+        assert model.intercept == model2.intercept
         a = score_quality(feats, model, thr)
         b = score_quality(feats.repartition(7, "doc_id"), model, thr)
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
