@@ -387,6 +387,39 @@ def sessionize_df(ev: DataFrame) -> DataFrame:
     )
 
 
+def sessionize_native_df(ev: DataFrame) -> DataFrame:
+    """Structured-Streaming-native twin of `sessionize_df`: Spark's
+    built-in `session_window` (the operator a streaming deployment would
+    use — state-store-backed there, plain aggregation in batch) instead
+    of the lag/cumsum windows. Same output schema and the SAME boundary
+    convention (an event exactly gap seconds after the previous one
+    stays in the session: session_window's end bound is inclusive,
+    matching the lag form's strict `>` gap test — pinned at the exact
+    boundary in tests/test_reports.py); pinned equal on the corpus."""
+    sess = ev.groupBy(
+        "user_id",
+        F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.round(
+                F.avg(
+                    F.col("session_end").cast("double")
+                    - F.col("session_start").cast("double")
+                ),
+                2,
+            ).alias("avg_session_sec"),
+        )
+    )
+
+
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4-analog — gap-based sessionization (30-min inactivity gap).
 

@@ -241,3 +241,46 @@ class TestAudienceOverlap:
         assert (r["type_a"], r["type_b"]) == ("click", "purchase")
         assert r["n_both"] == 2
         assert r["jaccard"] == 0.6667
+
+
+class TestSessionizeNativeTwin:
+    def test_session_window_twin_equals_lag_form(self, spark, sf_dir):
+        """Spark's built-in session_window reproduces the lag/cumsum
+        sessionization exactly on the corpus."""
+        from jitsu_spark.operators.events_ops import (
+            sessionize_df,
+            sessionize_native_df,
+        )
+        from jitsu_spark.tables import load_table
+
+        ev = load_table(spark, sf_dir, "events")
+        got = sorted(map(tuple, sessionize_native_df(ev).collect()))
+        want = sorted(map(tuple, sessionize_df(ev).collect()))
+        assert got == want and len(got) > 0
+
+    def test_boundary_conventions_agree(self, spark):
+        """At an EXACT gap-width spacing both forms keep the session
+        (session_window's end bound is inclusive, matching the lag
+        form's strict > test); one second past the gap both split."""
+        import datetime as dt
+
+        from jitsu_spark.operators.events_ops import (
+            SESSION_GAP_MIN,
+            sessionize_df,
+            sessionize_native_df,
+        )
+
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+        gap = dt.timedelta(minutes=SESSION_GAP_MIN)
+        at_gap = spark.createDataFrame(
+            [("u", t0, 1), ("u", t0 + gap, 2)],
+            "user_id string, ts timestamp, event_id long",
+        )
+        past_gap = spark.createDataFrame(
+            [("u", t0, 1), ("u", t0 + gap + dt.timedelta(seconds=1), 2)],
+            "user_id string, ts timestamp, event_id long",
+        )
+        assert sessionize_df(at_gap).first()["n_sessions"] == 1
+        assert sessionize_native_df(at_gap).first()["n_sessions"] == 1
+        assert sessionize_df(past_gap).first()["n_sessions"] == 2
+        assert sessionize_native_df(past_gap).first()["n_sessions"] == 2
