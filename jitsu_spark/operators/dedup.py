@@ -75,20 +75,24 @@ FROM hashed h JOIN canon c USING (text_hash)
 """
 
 
-def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) distinct pairs — shared by minhash and jaccard.
+def _shingles_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) distinct pairs from any (doc_id, text) frame.
 
     The token array is materialized ONCE per row (projection boundary)
     before the shingle transform indexes into it; inlining the
     regexp_extract_all into the lambda would re-run the regex per element
     — quadratic in document length."""
-    docs = load_table(spark, sf_dir, "documents")
     toks = docs.selectExpr("doc_id", f"{TOKENS} AS toks")
     return (
         toks.selectExpr(
             "doc_id", f"explode({SHINGLES.format(t='toks')}) AS shingle"
         ).distinct()
     )
+
+
+def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared shingle pass over the documents table (minhash + jaccard)."""
+    return _shingles_of(load_table(spark, sf_dir, "documents"))
 
 
 _SHINGLE_ROWS_DUCK = f"""
@@ -144,8 +148,10 @@ GROUP BY doc_id
 """
 
 
-def _lsh_pairs_from_signatures(sig: DataFrame) -> DataFrame:
-    """LSH banding + bucket self-join over precomputed signatures."""
+def _band_rows(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, bucket) LSH band keys from a signature frame —
+    shared by the self-join pair generator and the incremental store
+    probe."""
     band_structs = []
     for b in range(BANDS):
         cols = [F.col(f"h{j}") for j in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)]
@@ -156,9 +162,14 @@ def _lsh_pairs_from_signatures(sig: DataFrame) -> DataFrame:
                 F.md5(F.concat_ws("_", *cols)).alias("bucket"),
             )
         )
-    bands = sig.select(
+    return sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("band")
     ).select("doc_id", "band.band_idx", "band.bucket")
+
+
+def _lsh_pairs_from_signatures(sig: DataFrame) -> DataFrame:
+    """LSH banding + bucket self-join over precomputed signatures."""
+    bands = _band_rows(sig)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -925,6 +936,223 @@ def append_fingerprints(
     fresh.write.mode("append").partitionBy("bucket").parquet(store_dir)
 
 
+# ---------------------------------------------------------------------------
+# Incremental NEAR-dup gate (round 7): the fuzzy cousin of the exact
+# fingerprint store. A real pipeline doesn't re-run LSH over 100 TB per
+# ingest — it keeps the corpus's minhash SIGNATURES (16 bigints/doc) and
+# probes each new batch against their band buckets: colliding store docs
+# are the only candidates, and the signature-component agreement
+# fraction estimates Jaccard without touching either text. Join
+# direction mirrors verdicts_against_store: the corpus-sized store
+# streams; the batch's band keys, candidates and signatures broadcast.
+# ---------------------------------------------------------------------------
+
+NEAR_DUP_EST_THRESHOLD = JACCARD_THRESHOLD
+
+
+def build_signature_store(docs: DataFrame, store_dir: str) -> None:
+    """Seed the near-dup store: one (doc_id, h0..h{N}) signature row per
+    corpus doc."""
+    _signatures_from_shingles(_shingles_of(docs)).write.mode(
+        "overwrite"
+    ).parquet(store_dir)
+
+
+def load_signature_store(spark: SparkSession, store_dir: str) -> DataFrame:
+    return spark.read.parquet(store_dir)
+
+
+def append_signatures(
+    verdicts: DataFrame, new_docs: DataFrame, store_dir: str
+) -> None:
+    """Persist the 'new' verdicts' signatures (the mutation half; order
+    corpus write before store append for replay idempotence, as with
+    the exact store)."""
+    from ..plans.hints import maybe_broadcast
+
+    fresh_ids = verdicts.where(F.col("verdict") == "new").select("doc_id")
+    fresh = new_docs.join(maybe_broadcast(fresh_ids), "doc_id", "left_semi")
+    _signatures_from_shingles(_shingles_of(fresh)).write.mode(
+        "append"
+    ).parquet(store_dir)
+
+
+def near_dup_verdicts_against_store(
+    new_docs: DataFrame,
+    store_sig: DataFrame,
+    threshold: float = NEAR_DUP_EST_THRESHOLD,
+) -> DataFrame:
+    """(doc_id, verdict 'near_dup_of_corpus'|'new', matched_id,
+    est_jaccard) for every new doc with at least one shingle.
+
+    The batch's signatures band-probe the store: store band rows stream
+    through a join whose build side is the batch's distinct band keys,
+    the surviving (new, store) candidates join both signature tables,
+    and the best candidate per new doc (highest component-agreement
+    estimate, ties to the smallest store id) decides the verdict.
+    matched_id/est_jaccard carry the best candidate even below the
+    threshold (diagnostic); docs with no colliding bucket are 'new'
+    with nulls."""
+    from ..plans.hints import maybe_broadcast
+
+    new_sig = _signatures_from_shingles(_shingles_of(new_docs))
+    new_bands = _band_rows(new_sig).withColumnRenamed("doc_id", "new_id")
+    store_bands = _band_rows(store_sig).withColumnRenamed(
+        "doc_id", "store_id"
+    )
+    hits = store_bands.join(
+        maybe_broadcast(new_bands.select("band_idx", "bucket").distinct()),
+        ["band_idx", "bucket"],
+    )
+    cand = (
+        hits.join(maybe_broadcast(new_bands), ["band_idx", "bucket"])
+        .select("new_id", "store_id")
+        .distinct()
+    )
+    s_cols = [F.col(f"h{j}").alias(f"s_h{j}") for j in range(NUM_HASHES)]
+    n_cols = [F.col(f"h{j}").alias(f"n_h{j}") for j in range(NUM_HASHES)]
+    est_expr = (
+        "("
+        + " + ".join(
+            f"CASE WHEN s_h{j} = n_h{j} THEN 1 ELSE 0 END"
+            for j in range(NUM_HASHES)
+        )
+        # CAST, not a "16.0" literal: Spark parses decimal-point literals
+        # as DECIMAL and the division would surface as Decimal objects
+        + f") / CAST({NUM_HASHES} AS DOUBLE)"
+    )
+    est = (
+        store_sig.select(F.col("doc_id").alias("store_id"), *s_cols)
+        .join(maybe_broadcast(cand), "store_id")
+        .join(
+            maybe_broadcast(
+                new_sig.select(F.col("doc_id").alias("new_id"), *n_cols)
+            ),
+            "new_id",
+        )
+        .selectExpr("new_id", "store_id", f"{est_expr} AS est")
+    )
+    best = (
+        est.groupBy("new_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("est"), (-F.col("store_id")).alias("neg_id")
+                )
+            ).alias("b")
+        )
+        .select(
+            "new_id",
+            F.col("b.est").alias("est"),
+            (-F.col("b.neg_id")).alias("matched_id"),
+        )
+    )
+    return (
+        new_sig.select("doc_id")
+        .join(
+            maybe_broadcast(best.withColumnRenamed("new_id", "doc_id")),
+            "doc_id",
+            "left",
+        )
+        .selectExpr(
+            "doc_id",
+            f"CASE WHEN est >= {threshold} THEN 'near_dup_of_corpus'"
+            " ELSE 'new' END AS verdict",
+            "matched_id",
+            "round(est, 4) AS est_jaccard",
+        )
+    )
+
+
+NEW_CRAWL_BUCKET_GE = 800
+
+
+def near_dup_gate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the corpus split into an existing store
+    (md5 buckets < 800) and a new crawl (buckets >= 800); the crawl's
+    docs are gated against the store's signatures."""
+    from .sampling import _bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = _bucket(F.col("doc_id"))
+    store_docs = docs.where(b < NEW_CRAWL_BUCKET_GE)
+    new_docs = docs.where(b >= NEW_CRAWL_BUCKET_GE)
+    store_sig = _signatures_from_shingles(_shingles_of(store_docs))
+    return near_dup_verdicts_against_store(new_docs, store_sig)
+
+
+def _near_dup_gate_duck() -> str:
+    from .sampling import _bucket_duck
+
+    sig_cols = ", ".join(
+        f"min(({_A[j]} * x + {_B[j]}) % {MINHASH_P}) AS h{j}"
+        for j in range(NUM_HASHES)
+    )
+    bands_of = lambda src: " UNION ALL ".join(  # noqa: E731
+        f"SELECT doc_id, {b} AS band_idx, md5("
+        + " || '_' || ".join(
+            f"h{j}::VARCHAR"
+            for j in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)
+        )
+        + f") AS bucket FROM {src}"
+        for b in range(BANDS)
+    )
+    est = (
+        "("
+        + " + ".join(
+            f"CASE WHEN s.h{j} = n.h{j} THEN 1 ELSE 0 END"
+            for j in range(NUM_HASHES)
+        )
+        + f") / {NUM_HASHES}.0"
+    )
+    return f"""
+WITH sh_store AS (
+  SELECT DISTINCT doc_id, unnest({SHINGLES_DUCK.format(t=TOKENS_DUCK)}) AS shingle
+  FROM documents WHERE {_bucket_duck('doc_id')} < {NEW_CRAWL_BUCKET_GE}
+),
+sh_new AS (
+  SELECT DISTINCT doc_id, unnest({SHINGLES_DUCK.format(t=TOKENS_DUCK)}) AS shingle
+  FROM documents WHERE {_bucket_duck('doc_id')} >= {NEW_CRAWL_BUCKET_GE}
+),
+sig_store AS (
+  SELECT doc_id, {sig_cols}
+  FROM (SELECT doc_id, {_X_DUCK} AS x FROM sh_store) GROUP BY doc_id
+),
+sig_new AS (
+  SELECT doc_id, {sig_cols}
+  FROM (SELECT doc_id, {_X_DUCK} AS x FROM sh_new) GROUP BY doc_id
+),
+bands_store AS ({bands_of('sig_store')}),
+bands_new AS ({bands_of('sig_new')}),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, s.doc_id AS store_id
+  FROM bands_new n JOIN bands_store s USING (band_idx, bucket)
+),
+est AS (
+  SELECT c.new_id, c.store_id, {est} AS est
+  FROM cand c
+  JOIN sig_new n ON n.doc_id = c.new_id
+  JOIN sig_store s ON s.doc_id = c.store_id
+),
+best AS (
+  SELECT new_id, store_id, est FROM (
+    SELECT *, row_number() OVER (PARTITION BY new_id
+                                 ORDER BY est DESC, store_id ASC) AS rn
+    FROM est
+  ) WHERE rn = 1
+)
+SELECT sn.doc_id,
+       CASE WHEN best.est >= {NEAR_DUP_EST_THRESHOLD}
+            THEN 'near_dup_of_corpus' ELSE 'new' END AS verdict,
+       best.store_id AS matched_id,
+       round(best.est, 4) AS est_jaccard
+FROM sig_new sn LEFT JOIN best ON best.new_id = sn.doc_id
+"""
+
+
+NEAR_DUP_GATE_SQL = _near_dup_gate_duck()
+
+
 def dedup_incremental(
     spark: SparkSession, new_docs: DataFrame, store_dir: str
 ) -> DataFrame:
@@ -948,6 +1176,7 @@ QUERIES = {
     "ngram_jaccard_dups": ngram_jaccard_dups,
     "simhash": simhash,
     "simhash_near_dups": simhash_near_dups,
+    "near_dup_gate_incremental": near_dup_gate_incremental,
     "near_dup_clusters": near_dup_clusters,
     "lsh_recall_report": lsh_recall_report,
     "dedup_keep_list": dedup_keep_list,
@@ -960,6 +1189,7 @@ ORACLE = {
     "ngram_jaccard_dups": NGRAM_JACCARD_SQL,
     "simhash": SIMHASH_SQL,
     "simhash_near_dups": SIMHASH_NEAR_DUPS_SQL,
+    "near_dup_gate_incremental": NEAR_DUP_GATE_SQL,
     "near_dup_clusters": NEAR_DUP_CLUSTERS_SQL,
     "lsh_recall_report": LSH_RECALL_SQL,
     "dedup_keep_list": DEDUP_KEEP_LIST_SQL,

@@ -101,7 +101,8 @@ _PRIORITY = [
     # -- touched in r7 --
     "bpe_trained_token_count", "bpe_token_count", "bpe_learn_merges",
     "corpus_increment_pipeline", "simhash_near_dups", "bigram_lm_nll",
-    "quality_funnel_report", "quality_classifier_score",
+    "near_dup_gate_incremental", "quality_funnel_report",
+    "quality_classifier_score",
     "pq_recall_report", "whitening_report", "pca_project_report",
     "sql_gateway_limit", "media_feature_extract", "profile_build",
     "funnel_3step_windowed",

@@ -1,0 +1,137 @@
+"""Incremental near-dup gate (operators/dedup.py round 7): minhash
+signature store probed by new batches — python-reference parity, disk
+store roundtrip with append, and the audited join direction."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_DIR
+
+
+def _python_reference(store_sig, new_sig, n_hashes, bands, rows_per_band,
+                      threshold):
+    """Independent reimplementation: band collision -> component
+    agreement -> best candidate -> verdict."""
+    import hashlib
+
+    def band_keys(sig):
+        out = []
+        for b in range(bands):
+            key = "_".join(
+                str(sig[f"h{j}"])
+                for j in range(b * rows_per_band, (b + 1) * rows_per_band)
+            )
+            out.append((b, hashlib.md5(key.encode()).hexdigest()))
+        return out
+
+    store_buckets = {}
+    for r in store_sig:
+        for bk in band_keys(r):
+            store_buckets.setdefault(bk, set()).add(r["doc_id"])
+    store_by_id = {r["doc_id"]: r for r in store_sig}
+    want = {}
+    for r in new_sig:
+        cands = set()
+        for bk in band_keys(r):
+            cands |= store_buckets.get(bk, set())
+        best = None
+        for sid in sorted(cands):
+            s = store_by_id[sid]
+            est = sum(
+                1 for j in range(n_hashes) if s[f"h{j}"] == r[f"h{j}"]
+            ) / float(n_hashes)
+            if best is None or est > best[1]:
+                best = (sid, est)
+        if best is None:
+            want[r["doc_id"]] = ("new", None, None)
+        else:
+            verdict = (
+                "near_dup_of_corpus" if best[1] >= threshold else "new"
+            )
+            want[r["doc_id"]] = (verdict, best[0], round(best[1], 4))
+    return want
+
+
+class TestNearDupGate:
+    def test_matches_python_reference(self, spark):
+        from jitsu_spark.operators.dedup import (
+            BANDS,
+            NEAR_DUP_EST_THRESHOLD,
+            NEW_CRAWL_BUCKET_GE,
+            NUM_HASHES,
+            ROWS_PER_BAND,
+            _shingles_of,
+            _signatures_from_shingles,
+            near_dup_gate_incremental,
+        )
+        from jitsu_spark.operators.sampling import _bucket
+        from jitsu_spark.tables import load_table
+        from pyspark.sql import functions as F
+
+        docs = load_table(spark, SF_DIR, "documents")
+        b = _bucket(F.col("doc_id"))
+        store_sig = _signatures_from_shingles(
+            _shingles_of(docs.where(b < NEW_CRAWL_BUCKET_GE))
+        ).collect()
+        new_sig = _signatures_from_shingles(
+            _shingles_of(docs.where(b >= NEW_CRAWL_BUCKET_GE))
+        ).collect()
+        want = _python_reference(
+            store_sig, new_sig, NUM_HASHES, BANDS, ROWS_PER_BAND,
+            NEAR_DUP_EST_THRESHOLD,
+        )
+        got = {
+            r["doc_id"]: (r["verdict"], r["matched_id"], r["est_jaccard"])
+            for r in near_dup_gate_incremental(spark, SF_DIR).collect()
+        }
+        assert got == want and len(got) > 0
+
+    def test_store_roundtrip_and_append(self, spark, tmp_path):
+        """Disk store: probe verdicts equal the in-plan form; after
+        appending the batch's 'new' signatures, re-probing the SAME
+        batch matches every previously-new doc to itself at est 1.0."""
+        from jitsu_spark.operators.dedup import (
+            NEW_CRAWL_BUCKET_GE,
+            append_signatures,
+            build_signature_store,
+            load_signature_store,
+            near_dup_verdicts_against_store,
+        )
+        from jitsu_spark.operators.sampling import _bucket
+        from jitsu_spark.tables import load_table
+        from pyspark.sql import functions as F
+
+        docs = load_table(spark, SF_DIR, "documents")
+        b = _bucket(F.col("doc_id"))
+        store_dir = str(tmp_path / "sigstore")
+        build_signature_store(docs.where(b < NEW_CRAWL_BUCKET_GE), store_dir)
+        new_docs = docs.where(b >= NEW_CRAWL_BUCKET_GE)
+        v1 = near_dup_verdicts_against_store(
+            new_docs, load_signature_store(spark, store_dir)
+        )
+        rows1 = {r["doc_id"]: r for r in v1.collect()}
+        assert rows1 and {"new", "near_dup_of_corpus"} >= {
+            r["verdict"] for r in rows1.values()
+        }
+        append_signatures(v1, new_docs, store_dir)
+        v2 = near_dup_verdicts_against_store(
+            new_docs, load_signature_store(spark, store_dir)
+        )
+        for r in v2.collect():
+            prev = rows1[r["doc_id"]]
+            if prev["verdict"] == "new":
+                # its own signature is now stored: an exact match wins —
+                # itself, or the min-id member of its identical-signature
+                # group when several batch docs shared a signature (the
+                # gate checks batch-vs-store only, so equal batch docs
+                # were all 'new' and all appended)
+                assert r["verdict"] == "near_dup_of_corpus"
+                assert r["est_jaccard"] == 1.0
+                assert r["matched_id"] <= r["doc_id"]
+
+    def test_store_streams_batch_broadcasts(self, spark):
+        from jitsu_spark.operators.dedup import near_dup_gate_incremental
+
+        plan = near_dup_gate_incremental(spark, SF_DIR)._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "Cartesian" not in plan and "NestedLoop" not in plan
