@@ -78,16 +78,32 @@ def gated_documents(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
 
 
 def process_gated_batch_durable(
-    batch: DataFrame, fingerprint_store_dir: str, sink, table: str = "corpus"
+    batch: DataFrame,
+    fingerprint_store_dir: str,
+    sink,
+    table: str = "corpus",
+    signature_store_dir: str | None = None,
 ) -> None:
     """One micro-batch of the DURABLE gate: consult the corpus
     fingerprint store (no mutation), MERGE the genuinely-new docs into
     the corpus table, then append their fingerprints.
 
+    With `signature_store_dir` (r7), the exact gate composes with the
+    incremental NEAR-dup gate: exact-new docs additionally band-probe
+    the corpus's minhash signature store
+    (`dedup.near_dup_verdicts_against_store`) and near-dups of already-
+    ingested content are dropped too; survivors' signatures append after
+    the corpus write. Near-dropped docs enter NEITHER store — a replay
+    re-derives the same verdict deterministically, and a duplicate
+    signature append after a crash-between-writes is harmless (candidate
+    pairs are distinct-ed; the agreement estimate is unchanged by
+    duplicate store rows — same contract as the exact store's
+    concurrent-append note).
+
     Replay-safety (at-least-once micro-batches -> exactly-once corpus):
-    the corpus write happens BEFORE the store append and is itself a
+    the corpus write happens BEFORE the store appends and is itself a
     MERGE on content_hash, so
-    - crash after the MERGE, before the append: the replayed batch's
+    - crash after the MERGE, before an append: the replayed batch's
       verdicts are 'new' again and the MERGE is idempotent;
     - crash after both: the replayed docs verdict 'dup_of_corpus' and
       are dropped — they are already in the corpus.
@@ -95,6 +111,7 @@ def process_gated_batch_durable(
     lose docs: store-first + crash -> replay drops rows never written.)
     """
     from ..operators.dedup import append_fingerprints, fingerprint_verdicts
+    from ..plans.hints import maybe_broadcast
 
     spark = batch.sparkSession
     verdicts = fingerprint_verdicts(
@@ -103,6 +120,30 @@ def process_gated_batch_durable(
     keep = verdicts.where(F.col("verdict") == "new").select(
         "doc_id", "text_hash"
     )
+    near_v = None
+    if signature_store_dir is not None:
+        from ..operators.dedup import (
+            NUM_HASHES,
+            load_signature_store,
+            near_dup_verdicts_against_store,
+        )
+
+        near_docs = batch.select("doc_id", "text").join(
+            maybe_broadcast(keep.select("doc_id")), "doc_id", "left_semi"
+        )
+        try:
+            store_sig = load_signature_store(spark, signature_store_dir)
+        except Exception:
+            # first-ever ingest: no signature store yet
+            store_sig = spark.range(0).selectExpr(
+                "id AS doc_id",
+                *[f"CAST(NULL AS LONG) AS h{j}" for j in range(NUM_HASHES)],
+            )
+        near_v = near_dup_verdicts_against_store(
+            near_docs, store_sig
+        ).localCheckpoint()  # pin before the store append, as with exact
+        survivors = near_v.where(F.col("verdict") == "new").select("doc_id")
+        keep = keep.join(maybe_broadcast(survivors), "doc_id", "left_semi")
     fresh = batch.join(keep, "doc_id").withColumn(
         "content_hash", F.col("text_hash")
     ).drop("text_hash")
@@ -113,7 +154,25 @@ def process_gated_batch_durable(
             primary_key=["content_hash"],
             timestamp_col="ingested_at",
         )
-        append_fingerprints(spark, verdicts, fingerprint_store_dir)
+        if near_v is not None:
+            from ..operators.dedup import append_signatures
+
+            # only SURVIVING docs' state persists: restrict the exact
+            # fingerprints to the near gate's survivors, and append
+            # their signatures so later batches near-dedup against them
+            surviving_exact = verdicts.join(
+                maybe_broadcast(fresh.select("doc_id")),
+                "doc_id",
+                "left_semi",
+            )
+            append_fingerprints(
+                spark, surviving_exact, fingerprint_store_dir
+            )
+            append_signatures(
+                near_v, batch.select("doc_id", "text"), signature_store_dir
+            )
+        else:
+            append_fingerprints(spark, verdicts, fingerprint_store_dir)
 
 
 def run_corpus_gate_durable(
@@ -123,20 +182,24 @@ def run_corpus_gate_durable(
     fingerprint_store_dir: str,
     table: str = "corpus",
     trigger: dict | None = None,
+    signature_store_dir: str | None = None,
 ) -> StreamingQuery:
     """The durable-dedup gate: quality filter -> per-batch consult of
     the corpus FINGERPRINT STORE -> MERGE new docs -> append
     fingerprints. Unlike `run_corpus_gate`'s watermarked
     dropDuplicates, duplicates are dropped across restarts and beyond
     any time horizon — the streaming twin of the batch
-    `dedup_incremental` pass, sharing its store with batch ingests."""
+    `dedup_incremental` pass, sharing its store with batch ingests.
+    With `signature_store_dir`, the near-dup signature gate composes in
+    (see `process_gated_batch_durable`)."""
     gated = stream.where(gate_expr())
     writer = (
         gated.writeStream.outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(
             lambda b, _id: process_gated_batch_durable(
-                b, fingerprint_store_dir, warehouse_sink, table
+                b, fingerprint_store_dir, warehouse_sink, table,
+                signature_store_dir=signature_store_dir,
             )
         )
     )

@@ -135,3 +135,78 @@ class TestNearDupGate:
         ).executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+class TestStreamingNearGate:
+    """The durable streaming gate composed with the near-dup signature
+    store: exact dups AND near-dups of ingested content are dropped
+    across batches; replay stays idempotent."""
+
+    GOOD = (
+        "the data pipeline processes a table of events and the result "
+        "lands in a warehouse with a schema to query and the numbers "
+        "stay the same for every run of the job and the report is ready"
+    )
+
+    def _batch(self, spark, rows):
+        import datetime as dt
+
+        return spark.createDataFrame(
+            [
+                (i, t, "web", dt.datetime(2024, 5, 1, 12, 0, s))
+                for s, (i, t) in enumerate(rows)
+            ],
+            "doc_id long, text string, source string, ingested_at timestamp",
+        )
+
+    def test_near_dups_dropped_across_batches(self, spark, tmp_path):
+        from jitsu_spark.sinks import WarehouseSink
+        from jitsu_spark.streaming.corpus_gate import (
+            gate_expr,
+            process_gated_batch_durable,
+        )
+
+        sink = WarehouseSink(spark, str(tmp_path / "wh"))
+        fp, sig = str(tmp_path / "fp"), str(tmp_path / "sig")
+
+        near_variant = self.GOOD + " indeed"   # 1 extra word: near, not exact
+        far_text = (
+            "completely different content about machine learning models "
+            "and the training corpus with tokens and vectors and layers "
+            "plus gradients and batches and steps until the loss converges "
+            "and the metrics look stable for the final evaluation run of "
+            "the model on the held out set"
+        )
+        b1 = self._batch(spark, [(1, self.GOOD)]).where(gate_expr())
+        b2 = self._batch(
+            spark,
+            [(2, self.GOOD), (3, near_variant), (4, far_text)],
+        ).where(gate_expr())
+
+        process_gated_batch_durable(b1, fp, sink, signature_store_dir=sig)
+        process_gated_batch_durable(b2, fp, sink, signature_store_dir=sig)
+        docs = {r.doc_id for r in sink.read("corpus").collect()}
+        # 2 is an exact dup of 1, 3 a NEAR dup of 1, 4 genuinely new
+        assert docs == {1, 4}
+
+        # replay of batch 2 (at-least-once): corpus unchanged
+        process_gated_batch_durable(b2, fp, sink, signature_store_dir=sig)
+        assert {r.doc_id for r in sink.read("corpus").collect()} == {1, 4}
+
+    def test_without_signature_store_near_dups_pass(self, spark, tmp_path):
+        """Control: the exact-only gate admits the near variant —
+        proving the drop above comes from the signature gate."""
+        from jitsu_spark.sinks import WarehouseSink
+        from jitsu_spark.streaming.corpus_gate import (
+            gate_expr,
+            process_gated_batch_durable,
+        )
+
+        sink = WarehouseSink(spark, str(tmp_path / "wh2"))
+        fp = str(tmp_path / "fp2")
+        near_variant = self.GOOD + " indeed"
+        b1 = self._batch(spark, [(1, self.GOOD)]).where(gate_expr())
+        b2 = self._batch(spark, [(3, near_variant)]).where(gate_expr())
+        process_gated_batch_durable(b1, fp, sink)
+        process_gated_batch_durable(b2, fp, sink)
+        assert {r.doc_id for r in sink.read("corpus").collect()} == {1, 3}
