@@ -457,6 +457,197 @@ JOIN sizes sb ON sb.event_type = type_b
 """
 
 
+# ---------------------------------------------------------------------------
+# Top session paths (round 7) — the "top user journeys" explorer behind
+# funnel discovery: sessionize (the same 30-min gap rule as `sessionize`),
+# concatenate each session's event types in time order, count paths, top-15.
+#
+# Scale: one user_id window shuffle (shared shape with sessionize — on the
+# bucketed layout it disappears), per-session path assembly is bounded by
+# session length, the path count partial-aggregates map-side, and the
+# final top-15 is TakeOrdered (per-partition top-k + driver merge), never
+# a global sort.
+# ---------------------------------------------------------------------------
+
+PATH_TOPK = 15
+
+
+def event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(path, n_sessions): the 15 most common session event-type paths."""
+    from .events_ops import SESSION_GAP_MIN
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = "PARTITION BY user_id ORDER BY ts, event_id"
+    sessions = ev.selectExpr(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        f"CASE WHEN CAST(ts AS DOUBLE)"
+        f" - coalesce(CAST(lag(ts) OVER ({w}) AS DOUBLE), 0.0)"
+        f" > {SESSION_GAP_MIN * 60} THEN 1 ELSE 0 END AS new_session",
+    ).selectExpr(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        f"sum(new_session) OVER ({w}) AS session_id",
+    )
+    paths = (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "struct(ts, event_id, event_type))), x -> x.event_type), '>')"
+            ).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    return paths.orderBy(F.desc("n_sessions"), "path").limit(PATH_TOPK)
+
+
+def _event_path_duck() -> str:
+    from .events_ops import SESSION_GAP_MIN
+
+    return f"""
+WITH ev AS (
+  SELECT user_id, {EVENTS_TS_US_SQL} AS ts, event_id, event_type FROM events
+), flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch(ts) - coalesce(epoch(lag(ts) OVER w), 0.0)
+                   > {SESSION_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS new_session
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS session_id
+  FROM flagged
+), paths AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM numbered GROUP BY 1, 2
+)
+SELECT path, count(*) AS n_sessions
+FROM paths GROUP BY 1
+ORDER BY n_sessions DESC, path
+LIMIT {PATH_TOPK}
+"""
+
+
+EVENT_PATH_TOPK_SQL = _event_path_duck()
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution (round 7) — the marketing-attribution report a
+# CDP's warehouse tables exist to answer: every `purchase` conversion's
+# value is credited across the click/view touches of the same user inside
+# a 7-day lookback, linearly (1/n per touch) and last-touch (all to the
+# latest touch); conversions with no touch in window credit a synthetic
+# `direct` channel. Extends the §2.7 first/last-touch analogue family
+# (`mixpanel-destination.ts:309-334` $set_once first-touch semantics).
+#
+# Scale: conversions and touches co-shuffle once on user_id; the per-
+# conversion fan-out is bounded by the 7-day window; both attribution
+# windows share ONE conv_id-keyed shuffle; the channel rollup is a
+# constant-size aggregate. No corpus-wide sort, no driver loop.
+# ---------------------------------------------------------------------------
+
+ATTR_WINDOW_DAYS = 7
+
+
+def attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(channel, n_conversions, n_touches, linear_revenue,
+    last_touch_revenue) per touch channel (click/view/direct)."""
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        F.col("ts").alias("cts"),
+        "value",
+    )
+    touch = ev.where(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("ts").alias("tts"),
+        F.col("event_id").alias("tid"),
+        F.col("event_type").alias("ttype"),
+    )
+    joined = conv.join(
+        touch,
+        (conv["user_id"] == touch["user_id"])
+        & (touch["tts"] < conv["cts"])
+        & (
+            touch["tts"]
+            >= conv["cts"] - F.expr(f"INTERVAL {ATTR_WINDOW_DAYS} DAYS")
+        ),
+        "left",
+    ).select("conv_id", "cts", "value", "tts", "tid", "ttype")
+    wc = "PARTITION BY conv_id"
+    credited = joined.selectExpr(
+        "conv_id",
+        "value",
+        "tid",
+        "coalesce(ttype, 'direct') AS channel",
+        f"count(tid) OVER ({wc}) AS n_touch",
+        f"row_number() OVER ({wc} ORDER BY tts DESC, tid DESC) AS rn",
+    ).selectExpr(
+        "conv_id",
+        "channel",
+        "tid",
+        "CASE WHEN n_touch = 0 THEN value ELSE value / n_touch END AS credit",
+        "CASE WHEN rn = 1 THEN value ELSE 0.0 END AS last_credit",
+    )
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.countDistinct("conv_id").alias("n_conversions"),
+            F.count("tid").alias("n_touches"),
+            F.round(F.sum("credit"), 4).alias("linear_revenue"),
+            F.round(F.sum("last_credit"), 4).alias("last_touch_revenue"),
+        )
+    )
+
+
+ATTRIBUTION_SQL = f"""
+WITH ev AS (
+  SELECT event_id, {EVENTS_TS_US_SQL} AS ts, user_id, event_type, value
+  FROM events
+), conv AS (
+  SELECT event_id AS conv_id, user_id, ts AS cts, value
+  FROM ev WHERE event_type = 'purchase'
+), touch AS (
+  SELECT user_id, ts AS tts, event_id AS tid, event_type AS ttype
+  FROM ev WHERE event_type IN ('click', 'view')
+), joined AS (
+  SELECT conv_id, cts, value, tts, tid, ttype
+  FROM conv LEFT JOIN touch
+    ON conv.user_id = touch.user_id
+   AND touch.tts < conv.cts
+   AND touch.tts >= conv.cts - INTERVAL {ATTR_WINDOW_DAYS} DAY
+), credited AS (
+  SELECT conv_id, value, tid,
+         coalesce(ttype, 'direct') AS channel,
+         count(tid) OVER (PARTITION BY conv_id) AS n_touch,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY tts DESC, tid DESC) AS rn
+  FROM joined
+)
+SELECT channel,
+       count(DISTINCT conv_id) AS n_conversions,
+       count(tid) AS n_touches,
+       round(sum(CASE WHEN n_touch = 0 THEN value
+                      ELSE value / n_touch END), 4) AS linear_revenue,
+       round(sum(CASE WHEN rn = 1 THEN value ELSE 0.0 END), 4)
+         AS last_touch_revenue
+FROM credited
+GROUP BY channel
+"""
+
+
 QUERIES = {
     "retention_cohorts": retention_cohorts,
     "event_transitions": event_transitions,
@@ -465,6 +656,8 @@ QUERIES = {
     "funnel_3step_windowed": funnel_3step_windowed,
     "metrics_anomaly": metrics_anomaly,
     "series_correlation": series_correlation,
+    "event_path_topk": event_path_topk,
+    "attribution_multi_touch": attribution_multi_touch,
 }
 ORACLE = {
     "retention_cohorts": RETENTION_SQL,
@@ -474,4 +667,6 @@ ORACLE = {
     "audience_overlap": AUDIENCE_OVERLAP_SQL,
     "metrics_anomaly": ANOMALY_SQL,
     "series_correlation": SERIES_CORR_SQL,
+    "event_path_topk": EVENT_PATH_TOPK_SQL,
+    "attribution_multi_touch": ATTRIBUTION_SQL,
 }

@@ -425,12 +425,190 @@ FROM cum
 TOKEN_BUDGET_SQL = _token_budget_duck()
 
 
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169), round 7. Select raw-corpus documents that look like
+# a target domain by importance weights over hashed n-gram features:
+#
+#   log w(x) = mean over x's grams of [ln p_target(bucket) - ln p_raw(bucket)]
+#
+# with hashed unigram+bigram buckets, add-1 smoothing, and Gumbel-top-k
+# resampling (rank by log w + Gumbel noise ~ sampling without replacement
+# proportionally to w). Everything is derived deterministically: the
+# feature hash and the Gumbel uniform both come from md5, so the selected
+# set is reproducible run-to-run, engine-to-engine, and under
+# repartitioning — the same determinism contract as the rest of this
+# module.
+#
+# Scale: one gram explode; both LM tables are bucket-count tables bounded
+# by DSIR_BUCKETS (broadcast, never corpus-sized); scoring is one
+# broadcast join + per-doc avg; selection is the bounded value-histogram
+# percent-rank (quality_percentile_gate's pattern) — no corpus-wide
+# single-task sort anywhere.
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 1024
+DSIR_TARGET_LANG = "en"  # the "target domain" proxy in this corpus
+DSIR_KEEP_PCT = 0.8  # keep the top ~20% by gumbel key
+
+_DSIR_GRAMS = (
+    "concat(toks, CASE WHEN size(toks) >= 2 THEN"
+    " transform(sequence(0, size(toks) - 2),"
+    " i -> concat(toks[i], ' ', toks[i+1]))"
+    " ELSE array() END)"
+)
+_DSIR_GRAMS_DUCK = (
+    "list_concat(toks, list_transform(range(1, len(toks)),"
+    " i -> toks[i] || ' ' || toks[i+1]))"
+)
+
+
+def _dsir_bucket(col: str) -> str:
+    return (
+        f"CAST(conv(substring(md5({col}), 1, 7), 16, 10) AS BIGINT)"
+        f" % {DSIR_BUCKETS}"
+    )
+
+
+def _dsir_bucket_duck(col: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5({col}), 1, 7))::UBIGINT AS BIGINT)"
+        f" % {DSIR_BUCKETS}"
+    )
+
+
+# 20-bit md5 uniform in (0, 1) -> standard Gumbel. 5 hex digits = 20 bits,
+# exact in both engines; +0.5 keeps u strictly inside (0, 1).
+def _gumbel(col: str, conv_expr: str) -> str:
+    return f"-ln(-ln(({conv_expr} + 0.5) / 1048576.0))"
+
+
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_grams, log_ratio, gumbel_key, keep): DSIR importance
+    weights of every document against the `lang = 'en'` target slice,
+    with the Gumbel-resampled top-20% marked keep."""
+    from .text_ops import TOKENS
+
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "lang", f"{TOKENS} AS toks"
+    )
+    grams = docs.selectExpr(
+        "doc_id", "lang", f"explode({_DSIR_GRAMS}) AS gram"
+    ).selectExpr("doc_id", "lang", f"{_dsir_bucket('gram')} AS b")
+    raw = grams.groupBy("b").agg(F.count(F.lit(1)).alias("c_raw"))
+    tgt = (
+        grams.where(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+    totals = grams.agg(
+        F.count(F.lit(1)).alias("t_raw"),
+        F.sum(
+            (F.col("lang") == DSIR_TARGET_LANG).cast("long")
+        ).alias("t_tgt"),
+    )
+    lr = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .selectExpr(
+            "b",
+            f"ln((coalesce(c_tgt, 0L) + 1.0) / (t_tgt + {DSIR_BUCKETS}))"
+            f" - ln((c_raw + 1.0) / (t_raw + {DSIR_BUCKETS})) AS lr",
+        )
+    )
+    conv20 = "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 5), 16, 10) AS BIGINT)"
+    scored = (
+        grams.join(maybe_broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"), F.avg("lr").alias("w"))
+        .selectExpr(
+            "doc_id",
+            "n_grams",
+            # + 0.0 canonicalizes IEEE -0.0 (repr-visible to the driver's
+            # full-precision hash) to 0.0 on both engines
+            "round(w, 4) + 0.0 AS log_ratio",
+            f"round(w + ({_gumbel('doc_id', conv20)}), 4) + 0.0 AS gumbel_key",
+        )
+    )
+    # bounded value-histogram percent-rank over the ROUNDED key: the
+    # cumulative window sorts a value-space-bounded table, never the corpus
+    hist = scored.groupBy("gumbel_key").agg(F.count(F.lit(1)).alias("cnt"))
+    ranks = hist.selectExpr(
+        "gumbel_key AS r_key",
+        "coalesce(sum(cnt) OVER (ORDER BY gumbel_key"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L) AS cnt_lt",
+        "sum(cnt) OVER () AS n_total",
+    ).selectExpr(
+        "r_key",
+        "CASE WHEN n_total = 1 THEN 0.0D"
+        " ELSE cnt_lt / (n_total - 1) END AS pr",
+    )
+    return (
+        scored.join(
+            maybe_broadcast(ranks), scored["gumbel_key"] == ranks["r_key"]
+        )
+        .selectExpr(
+            "doc_id",
+            "n_grams",
+            "log_ratio",
+            "gumbel_key",
+            f"pr >= {DSIR_KEEP_PCT} AS keep",
+        )
+    )
+
+
+def _dsir_duck() -> str:
+    from .text_ops import TOKENS_DUCK
+
+    conv20 = (
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 5))::UBIGINT"
+        " AS BIGINT)"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, {TOKENS_DUCK} AS toks FROM documents
+),
+grams AS (
+  SELECT doc_id, lang, {_dsir_bucket_duck('gram')} AS b
+  FROM toks, unnest({_DSIR_GRAMS_DUCK}) AS u(gram)
+),
+raw AS (SELECT b, count(*) AS c_raw FROM grams GROUP BY 1),
+tgt AS (SELECT b, count(*) AS c_tgt FROM grams
+        WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY 1),
+totals AS (
+  SELECT count(*) AS t_raw,
+         sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS t_tgt
+  FROM grams
+),
+lr AS (
+  SELECT b,
+         ln((coalesce(c_tgt, 0) + 1.0) / (t_tgt + {DSIR_BUCKETS}))
+         - ln((c_raw + 1.0) / (t_raw + {DSIR_BUCKETS})) AS lr
+  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN totals
+),
+scored AS (
+  SELECT doc_id, count(*) AS n_grams,
+         round(avg(lr), 4) + 0.0 AS log_ratio,
+         round(avg(lr) + ({_gumbel('doc_id', conv20)}), 4) + 0.0 AS gumbel_key
+  FROM grams JOIN lr USING (b)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_grams, log_ratio, gumbel_key,
+       percent_rank() OVER (ORDER BY gumbel_key) >= {DSIR_KEEP_PCT} AS keep
+FROM scored
+"""
+
+
+DSIR_SELECT_SQL = _dsir_duck()
+
+
 QUERIES = {
     "stratified_sample_documents": stratified_sample_documents,
     "train_test_split_documents": train_test_split_documents,
     "source_mix_resample": source_mix_resample,
     "temperature_resample": temperature_resample,
     "token_budget_select": token_budget_select,
+    "dsir_select": dsir_select,
 }
 ORACLE = {
     "stratified_sample_documents": STRATIFIED_SAMPLE_SQL,
@@ -438,4 +616,5 @@ ORACLE = {
     "source_mix_resample": SOURCE_MIX_SQL,
     "temperature_resample": TEMPERATURE_RESAMPLE_SQL,
     "token_budget_select": TOKEN_BUDGET_SQL,
+    "dsir_select": DSIR_SELECT_SQL,
 }

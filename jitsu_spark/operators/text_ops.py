@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.hints import maybe_broadcast
 from ..tables import load_table
 
 # Tokens = maximal runs of non-whitespace; identical regex semantics in
@@ -283,6 +284,132 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# BM25 top-k retrieval (round 7) — keyword search over the corpus, the
+# retrieval primitive behind quality-by-retrieval curation and benchmark
+# decontamination lookups (Robertson & Zaragoza 2009; idf in the Lucene
+# form ln(1 + (N - df + 0.5)/(df + 0.5)) so scores stay positive).
+#
+# Scale: the token array is filtered to the query vocabulary BEFORE the
+# explode, so only matching postings leave the scan; document-frequency
+# and corpus stats are query-vocabulary-sized (broadcast); ranking is the
+# two-phase value-histogram top-k — the per-query exact row_number sort
+# runs over at most (k + ties) candidate rows, never the full posting
+# list, so no single task ever sorts a query's whole match set.
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+BM25_QUERIES = {
+    1: ("spark", "window", "merge"),
+    2: ("hash", "join", "order"),
+}
+
+# Identical formula text on both engines: ln/arithmetic diverge at most
+# 1 ulp cross-engine, absorbed by the round-4 on the summed score.
+_BM25_TERM = (
+    f"ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * ({BM25_K1} + 1.0)"
+    f" / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl))"
+)
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, score, rank): BM25 top-10 documents per query.
+
+    One filtered explode builds the postings; df/N/avgdl fold in as
+    broadcast dims; the exact rank runs only over the histogram-bounded
+    candidate band (same two-phase pattern as quality_percentile_gate).
+    """
+    from pyspark.sql.window import Window
+
+    terms = sorted({t for q in BM25_QUERIES.values() for t in q})
+    lits = ", ".join(f"'{t}'" for t in terms)
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{TOKENS} AS toks"
+    )
+    tf = (
+        docs.selectExpr(
+            "doc_id",
+            "size(toks) AS dl",
+            f"explode(filter(toks, x -> x IN ({lits}))) AS tok",
+        )
+        .groupBy("doc_id", "dl", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.size("toks")).alias("avgdl"),
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    qd = spark.createDataFrame(
+        [(qid, t) for qid, q in BM25_QUERIES.items() for t in q],
+        "query_id int, tok string",
+    )
+    scored = (
+        tf.join(F.broadcast(qd), "tok")
+        .join(maybe_broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(stats))
+        .selectExpr("query_id", "doc_id", f"{_BM25_TERM} AS s")
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("s"), 4).alias("score"))
+    )
+    hist = scored.groupBy("query_id", "score").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    band = hist.selectExpr(
+        "query_id AS h_qid",
+        "score AS h_score",
+        "coalesce(sum(cnt) OVER (PARTITION BY query_id ORDER BY score DESC"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L) AS cnt_gt",
+    ).where(F.col("cnt_gt") < BM25_TOPK)
+    cand = scored.join(
+        maybe_broadcast(band),
+        (scored["query_id"] == band["h_qid"])
+        & (scored["score"] == band["h_score"]),
+    ).select("query_id", "doc_id", "score")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    return cand.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= BM25_TOPK
+    )
+
+
+def _bm25_duck() -> str:
+    terms = sorted({t for q in BM25_QUERIES.values() for t in q})
+    lits = ", ".join(f"'{t}'" for t in terms)
+    qvals = ", ".join(
+        f"({qid}, '{t}')" for qid, q in BM25_QUERIES.items() for t in q
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
+),
+stats AS (
+  SELECT count(*) * 1.0 AS n_docs, avg(len(toks)) AS avgdl FROM toks
+),
+tf AS (
+  SELECT doc_id, len(toks) AS dl, tok, count(*) AS tf
+  FROM toks, unnest(list_filter(toks, x -> x IN ({lits}))) AS u(tok)
+  GROUP BY 1, 2, 3
+),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+qd AS (SELECT * FROM (VALUES {qvals}) AS t(query_id, tok)),
+scored AS (
+  SELECT query_id, doc_id, round(sum({_BM25_TERM}), 4) AS score
+  FROM tf JOIN qd USING (tok) JOIN dfreq USING (tok) CROSS JOIN stats
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, doc_id) AS rank
+FROM scored
+QUALIFY rank <= {BM25_TOPK}
+"""
+
+
+BM25_TOPK_SQL = _bm25_duck()
+
+
 QUERIES = {
     "text_quality_score": text_quality_score,
     "token_count_by_source": token_count_by_source,
@@ -291,6 +418,7 @@ QUERIES = {
     "bpe_token_count": bpe_token_count,
     "url_stats_by_source": url_stats_by_source,
     "length_histogram": length_histogram,
+    "bm25_topk": bm25_topk,
 }
 
 ORACLE = {
@@ -301,4 +429,5 @@ ORACLE = {
     "bpe_token_count": BPE_TOKEN_COUNT_SQL,
     "url_stats_by_source": URL_STATS_SQL,
     "length_histogram": LENGTH_HISTOGRAM_SQL,
+    "bm25_topk": BM25_TOPK_SQL,
 }

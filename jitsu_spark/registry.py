@@ -103,6 +103,7 @@ _PRIORITY = [
     "corpus_increment_pipeline", "simhash_near_dups", "bigram_lm_nll",
     "near_dup_gate_incremental", "quality_funnel_report",
     "quality_classifier_score",
+    "bm25_topk", "dsir_select", "event_path_topk", "attribution_multi_touch",
     "pq_recall_report", "whitening_report", "pca_project_report",
     "sql_gateway_limit", "media_feature_extract", "profile_build",
     "funnel_3step_windowed",
