@@ -518,7 +518,9 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     conv20 = "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 5), 16, 10) AS BIGINT)"
     scored = (
-        grams.join(maybe_broadcast(lr), "b")
+        # lr has at most DSIR_BUCKETS rows BY CONSTRUCTION -> unconditional
+        # broadcast (the corpus side never shuffles for the scoring join)
+        grams.join(F.broadcast(lr), "b")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_grams"), F.avg("lr").alias("w"))
         .selectExpr(

@@ -348,7 +348,9 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         tf.join(F.broadcast(qd), "tok")
-        .join(maybe_broadcast(dfreq), "tok")
+        # bounded by the query vocabulary BY CONSTRUCTION (tf is already
+        # filtered to query terms) -> unconditional broadcast
+        .join(F.broadcast(dfreq), "tok")
         .crossJoin(F.broadcast(stats))
         .selectExpr("query_id", "doc_id", f"{_BM25_TERM} AS s")
         .groupBy("query_id", "doc_id")

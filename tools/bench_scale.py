@@ -41,6 +41,11 @@ PROBE = [
     "bpe_learn_merges",
     "corpus_snapshot_diff",
     "quality_classifier_score",
+    # round-7 additions: retrieval, selection, journeys, attribution
+    "bm25_topk",
+    "dsir_select",
+    "event_path_topk",
+    "attribution_multi_touch",
 ]
 
 
