@@ -661,6 +661,128 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Retrieval-based decontamination (round 7) — for every held-out document,
+# WHICH train documents are its likeliest leaks. contamination_check flags
+# train docs by overlap fraction; this is the complementary lookup: BM25
+# retrieval (text_ops constants, Lucene idf) from each test doc's rarest
+# shingles into the train corpus, top-3 ranked suspects per test doc —
+# the audit query a decontamination run produces for human review.
+#
+# Scale: shingles are Zipf-sparse (median df = 1 here), and queries take
+# each test doc's RAREST shingles by train df, so per-test-doc candidate
+# fan-out is bounded by QUERY_SHINGLES x df(rarest) — both window ranks
+# partition on a test doc and sort only its bounded candidate/shingle
+# sets. Train postings join shingle-keyed with map-side partial tf; the
+# corpus never shuffles text, only (doc_id, shingle-key) pairs.
+# ---------------------------------------------------------------------------
+
+RETRIEVAL_QUERY_SHINGLES = 16
+RETRIEVAL_TOPK = 3
+
+
+def retrieval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(test_doc_id, train_doc_id, n_shared, score, rank): top-3 BM25
+    train-side suspects per held-out document."""
+    from pyspark.sql.window import Window
+
+    from .text_ops import _BM25_TERM
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.selectExpr("doc_id", f"{TOKENS} AS t").selectExpr(
+        "doc_id", f"explode({_SHINGLES}) AS shingle"
+    )
+    is_test = _bucket(F.col("doc_id")) >= TEST_BUCKET_MIN
+    train_tf = (
+        sh.where(~is_test)
+        .groupBy(F.col("doc_id").alias("train_doc_id"), "shingle")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    train_dl = train_tf.groupBy("train_doc_id").agg(
+        F.sum("tf").alias("dl")
+    )
+    stats = train_dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    dfreq = train_tf.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    wq = Window.partitionBy("test_doc_id").orderBy("df", "shingle")
+    queries = (
+        sh.where(is_test)
+        .select(F.col("doc_id").alias("test_doc_id"), "shingle")
+        .distinct()
+        .join(dfreq, "shingle")
+        .withColumn("qrn", F.row_number().over(wq))
+        .where(F.col("qrn") <= RETRIEVAL_QUERY_SHINGLES)
+        .select("test_doc_id", "shingle", "df")
+    )
+    scored = (
+        queries.join(train_tf, "shingle")
+        .join(maybe_broadcast(train_dl), "train_doc_id")
+        .crossJoin(F.broadcast(stats))
+        .selectExpr("test_doc_id", "train_doc_id", f"{_BM25_TERM} AS s")
+        .groupBy("test_doc_id", "train_doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.round(F.sum("s"), 4).alias("score"),
+        )
+    )
+    wr = Window.partitionBy("test_doc_id").orderBy(
+        F.desc("score"), "train_doc_id"
+    )
+    return scored.withColumn("rank", F.row_number().over(wr)).where(
+        F.col("rank") <= RETRIEVAL_TOPK
+    )
+
+
+def _retrieval_contamination_duck() -> str:
+    from .text_ops import _BM25_TERM
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {TOKENS_DUCK} AS t,
+         {_bucket_duck('doc_id')} AS bucket
+  FROM documents
+), sh AS (
+  SELECT doc_id, bucket, unnest({_SHINGLES_DUCK}) AS shingle
+  FROM toks
+), train_tf AS (
+  SELECT doc_id AS train_doc_id, shingle, count(*) AS tf
+  FROM sh WHERE bucket < {TEST_BUCKET_MIN} GROUP BY 1, 2
+), train_dl AS (
+  SELECT train_doc_id, sum(tf) AS dl FROM train_tf GROUP BY 1
+), stats AS (
+  SELECT count(*) * 1.0 AS n_docs, avg(dl) AS avgdl FROM train_dl
+), dfreq AS (
+  SELECT shingle, count(*) AS df FROM train_tf GROUP BY 1
+), queries AS (
+  SELECT test_doc_id, shingle, df FROM (
+    SELECT q.doc_id AS test_doc_id, q.shingle, dfreq.df,
+           row_number() OVER (PARTITION BY q.doc_id
+                              ORDER BY dfreq.df, q.shingle) AS qrn
+    FROM (SELECT DISTINCT doc_id, shingle FROM sh
+          WHERE bucket >= {TEST_BUCKET_MIN}) q
+    JOIN dfreq USING (shingle)
+  ) WHERE qrn <= {RETRIEVAL_QUERY_SHINGLES}
+), scored AS (
+  SELECT test_doc_id, train_doc_id,
+         count(*) AS n_shared,
+         round(sum({_BM25_TERM}), 4) AS score
+  FROM queries JOIN train_tf USING (shingle)
+  JOIN train_dl USING (train_doc_id) CROSS JOIN stats
+  GROUP BY 1, 2
+)
+SELECT test_doc_id, train_doc_id, n_shared, score,
+       row_number() OVER (PARTITION BY test_doc_id
+                          ORDER BY score DESC, train_doc_id) AS rank
+FROM scored
+QUALIFY rank <= {RETRIEVAL_TOPK}
+"""
+
+
+RETRIEVAL_CONTAMINATION_SQL = _retrieval_contamination_duck()
+
+
 QUERIES = {
     "gopher_quality_flags": gopher_quality_flags,
     "repetition_stats": repetition_stats,
@@ -670,6 +792,7 @@ QUERIES = {
     "quality_percentile_gate": quality_percentile_gate,
     "embedding_norm_stats": embedding_norm_stats,
     "quality_funnel_report": quality_funnel_report,
+    "retrieval_contamination": retrieval_contamination,
 }
 ORACLE = {
     "quality_funnel_report": QUALITY_FUNNEL_SQL,
@@ -680,4 +803,5 @@ ORACLE = {
     "chunk_documents": CHUNK_SQL,
     "quality_percentile_gate": QUALITY_PERCENTILE_SQL,
     "embedding_norm_stats": EMB_NORM_STATS_SQL,
+    "retrieval_contamination": RETRIEVAL_CONTAMINATION_SQL,
 }

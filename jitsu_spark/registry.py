@@ -10,6 +10,7 @@ from __future__ import annotations
 from . import gateway, multimodal
 from .events import destinations, destinations_crm, layouts
 from .plans import throttle
+from .sources import jsonl
 from .operators import (
     asof,
     bpe,
@@ -66,6 +67,7 @@ _MODULES = [
     multimodal,
     rollup,
     throttle,
+    jsonl,
 ]
 
 _ALL_QUERIES = {}
@@ -104,6 +106,7 @@ _PRIORITY = [
     "near_dup_gate_incremental", "quality_funnel_report",
     "quality_classifier_score",
     "bm25_topk", "dsir_select", "event_path_topk", "attribution_multi_touch",
+    "retrieval_contamination", "jsonl_ingest_roundtrip",
     "pq_recall_report", "whitening_report", "pca_project_report",
     "sql_gateway_limit", "media_feature_extract", "profile_build",
     "funnel_3step_windowed",

@@ -1,0 +1,143 @@
+"""JSONL corpus source with corrupt-record quarantine.
+
+The reference's ingest path parses every incoming message as JSON and
+routes unparseable payloads to the error path instead of killing the
+consumer (`services/rotor/src/lib/rotor.ts:125-137` parse,
+`rotor.ts:156-199` error/DLQ routing). This is the batch-corpus member of
+that family: read newline-delimited JSON at any scale, keep schema-valid
+rows, and quarantine bad lines WITH the offending payload so an operator
+can replay them after a fix — the standard crawl-ingest contract (a 100 TB
+crawl always contains truncated/garbled lines; failing the job on line
+3 billion is not an option, and silently dropping is worse).
+
+Design: the file is read as plain text lines and parsed with `from_json`
+(JVM expression, whole-stage codegen) rather than the JSON datasource's
+PERMISSIVE mode — sidestepping Spark's restriction that a filter on the
+internal corrupt-record column alone requires caching the frame, and
+keeping good/bad routing a pure plan over one scan. A line is quarantined
+when it fails to parse (from_json -> NULL struct) or when any REQUIRED
+field is null after parse (from_json null-fills missing fields, which
+would otherwise smuggle schema drift into the good path).
+
+Scale: one text scan; parse + route are codegen'd expressions; the
+good/bad split is two filters over the same cached-free plan (Spark reads
+the file once per consumed branch — at 100 TB either materialize the
+split once to parquet, as `jsonl_ingest_roundtrip` effectively does
+downstream, or accept two scans of cheap line-splitting; both branches
+are pure maps with zero shuffle).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DOCUMENTS_JSON_SCHEMA = (
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    required: tuple[str, ...] = (),
+) -> tuple[DataFrame, DataFrame]:
+    """(good, quarantine): parse newline-delimited JSON under `schema`.
+
+    good     = parsed rows with every `required` field non-null.
+    quarantine = (line, reason) for unparseable lines and rows missing a
+                 required field — the replayable DLQ of this source.
+    """
+    lines = (
+        spark.read.text(path)
+        .withColumnRenamed("value", "line")
+        .where(F.length(F.trim("line")) > 0)
+    )
+    # from_json PERMISSIVE-fills an all-null struct for malformed lines
+    # (never a NULL struct), so unparseable detection rides the corrupt-
+    # record column spliced into the parse schema.
+    parsed = lines.withColumn(
+        "rec",
+        F.from_json(
+            "line",
+            f"{schema}, _corrupt STRING",
+            {"columnNameOfCorruptRecord": "_corrupt"},
+        ),
+    )
+    unparseable = F.col("rec._corrupt").isNotNull()
+    bad_cond = unparseable
+    for c in required:
+        bad_cond = bad_cond | F.col(f"rec.{c}").isNull()
+    good = parsed.where(~bad_cond).select("rec.*").drop("_corrupt")
+    reason = F.when(unparseable, F.lit("unparseable_json"))
+    for c in required:
+        reason = reason.when(
+            F.col(f"rec.{c}").isNull(), F.lit(f"missing_required:{c}")
+        )
+    quarantine = parsed.where(bad_cond).select(
+        "line", reason.alias("reason")
+    )
+    return good, quarantine
+
+
+def _jsonl_cache_dir(sf_dir: str) -> str:
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return f"/tmp/jitsu_jsonl_cache/{key}"
+
+
+def export_documents_jsonl(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize `documents` as JSONL once per (process, sf_dir) — the
+    fixture side of the round-trip entry. Idempotent: skipped when the
+    export already exists."""
+    from ..tables import load_table
+
+    out = _jsonl_cache_dir(sf_dir)
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        docs = load_table(spark, sf_dir, "documents")
+        (
+            docs.select(
+                F.to_json(
+                    F.struct("doc_id", "text", "lang", "source", "n_chars")
+                ).alias("value")
+            )
+            .write.mode("overwrite")
+            .text(out)
+        )
+    return out
+
+
+def jsonl_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, source, n_chars, text_md5): the documents table
+    after a JSONL export -> quarantined re-ingest round trip. Byte
+    fidelity is provable: text_md5 must equal the md5 computed directly
+    on the parquet column (the oracle), and a corrupt or field-dropping
+    reader shows up as missing/garbled rows, not a silent pass."""
+    path = export_documents_jsonl(spark, sf_dir)
+    good, _bad = read_jsonl(
+        spark,
+        path,
+        DOCUMENTS_JSON_SCHEMA,
+        required=("doc_id", "text", "source"),
+    )
+    return good.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.md5(F.col("text")).alias("text_md5"),
+    )
+
+
+JSONL_ROUNDTRIP_SQL = """
+SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+FROM documents
+"""
+
+
+QUERIES = {"jsonl_ingest_roundtrip": jsonl_ingest_roundtrip}
+ORACLE = {"jsonl_ingest_roundtrip": JSONL_ROUNDTRIP_SQL}

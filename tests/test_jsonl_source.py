@@ -1,0 +1,94 @@
+"""JSONL ingest quarantine semantics + retrieval-decontamination meaning
+(oracle parity is covered by the contract gate)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+
+class TestJsonlQuarantine:
+    def _write(self, tmp_path, lines):
+        p = tmp_path / "in.jsonl"
+        p.write_text("\n".join(lines) + "\n")
+        return str(p)
+
+    def test_good_bad_routing(self, spark, tmp_path):
+        from jitsu_spark.sources.jsonl import DOCUMENTS_JSON_SCHEMA, read_jsonl
+
+        path = self._write(
+            tmp_path,
+            [
+                '{"doc_id": 1, "text": "hello world", "lang": "en",'
+                ' "source": "s0", "n_chars": 11}',
+                "this is not json at all {{{",
+                '{"doc_id": 2, "lang": "en", "source": "s0", "n_chars": 0}',
+                "",
+                '{"doc_id": 3, "text": "ok", "lang": null, "source": "s1",'
+                ' "n_chars": 2}',
+            ],
+        )
+        good, bad = read_jsonl(
+            spark,
+            path,
+            DOCUMENTS_JSON_SCHEMA,
+            required=("doc_id", "text", "source"),
+        )
+        g = good.toPandas().sort_values("doc_id")
+        b = bad.toPandas()
+        # doc 2 lacks required `text`; the garbage line is unparseable;
+        # the blank line is skipped entirely; lang=null is NOT required
+        assert list(g.doc_id) == [1, 3]
+        assert set(b.reason) == {"unparseable_json", "missing_required:text"}
+        # quarantine keeps the raw payload for replay-after-fix
+        assert any("not json" in line for line in b.line)
+        assert any('"doc_id": 2' in line for line in b.line)
+
+    def test_partial_json_does_not_half_populate(self, spark, tmp_path):
+        from jitsu_spark.sources.jsonl import DOCUMENTS_JSON_SCHEMA, read_jsonl
+
+        # a truncated record must not leak a half-filled row into good
+        path = self._write(
+            tmp_path, ['{"doc_id": 9, "text": "trunca']
+        )
+        good, bad = read_jsonl(
+            spark, path, DOCUMENTS_JSON_SCHEMA, required=("doc_id", "text")
+        )
+        assert good.count() == 0
+        assert bad.count() == 1
+
+    def test_roundtrip_export_is_idempotent(self, spark, sf_dir):
+        from jitsu_spark.sources.jsonl import export_documents_jsonl
+
+        p1 = export_documents_jsonl(spark, sf_dir)
+        mtime = os.path.getmtime(os.path.join(p1, "_SUCCESS"))
+        p2 = export_documents_jsonl(spark, sf_dir)
+        assert p1 == p2
+        assert os.path.getmtime(os.path.join(p2, "_SUCCESS")) == mtime
+
+
+class TestRetrievalContamination:
+    def test_leaked_doc_ranks_first(self, spark, tmp_path):
+        from jitsu_spark.operators.quality_filters import (
+            retrieval_contamination,
+        )
+
+        # doc 34 hashes into the test buckets (>= 950); train doc 0 is a
+        # verbatim leak of it, train docs 1..5 are unrelated
+        leak = " ".join(f"w{i} w{i+1} w{i+2}" for i in range(0, 30, 3))
+        rows = [(34, leak, "en"), (0, leak, "en")]
+        rows += [
+            (i, " ".join(f"z{i}_{j}" for j in range(30)), "en")
+            for i in range(1, 6)
+        ]
+        spark.createDataFrame(
+            [(i, t, lang, "s0", len(t)) for i, t, lang in rows],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+        out = retrieval_contamination(spark, str(tmp_path)).toPandas()
+        top = out[(out.test_doc_id == 34) & (out["rank"] == 1)]
+        assert list(top.train_doc_id) == [0]
+        # unrelated docs share no query shingle -> absent entirely
+        assert set(out.train_doc_id) == {0}
