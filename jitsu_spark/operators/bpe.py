@@ -542,8 +542,62 @@ FROM chained
 """
 
 
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, n_docs, total_words, total_tokens, fertility): tokens per
+    whitespace word under the trained merges table, per language — the
+    standard tokenizer-evaluation metric (a fertility of 1.0 means every
+    word is one token; high-fertility languages pay more context window
+    per word and flag an under-trained vocabulary for that language).
+
+    Scale: the replace-chain token count and the whitespace word count
+    evaluate in the SAME scan projection (one pass over text, zero
+    Python), then a languages-sized hash aggregate — fertility over
+    100 TB is one map stage plus a tiny shuffle. Counts are exact
+    integers, so the ratio is bit-identical across engines."""
+    from .text_ops import TOKENS
+
+    docs = load_table(spark, sf_dir, "documents")
+    sym = bpe_symbol_chain(F.col("text"), FIXTURE_MERGES).alias("s")
+    per_doc = docs.select("lang", sym, F.expr(f"size({TOKENS})").alias("w")).selectExpr(
+        "lang",
+        "w",
+        f"CAST({_count_char('s', _SYM)} - {_count_char('s', _WB)} - 1"
+        " AS BIGINT) AS t",
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w").alias("total_words"),
+        F.sum("t").alias("total_tokens"),
+        F.round(F.sum("t") / F.sum("w"), 4).alias("fertility"),
+    )
+
+
+def _fertility_duck() -> str:
+    from .text_ops import TOKENS_DUCK
+
+    return f"""
+WITH chained AS (
+  SELECT lang, len({TOKENS_DUCK}) AS w, {_chain_duck()} AS s FROM documents
+), per_doc AS (
+  SELECT lang, w, CAST({_COUNT_DUCK} AS BIGINT) AS t FROM chained
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(w) AS BIGINT) AS total_words,
+       CAST(sum(t) AS BIGINT) AS total_tokens,
+       round(sum(t) * 1.0 / sum(w), 4) AS fertility
+FROM per_doc GROUP BY lang
+"""
+
+
+BPE_FERTILITY_SQL = _fertility_duck()
+
+
 QUERIES = {
     "bpe_trained_token_count": bpe_trained_token_count,
     "bpe_learn_merges": bpe_learn_merges,
+    "bpe_fertility_by_lang": bpe_fertility_by_lang,
 }
-ORACLE = {"bpe_trained_token_count": BPE_TRAINED_SQL}
+ORACLE = {
+    "bpe_trained_token_count": BPE_TRAINED_SQL,
+    "bpe_fertility_by_lang": BPE_FERTILITY_SQL,
+}

@@ -551,6 +551,48 @@ LEFT JOIN identities i USING (user_id)
 """
 
 
+def metrics_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(minute, events): the per-minute event series with EVERY minute
+    between the first and last event present — zero rows filled in. The
+    time-series resample every dashboard/alert layer runs before
+    plotting or windowing (the reference's per-minute rollups
+    `prisma/metrics.sql:85-110` leave gaps; its readers re-grid).
+
+    Scale: the heavy side is one partial-aggregated minute rollup of the
+    raw events; the grid is generated from a 1-row min/max aggregate
+    (bounded by the time span — ~526k rows/year — never by event count)
+    and left-joins the rollup on the minute key. No corpus sort, no
+    Python."""
+    ev = load_table(spark, sf_dir, "events")
+    per_min = ev.groupBy(
+        F.date_trunc("minute", "ts").alias("m")
+    ).agg(F.count(F.lit(1)).alias("ev"))
+    grid = ev.agg(
+        F.date_trunc("minute", F.min("ts")).alias("t0"),
+        F.date_trunc("minute", F.max("ts")).alias("t1"),
+    ).selectExpr("explode(sequence(t0, t1, interval 1 minute)) AS minute")
+    return grid.join(per_min, grid["minute"] == per_min["m"], "left").select(
+        "minute", F.coalesce(F.col("ev"), F.lit(0)).alias("events")
+    )
+
+
+METRICS_GAP_FILL_SQL = """
+WITH per_min AS (
+  SELECT date_trunc('minute', ts) AS m, count(*) AS ev
+  FROM events GROUP BY 1
+), bounds AS (
+  SELECT date_trunc('minute', min(ts)) AS t0,
+         date_trunc('minute', max(ts)) AS t1
+  FROM events
+), grid AS (
+  SELECT unnest(generate_series(t0, t1, INTERVAL 1 MINUTE)) AS minute
+  FROM bounds
+)
+SELECT minute, CAST(coalesce(ev, 0) AS BIGINT) AS events
+FROM grid LEFT JOIN per_min ON m = minute
+"""
+
+
 QUERIES = {
     "event_type_filter": event_type_filter,
     "metrics_rollup_minute": metrics_rollup_minute,
@@ -566,6 +608,7 @@ QUERIES = {
     "sessionize": sessionize,
     "funnel_signup_purchase": funnel_signup_purchase,
     "ur_backfill_enrich": ur_backfill_enrich,
+    "metrics_gap_fill": metrics_gap_fill,
 }
 
 ORACLE = {
@@ -583,4 +626,5 @@ ORACLE = {
     "sessionize": SESSIONIZE_SQL,
     "funnel_signup_purchase": FUNNEL_SQL,
     "ur_backfill_enrich": UR_BACKFILL_SQL,
+    "metrics_gap_fill": METRICS_GAP_FILL_SQL,
 }

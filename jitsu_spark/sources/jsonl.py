@@ -40,23 +40,13 @@ DOCUMENTS_JSON_SCHEMA = (
 )
 
 
-def read_jsonl(
-    spark: SparkSession,
-    path: str,
-    schema: str,
-    required: tuple[str, ...] = (),
+def parse_and_route(
+    lines: DataFrame, schema: str, required: tuple[str, ...] = ()
 ) -> tuple[DataFrame, DataFrame]:
-    """(good, quarantine): parse newline-delimited JSON under `schema`.
-
-    good     = parsed rows with every `required` field non-null.
-    quarantine = (line, reason) for unparseable lines and rows missing a
-                 required field — the replayable DLQ of this source.
-    """
-    lines = (
-        spark.read.text(path)
-        .withColumnRenamed("value", "line")
-        .where(F.length(F.trim("line")) > 0)
-    )
+    """The shared parse/route plan over any `line STRING` frame — batch
+    and streaming apply the IDENTICAL expressions (the corpus-gate
+    convention: one gate expression, asserted in tests)."""
+    lines = lines.where(F.length(F.trim("line")) > 0)
     # from_json PERMISSIVE-fills an all-null struct for malformed lines
     # (never a NULL struct), so unparseable detection rides the corrupt-
     # record column spliced into the parse schema.
@@ -82,6 +72,42 @@ def read_jsonl(
         "line", reason.alias("reason")
     )
     return good, quarantine
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    required: tuple[str, ...] = (),
+) -> tuple[DataFrame, DataFrame]:
+    """(good, quarantine): parse newline-delimited JSON under `schema`.
+
+    good     = parsed rows with every `required` field non-null.
+    quarantine = (line, reason) for unparseable lines and rows missing a
+                 required field — the replayable DLQ of this source.
+    """
+    lines = spark.read.text(path).withColumnRenamed("value", "line")
+    return parse_and_route(lines, schema, required)
+
+
+def stream_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    required: tuple[str, ...] = (),
+    max_files_per_trigger: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Streaming twin of `read_jsonl`: a file-watching text stream routed
+    through the SAME parse/quarantine expressions — the continuous-crawl
+    ingest form (new JSONL shards land in a directory; good rows flow to
+    the corpus gate, bad lines to the replayable quarantine sink).
+    Backpressure via maxFilesPerTrigger (W6's contract for file
+    sources)."""
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    lines = reader.load(path).withColumnRenamed("value", "line")
+    return parse_and_route(lines, schema, required)
 
 
 def _jsonl_cache_dir(sf_dir: str) -> str:

@@ -58,6 +58,54 @@ class TestJsonlQuarantine:
         assert good.count() == 0
         assert bad.count() == 1
 
+    def test_streaming_twin_routes_identically(self, spark, tmp_path):
+        """The streaming form runs the SAME parse/route expressions: one
+        availableNow pass over a shard directory lands exactly the batch
+        split, quarantine included."""
+        from jitsu_spark.sources.jsonl import (
+            DOCUMENTS_JSON_SCHEMA,
+            read_jsonl,
+            stream_jsonl,
+        )
+
+        src = tmp_path / "shards"
+        src.mkdir()
+        (src / "a.jsonl").write_text(
+            '{"doc_id": 1, "text": "alpha", "lang": "en", "source": "s0",'
+            ' "n_chars": 5}\nnot json\n'
+        )
+        (src / "b.jsonl").write_text(
+            '{"doc_id": 2, "source": "s0"}\n'
+            '{"doc_id": 3, "text": "beta", "lang": "de", "source": "s1",'
+            ' "n_chars": 4}\n'
+        )
+        req = ("doc_id", "text", "source")
+        good_s, bad_s = stream_jsonl(
+            spark, str(src), DOCUMENTS_JSON_SCHEMA, required=req
+        )
+        out = {}
+        for name, sdf in (("good", good_s), ("bad", bad_s)):
+            q = (
+                sdf.writeStream.format("memory")
+                .queryName(f"jsonl_{name}")
+                .trigger(availableNow=True)
+                .option(
+                    "checkpointLocation", str(tmp_path / f"ckpt_{name}")
+                )
+                .start()
+            )
+            q.awaitTermination(60)
+            out[name] = spark.sql(f"SELECT * FROM jsonl_{name}").toPandas()
+        bgood, bbad = read_jsonl(
+            spark, str(src), DOCUMENTS_JSON_SCHEMA, required=req
+        )
+        assert sorted(out["good"].doc_id) == sorted(
+            bgood.toPandas().doc_id
+        ) == [1, 3]
+        assert sorted(out["bad"].reason) == sorted(
+            bbad.toPandas().reason
+        ) == ["missing_required:text", "unparseable_json"]
+
     def test_roundtrip_export_is_idempotent(self, spark, sf_dir):
         from jitsu_spark.sources.jsonl import export_documents_jsonl
 

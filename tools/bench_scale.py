@@ -46,6 +46,8 @@ PROBE = [
     "dsir_select",
     "event_path_topk",
     "attribution_multi_touch",
+    "retrieval_contamination",
+    "jsonl_ingest_roundtrip",
 ]
 
 
