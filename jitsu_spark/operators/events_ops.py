@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..tables import load_table
+from ..tables import EVENTS_TS_US_SQL, load_table
 from ..plans.hints import maybe_broadcast
 
 SESSION_GAP_MIN = 30
@@ -593,6 +593,71 @@ FROM grid LEFT JOIN per_min ON m = minute
 """
 
 
+def scd2_user_attribute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, attr, valid_from, valid_to, is_current): the type-2
+    slowly-changing-dimension history of each user's `props.k` attribute
+    — every change point opens a validity interval, closed by the next
+    change, with the latest row open-ended. The warehouse-side history
+    the reference's last-write-wins traits fold (J5,
+    `services/profiles/src/builder.ts:211-220`) discards; a CDP keeps
+    both: the fold for serving, the SCD2 table for audit/backtest.
+
+    Scale: both windows (change detection via lag, interval close via
+    lead) share ONE user_id partition spec — a single shuffle, the
+    sessionize shape (zero-exchange on the bucketed layout). Change rows
+    only carry (user, attr, ts); text/props never shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    w = "PARTITION BY user_id ORDER BY ts, event_id"
+    attrs = ev.selectExpr(
+        "user_id",
+        "ts",
+        "event_id",
+        "CAST(get_json_object(props, '$.k') AS INT) AS attr",
+    )
+    changes = attrs.selectExpr(
+        "user_id",
+        "ts",
+        "event_id",
+        "attr",
+        f"lag(attr) OVER ({w}) AS prev_attr",
+        f"lag(ts) OVER ({w}) AS prev_ts",
+    ).where(
+        "prev_ts IS NULL OR attr IS DISTINCT FROM prev_attr"
+    )
+    return changes.selectExpr(
+        "user_id",
+        "attr",
+        "ts AS valid_from",
+        f"lead(ts) OVER ({w}) AS valid_to",
+        f"lead(ts) OVER ({w}) IS NULL AS is_current",
+    )
+
+
+SCD2_SQL = f"""
+WITH ev AS (
+  SELECT user_id, {EVENTS_TS_US_SQL} AS ts, event_id,
+         CAST(json_extract(props, '$.k') AS INT) AS attr
+  FROM events
+), changes AS (
+  SELECT user_id, ts, event_id, attr
+  FROM (
+    SELECT user_id, ts, event_id, attr,
+           lag(attr) OVER w AS prev_attr,
+           lag(ts) OVER w AS prev_ts
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  )
+  WHERE prev_ts IS NULL OR attr IS DISTINCT FROM prev_attr
+)
+SELECT user_id, attr,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       lead(ts) OVER w IS NULL AS is_current
+FROM changes
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 QUERIES = {
     "event_type_filter": event_type_filter,
     "metrics_rollup_minute": metrics_rollup_minute,
@@ -609,6 +674,7 @@ QUERIES = {
     "funnel_signup_purchase": funnel_signup_purchase,
     "ur_backfill_enrich": ur_backfill_enrich,
     "metrics_gap_fill": metrics_gap_fill,
+    "scd2_user_attribute": scd2_user_attribute,
 }
 
 ORACLE = {
@@ -627,4 +693,5 @@ ORACLE = {
     "funnel_signup_purchase": FUNNEL_SQL,
     "ur_backfill_enrich": UR_BACKFILL_SQL,
     "metrics_gap_fill": METRICS_GAP_FILL_SQL,
+    "scd2_user_attribute": SCD2_SQL,
 }

@@ -783,6 +783,78 @@ QUALIFY rank <= {RETRIEVAL_TOPK}
 RETRIEVAL_CONTAMINATION_SQL = _retrieval_contamination_duck()
 
 
+# ---------------------------------------------------------------------------
+# Robust length-outlier detection (round 7) — median/MAD per source, the
+# outlier rule that survives the heavy-tailed length distributions a
+# mean/stddev z-score is blown up by (a handful of concatenation-bug
+# mega-documents shifts a mean; it cannot shift a median). Standard
+# robust-z: |x - median| / (1.4826 * MAD) > 3.5 (Iglewicz-Hoaglin).
+#
+# Scale: exact percentile aggregates buffer a count-map over DISTINCT
+# token lengths — bounded by value space, not corpus size — so the
+# per-source median/MAD costs two bounded aggregates + broadcast
+# join-backs; the corpus itself never sorts.
+# ---------------------------------------------------------------------------
+
+MAD_CONSISTENCY = 1.4826  # normal-consistency constant
+MAD_FLAG_Z = 3.5
+
+
+def length_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, n_tokens, median_tokens, mad, robust_z, flagged):
+    per-source robust length outliers. With MAD = 0 (degenerate source)
+    any deviation flags and robust_z is NULL."""
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.selectExpr(
+        "doc_id", "source", f"size({TOKENS}) AS n_tokens"
+    )
+    med = lens.groupBy("source").agg(
+        F.expr("percentile(n_tokens, 0.5)").alias("median_tokens")
+    )
+    dev = lens.join(maybe_broadcast(med), "source").selectExpr(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "median_tokens",
+        "abs(n_tokens - median_tokens) AS adev",
+    )
+    mad = dev.groupBy("source").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return dev.join(maybe_broadcast(mad), "source").selectExpr(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "median_tokens",
+        "mad",
+        f"CASE WHEN mad = 0 THEN NULL"
+        f" ELSE round(adev / ({MAD_CONSISTENCY} * mad), 4) END AS robust_z",
+        f"adev > {MAD_FLAG_Z} * {MAD_CONSISTENCY} * mad AS flagged",
+    )
+
+
+LENGTH_OUTLIER_SQL = f"""
+WITH lens AS (
+  SELECT doc_id, source, len({TOKENS_DUCK}) AS n_tokens FROM documents
+), med AS (
+  SELECT source, quantile_cont(n_tokens, 0.5) AS median_tokens
+  FROM lens GROUP BY 1
+), dev AS (
+  SELECT doc_id, source, n_tokens, median_tokens,
+         abs(n_tokens - median_tokens) AS adev
+  FROM lens JOIN med USING (source)
+), mad AS (
+  SELECT source, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, median_tokens,
+       mad,
+       CASE WHEN mad = 0 THEN NULL
+            ELSE round(adev / ({MAD_CONSISTENCY} * mad), 4) END AS robust_z,
+       adev > {MAD_FLAG_Z} * {MAD_CONSISTENCY} * mad AS flagged
+FROM dev JOIN mad USING (source)
+"""
+
+
 QUERIES = {
     "gopher_quality_flags": gopher_quality_flags,
     "repetition_stats": repetition_stats,
@@ -793,6 +865,7 @@ QUERIES = {
     "embedding_norm_stats": embedding_norm_stats,
     "quality_funnel_report": quality_funnel_report,
     "retrieval_contamination": retrieval_contamination,
+    "length_outlier_mad": length_outlier_mad,
 }
 ORACLE = {
     "quality_funnel_report": QUALITY_FUNNEL_SQL,
@@ -804,4 +877,5 @@ ORACLE = {
     "quality_percentile_gate": QUALITY_PERCENTILE_SQL,
     "embedding_norm_stats": EMB_NORM_STATS_SQL,
     "retrieval_contamination": RETRIEVAL_CONTAMINATION_SQL,
+    "length_outlier_mad": LENGTH_OUTLIER_SQL,
 }

@@ -108,6 +108,7 @@ _PRIORITY = [
     "bm25_topk", "dsir_select", "event_path_topk", "attribution_multi_touch",
     "retrieval_contamination", "jsonl_ingest_roundtrip",
     "bpe_fertility_by_lang", "metrics_gap_fill",
+    "scd2_user_attribute", "length_outlier_mad",
     "pq_recall_report", "whitening_report", "pca_project_report",
     "sql_gateway_limit", "media_feature_extract", "profile_build",
     "funnel_3step_windowed",
