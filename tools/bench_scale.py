@@ -48,6 +48,10 @@ PROBE = [
     "attribution_multi_touch",
     "retrieval_contamination",
     "jsonl_ingest_roundtrip",
+    "bpe_fertility_by_lang",
+    "metrics_gap_fill",
+    "scd2_user_attribute",
+    "length_outlier_mad",
 ]
 
 
