@@ -668,11 +668,144 @@ def ann_ivf_topk_stored(
     return _search_cells(cells, _probe_cells(queries, centroids))
 
 
+# ---------------------------------------------------------------------------
+# Binary (sign-bit) quantization + Hamming ANN (round 7) — the 32x
+# compression tier below int8 (`embedding_int8_quantize`): one bit per
+# dimension, 64-d vectors pack into two 32-bit words, similarity becomes
+# XOR + popcount. The standard first-stage filter for billion-vector
+# serving (binary codes fit RAM where floats never will); the float
+# shortlist rerank is the existing cosine path.
+#
+# Scale: quantization is a pure scan projection (integer fold over the
+# array, whole-stage codegen); the Hamming top-k broadcasts the bounded
+# query codes and uses a value histogram over the 0..64 Hamming range —
+# 65 values, so the exact-rank band is provably tiny and NO task ever
+# sorts a corpus partition.
+# ---------------------------------------------------------------------------
+
+# sum of distinct powers of two == bitwise OR, stays unsigned-safe in
+# BIGINT because each word packs only 32 bits
+_BIN_WORD = (
+    "aggregate(sequence({lo}, {hi}), 0L,"
+    " (acc, i) -> acc + CASE WHEN embedding[i] > 0"
+    " THEN shiftleft(1L, i - {lo}) ELSE 0L END)"
+)
+_BIN_WORD_DUCK = (
+    "CAST(list_sum(list_transform(range({lo}, {hi}),"
+    " i -> CASE WHEN embedding[i] > 0"
+    " THEN 1::BIGINT << (i - {lo}) ELSE 0::BIGINT END)) AS BIGINT)"
+)
+
+
+def _binary_codes(emb: DataFrame) -> DataFrame:
+    return emb.selectExpr(
+        "vec_id",
+        f"{_BIN_WORD.format(lo=0, hi=31)} AS code_lo",
+        f"{_BIN_WORD.format(lo=32, hi=63)} AS code_hi",
+    )
+
+
+def embedding_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, code_lo, code_hi, n_pos_bits): sign-bit binary codes —
+    two 32-bit words per 64-d vector, plus the positive-bit population
+    (the balance audit: a healthy embedding space sits near 32)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _binary_codes(emb).selectExpr(
+        "vec_id",
+        "code_lo",
+        "code_hi",
+        "bit_count(code_lo) + bit_count(code_hi) AS n_pos_bits",
+    )
+
+
+BINARY_QUANTIZE_SQL = f"""
+WITH codes AS (
+  SELECT vec_id,
+         {_BIN_WORD_DUCK.format(lo=1, hi=33)} AS code_lo,
+         {_BIN_WORD_DUCK.format(lo=33, hi=65)} AS code_hi
+  FROM embeddings
+)
+SELECT vec_id, code_lo, code_hi,
+       CAST(bit_count(code_lo) + bit_count(code_hi) AS BIGINT) AS n_pos_bits
+FROM codes
+"""
+
+
+def binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id, hamming, rank): top-5 Hamming neighbors
+    per query vector (vec_id < N_QUERIES, self excluded) over the binary
+    codes — all-integer, bit-exact across engines."""
+    from pyspark.sql import Window
+
+    codes = _binary_codes(load_table(spark, sf_dir, "embeddings"))
+    q = codes.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("code_lo").alias("q_lo"),
+        F.col("code_hi").alias("q_hi"),
+    )
+    scored = codes.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).selectExpr(
+        "query_id",
+        "vec_id",
+        "bit_count(code_lo ^ q_lo) + bit_count(code_hi ^ q_hi) AS hamming",
+    )
+    # the Hamming range is 0..64: the per-(query, distance) histogram has
+    # at most 65 rows per query, the band below rank k is exact and tiny
+    hist = scored.groupBy("query_id", "hamming").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    band = hist.selectExpr(
+        "query_id AS h_qid",
+        "hamming AS h_ham",
+        "coalesce(sum(cnt) OVER (PARTITION BY query_id ORDER BY hamming"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L) AS cnt_lt",
+    ).where(F.col("cnt_lt") < TOP_K)
+    cand = scored.join(
+        maybe_broadcast(band),
+        (scored["query_id"] == band["h_qid"])
+        & (scored["hamming"] == band["h_ham"]),
+    ).select("query_id", "vec_id", "hamming")
+    w = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), "hamming", "rank"
+        )
+    )
+
+
+BINARY_HAMMING_SQL = f"""
+WITH codes AS (
+  SELECT vec_id,
+         {_BIN_WORD_DUCK.format(lo=1, hi=33)} AS code_lo,
+         {_BIN_WORD_DUCK.format(lo=33, hi=65)} AS code_hi
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, code_lo AS q_lo, code_hi AS q_hi
+  FROM codes WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT query_id, vec_id,
+         bit_count(xor(code_lo, q_lo)) + bit_count(xor(code_hi, q_hi))
+           AS hamming
+  FROM codes JOIN q ON vec_id <> query_id
+)
+SELECT query_id, vec_id AS neighbor_id, CAST(hamming AS BIGINT) AS hamming,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY hamming, vec_id) AS rank
+FROM scored
+QUALIFY rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "cosine_topk_bruteforce": cosine_topk_bruteforce,
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_cosine_dups": embedding_cosine_dups,
     "knn_label_predict": knn_label_predict,
+    "embedding_binary_quantize": embedding_binary_quantize,
+    "binary_hamming_topk": binary_hamming_topk,
 }
 
 ORACLE = {
@@ -680,6 +813,8 @@ ORACLE = {
     "ann_ivf_topk": ANN_IVF_SQL,
     "embedding_cosine_dups": EMB_DUPS_SQL,
     "knn_label_predict": KNN_LABEL_SQL,
+    "embedding_binary_quantize": BINARY_QUANTIZE_SQL,
+    "binary_hamming_topk": BINARY_HAMMING_SQL,
 }
 
 

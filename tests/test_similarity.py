@@ -423,3 +423,73 @@ class TestStoredIvf:
             )
         )
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+class TestBinaryQuantization:
+    def test_codes_match_sign_pattern(self, spark, tmp_path):
+        """Crafted vector: bits set exactly where the component is > 0."""
+        from jitsu_spark.operators.similarity import _binary_codes
+
+        vec = [(1.0 if i % 3 == 0 else -1.0) for i in range(64)]
+        vec[10] = 0.0  # zero is NOT positive -> bit clear
+        emb = spark.createDataFrame(
+            [(0, vec)], "vec_id long, embedding array<float>"
+        )
+        row = _binary_codes(emb).first()
+        expect_lo = sum(
+            1 << i for i in range(32) if vec[i] > 0
+        )
+        expect_hi = sum(
+            1 << (i - 32) for i in range(32, 64) if vec[i] > 0
+        )
+        assert row["code_lo"] == expect_lo
+        assert row["code_hi"] == expect_hi
+
+    def test_identical_vector_is_hamming_zero_rank_one(self, spark, tmp_path):
+        from jitsu_spark.operators.similarity import binary_hamming_topk
+
+        base = [float(((i * 7) % 5) - 2) or 1.0 for i in range(64)]
+        other = [-v for v in base]
+        rows = [(0, base), (100, list(base)), (101, other), (102, other)]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+        out = binary_hamming_topk(spark, str(tmp_path)).toPandas()
+        top = out[(out.query_id == 0) & (out["rank"] == 1)].iloc[0]
+        assert top.neighbor_id == 100 and top.hamming == 0
+
+    def test_shortlist_recall_floor(self, spark, sf_dir):
+        """64-bit sign codes as a FIRST-STAGE filter: a Hamming top-50
+        shortlist retains >= 50% of the exact cosine top-5 (0.7 measured;
+        random baseline is ~10%). The serving pattern is shortlist ->
+        float rerank, so shortlist recall is the metric that matters."""
+        from pyspark.sql import functions as F
+
+        from jitsu_spark.operators.similarity import (
+            N_QUERIES,
+            _binary_codes,
+            cosine_topk_bruteforce,
+        )
+        from jitsu_spark.tables import load_table
+
+        codes = _binary_codes(load_table(spark, sf_dir, "embeddings"))
+        q = codes.where(F.col("vec_id") < N_QUERIES).selectExpr(
+            "vec_id AS query_id", "code_lo AS q_lo", "code_hi AS q_hi"
+        )
+        ham = (
+            codes.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+            .selectExpr(
+                "query_id",
+                "vec_id",
+                "bit_count(code_lo ^ q_lo) + bit_count(code_hi ^ q_hi)"
+                " AS hamming",
+            )
+            .toPandas()
+        )
+        cos = cosine_topk_bruteforce(spark, sf_dir).toPandas()
+        truth = cos.groupby("query_id").neighbor_id.apply(set)
+        recalls = []
+        for qid, g in ham.groupby("query_id"):
+            short = set(g.nsmallest(50, ["hamming", "vec_id"]).vec_id)
+            recalls.append(len(short & truth[qid]) / len(truth[qid]))
+        assert sum(recalls) / len(recalls) >= 0.5

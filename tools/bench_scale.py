@@ -52,6 +52,8 @@ PROBE = [
     "metrics_gap_fill",
     "scd2_user_attribute",
     "length_outlier_mad",
+    "embedding_binary_quantize",
+    "binary_hamming_topk",
 ]
 
 
