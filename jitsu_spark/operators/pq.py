@@ -1022,10 +1022,128 @@ def pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# OPQ — Optimized Product Quantization (Ge et al., CVPR 2013; FAISS
+# OPQMatrix), round 7. Plain PQ quantizes fixed coordinate-aligned
+# subspaces; OPQ learns an ORTHOGONAL rotation R that redistributes
+# variance/correlation across subspaces before quantizing, alternating:
+#   (1) fit sub-codebooks on the rotated sample X R,
+#   (2) R <- the orthogonal Procrustes solution min_R ||X R - recon||_F
+#       (R = U V^T from the SVD of X^T recon).
+# Same bounded-training contract as the rest of this module: the
+# alternation runs driver-side on the deterministic <= 100k sample; the
+# APPLY path is one broadcast-GEMM mapInPandas pass (embedding_prep's
+# whitening shape), after which every existing PQ stage runs unchanged
+# on the rotated vectors.
+# ---------------------------------------------------------------------------
+
+OPQ_ITERS = 6
+
+
+def _encode_decode(x: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Reconstruct x through (m, ksub, dsub) sub-codebooks."""
+    m, _ksub, dsub = books.shape
+    recon = np.empty_like(x)
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        a = _pairwise_d2(sub, books[j]).argmin(axis=1)
+        recon[:, j * dsub : (j + 1) * dsub] = books[j][a]
+    return recon
+
+
+def train_opq(
+    sample: np.ndarray,
+    m: int,
+    ksub: int,
+    iters: int = OPQ_ITERS,
+    seed: int = 42,
+) -> tuple[np.ndarray, np.ndarray, list[float]]:
+    """(R, books, per-iter mse): OPQ-NP alternation on a driver sample.
+    Deterministic: seeded Lloyd + SVD of the same matrices every run."""
+    d = sample.shape[1]
+    rot = np.eye(d)
+    errs: list[float] = []
+    books = None
+    for _ in range(iters):
+        xr = sample @ rot
+        books = _train_pq_codebooks(xr, m, ksub, seed)
+        recon = _encode_decode(xr, books)
+        errs.append(float(((xr - recon) ** 2).sum(axis=1).mean()))
+        u, _s, vt = np.linalg.svd(sample.T @ recon)
+        rot = u @ vt
+    return rot, books, errs
+
+
+def _opq_sample(spark: SparkSession, sf_dir: str) -> np.ndarray:
+    """Deterministic bounded unit-vector sample, vec_id-sorted so the
+    seeded Lloyd init never depends on partition order."""
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    unit = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE) / norm)").alias(
+            "embedding"
+        ),
+    )
+    rows = (
+        unit.orderBy("vec_id")
+        .limit(PQ_TRAIN_MAX_SAMPLE)
+        .select("embedding")
+        .collect()
+    )
+    return np.array([r["embedding"] for r in rows], dtype=np.float64)
+
+
+def apply_opq_rotation(emb: DataFrame, rot: np.ndarray) -> DataFrame:
+    """(vec_id, embedding): x R for every vector — one broadcast-GEMM
+    mapInPandas pass; downstream PQ stages run unchanged."""
+    b = emb.sparkSession.sparkContext.broadcast(rot)
+
+    def project(batches):
+        import pandas as pd
+
+        r = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].values, "embedding": list(mat @ r)}
+            )
+
+    src = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return src.mapInPandas(project, "vec_id long, embedding array<double>")
+
+
+def opq_train_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(stage, iteration, mse): the OPQ alternation trace plus the plain-
+    PQ (identity rotation) baseline — the report showing how much error
+    the learned rotation removes at the same code budget. Rows-only by
+    design (iterative SVD/k-means has no SQL form)."""
+    sample = _opq_sample(spark, sf_dir)
+    m = _default_m(sample.shape[1])
+    _rot, _books, opq_errs = train_opq(sample, m, PQ_KSUB)
+    base_books = _train_pq_codebooks(sample, m, PQ_KSUB)
+    base_err = float(
+        ((sample - _encode_decode(sample, base_books)) ** 2)
+        .sum(axis=1)
+        .mean()
+    )
+    rows = [("pq_baseline", 0, round(base_err, 8))]
+    rows += [
+        ("opq", i + 1, round(e, 8)) for i, e in enumerate(opq_errs)
+    ]
+    return spark.createDataFrame(
+        rows, "stage string, iteration int, mse double"
+    )
+
+
 QUERIES: dict = {
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "ann_ivfpq_bulk_topk": ann_ivfpq_bulk_topk,
     "embedding_near_dups_approx": embedding_near_dups_approx,
     "pq_recall_report": pq_recall_report,
+    "opq_train_report": opq_train_report,
 }
 ORACLE: dict = {}  # rows-only: iterative training is non-SQL-expressible

@@ -584,3 +584,65 @@ class TestStoreAppend:
         for vid, _ in rows:
             nb, sim = best[vid]
             assert nb == vid and sim >= 0.9999, (vid, nb, sim)
+
+
+class TestOpq:
+    def test_rotation_improves_and_is_orthonormal(self, spark, sf_dir):
+        import numpy as np
+
+        from jitsu_spark.operators.pq import (
+            PQ_KSUB,
+            _default_m,
+            _opq_sample,
+            train_opq,
+        )
+
+        sample = _opq_sample(spark, sf_dir)
+        rot, books, errs = train_opq(
+            sample, _default_m(sample.shape[1]), PQ_KSUB
+        )
+        # R stays orthogonal through every Procrustes update
+        assert np.allclose(rot.T @ rot, np.eye(rot.shape[0]), atol=1e-8)
+        # iteration 1 IS plain PQ (identity rotation); later iterations
+        # only improve, and the final error beats the baseline by >= 5%
+        assert all(b <= a + 1e-12 for a, b in zip(errs, errs[1:]))
+        assert errs[-1] <= 0.95 * errs[0]
+
+    def test_distributed_rotation_matches_driver(self, spark, sf_dir):
+        import numpy as np
+
+        from pyspark.sql import functions as F
+
+        from jitsu_spark.operators.pq import apply_opq_rotation
+        from jitsu_spark.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings").where(
+            F.col("vec_id") < 20
+        )
+        rng = np.random.default_rng(7)
+        q, _ = np.linalg.qr(rng.normal(size=(64, 64)))
+        out = {
+            r["vec_id"]: np.array(r["embedding"])
+            for r in apply_opq_rotation(emb, q).collect()
+        }
+        for r in emb.select("vec_id", "embedding").collect():
+            expect = np.array(r["embedding"], dtype=np.float64) @ q
+            assert np.allclose(out[r["vec_id"]], expect, atol=1e-12)
+
+    def test_training_is_deterministic(self, spark, sf_dir):
+        import numpy as np
+
+        from jitsu_spark.operators.pq import (
+            PQ_KSUB,
+            _default_m,
+            _opq_sample,
+            train_opq,
+        )
+
+        sample = _opq_sample(spark, sf_dir)
+        m = _default_m(sample.shape[1])
+        r1, b1, e1 = train_opq(sample, m, PQ_KSUB, iters=3)
+        r2, b2, e2 = train_opq(sample, m, PQ_KSUB, iters=3)
+        assert np.array_equal(r1, r2)
+        assert np.array_equal(b1, b2)
+        assert e1 == e2
