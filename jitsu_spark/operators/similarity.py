@@ -734,8 +734,10 @@ FROM codes
 def binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(query_id, neighbor_id, hamming, rank): top-5 Hamming neighbors
     per query vector (vec_id < N_QUERIES, self excluded) over the binary
-    codes — all-integer, bit-exact across engines."""
-    from pyspark.sql import Window
+    codes — all-integer, bit-exact across engines. The Hamming range is
+    0..64, so `two_phase_topk`'s histogram has at most 65 rows per query
+    and the exact-rank band is provably tiny."""
+    from ..plans.topk import two_phase_topk
 
     codes = _binary_codes(load_table(spark, sf_dir, "embeddings"))
     q = codes.where(F.col("vec_id") < N_QUERIES).select(
@@ -750,29 +752,10 @@ def binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "bit_count(code_lo ^ q_lo) + bit_count(code_hi ^ q_hi) AS hamming",
     )
-    # the Hamming range is 0..64: the per-(query, distance) histogram has
-    # at most 65 rows per query, the band below rank k is exact and tiny
-    hist = scored.groupBy("query_id", "hamming").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    band = hist.selectExpr(
-        "query_id AS h_qid",
-        "hamming AS h_ham",
-        "coalesce(sum(cnt) OVER (PARTITION BY query_id ORDER BY hamming"
-        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L) AS cnt_lt",
-    ).where(F.col("cnt_lt") < TOP_K)
-    cand = scored.join(
-        maybe_broadcast(band),
-        (scored["query_id"] == band["h_qid"])
-        & (scored["hamming"] == band["h_ham"]),
-    ).select("query_id", "vec_id", "hamming")
-    w = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= TOP_K)
-        .select(
-            "query_id", F.col("vec_id").alias("neighbor_id"), "hamming", "rank"
-        )
+    return two_phase_topk(
+        scored, "query_id", "hamming", TOP_K, "vec_id", descending=False
+    ).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), "hamming", "rank"
     )
 
 

@@ -314,15 +314,13 @@ _BM25_TERM = (
 )
 
 
-def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(query_id, doc_id, score, rank): BM25 top-10 documents per query.
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, score): BM25 score of every matching document
+    against every query — the shared sparse-retrieval arm.
 
     One filtered explode builds the postings; df/N/avgdl fold in as
-    broadcast dims; the exact rank runs only over the histogram-bounded
-    candidate band (same two-phase pattern as quality_percentile_gate).
-    """
-    from pyspark.sql.window import Window
-
+    broadcast dims (df is bounded by the query vocabulary BY
+    CONSTRUCTION, so its broadcast is unconditional)."""
     terms = sorted({t for q in BM25_QUERIES.values() for t in q})
     lits = ", ".join(f"'{t}'" for t in terms)
     docs = load_table(spark, sf_dir, "documents").selectExpr(
@@ -346,44 +344,36 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(qid, t) for qid, q in BM25_QUERIES.items() for t in q],
         "query_id int, tok string",
     )
-    scored = (
+    return (
         tf.join(F.broadcast(qd), "tok")
-        # bounded by the query vocabulary BY CONSTRUCTION (tf is already
-        # filtered to query terms) -> unconditional broadcast
         .join(F.broadcast(dfreq), "tok")
         .crossJoin(F.broadcast(stats))
         .selectExpr("query_id", "doc_id", f"{_BM25_TERM} AS s")
         .groupBy("query_id", "doc_id")
         .agg(F.round(F.sum("s"), 4).alias("score"))
     )
-    hist = scored.groupBy("query_id", "score").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    band = hist.selectExpr(
-        "query_id AS h_qid",
-        "score AS h_score",
-        "coalesce(sum(cnt) OVER (PARTITION BY query_id ORDER BY score DESC"
-        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L) AS cnt_gt",
-    ).where(F.col("cnt_gt") < BM25_TOPK)
-    cand = scored.join(
-        maybe_broadcast(band),
-        (scored["query_id"] == band["h_qid"])
-        & (scored["score"] == band["h_score"]),
-    ).select("query_id", "doc_id", "score")
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
-    return cand.withColumn("rank", F.row_number().over(w)).where(
-        F.col("rank") <= BM25_TOPK
-    )
 
 
-def _bm25_duck() -> str:
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, score, rank): BM25 top-10 documents per query.
+    The exact rank runs only over the histogram-bounded candidate band
+    (`plans.topk.two_phase_topk`)."""
+    from ..plans.topk import two_phase_topk
+
+    return two_phase_topk(
+        _bm25_scored(spark, sf_dir), "query_id", "score", BM25_TOPK, "doc_id"
+    ).select("query_id", "doc_id", "score", "rank")
+
+
+def _bm25_scored_ctes() -> str:
+    """DuckDB CTE list ending in `scored(query_id, doc_id, score)` —
+    shared by the BM25 oracle and the hybrid-fusion oracle."""
     terms = sorted({t for q in BM25_QUERIES.values() for t in q})
     lits = ", ".join(f"'{t}'" for t in terms)
     qvals = ", ".join(
         f"({qid}, '{t}')" for qid, q in BM25_QUERIES.items() for t in q
     )
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
 ),
 stats AS (
@@ -400,7 +390,11 @@ scored AS (
   SELECT query_id, doc_id, round(sum({_BM25_TERM}), 4) AS score
   FROM tf JOIN qd USING (tok) JOIN dfreq USING (tok) CROSS JOIN stats
   GROUP BY 1, 2
-)
+)"""
+
+
+BM25_TOPK_SQL = f"""
+WITH {_bm25_scored_ctes()}
 SELECT query_id, doc_id, score,
        row_number() OVER (PARTITION BY query_id
                           ORDER BY score DESC, doc_id) AS rank
@@ -409,7 +403,177 @@ QUALIFY rank <= {BM25_TOPK}
 """
 
 
-BM25_TOPK_SQL = _bm25_duck()
+# ---------------------------------------------------------------------------
+# Hybrid retrieval with reciprocal-rank fusion (round 7) — the standard
+# production search stack: a sparse BM25 arm and a dense embedding arm
+# each retrieve top-20, then RRF (Cormack et al. 2009; k = 60) fuses the
+# lists: rrf(d) = sum over arms of 1 / (k + rank_arm(d)). The dense arm
+# scores cosine between the corpus's feature-hash embeddings
+# (`text_embed._bucket_sums`, model-free) and the SAME hashing applied to
+# the query text — so both arms are derived purely in-engine.
+#
+# Determinism: arm ranks are integers, 1/(60+rank) is the same double on
+# every engine, and the fused score is a sum of at most two such terms —
+# bit-identical, no rounding risk. Scale: each arm's rank runs through
+# `two_phase_topk` (no full posting/candidate sort); the dense dot joins
+# skinny integer (id, dim, v) triples with the query side broadcast; the
+# fusion joins two <= 20-row-per-query lists.
+# ---------------------------------------------------------------------------
+
+HYBRID_ARM_K = 20
+HYBRID_FUSED_K = 10
+RRF_K = 60
+
+
+def _dense_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, sim): hash-embedding cosine of every document
+    sharing >= 1 hash bucket with the query text (no shared bucket =
+    zero similarity = never retrievable, so absent rows are exact)."""
+    from .text_embed import _bucket_sums
+
+    docs = load_table(spark, sf_dir, "documents")
+    dsums = _bucket_sums(docs)
+    dnorm = dsums.groupBy("doc_id").agg(
+        F.expr("sqrt(CAST(sum(v * v) AS DOUBLE))").alias("dn")
+    )
+    qdf = spark.createDataFrame(
+        [(qid, " ".join(terms)) for qid, terms in BM25_QUERIES.items()],
+        "query_id int, text string",
+    )
+    qsums = _bucket_sums(
+        qdf.selectExpr("query_id AS doc_id", "text")
+    ).selectExpr("doc_id AS query_id", "dim", "v AS qv")
+    qnorm = qsums.groupBy("query_id").agg(
+        F.expr("sqrt(CAST(sum(qv * qv) AS DOUBLE))").alias("qn")
+    )
+    dots = (
+        dsums.join(F.broadcast(qsums), "dim")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("qv") * F.col("v")).alias("dot"))
+    )
+    return (
+        dots.join(F.broadcast(qnorm), "query_id")
+        .join(maybe_broadcast(dnorm), "doc_id")
+        .where("qn > 0 AND dn > 0")
+        .selectExpr("query_id", "doc_id", "round(dot / (qn * dn), 6) AS sim")
+    )
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, sparse_rank, dense_rank, rrf, rank): top-10
+    fused results per query; a NULL arm rank means the document was
+    outside that arm's top-20."""
+    from ..plans.topk import two_phase_topk
+
+    # The fusion's own two-phase rank walks its input lineage twice; the
+    # arm shortlists are <= ARM_K rows per query BY CONSTRUCTION (never
+    # corpus-scale), so persisting them cuts each arm's corpus scan count
+    # in half at trivial memory cost — the materialize-the-shortlist step
+    # every production hybrid stack performs anyway.
+    sparse = (
+        two_phase_topk(
+            _bm25_scored(spark, sf_dir),
+            "query_id",
+            "score",
+            HYBRID_ARM_K,
+            "doc_id",
+        )
+        .selectExpr("query_id", "doc_id", "rank AS sparse_rank")
+        .persist()
+    )
+    dense = (
+        two_phase_topk(
+            _dense_scored(spark, sf_dir),
+            "query_id",
+            "sim",
+            HYBRID_ARM_K,
+            "doc_id",
+        )
+        .selectExpr("query_id", "doc_id", "rank AS dense_rank")
+        .persist()
+    )
+    fused = sparse.join(dense, ["query_id", "doc_id"], "full_outer").selectExpr(
+        "query_id",
+        "doc_id",
+        "sparse_rank",
+        "dense_rank",
+        f"coalesce(1.0D / ({RRF_K} + sparse_rank), 0.0D)"
+        f" + coalesce(1.0D / ({RRF_K} + dense_rank), 0.0D) AS rrf",
+    )
+    return two_phase_topk(
+        fused, "query_id", "rrf", HYBRID_FUSED_K, "doc_id"
+    ).select("query_id", "doc_id", "sparse_rank", "dense_rank", "rrf", "rank")
+
+
+def _hybrid_duck() -> str:
+    qvals_text = ", ".join(
+        f"({qid}, '{' '.join(terms)}')"
+        for qid, terms in BM25_QUERIES.items()
+    )
+    dim = (
+        "CAST(('0x' || substr(md5(tok), 1, 7))::UBIGINT AS BIGINT)"
+        f" % {64}"
+    )
+    sign = (
+        "CASE WHEN CAST(('0x' || substr(md5(tok), 8, 1))::UBIGINT AS BIGINT)"
+        " % 2 = 0 THEN 1 ELSE -1 END"
+    )
+    return f"""
+WITH {_bm25_scored_ctes()},
+sparse AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS sparse_rank
+  FROM scored
+  QUALIFY sparse_rank <= {HYBRID_ARM_K}
+),
+dtoks AS (SELECT doc_id, unnest({TOKENS_DUCK}) AS tok FROM documents),
+dsums AS (
+  SELECT doc_id, {dim} AS dim, sum({sign}) AS v FROM dtoks GROUP BY 1, 2
+),
+dnorm AS (SELECT doc_id, sqrt(sum(v * v)) AS dn FROM dsums GROUP BY 1),
+qtext AS (SELECT * FROM (VALUES {qvals_text}) AS t(query_id, text)),
+qtoks AS (
+  SELECT query_id, unnest(regexp_extract_all(text, '\\S+')) AS tok FROM qtext
+),
+qsums AS (
+  SELECT query_id, {dim} AS dim, sum({sign}) AS qv FROM qtoks GROUP BY 1, 2
+),
+qnorm AS (SELECT query_id, sqrt(sum(qv * qv)) AS qn FROM qsums GROUP BY 1),
+dots AS (
+  SELECT query_id, doc_id, sum(qv * v) AS dot
+  FROM dsums JOIN qsums USING (dim) GROUP BY 1, 2
+),
+dense_scored AS (
+  SELECT query_id, doc_id, round(dot / (qn * dn), 6) AS sim
+  FROM dots JOIN qnorm USING (query_id) JOIN dnorm USING (doc_id)
+  WHERE qn > 0 AND dn > 0
+),
+dense AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, doc_id) AS dense_rank
+  FROM dense_scored
+  QUALIFY dense_rank <= {HYBRID_ARM_K}
+),
+fused AS (
+  SELECT coalesce(s.query_id, d.query_id) AS query_id,
+         coalesce(s.doc_id, d.doc_id) AS doc_id,
+         s.sparse_rank, d.dense_rank,
+         coalesce(1.0 / ({RRF_K} + s.sparse_rank), 0.0)
+         + coalesce(1.0 / ({RRF_K} + d.dense_rank), 0.0) AS rrf
+  FROM sparse s FULL OUTER JOIN dense d
+    ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+)
+SELECT query_id, doc_id, sparse_rank, dense_rank, rrf,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY rrf DESC, doc_id) AS rank
+FROM fused
+QUALIFY rank <= {HYBRID_FUSED_K}
+"""
+
+
+HYBRID_RRF_SQL = _hybrid_duck()
 
 
 QUERIES = {
@@ -421,6 +585,7 @@ QUERIES = {
     "url_stats_by_source": url_stats_by_source,
     "length_histogram": length_histogram,
     "bm25_topk": bm25_topk,
+    "hybrid_search_rrf": hybrid_search_rrf,
 }
 
 ORACLE = {
@@ -432,4 +597,5 @@ ORACLE = {
     "url_stats_by_source": URL_STATS_SQL,
     "length_histogram": LENGTH_HISTOGRAM_SQL,
     "bm25_topk": BM25_TOPK_SQL,
+    "hybrid_search_rrf": HYBRID_RRF_SQL,
 }

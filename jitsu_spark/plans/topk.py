@@ -1,0 +1,77 @@
+"""Exact per-group top-k without sorting any full group.
+
+The naive form — `row_number() OVER (PARTITION BY g ORDER BY s)` then
+`rank <= k` — plans a sort of EVERY group's full candidate set inside
+single tasks; at 100 TB a hot group (a common query term, a dense Hamming
+shell) is one executor sorting its whole posting list. This helper is the
+two-phase shape used across the repo (quality_percentile_gate's
+histogram rank, the BM25/Hamming bands):
+
+1. a (group, score)-value histogram — bounded by score value space, not
+   by candidate count — locates the k-boundary band per group via a
+   cumulative window over the compact histogram;
+2. only rows at-or-inside the band (<= k + ties per group) survive to the
+   exact row_number, which therefore sorts a provably tiny set.
+
+Output rows and rank values are IDENTICAL to the naive window form (any
+row with final rank <= k has fewer than k strictly-better scores, hence
+lies inside the band), so a plain-window SQL oracle stays the correctness
+twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .hints import maybe_broadcast
+
+
+def two_phase_topk(
+    scored: DataFrame,
+    group_col: str,
+    score_col: str,
+    k: int,
+    tiebreak_col: str,
+    descending: bool = True,
+    rank_col: str = "rank",
+    persist_scored: bool = True,
+) -> DataFrame:
+    """scored + `rank_col`, filtered to rank <= k per group. Ties on
+    `score_col` break by ascending `tiebreak_col` (fully deterministic).
+
+    Both phases walk `scored` (the histogram, then the band join), so by
+    default the frame is persisted — the "materialize scores, then rank"
+    step of a production ranking stack. persist() keeps lineage (executor
+    loss recomputes; no checkpoint fault-tolerance cliff), and the frame
+    is skinny (group, score, tiebreak) regardless of corpus width. Pass
+    persist_scored=False when the caller's scored plan is cheaper to
+    re-evaluate than to cache.
+    """
+    direction = "DESC" if descending else "ASC"
+    if persist_scored:
+        scored = scored.persist()
+    hist = scored.groupBy(group_col, score_col).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    band = hist.selectExpr(
+        f"{group_col} AS h_group",
+        f"{score_col} AS h_score",
+        f"coalesce(sum(cnt) OVER (PARTITION BY {group_col}"
+        f" ORDER BY {score_col} {direction}"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L)"
+        " AS cnt_better",
+    ).where(F.col("cnt_better") < k)
+    cand = scored.join(
+        maybe_broadcast(band),
+        (scored[group_col] == band["h_group"])
+        & (scored[score_col] == band["h_score"]),
+    ).drop("h_group", "h_score", "cnt_better")
+    order = [
+        F.desc(score_col) if descending else F.asc(score_col),
+        F.asc(tiebreak_col),
+    ]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return cand.withColumn(rank_col, F.row_number().over(w)).where(
+        F.col(rank_col) <= k
+    )

@@ -187,3 +187,38 @@ class TestAttribution:
         out = attribution_multi_touch(spark, sf_dir).toPandas()
         assert out.linear_revenue.sum() == pytest.approx(total, rel=1e-6)
         assert out.last_touch_revenue.sum() == pytest.approx(total, rel=1e-6)
+
+
+class TestHybridRrf:
+    def test_fusion_semantics(self, spark, sf_dir):
+        from jitsu_spark.operators.text_ops import (
+            HYBRID_FUSED_K,
+            RRF_K,
+            hybrid_search_rrf,
+        )
+
+        out = hybrid_search_rrf(spark, sf_dir).toPandas()
+        assert set(out.groupby("query_id")["rank"].max()) <= {HYBRID_FUSED_K}
+        # rrf recomputes exactly from the arm ranks
+        for _, r in out.iterrows():
+            expect = 0.0
+            if r.sparse_rank == r.sparse_rank and r.sparse_rank is not None:
+                expect += 1.0 / (RRF_K + r.sparse_rank)
+            if r.dense_rank == r.dense_rank and r.dense_rank is not None:
+                expect += 1.0 / (RRF_K + r.dense_rank)
+            assert abs(r.rrf - expect) < 1e-12
+        # a document top-1 in BOTH arms would dominate; weaker invariant
+        # that always holds: fused rank 1 has the maximal rrf per query
+        for _, g in out.groupby("query_id"):
+            assert g.loc[g["rank"].idxmin(), "rrf"] == g.rrf.max()
+
+    def test_single_arm_documents_fuse(self, spark, sf_dir):
+        from jitsu_spark.operators.text_ops import hybrid_search_rrf
+
+        out = hybrid_search_rrf(spark, sf_dir).toPandas()
+        only_dense = out[out.sparse_rank.isna()]
+        # the corpus is word soup: some fused docs come from one arm only,
+        # and their rrf is exactly the single-arm term
+        if len(only_dense):
+            r = only_dense.iloc[0]
+            assert abs(r.rrf - 1.0 / (60 + r.dense_rank)) < 1e-12

@@ -54,6 +54,7 @@ PROBE = [
     "length_outlier_mad",
     "embedding_binary_quantize",
     "binary_hamming_topk",
+    "hybrid_search_rrf",
 ]
 
 
