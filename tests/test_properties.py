@@ -391,3 +391,59 @@ class TestDuplicatePairCanonicalization:
             dup.append((base_rank + i, left, right))
         assert _chain_count(text, dup) == _chain_count(text, merges)
         assert _gpt2_count(text, dup) == _gpt2_count(text, merges)
+
+
+class TestTwoPhaseTopkEquivalence:
+    """plans/topk.two_phase_topk returns EXACTLY the naive
+    row_number-over-window result for any scored table — the invariant
+    that lets a plain-window SQL oracle stand in as its correctness twin
+    while the physical plan never sorts a full group."""
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3),  # group
+                st.integers(min_value=-5, max_value=5),  # score (dense ties)
+            ),
+            min_size=1,
+            max_size=60,
+        ),
+        st.integers(min_value=1, max_value=7),  # k
+        st.booleans(),  # descending
+    )
+    def test_matches_naive_window(self, rows, k, descending):
+        import pandas as pd
+
+        from jitsu_spark.plans.topk import two_phase_topk
+        from jitsu_spark.session import get_spark
+
+        spark = get_spark("jitsu-spark-tests", cpus=4, shuffle_partitions=8)
+        scored = spark.createDataFrame(
+            [(g, s, i) for i, (g, s) in enumerate(rows)],
+            "grp int, score int, tid int",
+        )
+        got = (
+            two_phase_topk(scored, "grp", "score", k, "tid", descending)
+            .toPandas()
+            .sort_values(["grp", "rank"])
+            .reset_index(drop=True)
+        )
+        direction = "DESC" if descending else "ASC"
+        want = (
+            scored.selectExpr(
+                "grp",
+                "score",
+                "tid",
+                f"row_number() OVER (PARTITION BY grp"
+                f" ORDER BY score {direction}, tid) AS rank",
+            )
+            .where(f"rank <= {k}")
+            .toPandas()
+            .sort_values(["grp", "rank"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["grp", "score", "tid", "rank"]],
+            want[["grp", "score", "tid", "rank"]],
+        )
