@@ -416,13 +416,100 @@ def corpus_dedup_suite(
     }
 
 
+# ---------------------------------------------------------------------------
+# Dataset card (round 7) — the per-(source, lang) release table every
+# published corpus ships: volume, token mass, exact-duplicate rate, and
+# the quality-gate pass rate, in one composed job. Composes the exact-dup
+# hash count with the Gopher rule bundle (`quality_filters`) so the card
+# is consistent BY CONSTRUCTION with the gates the pipeline actually ran.
+#
+# Scale: one documents scan computes tokens + content hash; the dup-count
+# join shuffles only (hash) pairs; the Gopher flags ride their own scan
+# (two total) and join back on doc_id; the final aggregate is
+# (sources x langs)-sized. All rates are exact integer ratios.
+# ---------------------------------------------------------------------------
+
+
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, lang, n_docs, total_tokens, avg_tokens, n_exact_dup,
+    dup_rate, n_quality_keep, keep_rate)."""
+    from ..plans.hints import maybe_broadcast
+    from .quality_filters import gopher_quality_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.selectExpr(
+        "doc_id",
+        "source",
+        "lang",
+        f"size({TOKENS}) AS n_tokens",
+        "md5(text) AS h",
+    )
+    dupc = base.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    keep = gopher_quality_flags(spark, sf_dir).select("doc_id", "keep")
+    j = base.join(maybe_broadcast(dupc), "h").join(keep, "doc_id")
+    return (
+        j.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.sum((F.col("c") > 1).cast("long")).alias("n_exact_dup"),
+            F.sum(F.col("keep").cast("long")).alias("n_quality_keep"),
+        )
+        .selectExpr(
+            "source",
+            "lang",
+            "n_docs",
+            "total_tokens",
+            "avg_tokens",
+            "n_exact_dup",
+            "round(n_exact_dup / n_docs, 4) AS dup_rate",
+            "n_quality_keep",
+            "round(n_quality_keep / n_docs, 4) AS keep_rate",
+        )
+    )
+
+
+def _datacard_duck() -> str:
+    from .quality_filters import GOPHER_QUALITY_SQL
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, lang, len({TOKENS_DUCK}) AS n_tokens,
+         md5(text) AS h
+  FROM documents
+), dupc AS (
+  SELECT h, count(*) AS c FROM base GROUP BY 1
+), gopher AS ({GOPHER_QUALITY_SQL})
+SELECT source, lang,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(n_tokens), 4) AS avg_tokens,
+       CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact_dup,
+       round(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+         AS dup_rate,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_quality_keep,
+       round(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+         AS keep_rate
+FROM base JOIN dupc USING (h) JOIN gopher USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
+CORPUS_DATACARD_SQL = _datacard_duck()
+
+
 QUERIES = {
     "corpus_prep_pipeline": corpus_prep_pipeline,
     "corpus_snapshot_diff": corpus_snapshot_diff,
     "corpus_increment_pipeline": corpus_increment_pipeline,
+    "corpus_datacard": corpus_datacard,
 }
 ORACLE = {
     "corpus_prep_pipeline": CORPUS_PREP_SQL,
     "corpus_snapshot_diff": SNAPSHOT_DIFF_SQL,
     "corpus_increment_pipeline": CORPUS_INCREMENT_SQL,
+    "corpus_datacard": CORPUS_DATACARD_SQL,
 }

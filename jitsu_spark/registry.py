@@ -110,7 +110,7 @@ _PRIORITY = [
     "bpe_fertility_by_lang", "metrics_gap_fill",
     "scd2_user_attribute", "length_outlier_mad",
     "embedding_binary_quantize", "binary_hamming_topk",
-    "opq_train_report", "hybrid_search_rrf",
+    "opq_train_report", "hybrid_search_rrf", "corpus_datacard",
     "pq_recall_report", "whitening_report", "pca_project_report",
     "sql_gateway_limit", "media_feature_extract", "profile_build",
     "funnel_3step_windowed",
