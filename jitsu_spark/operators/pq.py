@@ -133,7 +133,11 @@ def _lloyd(sample: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
 
 
 def _train_pq_codebooks(
-    residuals: np.ndarray, m: int, ksub: int, seed: int = 42
+    residuals: np.ndarray,
+    m: int,
+    ksub: int,
+    seed: int = 42,
+    iters: int = PQ_LLOYD_ITERS,
 ) -> np.ndarray:
     """(m, ksub, dsub) sub-codebooks trained per subspace."""
     d = residuals.shape[1]
@@ -143,7 +147,7 @@ def _train_pq_codebooks(
     books = np.empty((m, ksub, dsub))
     for j in range(m):
         sub = residuals[:, j * dsub : (j + 1) * dsub]
-        books[j] = _lloyd(sub, ksub, PQ_LLOYD_ITERS, seed + j)
+        books[j] = _lloyd(sub, ksub, iters, seed + j)
     return books
 
 
@@ -1038,6 +1042,10 @@ def pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 OPQ_ITERS = 6
+# OPQ-NP refits the codebooks every alternation, so each inner k-means
+# needs only a few sweeps (FAISS OPQMatrix uses niter_pq=4); the FINAL
+# alternation gets the full PQ_LLOYD_ITERS polish.
+OPQ_INNER_LLOYD_ITERS = 4
 
 
 def _encode_decode(x: np.ndarray, books: np.ndarray) -> np.ndarray:
@@ -1064,9 +1072,10 @@ def train_opq(
     rot = np.eye(d)
     errs: list[float] = []
     books = None
-    for _ in range(iters):
+    for it in range(iters):
         xr = sample @ rot
-        books = _train_pq_codebooks(xr, m, ksub, seed)
+        inner = PQ_LLOYD_ITERS if it == iters - 1 else OPQ_INNER_LLOYD_ITERS
+        books = _train_pq_codebooks(xr, m, ksub, seed, iters=inner)
         recon = _encode_decode(xr, books)
         errs.append(float(((xr - recon) ** 2).sum(axis=1).mean()))
         u, _s, vt = np.linalg.svd(sample.T @ recon)

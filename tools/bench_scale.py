@@ -55,6 +55,8 @@ PROBE = [
     "embedding_binary_quantize",
     "binary_hamming_topk",
     "hybrid_search_rrf",
+    "corpus_datacard",
+    "opq_train_report",
 ]
 
 
