@@ -455,9 +455,15 @@ def simhash_hamming_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
+                        # bitwise shift+mask, NOT div/%: arithmetic
+                        # division of a NEGATIVE 64-bit fingerprint
+                        # (sign bit set) yields keys that never match a
+                        # positive print's identical band bits, silently
+                        # breaking pigeonhole completeness in the n_bits
+                        # = 64 regime (r7 review finding)
                         F.expr(
-                            f"(simhash div {1 << (b * bits_per)})"
-                            f" % {1 << bits_per}"
+                            f"shiftright(simhash, {b * bits_per})"
+                            f" & {(1 << bits_per) - 1}"
                         ).alias("key"),
                     )
                     for b in range(n_bands)

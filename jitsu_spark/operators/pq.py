@@ -1078,8 +1078,14 @@ def train_opq(
         books = _train_pq_codebooks(xr, m, ksub, seed, iters=inner)
         recon = _encode_decode(xr, books)
         errs.append(float(((xr - recon) ** 2).sum(axis=1).mean()))
-        u, _s, vt = np.linalg.svd(sample.T @ recon)
-        rot = u @ vt
+        if it < iters - 1:
+            # Procrustes update — SKIPPED after the final codebook fit so
+            # the returned (rot, books) pair is consistent: the books were
+            # trained on sample @ rot and errs[-1] measures exactly that
+            # pair (r7 review finding; updating once more would hand
+            # callers a rotation the codebooks were never fitted to).
+            u, _s, vt = np.linalg.svd(sample.T @ recon)
+            rot = u @ vt
     return rot, books, errs
 
 

@@ -49,23 +49,52 @@ MIN_MEAN_WORD_LEN, MAX_MEAN_WORD_LEN = 3.0, 10.0
 MIN_STOPWORDS = 2
 MIN_ALPHA_FRAC = 0.8
 
+# THE Gopher keep rule over the named feature columns — the single
+# source of truth consumed by gopher_quality_flags, the funnel report,
+# and both DuckDB twins (plain comparisons, dialect-neutral). Changing a
+# threshold or adding a rule happens HERE once (r7 review finding: the
+# rule previously existed in three hand-copied variants).
+GOPHER_KEEP_RULE = (
+    f"(n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS})"
+    f" AND (mean_word_len BETWEEN {MIN_MEAN_WORD_LEN} AND {MAX_MEAN_WORD_LEN})"
+    f" AND n_stopwords >= {MIN_STOPWORDS}"
+    f" AND alpha_frac >= {MIN_ALPHA_FRAC}"
+)
+
+
+def gopher_feature_exprs(t: str) -> list[str]:
+    """Spark SQL feature expressions over a token-array column `t` —
+    shared by every consumer of the rule."""
+    return [
+        f"size({t}) AS n_words",
+        f"round(aggregate({t}, 0L, (a, x) -> a + length(x)) / size({t}), 4)"
+        " AS mean_word_len",
+        f"size(filter({t}, x -> x IN ({_SW}))) AS n_stopwords",
+        f"round(size(filter({t}, x -> x rlike '[a-zA-Z]')) / size({t}), 4)"
+        " AS alpha_frac",
+    ]
+
+
+def gopher_feature_exprs_duck(t: str) -> list[str]:
+    return [
+        f"len({t}) AS n_words",
+        f"round(list_sum(list_transform({t}, x -> length(x)))"
+        f" / len({t}), 4) AS mean_word_len",
+        f"len(list_filter({t}, x -> x IN ({_SW}))) AS n_stopwords",
+        f"round(len(list_filter({t}, x -> regexp_matches(x, '[a-zA-Z]')))"
+        f" / len({t}), 4) AS alpha_frac",
+    ]
+
 
 def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Gopher rule bundle: each rule is its own column so the
     downstream gate (and its tuning) is auditable; `keep` is the AND."""
     docs = load_table(spark, sf_dir, "documents")
+    # mean word length over the token array (not chars/words of raw
+    # text: whitespace runs would skew it) — feature expressions shared
+    # via gopher_feature_exprs
     toks = docs.selectExpr("doc_id", f"{TOKENS} AS t", "length(text) AS n_chars_raw")
-    feats = toks.selectExpr(
-        "doc_id",
-        "size(t) AS n_words",
-        # mean word length over the token array (not chars/words of raw
-        # text: whitespace runs would skew it)
-        "round(aggregate(t, 0L, (a, x) -> a + length(x)) / size(t), 4)"
-        " AS mean_word_len",
-        f"size(filter(t, x -> x IN ({_SW}))) AS n_stopwords",
-        "round(size(filter(t, x -> x rlike '[a-zA-Z]')) / size(t), 4)"
-        " AS alpha_frac",
-    )
+    feats = toks.selectExpr("doc_id", *gopher_feature_exprs("t"))
     return feats.selectExpr(
         "doc_id",
         "n_words",
@@ -77,23 +106,13 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS ok_word_len",
         f"n_stopwords >= {MIN_STOPWORDS} AS ok_stopwords",
         f"alpha_frac >= {MIN_ALPHA_FRAC} AS ok_alpha",
-        f"(n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS})"
-        f" AND (mean_word_len BETWEEN {MIN_MEAN_WORD_LEN} AND {MAX_MEAN_WORD_LEN})"
-        f" AND n_stopwords >= {MIN_STOPWORDS}"
-        f" AND alpha_frac >= {MIN_ALPHA_FRAC} AS keep",
+        f"{GOPHER_KEEP_RULE} AS keep",
     )
 
 
 GOPHER_QUALITY_SQL = f"""
 WITH feats AS (
-  SELECT doc_id,
-         len({TOKENS_DUCK}) AS n_words,
-         round(list_sum(list_transform({TOKENS_DUCK}, x -> length(x)))
-               / len({TOKENS_DUCK}), 4) AS mean_word_len,
-         len(list_filter({TOKENS_DUCK}, x -> x IN ({_SW}))) AS n_stopwords,
-         round(len(list_filter({TOKENS_DUCK},
-                               x -> regexp_matches(x, '[a-zA-Z]')))
-               / len({TOKENS_DUCK}), 4) AS alpha_frac
+  SELECT doc_id, {", ".join(gopher_feature_exprs_duck(TOKENS_DUCK))}
   FROM documents
 )
 SELECT doc_id, n_words,
@@ -105,10 +124,7 @@ SELECT doc_id, n_words,
          AS ok_word_len,
        n_stopwords >= {MIN_STOPWORDS} AS ok_stopwords,
        alpha_frac >= {MIN_ALPHA_FRAC} AS ok_alpha,
-       (n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS})
-         AND (mean_word_len BETWEEN {MIN_MEAN_WORD_LEN} AND {MAX_MEAN_WORD_LEN})
-         AND n_stopwords >= {MIN_STOPWORDS}
-         AND alpha_frac >= {MIN_ALPHA_FRAC} AS keep
+       {GOPHER_KEEP_RULE} AS keep
 FROM feats
 """
 
@@ -571,21 +587,17 @@ def quality_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     e_ratio = "length(regexp_replace(text, '[^e]', '')) / length(text)"
     t_ratio = "length(regexp_replace(text, '[^t]', '')) / length(text)"
     docs = load_table(spark, sf_dir, "documents")
+    # the Gopher stage evaluates the SHARED feature exprs + keep rule —
+    # the funnel cannot drift from gopher_quality_flags by construction
     flags = docs.selectExpr(
         "doc_id",
         f"{e_ratio} > 0.09 AND {t_ratio} > 0.06 AS s_lang",
-        f"size({TOKENS}) AS n_words",
         f"{TOKENS} AS t",
     ).selectExpr(
         "doc_id",
         "s_lang",
-        f"n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS}"
-        " AND (round(aggregate(t, 0L, (a, x) -> a + length(x)) / size(t), 4)"
-        f" BETWEEN {MIN_MEAN_WORD_LEN} AND {MAX_MEAN_WORD_LEN})"
-        f" AND size(filter(t, x -> x IN ({_SW}))) >= {MIN_STOPWORDS}"
-        " AND round(size(filter(t, x -> x rlike '[a-zA-Z]')) / size(t), 4)"
-        f" >= {MIN_ALPHA_FRAC} AS s_gopher",
-    )
+        *gopher_feature_exprs("t"),
+    ).selectExpr("doc_id", "s_lang", f"{GOPHER_KEEP_RULE} AS s_gopher")
     rep = repetition_stats(spark, sf_dir).select(
         "doc_id", F.col("keep").alias("s_rep")
     )
@@ -617,22 +629,16 @@ def quality_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUALITY_FUNNEL_SQL = f"""
-WITH flags AS (
+WITH feats AS (
   SELECT doc_id,
          length(regexp_replace(text, '[^e]', '', 'g')) / length(text) > 0.09
            AND length(regexp_replace(text, '[^t]', '', 'g')) / length(text)
                > 0.06 AS s_lang,
-         len({TOKENS_DUCK}) BETWEEN {MIN_WORDS} AND {MAX_WORDS}
-           AND round(list_sum(list_transform({TOKENS_DUCK},
-                                             x -> length(x)))
-                     / len({TOKENS_DUCK}), 4)
-               BETWEEN {MIN_MEAN_WORD_LEN} AND {MAX_MEAN_WORD_LEN}
-           AND len(list_filter({TOKENS_DUCK}, x -> x IN ({_SW})))
-               >= {MIN_STOPWORDS}
-           AND round(len(list_filter({TOKENS_DUCK},
-                                     x -> regexp_matches(x, '[a-zA-Z]')))
-                     / len({TOKENS_DUCK}), 4) >= {MIN_ALPHA_FRAC} AS s_gopher
+         {", ".join(gopher_feature_exprs_duck(TOKENS_DUCK))}
   FROM documents
+),
+flags AS (
+  SELECT doc_id, s_lang, {GOPHER_KEEP_RULE} AS s_gopher FROM feats
 ),
 rep AS (
   SELECT doc_id, keep AS s_rep FROM ({REPETITION_SQL})

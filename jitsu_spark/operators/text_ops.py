@@ -470,27 +470,25 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-scale), so persisting them cuts each arm's corpus scan count
     # in half at trivial memory cost — the materialize-the-shortlist step
     # every production hybrid stack performs anyway.
-    sparse = (
+    from ..plans.topk import persist_bounded
+
+    sparse = persist_bounded(
         two_phase_topk(
             _bm25_scored(spark, sf_dir),
             "query_id",
             "score",
             HYBRID_ARM_K,
             "doc_id",
-        )
-        .selectExpr("query_id", "doc_id", "rank AS sparse_rank")
-        .persist()
+        ).selectExpr("query_id", "doc_id", "rank AS sparse_rank")
     )
-    dense = (
+    dense = persist_bounded(
         two_phase_topk(
             _dense_scored(spark, sf_dir),
             "query_id",
             "sim",
             HYBRID_ARM_K,
             "doc_id",
-        )
-        .selectExpr("query_id", "doc_id", "rank AS dense_rank")
-        .persist()
+        ).selectExpr("query_id", "doc_id", "rank AS dense_rank")
     )
     fused = sparse.join(dense, ["query_id", "doc_id"], "full_outer").selectExpr(
         "query_id",

@@ -26,6 +26,28 @@ from pyspark.sql import functions as F
 
 from .hints import maybe_broadcast
 
+# Persisted scored frames from PRIOR calls, oldest first. Nothing can
+# unpersist a frame before its own action has consumed it, but unbounded
+# accumulation across a long session (bench loops, repeated service
+# queries) pins stale cache in the block manager forever (r7 review
+# finding). Capped FIFO: evicting an old frame is always SAFE — persist
+# keeps lineage, so a straggler consumer merely recomputes. The cap
+# leaves headroom for callers holding several live top-ks at once
+# (hybrid fusion holds three).
+_PERSISTED: list = []
+_PERSIST_CAP = 12
+
+
+def persist_bounded(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PERSISTED.append(df)
+    while len(_PERSISTED) > _PERSIST_CAP:
+        try:
+            _PERSISTED.pop(0).unpersist(blocking=False)
+        except Exception:
+            pass
+    return df
+
 
 def two_phase_topk(
     scored: DataFrame,
@@ -50,7 +72,7 @@ def two_phase_topk(
     """
     direction = "DESC" if descending else "ASC"
     if persist_scored:
-        scored = scored.persist()
+        scored = persist_bounded(scored)
     hist = scored.groupBy(group_col, score_col).agg(
         F.count(F.lit(1)).alias("cnt")
     )

@@ -111,8 +111,14 @@ def stream_jsonl(
 
 
 def _jsonl_cache_dir(sf_dir: str) -> str:
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    return f"/tmp/jitsu_jsonl_cache/{key}"
+    # keyed by path AND the parquet's size/mtime fingerprint (the
+    # dedup-store memo convention): a regenerated dataset at the same
+    # path gets a fresh export instead of a stale one (r7 review finding)
+    from ..operators.dedup import _docs_dataset_key
+
+    key = _docs_dataset_key(sf_dir) or os.path.abspath(sf_dir)
+    digest = hashlib.md5(repr(key).encode()).hexdigest()[:16]
+    return f"/tmp/jitsu_jsonl_cache/{digest}"
 
 
 def export_documents_jsonl(spark: SparkSession, sf_dir: str) -> str:

@@ -102,13 +102,23 @@ def process_gated_batch_durable(
 
     Replay-safety (at-least-once micro-batches -> exactly-once corpus):
     the corpus write happens BEFORE the store appends and is itself a
-    MERGE on content_hash, so
-    - crash after the MERGE, before an append: the replayed batch's
-      verdicts are 'new' again and the MERGE is idempotent;
-    - crash after both: the replayed docs verdict 'dup_of_corpus' and
-      are dropped — they are already in the corpus.
-    Either way no loss and no duplicates. (The opposite order would
-    lose docs: store-first + crash -> replay drops rows never written.)
+    MERGE on content_hash; among the appends, SIGNATURES go before
+    fingerprints. Crash cases:
+    - after the MERGE, before any append: replayed verdicts are 'new'
+      again and the MERGE is idempotent;
+    - between the signature and fingerprint appends: the replayed docs
+      match their own stored signatures and drop at the near gate — the
+      corpus already holds them, and every future exact OR near
+      duplicate is still rejected by the signature store (the
+      fingerprint rows stay absent for those docs; containment is
+      carried by the signatures, so composed-gate deployments must
+      thread the signature store on every ingest path sharing the
+      fingerprint store);
+    - after both: replayed docs verdict 'dup_of_corpus' and drop.
+    Either way no loss, no duplicates, and no window that forever
+    admits later near-dups (the pre-r7 fingerprints-first order had
+    one). (Store-append before the corpus MERGE would lose docs:
+    store-first + crash -> replay drops rows never written.)
     """
     from ..operators.dedup import append_fingerprints, fingerprint_verdicts
     from ..plans.hints import maybe_broadcast
@@ -142,8 +152,12 @@ def process_gated_batch_durable(
         near_v = near_dup_verdicts_against_store(
             near_docs, store_sig
         ).localCheckpoint()  # pin before the store append, as with exact
-        survivors = near_v.where(F.col("verdict") == "new").select("doc_id")
-        keep = keep.join(maybe_broadcast(survivors), "doc_id", "left_semi")
+        # anti-join on REJECTS, not semi-join on survivors: docs with
+        # fewer than 3 tokens have no shingles, hence no near_v row —
+        # absence must default to 'new' (exact gate only), never to a
+        # silent permanent drop (r7 review finding)
+        rejected = near_v.where(F.col("verdict") != "new").select("doc_id")
+        keep = keep.join(maybe_broadcast(rejected), "doc_id", "left_anti")
     fresh = batch.join(keep, "doc_id").withColumn(
         "content_hash", F.col("text_hash")
     ).drop("text_hash")
@@ -159,17 +173,24 @@ def process_gated_batch_durable(
 
             # only SURVIVING docs' state persists: restrict the exact
             # fingerprints to the near gate's survivors, and append
-            # their signatures so later batches near-dedup against them
+            # their signatures so later batches near-dedup against them.
+            # SIGNATURES append FIRST (r7 review finding): a crash
+            # between the two appends then leaves the signature store
+            # covering the batch — a replay re-MERGEs idempotently and
+            # the near gate (matching the batch's own signatures) keeps
+            # every future near- AND exact-duplicate out. The opposite
+            # order left a window where lost signatures admitted later
+            # near-dups of already-ingested content forever.
             surviving_exact = verdicts.join(
                 maybe_broadcast(fresh.select("doc_id")),
                 "doc_id",
                 "left_semi",
             )
-            append_fingerprints(
-                spark, surviving_exact, fingerprint_store_dir
-            )
             append_signatures(
                 near_v, batch.select("doc_id", "text"), signature_store_dir
+            )
+            append_fingerprints(
+                spark, surviving_exact, fingerprint_store_dir
             )
         else:
             append_fingerprints(spark, verdicts, fingerprint_store_dir)

@@ -210,3 +210,103 @@ class TestStreamingNearGate:
         process_gated_batch_durable(b1, fp, sink)
         process_gated_batch_durable(b2, fp, sink)
         assert {r.doc_id for r in sink.read("corpus").collect()} == {1, 3}
+
+
+class TestGateReviewRegressions:
+    """Round-7 review findings: sub-3-token docs must pass the composed
+    gate (absence from the near verdicts is not a rejection), and a
+    crash between the signature and fingerprint appends must not open a
+    window that admits later near-duplicates."""
+
+    GOOD = TestStreamingNearGate.GOOD
+
+    def _batch(self, spark, rows):
+        import datetime as dt
+
+        return spark.createDataFrame(
+            [
+                (i, t, "web", dt.datetime(2024, 5, 1, 12, 0, s))
+                for s, (i, t) in enumerate(rows)
+            ],
+            "doc_id long, text string, source string, ingested_at timestamp",
+        )
+
+    def test_short_doc_survives_composed_gate(self, spark, tmp_path):
+        """A doc with < 3 tokens has no shingles and no near-verdict
+        row; the composed gate must still ingest it (exact gate only),
+        not silently drop it."""
+        from jitsu_spark.sinks import WarehouseSink
+        from jitsu_spark.streaming.corpus_gate import (
+            process_gated_batch_durable,
+        )
+
+        sink = WarehouseSink(spark, str(tmp_path / "wh"))
+        fp, sig = str(tmp_path / "fp"), str(tmp_path / "sig")
+        # NOTE: deliberately NOT filtered by gate_expr — the function is
+        # the public foreachBatch API and must be safe standalone
+        b = self._batch(spark, [(1, "two tokens"), (2, self.GOOD)])
+        process_gated_batch_durable(b, fp, sink, signature_store_dir=sig)
+        assert {r.doc_id for r in sink.read("corpus").collect()} == {1, 2}
+        # and an exact replay of the short doc is still deduplicated
+        process_gated_batch_durable(
+            self._batch(spark, [(3, "two tokens")]),
+            fp,
+            sink,
+            signature_store_dir=sig,
+        )
+        assert {r.doc_id for r in sink.read("corpus").collect()} == {1, 2}
+
+    def test_crash_between_appends_blocks_later_near_dups(
+        self, spark, tmp_path
+    ):
+        """Simulate the crash window: corpus MERGEd + signatures
+        appended, fingerprints NOT. The replay must stay idempotent and
+        later near-dups of the batch's content must still be rejected."""
+        from pyspark.sql import functions as F
+
+        from jitsu_spark.operators.dedup import (
+            append_signatures,
+            load_signature_store,
+            near_dup_verdicts_against_store,
+        )
+        from jitsu_spark.sinks import WarehouseSink
+        from jitsu_spark.streaming.corpus_gate import (
+            process_gated_batch_durable,
+        )
+
+        sink = WarehouseSink(spark, str(tmp_path / "wh"))
+        fp, sig = str(tmp_path / "fp"), str(tmp_path / "sig")
+        b = self._batch(spark, [(1, self.GOOD)])
+
+        # crash-window state: corpus has the doc, signature store has
+        # its signature, fingerprint store does not exist yet
+        sink.upsert(
+            b.withColumn("content_hash", F.md5("text")),
+            "corpus",
+            primary_key=["content_hash"],
+            timestamp_col="ingested_at",
+        )
+        empty_store = spark.range(0).selectExpr(
+            "id AS doc_id",
+            *[
+                f"CAST(NULL AS LONG) AS h{j}"
+                for j in range(
+                    __import__(
+                        "jitsu_spark.operators.dedup", fromlist=["NUM_HASHES"]
+                    ).NUM_HASHES
+                )
+            ],
+        )
+        verdicts = near_dup_verdicts_against_store(
+            b.select("doc_id", "text"), empty_store
+        )
+        append_signatures(verdicts, b.select("doc_id", "text"), sig)
+
+        # replay the batch through the real gate: no duplicates, no crash
+        process_gated_batch_durable(b, fp, sink, signature_store_dir=sig)
+        assert {r.doc_id for r in sink.read("corpus").collect()} == {1}
+
+        # a later NEAR duplicate is rejected by the signature store
+        near = self._batch(spark, [(9, self.GOOD + " indeed")])
+        process_gated_batch_durable(near, fp, sink, signature_store_dir=sig)
+        assert {r.doc_id for r in sink.read("corpus").collect()} == {1}

@@ -607,6 +607,14 @@ class TestOpq:
         # only improve, and the final error beats the baseline by >= 5%
         assert all(b <= a + 1e-12 for a, b in zip(errs, errs[1:]))
         assert errs[-1] <= 0.95 * errs[0]
+        # the returned (rot, books) pair is CONSISTENT: encoding under
+        # the returned rotation reproduces exactly the reported final
+        # error (r7 review finding — no post-fit rotation update)
+        from jitsu_spark.operators.pq import _encode_decode
+
+        xr = sample @ rot
+        err = float(((xr - _encode_decode(xr, books)) ** 2).sum(axis=1).mean())
+        assert err == errs[-1]
 
     def test_distributed_rotation_matches_driver(self, spark, sf_dir):
         import numpy as np

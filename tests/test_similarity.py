@@ -493,3 +493,22 @@ class TestBinaryQuantization:
             short = set(g.nsmallest(50, ["hamming", "vec_id"]).vec_id)
             recalls.append(len(short & truth[qid]) / len(truth[qid]))
         assert sum(recalls) / len(recalls) >= 0.5
+
+
+class TestSimhashNegativePrints:
+    def test_sign_bit_prints_still_pair(self, spark):
+        """64-bit fingerprints with the sign bit set (negative BIGINT)
+        must band-join against positive prints sharing band bits — the
+        div/% form returned negative band keys and silently missed them
+        (r7 review finding)."""
+        from jitsu_spark.operators.dedup import simhash_hamming_pairs
+
+        a = -(1 << 63) + 5  # sign bit set, low band bits 0b101
+        b = 5               # positive, identical low bits -> hamming 1
+        fp = spark.createDataFrame(
+            [(1, a), (2, b)], "doc_id long, simhash long"
+        )
+        out = simhash_hamming_pairs(
+            fp, n_bits=64, max_hamming=3, n_bands=4
+        ).collect()
+        assert len(out) == 1 and out[0]["hamming"] == 1
