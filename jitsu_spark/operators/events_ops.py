@@ -658,6 +658,73 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, dau, wau, mau, stickiness): daily/weekly/monthly active
+    users per calendar day with DAU/MAU stickiness — the CDP engagement
+    report on the events the pipeline lands (extends A4/A6's distinct-
+    user family with rolling windows).
+
+    Exact rolling distincts WITHOUT a per-day window scan: the corpus
+    reduces to distinct (user, day) pairs once (partial-agg friendly),
+    then each pair EXPLODES to the few future days it contributes to
+    (1 for DAU, 7 for WAU, 30 for MAU) and one distinct-count per
+    contribution day finishes it. Shuffled rows are bounded by
+    n_user_days x 38 skinny pairs — independent of raw event count; the
+    sketch alternative (per-day HLL union) trades exactness for even
+    less, but the exact form is what the oracle can verify. Days with
+    no activity have no row (same as the oracle); stickiness is exact
+    integer division rounded to 4."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        F.col("user_id"), F.to_date("ts").alias("day")
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    wau = (
+        ud.selectExpr(
+            "user_id", "explode(sequence(day, day + 6)) AS day"
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    mau = (
+        ud.selectExpr(
+            "user_id", "explode(sequence(day, day + 29)) AS day"
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("mau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .join(mau, "day")
+        .selectExpr(
+            # TIMESTAMP like every period column here (date_trunc convention)
+            "CAST(day AS TIMESTAMP) AS day",
+            "dau", "wau", "mau",
+            "round(dau / mau, 4) AS stickiness",
+        )
+    )
+
+
+DAU_WAU_MAU_SQL = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST({EVENTS_TS_US_SQL} AS DATE) AS day
+  FROM events
+),
+dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1),
+wau AS (
+  SELECT CAST(day + to_days(CAST(i AS INTEGER)) AS DATE) AS day, count(DISTINCT user_id) AS wau
+  FROM ud, unnest(range(0, 7)) AS t(i) GROUP BY 1
+),
+mau AS (
+  SELECT CAST(day + to_days(CAST(i AS INTEGER)) AS DATE) AS day, count(DISTINCT user_id) AS mau
+  FROM ud, unnest(range(0, 30)) AS t(i) GROUP BY 1
+)
+SELECT CAST(day AS TIMESTAMP) AS day, dau, wau, mau,
+       round(dau * 1.0 / mau, 4) AS stickiness
+FROM dau JOIN wau USING (day) JOIN mau USING (day)
+"""
+
+
 QUERIES = {
     "event_type_filter": event_type_filter,
     "metrics_rollup_minute": metrics_rollup_minute,
@@ -675,6 +742,7 @@ QUERIES = {
     "ur_backfill_enrich": ur_backfill_enrich,
     "metrics_gap_fill": metrics_gap_fill,
     "scd2_user_attribute": scd2_user_attribute,
+    "dau_wau_mau": dau_wau_mau,
 }
 
 ORACLE = {
@@ -694,4 +762,5 @@ ORACLE = {
     "ur_backfill_enrich": UR_BACKFILL_SQL,
     "metrics_gap_fill": METRICS_GAP_FILL_SQL,
     "scd2_user_attribute": SCD2_SQL,
+    "dau_wau_mau": DAU_WAU_MAU_SQL,
 }

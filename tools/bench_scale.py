@@ -57,6 +57,7 @@ PROBE = [
     "hybrid_search_rrf",
     "corpus_datacard",
     "opq_train_report",
+    "dau_wau_mau",
 ]
 
 
