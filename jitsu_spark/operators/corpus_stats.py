@@ -526,6 +526,75 @@ FROM toks t LEFT JOIN rm ON t.doc_id = rm.doc_id
 """
 
 
+# OLS of ln(freq) on ln(rank) — identical formula text on both engines;
+# the sums run over the VOCABULARY table (bounded), never the corpus.
+_ZIPF_FIT = (
+    "round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope",
+    "round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4)"
+    " AS intercept",
+    "round(pow(n * sxy - sx * sy, 2)"
+    " / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2",
+)
+
+
+def zipf_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_types, n_tokens, zipf_slope, intercept, r2): the corpus-health
+    diagnostic — token frequencies fitted to Zipf's law by OLS on the
+    log-log rank/frequency curve. A healthy natural-language corpus sits
+    near slope -1 with high r2; template explosions and crawler junk
+    bend the curve (the dashboard signal next to `ngram_topk`).
+
+    Scale: one token explode -> vocabulary-sized frequency table
+    (partial-agg); the rank window and the five OLS sums run over that
+    bounded table, never the corpus."""
+    docs = load_table_docs(spark, sf_dir)
+    freq = docs.selectExpr("explode(toks) AS tok").groupBy("tok").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    ranked = freq.selectExpr(
+        "cnt",
+        "ln(row_number() OVER (ORDER BY cnt DESC, tok)) AS x",
+        "ln(cnt) AS y",
+    )
+    sums = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.expr("x")).alias("sx"),
+        F.sum(F.expr("y")).alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+        F.sum("cnt").alias("n_tokens"),
+    )
+    return sums.selectExpr(
+        "CAST(n AS BIGINT) AS n_types",
+        "n_tokens",
+        *_ZIPF_FIT,
+    )
+
+
+ZIPF_FIT_SQL = f"""
+WITH freq AS (
+  SELECT tok, count(*) AS cnt
+  FROM (SELECT unnest({_TOKS_DUCK}) AS tok FROM documents)
+  GROUP BY 1
+), ranked AS (
+  SELECT cnt,
+         ln(row_number() OVER (ORDER BY cnt DESC, tok)) AS x,
+         ln(cnt) AS y
+  FROM freq
+), sums AS (
+  SELECT count(*) * 1.0 AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy,
+         sum(cnt) AS n_tokens
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_types,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       {", ".join(_ZIPF_FIT)}
+FROM sums
+"""
+
+
 QUERIES = {
     "boilerplate_shingle_stats": boilerplate_shingle_stats,
     "ngram_topk": ngram_topk,
@@ -533,6 +602,7 @@ QUERIES = {
     "duplicate_span_dedup": duplicate_span_dedup,
     "unigram_surprisal": unigram_surprisal,
     "bigram_lm_nll": bigram_lm_nll,
+    "zipf_fit_report": zipf_fit_report,
 }
 
 ORACLE = {
@@ -542,4 +612,5 @@ ORACLE = {
     "duplicate_span_dedup": DUP_SPAN_DEDUP_SQL,
     "unigram_surprisal": UNIGRAM_SURPRISAL_SQL,
     "bigram_lm_nll": BIGRAM_LM_SQL,
+    "zipf_fit_report": ZIPF_FIT_SQL,
 }

@@ -725,6 +725,63 @@ FROM dau JOIN wau USING (day) JOIN mau USING (day)
 """
 
 
+BURST_WINDOW_SEC = 300
+BURST_FLAG_COUNT = 20
+
+
+def user_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, n_events, max_burst, flagged): each user's maximum
+    event count inside any trailing 5-minute window, flagged above
+    BURST_FLAG_COUNT — the rate-anomaly signal behind abuse/bot triage,
+    the volumetric complement of P3's user-agent bot filter
+    (`libs/core-functions/src/functions/lib/ua.ts:6,22`: UA-keyword
+    bots; headless clients with clean UAs only show up as bursts).
+
+    Exact sliding window via a RANGE frame over event-time seconds —
+    one user_id shuffle (the sessionize shape), each frame bounded by
+    the user's own 5-minute activity. The per-user reduce then collapses
+    to one row per user (partial-agg friendly)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        "PARTITION BY user_id ORDER BY CAST(ts AS DOUBLE)"
+        f" RANGE BETWEEN {BURST_WINDOW_SEC} PRECEDING AND CURRENT ROW"
+    )
+    bursts = ev.selectExpr(
+        "user_id",
+        f"count(*) OVER ({w}) AS burst",
+    )
+    return (
+        bursts.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("burst").alias("max_burst"),
+        )
+        .selectExpr(
+            "user_id",
+            "n_events",
+            "max_burst",
+            f"max_burst > {BURST_FLAG_COUNT} AS flagged",
+        )
+    )
+
+
+USER_BURST_SQL = f"""
+WITH ev AS (
+  SELECT user_id, {EVENTS_TS_US_SQL} AS ts FROM events
+), bursts AS (
+  SELECT user_id,
+         count(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                        RANGE BETWEEN {BURST_WINDOW_SEC} PRECEDING
+                        AND CURRENT ROW) AS burst
+  FROM ev
+)
+SELECT user_id, count(*) AS n_events,
+       CAST(max(burst) AS BIGINT) AS max_burst,
+       max(burst) > {BURST_FLAG_COUNT} AS flagged
+FROM bursts GROUP BY user_id
+"""
+
+
 QUERIES = {
     "event_type_filter": event_type_filter,
     "metrics_rollup_minute": metrics_rollup_minute,
@@ -743,6 +800,7 @@ QUERIES = {
     "metrics_gap_fill": metrics_gap_fill,
     "scd2_user_attribute": scd2_user_attribute,
     "dau_wau_mau": dau_wau_mau,
+    "user_burst_detection": user_burst_detection,
 }
 
 ORACLE = {
@@ -763,4 +821,5 @@ ORACLE = {
     "metrics_gap_fill": METRICS_GAP_FILL_SQL,
     "scd2_user_attribute": SCD2_SQL,
     "dau_wau_mau": DAU_WAU_MAU_SQL,
+    "user_burst_detection": USER_BURST_SQL,
 }

@@ -111,7 +111,7 @@ _PRIORITY = [
     "scd2_user_attribute", "length_outlier_mad",
     "embedding_binary_quantize", "binary_hamming_topk",
     "opq_train_report", "hybrid_search_rrf", "corpus_datacard",
-    "dau_wau_mau",
+    "dau_wau_mau", "user_burst_detection", "zipf_fit_report",
     "pq_recall_report", "whitening_report", "pca_project_report",
     "sql_gateway_limit", "media_feature_extract", "profile_build",
     "funnel_3step_windowed",

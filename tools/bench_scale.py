@@ -58,6 +58,8 @@ PROBE = [
     "corpus_datacard",
     "opq_train_report",
     "dau_wau_mau",
+    "user_burst_detection",
+    "zipf_fit_report",
 ]
 
 
