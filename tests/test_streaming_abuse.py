@@ -1,0 +1,121 @@
+"""Stateful streaming burst detection: cross-batch state carry and
+exact parity with the batch RANGE-window operator."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+
+def _write_events(src_dir, rows, fname, order):
+    """The file source triggers in modification-time order; files written
+    within the same second would otherwise race — pin distinct mtimes."""
+    import os
+
+    os.makedirs(src_dir, exist_ok=True)
+    path = os.path.join(src_dir, fname)
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    base = 1_700_000_000
+    os.utime(path, (base + order, base + order))
+
+
+def _ev(i, ts, user):
+    return {
+        "event_id": i,
+        "ts": ts,
+        "user_id": user,
+        "event_type": "click",
+        "value": 0.0,
+        "props": "{}",
+    }
+
+
+class TestStreamingBurst:
+    def _run(self, spark, tmp_path, batches):
+        from jitsu_spark.streaming.abuse import burst_detection_stream
+
+        src = str(tmp_path / "in")
+        for n, rows in enumerate(batches):
+            _write_events(src, rows, f"b{n}.jsonl", n)
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long,"
+                " event_type string, value double, props string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        import uuid
+
+        name = f"burst_out_{uuid.uuid4().hex[:8]}"
+        out = burst_detection_stream(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        return spark.sql(f"SELECT * FROM {name}").toPandas()
+
+    def test_burst_spanning_batches_is_detected(self, spark, tmp_path):
+        """15 events in batch 1 + 10 more within the same 5-minute
+        window in batch 2: neither batch alone crosses the 20-event
+        flag, the carried state does."""
+        b1 = [_ev(i, f"2024-01-01T11:00:{i:02d}", 1) for i in range(15)]
+        b2 = [
+            _ev(100 + i, f"2024-01-01T11:01:{i:02d}", 1) for i in range(10)
+        ]
+        out = self._run(spark, tmp_path, [b1, b2])
+        u1 = out[out.user_id == 1].sort_values("max_burst")
+        assert list(u1.max_burst) == [15, 25]
+        assert list(u1.flagged) == [False, True]
+
+    def test_running_max_matches_batch_operator(self, spark, tmp_path):
+        """Parity: however the in-order feed is split into micro-batches,
+        the final running max_burst equals the batch RANGE-window
+        operator's max_burst over the union."""
+        import datetime as dt
+
+        rows = []
+        i = 0
+        for minute in (0, 1, 2, 9, 10, 30):
+            for s in range(0, 40, 7):
+                rows.append(
+                    _ev(i, f"2024-01-01T11:{minute:02d}:{s:02d}", 7)
+                )
+                i += 1
+        # split 3 ways, in time order
+        batches = [rows[:6], rows[6:13], rows[13:]]
+        out = self._run(spark, tmp_path, batches)
+        stream_max = int(out[out.user_id == 7].max_burst.max())
+
+        from jitsu_spark.operators.events_ops import user_burst_detection
+
+        spark.createDataFrame(
+            [
+                (
+                    r["event_id"],
+                    dt.datetime.fromisoformat(r["ts"]),
+                    r["user_id"],
+                    r["event_type"],
+                    r["value"],
+                    r["props"],
+                )
+                for r in rows
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+        batch_max = int(
+            user_burst_detection(spark, str(tmp_path))
+            .toPandas()
+            .set_index("user_id")
+            .loc[7, "max_burst"]
+        )
+        assert stream_max == batch_max
