@@ -116,12 +116,38 @@ def _default_profiles_partition(batches):
     )
 
 
+# Worker-process slot for the live profile isolate: each build_profiles
+# call mints a token; the first group a worker serves under a NEW token
+# closes the previous build's child and forks its own. PySpark workers run
+# one task at a time, so at most one live child per worker, reused across
+# every group (and task) of the same build — the reference reuses one
+# isolate per connection the same way (profiles-udf-wrapper.ts:44-55).
+_ACTIVE_PROFILE_RUNNER: dict = {"token": None, "runner": None}
+
+
+def _profile_isolate(token: str, profile_fn, timeout_sec, memory_mb):
+    slot = _ACTIVE_PROFILE_RUNNER
+    if slot["token"] != token:
+        if slot["runner"] is not None:
+            slot["runner"].close()
+        from ..plans.isolate import IsolatedProfileRunner
+
+        slot["runner"] = IsolatedProfileRunner(
+            profile_fn, timeout_sec, memory_mb
+        )
+        slot["token"] = token
+    return slot["runner"]
+
+
 def build_profiles(
     events: DataFrame,
     profile_fn: Callable[[pd.DataFrame], pd.DataFrame] = default_profile_fn,
     schema: StructType = PROFILE_SCHEMA,
     since: str | None = None,
     assume_clustered: bool = False,
+    untrusted: bool = False,
+    timeout_sec: float | None = None,
+    memory_mb: float | None = None,
 ) -> DataFrame:
     """Run the profile UDAF; with `since`, only users with new events are
     recomputed (the reference's incremental watermark, `builder.ts:305-342`)
@@ -133,7 +159,18 @@ def build_profiles(
     read partition per bucket). The partition fold concatenates its
     Arrow batches before segmenting, so bucket-complete input is the
     whole requirement; the profile build then plans with ZERO exchanges
-    (asserted in tests/test_bucketing.py)."""
+    (asserted in tests/test_bucketing.py).
+
+    `untrusted=True` (U4): the ProfileFunction runs inside a forked
+    isolate at the reference's 512 MB / 5 s budget
+    (`profiles-udf-wrapper.ts:51,231`) — RLIMIT_AS catches C-extension
+    allocations, a parent watchdog SIGKILLs native spins, and a contained
+    failure yields one null-profile row with `_error` set (route through
+    `profile_error_log_rows` for the events-log) while every other user's
+    profile is computed normally. The returned schema gains an `_error`
+    string column. Where fork isolation is unavailable (non-Linux) the
+    function runs in-process with a try/except guard — Python-level
+    exceptions are still contained, hard OOM is not."""
     if since is not None:
         changed = (
             events.where(F.col("ts") > F.lit(since).cast("timestamp"))
@@ -141,6 +178,46 @@ def build_profiles(
             .distinct()
         )
         events = events.join(changed, "user_id", "left_semi")
+    if untrusted and profile_fn is not default_profile_fn:
+        import uuid
+
+        from ..plans.isolate import (
+            PROFILE_UDF_MEMORY_MB,
+            PROFILE_UDF_TIMEOUT_SEC,
+            supports_isolation,
+        )
+
+        timeout_sec = (
+            PROFILE_UDF_TIMEOUT_SEC if timeout_sec is None else timeout_sec
+        )
+        memory_mb = PROFILE_UDF_MEMORY_MB if memory_mb is None else memory_mb
+        out_schema = StructType(
+            list(schema.fields) + [StructField("_error", StringType())]
+        )
+        null_cols = [f.name for f in schema.fields if f.name != "user_id"]
+        token = uuid.uuid4().hex
+        isolated = supports_isolation()
+        fn = profile_fn
+
+        def guarded(pdf: pd.DataFrame) -> pd.DataFrame:
+            if isolated:
+                runner = _profile_isolate(token, fn, timeout_sec, memory_mb)
+                out, err = runner.run(pdf)
+            else:
+                try:
+                    out, err = fn(pdf), None
+                except Exception as ex:
+                    out, err = None, f"{type(ex).__name__}: {ex}"
+            if err is None and out is not None:
+                out = out.copy()
+                out["_error"] = None
+                return out
+            row = {c: [None] for c in null_cols}
+            row["user_id"] = [pdf["user_id"].iloc[0]]
+            row["_error"] = [err]
+            return pd.DataFrame(row)
+
+        return events.groupBy("user_id").applyInPandas(guarded, out_schema)
     if profile_fn is default_profile_fn:
         # Fast path for the built-in: prune to the consumed columns (Arrow
         # ships only these), hash-shuffle by user, vectorize per partition.
@@ -149,6 +226,23 @@ def build_profiles(
             pruned = pruned.repartition("user_id")
         return pruned.mapInPandas(_default_profiles_partition, schema)
     return events.groupBy("user_id").applyInPandas(profile_fn, schema)
+
+
+def profile_error_log_rows(profiles: DataFrame) -> DataFrame:
+    """Events-log rows for contained ProfileFunction failures (the
+    reference logs the disposal reason per connection,
+    `profiles-udf-wrapper.ts:262-266`): one level=error row per failed
+    user, shaped for sinks_api.append_events_log."""
+    return (
+        profiles.where(F.col("_error").isNotNull())
+        .select(
+            F.col("user_id").cast("string").alias("actor_id"),
+            F.col("_error").alias("message"),
+        )
+        .withColumn("level", F.lit("error"))
+        .withColumn("type", F.lit("profile"))
+        .withColumn("timestamp", F.current_timestamp())
+    )
 
 
 def profile_build(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -47,6 +47,12 @@ from typing import Any, Callable
 ISOLATE_GRACE_SEC = 2.0  # watchdog slack over the in-child budget
 CHILD_JOIN_SEC = 1.0
 
+# U4 — the reference's profile-UDF isolate budget
+# (`services/profiles/src/lib/profiles-udf-wrapper.ts:51` memoryLimit: 512,
+# `:231` UDF_TIMEOUT_MS default 5000).
+PROFILE_UDF_MEMORY_MB = 512
+PROFILE_UDF_TIMEOUT_SEC = 5.0
+
 
 def supports_isolation() -> bool:
     return sys.platform.startswith("linux") and hasattr(os, "fork")
@@ -111,55 +117,61 @@ def _child_main(conn, functions, ctx, timeout_sec, memory_mb) -> None:
             return
 
 
-class IsolatedChainRunner:
-    """One isolated executor for a chain's user pipeline, owned by one
-    Spark task. `run(event)` mirrors `run_user_chain` plus the per-event
-    ctx log capture: returns (events_out, error, logs, fetch_log)."""
+class _ForkedRunner:
+    """Shared fork/pipe/watchdog lifecycle for isolated executors: a
+    long-lived forked child serves requests over a Pipe; the parent
+    SIGKILLs it when a reply misses the wall-clock budget and respawns it
+    lazily on the next request. Subclasses provide the child target/args
+    and map `_roundtrip` statuses to their own reply contract."""
 
-    def __init__(
-        self,
-        functions: list[Callable],
-        ctx_factory: Callable[[], Any],
-        timeout_sec: float | None,
-        memory_mb: float | None,
-    ):
-        self._functions = functions
-        self._ctx_factory = ctx_factory
-        self._timeout = timeout_sec
-        self._memory_mb = memory_mb
-        # wall-clock budget for one event through the whole chain: the
-        # in-child guard enforces timeout_sec per function; the watchdog
-        # only fires when that guard was defeated (native code / blocked
-        # signals), so it gets the full-chain budget plus grace. An
-        # EXPLICIT no-timeout config (None/0) is honored — no watchdog
-        # deadline either (the memory cap still applies); imposing a
-        # made-up budget would silently override the operator's choice.
-        self._budget = (
-            timeout_sec * max(1, len(functions)) + ISOLATE_GRACE_SEC
-            if timeout_sec
-            else None
-        )
+    def __init__(self, budget: float | None):
+        # None budget = wait forever (an EXPLICIT no-timeout config is
+        # honored — the memory cap still applies; imposing a made-up
+        # budget would silently override the operator's choice).
+        self._budget = budget
         self._mp = multiprocessing.get_context("fork")
         self._proc = None
         self._conn = None
 
+    def _child_target(self) -> Callable:
+        raise NotImplementedError
+
+    def _child_args(self, child_conn) -> tuple:
+        raise NotImplementedError
+
     def _spawn(self) -> None:
         parent_conn, child_conn = self._mp.Pipe()
-        ctx = self._ctx_factory()
         proc = self._mp.Process(
-            target=_child_main,
-            args=(
-                child_conn,
-                self._functions,
-                ctx,
-                self._timeout,
-                self._memory_mb,
-            ),
+            target=self._child_target(),
+            args=self._child_args(child_conn),
             daemon=True,
         )
         proc.start()
         child_conn.close()
         self._proc, self._conn = proc, parent_conn
+
+    def _roundtrip(self, payload) -> tuple[str, Any]:
+        """One request/reply: ('ok', reply) | ('timeout', None) |
+        ('died', exitcode). Kills + lazily respawns on failure."""
+        if self._proc is None or not self._proc.is_alive():
+            self._kill()
+            self._spawn()
+        try:
+            self._conn.send(payload)
+        except (BrokenPipeError, OSError):
+            self._kill()
+            self._spawn()
+            self._conn.send(payload)
+        if not self._conn.poll(self._budget):  # None = wait forever
+            # native hang / blocked SIGALRM: dispose the isolate
+            # (udf_wrapper.ts:234-239); the next request gets a fresh child
+            self._kill()
+            return ("timeout", None)
+        try:
+            return ("ok", self._conn.recv())
+        except (EOFError, OSError):
+            # child died mid-request (hard OOM kill, segfault)
+            return ("died", self._kill())
 
     def _kill(self) -> int | None:
         """SIGKILL + reap; returns the exit code (negative = signal)."""
@@ -179,42 +191,6 @@ class IsolatedChainRunner:
         self._proc = self._conn = None
         return code
 
-    def run(self, event: dict) -> tuple[list[dict], str | None, list, list]:
-        if self._proc is None or not self._proc.is_alive():
-            self._kill()
-            self._spawn()
-        try:
-            self._conn.send(event)
-        except (BrokenPipeError, OSError):
-            self._kill()
-            self._spawn()
-            self._conn.send(event)
-        if not self._conn.poll(self._budget):  # None = wait forever
-            # native hang / blocked SIGALRM: dispose the isolate
-            # (udf_wrapper.ts:234-239) and pass the event through with
-            # the error recorded — the batch continues on a fresh child
-            self._kill()
-            return (
-                [event],
-                f"FunctionTimeoutError: isolate exceeded "
-                f"{self._budget:.1f}s and was killed",
-                [],
-                [],
-            )
-        try:
-            return self._conn.recv()
-        except (EOFError, OSError):
-            # child died mid-event (hard OOM kill, segfault): identity +
-            # error, fresh child for the next event
-            code = self._kill()
-            return (
-                [event],
-                f"FunctionMemoryError: isolate died (exit code {code}); "
-                f"memory budget {self._memory_mb} MB",
-                [],
-                [],
-            )
-
     def close(self) -> None:
         if self._conn is not None and self._proc is not None and self._proc.is_alive():
             try:
@@ -223,3 +199,161 @@ class IsolatedChainRunner:
             except Exception:
                 pass
         self._kill()
+
+
+class IsolatedChainRunner(_ForkedRunner):
+    """One isolated executor for a chain's user pipeline, owned by one
+    Spark task. `run(event)` mirrors `run_user_chain` plus the per-event
+    ctx log capture: returns (events_out, error, logs, fetch_log)."""
+
+    def __init__(
+        self,
+        functions: list[Callable],
+        ctx_factory: Callable[[], Any],
+        timeout_sec: float | None,
+        memory_mb: float | None,
+    ):
+        self._functions = functions
+        self._ctx_factory = ctx_factory
+        self._timeout = timeout_sec
+        self._memory_mb = memory_mb
+        # wall-clock budget for one event through the whole chain: the
+        # in-child guard enforces timeout_sec per function; the watchdog
+        # only fires when that guard was defeated (native code / blocked
+        # signals), so it gets the full-chain budget plus grace.
+        super().__init__(
+            timeout_sec * max(1, len(functions)) + ISOLATE_GRACE_SEC
+            if timeout_sec
+            else None
+        )
+
+    def _child_target(self) -> Callable:
+        return _child_main
+
+    def _child_args(self, child_conn) -> tuple:
+        return (
+            child_conn,
+            self._functions,
+            self._ctx_factory(),
+            self._timeout,
+            self._memory_mb,
+        )
+
+    def run(self, event: dict) -> tuple[list[dict], str | None, list, list]:
+        status, reply = self._roundtrip(event)
+        if status == "ok":
+            return reply
+        if status == "timeout":
+            # pass the event through with the error recorded — the batch
+            # continues on a fresh child (identity semantics)
+            return (
+                [event],
+                f"FunctionTimeoutError: isolate exceeded "
+                f"{self._budget:.1f}s and was killed",
+                [],
+                [],
+            )
+        return (
+            [event],
+            f"FunctionMemoryError: isolate died (exit code {reply}); "
+            f"memory budget {self._memory_mb} MB",
+            [],
+            [],
+        )
+
+
+def _profile_child_main(conn, profile_fn, timeout_sec, memory_mb) -> None:
+    """Serve ProfileFunction calls (pandas in → pandas out) until EOF.
+    Runs post-fork under the RLIMIT_AS cap; an in-child SIGALRM bounds
+    Python-level spins at timeout_sec (the parent watchdog handles native
+    code that defeats it)."""
+    try:
+        import resource
+
+        base = _vm_size_bytes()
+        if base and memory_mb:
+            limit = base + int(memory_mb * 1024 * 1024)
+            resource.setrlimit(resource.RLIMIT_AS, (limit, limit))
+    except Exception:
+        pass
+    import signal
+
+    def _raise_timeout(signum, frame):
+        raise TimeoutError(
+            f"ProfileFunction exceeded {timeout_sec}s"
+        )  # profiles-udf-wrapper.ts:231-236
+
+    if timeout_sec:
+        signal.signal(signal.SIGALRM, _raise_timeout)
+    while True:
+        try:
+            pdf = conn.recv()
+        except (EOFError, OSError):
+            return
+        if pdf is None:
+            return
+        try:
+            if timeout_sec:
+                signal.setitimer(signal.ITIMER_REAL, timeout_sec)
+            try:
+                out = profile_fn(pdf)
+            finally:
+                if timeout_sec:
+                    signal.setitimer(signal.ITIMER_REAL, 0.0)
+            reply = (out, None)
+        except MemoryError:
+            reply = (
+                None,
+                f"ProfileMemoryError: isolate exceeded {memory_mb} MB",
+            )
+        except BaseException as ex:  # never let the serve loop die silently
+            reply = (None, f"{type(ex).__name__}: {ex}")
+        try:
+            conn.send(reply)
+        except (BrokenPipeError, OSError):
+            return
+
+
+class IsolatedProfileRunner(_ForkedRunner):
+    """U4 — the reference's per-profile-UDF isolate
+    (`services/profiles/src/lib/profiles-udf-wrapper.ts:51` 512 MB,
+    `:231-236` 5 s timeout then dispose), as a forked child serving one
+    user history per request. `run(pdf)` returns (result_pdf, error):
+    on containment (OOM, timeout, exception) the result is None, the
+    error carries the disposal reason, and the NEXT user gets a fresh
+    child — the batch always completes."""
+
+    def __init__(
+        self,
+        profile_fn: Callable,
+        timeout_sec: float | None = PROFILE_UDF_TIMEOUT_SEC,
+        memory_mb: float | None = PROFILE_UDF_MEMORY_MB,
+    ):
+        self._profile_fn = profile_fn
+        self._timeout = timeout_sec
+        self._memory_mb = memory_mb
+        super().__init__(
+            timeout_sec + ISOLATE_GRACE_SEC if timeout_sec else None
+        )
+
+    def _child_target(self) -> Callable:
+        return _profile_child_main
+
+    def _child_args(self, child_conn) -> tuple:
+        return (child_conn, self._profile_fn, self._timeout, self._memory_mb)
+
+    def run(self, pdf) -> tuple[Any, str | None]:
+        status, reply = self._roundtrip(pdf)
+        if status == "ok":
+            return reply
+        if status == "timeout":
+            return (
+                None,
+                f"ProfileTimeoutError: isolate exceeded "
+                f"{self._budget:.1f}s and was killed",
+            )
+        return (
+            None,
+            f"ProfileMemoryError: isolate died (exit code {reply}); "
+            f"memory budget {self._memory_mb} MB",
+        )
