@@ -537,21 +537,39 @@ _ZIPF_FIT = (
 )
 
 
+# The OLS fit runs on the rank/frequency HEAD: a 100 TB web corpus has
+# 10^8-10^9 distinct tokens (URLs, typos, hashes) and a full-vocabulary
+# rank would be a single-partition global sort; the Zipf slope is
+# estimated on the head anyway (the tail is the part that ISN'T Zipfian
+# — hapax plateau), so top-V is both the honest statistic and the
+# scale-safe plan.
+ZIPF_FIT_TOP_V = 10_000
+
+
 def zipf_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(n_types, n_tokens, zipf_slope, intercept, r2): the corpus-health
-    diagnostic — token frequencies fitted to Zipf's law by OLS on the
-    log-log rank/frequency curve. A healthy natural-language corpus sits
-    near slope -1 with high r2; template explosions and crawler junk
-    bend the curve (the dashboard signal next to `ngram_topk`).
+    """(n_types, n_tokens, fit_ranks, zipf_slope, intercept, r2): the
+    corpus-health diagnostic — token frequencies fitted to Zipf's law by
+    OLS on the log-log rank/frequency curve over the top-V ranks. A
+    healthy natural-language corpus sits near slope -1 with high r2;
+    template explosions and crawler junk bend the curve (the dashboard
+    signal next to `ngram_topk`).
 
     Scale: one token explode -> vocabulary-sized frequency table
-    (partial-agg); the rank window and the five OLS sums run over that
-    bounded table, never the corpus."""
+    (partial-agg); n_types/n_tokens are plain aggregates over it (no
+    sort); the head is `orderBy(cnt desc, tok).limit(V)` which Spark
+    plans as TakeOrderedAndProject — per-partition top-V + driver merge,
+    NO global sort — and the rank window + five OLS sums run over that
+    V-bounded table only."""
     docs = load_table_docs(spark, sf_dir)
     freq = docs.selectExpr("explode(toks) AS tok").groupBy("tok").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    ranked = freq.selectExpr(
+    totals = freq.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("cnt").alias("n_tokens"),
+    )
+    head = freq.orderBy(F.col("cnt").desc(), "tok").limit(ZIPF_FIT_TOP_V)
+    ranked = head.selectExpr(
         "cnt",
         "ln(row_number() OVER (ORDER BY cnt DESC, tok)) AS x",
         "ln(cnt) AS y",
@@ -563,11 +581,13 @@ def zipf_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("x * y")).alias("sxy"),
         F.sum(F.expr("x * x")).alias("sxx"),
         F.sum(F.expr("y * y")).alias("syy"),
-        F.sum("cnt").alias("n_tokens"),
     )
-    return sums.selectExpr(
-        "CAST(n AS BIGINT) AS n_types",
-        "n_tokens",
+    # both sides are 1-row aggregates; the cross join is a broadcast of
+    # one row, the same shape as the repo's other scalar-combine sites
+    return sums.crossJoin(totals).selectExpr(
+        "CAST(n_types AS BIGINT) AS n_types",
+        "CAST(n_tokens AS BIGINT) AS n_tokens",
+        "CAST(n AS BIGINT) AS fit_ranks",
         *_ZIPF_FIT,
     )
 
@@ -577,21 +597,25 @@ WITH freq AS (
   SELECT tok, count(*) AS cnt
   FROM (SELECT unnest({_TOKS_DUCK}) AS tok FROM documents)
   GROUP BY 1
+), totals AS (
+  SELECT count(*) AS n_types, sum(cnt) AS n_tokens FROM freq
+), head AS (
+  SELECT cnt, tok FROM freq ORDER BY cnt DESC, tok LIMIT {ZIPF_FIT_TOP_V}
 ), ranked AS (
   SELECT cnt,
          ln(row_number() OVER (ORDER BY cnt DESC, tok)) AS x,
          ln(cnt) AS y
-  FROM freq
+  FROM head
 ), sums AS (
   SELECT count(*) * 1.0 AS n, sum(x) AS sx, sum(y) AS sy,
-         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy,
-         sum(cnt) AS n_tokens
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
   FROM ranked
 )
-SELECT CAST(n AS BIGINT) AS n_types,
+SELECT CAST(n_types AS BIGINT) AS n_types,
        CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n AS BIGINT) AS fit_ranks,
        {", ".join(_ZIPF_FIT)}
-FROM sums
+FROM sums, totals
 """
 
 
