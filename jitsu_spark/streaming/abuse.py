@@ -4,21 +4,30 @@
 The batch form scans history with a RANGE window; a live abuse gate
 cannot wait for the nightly scan. This operator keys the stream by
 user_id (`applyInPandasWithState`, the same stateful machinery as user
-recognition) and keeps, per user, only the event times inside the
-trailing BURST_WINDOW_SEC of that user's newest event — so state is
-bounded by the user's own 5-minute activity, not by history. Each
-micro-batch merges its events into the retained times, recomputes the
-max trailing-window count with one two-pointer sweep, and emits the
-user's running maximum + flag. Idle users are dropped by a
-processing-time state timeout (W4's TTL pattern).
+recognition) and keeps, per user, PER-SECOND EVENT COUNTS for the
+trailing BURST_WINDOW_SEC of that user's newest event — at most
+BURST_WINDOW_SEC+1 integers per key, a hard bound that does NOT grow
+with the user's event rate. (Raw-timestamp state would be "bounded by
+the user's own 5-minute activity", but the keys this operator exists to
+catch are exactly the ones with pathological 5-minute activity: a 10k
+events/s abuser would pin ~3M floats re-sorted per micro-batch in one
+task.) Each micro-batch folds its events into the second buckets,
+recomputes the max trailing-window count with one prefix-sum sweep over
+the occupied seconds, and emits the user's running maximum + flag. Idle
+users are dropped by a processing-time state timeout (W4's TTL
+pattern).
 
-Semantics parity: over any in-order event feed, the emitted running
-max_burst equals the batch operator's `max_burst` for that user no
-matter how the feed is split into micro-batches (pinned in
+Semantics parity: the trailing window is evaluated at 1-second
+granularity — count of events in the 301 seconds [s - W, s] for every
+occupied second s — which equals the batch operator's RANGE frame
+exactly whenever event times are whole seconds (the flag threshold
+never needs sub-second anchoring). Over any in-order event feed the
+emitted running max_burst then equals the batch `max_burst` no matter
+how the feed is split into micro-batches (pinned in
 `tests/test_streaming_abuse.py`). Events arriving later than
 BURST_WINDOW_SEC out of order can undercount (their window's older
-times were pruned) — the same watermark assumption the pipeline's other
-stateful ops document.
+buckets were pruned) — the same watermark assumption the pipeline's
+other stateful ops document.
 
 Reference context: the volumetric complement of the UA bot filter
 (`libs/core-functions/src/functions/lib/ua.ts:6,22`) run as a live
@@ -35,7 +44,6 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
     BooleanType,
-    DoubleType,
     LongType,
     StructField,
     StructType,
@@ -52,9 +60,13 @@ OUTPUT_SCHEMA = StructType(
     ]
 )
 
+# state = (seconds, counts) parallel arrays over the OCCUPIED seconds of
+# the trailing window (sorted ascending) + the running max: never more
+# than BURST_WINDOW_SEC + 1 entries, whatever the event rate.
 STATE_SCHEMA = StructType(
     [
-        StructField("times", ArrayType(DoubleType())),
+        StructField("seconds", ArrayType(LongType())),
+        StructField("counts", ArrayType(LongType())),
         StructField("max_burst", LongType()),
     ]
 )
@@ -65,30 +77,43 @@ IDLE_TIMEOUT_MS = 4 * BURST_WINDOW_SEC * 1000
 def _detect(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
     if state.hasTimedOut:
         state.remove()
         return
-    times, max_burst = state.get if state.exists else ([], 0)
-    times = list(times)
+    secs, cnts, max_burst = (
+        state.get if state.exists else ([], [], 0)
+    )
+    chunks = [np.asarray(secs, dtype=np.int64)]
+    weights = [np.asarray(cnts, dtype=np.int64)]
     new = 0
     for pdf in pdfs:
-        for t in pdf["ts"]:
-            times.append(t.timestamp())
-            new += 1
-    if not times:
+        if not len(pdf):
+            continue
+        ev_secs = pdf["ts"].astype("int64").to_numpy() // 1_000_000_000
+        chunks.append(ev_secs)
+        weights.append(np.ones(len(ev_secs), dtype=np.int64))
+        new += len(ev_secs)
+    if new == 0 and not len(chunks[0]):
         return
-    times.sort()
-    # max count in any [t - W, t] — one two-pointer sweep (the batch
-    # RANGE frame's inclusive bounds, so parity is exact)
-    best, lo = int(max_burst), 0
-    for i, t in enumerate(times):
-        while times[lo] < t - BURST_WINDOW_SEC:
-            lo += 1
-        best = max(best, i - lo + 1)
-    # retain only times still inside a possible future window
-    cutoff = times[-1] - BURST_WINDOW_SEC
-    keep = [t for t in times if t >= cutoff]
-    state.update((keep, best))
+    # fold this batch's events into the per-second buckets
+    all_secs = np.concatenate(chunks)
+    all_w = np.concatenate(weights)
+    secs_u, inv = np.unique(all_secs, return_inverse=True)
+    counts = np.zeros(len(secs_u), dtype=np.int64)
+    np.add.at(counts, inv, all_w)
+    # max count in the 301 seconds [s - W, s] for every occupied s —
+    # prefix-sum sweep over occupied seconds only (the batch RANGE
+    # frame's inclusive bounds at 1-second granularity)
+    prefix = np.concatenate(([0], np.cumsum(counts)))
+    lo = np.searchsorted(secs_u, secs_u - BURST_WINDOW_SEC, side="left")
+    windows = prefix[1 : len(secs_u) + 1] - prefix[lo]
+    best = max(int(max_burst), int(windows.max()))
+    # retain only seconds still inside a possible future window
+    cutoff = int(secs_u[-1]) - BURST_WINDOW_SEC
+    keep = secs_u >= cutoff
+    state.update((secs_u[keep].tolist(), counts[keep].tolist(), best))
     state.setTimeoutDuration(IDLE_TIMEOUT_MS)
     yield pd.DataFrame(
         [

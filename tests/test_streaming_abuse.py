@@ -119,3 +119,86 @@ class TestStreamingBurst:
             .loc[7, "max_burst"]
         )
         assert stream_max == batch_max
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving _detect directly."""
+
+    def __init__(self):
+        self.exists = False
+        self.hasTimedOut = False
+        self._value = None
+        self.removed = False
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = v
+        self.exists = True
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+    def remove(self):
+        self.removed = True
+        self.exists = False
+
+
+class TestBoundedState:
+    def test_100k_in_window_events_keep_state_bounded(self):
+        """An abuser firing 100k events inside one 5-minute window must
+        not grow state past the per-second bucket bound
+        (BURST_WINDOW_SEC + 1 entries) — raw-timestamp state would hold
+        all 100k."""
+        import numpy as np
+        import pandas as pd
+
+        from jitsu_spark.operators.events_ops import BURST_WINDOW_SEC
+        from jitsu_spark.streaming.abuse import _detect
+
+        state = _FakeState()
+        rng = np.random.default_rng(7)
+        total = 0
+        for _ in range(4):  # 4 micro-batches of 25k events, same window
+            secs = rng.integers(0, BURST_WINDOW_SEC, size=25_000)
+            pdf = pd.DataFrame(
+                {"ts": pd.to_datetime(1_700_000_000 + secs, unit="s")}
+            )
+            out = list(_detect((9,), iter([pdf]), state))
+            total += 25_000
+            secs_kept, counts_kept, best = state.get
+            assert len(secs_kept) <= BURST_WINDOW_SEC + 1
+            assert len(counts_kept) == len(secs_kept)
+            assert out[0]["flagged"].iloc[0]
+        # every event is inside one window -> running max is exact
+        assert best == total
+
+    def test_bucketed_sweep_matches_raw_two_pointer(self):
+        """Property-ish check: for whole-second event times, the
+        per-second prefix-sum sweep equals the raw two-pointer sweep the
+        operator previously ran (and the batch RANGE frame)."""
+        import numpy as np
+        import pandas as pd
+
+        from jitsu_spark.operators.events_ops import BURST_WINDOW_SEC
+        from jitsu_spark.streaming.abuse import _detect
+
+        rng = np.random.default_rng(3)
+        for trial in range(5):
+            secs = np.sort(
+                rng.integers(0, 4 * BURST_WINDOW_SEC, size=200)
+            )
+            # raw two-pointer over event list
+            best, lo = 0, 0
+            for i, t in enumerate(secs):
+                while secs[lo] < t - BURST_WINDOW_SEC:
+                    lo += 1
+                best = max(best, i - lo + 1)
+            state = _FakeState()
+            pdf = pd.DataFrame(
+                {"ts": pd.to_datetime(1_700_000_000 + secs, unit="s")}
+            )
+            out = list(_detect((1,), iter([pdf]), state))
+            assert int(out[0]["max_burst"].iloc[0]) == best
