@@ -173,6 +173,15 @@ def whitening_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("x"), 3).alias("mean_w"),
             F.round(F.var_pop("x"), 3).alias("var_w"),
         )
+        # self-certifying invariant (r8): the whitening post-condition —
+        # mean 0 and unit variance (<= 1 when the eps floor damped a
+        # near-null eigen-direction) — carried per row, so the rows-only
+        # check transports the pass/fail signal in-plan.
+        .withColumn(
+            "whitened_ok",
+            (F.abs(F.col("mean_w")) <= 0.001)
+            & (F.col("var_w") <= 1.001),
+        )
         .orderBy("dim")
     )
 
@@ -255,10 +264,10 @@ def pca_project_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ratios = spark.createDataFrame(
         [
-            (i, round(float(v) / total_var, 4))
+            (i, round(float(v) / total_var, 4), round(float(v), 3))
             for i, v in enumerate(evals)
         ],
-        "component int, explained_var_ratio double",
+        "component int, explained_var_ratio double, eigenvalue double",
     )
     stats = (
         proj.select(F.posexplode("embedding").alias("component", "x"))
@@ -270,8 +279,18 @@ def pca_project_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..plans.hints import maybe_broadcast
 
-    return stats.join(maybe_broadcast(ratios), "component").orderBy(
-        "component"
+    return (
+        stats.join(maybe_broadcast(ratios), "component")
+        # self-certifying invariant (r8): the PCA post-condition — each
+        # projected component's empirical variance equals its eigenvalue
+        # (and is centered) — computed in-plan at join time so the
+        # rows-only check transports the signal.
+        .withColumn(
+            "var_matches_eigenvalue",
+            (F.abs(F.col("var_p") - F.col("eigenvalue")) <= 0.002)
+            & (F.abs(F.col("mean_p")) <= 0.001),
+        )
+        .orderBy("component")
     )
 
 

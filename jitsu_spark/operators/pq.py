@@ -1012,17 +1012,25 @@ def pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()
     }
     n_true = max(len(exact), 1)
+    r_nprobe = round(len(exact & got_default) / n_true, 4)
+    r_full = round(len(exact & got_full) / n_true, 4)
+    # self-certifying invariant (r8): the recall contract the test suite
+    # pins (tests/test_pq.py) carried IN the row, so a rows-only check
+    # still transports the pass/fail signal — full-probe recall above the
+    # quantization floor, partial probe between its floor and full probe.
     row = (
         len({q for q, _ in exact}),
         TOP_K,
         NPROBE,
-        round(len(exact & got_default) / n_true, 4),
-        round(len(exact & got_full) / n_true, 4),
+        r_nprobe,
+        r_full,
+        bool(r_full >= 0.7 and 0.2 <= r_nprobe <= r_full),
     )
     return spark.createDataFrame(
         [row],
         "n_queries int, top_k int, nprobe int,"
-        " recall_at_nprobe double, recall_full_probe double",
+        " recall_at_nprobe double, recall_full_probe double,"
+        " recall_floor_ok boolean",
     )
 
 
@@ -1145,12 +1153,23 @@ def opq_train_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sum(axis=1)
         .mean()
     )
-    rows = [("pq_baseline", 0, round(base_err, 8))]
+    # self-certifying invariant (r8): the alternation's monotone trace —
+    # each OPQ iteration's mse not above the previous iteration's — as a
+    # per-row boolean, so the rows-only check transports the signal the
+    # test suite pins (iteration 1 has no predecessor: trivially true).
+    rows = [("pq_baseline", 0, round(base_err, 8), True)]
     rows += [
-        ("opq", i + 1, round(e, 8)) for i, e in enumerate(opq_errs)
+        (
+            "opq",
+            i + 1,
+            round(e, 8),
+            bool(i == 0 or e <= opq_errs[i - 1] + 1e-12),
+        )
+        for i, e in enumerate(opq_errs)
     ]
     return spark.createDataFrame(
-        rows, "stage string, iteration int, mse double"
+        rows, "stage string, iteration int, mse double,"
+        " mse_not_above_prev boolean"
     )
 
 
