@@ -102,3 +102,33 @@ class TestBucketedSessionize:
         plan = _plan(joined)
         assert "hashpartitioning(user_id" not in plan
         assert joined.count() > 0
+
+    def test_bucketed_incremental_profile_build_no_user_shuffle(
+        self, spark, bucketed_events
+    ):
+        """r7 review item 7: the INCREMENTAL profile tick (`since`
+        watermark + changed-user semi-join) fed the bucketed table also
+        plans with no user_id shuffle — the changed-user distinct and
+        the semi-join both read the write-time clustering (a broadcast
+        of the small changed-user list is allowed; a corpus
+        hashpartitioning exchange is not). Results match the scan path."""
+        from jitsu_spark.operators.profiles import build_profiles
+        from jitsu_spark.tables import load_table
+
+        since = "2024-01-10 00:00:00"
+        fast = build_profiles(
+            bucketed_events, since=since, assume_clustered=True
+        )
+        plan = _plan(fast)
+        assert "hashpartitioning(user_id" not in plan
+        assert "Exchange hashpartitioning" not in plan
+        got = sorted(map(tuple, fast.collect()))
+        want = sorted(
+            map(
+                tuple,
+                build_profiles(
+                    load_table(spark, SF_DIR, "events"), since=since
+                ).collect(),
+            )
+        )
+        assert got == want and len(got) > 0
