@@ -314,18 +314,42 @@ _BM25_TERM = (
 )
 
 
-def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _default_queries_df(spark: SparkSession) -> DataFrame:
+    """The registry's fixed 2-query set as a (query_id, text) frame —
+    the same shape callers pass for arbitrary query workloads."""
+    return spark.createDataFrame(
+        [(qid, " ".join(terms)) for qid, terms in BM25_QUERIES.items()],
+        "query_id int, text string",
+    )
+
+
+def _query_terms(queries: DataFrame) -> DataFrame:
+    """(query_id, tok): whitespace-split query terms."""
+    return queries.selectExpr(
+        "query_id", r"explode(split(text, '\\s+')) AS tok"
+    ).distinct()
+
+
+def _query_vocab(queries: DataFrame) -> list[str]:
+    """Distinct query terms, collected driver-side to parameterize the
+    pre-explode token filter. Bounded by the QUERY SET (a 10^3-query
+    workload is a few thousand strings — metadata-scale), never the
+    corpus; Spark compiles the >10-element IN to an InSet hash probe."""
+    rows = (
+        _query_terms(queries).select("tok").distinct().collect()
+    )
+    return sorted(r["tok"] for r in rows)
+
+
+def _bm25_scored(docs_tbl: DataFrame, queries: DataFrame) -> DataFrame:
     """(query_id, doc_id, score): BM25 score of every matching document
     against every query — the shared sparse-retrieval arm.
 
     One filtered explode builds the postings; df/N/avgdl fold in as
     broadcast dims (df is bounded by the query vocabulary BY
     CONSTRUCTION, so its broadcast is unconditional)."""
-    terms = sorted({t for q in BM25_QUERIES.values() for t in q})
-    lits = ", ".join(f"'{t}'" for t in terms)
-    docs = load_table(spark, sf_dir, "documents").selectExpr(
-        "doc_id", f"{TOKENS} AS toks"
-    )
+    lits = ", ".join(f"'{t}'" for t in _query_vocab(queries))
+    docs = docs_tbl.selectExpr("doc_id", f"{TOKENS} AS toks")
     tf = (
         docs.selectExpr(
             "doc_id",
@@ -340,12 +364,8 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg(F.size("toks")).alias("avgdl"),
     )
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    qd = spark.createDataFrame(
-        [(qid, t) for qid, q in BM25_QUERIES.items() for t in q],
-        "query_id int, tok string",
-    )
     return (
-        tf.join(F.broadcast(qd), "tok")
+        tf.join(F.broadcast(_query_terms(queries)), "tok")
         .join(F.broadcast(dfreq), "tok")
         .crossJoin(F.broadcast(stats))
         .selectExpr("query_id", "doc_id", f"{_BM25_TERM} AS s")
@@ -354,15 +374,27 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(query_id, doc_id, score, rank): BM25 top-10 documents per query.
+def bm25_topk_df(
+    docs_tbl: DataFrame, queries: DataFrame, k: int = BM25_TOPK
+) -> DataFrame:
+    """(query_id, doc_id, score, rank): BM25 top-k documents per query
+    for an ARBITRARY (query_id, text) workload — the parameterized
+    surface (r8); the registry entry is this over the fixed 2-query set.
     The exact rank runs only over the histogram-bounded candidate band
-    (`plans.topk.two_phase_topk`)."""
+    (`plans.topk.two_phase_topk`), the shape built for 10^3+-query
+    workloads (scale probe in BASELINE.md)."""
     from ..plans.topk import two_phase_topk
 
     return two_phase_topk(
-        _bm25_scored(spark, sf_dir), "query_id", "score", BM25_TOPK, "doc_id"
+        _bm25_scored(docs_tbl, queries), "query_id", "score", k, "doc_id"
     ).select("query_id", "doc_id", "score", "rank")
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: BM25 top-10 over the fixed query set."""
+    return bm25_topk_df(
+        load_table(spark, sf_dir, "documents"), _default_queries_df(spark)
+    )
 
 
 def _bm25_scored_ctes() -> str:
@@ -425,23 +457,18 @@ HYBRID_FUSED_K = 10
 RRF_K = 60
 
 
-def _dense_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dense_scored(docs_tbl: DataFrame, queries: DataFrame) -> DataFrame:
     """(query_id, doc_id, sim): hash-embedding cosine of every document
     sharing >= 1 hash bucket with the query text (no shared bucket =
     zero similarity = never retrievable, so absent rows are exact)."""
     from .text_embed import _bucket_sums
 
-    docs = load_table(spark, sf_dir, "documents")
-    dsums = _bucket_sums(docs)
+    dsums = _bucket_sums(docs_tbl)
     dnorm = dsums.groupBy("doc_id").agg(
         F.expr("sqrt(CAST(sum(v * v) AS DOUBLE))").alias("dn")
     )
-    qdf = spark.createDataFrame(
-        [(qid, " ".join(terms)) for qid, terms in BM25_QUERIES.items()],
-        "query_id int, text string",
-    )
     qsums = _bucket_sums(
-        qdf.selectExpr("query_id AS doc_id", "text")
+        queries.selectExpr("query_id AS doc_id", "text")
     ).selectExpr("doc_id AS query_id", "dim", "v AS qv")
     qnorm = qsums.groupBy("query_id").agg(
         F.expr("sqrt(CAST(sum(qv * qv) AS DOUBLE))").alias("qn")
@@ -459,14 +486,20 @@ def _dense_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(query_id, doc_id, sparse_rank, dense_rank, rrf, rank): top-10
-    fused results per query; a NULL arm rank means the document was
-    outside that arm's top-20."""
+def hybrid_search_rrf_df(
+    docs_tbl: DataFrame,
+    queries: DataFrame,
+    arm_k: int = HYBRID_ARM_K,
+    fused_k: int = HYBRID_FUSED_K,
+) -> DataFrame:
+    """(query_id, doc_id, sparse_rank, dense_rank, rrf, rank): top-k
+    fused results per query for an ARBITRARY (query_id, text) workload —
+    the parameterized surface (r8); a NULL arm rank means the document
+    was outside that arm's top-`arm_k`."""
     from ..plans.topk import two_phase_topk
 
     # The fusion's own two-phase rank walks its input lineage twice; the
-    # arm shortlists are <= ARM_K rows per query BY CONSTRUCTION (never
+    # arm shortlists are <= arm_k rows per query BY CONSTRUCTION (never
     # corpus-scale), so persisting them cuts each arm's corpus scan count
     # in half at trivial memory cost — the materialize-the-shortlist step
     # every production hybrid stack performs anyway.
@@ -474,19 +507,19 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sparse = persist_bounded(
         two_phase_topk(
-            _bm25_scored(spark, sf_dir),
+            _bm25_scored(docs_tbl, queries),
             "query_id",
             "score",
-            HYBRID_ARM_K,
+            arm_k,
             "doc_id",
         ).selectExpr("query_id", "doc_id", "rank AS sparse_rank")
     )
     dense = persist_bounded(
         two_phase_topk(
-            _dense_scored(spark, sf_dir),
+            _dense_scored(docs_tbl, queries),
             "query_id",
             "sim",
-            HYBRID_ARM_K,
+            arm_k,
             "doc_id",
         ).selectExpr("query_id", "doc_id", "rank AS dense_rank")
     )
@@ -499,8 +532,15 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" + coalesce(1.0D / ({RRF_K} + dense_rank), 0.0D) AS rrf",
     )
     return two_phase_topk(
-        fused, "query_id", "rrf", HYBRID_FUSED_K, "doc_id"
+        fused, "query_id", "rrf", fused_k, "doc_id"
     ).select("query_id", "doc_id", "sparse_rank", "dense_rank", "rrf", "rank")
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: hybrid top-10 over the fixed query set."""
+    return hybrid_search_rrf_df(
+        load_table(spark, sf_dir, "documents"), _default_queries_df(spark)
+    )
 
 
 def _hybrid_duck() -> str:

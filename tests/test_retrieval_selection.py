@@ -222,3 +222,60 @@ class TestHybridRrf:
         if len(only_dense):
             r = only_dense.iloc[0]
             assert abs(r.rrf - 1.0 / (60 + r.dense_rank)) < 1e-12
+
+
+class TestParameterizedQueries:
+    """r8: bm25_topk_df / hybrid_search_rrf_df accept an arbitrary
+    (query_id, text) workload — the registry's fixed set is just one
+    instance of the same plan."""
+
+    def test_bm25_custom_workload_matches_fixed_entry(self, spark, tmp_path):
+        from jitsu_spark.operators.text_ops import (
+            _default_queries_df,
+            bm25_topk,
+            bm25_topk_df,
+        )
+        from jitsu_spark.tables import load_table
+
+        rows = [(1, "spark window merge spark", "en")]
+        rows += [(2, "hash join order hash", "en")]
+        rows += [(i, "alpha beta gamma", "en") for i in range(3, 25)]
+        sf = _write_docs(spark, tmp_path, rows)
+        fixed = bm25_topk(spark, sf).toPandas()
+        param = bm25_topk_df(
+            load_table(spark, sf, "documents"), _default_queries_df(spark)
+        ).toPandas()
+        assert sorted(map(tuple, fixed.values.tolist())) == sorted(
+            map(tuple, param.values.tolist())
+        )
+
+    def test_many_query_workload(self, spark, tmp_path):
+        from jitsu_spark.operators.text_ops import (
+            bm25_topk_df,
+            hybrid_search_rrf_df,
+        )
+        from jitsu_spark.tables import load_table
+
+        vocab = [f"tok{i}" for i in range(40)]
+        rows = [
+            (d, " ".join(vocab[(d + j) % 40] for j in range(6)), "en")
+            for d in range(60)
+        ]
+        sf = _write_docs(spark, tmp_path, rows)
+        docs = load_table(spark, sf, "documents")
+        queries = spark.createDataFrame(
+            [(q, f"tok{q % 40} tok{(q + 1) % 40}") for q in range(50)],
+            "query_id int, text string",
+        )
+        out = bm25_topk_df(docs, queries, k=5).toPandas()
+        assert set(out.query_id) == set(range(50))
+        assert (out.groupby("query_id")["rank"].max() <= 5).all()
+        fused = hybrid_search_rrf_df(
+            docs, queries, arm_k=8, fused_k=3
+        ).toPandas()
+        assert set(fused.query_id) == set(range(50))
+        assert (fused.groupby("query_id")["rank"].max() <= 3).all()
+        # every fused doc carries at least one arm rank
+        assert (
+            fused.sparse_rank.notna() | fused.dense_rank.notna()
+        ).all()
