@@ -541,8 +541,11 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     if fp_dir is None:
         import tempfile
 
+        from ..plans.store_builds import timed_build
+
         fp_dir = tempfile.mkdtemp(prefix="simhash_fp_") + "/fp"
-        simhash(spark, sf_dir).write.mode("overwrite").parquet(fp_dir)
+        with timed_build("simhash_fp_store"):
+            simhash(spark, sf_dir).write.mode("overwrite").parquet(fp_dir)
         if key is not None:
             _SIMHASH_MEMO[key] = fp_dir
     return simhash_hamming_pairs(spark.read.parquet(fp_dir))
@@ -772,10 +775,13 @@ def ensure_cluster_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     if store is None:
         import tempfile
 
+        from ..plans.store_builds import timed_build
+
         store = tempfile.mkdtemp(prefix="clustermap_reg_") + "/map"
-        near_dup_clusters_live(spark, sf_dir).write.mode(
-            "overwrite"
-        ).parquet(store)
+        with timed_build("lsh_cluster_map"):
+            near_dup_clusters_live(spark, sf_dir).write.mode(
+                "overwrite"
+            ).parquet(store)
         if key is not None:
             _CLUSTER_MEMO[key] = store
     return load_cluster_map(spark, store)

@@ -844,8 +844,11 @@ def _ensure_store(spark: SparkSession, sf_dir: str) -> str:
     if store is None:
         import tempfile
 
+        from ..plans.store_builds import timed_build
+
         store = tempfile.mkdtemp(prefix="ivfpq_reg_") + "/store"
-        build_ivfpq_store(spark, sf_dir, store)
+        with timed_build("ivfpq_store"):
+            build_ivfpq_store(spark, sf_dir, store)
         if key is not None:
             _STORE_MEMO[key] = store
     return store

@@ -110,6 +110,27 @@ def stream_jsonl(
     return parse_and_route(lines, schema, required)
 
 
+def _jsonl_cache_root() -> str:
+    """Per-user cache root with restrictive permissions (r8 review
+    finding: a predictable world-writable /tmp path lets another local
+    user pre-create/poison it). Overridable via JITSU_JSONL_CACHE_DIR;
+    defaults under tempdir + uid so concurrent users never share."""
+    root = os.environ.get("JITSU_JSONL_CACHE_DIR")
+    if not root:
+        import tempfile
+
+        uid = os.getuid() if hasattr(os, "getuid") else "u"
+        root = os.path.join(
+            tempfile.gettempdir(), f"jitsu_jsonl_cache_{uid}"
+        )
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    try:
+        os.chmod(root, 0o700)
+    except OSError:
+        pass
+    return root
+
+
 def _jsonl_cache_dir(sf_dir: str) -> str:
     # keyed by path AND the parquet's size/mtime fingerprint (the
     # dedup-store memo convention): a regenerated dataset at the same
@@ -118,18 +139,24 @@ def _jsonl_cache_dir(sf_dir: str) -> str:
 
     key = _docs_dataset_key(sf_dir) or os.path.abspath(sf_dir)
     digest = hashlib.md5(repr(key).encode()).hexdigest()[:16]
-    return f"/tmp/jitsu_jsonl_cache/{digest}"
+    return os.path.join(_jsonl_cache_root(), digest)
 
 
 def export_documents_jsonl(spark: SparkSession, sf_dir: str) -> str:
     """Materialize `documents` as JSONL once per (process, sf_dir) — the
-    fixture side of the round-trip entry. Idempotent: skipped when the
-    export already exists."""
+    fixture side of the round-trip entry. Idempotent AND race-safe:
+    written to a process-unique temp dir then atomically renamed into
+    place, so a concurrent process either sees the complete export or
+    builds its own and loses the rename benignly."""
+    from ..plans.store_builds import timed_build
     from ..tables import load_table
 
     out = _jsonl_cache_dir(sf_dir)
     marker = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(marker):
+    if os.path.exists(marker):
+        return out
+    tmp = f"{out}.tmp.{os.getpid()}"
+    with timed_build("jsonl_export"):
         docs = load_table(spark, sf_dir, "documents")
         (
             docs.select(
@@ -138,8 +165,20 @@ def export_documents_jsonl(spark: SparkSession, sf_dir: str) -> str:
                 ).alias("value")
             )
             .write.mode("overwrite")
-            .text(out)
+            .text(tmp)
         )
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            import shutil
+
+            if os.path.exists(marker):
+                # a concurrent builder won the rename: serve theirs
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                # stale half-export from a crashed run: replace it
+                shutil.rmtree(out, ignore_errors=True)
+                os.rename(tmp, out)
     return out
 
 
