@@ -100,6 +100,12 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         if len(BUILDS) > n_builds:
             store_builds[name] = BUILDS[n_builds:]
+        # eager cache release between queries: scored-frame persists are
+        # intra-query (two walks of one frame); holding them across
+        # queries only pins block-manager memory (plans/topk.py)
+        from jitsu_spark.plans.topk import release_persisted
+
+        release_persisted()
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:

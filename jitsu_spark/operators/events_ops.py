@@ -636,7 +636,7 @@ def scd2_user_attribute(spark: SparkSession, sf_dir: str) -> DataFrame:
 SCD2_SQL = f"""
 WITH ev AS (
   SELECT user_id, {EVENTS_TS_US_SQL} AS ts, event_id,
-         CAST(json_extract(props, '$.k') AS INT) AS attr
+         TRY_CAST(json_extract_string(props, '$.k') AS INT) AS attr
   FROM events
 ), changes AS (
   SELECT user_id, ts, event_id, attr

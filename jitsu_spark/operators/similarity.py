@@ -752,8 +752,18 @@ def binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "bit_count(code_lo ^ q_lo) + bit_count(code_hi ^ q_hi) AS hamming",
     )
+    # persist_scored=False: this scored frame is N_QUERIES x corpus rows
+    # but its plan is a broadcast join + XOR/popcount projection — far
+    # cheaper to re-evaluate on the second walk than to pin corpus-scale
+    # cache in the block manager (r8 review finding).
     return two_phase_topk(
-        scored, "query_id", "hamming", TOP_K, "vec_id", descending=False
+        scored,
+        "query_id",
+        "hamming",
+        TOP_K,
+        "vec_id",
+        descending=False,
+        persist_scored=False,
     ).select(
         "query_id", F.col("vec_id").alias("neighbor_id"), "hamming", "rank"
     )

@@ -49,6 +49,20 @@ def persist_bounded(df: DataFrame) -> DataFrame:
     return df
 
 
+def release_persisted() -> None:
+    """Eagerly unpersist every tracked scored frame (r8 review finding:
+    the FIFO cap alone can pin up to 12 cached frames in a long-lived
+    session). Always SAFE to call once the consumer's action has
+    materialized — persist keeps lineage, so any straggler merely
+    recomputes. Long-lived hosts (bench loops, query services) should
+    call this between requests."""
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist(blocking=False)
+        except Exception:
+            pass
+
+
 def two_phase_topk(
     scored: DataFrame,
     group_col: str,
