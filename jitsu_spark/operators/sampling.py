@@ -430,11 +430,15 @@ TOKEN_BUDGET_SQL = _token_budget_duck()
 # arXiv:2302.03169), round 7. Select raw-corpus documents that look like
 # a target domain by importance weights over hashed n-gram features:
 #
-#   log w(x) = mean over x's grams of [ln p_target(bucket) - ln p_raw(bucket)]
+#   log w(x) = SUM over x's grams of [ln p_target(bucket) - ln p_raw(bucket)]
 #
 # with hashed unigram+bigram buckets, add-1 smoothing, and Gumbel-top-k
 # resampling (rank by log w + Gumbel noise ~ sampling without replacement
-# proportionally to w). Everything is derived deterministically: the
+# proportionally to w). The sum is the paper's importance weight (r8
+# review fix: an earlier revision keyed on the per-gram MEAN — a
+# length-normalized variant that is NOT arXiv:2302.03169's selection;
+# the mean is still emitted as the `avg_log_ratio` diagnostic, but the
+# resampling key is the paper's sum). Everything is derived deterministically: the
 # feature hash and the Gumbel uniform both come from md5, so the selected
 # set is reproducible run-to-run, engine-to-engine, and under
 # repartitioning — the same determinism contract as the rest of this
@@ -484,9 +488,12 @@ def _gumbel(col: str, conv_expr: str) -> str:
 
 
 def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, n_grams, log_ratio, gumbel_key, keep): DSIR importance
-    weights of every document against the `lang = 'en'` target slice,
-    with the Gumbel-resampled top-20% marked keep."""
+    """(doc_id, n_grams, sum_log_ratio, avg_log_ratio, gumbel_key,
+    keep): DSIR importance weights of every document against the
+    `lang = 'en'` target slice, with the Gumbel-resampled top-20%
+    marked keep. The resampling key is the paper's summed log ratio
+    (arXiv:2302.03169); `avg_log_ratio` is the length-normalized
+    diagnostic."""
     from .text_ops import TOKENS
 
     docs = load_table(spark, sf_dir, "documents").selectExpr(
@@ -522,13 +529,18 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         # broadcast (the corpus side never shuffles for the scoring join)
         grams.join(F.broadcast(lr), "b")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_grams"), F.avg("lr").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("lr").alias("w"),
+            F.avg("lr").alias("w_avg"),
+        )
         .selectExpr(
             "doc_id",
             "n_grams",
             # + 0.0 canonicalizes IEEE -0.0 (repr-visible to the driver's
             # full-precision hash) to 0.0 on both engines
-            "round(w, 4) + 0.0 AS log_ratio",
+            "round(w, 4) + 0.0 AS sum_log_ratio",
+            "round(w_avg, 4) + 0.0 AS avg_log_ratio",
             f"round(w + ({_gumbel('doc_id', conv20)}), 4) + 0.0 AS gumbel_key",
         )
     )
@@ -552,7 +564,8 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "doc_id",
             "n_grams",
-            "log_ratio",
+            "sum_log_ratio",
+            "avg_log_ratio",
             "gumbel_key",
             f"pr >= {DSIR_KEEP_PCT} AS keep",
         )
@@ -590,12 +603,13 @@ lr AS (
 ),
 scored AS (
   SELECT doc_id, count(*) AS n_grams,
-         round(avg(lr), 4) + 0.0 AS log_ratio,
-         round(avg(lr) + ({_gumbel('doc_id', conv20)}), 4) + 0.0 AS gumbel_key
+         round(sum(lr), 4) + 0.0 AS sum_log_ratio,
+         round(avg(lr), 4) + 0.0 AS avg_log_ratio,
+         round(sum(lr) + ({_gumbel('doc_id', conv20)}), 4) + 0.0 AS gumbel_key
   FROM grams JOIN lr USING (b)
   GROUP BY doc_id
 )
-SELECT doc_id, n_grams, log_ratio, gumbel_key,
+SELECT doc_id, n_grams, sum_log_ratio, avg_log_ratio, gumbel_key,
        percent_rank() OVER (ORDER BY gumbel_key) >= {DSIR_KEEP_PCT} AS keep
 FROM scored
 """

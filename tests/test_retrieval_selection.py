@@ -80,9 +80,12 @@ class TestDsir:
         out = (
             dsir_select(spark, sf)
             .toPandas()
-            .set_index("doc_id")["log_ratio"]
+            .set_index("doc_id")[["sum_log_ratio", "avg_log_ratio"]]
         )
-        assert out[100] > out[101]
+        # both the paper's summed weight and the normalized diagnostic
+        # must rank the target-vocabulary doc above the raw-only doc
+        assert out.loc[100, "sum_log_ratio"] > out.loc[101, "sum_log_ratio"]
+        assert out.loc[100, "avg_log_ratio"] > out.loc[101, "avg_log_ratio"]
 
     def test_keep_is_a_key_threshold(self, spark, tmp_path):
         from jitsu_spark.operators.sampling import dsir_select
