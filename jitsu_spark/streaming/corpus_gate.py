@@ -108,12 +108,17 @@ def process_gated_batch_durable(
       again and the MERGE is idempotent;
     - between the signature and fingerprint appends: the replayed docs
       match their own stored signatures and drop at the near gate — the
-      corpus already holds them, and every future exact OR near
-      duplicate is still rejected by the signature store (the
-      fingerprint rows stay absent for those docs; containment is
-      carried by the signatures, so composed-gate deployments must
-      thread the signature store on every ingest path sharing the
-      fingerprint store);
+      corpus already holds them. The replay BACKFILLS their exact
+      fingerprints (r8 review fix): a near-rejected doc whose OWN
+      doc_id already has signatures in the store can only be a doc a
+      prior attempt carried through the corpus MERGE and signature
+      append (the enforced write order), so its content is in the
+      corpus and its fingerprint belongs in the store. Without the
+      backfill, a later exact-only caller (no signature_store_dir)
+      sharing this fingerprint store would admit exact duplicates of
+      that content forever. (Assumes the stream's doc_ids are stable
+      across replays and never recycled for different content — the
+      same contract the signature store itself is keyed on.);
     - after both: replayed docs verdict 'dup_of_corpus' and drop.
     Either way no loss, no duplicates, and no window that forever
     admits later near-dups (the pre-r7 fingerprints-first order had
@@ -158,6 +163,26 @@ def process_gated_batch_durable(
         # silent permanent drop (r7 review finding)
         rejected = near_v.where(F.col("verdict") != "new").select("doc_id")
         keep = keep.join(maybe_broadcast(rejected), "doc_id", "left_anti")
+        if rejected.take(1):
+            # replay backfill (see docstring crash case 2): near-rejected
+            # docs whose OWN signatures are stored were fully MERGEd by a
+            # prior attempt; append their missing exact fingerprints.
+            # Join direction: the corpus-sized store streams, the tiny
+            # rejected set broadcasts.
+            replayed = (
+                store_sig.join(
+                    maybe_broadcast(rejected), "doc_id", "left_semi"
+                )
+                .select("doc_id")
+                .distinct()
+            )
+            backfill = verdicts.where(F.col("verdict") == "new").join(
+                maybe_broadcast(replayed), "doc_id", "left_semi"
+            )
+            if backfill.take(1):
+                append_fingerprints(
+                    spark, backfill, fingerprint_store_dir
+                )
     fresh = batch.join(keep, "doc_id").withColumn(
         "content_hash", F.col("text_hash")
     ).drop("text_hash")

@@ -310,3 +310,74 @@ class TestGateReviewRegressions:
         near = self._batch(spark, [(9, self.GOOD + " indeed")])
         process_gated_batch_durable(near, fp, sink, signature_store_dir=sig)
         assert {r.doc_id for r in sink.read("corpus").collect()} == {1}
+
+    def test_replay_backfills_fingerprints_for_exact_only_callers(
+        self, spark, tmp_path
+    ):
+        """r8 review fix: after the crash window (corpus MERGEd +
+        signatures appended, fingerprints absent), the replay must
+        BACKFILL the exact fingerprints — otherwise an exact-only
+        caller sharing the fingerprint store admits exact duplicates
+        of corpus content forever."""
+        from pyspark.sql import functions as F
+
+        from jitsu_spark.operators.dedup import (
+            NUM_HASHES,
+            append_signatures,
+            near_dup_verdicts_against_store,
+        )
+        from jitsu_spark.sinks import WarehouseSink
+        from jitsu_spark.streaming.corpus_gate import (
+            process_gated_batch_durable,
+        )
+
+        sink = WarehouseSink(spark, str(tmp_path / "wh"))
+        fp, sig = str(tmp_path / "fp"), str(tmp_path / "sig")
+        b = self._batch(spark, [(1, self.GOOD)])
+
+        # crash-window state (as in the test above)
+        sink.upsert(
+            b.withColumn("content_hash", F.md5("text")),
+            "corpus",
+            primary_key=["content_hash"],
+            timestamp_col="ingested_at",
+        )
+        empty_store = spark.range(0).selectExpr(
+            "id AS doc_id",
+            *[f"CAST(NULL AS LONG) AS h{j}" for j in range(NUM_HASHES)],
+        )
+        verdicts = near_dup_verdicts_against_store(
+            b.select("doc_id", "text"), empty_store
+        )
+        append_signatures(verdicts, b.select("doc_id", "text"), sig)
+
+        # replay through the composed gate: fingerprints get backfilled
+        process_gated_batch_durable(b, fp, sink, signature_store_dir=sig)
+        stored = spark.read.parquet(fp)
+        assert {r.canonical_id for r in stored.collect()} == {1}
+
+        # an EXACT duplicate via an exact-only gate (no signature store)
+        # sharing the fingerprint store is now rejected
+        dup = self._batch(spark, [(7, self.GOOD)])
+        process_gated_batch_durable(dup, fp, sink)
+        assert {r.doc_id for r in sink.read("corpus").collect()} == {1}
+
+    def test_genuinely_new_near_dup_is_not_backfilled(
+        self, spark, tmp_path
+    ):
+        """Control: a near-dup of OTHER stored content (its own doc_id
+        absent from the signature store) must NOT get a fingerprint —
+        its content is not in the corpus."""
+        from jitsu_spark.sinks import WarehouseSink
+        from jitsu_spark.streaming.corpus_gate import (
+            process_gated_batch_durable,
+        )
+
+        sink = WarehouseSink(spark, str(tmp_path / "wh"))
+        fp, sig = str(tmp_path / "fp"), str(tmp_path / "sig")
+        b1 = self._batch(spark, [(1, self.GOOD)])
+        process_gated_batch_durable(b1, fp, sink, signature_store_dir=sig)
+        near = self._batch(spark, [(5, self.GOOD + " indeed")])
+        process_gated_batch_durable(near, fp, sink, signature_store_dir=sig)
+        stored = spark.read.parquet(fp)
+        assert {r.canonical_id for r in stored.collect()} == {1}
