@@ -619,8 +619,77 @@ FROM sums, totals
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty curve (round 8) — the marginal-novelty diagnostic for
+# corpus ordering and acquisition: per document, the fraction of its
+# distinct shingles whose FIRST corpus occurrence (min doc_id) is that
+# document. A crawl whose late documents contribute near-zero novel
+# shingles has saturated; the curve is the quantitative "stop crawling
+# this source" signal next to `corpus_snapshot_diff`.
+#
+# Scale: one shingle explode feeds two aggregates — per-doc distinct
+# counts and per-shingle first-occurrence (both partial-agg friendly) —
+# and the novel counts come from GROUPING the first-occurrence table by
+# its winner doc (no shingle-keyed join back to the corpus). The final
+# doc-keyed join is corpus-row-sized on both sides.
+# ---------------------------------------------------------------------------
+
+
+def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_distinct_grams, n_novel, novel_frac): how much of each
+    document's shingle vocabulary is first-seen there. Documents too
+    short to form a shingle are absent (no gram set to measure), the
+    same convention as the other shingle ops."""
+    from .dedup import _shingle_rows
+
+    pairs = _shingle_rows(spark, sf_dir)
+    per_doc = pairs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_distinct_grams")
+    )
+    novel = (
+        pairs.groupBy("shingle")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy("first_doc")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    return per_doc.join(
+        novel, per_doc["doc_id"] == novel["first_doc"], "left"
+    ).selectExpr(
+        "doc_id",
+        "n_distinct_grams",
+        "coalesce(n_novel, 0L) AS n_novel",
+        "round(coalesce(n_novel, 0L) / n_distinct_grams, 6) AS novel_frac",
+    )
+
+
+def _novelty_duck() -> str:
+    from .dedup import _SHINGLE_ROWS_DUCK
+
+    return f"""
+WITH sh AS ({_SHINGLE_ROWS_DUCK}),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_distinct_grams FROM sh GROUP BY 1
+),
+novel AS (
+  SELECT first_doc, count(*) AS n_novel
+  FROM (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+  GROUP BY 1
+)
+SELECT doc_id, n_distinct_grams,
+       coalesce(n_novel, 0) AS n_novel,
+       round(coalesce(n_novel, 0) / n_distinct_grams, 6) AS novel_frac
+FROM per_doc LEFT JOIN novel ON doc_id = first_doc
+"""
+
+
+NGRAM_NOVELTY_SQL = _novelty_duck()
+
+
 QUERIES = {
     "boilerplate_shingle_stats": boilerplate_shingle_stats,
+    "ngram_novelty_curve": ngram_novelty_curve,
     "ngram_topk": ngram_topk,
     "duplicate_span_report": duplicate_span_report,
     "duplicate_span_dedup": duplicate_span_dedup,
@@ -631,6 +700,7 @@ QUERIES = {
 
 ORACLE = {
     "boilerplate_shingle_stats": BOILERPLATE_STATS_SQL,
+    "ngram_novelty_curve": NGRAM_NOVELTY_SQL,
     "ngram_topk": NGRAM_TOPK_SQL,
     "duplicate_span_report": DUP_SPAN_SQL,
     "duplicate_span_dedup": DUP_SPAN_DEDUP_SQL,

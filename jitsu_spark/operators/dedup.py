@@ -229,10 +229,13 @@ JOIN bands b ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.doc_id < b
 MAX_SHINGLE_DF_DEFAULT = 1 << 40
 
 
-def jaccard_pairs_from_shingles(
+def _pair_shingle_counts(
     sh: DataFrame, max_doc_frequency: int | None = None
 ) -> DataFrame:
-    """Inverted-index Jaccard core over (doc_id, shingle) rows.
+    """(doc_a, doc_b, shared, na, nb): inverted-index core over
+    (doc_id, shingle) rows — shared shingle count plus both docs'
+    cardinalities for every pair with >= 1 shared shingle. The Jaccard
+    and containment entries are projections of this one frame.
 
     The skew guard: shingles whose document frequency exceeds
     `max_doc_frequency` are dropped from the JOIN side only (the hot set is
@@ -285,8 +288,17 @@ def jaccard_pairs_from_shingles(
             F.max("b.n_shingles").alias("nb"),
         )
     )
+    return shared
+
+
+def jaccard_pairs_from_shingles(
+    sh: DataFrame, max_doc_frequency: int | None = None
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs >= JACCARD_THRESHOLD (see
+    `_pair_shingle_counts` for the join core and skew guard)."""
     return (
-        shared.withColumn(
+        _pair_shingle_counts(sh, max_doc_frequency)
+        .withColumn(
             "jaccard",
             F.round(
                 F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4
@@ -295,6 +307,64 @@ def jaccard_pairs_from_shingles(
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+# Containment (Broder 1997, "On the resemblance and containment of
+# documents"): c(A,B) = |A n B| / |A|. Jaccard misses doc-in-doc
+# duplication — a short article wrapped inside a long boilerplate page
+# shares ALL its shingles yet has low Jaccard because the union is
+# dominated by the wrapper. The containment gate keeps any pair where
+# either direction exceeds the threshold, surfacing subset/superset
+# duplicates the symmetric measures cannot.
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def containment_dup_pairs(
+    spark: SparkSession, sf_dir: str, max_doc_frequency: int | None = None
+) -> DataFrame:
+    """(doc_a, doc_b, shared, containment_a, containment_b, jaccard):
+    pairs where either doc's shingle set is >= CONTAINMENT_THRESHOLD
+    contained in the other. Same inverted-index core (and corpus-derived
+    DF skew guard) as `ngram_jaccard_dups`; only the projection and gate
+    differ, so the two entries share one shingle shuffle shape."""
+    if max_doc_frequency is None:
+        max_doc_frequency = _default_df_cap(sf_dir)
+    counts = _pair_shingle_counts(
+        _shingle_rows(spark, sf_dir), max_doc_frequency
+    )
+    return (
+        counts.selectExpr(
+            "doc_a",
+            "doc_b",
+            "shared",
+            "round(shared / na, 4) AS containment_a",
+            "round(shared / nb, 4) AS containment_b",
+            "round(shared / (na + nb - shared), 4) AS jaccard",
+        )
+        .where(
+            f"greatest(shared / na, shared / nb) >= {CONTAINMENT_THRESHOLD}"
+        )
+    )
+
+
+CONTAINMENT_PAIRS_SQL = f"""
+WITH sh AS ({_SHINGLE_ROWS_DUCK}),
+counts AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared,
+       round(shared / ca.n_shingles, 4) AS containment_a,
+       round(shared / cb.n_shingles, 4) AS containment_b,
+       round(shared / (ca.n_shingles + cb.n_shingles - shared), 4) AS jaccard
+FROM shared
+JOIN counts ca ON ca.doc_id = doc_a
+JOIN counts cb ON cb.doc_id = doc_b
+WHERE greatest(shared / ca.n_shingles, shared / cb.n_shingles)
+      >= {CONTAINMENT_THRESHOLD}
+"""
 
 
 # Corpus-derived default for the DF cap: below DF_CAP_MIN_DOCS the cap
@@ -1186,6 +1256,7 @@ QUERIES = {
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "ngram_jaccard_dups": ngram_jaccard_dups,
+    "containment_dup_pairs": containment_dup_pairs,
     "simhash": simhash,
     "simhash_near_dups": simhash_near_dups,
     "near_dup_gate_incremental": near_dup_gate_incremental,
@@ -1199,6 +1270,7 @@ ORACLE = {
     "minhash_signatures": MINHASH_SIG_SQL,
     "minhash_lsh_pairs": MINHASH_LSH_SQL,
     "ngram_jaccard_dups": NGRAM_JACCARD_SQL,
+    "containment_dup_pairs": CONTAINMENT_PAIRS_SQL,
     "simhash": SIMHASH_SQL,
     "simhash_near_dups": SIMHASH_NEAR_DUPS_SQL,
     "near_dup_gate_incremental": NEAR_DUP_GATE_SQL,

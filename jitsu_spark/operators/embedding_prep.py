@@ -370,12 +370,106 @@ FROM errs
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka-style truncation audit (round 8; Kusupati et al. 2022,
+# "Matryoshka Representation Learning"). Serving stacks truncate
+# embeddings to prefix dimensions for cheap first-stage retrieval; the
+# decision needs the ENERGY CURVE: the fraction of each vector's squared
+# norm its first d coordinates carry. cos(truncated, full) for a
+# zero-padded truncation is exactly sqrt(energy_frac), so the report also
+# answers "how much cosine fidelity does a d-dim prefix keep".
+#
+# Scale: one map-only scan (per-prefix sequential folds, codegen), a
+# 4-row-per-vector stack, and a prefix-count-sized aggregate — no
+# shuffle beyond the final tiny groupBy.
+# ---------------------------------------------------------------------------
+
+MRL_PREFIX_DIMS = (8, 16, 32, 64)
+
+
+def embedding_dim_truncation_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(dim_prefix, n_vectors, avg_energy_frac, min_energy_frac,
+    avg_cos): per prefix length, the mean/min energy fraction and the
+    mean cosine between the truncated and full vector. Zero-norm
+    vectors are excluded at the boundary (no defined direction), the
+    same convention as the cosine ops."""
+    from .similarity import DOT
+
+    def prefix_sq(d: int) -> str:
+        return DOT.format(
+            a=f"slice(embedding, 1, {d})", b=f"slice(embedding, 1, {d})"
+        )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    per = emb.selectExpr(
+        "vec_id",
+        f"{DOT.format(a='embedding', b='embedding')} AS full_e",
+        *[f"{prefix_sq(d)} AS e{d}" for d in MRL_PREFIX_DIMS],
+    ).where("full_e > 0")
+    stacked = per.selectExpr(
+        "full_e",
+        f"stack({len(MRL_PREFIX_DIMS)}, "
+        + ", ".join(f"{d}, e{d}" for d in MRL_PREFIX_DIMS)
+        + ") AS (dim_prefix, e)",
+    )
+    return (
+        stacked.groupBy("dim_prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg(F.expr("e / full_e")), 6).alias(
+                "avg_energy_frac"
+            ),
+            F.round(F.min(F.expr("e / full_e")), 6).alias(
+                "min_energy_frac"
+            ),
+            F.round(F.avg(F.expr("sqrt(e / full_e)")), 6).alias("avg_cos"),
+        )
+        .orderBy("dim_prefix")
+    )
+
+
+def _mrl_duck() -> str:
+    dot = "list_dot_product(({a})::DOUBLE[], ({b})::DOUBLE[])"
+    cases = " ".join(
+        f"WHEN {d} THEN {dot.format(a=f'embedding[1:{d}]', b=f'embedding[1:{d}]')}"
+        for d in MRL_PREFIX_DIMS
+    )
+    dims = ", ".join(str(d) for d in MRL_PREFIX_DIMS)
+    return f"""
+WITH per AS (
+  SELECT vec_id, embedding,
+         {dot.format(a="embedding", b="embedding")} AS full_e
+  FROM embeddings
+  WHERE {dot.format(a="embedding", b="embedding")} > 0
+), stacked AS (
+  SELECT full_e, u.d AS dim_prefix,
+         CASE u.d {cases} END AS e
+  FROM per, unnest([{dims}]) AS u(d)
+)
+SELECT dim_prefix, count(*) AS n_vectors,
+       round(avg(e / full_e), 6) AS avg_energy_frac,
+       round(min(e / full_e), 6) AS min_energy_frac,
+       round(avg(sqrt(e / full_e)), 6) AS avg_cos
+FROM stacked
+GROUP BY 1
+"""
+
+
+MRL_TRUNCATION_SQL = _mrl_duck()
+
+
 QUERIES: dict = {
     "whitening_report": whitening_report,
+    "embedding_dim_truncation_report": embedding_dim_truncation_report,
     "embedding_int8_quantize": embedding_int8_quantize,
     "pca_project_report": pca_project_report,
 }
 ORACLE: dict = {
     # whitening_report stays rows-only (eigendecomposition has no SQL form)
     "embedding_int8_quantize": INT8_QUANT_SQL,
+    "embedding_dim_truncation_report": MRL_TRUNCATION_SQL,
 }

@@ -648,8 +648,236 @@ GROUP BY channel
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (round 8) — the classic CDP audience operator:
+# recency / frequency / monetary quintiles per user, composed into named
+# segments (the reference's audience-sync destinations consume exactly
+# such user-trait segments; `libs/core-functions/src/functions/` CRM
+# mappings ship traits like these). Quintiles are percent-rank-based —
+# (count strictly better) / (n - 1), floor(pr*5)+1 capped at 5 — which is
+# tie-stable (equal metric => equal score) and engine-exact (same integer
+# division on both sides).
+#
+# Scale: one user aggregate; each metric's percent rank runs through a
+# VALUE-histogram (recency is span-bounded integer days, frequency is a
+# count, monetary is rounded to cents — all bounded value spaces, the
+# quality_percentile_gate pattern), never a corpus-wide row sort; scores
+# join back as broadcasts.
+# ---------------------------------------------------------------------------
+
+_RFM_SEGMENT_CASE = """CASE
+  WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+  WHEN r_score >= 4 AND f_score <= 2 THEN 'recent'
+  WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+  WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+  ELSE 'regular' END"""
+
+
+def _value_pct_rank(df: DataFrame, col: str, ascending: bool) -> DataFrame:
+    """(v, pr): percent_rank of each DISTINCT value of `col` — the
+    bounded value-histogram form (cumulative window over distinct
+    values, never over rows)."""
+    direction = "" if ascending else "DESC"
+    hist = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+    return hist.selectExpr(
+        f"{col} AS v",
+        f"coalesce(sum(cnt) OVER (ORDER BY {col} {direction}"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L)"
+        " AS cnt_better",
+        "sum(cnt) OVER () AS n_total",
+    ).selectExpr(
+        "v",
+        "CASE WHEN n_total = 1 THEN 0.0D"
+        " ELSE cnt_better / (n_total - 1) END AS pr",
+    )
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, recency_days, frequency, monetary, r_score, f_score,
+    m_score, segment): RFM quintile scores against the corpus's newest
+    event as the anchor, with the standard segment names."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.unix_micros("ts")).alias("anchor_us"))
+    base = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.unix_micros("ts")).alias("last_us"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("value"), 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .selectExpr(
+            "user_id",
+            "CAST((anchor_us - last_us) DIV 86400000000L AS INT)"
+            " AS recency_days",
+            "frequency",
+            "monetary",
+        )
+    )
+    score = "least(5, CAST(floor(pr * 5) AS INT) + 1)"
+    scored = base
+    for col, asc, name in (
+        ("recency_days", False, "r_score"),  # fewer days = better
+        ("frequency", True, "f_score"),
+        ("monetary", True, "m_score"),
+    ):
+        ranks = _value_pct_rank(base, col, asc)
+        scored = (
+            scored.join(
+                maybe_broadcast(ranks), scored[col] == ranks["v"]
+            )
+            .withColumn(name, F.expr(score))
+            .drop("v", "pr")
+        )
+    return scored.selectExpr(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        f"{_RFM_SEGMENT_CASE} AS segment",
+    )
+
+
+RFM_SQL = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(make_timestamp(epoch_ns(ts) // 1000)) AS us, value
+  FROM events
+), anchor AS (
+  SELECT max(us) AS anchor_us FROM ev
+), base AS (
+  SELECT user_id,
+         CAST((anchor_us - max(us)) // 86400000000 AS INT) AS recency_days,
+         count(*) AS frequency,
+         round(sum(value), 2) AS monetary
+  FROM ev CROSS JOIN anchor
+  GROUP BY user_id, anchor_us
+), scored AS (
+  SELECT user_id, recency_days, frequency, monetary,
+    least(5, CAST(floor(percent_rank() OVER (ORDER BY recency_days DESC) * 5) AS INT) + 1) AS r_score,
+    least(5, CAST(floor(percent_rank() OVER (ORDER BY frequency) * 5) AS INT) + 1) AS f_score,
+    least(5, CAST(floor(percent_rank() OVER (ORDER BY monetary) * 5) AS INT) + 1) AS m_score
+  FROM base
+)
+SELECT user_id, recency_days, frequency, monetary,
+       r_score, f_score, m_score,
+       {_RFM_SEGMENT_CASE} AS segment
+FROM scored
+"""
+
+
+# ---------------------------------------------------------------------------
+# Session entry-point stats (round 8) — bounce rate / depth / duration by
+# the session's FIRST event type: the landing-page report re-expressed on
+# this schema (no page URLs in the corpus; the entry event type plays the
+# landing role). Builds on the sessionize gap convention (30-min, strict
+# > test) so session boundaries match the registry's other session ops.
+# One user_id shuffle: the lag window, the session rollup and the first-
+# event pick all reuse it; the final entry-type aggregate is
+# cardinality-bounded by the event-type vocabulary.
+# ---------------------------------------------------------------------------
+
+
+def session_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(entry_event_type, n_sessions, bounce_rate, avg_events,
+    avg_duration_sec): per entry type, how many sessions start there,
+    how many end after one event (bounce), and how deep/long the rest
+    run."""
+    from pyspark.sql import Window
+    from .events_ops import SESSION_GAP_MIN
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_sec = SESSION_GAP_MIN * 60
+    sessions = ev.withColumn(
+        "new_session",
+        (
+            F.col("ts").cast("double")
+            - F.coalesce(F.lag("ts").over(w).cast("double"), F.lit(0.0))
+            > gap_sec
+        ).cast("int"),
+    ).withColumn("session_id", F.sum("new_session").over(w))
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.min(F.struct("ts", "event_id", "event_type"))[
+            "event_type"
+        ].alias("entry_event_type"),
+    )
+    return (
+        per_session.groupBy("entry_event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.round(
+                F.avg((F.col("n_events") == 1).cast("double")), 4
+            ).alias("bounce_rate"),
+            F.round(F.avg("n_events"), 4).alias("avg_events"),
+            F.round(
+                F.avg(
+                    F.col("session_end").cast("double")
+                    - F.col("session_start").cast("double")
+                ),
+                2,
+            ).alias("avg_duration_sec"),
+        )
+    )
+
+
+def _session_stats_duck() -> str:
+    from .events_ops import SESSION_GAP_MIN
+
+    return f"""
+WITH ev AS (
+  SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, event_id,
+         event_type
+  FROM events
+), flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch(ts) - coalesce(epoch(lag(ts) OVER w), 0.0)
+                   > {SESSION_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS new_session
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS session_id
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events,
+         min(ts) AS session_start, max(ts) AS session_end,
+         arg_min(event_type,
+                 printf('%020d', epoch_us(ts)) || printf('%012d', event_id))
+           AS entry_event_type
+  FROM numbered
+  GROUP BY 1, 2
+)
+SELECT entry_event_type,
+       count(*) AS n_sessions,
+       round(avg(CASE WHEN n_events = 1 THEN 1.0 ELSE 0.0 END), 4)
+         AS bounce_rate,
+       round(avg(n_events), 4) AS avg_events,
+       round(avg(epoch(session_end) - epoch(session_start)), 2)
+         AS avg_duration_sec
+FROM per_session
+GROUP BY 1
+"""
+
+
+SESSION_STATS_SQL = _session_stats_duck()
+
+
 QUERIES = {
     "retention_cohorts": retention_cohorts,
+    "rfm_segments": rfm_segments,
+    "session_stats_report": session_stats_report,
     "event_transitions": event_transitions,
     "event_transition_probs": event_transition_probs,
     "audience_overlap": audience_overlap,
@@ -661,6 +889,8 @@ QUERIES = {
 }
 ORACLE = {
     "retention_cohorts": RETENTION_SQL,
+    "rfm_segments": RFM_SQL,
+    "session_stats_report": SESSION_STATS_SQL,
     "event_transitions": TRANSITIONS_SQL,
     "event_transition_probs": TRANSITION_PROBS_SQL,
     "funnel_3step_windowed": FUNNEL_3STEP_SQL,

@@ -1,0 +1,171 @@
+"""Round-8 operators: RFM segmentation, session entry stats, shingle
+containment pairs, Matryoshka truncation audit, n-gram novelty curve."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+
+def _write_events(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    return str(tmp_path)
+
+
+def _write_docs(spark, tmp_path, rows):
+    spark.createDataFrame(
+        [(d, t, lang, "src", len(t)) for d, t, lang in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+class TestRfm:
+    def test_scores_and_segments(self, spark, tmp_path):
+        from jitsu_spark.operators.reports import rfm_segments
+
+        rows = []
+        eid = 0
+        # 10 users: user u has u+1 events of value 10, last event u days
+        # before the anchor (user 9 is the anchor's owner)
+        for u in range(10):
+            for k in range(u + 1):
+                rows.append(
+                    (
+                        eid,
+                        dt.datetime(2024, 3, 10 - (9 - u)) - dt.timedelta(hours=k),
+                        u,
+                        "click",
+                        10.0,
+                        "{}",
+                    )
+                )
+                eid += 1
+        sf = _write_events(spark, tmp_path, rows)
+        out = rfm_segments(spark, sf).toPandas().set_index("user_id")
+        assert len(out) == 10
+        for c in ("r_score", "f_score", "m_score"):
+            assert out[c].between(1, 5).all()
+        # user 9: most recent, most frequent, most monetary -> champion
+        assert out.loc[9, "r_score"] == 5
+        assert out.loc[9, "f_score"] == 5
+        assert out.loc[9, "segment"] == "champion"
+        # user 0: oldest, least frequent -> hibernating
+        assert out.loc[0, "r_score"] == 1
+        assert out.loc[0, "segment"] == "hibernating"
+        # monetary is frequency * 10 here, so m mirrors f
+        assert (out.m_score == out.f_score).all()
+
+    def test_tie_stability(self, spark, tmp_path):
+        """Equal metrics => equal scores (percent_rank is tie-stable)."""
+        from jitsu_spark.operators.reports import rfm_segments
+
+        ts = dt.datetime(2024, 3, 1)
+        rows = [(i, ts, i, "click", 5.0, "{}") for i in range(6)]
+        sf = _write_events(spark, tmp_path, rows)
+        out = rfm_segments(spark, sf).toPandas()
+        assert out.r_score.nunique() == 1
+        assert out.f_score.nunique() == 1
+        assert out.m_score.nunique() == 1
+
+
+class TestSessionStats:
+    def test_bounce_and_depth(self, spark, tmp_path):
+        from jitsu_spark.operators.reports import session_stats_report
+
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+        rows = [
+            # user 1: a 3-event session entered via 'view' (120 s long)
+            (0, t0, 1, "view", 0.0, "{}"),
+            (1, t0 + dt.timedelta(seconds=60), 1, "click", 0.0, "{}"),
+            (2, t0 + dt.timedelta(seconds=120), 1, "buy", 0.0, "{}"),
+            # user 1, second session (gap > 30 min): 1-event bounce via 'view'
+            (3, t0 + dt.timedelta(hours=2), 1, "view", 0.0, "{}"),
+            # user 2: 1-event bounce via 'click'
+            (4, t0, 2, "click", 0.0, "{}"),
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        out = (
+            session_stats_report(spark, sf)
+            .toPandas()
+            .set_index("entry_event_type")
+        )
+        assert out.loc["view", "n_sessions"] == 2
+        assert out.loc["view", "bounce_rate"] == pytest.approx(0.5)
+        assert out.loc["view", "avg_events"] == pytest.approx(2.0)
+        assert out.loc["view", "avg_duration_sec"] == pytest.approx(60.0)
+        assert out.loc["click", "n_sessions"] == 1
+        assert out.loc["click", "bounce_rate"] == pytest.approx(1.0)
+
+
+class TestContainment:
+    def test_subset_doc_caught_where_jaccard_misses(self, spark, tmp_path):
+        from jitsu_spark.operators.dedup import (
+            containment_dup_pairs,
+            ngram_jaccard_dups,
+        )
+
+        short = "alpha beta gamma delta epsilon zeta"
+        filler = " ".join(f"w{i}" for i in range(40))
+        rows = [
+            (1, short, "en"),
+            (2, short + " " + filler, "en"),  # short fully contained
+            (3, "other words entirely here now", "en"),
+        ]
+        sf = _write_docs(spark, tmp_path, rows)
+        pairs = containment_dup_pairs(spark, sf).toPandas()
+        got = {(r.doc_a, r.doc_b) for r in pairs.itertuples()}
+        assert (1, 2) in got
+        row = pairs.set_index(["doc_a", "doc_b"]).loc[(1, 2)]
+        assert row["containment_a"] == pytest.approx(1.0)
+        assert row["jaccard"] < 0.8  # symmetric measure misses it
+        jac = ngram_jaccard_dups(spark, sf).toPandas()
+        assert (1, 2) not in {(r.doc_a, r.doc_b) for r in jac.itertuples()}
+
+
+class TestMrlTruncation:
+    def test_energy_monotone_and_full_is_one(self, spark, sf_dir):
+        from jitsu_spark.operators.embedding_prep import (
+            MRL_PREFIX_DIMS,
+            embedding_dim_truncation_report,
+        )
+
+        out = (
+            embedding_dim_truncation_report(spark, sf_dir)
+            .toPandas()
+            .sort_values("dim_prefix")
+        )
+        assert list(out.dim_prefix) == list(MRL_PREFIX_DIMS)
+        # energy is non-decreasing in prefix length; full prefix = all of it
+        assert out.avg_energy_frac.is_monotonic_increasing
+        assert out.iloc[-1].avg_energy_frac == pytest.approx(1.0)
+        assert out.iloc[-1].avg_cos == pytest.approx(1.0)
+        assert (out.min_energy_frac <= out.avg_energy_frac).all()
+        # cos = sqrt(energy): avg_cos >= avg_energy for fracs in [0,1]
+        assert (out.avg_cos >= out.avg_energy_frac - 1e-9).all()
+
+
+class TestNovelty:
+    def test_first_doc_fully_novel_dup_fully_stale(self, spark, tmp_path):
+        from jitsu_spark.operators.corpus_stats import ngram_novelty_curve
+
+        a = "one two three four five six seven"
+        rows = [
+            (1, a, "en"),
+            (2, a, "en"),  # exact dup: zero novelty
+            (3, a + " eight nine ten", "en"),  # extends a: partial novelty
+        ]
+        sf = _write_docs(spark, tmp_path, rows)
+        out = (
+            ngram_novelty_curve(spark, sf).toPandas().set_index("doc_id")
+        )
+        assert out.loc[1, "novel_frac"] == pytest.approx(1.0)
+        assert out.loc[2, "novel_frac"] == pytest.approx(0.0)
+        assert 0.0 < out.loc[3, "novel_frac"] < 1.0
+        # novel counts sum to the corpus's distinct shingle count
+        assert out.n_novel.sum() == out.loc[1, "n_distinct_grams"] + 3
