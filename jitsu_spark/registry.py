@@ -81,50 +81,43 @@ for _m in _MODULES:
 # The driver samples the FIRST ~50 entries in insertion order for its
 # per-round correctness run (CORRECTNESS_r{N}.json). The prefix rotates
 # each round so every family periodically converts judge-verified rows
-# into driver-verified ones. Round-7 rotation (r6 review item 2): the
-# relational q-family last had driver rows in r4 — it leads; then every
-# surface round 7 touches (BPE canonicalization, quality-model
-# checkpoint fix, PQ zero-norm reporting, embedding-prep sort key,
-# gateway allowlist, multimodal video gate, the composed incremental-
-# corpus entry); then the events/funnel/sampling families last sampled
-# r1-r4. Names absent from the registry are ignored, so this list can't
-# break imports when operators are renamed.
+# into driver-verified ones. Round-8 rotation: the NEW r8 entries lead
+# (RFM / session stats / containment / MRL truncation / novelty), then
+# every surface round 8 touched (zipf top-V rank, DSIR sum key, SCD2
+# oracle cast, the invariant-carrying reports, the two-phase-topk
+# consumers whose persist policy changed, profile_build whose UDAF path
+# gained the isolation seam, jsonl roundtrip whose cache moved), then
+# the layout/destination/identity/geo/gateway families (last driver-
+# sampled r5-r7), then dedup/similarity/cluster staples. Names absent
+# from the registry are ignored, so this list can't break imports when
+# operators are renamed.
 _PRIORITY = [
-    "q1_pricing_summary",
-    # -- relational q-family: last driver-sampled r4 --
-    "q2_min_cost_supplier", "q3_top_revenue_orders", "q4_priority_count",
-    "q5_region_revenue", "q6_forecast_revenue", "q7_nation_volume",
-    "q8_market_share", "q9_product_profit", "q10_returned_items",
-    "q11_important_parts", "q12_late_priority_lines",
-    "q13_order_count_distribution", "q14_promo_share", "q15_top_supplier",
-    "q16_supplier_count_by_part", "q17_small_quantity_revenue",
-    "q18_large_orders", "q19_disjunctive_revenue", "q20_excess_suppliers",
-    "q21_waiting_suppliers", "q22_idle_customers",
-    # -- touched in r7 --
-    "bpe_trained_token_count", "bpe_token_count", "bpe_learn_merges",
-    "corpus_increment_pipeline", "simhash_near_dups", "bigram_lm_nll",
-    "near_dup_gate_incremental", "quality_funnel_report",
-    "quality_classifier_score",
-    "bm25_topk", "dsir_select", "event_path_topk", "attribution_multi_touch",
-    "retrieval_contamination", "jsonl_ingest_roundtrip",
-    "bpe_fertility_by_lang", "metrics_gap_fill",
-    "scd2_user_attribute", "length_outlier_mad",
-    "embedding_binary_quantize", "binary_hamming_topk",
-    "opq_train_report", "hybrid_search_rrf", "corpus_datacard",
-    "dau_wau_mau", "user_burst_detection", "zipf_fit_report",
-    "pq_recall_report", "whitening_report", "pca_project_report",
-    "sql_gateway_limit", "media_feature_extract", "profile_build",
-    "funnel_3step_windowed",
-    # -- events / funnel / sampling families: last sampled r1-r4 --
-    "sessionize", "metrics_rollup_minute", "active_users_daily",
-    "active_users_daily_approx", "asof_signup_attribution",
-    "funnel_signup_purchase", "retention_cohorts", "event_transitions",
-    "event_transition_probs", "audience_overlap", "event_value_percentiles",
-    "report_event_stat", "report_rollup_totals", "signup_no_purchase_except",
-    "events_log_tail", "props_json_extract", "metrics_anomaly",
-    "stratified_sample_documents", "train_test_split_documents",
-    "source_mix_resample", "temperature_resample", "sequence_pack_bins",
-    "leakage_safe_split", "corpus_prep_pipeline",
+    # -- new in r8 --
+    "rfm_segments", "session_stats_report", "containment_dup_pairs",
+    "embedding_dim_truncation_report", "ngram_novelty_curve",
+    # -- touched in r8 --
+    "zipf_fit_report", "dsir_select", "scd2_user_attribute",
+    "pq_recall_report", "opq_train_report", "whitening_report",
+    "pca_project_report", "bm25_topk", "hybrid_search_rrf",
+    "binary_hamming_topk", "profile_build", "jsonl_ingest_roundtrip",
+    "ngram_jaccard_dups", "user_burst_detection",
+    "near_dup_gate_incremental", "quality_classifier_score",
+    # -- layouts / destinations / identity / geo / gateway: r5-r7 rows --
+    "layout_single_table_typed", "layout_segment_fanout",
+    "layout_jitsu_legacy_typed", "ga4_mapping_typed",
+    "mixpanel_mapping_typed", "hubspot_mapping_typed",
+    "intercom_mapping_typed", "identity_stitch", "id_graph",
+    "ur_backfill_enrich", "geo_enrich_range_join", "ua_parse_bot_filter",
+    "sql_gateway_limit", "events_log_tail", "profile_traits_fold",
+    # -- dedup / similarity / clustering staples --
+    "dedup_exact", "minhash_signatures", "minhash_lsh_pairs",
+    "simhash", "simhash_near_dups", "near_dup_clusters",
+    "dedup_keep_list", "lsh_recall_report", "cosine_topk_bruteforce",
+    "ann_ivf_topk", "ann_ivfpq_topk", "embedding_cluster_assign",
+    "cluster_quality_report", "doc_feature_hash_embed",
+    "embedding_int8_quantize", "media_feature_extract",
+    # -- relational spot checks (full family driver-green r7) --
+    "q1_pricing_summary", "q9_product_profit", "q21_waiting_suppliers",
 ]
 
 QUERIES = {}
