@@ -1,0 +1,203 @@
+"""Retention sweeps + per-user erasure (round 8) — partition-pruned
+mutation jobs over the warehouse and the profile raw store.
+
+Reference context: retention in the reference is TTL'd storage — the
+profile builder's raw event collections are created with
+`expireAfterSeconds = profileWindowDays` (`services/profiles/src/
+builder.ts:120`, `libs/core-functions/src/functions/lib/mongodb.ts:
+89-110`), and anonymous-event stores carry the same per-collection TTL
+(`mongodb.ts:42-44`). A lake layout has no background TTL daemon, so
+retention is an explicit job — and because every store here is
+partitioned on exactly the keys these jobs filter by, both jobs are
+partition-pruned:
+
+- retention on a `_p_date`-partitioned table is METADATA-ONLY — expired
+  date directories are removed, nothing is scanned or rewritten;
+- erasing one user from the warehouse rewrites ONLY the date partitions
+  that actually hold that user's rows (found by one pushed-down scan);
+- erasing one user from the 240-way raw store rewrites ONLY the single
+  hash partition `pmod(hash(user_id), 240)` assigned at append time
+  (`operators/profiles.append_profiles_raw`) — 1/240 of the store, the
+  same instance-sharding arithmetic the reference uses to split builder
+  work (`profiles-functions.ts:87`).
+
+The erasure path is the data-plane half of a GDPR/CCPA delete request:
+callers compose `purge_user` over every table that carries the user and
+keep the returned audit rows as the compliance record.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from datetime import date, timedelta
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sinks import PARTITION_COL, WarehouseSink
+from .profiles import RAW_PARTITIONS
+
+PROFILE_WINDOW_DAYS = 365  # profiles-functions.ts profileWindowDays default
+
+
+def sweep_expired_date_partitions(
+    spark: SparkSession,
+    table_dir: str,
+    keep_days: int,
+    today: date,
+) -> list[str]:
+    """Drop `_p_date=<d>` partition directories older than
+    `today - keep_days`. Metadata-only (the lake twin of
+    expireAfterSeconds): directory deletes, no scan, no rewrite.
+    Returns the dropped partition dates (ISO strings)."""
+    cutoff = today - timedelta(days=keep_days)
+    dropped: list[str] = []
+    if not os.path.isdir(table_dir):
+        return dropped
+    prefix = f"{PARTITION_COL}="
+    for name in sorted(os.listdir(table_dir)):
+        if not name.startswith(prefix):
+            continue
+        try:
+            d = date.fromisoformat(name[len(prefix) :])
+        except ValueError:
+            continue  # non-date partition value: never TTL-swept
+        if d < cutoff:
+            shutil.rmtree(os.path.join(table_dir, name), ignore_errors=True)
+            dropped.append(d.isoformat())
+    if dropped:
+        spark.catalog.refreshByPath(table_dir)
+    return dropped
+
+
+def purge_user_from_table(
+    sink: WarehouseSink,
+    table: str,
+    user_id,
+    user_col: str = "user_id",
+) -> dict:
+    """Erase one user's rows from a date-partitioned warehouse table.
+
+    One pushed-down scan finds the date partitions holding the user;
+    only those are rewritten (dynamic partition overwrite — upsert's
+    mechanics), and a partition the rewrite empties is dropped rather
+    than left as a stale directory. Returns an audit dict:
+    {table, rows_deleted, partitions_rewritten}."""
+    spark = sink.spark
+    if not sink.exists(table):
+        return {"table": table, "rows_deleted": 0, "partitions_rewritten": 0}
+    full = sink.read(table)
+    hit = F.col(user_col) == F.lit(user_id)
+    touched = [
+        r[0]
+        for r in full.where(hit).select(PARTITION_COL).distinct().collect()
+    ]
+    if not touched:
+        return {"table": table, "rows_deleted": 0, "partitions_rewritten": 0}
+    sub = full.where(F.col(PARTITION_COL).isin(touched))
+    deleted = sub.where(hit).count()
+    # cache + materialize BEFORE the dynamic overwrite: `kept`'s lineage
+    # reads the very files the write replaces (the upsert pattern)
+    kept = sub.where(~hit).cache()
+    try:
+        kept_dates = {
+            r[0] for r in kept.select(PARTITION_COL).distinct().collect()
+        }
+        if kept_dates:
+            (
+                kept.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(PARTITION_COL)
+                .parquet(sink._path(table))
+            )
+    finally:
+        kept.unpersist()
+    for d in set(touched) - kept_dates:
+        shutil.rmtree(
+            os.path.join(sink._path(table), f"{PARTITION_COL}={d}"),
+            ignore_errors=True,
+        )
+    spark.catalog.refreshByPath(sink._path(table))
+    return {
+        "table": table,
+        "rows_deleted": deleted,
+        "partitions_rewritten": len(touched),
+    }
+
+
+def raw_partition_of(spark: SparkSession, user_id) -> int:
+    """The raw-store hash partition a user's events live in — the same
+    `pmod(hash(user_id), 240)` `append_profiles_raw` assigns (Spark's
+    Murmur3 via the engine itself, so the arithmetic can never drift
+    from the write path)."""
+    return (
+        spark.range(1)
+        .select(
+            F.pmod(
+                F.hash(F.lit(user_id).cast("long")), F.lit(RAW_PARTITIONS)
+            ).alias("p")
+        )
+        .first()["p"]
+    )
+
+
+def purge_user_from_raw(
+    spark: SparkSession, raw_dir: str, user_id
+) -> dict:
+    """Erase one user from the 240-way profile raw store: rewrite ONLY
+    the user's hash partition (1/240 of the store). Returns
+    {partition_id, rows_deleted}."""
+    pid = raw_partition_of(spark, user_id)
+    part_dir = os.path.join(raw_dir, f"_partition_id={pid}")
+    if not os.path.isdir(part_dir):
+        return {"partition_id": pid, "rows_deleted": 0}
+    sub = spark.read.parquet(part_dir)
+    hit = F.col("user_id") == F.lit(user_id)
+    deleted = sub.where(hit).count()
+    if not deleted:
+        return {"partition_id": pid, "rows_deleted": 0}
+    kept = sub.where(~hit).cache()
+    try:
+        n_kept = kept.count()  # materialize before overwriting the input
+        if n_kept:
+            kept.write.mode("overwrite").parquet(part_dir)
+        else:
+            shutil.rmtree(part_dir, ignore_errors=True)
+    finally:
+        kept.unpersist()
+    spark.catalog.refreshByPath(raw_dir)
+    return {"partition_id": pid, "rows_deleted": deleted}
+
+
+def purge_user(
+    spark: SparkSession,
+    sink: WarehouseSink,
+    tables: list[str],
+    user_id,
+    raw_dir: str | None = None,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Compose the erasure across every store that carries the user and
+    return the audit frame (the compliance record): one row per store
+    with rows_deleted and the pruning scope actually touched."""
+    rows = []
+    for t in tables:
+        a = purge_user_from_table(sink, t, user_id, user_col)
+        rows.append(
+            (
+                f"warehouse:{a['table']}",
+                a["rows_deleted"],
+                a["partitions_rewritten"],
+            )
+        )
+    if raw_dir is not None:
+        a = purge_user_from_raw(spark, raw_dir, user_id)
+        rows.append(("profiles_raw", a["rows_deleted"], 1))
+    return spark.createDataFrame(
+        rows, "store string, rows_deleted long, partitions_touched int"
+    )
+
+
+QUERIES: dict = {}  # mutation jobs: test-verified, not oracle queries
+ORACLE: dict = {}
