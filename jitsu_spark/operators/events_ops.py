@@ -782,8 +782,71 @@ FROM bursts GROUP BY user_id
 """
 
 
+
+
+# L7/L28 engagement histogram (round 8) — the growth-team staple next
+# to DAU/MAU: how many of the trailing 7 / 28 days (anchored at the
+# corpus's newest day, both endpoints inclusive) each user was active,
+# binned into a (window_days, days_active, n_users) histogram. The
+# "smile curve" shape of the L28 histogram is the standard habit-vs-
+# churn diagnostic. Same scale contract as dau_wau_mau: the corpus
+# reduces ONCE to distinct (user, day) pairs; everything after is
+# user-count-sized, and the histogram is value-bounded (<= 28 rows per
+# window).
+ENGAGEMENT_WINDOWS = (7, 28)
+
+
+def engagement_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(window_days, days_active, n_users): per trailing window, the
+    user count at each activity level. Users with zero active days in a
+    window have no row (unknowable population), matching the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    anchor = ud.agg(F.max("day").alias("anchor"))
+    based = ud.crossJoin(F.broadcast(anchor))
+    parts = []
+    for w in ENGAGEMENT_WINDOWS:
+        parts.append(
+            based.where(F.expr(f"day > anchor - INTERVAL {w} DAYS"))
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("days_active"))
+            .groupBy("days_active")
+            .agg(F.count(F.lit(1)).alias("n_users"))
+            .selectExpr(
+                f"{w} AS window_days", "days_active", "n_users"
+            )
+        )
+    out = parts[0]
+    for px in parts[1:]:
+        out = out.unionByName(px)
+    return out
+
+
+_ENGAGEMENT_ARMS = " UNION ALL ".join(
+    f"SELECT {w} AS window_days, user_id, count(*) AS days_active"
+    " FROM ud CROSS JOIN anchor"
+    f" WHERE day > anchor - INTERVAL {w} DAY"
+    " GROUP BY 1, 2"
+    for w in ENGAGEMENT_WINDOWS
+)
+
+ENGAGEMENT_HIST_SQL = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), anchor AS (
+  SELECT max(day) AS anchor FROM ud
+), counted AS (
+  {_ENGAGEMENT_ARMS}
+)
+SELECT window_days, days_active, count(*) AS n_users
+FROM counted
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "event_type_filter": event_type_filter,
+    "engagement_histogram": engagement_histogram,
     "metrics_rollup_minute": metrics_rollup_minute,
     "active_users_daily": active_users_daily,
     "active_users_daily_approx": active_users_daily_approx,
@@ -816,6 +879,7 @@ ORACLE = {
     "props_json_extract": PROPS_JSON_EXTRACT_SQL,
     "profile_traits_fold": PROFILE_TRAITS_FOLD_SQL,
     "sessionize": SESSIONIZE_SQL,
+    "engagement_histogram": ENGAGEMENT_HIST_SQL,
     "funnel_signup_purchase": FUNNEL_SQL,
     "ur_backfill_enrich": UR_BACKFILL_SQL,
     "metrics_gap_fill": METRICS_GAP_FILL_SQL,

@@ -169,3 +169,29 @@ class TestNovelty:
         assert 0.0 < out.loc[3, "novel_frac"] < 1.0
         # novel counts sum to the corpus's distinct shingle count
         assert out.n_novel.sum() == out.loc[1, "n_distinct_grams"] + 3
+
+
+class TestEngagement:
+    def test_l7_l28_histogram(self, spark, tmp_path):
+        from jitsu_spark.operators.events_ops import engagement_histogram
+
+        rows = []
+        eid = 0
+        # user 1 active every day of the trailing 28; user 2 only on the
+        # anchor day; user 3 only 40 days ago (outside both windows)
+        anchor = dt.datetime(2024, 3, 1)
+        for d in range(28):
+            rows.append((eid, anchor - dt.timedelta(days=d), 1, "c", 0.0, "{}"))
+            eid += 1
+        rows.append((eid, anchor, 2, "c", 0.0, "{}")); eid += 1
+        rows.append((eid, anchor - dt.timedelta(days=40), 3, "c", 0.0, "{}"))
+        sf = _write_events(spark, tmp_path, rows)
+        out = engagement_histogram(spark, sf).toPandas()
+        l7 = out[out.window_days == 7].set_index("days_active")["n_users"]
+        l28 = out[out.window_days == 28].set_index("days_active")["n_users"]
+        assert l7.loc[7] == 1 and l7.loc[1] == 1  # user1 full, user2 one day
+        assert l28.loc[28] == 1 and l28.loc[1] == 1
+        assert 3 not in set(
+            out.days_active[out.n_users > 2]
+        )  # user 3 contributes nowhere
+        assert out.n_users.sum() == 4  # 2 users x 2 windows
