@@ -178,7 +178,17 @@ def build_profiles(
             .distinct()
         )
         events = events.join(changed, "user_id", "left_semi")
-    if untrusted and profile_fn is not default_profile_fn:
+    if untrusted and profile_fn is default_profile_fn:
+        # the built-in is trusted by definition — run the vectorized fast
+        # path, but keep the untrusted-schema contract (callers branching
+        # on `untrusted` always see the `_error` column)
+        pruned = events.select("user_id", "ts", "event_id", "event_type")
+        if not assume_clustered:
+            pruned = pruned.repartition("user_id")
+        return pruned.mapInPandas(
+            _default_profiles_partition, schema
+        ).withColumn("_error", F.lit(None).cast("string"))
+    if untrusted:
         import uuid
 
         from ..plans.isolate import (

@@ -700,7 +700,15 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     event as the anchor, with the standard segment names."""
     ev = load_table(spark, sf_dir, "events")
     anchor = ev.agg(F.max(F.unix_micros("ts")).alias("anchor_us"))
-    base = (
+    # persist: the three rank histograms AND the score join-backs all
+    # consume `base`, and the monetary key is a rounded double SUM —
+    # evaluating the aggregation once guarantees the join-back keys are
+    # the identical doubles the histograms ranked (re-evaluation could,
+    # in principle, reassociate the float sum). Released by the shared
+    # bounded-cache lifecycle (plans/topk.py).
+    from ..plans.topk import persist_bounded
+
+    base = persist_bounded(
         ev.groupBy("user_id")
         .agg(
             F.max(F.unix_micros("ts")).alias("last_us"),

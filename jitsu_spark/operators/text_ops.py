@@ -334,11 +334,13 @@ def _query_vocab(queries: DataFrame) -> list[str]:
     """Distinct query terms, collected driver-side to parameterize the
     pre-explode token filter. Bounded by the QUERY SET (a 10^3-query
     workload is a few thousand strings — metadata-scale), never the
-    corpus; Spark compiles the >10-element IN to an InSet hash probe."""
+    corpus; Spark compiles the >10-element IN to an InSet hash probe.
+    Terms are SQL-escaped before literal interpolation — queries_df is
+    caller data, not trusted expression text (r8 review finding)."""
     rows = (
         _query_terms(queries).select("tok").distinct().collect()
     )
-    return sorted(r["tok"] for r in rows)
+    return sorted(r["tok"].replace("\\", "\\\\").replace("'", "\\'") for r in rows)
 
 
 def _bm25_scored(docs_tbl: DataFrame, queries: DataFrame) -> DataFrame:
