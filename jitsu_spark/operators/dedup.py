@@ -1251,8 +1251,146 @@ def dedup_incremental(
     return verdicts
 
 
+
+
+# ---------------------------------------------------------------------------
+# Dedup cascade report (round 8) — the dedup twin of
+# quality_filters.quality_funnel_report: the three dedup stages a corpus
+# release actually runs (exact -> containment -> near-dup), composed in
+# ONE entry so the attrition at each stage is a single auditable table
+# (docs and token mass surviving each gate). Stage rules are the
+# registry entries' own: exact keeps the min-doc_id canonical
+# (`dedup_exact`); containment drops the CONTAINED doc — the one whose
+# own shingle set is >= CONTAINMENT_THRESHOLD inside the other (it adds
+# no new content; the superset carries it all), with min-id-wins when
+# the containment is mutual — applied on exact survivors; near-dup
+# keeps `dedup_keep_list`'s is_kept
+# (full-corpus LSH cluster canonicals — documented composition: a
+# cluster whose canonical fell at an earlier stage loses its members
+# too, exactly what a release pipeline wants).
+# ---------------------------------------------------------------------------
+
+
+def dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(stage, stage_order, n_docs, n_tokens, doc_pct, token_pct):
+    corpus mass surviving each dedup stage, percentages against the raw
+    corpus."""
+    from ..plans.hints import maybe_broadcast
+
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"size({TOKENS}) AS n_toks"
+    )
+    exact_kept = dedup_exact(spark, sf_dir).where(
+        ~F.col("is_duplicate")
+    ).select("doc_id")
+    pairs = containment_dup_pairs(spark, sf_dir)
+    t = CONTAINMENT_THRESHOLD
+    cont_dropped = (
+        pairs.selectExpr(
+            # drop the CONTAINED side; mutual containment -> min id wins
+            f"CASE WHEN containment_a >= {t} AND containment_b >= {t}"
+            "      THEN doc_b"
+            f"     WHEN containment_a >= {t} THEN doc_a"
+            "      ELSE doc_b END AS doc_id"
+        )
+        .distinct()
+    )
+    cont_kept = exact_kept.join(
+        maybe_broadcast(cont_dropped), "doc_id", "left_anti"
+    )
+    near_kept = cont_kept.join(
+        maybe_broadcast(
+            dedup_keep_list(spark, sf_dir).where("is_kept").select("doc_id")
+        ),
+        "doc_id",
+        "left_semi",
+    )
+    stages = [
+        ("raw", 0, docs.select("doc_id")),
+        ("exact", 1, exact_kept),
+        ("containment", 2, cont_kept),
+        ("near_dup", 3, near_kept),
+    ]
+    parts = []
+    for name, order, kept in stages:
+        parts.append(
+            docs.join(maybe_broadcast(kept), "doc_id", "left_semi").agg(
+                F.lit(name).alias("stage"),
+                F.lit(order).alias("stage_order"),
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_toks").alias("n_tokens"),
+            )
+        )
+    out = parts[0]
+    for px in parts[1:]:
+        out = out.unionByName(px)
+    totals = docs.agg(
+        F.count(F.lit(1)).alias("t_docs"), F.sum("n_toks").alias("t_toks")
+    )
+    return (
+        out.crossJoin(F.broadcast(totals))
+        .selectExpr(
+            "stage",
+            "stage_order",
+            "n_docs",
+            "n_tokens",
+            "round(n_docs / t_docs, 4) AS doc_pct",
+            "round(n_tokens / t_toks, 4) AS token_pct",
+        )
+        .orderBy("stage_order")
+    )
+
+
+DEDUP_CASCADE_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, len({TOKENS_DUCK}) AS n_toks FROM documents
+),
+exact AS ({DEDUP_EXACT_SQL}),
+exact_kept AS (SELECT doc_id FROM exact WHERE NOT is_duplicate),
+cont AS ({{containment}}),
+cont_dropped AS (
+  SELECT DISTINCT
+    CASE WHEN containment_a >= {CONTAINMENT_THRESHOLD}
+              AND containment_b >= {CONTAINMENT_THRESHOLD} THEN doc_b
+         WHEN containment_a >= {CONTAINMENT_THRESHOLD} THEN doc_a
+         ELSE doc_b END AS doc_id
+  FROM cont
+),
+cont_kept AS (
+  SELECT doc_id FROM exact_kept
+  WHERE doc_id NOT IN (SELECT doc_id FROM cont_dropped)
+),
+keeplist AS ({{keeplist}}),
+near_kept AS (
+  SELECT doc_id FROM cont_kept
+  WHERE doc_id IN (SELECT doc_id FROM keeplist WHERE is_kept)
+),
+stages AS (
+  SELECT 'raw' AS stage, 0 AS stage_order, count(*) AS n_docs,
+         sum(n_toks) AS n_tokens FROM docs
+  UNION ALL
+  SELECT 'exact', 1, count(*), sum(n_toks)
+  FROM docs WHERE doc_id IN (SELECT doc_id FROM exact_kept)
+  UNION ALL
+  SELECT 'containment', 2, count(*), sum(n_toks)
+  FROM docs WHERE doc_id IN (SELECT doc_id FROM cont_kept)
+  UNION ALL
+  SELECT 'near_dup', 3, count(*), sum(n_toks)
+  FROM docs WHERE doc_id IN (SELECT doc_id FROM near_kept)
+),
+totals AS (SELECT count(*) AS t_docs, sum(n_toks) AS t_toks FROM docs)
+SELECT stage, stage_order,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(n_docs / t_docs, 4) AS doc_pct,
+       round(n_tokens / t_toks, 4) AS token_pct
+FROM stages CROSS JOIN totals
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_cascade_report": dedup_cascade_report,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "ngram_jaccard_dups": ngram_jaccard_dups,
@@ -1277,4 +1415,7 @@ ORACLE = {
     "near_dup_clusters": NEAR_DUP_CLUSTERS_SQL,
     "lsh_recall_report": LSH_RECALL_SQL,
     "dedup_keep_list": DEDUP_KEEP_LIST_SQL,
+    "dedup_cascade_report": DEDUP_CASCADE_SQL.format(
+        containment=CONTAINMENT_PAIRS_SQL, keeplist=DEDUP_KEEP_LIST_SQL
+    ),
 }

@@ -95,7 +95,7 @@ _PRIORITY = [
     # -- new in r8 --
     "rfm_segments", "session_stats_report", "containment_dup_pairs",
     "embedding_dim_truncation_report", "ngram_novelty_curve",
-    "engagement_histogram",
+    "engagement_histogram", "dedup_cascade_report",
     # -- touched in r8 --
     "zipf_fit_report", "dsir_select", "scd2_user_attribute",
     "pq_recall_report", "opq_train_report", "whitening_report",

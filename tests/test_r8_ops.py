@@ -195,3 +195,32 @@ class TestEngagement:
             out.days_active[out.n_users > 2]
         )  # user 3 contributes nowhere
         assert out.n_users.sum() == 4  # 2 users x 2 windows
+
+
+class TestDedupCascade:
+    def test_monotone_attrition_and_stage_rules(self, spark, tmp_path):
+        from jitsu_spark.operators.dedup import dedup_cascade_report
+
+        short = "alpha beta gamma delta epsilon zeta"
+        filler = " ".join(f"w{i}" for i in range(40))
+        rows = [
+            (1, short, "en"),                     # survives everything
+            (2, short, "en"),                     # exact dup of 1
+            (3, short + " " + filler, "en"),      # superset of 1
+            (4, "totally different text here with words", "en"),
+        ]
+        sf = _write_docs(spark, tmp_path, rows)
+        out = (
+            dedup_cascade_report(spark, sf)
+            .toPandas()
+            .sort_values("stage_order")
+            .set_index("stage")
+        )
+        assert list(out.index) == ["raw", "exact", "containment", "near_dup"]
+        assert out.loc["raw", "n_docs"] == 4
+        assert out.loc["exact", "n_docs"] == 3          # doc 2 dropped
+        # the CONTAINED doc 1 drops (its content lives inside doc 3)
+        assert out.loc["containment", "n_docs"] == 2
+        assert out.n_docs.is_monotonic_decreasing
+        assert out.n_tokens.is_monotonic_decreasing
+        assert out.loc["raw", "doc_pct"] == 1.0
