@@ -1276,27 +1276,45 @@ def dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus mass surviving each dedup stage, percentages against the raw
     corpus."""
     from ..plans.hints import maybe_broadcast
+    from ..plans.topk import persist_bounded
 
-    docs = load_table(spark, sf_dir, "documents").selectExpr(
-        "doc_id", f"size({TOKENS}) AS n_toks"
+    # docs and the stage keep-sets each feed SEVERAL per-stage
+    # aggregates below — persist them (bounded: skinny id/count frames)
+    # so the expensive subplans (exact hash groupBy, the containment
+    # pair join, the LSH keep list) evaluate once, not once per stage.
+    docs = persist_bounded(
+        load_table(spark, sf_dir, "documents").selectExpr(
+            "doc_id", f"size({TOKENS}) AS n_toks"
+        )
     )
-    exact_kept = dedup_exact(spark, sf_dir).where(
-        ~F.col("is_duplicate")
-    ).select("doc_id")
-    pairs = containment_dup_pairs(spark, sf_dir)
+    exact_kept = persist_bounded(
+        dedup_exact(spark, sf_dir)
+        .where(~F.col("is_duplicate"))
+        .select("doc_id")
+    )
+    # The drop decision uses the RAW ratios from the shared pair core —
+    # the entry's rounded (4 dp) containment columns can cross the
+    # threshold purely by rounding and flip which side drops (r8 review
+    # finding #4: round(0.79996) = 0.8 fakes a mutual containment).
+    counts = _pair_shingle_counts(
+        _shingle_rows(spark, sf_dir), _default_df_cap(sf_dir)
+    )
     t = CONTAINMENT_THRESHOLD
     cont_dropped = (
-        pairs.selectExpr(
+        counts.selectExpr(
+            "doc_a", "doc_b", "shared / na AS ca", "shared / nb AS cb"
+        )
+        .where(f"greatest(ca, cb) >= {t}")
+        .selectExpr(
             # drop the CONTAINED side; mutual containment -> min id wins
-            f"CASE WHEN containment_a >= {t} AND containment_b >= {t}"
-            "      THEN doc_b"
-            f"     WHEN containment_a >= {t} THEN doc_a"
+            f"CASE WHEN ca >= {t} AND cb >= {t} THEN doc_b"
+            f"     WHEN ca >= {t} THEN doc_a"
             "      ELSE doc_b END AS doc_id"
         )
         .distinct()
     )
-    cont_kept = exact_kept.join(
-        maybe_broadcast(cont_dropped), "doc_id", "left_anti"
+    cont_kept = persist_bounded(
+        exact_kept.join(maybe_broadcast(cont_dropped), "doc_id", "left_anti")
     )
     near_kept = cont_kept.join(
         maybe_broadcast(
@@ -1347,14 +1365,28 @@ WITH docs AS (
 ),
 exact AS ({DEDUP_EXACT_SQL}),
 exact_kept AS (SELECT doc_id FROM exact WHERE NOT is_duplicate),
-cont AS ({{containment}}),
+sh AS ({_SHINGLE_ROWS_DUCK}),
+shcounts AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+cont AS (
+  SELECT doc_a, doc_b,
+         shared / ca.n_shingles AS ca, shared / cb.n_shingles AS cb
+  FROM shared
+  JOIN shcounts ca ON ca.doc_id = doc_a
+  JOIN shcounts cb ON cb.doc_id = doc_b
+),
 cont_dropped AS (
   SELECT DISTINCT
-    CASE WHEN containment_a >= {CONTAINMENT_THRESHOLD}
-              AND containment_b >= {CONTAINMENT_THRESHOLD} THEN doc_b
-         WHEN containment_a >= {CONTAINMENT_THRESHOLD} THEN doc_a
+    CASE WHEN ca >= {CONTAINMENT_THRESHOLD}
+              AND cb >= {CONTAINMENT_THRESHOLD} THEN doc_b
+         WHEN ca >= {CONTAINMENT_THRESHOLD} THEN doc_a
          ELSE doc_b END AS doc_id
   FROM cont
+  WHERE greatest(ca, cb) >= {CONTAINMENT_THRESHOLD}
 ),
 cont_kept AS (
   SELECT doc_id FROM exact_kept
@@ -1416,6 +1448,6 @@ ORACLE = {
     "lsh_recall_report": LSH_RECALL_SQL,
     "dedup_keep_list": DEDUP_KEEP_LIST_SQL,
     "dedup_cascade_report": DEDUP_CASCADE_SQL.format(
-        containment=CONTAINMENT_PAIRS_SQL, keeplist=DEDUP_KEEP_LIST_SQL
+        keeplist=DEDUP_KEEP_LIST_SQL
     ),
 }

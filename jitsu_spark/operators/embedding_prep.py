@@ -174,13 +174,18 @@ def whitening_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.var_pop("x"), 3).alias("var_w"),
         )
         # self-certifying invariant (r8): the whitening post-condition —
-        # mean 0 and unit variance (<= 1 when the eps floor damped a
-        # near-null eigen-direction) — carried per row, so the rows-only
-        # check transports the pass/fail signal in-plan.
+        # mean 0 and UNIT variance — carried per row, so the rows-only
+        # check transports the pass/fail signal in-plan. Two-sided: an
+        # upper bound alone would certify a transform that deflates
+        # variance everywhere (r8 review finding #8). The lower bound is
+        # 0.9, not 1-eps: the eps floor only depresses variance on
+        # near-null eigen-directions, and a direction damped below 0.9
+        # means the data genuinely has a degenerate axis — worth a red
+        # row in that dimension's report either way.
         .withColumn(
             "whitened_ok",
             (F.abs(F.col("mean_w")) <= 0.001)
-            & (F.col("var_w") <= 1.001),
+            & F.col("var_w").between(0.9, 1.001),
         )
         .orderBy("dim")
     )

@@ -122,21 +122,57 @@ def _default_profiles_partition(batches):
 # one task at a time, so at most one live child per worker, reused across
 # every group (and task) of the same build — the reference reuses one
 # isolate per connection the same way (profiles-udf-wrapper.ts:44-55).
-_ACTIVE_PROFILE_RUNNER: dict = {"token": None, "runner": None}
+# `refs` counts the task closures currently leasing the runner: when the
+# last lease is garbage-collected after its task, the child is closed
+# rather than idling until the next untrusted build reaches the worker
+# (r8 review finding #5 — applyInPandas has no task-completion hook, so
+# closure GC is the release signal; a later task of the same build just
+# respawns lazily).
+_ACTIVE_PROFILE_RUNNER: dict = {"token": None, "runner": None, "refs": 0}
 
 
-def _profile_isolate(token: str, profile_fn, timeout_sec, memory_mb):
+def _release_profile_runner(token: str) -> None:
     slot = _ACTIVE_PROFILE_RUNNER
-    if slot["token"] != token:
-        if slot["runner"] is not None:
+    if slot["token"] == token:
+        slot["refs"] -= 1
+        if slot["refs"] <= 0 and slot["runner"] is not None:
             slot["runner"].close()
-        from ..plans.isolate import IsolatedProfileRunner
+            slot.update(token=None, runner=None, refs=0)
 
-        slot["runner"] = IsolatedProfileRunner(
-            profile_fn, timeout_sec, memory_mb
-        )
-        slot["token"] = token
-    return slot["runner"]
+
+class _RunnerLease:
+    """One task closure's handle on the worker's profile isolate.
+    Pickled per task; on first use in a worker it acquires (or spawns)
+    the runner and registers a GC finalizer that releases it."""
+
+    def __init__(self, profile_fn, timeout_sec, memory_mb, token: str):
+        self._fn = profile_fn
+        self._timeout = timeout_sec
+        self._memory_mb = memory_mb
+        self._token = token
+        self._acquired = False
+
+    def runner(self):
+        slot = _ACTIVE_PROFILE_RUNNER
+        if slot["token"] != self._token:
+            if slot["runner"] is not None:
+                slot["runner"].close()
+            from ..plans.isolate import IsolatedProfileRunner
+
+            slot.update(
+                token=self._token,
+                runner=IsolatedProfileRunner(
+                    self._fn, self._timeout, self._memory_mb
+                ),
+                refs=0,
+            )
+        if not self._acquired:
+            import weakref
+
+            slot["refs"] += 1
+            self._acquired = True
+            weakref.finalize(self, _release_profile_runner, self._token)
+        return slot["runner"]
 
 
 def build_profiles(
@@ -205,21 +241,42 @@ def build_profiles(
             list(schema.fields) + [StructField("_error", StringType())]
         )
         null_cols = [f.name for f in schema.fields if f.name != "user_id"]
+        expected_cols = [f.name for f in schema.fields]
         token = uuid.uuid4().hex
         isolated = supports_isolation()
         fn = profile_fn
+        lease = _RunnerLease(fn, timeout_sec, memory_mb, token)
 
         def guarded(pdf: pd.DataFrame) -> pd.DataFrame:
             if isolated:
-                runner = _profile_isolate(token, fn, timeout_sec, memory_mb)
-                out, err = runner.run(pdf)
+                out, err = lease.runner().run(pdf)
             else:
                 try:
                     out, err = fn(pdf), None
                 except Exception as ex:
                     out, err = None, f"{type(ex).__name__}: {ex}"
-            if err is None and out is not None:
-                out = out.copy()
+            # Shape-validate BEFORE handing the frame to Arrow: a
+            # malformed ProfileFunction result (None, non-DataFrame,
+            # missing columns) must be contained as this USER's error
+            # row, not crash the whole batch in the parent worker's
+            # Arrow conversion (r8 review finding #1).
+            if err is None:
+                if not isinstance(out, pd.DataFrame):
+                    err = (
+                        "ProfileResultError: ProfileFunction returned "
+                        f"{type(out).__name__}, expected DataFrame"
+                    )
+                else:
+                    missing = [
+                        c for c in expected_cols if c not in out.columns
+                    ]
+                    if missing:
+                        err = (
+                            "ProfileResultError: result missing columns "
+                            f"{missing}"
+                        )
+            if err is None:
+                out = out[expected_cols].copy()
                 out["_error"] = None
                 return out
             row = {c: [None] for c in null_cols}

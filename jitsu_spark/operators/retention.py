@@ -82,11 +82,18 @@ def purge_user_from_table(
     One pushed-down scan finds the date partitions holding the user;
     only those are rewritten (dynamic partition overwrite — upsert's
     mechanics), and a partition the rewrite empties is dropped rather
-    than left as a stale directory. Returns an audit dict:
-    {table, rows_deleted, partitions_rewritten}."""
+    than left as a stale directory. Returns an audit dict that states
+    the mutation scope honestly (r8 review finding #7):
+    {table, rows_deleted, partitions_rewritten, partitions_dropped}."""
     spark = sink.spark
+    empty = {
+        "table": table,
+        "rows_deleted": 0,
+        "partitions_rewritten": 0,
+        "partitions_dropped": 0,
+    }
     if not sink.exists(table):
-        return {"table": table, "rows_deleted": 0, "partitions_rewritten": 0}
+        return empty
     full = sink.read(table)
     hit = F.col(user_col) == F.lit(user_id)
     touched = [
@@ -94,7 +101,7 @@ def purge_user_from_table(
         for r in full.where(hit).select(PARTITION_COL).distinct().collect()
     ]
     if not touched:
-        return {"table": table, "rows_deleted": 0, "partitions_rewritten": 0}
+        return empty
     sub = full.where(F.col(PARTITION_COL).isin(touched))
     deleted = sub.where(hit).count()
     # cache + materialize BEFORE the dynamic overwrite: `kept`'s lineage
@@ -113,7 +120,8 @@ def purge_user_from_table(
             )
     finally:
         kept.unpersist()
-    for d in set(touched) - kept_dates:
+    dropped = set(touched) - kept_dates
+    for d in dropped:
         shutil.rmtree(
             os.path.join(sink._path(table), f"{PARTITION_COL}={d}"),
             ignore_errors=True,
@@ -121,21 +129,30 @@ def purge_user_from_table(
     spark.catalog.refreshByPath(sink._path(table))
     return {
         "table": table,
+        # rewritten = touched partitions that still had survivors (the
+        # ones the dynamic overwrite actually wrote); emptied ones were
+        # DROPPED, not rewritten
         "rows_deleted": deleted,
-        "partitions_rewritten": len(touched),
+        "partitions_rewritten": len(set(touched) & kept_dates),
+        "partitions_dropped": len(dropped),
     }
 
 
-def raw_partition_of(spark: SparkSession, user_id) -> int:
+def raw_partition_of(
+    spark: SparkSession, user_id, user_id_type: str = "bigint"
+) -> int:
     """The raw-store hash partition a user's events live in — the same
-    `pmod(hash(user_id), 240)` `append_profiles_raw` assigns (Spark's
-    Murmur3 via the engine itself, so the arithmetic can never drift
-    from the write path)."""
+    `pmod(hash(user_id), 240)` `append_profiles_raw` assigns, computed
+    by the engine itself. Murmur3 hashes DIFFER by input type (int32 vs
+    int64 vs string), so the literal must be cast to the STORE's actual
+    user_id type — `purge_user_from_raw` reads it from the parquet
+    schema rather than assuming bigint (r8 review finding #3)."""
     return (
         spark.range(1)
         .select(
             F.pmod(
-                F.hash(F.lit(user_id).cast("long")), F.lit(RAW_PARTITIONS)
+                F.hash(F.lit(user_id).cast(user_id_type)),
+                F.lit(RAW_PARTITIONS),
             ).alias("p")
         )
         .first()["p"]
@@ -147,16 +164,29 @@ def purge_user_from_raw(
 ) -> dict:
     """Erase one user from the 240-way profile raw store: rewrite ONLY
     the user's hash partition (1/240 of the store). Returns
-    {partition_id, rows_deleted}."""
-    pid = raw_partition_of(spark, user_id)
+    {partition_id, rows_deleted, partitions_touched}."""
+    # the store's own user_id type drives the hash (footer-metadata read)
+    utype = dict(
+        (f.name, f.dataType.simpleString())
+        for f in spark.read.parquet(raw_dir).schema.fields
+    ).get("user_id", "bigint")
+    pid = raw_partition_of(spark, user_id, utype)
     part_dir = os.path.join(raw_dir, f"_partition_id={pid}")
     if not os.path.isdir(part_dir):
-        return {"partition_id": pid, "rows_deleted": 0}
+        return {
+            "partition_id": pid,
+            "rows_deleted": 0,
+            "partitions_touched": 0,
+        }
     sub = spark.read.parquet(part_dir)
     hit = F.col("user_id") == F.lit(user_id)
     deleted = sub.where(hit).count()
     if not deleted:
-        return {"partition_id": pid, "rows_deleted": 0}
+        return {
+            "partition_id": pid,
+            "rows_deleted": 0,
+            "partitions_touched": 0,
+        }
     kept = sub.where(~hit).cache()
     try:
         n_kept = kept.count()  # materialize before overwriting the input
@@ -167,7 +197,11 @@ def purge_user_from_raw(
     finally:
         kept.unpersist()
     spark.catalog.refreshByPath(raw_dir)
-    return {"partition_id": pid, "rows_deleted": deleted}
+    return {
+        "partition_id": pid,
+        "rows_deleted": deleted,
+        "partitions_touched": 1,
+    }
 
 
 def purge_user(
@@ -188,12 +222,14 @@ def purge_user(
             (
                 f"warehouse:{a['table']}",
                 a["rows_deleted"],
-                a["partitions_rewritten"],
+                a["partitions_rewritten"] + a["partitions_dropped"],
             )
         )
     if raw_dir is not None:
         a = purge_user_from_raw(spark, raw_dir, user_id)
-        rows.append(("profiles_raw", a["rows_deleted"], 1))
+        rows.append(
+            ("profiles_raw", a["rows_deleted"], a["partitions_touched"])
+        )
     return spark.createDataFrame(
         rows, "store string, rows_deleted long, partitions_touched int"
     )

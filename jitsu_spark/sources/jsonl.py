@@ -124,10 +124,21 @@ def _jsonl_cache_root() -> str:
             tempfile.gettempdir(), f"jitsu_jsonl_cache_{uid}"
         )
     os.makedirs(root, mode=0o700, exist_ok=True)
-    try:
+    # FAIL CLOSED on a pre-created attacker-owned root: makedirs with
+    # exist_ok accepts any existing directory, so verify ownership and
+    # make the chmod mandatory — a swallowed EPERM here would mean the
+    # export lives in a directory another local user controls (r8
+    # review finding #2).
+    if hasattr(os, "getuid"):
+        st = os.stat(root)
+        if st.st_uid != os.getuid():
+            raise RuntimeError(
+                f"JSONL cache root {root} is owned by uid {st.st_uid},"
+                f" not the current user (uid {os.getuid()}) — refusing"
+                " to use a directory another user controls; set"
+                " JITSU_JSONL_CACHE_DIR to a private location"
+            )
         os.chmod(root, 0o700)
-    except OSError:
-        pass
     return root
 
 
@@ -176,9 +187,18 @@ def export_documents_jsonl(spark: SparkSession, sf_dir: str) -> str:
                 # a concurrent builder won the rename: serve theirs
                 shutil.rmtree(tmp, ignore_errors=True)
             else:
-                # stale half-export from a crashed run: replace it
+                # stale half-export from a crashed run: replace it —
+                # but TWO recoverers can race this branch too (both
+                # rmtree, one renames first), so the loser checks for
+                # the winner's marker before giving up (r8 review
+                # finding #9)
                 shutil.rmtree(out, ignore_errors=True)
-                os.rename(tmp, out)
+                try:
+                    os.rename(tmp, out)
+                except OSError:
+                    if not os.path.exists(marker):
+                        raise
+                    shutil.rmtree(tmp, ignore_errors=True)
     return out
 
 

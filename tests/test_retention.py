@@ -84,7 +84,9 @@ class TestPurgeWarehouse:
         before = _listing(table_dir)
         audit = purge_user_from_table(sink, "events", 1)
         assert audit["rows_deleted"] == 2
-        assert audit["partitions_rewritten"] == 2
+        # Jan 2 had survivors (rewritten); Jan 1 emptied (dropped)
+        assert audit["partitions_rewritten"] == 1
+        assert audit["partitions_dropped"] == 1
         left = sink.read("events").collect()
         assert {r.user_id for r in left} == {2}
         assert {r.event_id for r in left} == {2, 3}
@@ -130,7 +132,11 @@ class TestPurgeRaw:
         before = _listing(raw)
         pid = raw_partition_of(spark, 1)
         audit = purge_user_from_raw(spark, raw, 1)
-        assert audit == {"partition_id": pid, "rows_deleted": 2}
+        assert audit == {
+            "partition_id": pid,
+            "rows_deleted": 2,
+            "partitions_touched": 1,
+        }
         left = spark.read.parquet(raw)
         assert {r.user_id for r in left.collect()} == {2, 3, 4, 5}
         # every OTHER hash partition byte-identical
