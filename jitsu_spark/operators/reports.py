@@ -676,18 +676,13 @@ _RFM_SEGMENT_CASE = """CASE
 
 
 def _value_pct_rank(df: DataFrame, col: str, ascending: bool) -> DataFrame:
-    """(v, pr): percent_rank of each DISTINCT value of `col` — the
-    bounded value-histogram form (cumulative window over distinct
-    values, never over rows)."""
-    direction = "" if ascending else "DESC"
-    hist = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
-    return hist.selectExpr(
-        f"{col} AS v",
-        f"coalesce(sum(cnt) OVER (ORDER BY {col} {direction}"
-        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L)"
-        " AS cnt_better",
-        "sum(cnt) OVER () AS n_total",
-    ).selectExpr(
+    """(v, pr): percent_rank of each DISTINCT value of `col` — via the
+    distributed range-partitioned prefix sum (`plans/cumsum.py`), so no
+    single task ever sorts the full value histogram (monetary cents at
+    corpus scale can reach 10^7+ distinct values)."""
+    from ..plans.cumsum import histogram_cnt_better
+
+    return histogram_cnt_better(df, col, ascending).selectExpr(
         "v",
         "CASE WHEN n_total = 1 THEN 0.0D"
         " ELSE cnt_better / (n_total - 1) END AS pr",

@@ -544,18 +544,17 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"round(w + ({_gumbel('doc_id', conv20)}), 4) + 0.0 AS gumbel_key",
         )
     )
-    # bounded value-histogram percent-rank over the ROUNDED key: the
-    # cumulative window sorts a value-space-bounded table, never the corpus
-    hist = scored.groupBy("gumbel_key").agg(F.count(F.lit(1)).alias("cnt"))
-    ranks = hist.selectExpr(
-        "gumbel_key AS r_key",
-        "coalesce(sum(cnt) OVER (ORDER BY gumbel_key"
-        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L) AS cnt_lt",
-        "sum(cnt) OVER () AS n_total",
-    ).selectExpr(
-        "r_key",
+    # percent-rank over the ROUNDED key via the distributed range-
+    # partitioned prefix sum (plans/cumsum.py): gumbel keys are nearly
+    # unique per doc, so the histogram grows WITH the corpus — a global
+    # cumulative window would funnel it through one task (r8 hardening,
+    # same lesson as the zipf top-V fix)
+    from ..plans.cumsum import histogram_cnt_better
+
+    ranks = histogram_cnt_better(scored, "gumbel_key").selectExpr(
+        "v AS r_key",
         "CASE WHEN n_total = 1 THEN 0.0D"
-        " ELSE cnt_lt / (n_total - 1) END AS pr",
+        " ELSE cnt_better / (n_total - 1) END AS pr",
     )
     return (
         scored.join(
