@@ -142,3 +142,30 @@ class TestSessionStatsProperty:
             bounce = sum(1 for s in mine if s["n"] == 1) / len(mine)
             want[entry] = (len(mine), round(bounce, 4))
         assert got == want
+
+
+class TestCumsumProperty:
+    @settings(max_examples=10)
+    @given(
+        st.lists(
+            st.integers(min_value=-50, max_value=50), min_size=1, max_size=60
+        )
+    )
+    def test_cnt_better_matches_bruteforce(self, spark, values):
+        import collections
+
+        from jitsu_spark.plans.cumsum import histogram_cnt_better
+
+        df = spark.createDataFrame([(v,) for v in values], "x long")
+        cnt = collections.Counter(values)
+        for ascending in (True, False):
+            out = histogram_cnt_better(df, "x", ascending).collect()
+            assert len(out) == len(cnt)
+            for r in out:
+                want = sum(
+                    c
+                    for w, c in cnt.items()
+                    if (w < r["v"] if ascending else w > r["v"])
+                )
+                assert r["cnt_better"] == want
+                assert r["n_total"] == len(values)
