@@ -687,8 +687,118 @@ FROM per_doc LEFT JOIN novel ON doc_id = first_doc
 NGRAM_NOVELTY_SQL = _novelty_duck()
 
 
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (round 8) — the corpus-linguistics staple (Church &
+# Hanks 1990): adjacent word pairs whose co-occurrence beats chance,
+# PMI = ln(p(w1 w2) / (p(w1) p(w2))), reported for the top-K by PMI
+# among pairs above a count floor (rare pairs give degenerate PMI).
+# The dashboard row that surfaces templated phrases and collocation
+# shifts between crawl snapshots.
+#
+# Scale: one bigram explode + one unigram explode, both partial-agg
+# compressed to vocabulary-sized tables before any shuffle; the unigram
+# probabilities broadcast onto the bigram counts; the top-K cut is
+# TakeOrderedAndProject (per-partition top-K + driver merge, no global
+# sort) and the rank window runs over the K survivors only.
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5
+PMI_TOPK = 20
+
+
+def collocation_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(rank, w1, w2, pair_cnt, pmi): top-K adjacent-pair PMI with
+    pair_cnt >= PMI_MIN_COUNT. Ties break on (w1, w2) — deterministic."""
+    from pyspark.sql import Window
+
+    docs = load_table_docs(spark, sf_dir)
+    uni = docs.selectExpr("explode(toks) AS w").groupBy("w").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = uni.agg(F.sum("cnt").alias("n_uni"))
+    bi = (
+        docs.selectExpr(
+            "explode(CASE WHEN size(toks) >= 2 THEN"
+            " transform(sequence(0, size(toks) - 2),"
+            " i -> struct(toks[i] AS w1, toks[i+1] AS w2))"
+            " ELSE array() END) AS p"
+        )
+        .selectExpr("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .where(F.col("pair_cnt") >= PMI_MIN_COUNT)
+    )
+    n_bi = docs.selectExpr(
+        "CASE WHEN size(toks) >= 2 THEN size(toks) - 1 ELSE 0 END AS nb"
+    ).agg(F.sum("nb").alias("n_bi"))
+    u1 = uni.selectExpr("w AS w1", "cnt AS c1")
+    u2 = uni.selectExpr("w AS w2", "cnt AS c2")
+    scored = (
+        bi.join(maybe_broadcast(u1), "w1")
+        .join(maybe_broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n_bi))
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "w1",
+            "w2",
+            "pair_cnt",
+            # p(pair)=pair_cnt/n_bi, p(w)=cnt/n_uni — identical formula
+            # text both engines; round-4 absorbs the <=1 ulp ln drift
+            "round(ln((pair_cnt / n_bi) / ((c1 / n_uni) * (c2 / n_uni))), 4)"
+            " AS pmi",
+        )
+    )
+    top = scored.orderBy(
+        F.desc("pmi"), F.asc("w1"), F.asc("w2")
+    ).limit(PMI_TOPK)
+    w = Window.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "w1", "w2", "pair_cnt", "pmi"
+    )
+
+
+COLLOCATION_PMI_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
+),
+uni AS (
+  SELECT w, count(*) AS cnt
+  FROM (SELECT unnest(toks) AS w FROM toks)
+  GROUP BY 1
+),
+tot AS (SELECT sum(cnt) AS n_uni FROM uni),
+bi AS (
+  SELECT toks[i] AS w1, toks[i+1] AS w2, count(*) AS pair_cnt
+  FROM toks, unnest(range(1, len(toks))) AS t(i)
+  GROUP BY 1, 2
+  HAVING count(*) >= {PMI_MIN_COUNT}
+),
+nbi AS (
+  SELECT sum(CASE WHEN len(toks) >= 2 THEN len(toks) - 1 ELSE 0 END) AS n_bi
+  FROM toks
+),
+scored AS (
+  SELECT w1, w2, pair_cnt,
+         round(ln((pair_cnt / n_bi) / ((u1.cnt / n_uni) * (u2.cnt / n_uni))), 4)
+           AS pmi
+  FROM bi
+  JOIN uni u1 ON u1.w = w1
+  JOIN uni u2 ON u2.w = w2
+  CROSS JOIN nbi CROSS JOIN tot
+)
+SELECT rank, w1, w2, pair_cnt, pmi FROM (
+  SELECT w1, w2, pair_cnt, pmi,
+         row_number() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC) AS rank
+  FROM scored
+) WHERE rank <= {PMI_TOPK}
+"""
+
+
 QUERIES = {
     "boilerplate_shingle_stats": boilerplate_shingle_stats,
+    "collocation_pmi_topk": collocation_pmi_topk,
     "ngram_novelty_curve": ngram_novelty_curve,
     "ngram_topk": ngram_topk,
     "duplicate_span_report": duplicate_span_report,
@@ -701,6 +811,7 @@ QUERIES = {
 ORACLE = {
     "boilerplate_shingle_stats": BOILERPLATE_STATS_SQL,
     "ngram_novelty_curve": NGRAM_NOVELTY_SQL,
+    "collocation_pmi_topk": COLLOCATION_PMI_SQL,
     "ngram_topk": NGRAM_TOPK_SQL,
     "duplicate_span_report": DUP_SPAN_SQL,
     "duplicate_span_dedup": DUP_SPAN_DEDUP_SQL,

@@ -506,6 +506,69 @@ FROM per_user
 """
 
 
+
+
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_converted, p50_hours, p90_hours, max_hours): the signup ->
+    first-subsequent-purchase latency distribution — the "how long does
+    conversion take" report next to `funnel_signup_purchase`'s counts.
+    Same single user_id shuffle (conditional aggregation, no self-join);
+    latency in hours via exact microsecond arithmetic; exact
+    linear-interpolation percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`, the event_value_percentiles precedent). At 100 TB
+    swap percentile for percentile_approx (t-digest) — same plan shape.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.unix_micros("ts"))
+        ).alias("signup_us"),
+        # bounded by the user's own purchase count; one shuffle total
+        F.collect_list(
+            F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+        ).alias("purchases"),
+    )
+    lat = per_user.selectExpr(
+        "user_id",
+        "signup_us",
+        "array_min(filter(purchases, p -> p > signup_us)) AS conv_us",
+    ).where("signup_us IS NOT NULL AND conv_us IS NOT NULL").selectExpr(
+        "(conv_us - signup_us) / 3600000000.0D AS hours"
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.percentile("hours", 0.5), 4).alias("p50_hours"),
+        F.round(F.percentile("hours", 0.9), 4).alias("p90_hours"),
+        F.round(F.max("hours"), 4).alias("max_hours"),
+    )
+
+
+TIME_TO_CONVERT_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type,
+         epoch_us(make_timestamp(epoch_ns(ts) // 1000)) AS us
+  FROM events
+), per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN us END) AS signup_us
+  FROM ev GROUP BY 1
+), conv AS (
+  SELECT p.user_id,
+         (min(e.us) - p.signup_us) / 3600000000.0 AS hours
+  FROM per_user p
+  JOIN ev e ON e.user_id = p.user_id
+            AND e.event_type = 'purchase' AND e.us > p.signup_us
+  WHERE p.signup_us IS NOT NULL
+  GROUP BY p.user_id, p.signup_us
+)
+SELECT count(*) AS n_converted,
+       round(quantile_cont(hours, 0.5), 4) AS p50_hours,
+       round(quantile_cont(hours, 0.9), 4) AS p90_hours,
+       round(max(hours), 4) AS max_hours
+FROM conv
+"""
+
+
 def ur_backfill_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 (batch form) — retroactive identity enrichment.
 
@@ -847,6 +910,7 @@ GROUP BY 1, 2
 QUERIES = {
     "event_type_filter": event_type_filter,
     "engagement_histogram": engagement_histogram,
+    "funnel_time_to_convert": funnel_time_to_convert,
     "metrics_rollup_minute": metrics_rollup_minute,
     "active_users_daily": active_users_daily,
     "active_users_daily_approx": active_users_daily_approx,
@@ -880,6 +944,7 @@ ORACLE = {
     "profile_traits_fold": PROFILE_TRAITS_FOLD_SQL,
     "sessionize": SESSIONIZE_SQL,
     "engagement_histogram": ENGAGEMENT_HIST_SQL,
+    "funnel_time_to_convert": TIME_TO_CONVERT_SQL,
     "funnel_signup_purchase": FUNNEL_SQL,
     "ur_backfill_enrich": UR_BACKFILL_SQL,
     "metrics_gap_fill": METRICS_GAP_FILL_SQL,

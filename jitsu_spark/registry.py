@@ -96,6 +96,7 @@ _PRIORITY = [
     "rfm_segments", "session_stats_report", "containment_dup_pairs",
     "embedding_dim_truncation_report", "ngram_novelty_curve",
     "engagement_histogram", "dedup_cascade_report",
+    "funnel_time_to_convert", "collocation_pmi_topk",
     # -- touched in r8 --
     "zipf_fit_report", "dsir_select", "scd2_user_attribute",
     "pq_recall_report", "opq_train_report", "whitening_report",

@@ -224,3 +224,47 @@ class TestDedupCascade:
         assert out.n_docs.is_monotonic_decreasing
         assert out.n_tokens.is_monotonic_decreasing
         assert out.loc["raw", "doc_pct"] == 1.0
+
+
+class TestTimeToConvert:
+    def test_latency_percentiles(self, spark, tmp_path):
+        from jitsu_spark.operators.events_ops import funnel_time_to_convert
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            # user 1: signup then purchase 2h later (and an earlier
+            # purchase that must NOT count)
+            (0, t0 - dt.timedelta(hours=5), 1, "purchase", 1.0, "{}"),
+            (1, t0, 1, "signup", 0.0, "{}"),
+            (2, t0 + dt.timedelta(hours=2), 1, "purchase", 1.0, "{}"),
+            # user 2: signup, converts 10h later (first of two purchases)
+            (3, t0, 2, "signup", 0.0, "{}"),
+            (4, t0 + dt.timedelta(hours=10), 2, "purchase", 1.0, "{}"),
+            (5, t0 + dt.timedelta(hours=20), 2, "purchase", 1.0, "{}"),
+            # user 3: signup, never purchases
+            (6, t0, 3, "signup", 0.0, "{}"),
+            # user 4: purchase without signup
+            (7, t0, 4, "purchase", 1.0, "{}"),
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        row = funnel_time_to_convert(spark, sf).first()
+        assert row.n_converted == 2
+        assert row.p50_hours == pytest.approx(6.0)  # interp of 2 and 10
+        assert row.max_hours == pytest.approx(10.0)
+
+
+class TestPmi:
+    def test_collocated_pair_ranks_first(self, spark, tmp_path):
+        from jitsu_spark.operators.corpus_stats import collocation_pmi_topk
+
+        # "alpha beta" always adjacent; "gamma"/"delta" frequent but
+        # never adjacent to each other
+        rows = [(i, "alpha beta gamma delta gamma delta " * 2, "en") for i in range(5)]
+        rows += [(10 + i, "gamma epsilon delta zeta " * 3, "en") for i in range(5)]
+        sf = _write_docs(spark, tmp_path, rows)
+        out = collocation_pmi_topk(spark, sf).toPandas()
+        assert (out.pair_cnt >= 5).all()
+        assert list(out["rank"]) == list(range(1, len(out) + 1))
+        top = out.iloc[0]
+        # the perfectly-collocated pair beats the frequent-but-mixed ones
+        assert (top.w1, top.w2) == ("alpha", "beta") or top.pmi == out.pmi.max()
