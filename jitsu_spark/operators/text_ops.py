@@ -616,8 +616,123 @@ QUALIFY rank <= {HYBRID_FUSED_K}
 HYBRID_RRF_SQL = _hybrid_duck()
 
 
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (round 8; Schleimer, Wilkerson & Aiken 2003,
+# "Winnowing: Local Algorithms for Document Fingerprinting" — the MOSS
+# algorithm). `doc_fingerprint` reduces a document to ONE min-hash;
+# winnowing keeps the minimum of every sliding window of k-gram hashes,
+# guaranteeing any shared substring of length >= w + k - 1 contributes a
+# shared fingerprint — the local property whole-doc minima lack, and the
+# standard unit for substring-level plagiarism/overlap lookups.
+#
+# Tie rule: the RIGHTMOST minimal hash per window (the paper's robust
+# winnowing), encoded so both engines agree bit-for-bit: each position's
+# (hash, pos) packs into one BIGINT hash * 2^20 + (2^20 - 1 - pos) whose
+# window MIN is exactly (min hash, max pos). Positions cap at 2^20 - 1
+# tokens per doc (1M — far above any real document; longer docs raise).
+#
+# Scale: one positional k-gram explode + one doc-keyed window (frame
+# bounded by W) + a distinct — the duplicate_span shape; no cross-doc
+# work at fingerprint time (lookups join on fp downstream).
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 3  # k-gram width (the shingle unit the dedup family uses)
+WINNOW_W = 4  # window: every w consecutive k-grams yield a fingerprint
+_POS_BITS = 20
+
+
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, fp): the selected (position, k-gram-hash)
+    fingerprints per document — ~2/(w+1) of the gram count. Documents
+    shorter than k tokens have no row (no gram to fingerprint)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{TOKENS} AS toks"
+    )
+    grams = docs.selectExpr(
+        "doc_id",
+        "size(toks) AS n",
+        "posexplode(CASE WHEN size(toks) >= 3 THEN"
+        " transform(sequence(0, size(toks) - 3),"
+        " i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"
+        " ELSE array() END) AS (pos, gram)",
+    ).selectExpr(
+        "doc_id",
+        "pos",
+        # 28-bit hash from the md5 hex prefix (the minhash convention)
+        "CAST(conv(substring(md5(gram), 1, 7), 16, 10) AS BIGINT) AS h",
+    )
+    packed = grams.selectExpr(
+        "doc_id",
+        "pos",
+        f"h * {1 << _POS_BITS}L + ({(1 << _POS_BITS) - 1}L - pos) AS key",
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, WINNOW_W - 1)
+    )
+    selected = (
+        packed.withColumn("win_min", F.min("key").over(w))
+        # windows that extend past the last gram are the paper's final
+        # partial windows — EXCLUDED (only full windows select), so the
+        # fingerprint set is a pure function of the gram sequence
+        .withColumn(
+            "full",
+            F.col("pos")
+            <= F.max("pos").over(Window.partitionBy("doc_id"))
+            - (WINNOW_W - 1),
+        )
+        .where("full")
+        .selectExpr(
+            "doc_id",
+            f"CAST({(1 << _POS_BITS) - 1}L - (win_min % {1 << _POS_BITS}L)"
+            " AS INT) AS pos",
+            f"win_min DIV {1 << _POS_BITS}L AS fp",
+        )
+        .distinct()
+    )
+    return selected
+
+
+WINNOWING_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
+),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         CAST(('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' ||
+               toks[i+2]), 1, 7))::UBIGINT AS BIGINT) AS h
+  FROM toks, unnest(range(1, len(toks) - 1)) AS t(i)
+),
+packed AS (
+  SELECT doc_id, pos,
+         h * {1 << _POS_BITS} + ({(1 << _POS_BITS) - 1} - pos) AS key
+  FROM grams
+),
+winmin AS (
+  SELECT doc_id, pos,
+         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW
+                        AND {WINNOW_W - 1} FOLLOWING) AS win_min,
+         max(pos) OVER (PARTITION BY doc_id) AS max_pos
+  FROM packed
+)
+SELECT DISTINCT doc_id,
+       CAST({(1 << _POS_BITS) - 1} - (win_min % {1 << _POS_BITS}) AS INT)
+         AS pos,
+       win_min // {1 << _POS_BITS} AS fp
+FROM winmin
+WHERE pos <= max_pos - {WINNOW_W - 1}
+"""
+
+
 QUERIES = {
     "text_quality_score": text_quality_score,
+    "winnowing_fingerprints": winnowing_fingerprints,
     "token_count_by_source": token_count_by_source,
     "lang_id_heuristic": lang_id_heuristic,
     "doc_fingerprint": doc_fingerprint,
@@ -633,6 +748,7 @@ ORACLE = {
     "token_count_by_source": TOKEN_COUNT_SQL,
     "lang_id_heuristic": LANG_ID_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
+    "winnowing_fingerprints": WINNOWING_SQL,
     "bpe_token_count": BPE_TOKEN_COUNT_SQL,
     "url_stats_by_source": URL_STATS_SQL,
     "length_histogram": LENGTH_HISTOGRAM_SQL,

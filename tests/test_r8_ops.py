@@ -268,3 +268,43 @@ class TestPmi:
         top = out.iloc[0]
         # the perfectly-collocated pair beats the frequent-but-mixed ones
         assert (top.w1, top.w2) == ("alpha", "beta") or top.pmi == out.pmi.max()
+
+
+class TestWinnowing:
+    def test_shared_substring_guarantee(self, spark, tmp_path):
+        """Winnowing's defining property (Schleimer et al. 2003): two
+        documents sharing a token run of length >= w + k - 1 share at
+        least one selected fingerprint."""
+        from jitsu_spark.operators.text_ops import (
+            WINNOW_K,
+            WINNOW_W,
+            winnowing_fingerprints,
+        )
+
+        shared_run = " ".join(f"s{i}" for i in range(WINNOW_W + WINNOW_K - 1))
+        rows = [
+            (1, "aa bb cc " + shared_run + " dd ee ff", "en"),
+            (2, "xx yy zz qq " + shared_run + " rr", "en"),
+            (3, "totally unrelated words only here now", "en"),
+        ]
+        sf = _write_docs(spark, tmp_path, rows)
+        out = winnowing_fingerprints(spark, sf).toPandas()
+        fps = {d: set(g.fp) for d, g in out.groupby("doc_id")}
+        assert fps[1] & fps[2], "shared run must yield a shared fingerprint"
+        assert not (fps[1] & fps[3] and fps[2] & fps[3])
+
+    def test_selection_density_and_positions(self, spark, tmp_path):
+        from jitsu_spark.operators.text_ops import winnowing_fingerprints
+
+        text = " ".join(f"t{i}" for i in range(60))  # all-distinct grams
+        sf = _write_docs(spark, tmp_path, [(1, text, "en")])
+        out = winnowing_fingerprints(spark, sf).toPandas()
+        n_grams = 60 - 2
+        # winnowing selects ~2/(w+1) of positions; bounds are loose but
+        # must hold for any hash assignment
+        assert len(out) <= n_grams
+        assert len(out) >= (n_grams // 4) // 2
+        assert out.pos.between(0, n_grams - 1).all()
+        # a doc too short for one gram yields nothing
+        sf2 = _write_docs(spark, tmp_path, [(9, "just two", "en")])
+        assert winnowing_fingerprints(spark, sf2).count() == 0
