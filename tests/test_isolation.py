@@ -75,8 +75,15 @@ class TestRunnerDirect:
             evs, err, *_ = r.run({"id": "bomb"})
             # RLIMIT_AS makes the malloc fail -> MemoryError recorded as
             # an in-chain error (or, worst case, the child dies and the
-            # parent reports the death) — either way identity + error
-            assert err is not None and "MemoryError" in err
+            # parent reports the death). On a HEAVILY loaded host the
+            # chunked allocation loop can outlast the watchdog budget
+            # first, in which case containment arrives as the timeout
+            # kill instead — the contract under test is CONTAINMENT
+            # (identity + error + the batch continues), not which guard
+            # fires first (observed flake: parallel full-suite run).
+            assert err is not None and (
+                "MemoryError" in err or "TimeoutError" in err
+            )
             assert evs == [{"id": "bomb"}]
             # the runner keeps serving the rest of the batch
             evs, err, *_ = r.run({"id": "after"})
