@@ -502,26 +502,24 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = docs.selectExpr(
         "doc_id", "lang", f"explode({_DSIR_GRAMS}) AS gram"
     ).selectExpr("doc_id", "lang", f"{_dsir_bucket('gram')} AS b")
-    raw = grams.groupBy("b").agg(F.count(F.lit(1)).alias("c_raw"))
-    tgt = (
-        grams.where(F.col("lang") == DSIR_TARGET_LANG)
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("c_tgt"))
-    )
-    totals = grams.agg(
-        F.count(F.lit(1)).alias("t_raw"),
+    # BOTH LM tables + their totals from ONE gram pass (r8 perf fix:
+    # separate raw/tgt/totals aggregates each re-ran the corpus explode —
+    # measured 3 extra passes at the 10x probe). Conditional aggregation
+    # gives the target counts; the totals fold over the BUCKET table,
+    # which is DSIR_BUCKETS-sized, not corpus-sized.
+    bucket_counts = grams.groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_raw"),
         F.sum(
             (F.col("lang") == DSIR_TARGET_LANG).cast("long")
-        ).alias("t_tgt"),
+        ).alias("c_tgt"),
     )
-    lr = (
-        raw.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(totals))
-        .selectExpr(
-            "b",
-            f"ln((coalesce(c_tgt, 0L) + 1.0) / (t_tgt + {DSIR_BUCKETS}))"
-            f" - ln((c_raw + 1.0) / (t_raw + {DSIR_BUCKETS})) AS lr",
-        )
+    totals = bucket_counts.agg(
+        F.sum("c_raw").alias("t_raw"), F.sum("c_tgt").alias("t_tgt")
+    )
+    lr = bucket_counts.crossJoin(F.broadcast(totals)).selectExpr(
+        "b",
+        f"ln((c_tgt + 1.0) / (t_tgt + {DSIR_BUCKETS}))"
+        f" - ln((c_raw + 1.0) / (t_raw + {DSIR_BUCKETS})) AS lr",
     )
     conv20 = "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 5), 16, 10) AS BIGINT)"
     scored = (
@@ -544,6 +542,14 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"round(w + ({_gumbel('doc_id', conv20)}), 4) + 0.0 AS gumbel_key",
         )
     )
+    # materialize the scores once: the rank histogram AND the final
+    # join-back both walk `scored`, whose lineage is the expensive gram
+    # explode + LM joins — without the persist each consumer re-runs the
+    # corpus pass (measured 3x wall at the 10x probe). Skinny frame
+    # (5 scalars/doc); released by the shared bounded-cache lifecycle.
+    from ..plans.topk import persist_bounded
+
+    scored = persist_bounded(scored)
     # percent-rank over the ROUNDED key via the distributed range-
     # partitioned prefix sum (plans/cumsum.py): gumbel keys are nearly
     # unique per doc, so the histogram grows WITH the corpus — a global
