@@ -745,9 +745,11 @@ def collocation_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w2",
             "pair_cnt",
             # p(pair)=pair_cnt/n_bi, p(w)=cnt/n_uni — identical formula
-            # text both engines; round-4 absorbs the <=1 ulp ln drift
+            # text both engines; round-4 absorbs the <=1 ulp ln drift;
+            # + 0.0 canonicalizes IEEE -0.0 (Spark round() drops the
+            # sign, DuckDB keeps it — the repo's standard fix)
             "round(ln((pair_cnt / n_bi) / ((c1 / n_uni) * (c2 / n_uni))), 4)"
-            " AS pmi",
+            " + 0.0 AS pmi",
         )
     )
     top = scored.orderBy(
@@ -782,7 +784,7 @@ nbi AS (
 scored AS (
   SELECT w1, w2, pair_cnt,
          round(ln((pair_cnt / n_bi) / ((u1.cnt / n_uni) * (u2.cnt / n_uni))), 4)
-           AS pmi
+           + 0.0 AS pmi
   FROM bi
   JOIN uni u1 ON u1.w = w1
   JOIN uni u2 ON u2.w = w2

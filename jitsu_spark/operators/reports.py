@@ -675,14 +675,19 @@ _RFM_SEGMENT_CASE = """CASE
   ELSE 'regular' END"""
 
 
-def _value_pct_rank(df: DataFrame, col: str, ascending: bool) -> DataFrame:
-    """(v, pr): percent_rank of each DISTINCT value of `col` — via the
-    distributed range-partitioned prefix sum (`plans/cumsum.py`), so no
-    single task ever sorts the full value histogram (monetary cents at
-    corpus scale can reach 10^7+ distinct values)."""
+def _value_pct_rank(
+    df: DataFrame, col: str, ascending: bool, small_value_space: bool
+) -> DataFrame:
+    """(v, pr): percent_rank of each DISTINCT value of `col` via
+    `plans/cumsum.py`. The caller declares the value-space bound:
+    recency days (corpus span) and frequency (max events/user) stay in
+    the cheap window form; monetary cents can reach 10^7+ distinct
+    values at corpus scale, so it takes the distributed prefix."""
     from ..plans.cumsum import histogram_cnt_better
 
-    return histogram_cnt_better(df, col, ascending).selectExpr(
+    return histogram_cnt_better(
+        df, col, ascending, small_value_space=small_value_space
+    ).selectExpr(
         "v",
         "CASE WHEN n_total = 1 THEN 0.0D"
         " ELSE cnt_better / (n_total - 1) END AS pr",
@@ -721,12 +726,12 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     score = "least(5, CAST(floor(pr * 5) AS INT) + 1)"
     scored = base
-    for col, asc, name in (
-        ("recency_days", False, "r_score"),  # fewer days = better
-        ("frequency", True, "f_score"),
-        ("monetary", True, "m_score"),
+    for col, asc, name, small in (
+        ("recency_days", False, "r_score", True),  # fewer days = better
+        ("frequency", True, "f_score", True),
+        ("monetary", True, "m_score", False),
     ):
-        ranks = _value_pct_rank(base, col, asc)
+        ranks = _value_pct_rank(base, col, asc, small)
         scored = (
             scored.join(
                 maybe_broadcast(ranks), scored[col] == ranks["v"]

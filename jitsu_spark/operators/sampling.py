@@ -509,8 +509,14 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     # which is DSIR_BUCKETS-sized, not corpus-sized.
     bucket_counts = grams.groupBy("b").agg(
         F.count(F.lit(1)).alias("c_raw"),
+        # when/otherwise, NOT a bare boolean cast: (NULL = 'en') is NULL
+        # and sum(NULL,...) over a bucket of only NULL-lang docs would
+        # propagate NULL into ln() (r8 review finding; the oracle's CASE
+        # form yields 0 for the same bucket)
         F.sum(
-            (F.col("lang") == DSIR_TARGET_LANG).cast("long")
+            F.when(F.col("lang") == DSIR_TARGET_LANG, F.lit(1)).otherwise(
+                F.lit(0)
+            )
         ).alias("c_tgt"),
     )
     totals = bucket_counts.agg(

@@ -641,12 +641,33 @@ HYBRID_RRF_SQL = _hybrid_duck()
 WINNOW_K = 3  # k-gram width (the shingle unit the dedup family uses)
 WINNOW_W = 4  # window: every w consecutive k-grams yield a fingerprint
 _POS_BITS = 20
+_MAX_POS = (1 << _POS_BITS) - 1
+
+
+def _kgram_spark(k: int) -> str:
+    """transform() expression building word k-grams from `toks` — the
+    SHINGLES template generalized to any k (so WINNOW_K is live, not
+    decorative — r8 review finding)."""
+    joined = ", ' ', ".join(f"toks[i+{j}]" if j else "toks[i]" for j in range(k))
+    return (
+        f"CASE WHEN size(toks) >= {k} THEN"
+        f" transform(sequence(0, size(toks) - {k}),"
+        f" i -> concat({joined}))"
+        " ELSE array() END"
+    )
+
+
+def _kgram_duck(k: int) -> str:
+    joined = " || ' ' || ".join(f"toks[i+{j}]" if j else "toks[i]" for j in range(k))
+    return joined
 
 
 def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, pos, fp): the selected (position, k-gram-hash)
     fingerprints per document — ~2/(w+1) of the gram count. Documents
-    shorter than k tokens have no row (no gram to fingerprint)."""
+    shorter than k tokens have no row (no gram to fingerprint);
+    documents with more than 2^20 grams raise (the packed-key position
+    budget — silently wrapping would corrupt fingerprints)."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents").selectExpr(
@@ -654,11 +675,7 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grams = docs.selectExpr(
         "doc_id",
-        "size(toks) AS n",
-        "posexplode(CASE WHEN size(toks) >= 3 THEN"
-        " transform(sequence(0, size(toks) - 3),"
-        " i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"
-        " ELSE array() END) AS (pos, gram)",
+        f"posexplode({_kgram_spark(WINNOW_K)}) AS (pos, gram)",
     ).selectExpr(
         "doc_id",
         "pos",
@@ -668,7 +685,13 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = grams.selectExpr(
         "doc_id",
         "pos",
-        f"h * {1 << _POS_BITS}L + ({(1 << _POS_BITS) - 1}L - pos) AS key",
+        # fail LOUDLY past the position budget instead of borrowing hash
+        # bits (r8 review finding): a >1M-gram document needs a wider
+        # packing, not silent corruption
+        f"CASE WHEN pos > {_MAX_POS} THEN"
+        f" CAST(raise_error('winnowing: document exceeds {_MAX_POS}"
+        " grams — packed-key position budget') AS BIGINT)"
+        f" ELSE h * {1 << _POS_BITS}L + ({_MAX_POS}L - pos) END AS key",
     )
     w = (
         Window.partitionBy("doc_id")
@@ -704,13 +727,15 @@ WITH toks AS (
 ),
 grams AS (
   SELECT doc_id, i - 1 AS pos,
-         CAST(('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' ||
-               toks[i+2]), 1, 7))::UBIGINT AS BIGINT) AS h
-  FROM toks, unnest(range(1, len(toks) - 1)) AS t(i)
+         CAST(('0x' || substr(md5({_kgram_duck(WINNOW_K).replace('toks[i+', 'toks[i +')}), 1, 7))::UBIGINT
+           AS BIGINT) AS h
+  FROM toks, unnest(range(1, len(toks) - {WINNOW_K - 2})) AS t(i)
 ),
 packed AS (
   SELECT doc_id, pos,
-         h * {1 << _POS_BITS} + ({(1 << _POS_BITS) - 1} - pos) AS key
+         CASE WHEN pos > {_MAX_POS} THEN
+           CAST(error('winnowing: document exceeds position budget') AS BIGINT)
+         ELSE h * {1 << _POS_BITS} + ({_MAX_POS} - pos) END AS key
   FROM grams
 ),
 winmin AS (
@@ -722,7 +747,7 @@ winmin AS (
   FROM packed
 )
 SELECT DISTINCT doc_id,
-       CAST({(1 << _POS_BITS) - 1} - (win_min % {1 << _POS_BITS}) AS INT)
+       CAST({_MAX_POS} - (win_min % {1 << _POS_BITS}) AS INT)
          AS pos,
        win_min // {1 << _POS_BITS} AS fp
 FROM winmin

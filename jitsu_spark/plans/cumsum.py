@@ -10,19 +10,37 @@ keys): at 10^7-10^8 distinct values the one-task sort becomes the same
 bottleneck the round-8 zipf fix removed.
 
 `histogram_cnt_better` computes the identical quantity with NO global
-single-partition stage:
+single-partition stage over the values, fully LAZILY:
 
 1. group to the (value, cnt) histogram (partial-agg friendly);
 2. `repartitionByRange` on the value (equal values land together,
    partitions hold contiguous ranges) + sortWithinPartitions;
-3. one tiny per-partition total aggregate -> driver cumsum -> broadcast
-   offsets (n_partitions rows — metadata scale);
-4. one Arrow pass adds offset + local running sum.
+3. one Arrow pass emits each row's LOCAL prefix plus its partition id;
+4. per-partition totals cumsum over a PARTITION-COUNT-sized frame (a
+   window over n_partitions rows — metadata scale) broadcast-joins the
+   offsets back on pid.
+
+Everything is one lazy DAG — no driver collect, no eager job at query
+construction, and no state baked from a prior evaluation: both the
+totals branch and the join branch hang off the SAME range exchange
+(reused by Catalyst; even a full re-evaluation re-derives pids and
+offsets together), so cache eviction or recomputation can never pair
+rows with stale offsets (r8 review finding: the earlier form broadcast
+offsets collected from one evaluation, which a later re-execution of
+the resampled range exchange could silently invalidate).
 
 Output per distinct value: `cnt_better` = rows with a strictly better
 value, and `n_total` — exactly the percent_rank() inputs, so a DuckDB
 `percent_rank()` oracle stays the correctness twin bit-for-bit
 (cnt_better/(n_total-1) is the same integer division on both engines).
+
+`small_value_space=True` keeps the plain cumulative-window form — the
+right plan when the CALLER can bound the value space (day counts,
+event counts, score buckets ≪ 2^20 values): one task sorting a few MB
+of skinny (v, cnt) rows beats the distributed machinery's extra
+exchange + sampling pass. The flag is declared by the caller precisely
+because deciding it at runtime would need an eager count job at query-
+construction time.
 """
 
 from __future__ import annotations
@@ -30,45 +48,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Histograms at or below this take the plain cumulative window (one task
-# sorting <= this many SKINNY (v, cnt) rows — milliseconds); above it,
-# the range-partitioned distributed prefix. 2^20 rows x ~16 bytes is a
-# ~16 MB single-task sort, far inside executor budgets.
-WINDOW_FORM_MAX_ROWS = 1 << 20
-
 
 def histogram_cnt_better(
     df: DataFrame,
     value_col: str,
     ascending: bool = True,
     partitions: int | None = None,
+    small_value_space: bool = False,
 ) -> DataFrame:
     """(v, cnt, cnt_better, n_total) for every DISTINCT value of
     `value_col` in `df` — `cnt_better` counts rows whose value is
-    strictly better (smaller when ascending, larger when descending).
-    No single-partition sort at any width."""
-    from .topk import persist_bounded
-
+    strictly better (smaller when ascending, descending otherwise)."""
     spark = df.sparkSession
-    # persist the histogram BEFORE range partitioning: repartitionByRange
-    # runs a separate boundary-sampling job over its input, and the
-    # totals/prefix stages walk it again — without the cache each pass
-    # would re-evaluate the histogram's full corpus lineage (measured 3x
-    # on dsir_select). The cache is value-histogram-sized by definition.
-    hist = persist_bounded(
-        df.groupBy(F.col(value_col).alias("v")).agg(
-            F.count(F.lit(1)).alias("cnt")
-        )
+    hist = df.groupBy(F.col(value_col).alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
     )
-    # Size-gate (the maybe_broadcast convention): the distributed path
-    # costs ~4 extra jobs of fixed overhead, which DOMINATES on small
-    # value spaces (measured 3x wall on sub-second rank stages at test
-    # SF), while the single-task window only hurts once the histogram is
-    # genuinely large. The count materializes the cache either way, and
-    # both branches produce identical values.
-    n_hist = hist.count()
     direction = "" if ascending else "DESC"
-    if n_hist <= WINDOW_FORM_MAX_ROWS:
+    if small_value_space:
         return hist.selectExpr(
             "v",
             "cnt",
@@ -77,33 +73,23 @@ def histogram_cnt_better(
             " AS cnt_better",
             "sum(cnt) OVER () AS n_total",
         )
+    from .hints import maybe_broadcast
+
     order = F.col("v").asc() if ascending else F.col("v").desc()
     n_parts = partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    ranged = persist_bounded(
-        hist.repartitionByRange(n_parts, order).sortWithinPartitions(order)
+    ranged = hist.repartitionByRange(n_parts, order).sortWithinPartitions(
+        order
     )
-    totals = (
-        ranged.groupBy(F.spark_partition_id().alias("pid"))
-        .agg(F.sum("cnt").alias("t"))
-        .collect()  # n_partitions rows — metadata scale
-    )
-    by_pid = {r["pid"]: r["t"] for r in totals}
-    offsets, acc = {}, 0
-    for pid in sorted(by_pid):
-        offsets[pid] = acc
-        acc += by_pid[pid]
-    n_total = acc
-    bc = spark.sparkContext.broadcast(offsets)
 
-    def prefix(batches):
+    def local_prefix(batches):
         import numpy as np
         import pandas as pd
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        run = bc.value.get(pid, 0)
+        run = 0
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -112,14 +98,31 @@ def histogram_cnt_better(
                 {
                     "v": pdf["v"].values,
                     "cnt": c,
-                    "cnt_better": run
+                    "local_better": run
                     + np.concatenate(([0], np.cumsum(c)[:-1])),
+                    "pid": pid,
                 }
             )
             run += int(c.sum())
             yield out
 
     vtype = dict(ranged.dtypes)["v"]
-    return ranged.mapInPandas(
-        prefix, f"v {vtype}, cnt long, cnt_better long"
-    ).withColumn("n_total", F.lit(n_total))
+    with_pid = ranged.mapInPandas(
+        local_prefix, f"v {vtype}, cnt long, local_better long, pid int"
+    )
+    # per-pid totals: n_partitions rows — the cumulative window here is
+    # bounded by the PARTITION COUNT, not the value space
+    offsets = (
+        with_pid.groupBy("pid")
+        .agg(F.sum("cnt").alias("t"))
+        .selectExpr(
+            "pid",
+            "coalesce(sum(t) OVER (ORDER BY pid"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L)"
+            " AS off",
+            "sum(t) OVER () AS n_total",
+        )
+    )
+    return with_pid.join(maybe_broadcast(offsets), "pid").selectExpr(
+        "v", "cnt", "local_better + off AS cnt_better", "n_total"
+    )

@@ -266,8 +266,12 @@ class TestPmi:
         assert (out.pair_cnt >= 5).all()
         assert list(out["rank"]) == list(range(1, len(out) + 1))
         top = out.iloc[0]
-        # the perfectly-collocated pair beats the frequent-but-mixed ones
-        assert (top.w1, top.w2) == ("alpha", "beta") or top.pmi == out.pmi.max()
+        # the perfectly-collocated pair beats the frequent-but-mixed
+        # ones — asserted on the PAIR, not the (tautological) rank-1
+        # pmi value (r8 review finding)
+        assert (top.w1, top.w2) == ("alpha", "beta")
+        mixed = out[(out.w1 == "gamma") & (out.w2 == "delta")]
+        assert mixed.empty or (mixed.pmi < top.pmi).all()
 
 
 class TestWinnowing:
@@ -291,7 +295,8 @@ class TestWinnowing:
         out = winnowing_fingerprints(spark, sf).toPandas()
         fps = {d: set(g.fp) for d, g in out.groupby("doc_id")}
         assert fps[1] & fps[2], "shared run must yield a shared fingerprint"
-        assert not (fps[1] & fps[3] and fps[2] & fps[3])
+        assert not (fps[1] & fps[3])
+        assert not (fps[2] & fps[3])
 
     def test_selection_density_and_positions(self, spark, tmp_path):
         from jitsu_spark.operators.text_ops import winnowing_fingerprints

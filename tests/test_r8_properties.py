@@ -156,21 +156,16 @@ class TestCumsumProperty:
 
         from jitsu_spark.plans.cumsum import histogram_cnt_better
 
-        import jitsu_spark.plans.cumsum as C
-
         df = spark.createDataFrame([(v,) for v in values], "x long")
         cnt = collections.Counter(values)
         for ascending in (True, False):
+            # DISTRIBUTED branch (the default) on every example...
             out = histogram_cnt_better(df, "x", ascending).collect()
-            # and again with the size gate forced open, so the
-            # DISTRIBUTED branch is exercised on every example
-            saved = C.WINDOW_FORM_MAX_ROWS
-            C.WINDOW_FORM_MAX_ROWS = 0
-            try:
-                dist = histogram_cnt_better(df, "x", ascending).collect()
-            finally:
-                C.WINDOW_FORM_MAX_ROWS = saved
-            assert sorted(map(tuple, dist)) == sorted(map(tuple, out))
+            # ...cross-checked against the declared-small window form
+            win = histogram_cnt_better(
+                df, "x", ascending, small_value_space=True
+            ).collect()
+            assert sorted(map(tuple, win)) == sorted(map(tuple, out))
             assert len(out) == len(cnt)
             for r in out:
                 want = sum(
