@@ -755,8 +755,80 @@ WHERE pos <= max_pos - {WINNOW_W - 1}
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction (round 8) — the classic per-document salient-
+# term summary (Sparck Jones 1972): score(t, d) = tf(t,d) * ln(N / df(t)),
+# top-K terms per document. The metadata enrichment step corpus catalogs
+# and near-dup triage UIs attach to every document.
+#
+# Scale: one token explode -> (doc, term) tf counts (partial-agg); the df
+# table is vocabulary-sized and joins back size-gated; the per-doc rank
+# window partitions BY doc_id — each frame is bounded by the document's
+# own vocabulary, so no task ever sorts more than one document's terms.
+# ---------------------------------------------------------------------------
+
+TFIDF_TOPK = 5
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term, tf, score, rank): each document's TFIDF_TOPK most
+    salient terms; ties break on term ASC (deterministic)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tf = (
+        docs.selectExpr("doc_id", f"explode({TOKENS}) AS term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(maybe_broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .selectExpr(
+            "doc_id",
+            "term",
+            "tf",
+            # CAST(...AS DOUBLE), not a decimal literal; + 0.0 for -0.0
+            "round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) + 0.0 AS score",
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= TFIDF_TOPK
+    )
+
+
+TFIDF_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({TOKENS_DUCK}) AS term FROM documents)
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf,
+         round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) + 0.0 AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, score, rank FROM (
+  SELECT doc_id, term, tf, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= {TFIDF_TOPK}
+"""
+
+
 QUERIES = {
     "text_quality_score": text_quality_score,
+    "tfidf_top_terms": tfidf_top_terms,
     "winnowing_fingerprints": winnowing_fingerprints,
     "token_count_by_source": token_count_by_source,
     "lang_id_heuristic": lang_id_heuristic,
@@ -774,6 +846,7 @@ ORACLE = {
     "lang_id_heuristic": LANG_ID_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "winnowing_fingerprints": WINNOWING_SQL,
+    "tfidf_top_terms": TFIDF_SQL,
     "bpe_token_count": BPE_TOKEN_COUNT_SQL,
     "url_stats_by_source": URL_STATS_SQL,
     "length_histogram": LENGTH_HISTOGRAM_SQL,

@@ -97,7 +97,7 @@ _PRIORITY = [
     "embedding_dim_truncation_report", "ngram_novelty_curve",
     "engagement_histogram", "dedup_cascade_report",
     "funnel_time_to_convert", "collocation_pmi_topk",
-    "winnowing_fingerprints",
+    "winnowing_fingerprints", "tfidf_top_terms",
     # -- touched in r8 --
     "zipf_fit_report", "dsir_select", "scd2_user_attribute",
     "pq_recall_report", "opq_train_report", "whitening_report",

@@ -313,3 +313,23 @@ class TestWinnowing:
         # a doc too short for one gram yields nothing
         sf2 = _write_docs(spark, tmp_path, [(9, "just two", "en")])
         assert winnowing_fingerprints(spark, sf2).count() == 0
+
+
+class TestTfidf:
+    def test_salient_term_ranks_first(self, spark, tmp_path):
+        from jitsu_spark.operators.corpus_stats import load_table_docs  # noqa: F401
+        from jitsu_spark.operators.text_ops import TFIDF_TOPK, tfidf_top_terms
+
+        common = "the of and to in"
+        rows = [(i, common + " filler", "en") for i in range(9)]
+        # doc 9: a rare term repeated — highest tf*idf by construction
+        rows.append((9, common + " zebra zebra zebra", "en"))
+        sf = _write_docs(spark, tmp_path, rows)
+        out = tfidf_top_terms(spark, sf).toPandas()
+        d9 = out[out.doc_id == 9].sort_values("rank")
+        assert d9.iloc[0].term == "zebra"
+        assert d9.iloc[0].tf == 3
+        # ubiquitous terms score ln(N/N)=0
+        ubiq = out[(out.doc_id == 9) & (out.term == "the")]
+        assert ubiq.empty or (ubiq.score == 0.0).all()
+        assert (out.groupby("doc_id")["rank"].max() <= TFIDF_TOPK).all()
