@@ -512,28 +512,40 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(n_converted, p50_hours, p90_hours, max_hours): the signup ->
     first-subsequent-purchase latency distribution — the "how long does
     conversion take" report next to `funnel_signup_purchase`'s counts.
-    Same single user_id shuffle (conditional aggregation, no self-join);
-    latency in hours via exact microsecond arithmetic; exact
-    linear-interpolation percentiles (Spark `percentile` == DuckDB
-    `quantile_cont`, the event_value_percentiles precedent). At 100 TB
-    swap percentile for percentile_approx (t-digest) — same plan shape.
+    Two chained O(1)-state aggregates instead of a per-user
+    collect_list: pass 1 takes the signup watermark per user
+    (conditional min); pass 2 joins the purchase rows against it and
+    takes the filtered min. A collect_list buffer is bounded only by
+    the user's own purchase count — exactly unbounded for the
+    bot/abuse keys `user_burst_detection` exists to catch (round-9
+    ADVICE; the same hot-key pathology the r8 abuse-detector rewrite
+    removed). The post-join groupBy reuses the join's user_id hash
+    partitioning, so this stays two shuffles of skinny frames with
+    constant per-key state. Exact linear-interpolation percentiles
+    (Spark `percentile` == DuckDB `quantile_cont`); at 100 TB swap for
+    percentile_approx (t-digest) — same plan shape.
     """
     ev = load_table(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(
-        F.min(
-            F.when(F.col("event_type") == "signup", F.unix_micros("ts"))
-        ).alias("signup_us"),
-        # bounded by the user's own purchase count; one shuffle total
-        F.collect_list(
-            F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
-        ).alias("purchases"),
+    signups = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("event_type") == "signup", F.unix_micros("ts")
+                )
+            ).alias("signup_us")
+        )
+        .where(F.col("signup_us").isNotNull())
     )
-    lat = per_user.selectExpr(
-        "user_id",
-        "signup_us",
-        "array_min(filter(purchases, p -> p > signup_us)) AS conv_us",
-    ).where("signup_us IS NOT NULL AND conv_us IS NOT NULL").selectExpr(
-        "(conv_us - signup_us) / 3600000000.0D AS hours"
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    lat = (
+        purchases.join(signups, "user_id")
+        .where(F.col("us") > F.col("signup_us"))
+        .groupBy("user_id", "signup_us")
+        .agg(F.min("us").alias("conv_us"))
+        .selectExpr("(conv_us - signup_us) / 3600000000.0D AS hours")
     )
     return lat.agg(
         F.count(F.lit(1)).alias("n_converted"),
@@ -862,22 +874,42 @@ ENGAGEMENT_WINDOWS = (7, 28)
 def engagement_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(window_days, days_active, n_users): per trailing window, the
     user count at each activity level. Users with zero active days in a
-    window have no row (unknowable population), matching the oracle."""
+    window have no row (unknowable population), matching the oracle.
+
+    One events scan (round-9, VERDICT r8 #6): the per-user activity
+    counts for EVERY window come out of a single conditional
+    aggregation (`count(when(day > anchor - w))` per window), and that
+    user-count-sized frame is persisted before the per-window histogram
+    arms re-aggregate it — AQE exchange reuse across union branches is
+    not guaranteed, so without the persist the events scan + distinct
+    ran once per window arm."""
+    from ..plans.topk import persist_bounded
+
     ev = load_table(spark, sf_dir, "events")
     ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
     anchor = ud.agg(F.max("day").alias("anchor"))
-    based = ud.crossJoin(F.broadcast(anchor))
+    per_user = persist_bounded(
+        ud.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            *[
+                F.count(
+                    F.when(
+                        F.expr(f"day > anchor - INTERVAL {w} DAYS"),
+                        F.lit(1),
+                    )
+                ).alias(f"l{w}")
+                for w in ENGAGEMENT_WINDOWS
+            ]
+        )
+    )
     parts = []
     for w in ENGAGEMENT_WINDOWS:
         parts.append(
-            based.where(F.expr(f"day > anchor - INTERVAL {w} DAYS"))
-            .groupBy("user_id")
-            .agg(F.count(F.lit(1)).alias("days_active"))
-            .groupBy("days_active")
+            per_user.where(F.col(f"l{w}") > 0)
+            .groupBy(F.col(f"l{w}").alias("days_active"))
             .agg(F.count(F.lit(1)).alias("n_users"))
-            .selectExpr(
-                f"{w} AS window_days", "days_active", "n_users"
-            )
+            .selectExpr(f"{w} AS window_days", "days_active", "n_users")
         )
     out = parts[0]
     for px in parts[1:]:

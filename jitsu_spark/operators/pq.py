@@ -1017,17 +1017,21 @@ def pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_true = max(len(exact), 1)
     r_nprobe = round(len(exact & got_default) / n_true, 4)
     r_full = round(len(exact & got_full) / n_true, 4)
-    # self-certifying invariant (r8): the recall contract the test suite
-    # pins (tests/test_pq.py) carried IN the row, so a rows-only check
-    # still transports the pass/fail signal — full-probe recall above the
-    # quantization floor, partial probe between its floor and full probe.
+    # self-certifying invariant (r8; gate relaxed r9): the recall
+    # contract the test suite pins (tests/test_pq.py) carried IN the
+    # row, so a rows-only check still transports the pass/fail signal.
+    # Gate on the two FLOORS only — approximate-distance top-k is not
+    # monotone in probe count (full-probe's larger ADC candidate set
+    # can displace a true neighbor the partial probe retained), so a
+    # hard r_nprobe <= r_full can flag false on a healthy index
+    # (round-9 ADVICE #5).
     row = (
         len({q for q, _ in exact}),
         TOP_K,
         NPROBE,
         r_nprobe,
         r_full,
-        bool(r_full >= 0.7 and 0.2 <= r_nprobe <= r_full),
+        bool(r_full >= 0.7 and r_nprobe >= 0.2),
     )
     return spark.createDataFrame(
         [row],

@@ -247,6 +247,49 @@ def build_profiles(
         fn = profile_fn
         lease = _RunnerLease(fn, timeout_sec, memory_mb, token)
 
+        def _coerce_result_types(
+            out: pd.DataFrame, fields
+        ) -> pd.DataFrame:
+            """Coerce each result column to its declared Spark type so an
+            incompatible cell (e.g. a string in a long column) becomes
+            THIS user's `_error` row instead of failing the whole batch
+            in the parent worker's Arrow conversion — the exact failure
+            mode shape-validation exists to contain (round-9 ADVICE).
+            Raises on an incoercible cell; the caller traps it."""
+            for f in fields:
+                c, t = f.name, f.dataType.simpleString()
+                col = out[c]
+                if t in ("bigint", "int", "smallint", "tinyint"):
+                    num = pd.to_numeric(col, errors="raise")
+                    nn = num.dropna()
+                    if len(nn) and not (nn % 1 == 0).all():
+                        raise ValueError(
+                            f"non-integer value in {t} column {c!r}"
+                        )
+                    out[c] = num.astype("Int64")
+                elif t in ("double", "float"):
+                    out[c] = pd.to_numeric(col, errors="raise").astype(
+                        "float64"
+                    )
+                elif t == "string":
+                    out[c] = col.map(
+                        lambda v: v
+                        if v is None or isinstance(v, str)
+                        else str(v)
+                    )
+                elif t.startswith("timestamp") or t == "date":
+                    out[c] = pd.to_datetime(col, errors="raise")
+                elif t == "boolean":
+                    for v in col.dropna():
+                        if not isinstance(v, bool) and type(v).__name__ not in (
+                            "bool_",
+                        ):
+                            raise ValueError(
+                                f"non-boolean value {v!r} in column {c!r}"
+                            )
+                # nested array/map/struct types: left to Arrow validation
+            return out
+
         def guarded(pdf: pd.DataFrame) -> pd.DataFrame:
             if isolated:
                 out, err = lease.runner().run(pdf)
@@ -277,6 +320,14 @@ def build_profiles(
                         )
             if err is None:
                 out = out[expected_cols].copy()
+                try:
+                    out = _coerce_result_types(out, schema.fields)
+                except Exception as ex:
+                    err = (
+                        "ProfileResultError: type coercion failed: "
+                        f"{type(ex).__name__}: {ex}"
+                    )
+            if err is None:
                 out["_error"] = None
                 return out
             row = {c: [None] for c in null_cols}

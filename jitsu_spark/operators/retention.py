@@ -80,9 +80,11 @@ def purge_user_from_table(
     """Erase one user's rows from a date-partitioned warehouse table.
 
     One pushed-down scan finds the date partitions holding the user;
-    only those are rewritten (dynamic partition overwrite — upsert's
-    mechanics), and a partition the rewrite empties is dropped rather
-    than left as a stale directory. Returns an audit dict that states
+    only those are rewritten. Survivors are durably written to a temp
+    sibling directory first, then swapped in with directory renames —
+    never an in-place overwrite of files a lineage might re-read — and
+    a partition the rewrite empties is dropped rather than left as a
+    stale directory. Returns an audit dict that states
     the mutation scope honestly (r8 review finding #7):
     {table, rows_deleted, partitions_rewritten, partitions_dropped}."""
     spark = sink.spark
@@ -96,37 +98,49 @@ def purge_user_from_table(
         return empty
     full = sink.read(table)
     hit = F.col(user_col) == F.lit(user_id)
-    touched = [
+    touched_vals = [
         r[0]
         for r in full.where(hit).select(PARTITION_COL).distinct().collect()
     ]
-    if not touched:
+    if not touched_vals:
         return empty
-    sub = full.where(F.col(PARTITION_COL).isin(touched))
+    # directory names use the string form of the partition value
+    touched = [str(v) for v in touched_vals]
+    sub = full.where(F.col(PARTITION_COL).isin(touched_vals))
     deleted = sub.where(hit).count()
-    # cache + materialize BEFORE the dynamic overwrite: `kept`'s lineage
-    # reads the very files the write replaces (the upsert pattern)
-    kept = sub.where(~hit).cache()
+    # Durably materialize the survivors to a temp sibling directory BEFORE
+    # touching any source file: a .cache() is not a write barrier — if an
+    # executor (or its cached blocks) is lost mid-overwrite, lineage
+    # recomputation would re-read partially-overwritten input and silently
+    # drop surviving rows on a GDPR path (round-9 ADVICE, medium). The
+    # temp copy makes the read side complete before the mutate side starts;
+    # each partition is then swapped in with directory renames.
+    table_path = sink._path(table)
+    tmp_path = table_path + ".__purge_tmp__"
+    shutil.rmtree(tmp_path, ignore_errors=True)
+    kept = sub.where(~hit)
+    kept.write.mode("overwrite").partitionBy(PARTITION_COL).parquet(tmp_path)
+    kept_dates = {
+        name[len(f"{PARTITION_COL}=") :]
+        for name in os.listdir(tmp_path)
+        if name.startswith(f"{PARTITION_COL}=")
+    } & set(touched)
     try:
-        kept_dates = {
-            r[0] for r in kept.select(PARTITION_COL).distinct().collect()
-        }
-        if kept_dates:
-            (
-                kept.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy(PARTITION_COL)
-                .parquet(sink._path(table))
-            )
+        for d in touched:
+            old_dir = os.path.join(table_path, f"{PARTITION_COL}={d}")
+            trash = old_dir + ".__purge_old__"
+            shutil.rmtree(trash, ignore_errors=True)
+            if os.path.isdir(old_dir):
+                os.rename(old_dir, trash)
+            if d in kept_dates:
+                os.rename(
+                    os.path.join(tmp_path, f"{PARTITION_COL}={d}"), old_dir
+                )
+            shutil.rmtree(trash, ignore_errors=True)
     finally:
-        kept.unpersist()
+        shutil.rmtree(tmp_path, ignore_errors=True)
     dropped = set(touched) - kept_dates
-    for d in dropped:
-        shutil.rmtree(
-            os.path.join(sink._path(table), f"{PARTITION_COL}={d}"),
-            ignore_errors=True,
-        )
-    spark.catalog.refreshByPath(sink._path(table))
+    spark.catalog.refreshByPath(table_path)
     return {
         "table": table,
         # rewritten = touched partitions that still had survivors (the
@@ -187,15 +201,22 @@ def purge_user_from_raw(
             "rows_deleted": 0,
             "partitions_touched": 0,
         }
-    kept = sub.where(~hit).cache()
-    try:
-        n_kept = kept.count()  # materialize before overwriting the input
-        if n_kept:
-            kept.write.mode("overwrite").parquet(part_dir)
-        else:
-            shutil.rmtree(part_dir, ignore_errors=True)
-    finally:
-        kept.unpersist()
+    # same durable-temp-then-swap discipline as purge_user_from_table:
+    # write survivors OUT of band, then rename the partition directory —
+    # never overwrite files a live lineage might still re-read.
+    tmp_dir = part_dir + ".__purge_tmp__"
+    trash = part_dir + ".__purge_old__"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    shutil.rmtree(trash, ignore_errors=True)
+    kept = sub.where(~hit)
+    n_kept = kept.count()  # reads the untouched source, pre-mutation
+    kept.write.mode("overwrite").parquet(tmp_dir)
+    os.rename(part_dir, trash)
+    if n_kept:
+        os.rename(tmp_dir, part_dir)
+    else:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+    shutil.rmtree(trash, ignore_errors=True)
     spark.catalog.refreshByPath(raw_dir)
     return {
         "partition_id": pid,

@@ -130,7 +130,19 @@ def _jsonl_cache_root() -> str:
     # export lives in a directory another local user controls (r8
     # review finding #2).
     if hasattr(os, "getuid"):
-        st = os.stat(root)
+        # lstat + symlink refusal: os.stat FOLLOWS symlinks, so an
+        # attacker pre-creating a symlink at the predictable path would
+        # pass the ownership check against the TARGET and redirect the
+        # export (plus the chmod 0700) anywhere they choose (round-9
+        # ADVICE). A symlink here is never legitimate — makedirs created
+        # a real directory or the user set JITSU_JSONL_CACHE_DIR.
+        st = os.lstat(root)
+        if os.path.islink(root):
+            raise RuntimeError(
+                f"JSONL cache root {root} is a symlink — refusing to"
+                " follow it; set JITSU_JSONL_CACHE_DIR to a real,"
+                " private directory"
+            )
         if st.st_uid != os.getuid():
             raise RuntimeError(
                 f"JSONL cache root {root} is owned by uid {st.st_uid},"

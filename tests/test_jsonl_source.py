@@ -115,6 +115,21 @@ class TestJsonlQuarantine:
         assert p1 == p2
         assert os.path.getmtime(os.path.join(p2, "_SUCCESS")) == mtime
 
+    def test_cache_root_refuses_symlink(self, tmp_path, monkeypatch):
+        """A pre-created symlink at the cache-root path must be refused,
+        not followed (os.stat follows; os.lstat + islink does not)."""
+        import pytest
+
+        from jitsu_spark.sources.jsonl import _jsonl_cache_root
+
+        victim = tmp_path / "victim"
+        victim.mkdir()
+        link = tmp_path / "cache_link"
+        link.symlink_to(victim)
+        monkeypatch.setenv("JITSU_JSONL_CACHE_DIR", str(link))
+        with pytest.raises(RuntimeError, match="symlink"):
+            _jsonl_cache_root()
+
 
 class TestRetrievalContamination:
     def test_leaked_doc_ranks_first(self, spark, tmp_path):

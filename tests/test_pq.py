@@ -357,9 +357,11 @@ class TestRecallReport:
         # quantization loss (near-uniform corpus, d=64/m=8 — measured
         # 0.76 at this SF; real clustered embeddings sit far higher)
         assert row.recall_full_probe >= 0.7
-        # partial probe trades recall for scan fraction — meaningful,
-        # and never above the full-probe number
-        assert 0.2 <= row.recall_at_nprobe <= row.recall_full_probe
+        # partial probe trades recall for scan fraction — floor only:
+        # ADC top-k is not monotone in probe count, so no hard
+        # r_nprobe <= r_full ordering (round-9 ADVICE #5)
+        assert row.recall_at_nprobe >= 0.2
+        assert row.recall_floor_ok
 
 
 class TestStoreMemo:

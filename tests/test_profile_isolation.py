@@ -121,6 +121,56 @@ class TestSparkBatch:
         assert logs[0]["type"] == "profile"
         profiles.unpersist()
 
+    def test_bad_dtype_contained_per_user(self, spark):
+        """A ProfileFunction returning a string in a long column (right
+        shape, wrong cell type) becomes THAT user's `_error` row — not
+        an Arrow conversion crash that fails the whole batch (round-9
+        ADVICE #3)."""
+
+        def bad_dtype_for_user_3(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = default_profile_fn(pdf)
+            if int(pdf["user_id"].iloc[0]) == 3:
+                out = out.copy()
+                out["n_events"] = ["not-a-number"]
+            return out
+
+        events = spark.createDataFrame(
+            [(uid, "2024-01-01", i, "page") for uid in (1, 2, 3) for i in range(2)],
+            "user_id long, ts string, event_id long, event_type string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = {
+            r["user_id"]: r
+            for r in build_profiles(
+                events, profile_fn=bad_dtype_for_user_3, untrusted=True
+            ).collect()
+        }
+        assert sorted(got) == [1, 2, 3]
+        assert got[3]["_error"] is not None and "coercion" in got[3]["_error"]
+        assert got[3]["n_events"] is None
+        for uid in (1, 2):
+            assert got[uid]["_error"] is None
+            assert got[uid]["n_events"] == 2
+
+    def test_benign_coercion_passes(self, spark):
+        """Numpy float counts that are integral coerce cleanly into long
+        columns instead of erroring (coercion, not rejection)."""
+
+        def floaty(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = default_profile_fn(pdf)
+            out = out.copy()
+            out["n_events"] = out["n_events"].astype("float64")
+            return out
+
+        events = spark.createDataFrame(
+            [(1, "2024-01-01", 0, "page"), (1, "2024-01-01", 1, "page")],
+            "user_id long, ts string, event_id long, event_type string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        row = build_profiles(
+            events, profile_fn=floaty, untrusted=True
+        ).collect()[0]
+        assert row["_error"] is None
+        assert row["n_events"] == 2
+
     def test_schema_gains_error_column_only(self, spark):
         events = spark.createDataFrame(
             [(1, "2024-01-01", 0, "page")],
