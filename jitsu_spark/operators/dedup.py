@@ -291,22 +291,69 @@ def _pair_shingle_counts(
     return shared
 
 
-def jaccard_pairs_from_shingles(
-    sh: DataFrame, max_doc_frequency: int | None = None
+# Memoized pair-core stores, keyed by (documents fingerprint, DF cap) —
+# the `_SIMHASH_MEMO` convention. ngram_jaccard_dups,
+# containment_dup_pairs, and dedup_cascade_report all project the SAME
+# (doc_a, doc_b, shared, na, nb) frame; without the memo each entry
+# re-ran the inverted-index self-join per bench session (r8 verdict
+# "what's wrong" #1). The store holds exact integer counts, so every
+# downstream projection is bit-identical to the live computation.
+_PAIR_COUNTS_MEMO: dict[tuple, str] = {}
+
+
+def ensure_pair_shingle_counts(
+    spark: SparkSession, sf_dir: str, max_doc_frequency: int | None = None
 ) -> DataFrame:
-    """Exact n-gram Jaccard pairs >= JACCARD_THRESHOLD (see
-    `_pair_shingle_counts` for the join core and skew guard)."""
+    """The memoized `_pair_shingle_counts` frame for `sf_dir`'s
+    documents — built on first use per (process, dataset, cap),
+    parquet-served afterwards. Falls back to the live computation when
+    the dataset can't be fingerprinted (the stat-failure contract of
+    `_docs_dataset_key`)."""
+    cap = (
+        MAX_SHINGLE_DF_DEFAULT
+        if max_doc_frequency is None
+        else max_doc_frequency
+    )
+    dkey = _docs_dataset_key(sf_dir)
+    if dkey is None:
+        return _pair_shingle_counts(_shingle_rows(spark, sf_dir), cap)
+    key = (dkey, cap)
+    store = _PAIR_COUNTS_MEMO.get(key)
+    if store is None:
+        import tempfile
+
+        from ..plans.store_builds import timed_build
+
+        store = tempfile.mkdtemp(prefix="pair_core_") + "/counts"
+        with timed_build("pair_shingle_counts"):
+            _pair_shingle_counts(
+                _shingle_rows(spark, sf_dir), cap
+            ).write.mode("overwrite").parquet(store)
+        _PAIR_COUNTS_MEMO[key] = store
+    return spark.read.parquet(store)
+
+
+def _jaccard_projection(counts: DataFrame) -> DataFrame:
     return (
-        _pair_shingle_counts(sh, max_doc_frequency)
-        .withColumn(
+        counts.withColumn(
             "jaccard",
             F.round(
-                F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4
+                F.col("shared")
+                / (F.col("na") + F.col("nb") - F.col("shared")),
+                4,
             ),
         )
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def jaccard_pairs_from_shingles(
+    sh: DataFrame, max_doc_frequency: int | None = None
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs >= JACCARD_THRESHOLD (see
+    `_pair_shingle_counts` for the join core and skew guard)."""
+    return _jaccard_projection(_pair_shingle_counts(sh, max_doc_frequency))
 
 
 # Containment (Broder 1997, "On the resemblance and containment of
@@ -325,13 +372,11 @@ def containment_dup_pairs(
     """(doc_a, doc_b, shared, containment_a, containment_b, jaccard):
     pairs where either doc's shingle set is >= CONTAINMENT_THRESHOLD
     contained in the other. Same inverted-index core (and corpus-derived
-    DF skew guard) as `ngram_jaccard_dups`; only the projection and gate
-    differ, so the two entries share one shingle shuffle shape."""
+    DF skew guard) as `ngram_jaccard_dups` — served from the shared
+    pair-core memo, so only the projection and gate run per entry."""
     if max_doc_frequency is None:
         max_doc_frequency = _default_df_cap(sf_dir)
-    counts = _pair_shingle_counts(
-        _shingle_rows(spark, sf_dir), max_doc_frequency
-    )
+    counts = ensure_pair_shingle_counts(spark, sf_dir, max_doc_frequency)
     return (
         counts.selectExpr(
             "doc_a",
@@ -408,11 +453,15 @@ def ngram_jaccard_dups(
     pairs dropped) and the registered SQL oracle no longer applies —
     pass max_doc_frequency=MAX_SHINGLE_DF_DEFAULT to force the exact
     O(hot^2) form at any size.
+
+    Served from the per-(process, dataset, cap) pair-core memo shared
+    with `containment_dup_pairs` / `dedup_cascade_report` — one
+    inverted-index self-join per session, three projections.
     """
     if max_doc_frequency is None:
         max_doc_frequency = _default_df_cap(sf_dir)
-    return jaccard_pairs_from_shingles(
-        _shingle_rows(spark, sf_dir), max_doc_frequency
+    return _jaccard_projection(
+        ensure_pair_shingle_counts(spark, sf_dir, max_doc_frequency)
     )
 
 
@@ -1296,8 +1345,8 @@ def dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the entry's rounded (4 dp) containment columns can cross the
     # threshold purely by rounding and flip which side drops (r8 review
     # finding #4: round(0.79996) = 0.8 fakes a mutual containment).
-    counts = _pair_shingle_counts(
-        _shingle_rows(spark, sf_dir), _default_df_cap(sf_dir)
+    counts = ensure_pair_shingle_counts(
+        spark, sf_dir, _default_df_cap(sf_dir)
     )
     t = CONTAINMENT_THRESHOLD
     cont_dropped = (

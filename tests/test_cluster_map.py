@@ -127,3 +127,51 @@ def test_registry_entry_memoized_and_identical(spark, sf_dir):
     n_keys = len(_CLUSTER_MEMO)
     b = sorted(map(tuple, near_dup_clusters(spark, sf_dir).collect()))
     assert b == a and len(_CLUSTER_MEMO) == n_keys
+
+
+def test_pair_core_memoized_and_identical(spark, sf_dir):
+    """r9: ngram_jaccard_dups / containment_dup_pairs share one
+    memoized pair-core store — the inverted-index self-join builds once
+    per (process, dataset, cap), and the served projections are
+    bit-identical to the live computation."""
+    from jitsu_spark.operators.dedup import (
+        _PAIR_COUNTS_MEMO,
+        _default_df_cap,
+        _pair_shingle_counts,
+        _shingle_rows,
+        containment_dup_pairs,
+        ensure_pair_shingle_counts,
+        ngram_jaccard_dups,
+    )
+    from jitsu_spark.plans.store_builds import BUILDS
+
+    jac = sorted(map(tuple, ngram_jaccard_dups(spark, sf_dir).collect()))
+    n_builds = sum(
+        1 for b in BUILDS if b["family"] == "pair_shingle_counts"
+    )
+    n_keys = len(_PAIR_COUNTS_MEMO)
+    # second consumer with the same cap: no new build, no new memo key
+    containment_dup_pairs(spark, sf_dir).collect()
+    assert (
+        sum(1 for b in BUILDS if b["family"] == "pair_shingle_counts")
+        == n_builds
+    )
+    assert len(_PAIR_COUNTS_MEMO) == n_keys
+    # served frame matches the live pair core exactly
+    live = sorted(
+        map(
+            tuple,
+            _pair_shingle_counts(
+                _shingle_rows(spark, sf_dir), _default_df_cap(sf_dir)
+            ).collect(),
+        )
+    )
+    served = sorted(
+        map(
+            tuple,
+            ensure_pair_shingle_counts(
+                spark, sf_dir, _default_df_cap(sf_dir)
+            ).collect(),
+        )
+    )
+    assert served == live and len(jac) > 0
