@@ -391,7 +391,10 @@ def word_frequency_table(
 
 
 def _train_merges_from_counts(
-    wc: list[tuple[str, int]], n_merges: int, min_pair_freq: int = 2
+    wc: list[tuple[str, int]],
+    n_merges: int,
+    min_pair_freq: int = 2,
+    exclude_same_symbol: bool = False,
 ) -> list[tuple[int, str, str]]:
     """The driver-side merge loop over an aggregated word-frequency list.
 
@@ -423,6 +426,12 @@ def _train_merges_from_counts(
         best: tuple[str, str] | None = None
         best_n = min_pair_freq - 1
         for p, n in pair_counts.items():
+            if exclude_same_symbol and p[0] == p[1]:
+                # chain-expressible training (r9): same-symbol rules are
+                # exactly the ones `_check_chain_merges` refuses, so the
+                # variant that feeds the replace-chain apply path (and
+                # its SQL oracle twin) never selects them as candidates
+                continue
             if n > best_n or (n == best_n and best is not None and p < best):
                 best, best_n = p, n
         if best is None:
@@ -460,6 +469,7 @@ def learn_bpe_merges(
     max_words: int = BPE_TRAIN_MAX_WORDS,
     min_pair_freq: int = 2,
     pre_tokenizer: str = "whitespace",
+    exclude_same_symbol: bool = False,
 ) -> DataFrame:
     """(rank, left, right) — a trained merges table in exactly the
     contract `bpe_token_count_pandas` consumes (train and count with the
@@ -484,7 +494,9 @@ def learn_bpe_merges(
     # collect() order is the TakeOrdered order, but re-sort defensively:
     # the trainer's determinism must not depend on partition arrival.
     wc.sort(key=lambda t: (-t[1], t[0]))
-    merges = _train_merges_from_counts(wc, n_merges, min_pair_freq)
+    merges = _train_merges_from_counts(
+        wc, n_merges, min_pair_freq, exclude_same_symbol
+    )
     spark = docs.sparkSession
     return spark.createDataFrame(
         merges or [], "rank int, left string, right string"
@@ -501,6 +513,118 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens than the character baseline."""
     docs = load_table(spark, sf_dir, "documents")
     return learn_bpe_merges(docs, n_merges=48)
+
+
+# --------------------------------------------------------------------------
+# Learned-merges oracle companion (round 9, VERDICT r8 #4): the pure
+# trainer entry (`bpe_learn_merges`) stays rows-only — but the TRAIN ->
+# APPLY composition is fully oracle-checkable once the candidate space is
+# restricted to chain-expressible rules (left != right, exactly the set
+# `_check_chain_merges` accepts). The DuckDB twin replays the ENTIRE
+# training loop unrolled in SQL — per-iteration adjacent-pair stats over
+# the delimited word table, argmax with the trainer's exact tie-break
+# (count DESC, then (left, right) ascending — UTF-8 byte order ==
+# codepoint order), merge application as the same two-pass delimiter
+# replace — then applies each learned rule to the documents via scalar
+# subqueries. Every intermediate CTE is MATERIALIZED: inlined CTEs would
+# re-expand the recursive words chain exponentially.
+# Small caps keep both engines fast: the oracle's cost is
+# O(iterations x vocab_cap) plus one doc chain.
+LEARNED_N_MERGES = 24
+LEARNED_VOCAB_CAP = 2000
+LEARNED_MIN_PAIR_FREQ = 2
+
+
+def bpe_learned_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: train LEARNED_N_MERGES chain-expressible merges
+    from the corpus (same-symbol candidates excluded — the rules
+    `_check_chain_merges` refuses), then count per-doc tokens under them
+    via the oracle-pinned replace chain. End-to-end oracle check of the
+    learn -> apply composition; the unrestricted trainer's extra
+    guarantees stay pinned in `tests/test_bpe.py`."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r["rank"], r["left"], r["right"])
+        for r in learn_bpe_merges(
+            docs,
+            n_merges=LEARNED_N_MERGES,
+            max_words=LEARNED_VOCAB_CAP,
+            min_pair_freq=LEARNED_MIN_PAIR_FREQ,
+            exclude_same_symbol=True,
+        ).collect()
+    ]
+    return bpe_token_count_expr(docs, merges)
+
+
+def _learned_chain_duck(
+    n_merges: int = LEARNED_N_MERGES,
+    vocab_cap: int = LEARNED_VOCAB_CAP,
+    min_freq: int = LEARNED_MIN_PAIR_FREQ,
+) -> str:
+    """The full unrolled training + apply loop as one DuckDB query (see
+    the block comment above). chr(1) is the never-matching sentinel for
+    early-stopped iterations (no candidate pair reaches min_freq), so a
+    trailing no-op iteration leaves words/docs unchanged — matching the
+    trainer's break."""
+    S, WB = "chr(31)", "chr(30)"
+
+    def pat(i: int) -> str:
+        return (
+            f"coalesce((SELECT {S} || a || {S} || b || {S} FROM m{i}),"
+            " chr(1))"
+        )
+
+    def rep(i: int) -> str:
+        return f"coalesce((SELECT {S} || a || b || {S} FROM m{i}), chr(1))"
+
+    ctes = [
+        f"""w0 AS MATERIALIZED (
+  SELECT word, count(*) AS freq
+  FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word
+        FROM documents)
+  WHERE word <> ''
+  GROUP BY word ORDER BY freq DESC, word LIMIT {vocab_cap}
+), words0 AS MATERIALIZED (
+  SELECT {S} || regexp_replace(word, '(.)', '\\1' || {S}, 'g') AS w, freq
+  FROM w0
+)"""
+    ]
+    for i in range(n_merges):
+        ctes.append(
+            f"""stats{i} AS MATERIALIZED (
+  SELECT l[g] AS a, l[g+1] AS b, sum(freq) AS f
+  FROM (SELECT string_split(w, {S}) AS l, freq FROM words{i}) s,
+       LATERAL (SELECT unnest(generate_series(2, len(s.l) - 2)) AS g) t
+  GROUP BY 1, 2
+), m{i} AS MATERIALIZED (
+  SELECT a, b FROM stats{i} WHERE a <> b AND f >= {min_freq}
+  ORDER BY f DESC, a, b LIMIT 1
+), words{i + 1} AS MATERIALIZED (
+  SELECT replace(replace(w, {pat(i)}, {rep(i)}), {pat(i)}, {rep(i)}) AS w,
+         freq
+  FROM words{i}
+)"""
+        )
+    ctes.append(
+        f"""d0 AS MATERIALIZED (
+  SELECT doc_id,
+         {S} || regexp_replace(regexp_replace(text, '\\s+', {WB}, 'g'),
+                               '(.)', '\\1' || {S}, 'g') AS s
+  FROM documents
+)"""
+    )
+    for i in range(n_merges):
+        ctes.append(
+            f"d{i + 1} AS MATERIALIZED (SELECT doc_id,"
+            f" replace(replace(s, {pat(i)}, {rep(i)}), {pat(i)}, {rep(i)})"
+            f" AS s FROM d{i})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT doc_id, CAST({_COUNT_DUCK} AS BIGINT)"
+        f" AS n_tokens FROM d{n_merges}"
+    )
 
 
 def bpe_trained_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -592,12 +716,16 @@ FROM per_doc GROUP BY lang
 BPE_FERTILITY_SQL = _fertility_duck()
 
 
+BPE_LEARNED_SQL = _learned_chain_duck()
+
 QUERIES = {
     "bpe_trained_token_count": bpe_trained_token_count,
     "bpe_learn_merges": bpe_learn_merges,
+    "bpe_learned_token_count": bpe_learned_token_count,
     "bpe_fertility_by_lang": bpe_fertility_by_lang,
 }
 ORACLE = {
     "bpe_trained_token_count": BPE_TRAINED_SQL,
+    "bpe_learned_token_count": BPE_LEARNED_SQL,
     "bpe_fertility_by_lang": BPE_FERTILITY_SQL,
 }

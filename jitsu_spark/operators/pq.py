@@ -980,8 +980,28 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry (rows-only check — k-means training has no SQL
     form): build the PQ store (memoized per sf_dir — seeded build, so
     all PQ registry entries share one store as a deployment would) and
-    probe it (`build_ivfpq_store` + `ann_ivfpq_topk_stored`)."""
-    return ann_ivfpq_topk_stored(spark, sf_dir, _ensure_store(spark, sf_dir))
+    probe it (`build_ivfpq_store` + `ann_ivfpq_topk_stored`).
+
+    Carries the stored-vs-bulk exact-parity contract IN the frame
+    (`bulk_parity_ok`, round-9): the distributed bulk path is run over
+    the same query set and full-tuple-compared to the driver-side
+    stored path — the invariant `tests/test_pq.py` pins, transported
+    through the rows-only driver check like `recall_floor_ok`. Both
+    result sets are N_QUERIES x TOP_K rows, so the compare is a
+    bounded driver-side set equality."""
+    store = _ensure_store(spark, sf_dir)
+    stored = ann_ivfpq_topk_stored(spark, sf_dir, store)
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    bulk = ann_ivfpq_topk_bulk(
+        spark,
+        sf_dir,
+        store,
+        unit_queries(emb.where(F.col("vec_id") < N_QUERIES)),
+    )
+    parity = sorted(map(tuple, stored.collect())) == sorted(
+        map(tuple, bulk.collect())
+    )
+    return stored.withColumn("bulk_parity_ok", F.lit(bool(parity)))
 
 
 def pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -340,6 +340,72 @@ class TestTrainMerges:
 
         check()
 
+    def test_exclude_same_symbol_matches_naive(self):
+        """The chain-expressible trainer variant (r9: same-symbol
+        candidates skipped at the argmax) equals a from-scratch recount
+        with the same exclusion — and emits no left==right rule, so its
+        output always passes `_check_chain_merges`."""
+        from hypothesis import given, settings, strategies as st
+
+        from jitsu_spark.operators.bpe import (
+            _check_chain_merges,
+            _train_merges_from_counts,
+        )
+
+        def naive_excl(wc, n_merges, min_pair_freq=2):
+            words = [list(w) for w, _ in wc]
+            freqs = [f for _, f in wc]
+            merges = []
+            for rank in range(n_merges):
+                counts = {}
+                for syms, f in zip(words, freqs):
+                    for p in zip(syms, syms[1:]):
+                        counts[p] = counts.get(p, 0) + f
+                eligible = {
+                    p: n
+                    for p, n in counts.items()
+                    if n >= min_pair_freq and p[0] != p[1]
+                }
+                if not eligible:
+                    break
+                best = min(
+                    eligible.items(), key=lambda kv: (-kv[1], kv[0])
+                )[0]
+                merges.append((rank, best[0], best[1]))
+                a, b = best
+                for i, syms in enumerate(words):
+                    out, j = [], 0
+                    while j < len(syms):
+                        if (
+                            j < len(syms) - 1
+                            and syms[j] == a
+                            and syms[j + 1] == b
+                        ):
+                            out.append(a + b)
+                            j += 2
+                        else:
+                            out.append(syms[j])
+                            j += 1
+                    words[i] = out
+            return merges
+
+        word = st.text(alphabet="abcd", min_size=1, max_size=8)
+        corpus = st.dictionaries(
+            word, st.integers(1, 9), min_size=1, max_size=12
+        )
+
+        @settings(max_examples=60, deadline=None)
+        @given(corpus, st.integers(1, 10))
+        def check(wcmap, n):
+            wc = sorted(wcmap.items(), key=lambda t: (-t[1], t[0]))
+            got = _train_merges_from_counts(
+                wc, n, exclude_same_symbol=True
+            )
+            assert got == naive_excl(wc, n)
+            _check_chain_merges(got)  # never raises
+
+        check()
+
     def test_min_pair_freq_floor(self):
         """Every word unique -> all pair counts 1 -> nothing merges at the
         default floor of 2; floor 1 merges greedily."""
