@@ -227,7 +227,7 @@ def purge_user_from_raw(
 
 def purge_user(
     spark: SparkSession,
-    sink: WarehouseSink,
+    sink,  # WarehouseSink | JdbcWarehouseSink (any .purge_user sink)
     tables: list[str],
     user_id,
     raw_dir: str | None = None,
@@ -235,17 +235,23 @@ def purge_user(
 ) -> DataFrame:
     """Compose the erasure across every store that carries the user and
     return the audit frame (the compliance record): one row per store
-    with rows_deleted and the pruning scope actually touched."""
+    with rows_deleted and the pruning scope actually touched.
+
+    `sink` may be the parquet `WarehouseSink` (partition-pruned rewrite)
+    or any sink exposing `purge_user(table, user_id, user_col) -> dict`
+    — the JDBC/cloud families' generated-DELETE path
+    (`sinks_jdbc.JdbcWarehouseSink.purge_user`,
+    `sinks_cloud.erasure_statements`), so one compliance job covers a
+    mixed lake + relational deployment."""
     rows = []
     for t in tables:
-        a = purge_user_from_table(sink, t, user_id, user_col)
-        rows.append(
-            (
-                f"warehouse:{a['table']}",
-                a["rows_deleted"],
-                a["partitions_rewritten"] + a["partitions_dropped"],
-            )
-        )
+        if isinstance(sink, WarehouseSink):
+            a = purge_user_from_table(sink, t, user_id, user_col)
+            touched = a["partitions_rewritten"] + a["partitions_dropped"]
+        else:
+            a = sink.purge_user(t, user_id, user_col)
+            touched = a["partitions_touched"]
+        rows.append((f"warehouse:{a['table']}", a["rows_deleted"], touched))
     if raw_dir is not None:
         a = purge_user_from_raw(spark, raw_dir, user_id)
         rows.append(

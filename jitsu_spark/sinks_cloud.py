@@ -508,6 +508,57 @@ def final_read_sql(
     )
 
 
+# ---------------------------------------------------------------------------
+# Per-user erasure statements (round 9, VERDICT r8 #5): the GDPR/CCPA
+# delete-request path beyond the parquet lake. `operators/retention.
+# purge_user` covers the parquet warehouse + raw store; these generate
+# the warehouse-side DELETE for the JDBC/cloud families, with the ANSI
+# dialect executing verbatim on embedded Derby as the live semantics
+# twin (the merge_statements precedent). ClickHouse has no ANSI DELETE
+# on MergeTree engines: the default is the ALTER TABLE ... DELETE
+# mutation (asynchronous, rewrites affected parts — the documented
+# GDPR-compliance form); `lightweight=True` emits the lightweight
+# `DELETE FROM` (22.8+) that masks rows immediately and cleans up on
+# merges.
+# ---------------------------------------------------------------------------
+
+
+def _sql_literal(v) -> str:
+    """A safely-quoted SQL literal for the erasure predicate. Only
+    scalar identities are accepted; strings escape embedded quotes the
+    standard way (doubled single-quote)."""
+    if isinstance(v, bool):
+        raise ValueError("boolean is not a user identity")
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        raise ValueError("float is not a user identity (precision)")
+    s = str(v)
+    if "\x00" in s:
+        raise ValueError("NUL byte in identity value")
+    return "'" + s.replace("'", "''") + "'"
+
+
+def erasure_statements(
+    family: str,
+    table: str,
+    user_id,
+    user_col: str = "user_id",
+    lightweight: bool = False,
+) -> list[str]:
+    """The DELETE statement(s) erasing one user from a warehouse table,
+    in the family's dialect. One statement for every family; callers
+    execute it and record the affected-row count as the audit row
+    (`JdbcWarehouseSink.purge_user` does exactly that against Derby)."""
+    d = MERGE_DIALECTS[family if family in MERGE_DIALECTS else "ansi"]
+    q, tq = d["q"], d["table_q"]
+    t = _mq(table, tq)
+    pred = f"{_mq(user_col, q)} = {_sql_literal(user_id)}"
+    if family == "clickhouse" and not lightweight:
+        return [f"ALTER TABLE {t} DELETE WHERE {pred}"]
+    return [f"DELETE FROM {t} WHERE {pred}"]
+
+
 CLOUD_WRITERS = {
     "bigquery": bigquery_writer,
     "snowflake": snowflake_writer,

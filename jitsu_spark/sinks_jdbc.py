@@ -204,6 +204,33 @@ class JdbcWarehouseSink:
         finally:
             self._execute(f"DROP TABLE {stage}")
 
+    def purge_user(
+        self, table: str, user_id, user_col: str = "user_id"
+    ) -> dict:
+        """Erase one user's rows (GDPR/CCPA data-plane half, round 9):
+        executes the generated ANSI DELETE (`sinks_cloud.
+        erasure_statements`) and returns the audit dict in the same
+        shape as the parquet path's `purge_user_from_table` —
+        `partitions_touched` is 0 because a relational DELETE is
+        statement-scoped, not partition-scoped."""
+        from .sinks_cloud import erasure_statements
+
+        table = _check_ident(table)
+        _check_ident(user_col)
+        if not self.exists(table):
+            return {"table": table, "rows_deleted": 0, "partitions_touched": 0}
+        # Spark's JDBC writer quotes (case-preserves) column names, so
+        # the ANSI dialect's quoted-column predicate matches the stored
+        # schema exactly — same convention as upsert's MERGE.
+        deleted = 0
+        for sql in erasure_statements("ansi", table, user_id, user_col):
+            deleted += self._execute(sql)
+        return {
+            "table": table,
+            "rows_deleted": deleted,
+            "partitions_touched": 0,
+        }
+
     def write_routed(
         self,
         df: DataFrame,

@@ -390,3 +390,99 @@ class TestMergeEdgeCases:
         with _pytest.raises(ValueError, match="timestamp column"):
             merge_statements("ansi", "t", "s", ["a", "b"], ["a"],
                              timestamp_col="ts")
+
+
+class TestErasureStatements:
+    """Round-9: per-user DELETE generation for the JDBC/cloud families,
+    Derby-twinned against the parquet purge path row-for-row."""
+
+    def _user_df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "message_id string, ts timestamp, user_id string,"
+            " payload string"
+        )
+
+    def test_purge_user_matches_parquet_path_row_for_row(
+        self, spark, tmp_path, derby
+    ):
+        from jitsu_spark.operators.retention import purge_user
+        from jitsu_spark.sinks import WarehouseSink
+
+        wh = WarehouseSink(spark, str(tmp_path / "whp"))
+        batch = self._user_df(
+            spark,
+            [
+                ("m1", T0, "alice", "a1"),
+                ("m2", T0, "bob", "b1"),
+                ("m3", T1, "alice", "a2"),
+                ("m4", T1, "carol", "c1"),
+            ],
+        )
+        wh.upsert(batch, "evp")
+        derby.upsert(batch, "evp_twin")
+        audit_pq = purge_user(spark, wh, ["evp"], "alice").collect()
+        audit_db = purge_user(spark, derby, ["evp_twin"], "alice").collect()
+        assert audit_pq[0]["rows_deleted"] == 2
+        assert audit_db[0]["rows_deleted"] == 2
+        left = {
+            (r.message_id, r.ts, r.user_id, r.payload)
+            for r in wh.read("evp").select(
+                "message_id", "ts", "user_id", "payload"
+            ).collect()
+        }
+        right = {
+            (r.message_id, r.ts, r.user_id, r.payload)
+            for r in derby.read("evp_twin").collect()
+        }
+        assert left == right == {
+            ("m2", T0, "bob", "b1"),
+            ("m4", T1, "carol", "c1"),
+        }
+
+    def test_purge_missing_table_and_absent_user_are_noops(
+        self, spark, derby
+    ):
+        assert derby.purge_user("nosuch", "alice") == {
+            "table": "nosuch",
+            "rows_deleted": 0,
+            "partitions_touched": 0,
+        }
+        batch = self._user_df(spark, [("m1", T0, "bob", "b")])
+        derby.upsert(batch, "evn_twin")
+        assert derby.purge_user("evn_twin", "alice")["rows_deleted"] == 0
+        assert len(derby.read("evn_twin").collect()) == 1
+
+    def test_dialect_forms(self):
+        from jitsu_spark.sinks_cloud import erasure_statements
+
+        assert erasure_statements("bigquery", "ds.events", 42) == [
+            "DELETE FROM `ds`.`events` WHERE `user_id` = 42"
+        ]
+        assert erasure_statements("snowflake", "events", "u1") == [
+            'DELETE FROM "events" WHERE "user_id" = \'u1\''
+        ]
+        assert erasure_statements("ansi", "events", "u1") == [
+            "DELETE FROM events WHERE \"user_id\" = 'u1'"
+        ]
+        assert erasure_statements("clickhouse", "events", "u1") == [
+            "ALTER TABLE `events` DELETE WHERE `user_id` = 'u1'"
+        ]
+        assert erasure_statements(
+            "clickhouse", "events", "u1", lightweight=True
+        ) == ["DELETE FROM `events` WHERE `user_id` = 'u1'"]
+
+    def test_literal_quoting_blocks_injection(self):
+        from jitsu_spark.sinks_cloud import erasure_statements
+
+        got = erasure_statements("ansi", "events", "x'; DROP TABLE t; --")
+        assert got == [
+            "DELETE FROM events WHERE \"user_id\" = 'x''; DROP TABLE t; --'"
+        ]
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            erasure_statements("ansi", "events", 1.5)
+        with _pt.raises(ValueError):
+            erasure_statements("ansi", "events", True)
+        with _pt.raises(ValueError):
+            erasure_statements("ansi", "events", "a\x00b")
