@@ -107,6 +107,33 @@ def main() -> None:
 
         release_persisted()
 
+    # Parameterized-retrieval workload side channel (round 9, VERDICT r8
+    # #9): the 1000-query bm25/hybrid growth previously ran once as a
+    # hand probe (BASELINE.md r8); tracked per round here so the
+    # two-phase-rank shape's scaling regressions surface like any other
+    # bench delta. Full-suite runs only — subset runs skip it.
+    retrieval_1000q: dict = {}
+    if not extra:
+        from jitsu_spark.operators.text_ops import (
+            bm25_topk_df,
+            hybrid_search_rrf_df,
+            workload_queries_df,
+        )
+        from jitsu_spark.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        qdf = workload_queries_df(docs, n_queries=1000)
+        for label, fn in (
+            ("bm25_topk_df", bm25_topk_df),
+            ("hybrid_search_rrf_df", hybrid_search_rrf_df),
+        ):
+            keepalive_df.mapInPandas(_noop, "id long").count()
+            t0 = time.time()
+            fn(docs, qdf).write.format("noop").mode("overwrite").save()
+            retrieval_1000q[label] = round(time.time() - t0, 3)
+            release_persisted()
+        retrieval_1000q["n_queries"] = 1000
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_num = float(sf)
@@ -133,6 +160,7 @@ def main() -> None:
         "n_queries": len(timings),
         "queries": timings,
         "store_builds": store_builds,
+        "retrieval_1000q": retrieval_1000q,
         "sf": sf_num,
     }
     if extra:

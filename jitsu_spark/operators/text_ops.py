@@ -323,6 +323,35 @@ def _default_queries_df(spark: SparkSession) -> DataFrame:
     )
 
 
+def workload_queries_df(
+    docs_tbl: DataFrame, n_queries: int = 1000, vocab: int = 300
+) -> DataFrame:
+    """A deterministic n-query retrieval workload built from the
+    corpus's most common tokens (round 9, VERDICT r8 #9): the ad-hoc
+    probe behind BASELINE.md's parameterized-retrieval table, promoted
+    to a bench fixture so `bm25_topk_df` / `hybrid_search_rrf_df`
+    growth is tracked round-over-round. Query i composes three tokens
+    from the top-`vocab` vocabulary at coprime strides, so queries
+    share tokens (the postings-amortization case) while no two queries
+    are identical. Only the `vocab` token strings collect — bounded."""
+    spark = docs_tbl.sparkSession
+    top = [
+        r["tok"]
+        for r in docs_tbl.selectExpr(f"explode({TOKENS}) AS tok")
+        .groupBy("tok")
+        .count()
+        .orderBy(F.desc("count"), F.asc("tok"))
+        .limit(vocab)
+        .collect()
+    ]
+    v = len(top)
+    rows = [
+        (i, f"{top[i % v]} {top[(i * 7 + 1) % v]} {top[(i * 13 + 2) % v]}")
+        for i in range(n_queries)
+    ]
+    return spark.createDataFrame(rows, "query_id int, text string")
+
+
 def _query_terms(queries: DataFrame) -> DataFrame:
     """(query_id, tok): whitespace-split query terms."""
     return queries.selectExpr(

@@ -81,46 +81,55 @@ for _m in _MODULES:
 # The driver samples the FIRST ~50 entries in insertion order for its
 # per-round correctness run (CORRECTNESS_r{N}.json). The prefix rotates
 # each round so every family periodically converts judge-verified rows
-# into driver-verified ones. Round-8 rotation: the NEW r8 entries lead
-# (RFM / session stats / containment / MRL truncation / novelty), then
-# every surface round 8 touched (zipf top-V rank, DSIR sum key, SCD2
-# oracle cast, the invariant-carrying reports, the two-phase-topk
-# consumers whose persist policy changed, profile_build whose UDAF path
-# gained the isolation seam, jsonl roundtrip whose cache moved), then
-# the layout/destination/identity/geo/gateway families (last driver-
-# sampled r5-r7), then dedup/similarity/cluster staples. Names absent
+# into driver-verified ones. Round-9 rotation (VERDICT r8 #2): q1 first,
+# then the NEW r9 entry and every surface r9 touched (the memoized
+# pair-core consumers, the one-pass engagement histogram, the bounded
+# funnel aggregate, the parity-carrying ANN entries, the relaxed recall
+# gate, the symlink-refusing jsonl cache), then the 104 entries r8 did
+# NOT sample: asof -> corpus increment -> the full q2-q22 relational
+# block -> the sessionize/attribution/events family -> sampling/packing/
+# corpus -> quality families (all last driver-checked r7). Names absent
 # from the registry are ignored, so this list can't break imports when
 # operators are renamed.
 _PRIORITY = [
-    # -- new in r8 --
-    "rfm_segments", "session_stats_report", "containment_dup_pairs",
-    "embedding_dim_truncation_report", "ngram_novelty_curve",
-    "engagement_histogram", "dedup_cascade_report",
-    "funnel_time_to_convert", "collocation_pmi_topk",
-    "winnowing_fingerprints", "tfidf_top_terms",
-    # -- touched in r8 --
-    "zipf_fit_report", "dsir_select", "scd2_user_attribute",
-    "pq_recall_report", "opq_train_report", "whitening_report",
-    "pca_project_report", "bm25_topk", "hybrid_search_rrf",
-    "binary_hamming_topk", "profile_build", "jsonl_ingest_roundtrip",
-    "ngram_jaccard_dups", "user_burst_detection",
-    "near_dup_gate_incremental", "quality_classifier_score",
-    # -- layouts / destinations / identity / geo / gateway: r5-r7 rows --
-    "layout_single_table_typed", "layout_segment_fanout",
-    "layout_jitsu_legacy_typed", "ga4_mapping_typed",
-    "mixpanel_mapping_typed", "hubspot_mapping_typed",
-    "intercom_mapping_typed", "identity_stitch", "id_graph",
-    "ur_backfill_enrich", "geo_enrich_range_join", "ua_parse_bot_filter",
-    "sql_gateway_limit", "events_log_tail", "profile_traits_fold",
-    # -- dedup / similarity / clustering staples --
-    "dedup_exact", "minhash_signatures", "minhash_lsh_pairs",
-    "simhash", "simhash_near_dups", "near_dup_clusters",
-    "dedup_keep_list", "lsh_recall_report", "cosine_topk_bruteforce",
-    "ann_ivf_topk", "ann_ivfpq_topk", "embedding_cluster_assign",
-    "cluster_quality_report", "doc_feature_hash_embed",
-    "embedding_int8_quantize", "media_feature_extract",
-    # -- relational spot checks (full family driver-green r7) --
-    "q1_pricing_summary", "q9_product_profit", "q21_waiting_suppliers",
+    "q1_pricing_summary",
+    # -- new in r9 --
+    "bpe_learned_token_count",
+    # -- touched in r9 --
+    "engagement_histogram", "funnel_time_to_convert",
+    "ngram_jaccard_dups", "containment_dup_pairs",
+    "dedup_cascade_report", "ann_ivfpq_topk", "pq_recall_report",
+    "jsonl_ingest_roundtrip", "bpe_learn_merges",
+    # -- rotation: unsampled in r8, last driver-checked r7 --
+    "asof_signup_attribution", "corpus_increment_pipeline",
+    "q2_min_cost_supplier", "q3_top_revenue_orders", "q4_priority_count",
+    "q5_region_revenue", "q6_forecast_revenue", "q7_nation_volume",
+    "q8_market_share", "q9_product_profit", "q10_returned_items",
+    "q11_important_parts", "q12_late_priority_lines",
+    "q13_order_count_distribution", "q14_promo_share", "q15_top_supplier",
+    "q16_supplier_count_by_part", "q17_small_quantity_revenue",
+    "q18_large_orders", "q19_disjunctive_revenue", "q20_excess_suppliers",
+    "q21_waiting_suppliers", "q22_idle_customers",
+    # -- sessionize / attribution / events-reports family --
+    "sessionize", "attribution_multi_touch", "dau_wau_mau",
+    "event_path_topk", "funnel_signup_purchase", "retention_cohorts",
+    "event_transitions", "event_transition_probs", "audience_overlap",
+    "funnel_3step_windowed", "metrics_gap_fill", "metrics_rollup_minute",
+    "active_users_daily", "event_value_percentiles", "report_event_stat",
+    "signup_no_purchase_except", "props_json_extract", "metrics_anomaly",
+    "series_correlation",
+    # -- sampling / packing / corpus --
+    "stratified_sample_documents", "train_test_split_documents",
+    "source_mix_resample", "temperature_resample", "token_budget_select",
+    "sequence_pack_bins", "leakage_safe_split", "tokenize_pack_pipeline",
+    "corpus_prep_pipeline", "corpus_snapshot_diff", "corpus_datacard",
+    # -- quality / text-analysis families --
+    "gopher_quality_flags", "repetition_stats", "pii_redact",
+    "contamination_check", "quality_percentile_gate",
+    "quality_funnel_report", "text_quality_score", "lang_id_heuristic",
+    "token_count_by_source", "doc_fingerprint", "length_histogram",
+    "unigram_surprisal", "bigram_lm_nll", "length_outlier_mad",
+    "bpe_trained_token_count", "bpe_fertility_by_lang", "bpe_token_count",
 ]
 
 QUERIES = {}

@@ -1,10 +1,23 @@
-"""Scale-probe bench: measure the slowest query family at sf0.1 vs the
-derived 10x dataset (tools/gen_scale_probe.py) and print per-query
-growth factors — the empirical check of SCALING.md's sub-quadratic
-claims. A factor near 10 is linear; materially above ~15 on a 10x input
-(beyond shuffle/setup noise) flags super-linear behavior.
+"""Scale-probe bench: measure queries at sf0.1 vs the derived 10x
+dataset (tools/gen_scale_probe.py) and print per-query growth factors —
+the empirical check of SCALING.md's sub-quadratic claims. A factor near
+10 is linear; materially above ~15 on a 10x input (beyond shuffle/setup
+noise) flags super-linear behavior.
 
-Usage: python tools/bench_scale.py [sf1_dir]
+Round 9 (VERDICT r8 #1): `--full` runs the WHOLE registry (not the
+hand-picked probe list), emits a machine-readable report via `--out
+BENCH_SCALE_r{N}.json`, and — given the previous round's file via
+`--prev` — flags every entry whose growth ratio worsened >= 1.5x
+round-over-round in the report's `regressions` key. The full mode also
+benches a synthetic >2^20-distinct-value histogram through
+`plans/cumsum.histogram_cnt_better`'s distributed branch, which every
+real entry at test SF routes around via its declared
+`small_value_space` bound.
+
+Usage:
+  python tools/bench_scale.py [sf1_dir]                  # legacy probe list
+  python tools/bench_scale.py [sf1_dir] --full \
+      --out BENCH_SCALE_r09.json [--prev BENCH_SCALE_r08.json]
 """
 
 from __future__ import annotations
@@ -62,9 +75,46 @@ PROBE = [
     "zipf_fit_report",
 ]
 
+# Synthetic bench: a histogram whose DISTINCT-value count exceeds 2^20,
+# so histogram_cnt_better's distributed branch (range exchange + Arrow
+# local prefix + partition-count offset window) actually executes under
+# bench — the r8 verdict's deliberate nit: every real entry at test SF
+# declares a small value space and takes the cheap window.
+CUMSUM_BASE_N = 1 << 21
+
+
+def _cumsum_distributed(spark, n: int):
+    from jitsu_spark.plans.cumsum import histogram_cnt_better
+
+    # n distinct values with a non-monotonic on-disk order (hash-mixed),
+    # 1-3 rows per value
+    df = spark.range(n).selectExpr(
+        "cast(hash(id) as double) / 64.0 AS v",
+        "cast(1 + pmod(id, 3) as int) AS w",
+    )
+    rows = df.selectExpr("v", "explode(array_repeat(1, w)) AS one").select(
+        "v"
+    )
+    return histogram_cnt_better(rows, "v", small_value_space=False)
+
 
 def main() -> None:
-    sf1_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1"
+    args = [a for a in sys.argv[1:]]
+
+    def _flag_val(flag: str) -> str | None:
+        if flag in args:
+            i = args.index(flag)
+            v = args[i + 1]
+            del args[i : i + 2]
+            return v
+        return None
+
+    full = "--full" in args
+    if full:
+        args.remove("--full")
+    out_path = _flag_val("--out")
+    prev_path = _flag_val("--prev")
+    sf1_dir = args[0] if args else "/tmp/spark_graft_sf1"
     sf01_dir = "/root/testdata/sf0.1"
     if not os.path.isdir(sf1_dir):
         raise SystemExit(
@@ -84,7 +134,7 @@ def main() -> None:
     # warm the JVM + Python-worker paths so sf0.1 isn't billed the spin-up
     queries["ngram_jaccard_dups"](spark, "/root/testdata/sf0.001").count()
 
-    probe = PROBE
+    probe = list(queries) if full else PROBE
     subset = os.environ.get("SPARK_GRAFT_PROBE_QUERIES")
     if subset:
         probe = [n for n in subset.split(",") if n]
@@ -95,28 +145,96 @@ def main() -> None:
                 "the registry)"
             )
 
+    from jitsu_spark.plans.store_builds import BUILDS
+    from jitsu_spark.plans.topk import release_persisted
+
+    count_rows = not full  # full mode skips the untimed row re-count
+
     report = {}
+    store_builds: dict[str, list] = {}
     for name in probe:
         q = queries[name]
         times = {}
         for label, d in (("sf0.1", sf01_dir), ("sf1", sf1_dir)):
+            n_builds = len(BUILDS)
             t0 = time.time()
             # noop write = full materialization of every column (count()
             # lets Catalyst prune computed columns, under-measuring
             # scan-heavy projections); row count taken untimed after
             q(spark, d).write.format("noop").mode("overwrite").save()
             sec = round(time.time() - t0, 2)
-            times[label] = {"sec": sec, "rows": q(spark, d).count()}
-        growth = round(times["sf1"]["sec"] / max(times["sf0.1"]["sec"], 1e-9), 1)
+            times[label] = {"sec": sec}
+            if count_rows:
+                times[label]["rows"] = q(spark, d).count()
+            if len(BUILDS) > n_builds:
+                store_builds[f"{name}@{label}"] = BUILDS[n_builds:]
+            release_persisted()
+        growth = round(
+            times["sf1"]["sec"] / max(times["sf0.1"]["sec"], 1e-9), 1
+        )
         report[name] = {**times, "growth_10x": growth}
         print(
-            f"{name:26s} sf0.1={times['sf0.1']['sec']:7.2f}s "
-            f"({times['sf0.1']['rows']} rows)  "
-            f"sf1={times['sf1']['sec']:7.2f}s "
-            f"({times['sf1']['rows']} rows)  growth={growth}x",
+            f"{name:32s} sf0.1={times['sf0.1']['sec']:7.2f}s  "
+            f"sf1={times['sf1']['sec']:7.2f}s  growth={growth}x",
             flush=True,
         )
-    print(json.dumps({"metric": "scale_probe_growth", "queries": report}))
+
+    if full:
+        # the >2^20-value distributed prefix: base vs 10x value space
+        times = {}
+        for label, n in (("sf0.1", CUMSUM_BASE_N), ("sf1", CUMSUM_BASE_N * 10)):
+            t0 = time.time()
+            _cumsum_distributed(spark, n).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            times[label] = {"sec": round(time.time() - t0, 2), "n_values": n}
+        growth = round(
+            times["sf1"]["sec"] / max(times["sf0.1"]["sec"], 1e-9), 1
+        )
+        report["cumsum_distributed_prefix"] = {**times, "growth_10x": growth}
+        print(
+            f"{'cumsum_distributed_prefix':32s} "
+            f"sf0.1={times['sf0.1']['sec']:7.2f}s  "
+            f"sf1={times['sf1']['sec']:7.2f}s  growth={growth}x",
+            flush=True,
+        )
+
+    # round-over-round regression gate: growth ratio worsened >= 1.5x
+    regressions = {}
+    if prev_path and os.path.exists(prev_path):
+        with open(prev_path) as fh:
+            prev = json.load(fh).get("queries", {})
+        for name, cur in report.items():
+            p = prev.get(name, {}).get("growth_10x")
+            g = cur.get("growth_10x")
+            if p and g and p > 0 and g / p >= 1.5:
+                regressions[name] = {"prev_growth": p, "growth": g}
+        if regressions:
+            print(
+                "REGRESSIONS (growth ratio worsened >=1.5x): "
+                + ", ".join(
+                    f"{n} {v['prev_growth']}x->{v['growth']}x"
+                    for n, v in sorted(regressions.items())
+                ),
+                flush=True,
+            )
+        else:
+            print("no growth-ratio regressions vs " + prev_path, flush=True)
+
+    result = {
+        "metric": "scale_probe_growth",
+        "mode": "full" if full else "probe",
+        "n_queries": len(report),
+        "queries": report,
+        "store_builds": store_builds,
+        "regressions": regressions,
+        "prev": prev_path,
+    }
+    print(json.dumps(result))
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(result, fh, indent=1, sort_keys=True)
+            fh.write("\n")
     spark.stop()
 
 

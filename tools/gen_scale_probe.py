@@ -89,24 +89,50 @@ def gen_events(out_dir: str) -> int:
     return len(df)
 
 
+def gen_tpch_facts(out_dir: str) -> tuple[int, int]:
+    """orders + lineitem replicated 10x with per-copy orderkey offsets
+    (round 9: the full-registry scale bench needs the relational
+    q-family's growth to be real, not a 1x copy). Join structure is
+    preserved: every copy's orders keep their original custkeys and
+    every copy's lineitems their part/supp keys, so the dims stay 1x
+    (they ARE dims) while the fact tables grow 10x — the standard
+    fact-grows-dims-don't warehouse shape."""
+    orders = pd.read_parquet(os.path.join(SRC, "orders.parquet"))
+    lineitem = pd.read_parquet(os.path.join(SRC, "lineitem.parquet"))
+    okey_off = int(orders["o_orderkey"].max()) + 1
+    o_parts, l_parts = [], []
+    for k in range(COPIES):
+        o = orders.copy()
+        li = lineitem.copy()
+        if k:
+            o["o_orderkey"] = o["o_orderkey"] + k * okey_off
+            li["l_orderkey"] = li["l_orderkey"] + k * okey_off
+        o_parts.append(o)
+        l_parts.append(li)
+    odf = pd.concat(o_parts, ignore_index=True)
+    ldf = pd.concat(l_parts, ignore_index=True)
+    odf.to_parquet(os.path.join(out_dir, "orders.parquet"), index=False)
+    ldf.to_parquet(os.path.join(out_dir, "lineitem.parquet"), index=False)
+    return len(odf), len(ldf)
+
+
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1"
     os.makedirs(out_dir, exist_ok=True)
-    # small dims copy verbatim so load_table finds every table it expects
-    for t in (
-        "region nation customer supplier part orders lineitem".split()
-    ):
+    # dims copy verbatim so load_table finds every table it expects
+    for t in "region nation customer supplier part".split():
         src = os.path.join(SRC, f"{t}.parquet")
         if os.path.exists(src):
             pd.read_parquet(src).to_parquet(
                 os.path.join(out_dir, f"{t}.parquet"), index=False
             )
+    n_ord, n_li = gen_tpch_facts(out_dir)
     n_docs = gen_documents(out_dir)
     n_emb = gen_embeddings(out_dir)
     n_ev = gen_events(out_dir)
     print(
         f"wrote {out_dir}: documents={n_docs} embeddings={n_emb} "
-        f"events={n_ev} (10x sf0.1)"
+        f"events={n_ev} orders={n_ord} lineitem={n_li} (10x sf0.1)"
     )
 
 
