@@ -798,6 +798,231 @@ SELECT rank, w1, w2, pair_cnt, pmi FROM (
 """
 
 
+# -- Kneser-Ney bigram LM (round 9) ------------------------------------------
+#
+# The smoothing CCNet's KenLM reference models actually use (Kneser &
+# Ney 1995; interpolated form per Chen & Goodman 1998 §2.7): absolute
+# discounting plus a CONTINUATION-count backoff — P_cont(w) counts how
+# many distinct contexts w follows, not how often, which is what
+# separates KN from the add-k model `bigram_lm_nll` ships. Trained on
+# the same deterministic md5 train buckets; every doc scored.
+#
+#   seen context:   P(w2|w1) = (max(c12 - D, 0) + D·N1+(w1,·)·Pc(w2)) / c1
+#   unseen context: P(w2|w1) = Pc(w2)
+#   Pc(w2) = (N1+(·,w2) + k) / (T + k·(V + 1))
+#
+# with D = 0.75 (the standard discount), N1+(w1,·) = distinct
+# continuations of w1, N1+(·,w2) = distinct contexts preceding w2, T =
+# distinct train bigram types, V = train vocabulary, and k = 0.5 add-k
+# over the continuation distribution so held-out OOV tokens (the +1
+# type) keep nonzero mass. Scale: same shape as bigram_lm_nll — one
+# bigram explode, vocabulary-sized model tables (size-gated broadcast),
+# one join-back pass, zero Python.
+
+KN_DISCOUNT = 0.75
+
+
+def kneser_ney_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bigrams, avg_nll) under the interpolated Kneser-Ney
+    bigram LM (formula above). Documents with < 2 tokens have no row."""
+    from .quality_model import TRAIN_BUCKET_LT
+    from .sampling import _bucket
+
+    docs = load_table_docs(spark, sf_dir)
+    bg = docs.selectExpr(
+        "doc_id", f"explode({_BIGRAMS_T}) AS bg"
+    ).selectExpr("doc_id", "bg.w1 AS w1", "bg.w2 AS w2")
+    train = bg.where(_bucket(F.col("doc_id")) < TRAIN_BUCKET_LT)
+    types = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = train.groupBy("w1").agg(
+        F.count(F.lit(1)).alias("c1"),
+        F.countDistinct("w2").alias("n1p_fwd"),
+    )
+    cont = types.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_bwd"))
+    totals = train.agg(
+        F.countDistinct("w1", "w2").cast("double").alias("t"),
+        F.countDistinct("w2").cast("double").alias("v"),
+    )
+    d, k = KN_DISCOUNT, LM_ADD_K
+    pc = f"(coalesce(n1p_bwd, 0) + {k}) / (t + {k} * (v + 1))"
+    scored = (
+        bg.join(maybe_broadcast(types), ["w1", "w2"], "left")
+        .join(maybe_broadcast(ctx), ["w1"], "left")
+        .join(maybe_broadcast(cont), ["w2"], "left")
+        .crossJoin(F.broadcast(totals))
+        .selectExpr(
+            "doc_id",
+            "-ln(CASE WHEN c1 IS NOT NULL THEN"
+            f" (greatest(coalesce(c12, 0) - {d}, 0D)"
+            f"  + {d} * n1p_fwd * ({pc})) / c1"
+            f" ELSE ({pc}) END) AS nll",
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("nll"), 4).alias("avg_nll"),
+    )
+
+
+def _kn_bigram_duck() -> str:
+    from .quality_model import TRAIN_BUCKET_LT
+    from .sampling import _bucket_duck
+
+    d, k = KN_DISCOUNT, LM_ADD_K
+    pc = f"(coalesce(cont.n1p_bwd, 0) + {k}) / (t + {k} * (v + 1))"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
+),
+bg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM toks, unnest(range(1, len(toks))) AS t(i)
+),
+train AS (
+  SELECT * FROM bg WHERE {_bucket_duck('doc_id')} < {TRAIN_BUCKET_LT}
+),
+types AS (SELECT w1, w2, count(*) AS c12 FROM train GROUP BY 1, 2),
+ctx AS (SELECT w1, count(*) AS c1, count(DISTINCT w2) AS n1p_fwd
+        FROM train GROUP BY 1),
+cont AS (SELECT w2, count(*) AS n1p_bwd FROM types GROUP BY 1),
+totals AS (SELECT count(*) * 1.0 AS t,
+                  count(DISTINCT w2) * 1.0 AS v FROM types)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(avg(-ln(CASE WHEN ctx.c1 IS NOT NULL THEN
+                 (greatest(coalesce(types.c12, 0) - {d}, 0)
+                  + {d} * ctx.n1p_fwd * ({pc})) / ctx.c1
+                 ELSE ({pc}) END)), 4) AS avg_nll
+FROM bg LEFT JOIN types USING (w1, w2) LEFT JOIN ctx USING (w1)
+LEFT JOIN cont USING (w2) CROSS JOIN totals
+GROUP BY doc_id
+"""
+
+
+# -- per-source distribution diagnostics (round 9) ---------------------------
+#
+# Data-mixing companions to `source_mix_resample` / `dsir_select`: how
+# far each source's unigram distribution sits from the corpus mixture
+# (KL divergence — the quantity domain-reweighting schemes like DoReMi
+# monitor), and each source's lexical diversity (distinct-1/distinct-2
+# token-type ratios, Li et al. 2016 "A Diversity-Promoting Objective").
+# Both are one explode + source/vocabulary-sized aggregates — map-side
+# shapes that hold at any corpus size.
+
+
+def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_tokens, vocab, kl_vs_corpus): per source s,
+    KL(P_s || P_corpus) = sum_w p_s(w)·ln(p_s(w)/p(w)) over the source's
+    own support (p_s(w) > 0 implies p(w) > 0 — the source is part of the
+    corpus, so the ratio is always finite)."""
+    from ..tables import load_table
+    from .text_ops import TOKENS
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.selectExpr("source", f"explode({TOKENS}) AS tok")
+    sw = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c_sw"))
+    w = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_w"))
+    s = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    n = toks.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return (
+        sw.join(maybe_broadcast(w), "tok")
+        .join(maybe_broadcast(s), "source")
+        .crossJoin(F.broadcast(n))
+        .selectExpr(
+            "source",
+            "n_s",
+            "(c_sw / n_s) * ln((c_sw / n_s) / (c_w / n)) AS term",
+        )
+        .groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab"),
+            F.round(F.sum("term"), 4).alias("kl_vs_corpus"),
+        )
+    )
+
+
+SOURCE_KL_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest({_TOKS_DUCK}) AS tok FROM documents
+),
+sw AS (SELECT source, tok, count(*) AS c_sw FROM toks GROUP BY 1, 2),
+w AS (SELECT tok, count(*) AS c_w FROM toks GROUP BY 1),
+s AS (SELECT source, count(*) AS n_s FROM toks GROUP BY 1),
+n AS (SELECT count(*) * 1.0 AS n FROM toks)
+SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens,
+       count(*) AS vocab,
+       round(sum((c_sw * 1.0 / n_s) * ln((c_sw * 1.0 / n_s)
+                                         / (c_w / n))), 4)
+         AS kl_vs_corpus
+FROM sw JOIN w USING (tok) JOIN s USING (source) CROSS JOIN n
+GROUP BY source
+"""
+
+
+def distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_tokens, distinct_1, n_bigrams, distinct_2): type/token
+    ratios per source — the distinct-n lexical-diversity metric. Low
+    ratios flag templated or repetitive sources before they dominate a
+    training mix."""
+    from ..tables import load_table
+    from .text_ops import TOKENS
+
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
+        "source", f"{TOKENS} AS toks"
+    )
+    uni = docs.selectExpr("source", "explode(toks) AS tok").groupBy(
+        "source"
+    ).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("u1"),
+    )
+    bi = (
+        docs.selectExpr("source", f"explode({_BIGRAMS_T}) AS bg")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.countDistinct("bg.w1", "bg.w2").alias("u2"),
+        )
+    )
+    return (
+        uni.join(bi, "source", "left")
+        .selectExpr(
+            "source",
+            "n_tokens",
+            "round(u1 / n_tokens, 4) AS distinct_1",
+            "coalesce(n_bigrams, 0) AS n_bigrams",
+            "CASE WHEN n_bigrams > 0 THEN round(u2 / n_bigrams, 4) END"
+            " AS distinct_2",
+        )
+    )
+
+
+DISTINCT_NGRAM_SQL = f"""
+WITH toks AS (
+  SELECT source, {_TOKS_DUCK} AS toks FROM documents
+),
+uni AS (
+  SELECT source, count(*) AS n_tokens, count(DISTINCT tok) AS u1
+  FROM (SELECT source, unnest(toks) AS tok FROM toks) GROUP BY 1
+),
+bi AS (
+  SELECT source, count(*) AS n_bigrams,
+         count(DISTINCT (w1, w2)) AS u2
+  FROM (SELECT source, toks[i] AS w1, toks[i + 1] AS w2
+        FROM toks, unnest(range(1, len(toks))) AS t(i))
+  GROUP BY 1
+)
+SELECT source, n_tokens, round(u1 * 1.0 / n_tokens, 4) AS distinct_1,
+       coalesce(n_bigrams, 0) AS n_bigrams,
+       CASE WHEN n_bigrams > 0
+            THEN round(u2 * 1.0 / n_bigrams, 4) END AS distinct_2
+FROM uni LEFT JOIN bi USING (source)
+"""
+
+
+KN_BIGRAM_SQL = _kn_bigram_duck()
+
+
 QUERIES = {
     "boilerplate_shingle_stats": boilerplate_shingle_stats,
     "collocation_pmi_topk": collocation_pmi_topk,
@@ -807,10 +1032,16 @@ QUERIES = {
     "duplicate_span_dedup": duplicate_span_dedup,
     "unigram_surprisal": unigram_surprisal,
     "bigram_lm_nll": bigram_lm_nll,
+    "kneser_ney_bigram_nll": kneser_ney_bigram_nll,
+    "source_unigram_kl": source_unigram_kl,
+    "distinct_ngram_diversity": distinct_ngram_diversity,
     "zipf_fit_report": zipf_fit_report,
 }
 
 ORACLE = {
+    "kneser_ney_bigram_nll": KN_BIGRAM_SQL,
+    "source_unigram_kl": SOURCE_KL_SQL,
+    "distinct_ngram_diversity": DISTINCT_NGRAM_SQL,
     "boilerplate_shingle_stats": BOILERPLATE_STATS_SQL,
     "ngram_novelty_curve": NGRAM_NOVELTY_SQL,
     "collocation_pmi_topk": COLLOCATION_PMI_SQL,

@@ -94,7 +94,8 @@ for _m in _MODULES:
 _PRIORITY = [
     "q1_pricing_summary",
     # -- new in r9 --
-    "bpe_learned_token_count",
+    "bpe_learned_token_count", "kneser_ney_bigram_nll",
+    "source_unigram_kl", "distinct_ngram_diversity",
     # -- touched in r9 --
     "engagement_histogram", "funnel_time_to_convert",
     "ngram_jaccard_dups", "containment_dup_pairs",

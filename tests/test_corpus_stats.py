@@ -525,3 +525,120 @@ def math_isfinite(x) -> bool:
     import math
 
     return x is not None and math.isfinite(x)
+
+
+class TestKneserNeyBigramNll:
+    def test_matches_python_reference(self, spark, sf_dir):
+        """Pure-python interpolated-KN over the collected token arrays
+        reproduces avg_nll to the rounded 4 decimals."""
+        import math
+
+        from jitsu_spark.operators.corpus_stats import (
+            KN_DISCOUNT,
+            LM_ADD_K,
+            kneser_ney_bigram_nll,
+            load_table_docs,
+        )
+        from jitsu_spark.operators.quality_model import TRAIN_BUCKET_LT
+        from tests.test_corpus_increment import _bucket_py
+
+        toks = {
+            r["doc_id"]: list(r["toks"])
+            for r in load_table_docs(spark, sf_dir).collect()
+        }
+        bigrams = {
+            d: list(zip(t, t[1:])) for d, t in toks.items() if len(t) >= 2
+        }
+        c12, c1, n1p_fwd, n1p_bwd = {}, {}, {}, {}
+        for d, bgs in bigrams.items():
+            if _bucket_py(d) >= TRAIN_BUCKET_LT:
+                continue
+            for w1, w2 in bgs:
+                c12[(w1, w2)] = c12.get((w1, w2), 0) + 1
+                c1[w1] = c1.get(w1, 0) + 1
+        for w1, w2 in c12:
+            n1p_fwd[w1] = n1p_fwd.get(w1, 0) + 1
+            n1p_bwd[w2] = n1p_bwd.get(w2, 0) + 1
+        t = float(len(c12))
+        v = float(len({w2 for _, w2 in c12}))
+        d_, k = KN_DISCOUNT, LM_ADD_K
+
+        def pc(w2):
+            return (n1p_bwd.get(w2, 0) + k) / (t + k * (v + 1))
+
+        def p(w1, w2):
+            if w1 in c1:
+                return (
+                    max(c12.get((w1, w2), 0) - d_, 0.0)
+                    + d_ * n1p_fwd[w1] * pc(w2)
+                ) / c1[w1]
+            return pc(w2)
+
+        want = {}
+        for d, bgs in bigrams.items():
+            nll = [-math.log(p(w1, w2)) for w1, w2 in bgs]
+            want[d] = (len(bgs), round(sum(nll) / len(nll), 4))
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["avg_nll"])
+            for r in kneser_ney_bigram_nll(spark, sf_dir).collect()
+        }
+        assert got == want and len(got) > 0
+
+
+class TestSourceDistributionDiagnostics:
+    def test_kl_zero_for_identical_distribution(self, spark, tmp_path):
+        """Two sources with the same unigram distribution both sit at
+        KL 0 from the mixture; a skewed third source is > 0."""
+        import pyspark.sql.functions as F
+
+        rows = [
+            (1, "a b c d", "s1"),
+            (2, "a b c d", "s2"),
+            (3, "a a a a", "s3"),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        d = str(tmp_path / "kl")
+        df.withColumn("lang", F.lit("en")).withColumn(
+            "n_chars", F.length("text")
+        ).write.parquet(d + "/documents.parquet")
+        from jitsu_spark.operators.corpus_stats import source_unigram_kl
+
+        got = {
+            r["source"]: r["kl_vs_corpus"]
+            for r in source_unigram_kl(spark, d).collect()
+        }
+        # mixture is not equal to s1/s2 (s3 skews it), so s1==s2 > 0
+        assert got["s1"] == got["s2"]
+        assert got["s3"] > got["s1"] >= 0
+
+    def test_distinct_n_bounds_and_repetition(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        rows = [
+            (1, "a b c d e", "unique"),
+            (2, "x x x x x", "repeat"),
+            (3, "y", "single"),  # no bigrams -> distinct_2 NULL
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        d = str(tmp_path / "dn")
+        df.withColumn("lang", F.lit("en")).withColumn(
+            "n_chars", F.length("text")
+        ).write.parquet(d + "/documents.parquet")
+        from jitsu_spark.operators.corpus_stats import (
+            distinct_ngram_diversity,
+        )
+
+        got = {
+            r["source"]: r
+            for r in distinct_ngram_diversity(spark, d).collect()
+        }
+        assert got["unique"]["distinct_1"] == 1.0
+        assert got["unique"]["distinct_2"] == 1.0
+        assert got["repeat"]["distinct_1"] == 0.2  # 1 type / 5 tokens
+        assert got["repeat"]["distinct_2"] == 0.25  # 1 type / 4 bigrams
+        assert got["single"]["n_bigrams"] == 0
+        assert got["single"]["distinct_2"] is None
