@@ -987,21 +987,29 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same query set and full-tuple-compared to the driver-side
     stored path — the invariant `tests/test_pq.py` pins, transported
     through the rows-only driver check like `recall_floor_ok`. Both
-    result sets are N_QUERIES x TOP_K rows, so the compare is a
-    bounded driver-side set equality."""
+    result sets are N_QUERIES x TOP_K rows, so the compare is a bounded
+    driver-side set equality, and the returned frame is built FROM the
+    already-collected stored rows (a localized frame, not a lineage
+    that would re-run the whole probe on materialization — round-9
+    review finding #4: the first form executed the stored path twice
+    and the bulk path once for every caller, including plan-only
+    ones)."""
     store = _ensure_store(spark, sf_dir)
     stored = ann_ivfpq_topk_stored(spark, sf_dir, store)
+    stored_rows = stored.collect()
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    bulk = ann_ivfpq_topk_bulk(
+    bulk_rows = ann_ivfpq_topk_bulk(
         spark,
         sf_dir,
         store,
         unit_queries(emb.where(F.col("vec_id") < N_QUERIES)),
+    ).collect()
+    parity = sorted(map(tuple, stored_rows)) == sorted(
+        map(tuple, bulk_rows)
     )
-    parity = sorted(map(tuple, stored.collect())) == sorted(
-        map(tuple, bulk.collect())
+    return spark.createDataFrame(stored_rows, stored.schema).withColumn(
+        "bulk_parity_ok", F.lit(bool(parity))
     )
-    return stored.withColumn("bulk_parity_ok", F.lit(bool(parity)))
 
 
 def pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:

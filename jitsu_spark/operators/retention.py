@@ -104,9 +104,20 @@ def purge_user_from_table(
     ]
     if not touched_vals:
         return empty
-    # directory names use the string form of the partition value
-    touched = [str(v) for v in touched_vals]
-    sub = full.where(F.col(PARTITION_COL).isin(touched_vals))
+    # NULL partition values are real (a null event timestamp lands in
+    # __HIVE_DEFAULT_PARTITION__): isin() would silently drop them
+    # (NULL semantics) and str(None) would name a directory that never
+    # exists — the audit would then report the partition purged while
+    # the user's rows remain on disk (round-9 review finding #2).
+    has_null = any(v is None for v in touched_vals)
+    non_null = [v for v in touched_vals if v is not None]
+    touched = [str(v) for v in non_null] + (
+        ["__HIVE_DEFAULT_PARTITION__"] if has_null else []
+    )
+    part_pred = F.col(PARTITION_COL).isin(non_null)
+    if has_null:
+        part_pred = part_pred | F.col(PARTITION_COL).isNull()
+    sub = full.where(part_pred)
     deleted = sub.where(hit).count()
     # Durably materialize the survivors to a temp sibling directory BEFORE
     # touching any source file: a .cache() is not a write barrier — if an

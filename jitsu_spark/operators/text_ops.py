@@ -331,9 +331,13 @@ def workload_queries_df(
     probe behind BASELINE.md's parameterized-retrieval table, promoted
     to a bench fixture so `bm25_topk_df` / `hybrid_search_rrf_df`
     growth is tracked round-over-round. Query i composes three tokens
-    from the top-`vocab` vocabulary at coprime strides, so queries
-    share tokens (the postings-amortization case) while no two queries
-    are identical. Only the `vocab` token strings collect — bounded."""
+    from the top-`vocab` vocabulary at coprime strides, with the cycle
+    index (i // vocab) folded into the second and third positions so
+    no two query TEXTS repeat for any n_queries <= vocab^2 (round-9
+    review finding #3: indices that were all functions of i mod vocab
+    repeated texts past n_queries=vocab) while queries still share
+    tokens (the postings-amortization case). Only the `vocab` token
+    strings collect — bounded."""
     spark = docs_tbl.sparkSession
     top = [
         r["tok"]
@@ -345,8 +349,17 @@ def workload_queries_df(
         .collect()
     ]
     v = len(top)
+    if n_queries > v * v:
+        raise ValueError(
+            f"n_queries={n_queries} exceeds the {v * v} distinct"
+            f" 3-token combinations a {v}-token vocabulary guarantees"
+        )
     rows = [
-        (i, f"{top[i % v]} {top[(i * 7 + 1) % v]} {top[(i * 13 + 2) % v]}")
+        (
+            i,
+            f"{top[i % v]} {top[(i * 7 + 1 + i // v) % v]}"
+            f" {top[(i * 13 + 2 + 3 * (i // v)) % v]}",
+        )
         for i in range(n_queries)
     ]
     return spark.createDataFrame(rows, "query_id int, text string")

@@ -523,10 +523,20 @@ def final_read_sql(
 # ---------------------------------------------------------------------------
 
 
-def _sql_literal(v) -> str:
-    """A safely-quoted SQL literal for the erasure predicate. Only
-    scalar identities are accepted; strings escape embedded quotes the
-    standard way (doubled single-quote)."""
+def _sql_literal(v, family: str = "ansi") -> str:
+    """A safely-quoted SQL literal for the erasure predicate, in the
+    FAMILY's string-escaping dialect. Quote-doubling alone is only safe
+    where backslash is NOT an escape character (ANSI/Derby/postgres
+    standard_conforming_strings); ClickHouse, Snowflake, and BigQuery
+    all treat backslash as an escape, so an identity containing `\\'`
+    would terminate the doubled-quote literal early and execute the
+    remainder as SQL (round-9 review finding #1 — on a GDPR DELETE).
+    Per family:
+    - ansi: `'` -> `''`; backslash is a literal character, left alone.
+    - clickhouse/snowflake: `\\` -> `\\\\` first, then `'` -> `''`
+      (both engines accept doubled quotes AND backslash escapes).
+    - bigquery: `\\` -> `\\\\`, `'` -> `\\'` (standard-SQL strings have
+      no doubled-quote escape)."""
     if isinstance(v, bool):
         raise ValueError("boolean is not a user identity")
     if isinstance(v, int):
@@ -536,6 +546,12 @@ def _sql_literal(v) -> str:
     s = str(v)
     if "\x00" in s:
         raise ValueError("NUL byte in identity value")
+    if any(ord(c) < 0x20 for c in s):
+        raise ValueError("control character in identity value")
+    if family == "bigquery":
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    if family in ("clickhouse", "snowflake"):
+        return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
     return "'" + s.replace("'", "''") + "'"
 
 
@@ -550,10 +566,11 @@ def erasure_statements(
     in the family's dialect. One statement for every family; callers
     execute it and record the affected-row count as the audit row
     (`JdbcWarehouseSink.purge_user` does exactly that against Derby)."""
-    d = MERGE_DIALECTS[family if family in MERGE_DIALECTS else "ansi"]
+    fam = family if family in MERGE_DIALECTS else "ansi"
+    d = MERGE_DIALECTS[fam]
     q, tq = d["q"], d["table_q"]
     t = _mq(table, tq)
-    pred = f"{_mq(user_col, q)} = {_sql_literal(user_id)}"
+    pred = f"{_mq(user_col, q)} = {_sql_literal(user_id, fam)}"
     if family == "clickhouse" and not lightweight:
         return [f"ALTER TABLE {t} DELETE WHERE {pred}"]
     return [f"DELETE FROM {t} WHERE {pred}"]

@@ -136,8 +136,13 @@ def _jsonl_cache_root() -> str:
         # export (plus the chmod 0700) anywhere they choose (round-9
         # ADVICE). A symlink here is never legitimate — makedirs created
         # a real directory or the user set JITSU_JSONL_CACHE_DIR.
+        import stat as _stat
+
         st = os.lstat(root)
-        if os.path.islink(root):
+        # derive the symlink answer from the SAME lstat snapshot the
+        # ownership check uses (a second islink() stat would reopen the
+        # race this check exists to close — round-9 review finding #6)
+        if _stat.S_ISLNK(st.st_mode):
             raise RuntimeError(
                 f"JSONL cache root {root} is a symlink — refusing to"
                 " follow it; set JITSU_JSONL_CACHE_DIR to a real,"

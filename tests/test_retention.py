@@ -100,6 +100,34 @@ class TestPurgeWarehouse:
             os.path.join(table_dir, "_p_date=2024-01-01")
         )
 
+    def test_null_timestamp_rows_are_purged(self, spark, tmp_path):
+        """A null event timestamp lands in the __HIVE_DEFAULT_PARTITION__
+        directory; the purge must erase those rows too — NULL isin()
+        semantics and str(None) naming previously skipped the partition
+        while the audit claimed success (round-9 review finding #2)."""
+        from jitsu_spark.operators.retention import purge_user_from_table
+        from jitsu_spark.sinks import WarehouseSink
+
+        sink = WarehouseSink(spark, str(tmp_path))
+        rows = [
+            (0, dt.datetime(2024, 1, 1), 1, "click", 1.0, "{}"),
+            (1, None, 1, "view", 1.0, "{}"),  # null ts -> null _p_date
+            (2, None, 2, "click", 1.0, "{}"),
+            (3, dt.datetime(2024, 1, 2), 2, "buy", 1.0, "{}"),
+        ]
+        sink.append(_events(spark, rows), "events")
+        assert os.path.isdir(
+            os.path.join(
+                str(tmp_path / "events"), "_p_date=__HIVE_DEFAULT_PARTITION__"
+            )
+        )
+        audit = purge_user_from_table(sink, "events", 1)
+        assert audit["rows_deleted"] == 2
+        left = sink.read("events").collect()
+        assert {r.event_id for r in left} == {2, 3}
+        # user 2's null-ts row survived the default-partition rewrite
+        assert any(r.event_id == 2 for r in left)
+
     def test_missing_user_is_noop(self, spark, tmp_path):
         from jitsu_spark.operators.retention import purge_user_from_table
         from jitsu_spark.sinks import WarehouseSink

@@ -486,3 +486,34 @@ class TestErasureStatements:
             erasure_statements("ansi", "events", True)
         with _pt.raises(ValueError):
             erasure_statements("ansi", "events", "a\x00b")
+        with _pt.raises(ValueError):
+            erasure_statements("ansi", "events", "a\nb")
+
+    def test_backslash_escaping_per_dialect(self):
+        """Backslash is an escape character in ClickHouse / Snowflake /
+        BigQuery string literals: quote-doubling alone lets a trailing
+        backslash-quote terminate the literal early (round-9 review
+        finding #1). Each family must escape the backslash in its own
+        dialect; ANSI leaves it literal (backslash is not special)."""
+        from jitsu_spark.sinks_cloud import erasure_statements
+
+        evil = "\\' OR 1=1 --"
+        # clickhouse/snowflake: backslash doubled, quote doubled — the
+        # engine lexes \\ as one backslash and '' as one quote
+        assert erasure_statements("clickhouse", "t", evil) == [
+            "ALTER TABLE `t` DELETE WHERE `user_id` = '\\\\'' OR 1=1 --'"
+        ]
+        assert erasure_statements("snowflake", "t", evil) == [
+            "DELETE FROM \"t\" WHERE \"user_id\" = '\\\\'' OR 1=1 --'"
+        ]
+        # bigquery: standard-SQL strings — backslash escapes only
+        assert erasure_statements("bigquery", "t", "it's") == [
+            "DELETE FROM `t` WHERE `user_id` = 'it\\'s'"
+        ]
+        assert erasure_statements("bigquery", "t", evil) == [
+            "DELETE FROM `t` WHERE `user_id` = '\\\\\\' OR 1=1 --'"
+        ]
+        # ansi/Derby: backslash is an ordinary character, left alone
+        assert erasure_statements("ansi", "t", "a\\b") == [
+            "DELETE FROM t WHERE \"user_id\" = 'a\\b'"
+        ]

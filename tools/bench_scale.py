@@ -104,6 +104,8 @@ def main() -> None:
     def _flag_val(flag: str) -> str | None:
         if flag in args:
             i = args.index(flag)
+            if i + 1 >= len(args):
+                raise SystemExit(f"{flag} requires a value")
             v = args[i + 1]
             del args[i : i + 2]
             return v

@@ -83,9 +83,9 @@ def _tree_edges(plan: str) -> dict[int, int]:
     return edges
 
 
-_PASSTHROUGH = re.compile(
-    r"\(\d+\) (ColumnarToRow|InputAdapter|WholeStageCodegen|Project)"
-)
+# nodes the walk-up in unpushed_filter_findings looks through when
+# hunting the scan's first "real" ancestor
+PASSTHROUGH_NODES = ("ColumnarToRow", "InputAdapter", "Project")
 
 
 def _node_name(plan: str, nid: int) -> str:
@@ -109,7 +109,7 @@ def unpushed_filter_findings(name: str, plan: str) -> list[str]:
         hops = 0
         while cur is not None and hops < 6:
             nname = _node_name(plan, cur)
-            if nname in ("ColumnarToRow", "InputAdapter", "Project"):
+            if nname in PASSTHROUGH_NODES:
                 cur = edges.get(cur)
                 hops += 1
                 continue
