@@ -309,6 +309,8 @@ def ensure_pair_shingle_counts(
     parquet-served afterwards. Falls back to the live computation when
     the dataset can't be fingerprinted (the stat-failure contract of
     `_docs_dataset_key`)."""
+    from ..plans.store_memo import ensure_store
+
     cap = (
         MAX_SHINGLE_DF_DEFAULT
         if max_doc_frequency is None
@@ -317,19 +319,15 @@ def ensure_pair_shingle_counts(
     dkey = _docs_dataset_key(sf_dir)
     if dkey is None:
         return _pair_shingle_counts(_shingle_rows(spark, sf_dir), cap)
-    key = (dkey, cap)
-    store = _PAIR_COUNTS_MEMO.get(key)
-    if store is None:
-        import tempfile
-
-        from ..plans.store_builds import timed_build
-
-        store = tempfile.mkdtemp(prefix="pair_core_") + "/counts"
-        with timed_build("pair_shingle_counts"):
-            _pair_shingle_counts(
-                _shingle_rows(spark, sf_dir), cap
-            ).write.mode("overwrite").parquet(store)
-        _PAIR_COUNTS_MEMO[key] = store
+    store = ensure_store(
+        _PAIR_COUNTS_MEMO,
+        (dkey, cap),
+        "pair_shingle_counts",
+        "pair_core_",
+        lambda path: _pair_shingle_counts(_shingle_rows(spark, sf_dir), cap)
+        .write.mode("overwrite")
+        .parquet(path),
+    )
     return spark.read.parquet(store)
 
 
@@ -655,18 +653,17 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     token explode + majority-vote aggregate. Memoized per (process,
     dataset) like the cluster map, so repeated calls share one store
     instead of leaking temp dirs."""
-    key = _docs_dataset_key(sf_dir)
-    fp_dir = _SIMHASH_MEMO.get(key) if key is not None else None
-    if fp_dir is None:
-        import tempfile
+    from ..plans.store_memo import ensure_store
 
-        from ..plans.store_builds import timed_build
-
-        fp_dir = tempfile.mkdtemp(prefix="simhash_fp_") + "/fp"
-        with timed_build("simhash_fp_store"):
-            simhash(spark, sf_dir).write.mode("overwrite").parquet(fp_dir)
-        if key is not None:
-            _SIMHASH_MEMO[key] = fp_dir
+    fp_dir = ensure_store(
+        _SIMHASH_MEMO,
+        _docs_dataset_key(sf_dir),
+        "simhash_fp_store",
+        "simhash_fp_",
+        lambda path: simhash(spark, sf_dir)
+        .write.mode("overwrite")
+        .parquet(path),
+    )
     return simhash_hamming_pairs(spark.read.parquet(fp_dir))
 
 
@@ -868,41 +865,28 @@ _CLUSTER_MEMO: dict[tuple, str] = {}
 
 
 def _docs_dataset_key(sf_dir: str) -> tuple | None:
-    import os
+    """Documents-parquet fingerprint (see `plans.store_memo` for the
+    None-on-stat-failure contract)."""
+    from ..plans.store_memo import dataset_fingerprint
 
-    path = os.path.join(sf_dir, "documents.parquet")
-    parts = []
-    try:
-        if os.path.isdir(path):
-            for name in sorted(os.listdir(path)):
-                st = os.stat(os.path.join(path, name))
-                parts.append((name, st.st_size, st.st_mtime_ns))
-        else:
-            st = os.stat(path)
-            parts.append(("", st.st_size, st.st_mtime_ns))
-    except OSError:
-        return None
-    return (os.path.abspath(sf_dir), tuple(parts))
+    return dataset_fingerprint(sf_dir, "documents.parquet")
 
 
 def ensure_cluster_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The memoized cluster map for `sf_dir` — built on first use,
     parquet-served afterwards (bit-identical: the build writes exactly
     `near_dup_clusters_live`'s output)."""
-    key = _docs_dataset_key(sf_dir)
-    store = _CLUSTER_MEMO.get(key) if key is not None else None
-    if store is None:
-        import tempfile
+    from ..plans.store_memo import ensure_store
 
-        from ..plans.store_builds import timed_build
-
-        store = tempfile.mkdtemp(prefix="clustermap_reg_") + "/map"
-        with timed_build("lsh_cluster_map"):
-            near_dup_clusters_live(spark, sf_dir).write.mode(
-                "overwrite"
-            ).parquet(store)
-        if key is not None:
-            _CLUSTER_MEMO[key] = store
+    store = ensure_store(
+        _CLUSTER_MEMO,
+        _docs_dataset_key(sf_dir),
+        "lsh_cluster_map",
+        "clustermap_reg_",
+        lambda path: near_dup_clusters_live(spark, sf_dir)
+        .write.mode("overwrite")
+        .parquet(path),
+    )
     return load_cluster_map(spark, store)
 
 

@@ -817,41 +817,23 @@ _STORE_MEMO: dict[tuple, str] = {}
 
 
 def _dataset_key(sf_dir: str) -> tuple | None:
-    """Parquet mtime/size fingerprint, or None when the stat fails (e.g.
-    a race with dataset regeneration) — None disables memoization for the
-    call instead of returning a degenerate key that could collide across
-    dataset versions and serve a stale store."""
-    import os
+    """Embeddings-parquet fingerprint (see `plans.store_memo` for the
+    None-on-stat-failure contract)."""
+    from ..plans.store_memo import dataset_fingerprint
 
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    parts = []
-    try:
-        if os.path.isdir(path):
-            for name in sorted(os.listdir(path)):
-                st = os.stat(os.path.join(path, name))
-                parts.append((name, st.st_size, st.st_mtime_ns))
-        else:
-            st = os.stat(path)
-            parts.append(("", st.st_size, st.st_mtime_ns))
-    except OSError:
-        return None
-    return (os.path.abspath(sf_dir), tuple(parts))
+    return dataset_fingerprint(sf_dir, "embeddings.parquet")
 
 
 def _ensure_store(spark: SparkSession, sf_dir: str) -> str:
-    key = _dataset_key(sf_dir)
-    store = _STORE_MEMO.get(key) if key is not None else None
-    if store is None:
-        import tempfile
+    from ..plans.store_memo import ensure_store
 
-        from ..plans.store_builds import timed_build
-
-        store = tempfile.mkdtemp(prefix="ivfpq_reg_") + "/store"
-        with timed_build("ivfpq_store"):
-            build_ivfpq_store(spark, sf_dir, store)
-        if key is not None:
-            _STORE_MEMO[key] = store
-    return store
+    return ensure_store(
+        _STORE_MEMO,
+        _dataset_key(sf_dir),
+        "ivfpq_store",
+        "ivfpq_reg_",
+        lambda path: build_ivfpq_store(spark, sf_dir, path),
+    )
 
 
 # Target ADC tables per salted cogroup: ~1024 x 16 KB = ~16 MB of tables
