@@ -125,5 +125,147 @@ GROUP BY 1, 2
 ORDER BY period, status
 """
 
-QUERIES = {"incremental_rollup_equivalence": incremental_rollup_equivalence}
-ORACLE = {"incremental_rollup_equivalence": INCREMENTAL_ROLLUP_SQL}
+# -- mergeable quantile sketch (round 9) -------------------------------------
+#
+# The quantile counterpart of the HLL round trip above: ClickHouse MVs
+# also maintain `quantileState(...)` / finish with `quantileMerge`
+# (AggregatingMergeTree, the same metrics.sql machinery). The mergeable
+# state here is a fixed-bin histogram over DECLARED value bounds — bin
+# counts are integers, so merging N batch sketches (elementwise sum) is
+# EXACTLY the single-pass sketch (no drift, unlike t-digest whose merge
+# is order-sensitive), and the estimate step (cumulative histogram +
+# linear interpolation inside the target bin) is plain arithmetic both
+# engines replay identically — so unlike most sketches this one is
+# fully oracle-checkable. Estimate error is bounded by one bin width
+# against the rank-r ORDER STATISTIC (r = ceil(q*n); pinned in tests —
+# no histogram can bound error vs the interpolated continuous
+# percentile, whose adjacent order statistics may be many bins apart in
+# a sparse tail). Scale: state is O(groups x bins) integers; the batch
+# side is one partial-agg shuffle.
+
+Q_BINS = 500
+Q_LO = 0.0
+Q_HI = 500.0  # events.value sits in (0, ~490]; out-of-range clamps
+Q_QUANTILES = (0.5, 0.9, 0.99)
+
+_BUCKET_EXPR = (
+    f"least(greatest(CAST(floor((value - {Q_LO}) / ({Q_HI} - {Q_LO})"
+    f" * {Q_BINS}) AS INT), 0), {Q_BINS - 1})"
+)
+
+
+def quantile_sketch_batch(events: DataFrame) -> DataFrame:
+    """One batch's quantile state: (status, bucket, cnt)."""
+    return (
+        events.selectExpr(
+            "event_type AS status", f"{_BUCKET_EXPR} AS bucket"
+        )
+        .groupBy("status", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def quantile_sketch_estimate(state: DataFrame) -> DataFrame:
+    """Finalize: per status, the interpolated quantile estimates from
+    the (status, bucket, cnt) histogram state. rank r = ceil(q*n); the
+    estimate interpolates linearly inside the first bucket whose
+    cumulative count reaches r. The cumulative window is bounded by the
+    DECLARED bin count (<= Q_BINS rows per status), the small-value-
+    space regime of plans/cumsum."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("status").orderBy("bucket")
+    cum = state.select(
+        "status",
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(
+            Window.partitionBy("status")
+        ).alias("n"),
+    )
+    width = (Q_HI - Q_LO) / Q_BINS
+    qs = ", ".join(str(q) for q in Q_QUANTILES)
+    hit = (
+        cum.selectExpr("*", f"explode(array({qs})) AS q")
+        .selectExpr("*", "CAST(ceil(q * n) AS BIGINT) AS r")
+        .where("cum >= r AND cum - cnt < r")
+        .selectExpr(
+            "status",
+            "n",
+            "q",
+            f"round({Q_LO} + (bucket + (r - (cum - cnt)) / cnt)"
+            f" * {width}, 4) AS est",
+        )
+    )
+    aggs = [
+        F.max(F.when(F.col("q") == q, F.col("est"))).alias(
+            f"p{int(q * 100)}_est"
+        )
+        for q in Q_QUANTILES
+    ]
+    return hit.groupBy("status").agg(F.max("n").alias("n"), *aggs)
+
+
+def quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: two arbitrary batch sketches, merged by summing
+    bin counts (the quantileState/quantileMerge round trip), then
+    estimated — equal to the single-pass histogram estimate the oracle
+    computes directly, because histogram merge is exact."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    b1 = quantile_sketch_batch(ev.where(F.col("event_id") % 2 == 0))
+    b2 = quantile_sketch_batch(ev.where(F.col("event_id") % 2 == 1))
+    merged = (
+        b1.unionByName(b2)
+        .groupBy("status", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return quantile_sketch_estimate(merged).orderBy("status")
+
+
+def _quantile_sketch_duck() -> str:
+    width = (Q_HI - Q_LO) / Q_BINS
+    qs = ", ".join(str(q) for q in Q_QUANTILES)
+    est_cols = ", ".join(
+        f"max(CASE WHEN q = {q} THEN est END) AS p{int(q * 100)}_est"
+        for q in Q_QUANTILES
+    )
+    return f"""
+WITH state AS (
+  SELECT event_type AS status,
+         least(greatest(CAST(floor((value - {Q_LO}) / ({Q_HI} - {Q_LO})
+               * {Q_BINS}) AS INT), 0), {Q_BINS - 1}) AS bucket,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT status, bucket, cnt,
+         sum(cnt) OVER (PARTITION BY status ORDER BY bucket) AS cum,
+         sum(cnt) OVER (PARTITION BY status) AS n
+  FROM state
+),
+hit AS (
+  SELECT status, n, q,
+         round({Q_LO} + (bucket + (CAST(ceil(q * n) AS BIGINT)
+               - (cum - cnt)) * 1.0 / cnt) * {width}, 4) AS est
+  FROM cum, unnest([{qs}]) AS t(q)
+  WHERE cum >= CAST(ceil(q * n) AS BIGINT)
+    AND cum - cnt < CAST(ceil(q * n) AS BIGINT)
+)
+SELECT status, CAST(max(n) AS BIGINT) AS n, {est_cols}
+FROM hit GROUP BY status ORDER BY status
+"""
+
+
+QUANTILE_SKETCH_SQL = _quantile_sketch_duck()
+
+QUERIES = {
+    "incremental_rollup_equivalence": incremental_rollup_equivalence,
+    "quantile_sketch_rollup": quantile_sketch_rollup,
+}
+ORACLE = {
+    "incremental_rollup_equivalence": INCREMENTAL_ROLLUP_SQL,
+    "quantile_sketch_rollup": QUANTILE_SKETCH_SQL,
+}

@@ -130,3 +130,82 @@ def test_udf_test_harness():
     assert out["events"][0]["seen"] is True
     assert out["logs"] == ["got m1"]
     assert out["store"].get("last") == "m1"
+
+
+class TestQuantileSketch:
+    def test_estimate_within_one_bin_of_rank_statistic(self, spark, sf_dir):
+        """The sketch's error contract: the estimate lies within one bin
+        width of the rank-r ORDER STATISTIC (r = ceil(q*n)) — the value
+        whose bucket the cumulative histogram locates. (Against the
+        interpolated continuous percentile no histogram can bound error
+        by bin width: in a sparse tail adjacent order statistics can be
+        many bins apart.)"""
+        import math
+
+        from jitsu_spark.operators.rollup import (
+            Q_BINS,
+            Q_HI,
+            Q_LO,
+            Q_QUANTILES,
+            quantile_sketch_rollup,
+        )
+        from jitsu_spark.tables import load_table
+
+        width = (Q_HI - Q_LO) / Q_BINS
+        got = {
+            r["status"]: r
+            for r in quantile_sketch_rollup(spark, sf_dir).collect()
+        }
+        vals: dict[str, list] = {}
+        for r in (
+            load_table(spark, sf_dir, "events")
+            .select("event_type", "value")
+            .collect()
+        ):
+            vals.setdefault(r["event_type"], []).append(r["value"])
+        assert set(got) == set(vals) and len(got) > 0
+        for status, row in got.items():
+            xs = sorted(vals[status])
+            n = len(xs)
+            for q in Q_QUANTILES:
+                est = row[f"p{int(q*100)}_est"]
+                exact_r = xs[math.ceil(q * n) - 1]
+                assert abs(est - exact_r) <= width + 1e-9, (
+                    status,
+                    q,
+                    est,
+                    exact_r,
+                )
+
+    def test_merge_is_exact_for_any_split(self, spark, sf_dir):
+        """Merging per-batch histogram states equals the single-pass
+        state bit-for-bit, for a 3-way as well as the entry's 2-way
+        split (integer-sum associativity — the property t-digest merge
+        lacks)."""
+        from pyspark.sql import functions as F
+
+        from jitsu_spark.operators.rollup import quantile_sketch_batch
+        from jitsu_spark.tables import load_table
+
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        single = sorted(
+            map(tuple, quantile_sketch_batch(ev).collect())
+        )
+        parts = [
+            quantile_sketch_batch(ev.where(F.col("event_id") % 3 == k))
+            for k in range(3)
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        merged = sorted(
+            map(
+                tuple,
+                u.groupBy("status", "bucket")
+                .agg(F.sum("cnt").alias("cnt"))
+                .collect(),
+            )
+        )
+        assert merged == single
