@@ -861,7 +861,116 @@ FROM dev JOIN mad USING (source)
 """
 
 
+# -- C4 cleaning rules (round 9) ---------------------------------------------
+#
+# Raffel et al. 2020 ("Exploring the Limits of Transfer Learning", §2.2)
+# — the cleaning pass that produced C4 from Common Crawl, the most-cited
+# web-corpus recipe and the companion to the Gopher rules above:
+#   line level: keep only lines that END in a terminal punctuation mark
+#     (. ! ? ") AND contain >= C4_MIN_LINE_WORDS words AND do not
+#     contain the word "javascript" (case-insensitive);
+#   page level: drop pages whose kept lines hold fewer than
+#     C4_MIN_SENTENCES sentences (terminal-mark count), pages containing
+#     "lorem ipsum" (case-insensitive), and pages containing "{" (code);
+#   (C4's remaining rule — the three-sentence-span dedup — is
+#   `corpus_stats.duplicate_span_dedup`, already first-class.)
+# Everything is one map-only projection over the lines array (higher-
+# order functions, zero Python, zero shuffle before the final report);
+# `kept_text_md5` hashes the cleaned page so the oracle certifies the
+# reconstructed text byte-for-byte, not just the counts.
+
+C4_MIN_LINE_WORDS = 3
+C4_MIN_SENTENCES = 5
+_C4_LINE_KEEP = (
+    "l -> right(rtrim(l), 1) IN ('.', '!', '?', '\"')"
+    f" AND size(split(trim(l), '\\\\s+')) >= {C4_MIN_LINE_WORDS}"
+    " AND NOT contains(lower(l), 'javascript')"
+)
+
+
+def c4_page_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_lines, n_kept_lines, n_sentences, has_lorem_ipsum,
+    has_brace, page_kept, kept_text_md5): the C4 cleaning decision per
+    document with the cleaned text fingerprint."""
+    from ..tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "doc_id",
+        "split(text, '\\n') AS lines",
+        "contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum",
+        "contains(text, '{') AS has_brace",
+    ).selectExpr(
+        "doc_id",
+        "size(lines) AS n_lines",
+        f"filter(lines, {_C4_LINE_KEEP}) AS kept",
+        "has_lorem_ipsum",
+        "has_brace",
+    ).selectExpr(
+        "doc_id",
+        "n_lines",
+        "size(kept) AS n_kept_lines",
+        "CAST(length(array_join(kept, '')) -"
+        " length(translate(array_join(kept, ''), '.!?', '')) AS BIGINT)"
+        " AS n_sentences",
+        "has_lorem_ipsum",
+        "has_brace",
+        "md5(array_join(kept, '\\n')) AS kept_text_md5",
+    ).selectExpr(
+        "doc_id",
+        "n_lines",
+        "n_kept_lines",
+        "n_sentences",
+        "has_lorem_ipsum",
+        "has_brace",
+        f"n_sentences >= {C4_MIN_SENTENCES} AND NOT has_lorem_ipsum"
+        " AND NOT has_brace AS page_kept",
+        "kept_text_md5",
+    )
+
+
+_C4_LINE_KEEP_DUCK = (
+    "l -> right(rtrim(l), 1) IN ('.', '!', '?', '\"')"
+    f" AND len(regexp_extract_all(trim(l), '\\S+')) >= {C4_MIN_LINE_WORDS}"
+    " AND NOT contains(lower(l), 'javascript')"
+)
+
+C4_PAGE_FILTER_SQL = f"""
+WITH pages AS (
+  SELECT doc_id,
+         string_split(text, chr(10)) AS lines,
+         contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+         contains(text, '{{') AS has_brace
+  FROM documents
+), kept AS (
+  SELECT doc_id, len(lines) AS n_lines,
+         list_filter(lines, {_C4_LINE_KEEP_DUCK}) AS kept,
+         has_lorem_ipsum, has_brace
+  FROM pages
+), counted AS (
+  -- array_to_string([]) is NULL in DuckDB (Spark's array_join gives
+  -- ''): coalesce so an all-filtered page counts 0 sentences and
+  -- fingerprints the empty string, matching the Spark side
+  SELECT doc_id, n_lines, len(kept) AS n_kept_lines,
+         CAST(length(coalesce(array_to_string(kept, ''), '')) -
+              length(translate(coalesce(array_to_string(kept, ''), ''),
+                               '.!?', '')) AS BIGINT) AS n_sentences,
+         has_lorem_ipsum, has_brace,
+         md5(coalesce(array_to_string(kept, chr(10)), ''))
+           AS kept_text_md5
+  FROM kept
+)
+SELECT doc_id, n_lines, n_kept_lines, n_sentences, has_lorem_ipsum,
+       has_brace,
+       n_sentences >= {C4_MIN_SENTENCES} AND NOT has_lorem_ipsum
+         AND NOT has_brace AS page_kept,
+       kept_text_md5
+FROM counted
+"""
+
+
 QUERIES = {
+    "c4_page_filter_report": c4_page_filter_report,
     "gopher_quality_flags": gopher_quality_flags,
     "repetition_stats": repetition_stats,
     "pii_redact": pii_redact,
@@ -874,6 +983,7 @@ QUERIES = {
     "length_outlier_mad": length_outlier_mad,
 }
 ORACLE = {
+    "c4_page_filter_report": C4_PAGE_FILTER_SQL,
     "quality_funnel_report": QUALITY_FUNNEL_SQL,
     "gopher_quality_flags": GOPHER_QUALITY_SQL,
     "repetition_stats": REPETITION_SQL,

@@ -96,7 +96,7 @@ _PRIORITY = [
     # -- new in r9 --
     "bpe_learned_token_count", "kneser_ney_bigram_nll",
     "source_unigram_kl", "distinct_ngram_diversity",
-    "quantile_sketch_rollup",
+    "quantile_sketch_rollup", "c4_page_filter_report",
     # -- touched in r9 --
     "engagement_histogram", "funnel_time_to_convert",
     "ngram_jaccard_dups", "containment_dup_pairs",

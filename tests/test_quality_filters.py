@@ -394,3 +394,73 @@ class TestQualityFunnelReport:
         want = len(lang_ok & gopher_ok & rep_ok)
         rows = {r["stage"]: r for r in quality_funnel_report(spark, sf_dir).collect()}
         assert rows["repetition"]["n_kept"] == want
+
+
+class TestC4PageFilter:
+    """Raffel 2020 C4 rules on crafted pages (the synthetic corpus has
+    no punctuation/newlines, so the rules only fire here)."""
+
+    def _report(self, spark, tmp_path, pages):
+        import pyspark.sql.functions as F
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(pages)], "doc_id long, text string"
+        )
+        d = str(tmp_path / "c4")
+        (
+            df.withColumn("lang", F.lit("en"))
+            .withColumn("source", F.lit("web"))
+            .withColumn("n_chars", F.length("text"))
+            .write.parquet(d + "/documents.parquet")
+        )
+        from jitsu_spark.operators.quality_filters import (
+            c4_page_filter_report,
+        )
+
+        return {
+            r["doc_id"]: r
+            for r in c4_page_filter_report(spark, d).collect()
+        }
+
+    def test_line_rules(self, spark, tmp_path):
+        good = "this is a fine sentence."
+        pages = [
+            # 5 good lines -> kept page
+            "\n".join([good] * 5),
+            # terminal punctuation missing -> every line dropped
+            "\n".join(["this line never ends"] * 5),
+            # too few words per line
+            "\n".join(["too short."] * 5),
+            # javascript warning line dropped, rest kept but only 4
+            # sentences survive -> page dropped
+            "\n".join([good] * 4 + ["please enable javascript to view."]),
+            # lorem ipsum anywhere kills the page
+            "\n".join([good] * 5) + "\nlorem ipsum dolor sit amet.",
+            # code brace kills the page
+            "\n".join([good] * 5) + "\nfunction f() { return 1; }",
+        ]
+        got = self._report(spark, tmp_path, pages)
+        assert got[0]["page_kept"] and got[0]["n_kept_lines"] == 5
+        assert not got[1]["page_kept"] and got[1]["n_kept_lines"] == 0
+        assert not got[2]["page_kept"] and got[2]["n_kept_lines"] == 0
+        assert not got[3]["page_kept"] and got[3]["n_kept_lines"] == 4
+        assert not got[4]["page_kept"] and got[4]["has_lorem_ipsum"]
+        assert not got[5]["page_kept"] and got[5]["has_brace"]
+
+    def test_quote_terminal_and_multi_sentence_lines(self, spark, tmp_path):
+        pages = [
+            # lines ending in a quote are kept; two sentences in one
+            # line both count toward the 5-sentence floor
+            '\n'.join(
+                [
+                    'he said "hello there everyone."',
+                    "first sentence here. second sentence too.",
+                    "one more good line.",
+                    "and a final good line.",
+                ]
+            ),
+        ]
+        got = self._report(spark, tmp_path, pages)
+        assert got[0]["n_kept_lines"] == 4
+        assert got[0]["n_sentences"] == 5
+        assert got[0]["page_kept"]
