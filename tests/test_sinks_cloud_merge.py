@@ -517,3 +517,20 @@ class TestErasureStatements:
         assert erasure_statements("ansi", "t", "a\\b") == [
             "DELETE FROM t WHERE \"user_id\" = 'a\\b'"
         ]
+
+    def test_hostile_identities_round_trip_on_derby(self, spark, derby):
+        """Identities containing quotes and backslashes delete exactly
+        their own rows when the generated ANSI DELETE runs on a real
+        engine — the escaping contract proven live, not just by string
+        equality."""
+        hostile = ["o'brien", "a\\'b", "x''y", "back\\slash"]
+        rows = [
+            (f"m{i}", T0, uid, f"p{i}") for i, uid in enumerate(hostile)
+        ] + [("mk", T0, "keeper", "pk")]
+        batch = self._user_df(spark, rows)
+        derby.upsert(batch, "evh_twin")
+        for i, uid in enumerate(hostile):
+            audit = derby.purge_user("evh_twin", uid)
+            assert audit["rows_deleted"] == 1, uid
+        left = {r.user_id for r in derby.read("evh_twin").collect()}
+        assert left == {"keeper"}
