@@ -330,14 +330,16 @@ def workload_queries_df(
     corpus's most common tokens (round 9, VERDICT r8 #9): the ad-hoc
     probe behind BASELINE.md's parameterized-retrieval table, promoted
     to a bench fixture so `bm25_topk_df` / `hybrid_search_rrf_df`
-    growth is tracked round-over-round. Query i composes three tokens
-    from the top-`vocab` vocabulary at coprime strides, with the cycle
-    index (i // vocab) folded into the second and third positions so
-    no two query TEXTS repeat for any n_queries <= vocab^2 (round-9
-    review finding #3: indices that were all functions of i mod vocab
-    repeated texts past n_queries=vocab) while queries still share
-    tokens (the postings-amortization case). Only the `vocab` token
-    strings collect — bounded."""
+    growth is tracked round-over-round. Query i writes itself in base v
+    (v = actual vocabulary size, which on the synthetic corpus is ~31,
+    far below the `vocab` cap): digits (a, b, c) select the three token
+    positions as (a, a+b+1 mod v, a+c+2 mod v), which is injective for
+    any v — given the text, a is position 1 and b, c recover uniquely —
+    so no two query TEXTS repeat for any n_queries <= v^3 (round-9
+    review finding #3 found period-v repeats; the first fix's v^2
+    capacity then underflowed the real 31-token vocabulary). Queries
+    still share tokens heavily (the postings-amortization case). Only
+    the `vocab` token strings collect — bounded."""
     spark = docs_tbl.sparkSession
     top = [
         r["tok"]
@@ -349,19 +351,20 @@ def workload_queries_df(
         .collect()
     ]
     v = len(top)
-    if n_queries > v * v:
+    if n_queries > v**3:
         raise ValueError(
-            f"n_queries={n_queries} exceeds the {v * v} distinct"
+            f"n_queries={n_queries} exceeds the {v**3} distinct"
             f" 3-token combinations a {v}-token vocabulary guarantees"
         )
-    rows = [
-        (
-            i,
-            f"{top[i % v]} {top[(i * 7 + 1 + i // v) % v]}"
-            f" {top[(i * 13 + 2 + 3 * (i // v)) % v]}",
+    rows = []
+    for i in range(n_queries):
+        a, b, c = i % v, (i // v) % v, i // (v * v)
+        rows.append(
+            (
+                i,
+                f"{top[a]} {top[(a + b + 1) % v]} {top[(a + c + 2) % v]}",
+            )
         )
-        for i in range(n_queries)
-    ]
     return spark.createDataFrame(rows, "query_id int, text string")
 
 

@@ -642,3 +642,22 @@ class TestSourceDistributionDiagnostics:
         assert got["repeat"]["distinct_2"] == 0.25  # 1 type / 4 bigrams
         assert got["single"]["n_bigrams"] == 0
         assert got["single"]["distinct_2"] is None
+
+
+class TestWorkloadQueries:
+    def test_thousand_distinct_queries_from_tiny_vocab(self, spark, sf_dir):
+        """The bench workload builder must produce n DISTINCT query
+        texts even against the synthetic corpus's ~31-token vocabulary
+        (base-v digit construction; the first two forms repeated with
+        period v and overflowed at v^2 respectively)."""
+        from jitsu_spark.operators.text_ops import workload_queries_df
+        from jitsu_spark.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        q = workload_queries_df(docs, n_queries=1000)
+        texts = [r["text"] for r in q.collect()]
+        assert len(texts) == 1000
+        assert len(set(texts)) == 1000
+        # deterministic across calls
+        again = [r["text"] for r in workload_queries_df(docs, 1000).collect()]
+        assert texts == again
