@@ -214,6 +214,121 @@ def _decode_fake(payload: bytes, mime: str) -> dict:
 DECODER = _decode_fake
 
 
+# ---------------------------------------------------------------------------
+# Container-header probing (round 9) — REAL metadata extraction with no
+# codec dependency: image dimensions and format live in the first bytes
+# of the container (PNG IHDR, JPEG SOFn segment, GIF logical screen
+# descriptor, BMP BITMAPINFOHEADER), so the 100 TB "what's in this
+# bucket" pass — format/dimension/aspect stats, undersized-image
+# filters, corrupt-payload quarantine — reads headers, decodes zero
+# pixels, and needs none of the gated PIL/pyav codecs.
+# ---------------------------------------------------------------------------
+
+
+def parse_image_header(payload: bytes) -> dict | None:
+    """{'format', 'width', 'height'} parsed from container header bytes
+    alone (pure stdlib), or None when no known magic matches or the
+    header is truncated/corrupt — callers quarantine, never crash.
+
+    Formats: PNG (width/height big-endian at IHDR, bytes 16-24), GIF
+    (87a/89a logical screen descriptor, little-endian), BMP
+    (BITMAPINFOHEADER, little-endian, height may be negative =
+    top-down), JPEG (walk the marker segments to the first SOF0-SOF15
+    frame header; dimensions are big-endian at offsets 5/7 inside it).
+    """
+    import struct
+
+    try:
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            if len(payload) < 24 or payload[12:16] != b"IHDR":
+                return None
+            w, h = struct.unpack(">II", payload[16:24])
+            return {"format": "png", "width": w, "height": h}
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            if len(payload) < 10:
+                return None
+            w, h = struct.unpack("<HH", payload[6:10])
+            return {"format": "gif", "width": w, "height": h}
+        if payload[:2] == b"BM":
+            if len(payload) < 26:
+                return None
+            w, h = struct.unpack("<ii", payload[18:26])
+            return {"format": "bmp", "width": w, "height": abs(h)}
+        if payload[:2] == b"\xff\xd8":  # JPEG SOI
+            i = 2
+            n = len(payload)
+            while i + 9 <= n:
+                if payload[i] != 0xFF:
+                    return None  # desynced marker stream
+                marker = payload[i + 1]
+                if marker == 0xFF:  # fill byte
+                    i += 1
+                    continue
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2  # standalone markers carry no length
+                    continue
+                seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+                if seg_len < 2:
+                    return None
+                # SOF0-SOF15 except DHT(C4)/JPG(C8)/DAC(CC)
+                if 0xC0 <= marker <= 0xCF and marker not in (
+                    0xC4,
+                    0xC8,
+                    0xCC,
+                ):
+                    if i + 9 > n:
+                        return None
+                    h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                    return {"format": "jpeg", "width": w, "height": h}
+                i += 2 + seg_len
+            return None
+    except (struct.error, IndexError):
+        return None
+    return None
+
+
+HEADER_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload_len", T.LongType()),
+    ]
+)
+
+
+def probe_media_headers(media: DataFrame) -> DataFrame:
+    """(media_id, format, width, height, payload_len) per payload — one
+    Arrow-batched map pass; unknown/corrupt headers surface as NULL
+    format (quarantine rows), never exceptions. The scan ships only
+    (media_id, payload) to Python; everything downstream (stats, joins
+    against meta claims) stays JVM-side."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse_image_header(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": [r["format"] if r else None for r in parsed],
+                    "width": pd.array(
+                        [r["width"] if r else None for r in parsed],
+                        dtype="Int32",
+                    ),
+                    "height": pd.array(
+                        [r["height"] if r else None for r in parsed],
+                        dtype="Int32",
+                    ),
+                    "payload_len": [len(p) for p in pdf["payload"]],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, HEADER_SCHEMA
+    )
+
+
 def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fabricate a media table from the documents table: payload = utf8
     bytes of the text, meta derived from n_chars. Deterministic, so tests

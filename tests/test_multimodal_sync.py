@@ -230,3 +230,124 @@ class TestSync:
         again = run_sync(spark, src, sink, cfg, state)
         assert again["rows"] == 0
         assert sink.read("t").count() == 1
+
+
+class TestHeaderProbe:
+    """Pure-stdlib container-header parsing (round 9): dimensions read
+    from hand-built PNG/GIF/BMP/JPEG byte fixtures with no codec."""
+
+    def _png(self, w, h):
+        import struct
+
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13)
+            + b"IHDR"
+            + struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        )
+
+    def _gif(self, w, h):
+        import struct
+
+        return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 4
+
+    def _bmp(self, w, h):
+        import struct
+
+        return (
+            b"BM"
+            + b"\x00" * 16
+            + struct.pack("<ii", w, h)
+            + b"\x00" * 20
+        )
+
+    def _jpeg(self, w, h):
+        import struct
+
+        # SOI, APP0 segment, DHT (must be skipped), SOF0 with dims
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        dht = b"\xff\xc4" + struct.pack(">H", 4) + b"\x00\x00"
+        sof0 = (
+            b"\xff\xc0"
+            + struct.pack(">H", 11)
+            + b"\x08"
+            + struct.pack(">HH", h, w)
+            + b"\x01\x01\x11\x00"
+        )
+        return b"\xff\xd8" + app0 + dht + sof0
+
+    def test_parse_all_formats(self):
+        from jitsu_spark.multimodal import parse_image_header
+
+        assert parse_image_header(self._png(640, 480)) == {
+            "format": "png", "width": 640, "height": 480,
+        }
+        assert parse_image_header(self._gif(13, 7)) == {
+            "format": "gif", "width": 13, "height": 7,
+        }
+        assert parse_image_header(self._bmp(800, 600)) == {
+            "format": "bmp", "width": 800, "height": 600,
+        }
+        # top-down BMP stores negative height
+        assert parse_image_header(self._bmp(800, -600))["height"] == 600
+        assert parse_image_header(self._jpeg(1920, 1080)) == {
+            "format": "jpeg", "width": 1920, "height": 1080,
+        }
+
+    def test_garbage_and_truncation_yield_none(self):
+        from jitsu_spark.multimodal import parse_image_header
+
+        assert parse_image_header(b"") is None
+        assert parse_image_header(b"not an image at all") is None
+        assert parse_image_header(self._png(1, 1)[:12]) is None
+        assert parse_image_header(b"\xff\xd8\xff") is None  # truncated JPEG
+        assert parse_image_header(b"\x89PNG\r\n\x1a\nXXXXIDAT") is None
+
+    def test_probe_over_spark(self, spark):
+        from jitsu_spark.multimodal import probe_media_headers
+
+        rows = [
+            (1, self._png(640, 480)),
+            (2, self._jpeg(32, 16)),
+            (3, self._gif(5, 6)),
+            (4, b"garbage payload"),
+        ]
+        media = spark.createDataFrame(
+            rows, "media_id long, payload binary"
+        )
+        got = {
+            r["media_id"]: r
+            for r in probe_media_headers(media).collect()
+        }
+        assert (got[1]["format"], got[1]["width"], got[1]["height"]) == (
+            "png", 640, 480,
+        )
+        assert (got[2]["format"], got[2]["width"], got[2]["height"]) == (
+            "jpeg", 32, 16,
+        )
+        assert got[3]["format"] == "gif"
+        assert got[4]["format"] is None and got[4]["width"] is None
+        assert got[4]["payload_len"] == len(b"garbage payload")
+
+    def test_parity_with_pil_if_available(self, spark):
+        """When PIL is importable, the header parse must agree with the
+        real decoder on PIL-generated files."""
+        from jitsu_spark.multimodal import parse_image_header, pil_available
+
+        if not pil_available():
+            import pytest
+
+            pytest.skip("PIL not installed")
+        import io
+
+        from PIL import Image
+
+        for fmt, size in (("PNG", (37, 53)), ("GIF", (9, 4)), ("BMP", (20, 10)), ("JPEG", (64, 48))):
+            buf = io.BytesIO()
+            Image.new("RGB", size).save(buf, format=fmt)
+            got = parse_image_header(buf.getvalue())
+            assert got == {
+                "format": fmt.lower(),
+                "width": size[0],
+                "height": size[1],
+            }, fmt
