@@ -598,7 +598,17 @@ def run_user_chain(
             elif r is True:
                 nxt.append(ev)
             else:
-                raise TypeError(f"unsupported function return: {type(r)}")
+                # unsupported return type: a PER-EVENT recorded error
+                # with identity pass-through, like every other function
+                # failure — raising here would escape run_user_chain and
+                # poison-pill the whole mapInPandas task on one bad
+                # event (round-9 spine review finding #5)
+                if first_err is None:
+                    first_err = (
+                        "TypeError: unsupported function return: "
+                        f"{type(r).__name__}"
+                    )
+                nxt.append(ev)
         current = nxt
         if not current:
             return [], first_err
@@ -683,6 +693,7 @@ def compile_chain(
                 out_events: list[str] = []
                 out_errors: list[str | None] = []
                 out_logs: list[str | None] = []
+                out_dropped: list[bool] = []
                 for raw in pdf["event"]:
                     ev = json.loads(raw)
                     if not passes_event_filter(ev, spec):
@@ -699,15 +710,37 @@ def compile_chain(
                         out_events.append(json.dumps(e, separators=(",", ":")))
                         out_errors.append(err)
                         out_logs.append(logs_json)
+                        out_dropped.append(False)
+                    if not evs and (err is not None or logs_json is not None):
+                        # a fully-dropped event with an error or logs
+                        # still emits ONE tombstone row carrying the
+                        # ORIGINAL event: `_dropped=True` keeps it out
+                        # of delivery (compile_pipeline filters it), but
+                        # the error reaches the retry layer — a
+                        # "Drop & RetryError" event was previously lost
+                        # forever instead of requeued, and a dropped
+                        # event's logs vanished from the events log
+                        # (round-9 spine review finding #1)
+                        out_events.append(raw)
+                        out_errors.append(err)
+                        out_logs.append(logs_json)
+                        out_dropped.append(True)
                 yield pd.DataFrame(
-                    {"event": out_events, "_error": out_errors, "_logs": out_logs}
+                    {
+                        "event": out_events,
+                        "_error": out_errors,
+                        "_logs": out_logs,
+                        "_dropped": pd.array(out_dropped, dtype="boolean"),
+                    }
                 )
         finally:
             if runner is not None:
                 runner.close()
 
     def transform(df: DataFrame) -> DataFrame:
-        return df.mapInPandas(stage, "event string, _error string, _logs string")
+        return df.mapInPandas(
+            stage, "event string, _error string, _logs string, _dropped boolean"
+        )
 
     return transform
 
@@ -767,10 +800,14 @@ def compile_pipeline(
     def transform(df: DataFrame) -> DataFrame:
         # errored events still reach the destination carrying their
         # partial result (functions-chain.ts:352-358); _error travels to
-        # the metrics/log sink, not into the warehouse row.
+        # the metrics/log sink, not into the warehouse row. Tombstone
+        # rows (`_dropped`) carry a dropped event's error/logs for the
+        # retry and log layers and must NOT be delivered.
+        import pyspark.sql.functions as F
+
         processed = chain(df)
         return apply_layout(
-            processed.select("event"),
+            processed.where(~F.col("_dropped")).select("event"),
             layout=config.layout,
             keep_original_names=config.keep_original_names,
         )

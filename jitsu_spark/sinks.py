@@ -33,6 +33,10 @@ from pyspark.sql import functions as F
 DEFAULT_PRIMARY_KEY = ["message_id"]  # destinations.tsx:137
 DEFAULT_DEDUP_WINDOW_DAYS = 31  # destinations.tsx:139
 PARTITION_COL = "_p_date"
+# destination table for rows whose routing column is NULL (e.g. a track
+# without an event name fanned out by the segment layout): quarantined,
+# never silently dropped, never a crash
+UNROUTABLE_TABLE = "_unroutable"
 
 
 class WarehouseSink:
@@ -106,15 +110,32 @@ class WarehouseSink:
 
         # Only date partitions within the dedup window of the batch's own
         # span can contain a conflicting primary key — read just those.
+        # The window extends BOTH directions: backward for the usual
+        # newer-batch-vs-older-row merge, and forward because an
+        # out-of-order redelivery dated BEFORE an existing same-key row
+        # must still find it (newest-wins keeps the existing row and the
+        # stale batch row is not written) — a backward-only read let the
+        # older duplicate land in its own partition (round-9 spine
+        # review finding #2; `sinks_cloud.merge_window_bounds` mirrors
+        # the same symmetric bounds for the MERGE families). Null event
+        # timestamps land in the null partition, which is always read —
+        # a None among the collected dates crashed min()/max() before
+        # (finding #6).
         dates = [
             r[0]
             for r in batch.select(PARTITION_COL).distinct().collect()
         ]
-        lo = (
-            F.lit(min(dates)).cast("date") - F.expr(f"INTERVAL {dedup_window_days} DAYS")
-        )
-        hi = F.lit(max(dates)).cast("date")
-        existing = self.read(table).where(F.col(PARTITION_COL).between(lo, hi))
+        nn_dates = [d for d in dates if d is not None]
+        window = F.expr(f"INTERVAL {dedup_window_days} DAYS")
+        if nn_dates:
+            lo = F.lit(min(nn_dates)).cast("date") - window
+            hi = F.lit(max(nn_dates)).cast("date") + window
+            pred = F.col(PARTITION_COL).between(lo, hi)
+        else:
+            pred = F.lit(False)
+        if len(nn_dates) < len(dates):  # batch has null-date rows
+            pred = pred | F.col(PARTITION_COL).isNull()
+        existing = self.read(table).where(pred)
 
         existing_dates = {
             r[0] for r in existing.select(PARTITION_COL).distinct().collect()
@@ -154,8 +175,11 @@ class WarehouseSink:
         import shutil
 
         for d in existing_dates - merged_dates:
+            # a null partition value is stored under the Hive default
+            # directory name, not "None"
+            name = "__HIVE_DEFAULT_PARTITION__" if d is None else str(d)
             shutil.rmtree(
-                os.path.join(self._path(table), f"{PARTITION_COL}={d}"),
+                os.path.join(self._path(table), f"{PARTITION_COL}={name}"),
                 ignore_errors=True,
             )
         # overwrite + deletion invalidate any cached file listing for
@@ -181,13 +205,29 @@ class WarehouseSink:
         """
         df = df.cache()
         try:
-            tables = [r[0] for r in df.select(table_col).distinct().collect()]
+            routed = [
+                r[0] for r in df.select(table_col).distinct().collect()
+            ]
+            # a null routing value is unroutable, not a crash: `== None`
+            # matches no rows (so the rows silently vanished) and
+            # upsert(None) died in os.path.join (round-9 spine review
+            # finding #7). Null-routed rows go to the quarantine table
+            # so nothing is silently lost and the batch completes.
+            tables = [t for t in routed if t is not None]
             for t in tables:
                 part = df.where(F.col(table_col) == t).drop(table_col)
                 if deduplicate:
                     self.upsert(part, t, primary_key, timestamp_col)
                 else:
                     self.append(part, t, timestamp_col)
+            if len(tables) < len(routed):
+                q = UNROUTABLE_TABLE
+                part = df.where(F.col(table_col).isNull()).drop(table_col)
+                if deduplicate:
+                    self.upsert(part, q, primary_key, timestamp_col)
+                else:
+                    self.append(part, q, timestamp_col)
+                tables.append(q)
             return tables
         finally:
             df.unpersist()
@@ -198,8 +238,30 @@ class WarehouseSink:
         partition down to `target_files_per_partition` files. The lakehouse
         OPTIMIZE analogue — read amplification on a 100 TB table is driven
         by file count as much as bytes."""
-        df = self.read(table).repartition(
-            target_files_per_partition, F.col(PARTITION_COL)
+        # repartition(N, _p_date) hashes by date alone, sending EVERY row
+        # of a date to one task — always exactly 1 file per partition,
+        # making the parameter a no-op for values > 1 (round-9 spine
+        # review finding #10). A deterministic per-row salt bounded by
+        # the target splits each date into at most `target` tasks/files.
+        df = self.read(table)
+        n_dates = max(df.select(PARTITION_COL).distinct().count(), 1)
+        salt = F.pmod(
+            F.hash(*[F.col(c) for c in df.columns if c != PARTITION_COL]),
+            F.lit(target_files_per_partition),
+        ).alias("_salt")
+        # range partitioning on (date, salt): each date spans ~target
+        # contiguous ranges, so every date yields ~target files. A plain
+        # hash repartition by the pair gets coalesced back to one task
+        # by AQE when the data is small, silently re-creating the 1-file
+        # behavior the salt exists to avoid.
+        df = (
+            df.withColumn("_salt", salt)
+            .repartitionByRange(
+                n_dates * target_files_per_partition,
+                F.col(PARTITION_COL),
+                F.col("_salt"),
+            )
+            .drop("_salt")
         )
         (
             df.write.mode("overwrite")
@@ -226,9 +288,25 @@ def _latest_per_key(df: DataFrame, pk: list[str], timestamp_col: str) -> DataFra
     sort — the shape that survives skewed keys at scale with AQE.
     """
     others = [c for c in df.columns if c not in pk]
+    # DataFrame API, not an interpolated SQL string: a column named with
+    # a hyphen/space/reserved word (keep_original_names layouts, Airbyte
+    # fields, arbitrary flattened properties) would otherwise parse as
+    # arithmetic or fail (round-9 spine review finding #8)
+    # max_by SKIPS rows whose ordering key is null — a key whose rows
+    # all carry a null timestamp would come back as a null struct,
+    # wiping every non-pk column. Floor null timestamps so those rows
+    # still win deterministically against nothing and lose against any
+    # real timestamp.
+    order_key = F.coalesce(
+        F.col(timestamp_col),
+        F.lit("1900-01-01 00:00:00").cast("timestamp"),
+    )
     packed = df.groupBy(*pk).agg(
-        F.expr(
-            f"max_by(struct({', '.join(others)}), {timestamp_col})"
+        F.max_by(
+            F.struct(*[F.col(c).alias(c) for c in others]),
+            order_key,
         ).alias("_row")
     )
-    return packed.select(*pk, *[F.col(f"_row.{c}").alias(c) for c in others])
+    return packed.select(
+        *pk, *[F.col("_row").getField(c).alias(c) for c in others]
+    )

@@ -295,16 +295,22 @@ def merge_window_bounds(
 ) -> tuple[str, str]:
     """The dedup window the parquet path computes driver-side
     (sinks.WarehouseSink.upsert): [batch min date - window, batch max
-    date], as ISO literals for the MERGE ON clause. One tiny agg —
-    the same collect the parquet path already does for its partition
-    pruning."""
+    date + window], as ISO literals for the MERGE ON clause. Symmetric
+    since round 9 — the forward extension lets an out-of-order
+    redelivery dated BEFORE an existing same-key target row still MATCH
+    it (newest-wins then leaves the target untouched and skips the
+    insert), keeping the two engines' dedup behavior identical. One
+    tiny agg — the same collect the parquet path already does for its
+    partition pruning."""
     from pyspark.sql import functions as F
 
     row = batch.agg(
         F.date_sub(
             F.min(F.to_date(F.col(timestamp_col))), dedup_window_days
         ).alias("lo"),
-        F.max(F.to_date(F.col(timestamp_col))).alias("hi"),
+        F.date_add(
+            F.max(F.to_date(F.col(timestamp_col))), dedup_window_days
+        ).alias("hi"),
     ).first()
     return str(row["lo"]), str(row["hi"])
 

@@ -36,13 +36,22 @@ def dedup_within_watermark(
 ) -> DataFrame:
     """W5 — engine-side duplicate suppression inside the watermark horizon.
 
-    dropDuplicates on a watermarked stream keeps one state entry per key
-    and expires it with the watermark, so redeliveries within the window
+    `dropDuplicatesWithinWatermark` keeps one state entry per key and
+    EXPIRES it with the watermark, so redeliveries within the window
     never reach the sink; beyond-horizon duplicates are caught by the
-    sink's MERGE (the two layers share the 31-day contract). Use this when
-    sink MERGEs are expensive (API destinations) — for warehouse sinks the
-    MERGE alone suffices and avoids double state."""
-    return stream.withWatermark(ts_col, watermark).dropDuplicates([key_col])
+    sink's MERGE (the two layers share the 31-day contract). Use this
+    when sink MERGEs are expensive (API destinations) — for warehouse
+    sinks the MERGE alone suffices and avoids double state.
+
+    NOT plain `dropDuplicates([key])`: Spark's dedup operator only
+    evicts state when the event-time column is part of the dedup key,
+    so the key-only form accumulates every message_id ever seen —
+    unbounded state on a long-running stream (round-9 spine review
+    finding #3). The WithinWatermark variant exists precisely for the
+    keep-first-drop-later-redeliveries semantics wanted here."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [key_col]
+    )
 
 
 def run_pipeline(

@@ -111,8 +111,20 @@ def _recognize(
         # pandas materializes SQL NULLs as None or NaN depending on dtype
         return None if v is None or (isinstance(v, float) and pd.isna(v)) else v
 
-    for pdf in pdfs:
-        pdf = pdf.sort_values("timestamp")
+    # concatenate the key's Arrow chunks BEFORE sorting: a large group
+    # spans multiple chunks, and per-chunk sorts leave CHUNK ARRIVAL
+    # order across them — "latest identity wins" then depended on which
+    # chunk an identify landed in, not on its timestamp (round-9 spine
+    # review finding #9). The group is one user's micro-batch slice —
+    # the same bounded buffer the state already holds.
+    chunks = [p for p in pdfs if len(p)]
+    if not chunks:
+        all_rows = pd.DataFrame()
+    else:
+        all_rows = pd.concat(chunks, ignore_index=True).sort_values(
+            "timestamp", kind="mergesort"
+        )
+    for pdf in ([all_rows] if len(all_rows) else []):
         for row in pdf.to_dict("records"):
             row_traits = _clean(row.get("traits")) or {}
             if isinstance(row_traits, str):

@@ -473,3 +473,35 @@ class TestMemoryGuard:
         (row,) = compile_chain(cfg)(df).collect()
         assert row._error is None
         assert json.loads(row.event)["n"] == 3_000_000
+
+
+def test_unsupported_return_is_per_event_error(spark):
+    """A UDF returning an unsupported type (e.g. an int) is a recorded
+    per-event error with identity pass-through — not a raised TypeError
+    that poison-pills the whole mapInPandas task (round-9 spine review
+    finding #5)."""
+    import json as _json
+
+    from jitsu_spark.plans.chain import ConnectionConfig, compile_chain
+
+    def bad_return(e, ctx):
+        if e.get("k") == "bad":
+            return 42
+        return {**e, "ok": True}
+
+    df = spark.createDataFrame(
+        [(_json.dumps({"type": "track", "k": k}),) for k in ("good", "bad")],
+        "event string",
+    )
+    rows = {
+        _json.loads(r.event)["k"]: r
+        for r in compile_chain(
+            ConnectionConfig(connection_id="badret", functions=[bad_return])
+        )(df).collect()
+    }
+    assert rows["good"]._error is None
+    assert _json.loads(rows["good"].event)["ok"] is True
+    assert rows["bad"]._error is not None
+    assert "unsupported function return" in rows["bad"]._error
+    # identity pass-through: the bad event flows unmodified
+    assert _json.loads(rows["bad"].event) == {"type": "track", "k": "bad"}

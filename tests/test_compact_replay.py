@@ -166,9 +166,21 @@ class TestUdfStageRetryReplay:
         cfg = ConnectionConfig(
             connection_id="drop_retry", functions=[f1, f2dropretry, f3]
         )
-        # attempt 0: dropped — nothing delivered (drop_retry delivers
-        # only after the retry in the reference test)
-        assert compile_chain(cfg)(df).collect() == []
+        # attempt 0: dropped from DELIVERY, but the chain emits a
+        # `_dropped` tombstone carrying the ORIGINAL event + retryable
+        # error — previously the event vanished entirely and was never
+        # requeued, breaking the "Drop & RetryError: still requeued"
+        # contract (round-9 spine review finding #1)
+        from jitsu_spark.plans.chain import is_retryable_error
+
+        (tomb,) = compile_chain(cfg)(df).collect()
+        assert tomb._dropped is True
+        assert is_retryable_error(tomb._error)
+        assert json.loads(tomb.event) == {"type": "track", "properties": {}}
+        # and the DELIVERY path (compile_pipeline's filter) ships nothing
+        from jitsu_spark.plans.chain import compile_pipeline
+
+        assert compile_pipeline(cfg)(df).collect() == []
         # attempt 1: delivered in full — the drop_retry_0 expectation
         (row,) = compile_chain(cfg, retries=1)(df).collect()
         assert json.loads(row.event) == {

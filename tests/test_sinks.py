@@ -166,3 +166,131 @@ def test_upsert_cross_partition_conflict_removes_emptied_dir(spark, sink):
     assert not os.path.isdir(
         os.path.join(sink.base_dir, "xp2", "_p_date=2024-04-01")
     )
+
+
+def test_retry_ack_and_dlq_idempotence(spark, tmp_path):
+    """Round-9 spine review finding #4: a successfully replayed message
+    must stop being 'due' (record_success tombstone), and repeated
+    dead_letter() runs must not re-append the same rows to the DLQ."""
+    from jitsu_spark.streaming.retries import RetryStore
+
+    store = RetryStore(spark, str(tmp_path))
+    failed = spark.createDataFrame(
+        [("m1", 0, "boom"), ("m3", 3, "dead")],
+        "message_id string, attempt int, err string",
+    )
+    store.record_failures(failed, "err", "2024-01-01 00:00:00")
+    late = "2024-01-02 00:00:00"
+    assert [r.message_id for r in store.due(late).collect()] == ["m1"]
+    # replay succeeded: ack -> never due again, and never dead-lettered
+    store.record_success(
+        spark.createDataFrame([("m1",)], "message_id string"), late
+    )
+    assert store.due(late).count() == 0
+    assert store.due("2030-01-01 00:00:00").count() == 0
+    # dead-letter m3 once; the second run is a no-op
+    d1 = store.dead_letter(late)
+    assert [r.message_id for r in d1.collect()] == ["m3"]
+    d2 = store.dead_letter(late)
+    assert d2.count() == 0
+    assert spark.read.parquet(store.dlq_dir).count() == 1
+    # a NEW failure recorded after the ack RE-OPENS the message —
+    # recency keys on recorded time, not attempt value
+    store.record_failures(
+        spark.createDataFrame(
+            [("m1", 0, "boom-again")], "message_id string, attempt int, err string"
+        ),
+        "err",
+        "2024-01-03 00:00:00",
+    )
+    assert [
+        r.message_id for r in store.due("2024-01-04 00:00:00").collect()
+    ] == ["m1"]
+
+
+def test_upsert_forward_window_dedup(spark, tmp_path):
+    """Round-9 spine review finding #2: an out-of-order redelivery dated
+    BEFORE an existing same-key row must still merge against it —
+    newest-wins keeps the existing row and the stale batch row is not
+    written as a duplicate."""
+    from jitsu_spark.sinks import WarehouseSink
+
+    sink = WarehouseSink(spark, str(tmp_path))
+    newer = spark.createDataFrame(
+        [("mX", _ts("2024-03-10T00:00:00"), "new")],
+        "message_id string, ts timestamp, payload string",
+    )
+    sink.upsert(newer, "ev")
+    older = spark.createDataFrame(
+        [("mX", _ts("2024-03-01T00:00:00"), "stale")],
+        "message_id string, ts timestamp, payload string",
+    )
+    sink.upsert(older, "ev")
+    rows = sink.read("ev").collect()
+    assert len(rows) == 1
+    assert rows[0].payload == "new"
+
+
+def test_upsert_null_timestamp_rows(spark, tmp_path):
+    """Round-9 finding #6: a null event timestamp must not crash the
+    second upsert (min/max over None) — it lands in the Hive default
+    partition and dedups against other null-ts rows."""
+    from jitsu_spark.sinks import WarehouseSink
+
+    sink = WarehouseSink(spark, str(tmp_path))
+    b1 = spark.createDataFrame(
+        [("m1", _ts("2024-03-01T00:00:00"), "a")],
+        "message_id string, ts timestamp, payload string",
+    )
+    sink.upsert(b1, "ev")
+    b2 = spark.createDataFrame(
+        [("m2", None, "null-ts"), ("m3", _ts("2024-03-02T00:00:00"), "b")],
+        "message_id string, ts timestamp, payload string",
+    )
+    sink.upsert(b2, "ev")  # previously TypeError on min(None, date)
+    got = {r.message_id: r.payload for r in sink.read("ev").collect()}
+    assert got == {"m1": "a", "m2": "null-ts", "m3": "b"}
+
+
+def test_write_routed_null_table_quarantined(spark, tmp_path):
+    """Round-9 finding #7: a null routing value neither vanishes nor
+    crashes — the row lands in the _unroutable quarantine table."""
+    from jitsu_spark.sinks import UNROUTABLE_TABLE, WarehouseSink
+
+    sink = WarehouseSink(spark, str(tmp_path))
+    df = spark.createDataFrame(
+        [
+            ("m1", _ts("2024-03-01T00:00:00"), "tracks"),
+            ("m2", _ts("2024-03-01T00:00:00"), None),
+        ],
+        "message_id string, ts timestamp, _table string",
+    )
+    tables = sink.write_routed(df)
+    assert sorted(tables) == sorted(["tracks", UNROUTABLE_TABLE])
+    assert sink.read("tracks").count() == 1
+    q = sink.read(UNROUTABLE_TABLE).collect()
+    assert [r.message_id for r in q] == ["m2"]
+
+
+def test_compact_honors_target_file_count(spark, tmp_path):
+    """Round-9 finding #10: compact(target=N) must actually produce up
+    to N files per date partition (hash-by-date alone always made 1)."""
+    import glob
+    import os
+
+    from jitsu_spark.sinks import WarehouseSink
+
+    sink = WarehouseSink(spark, str(tmp_path))
+    rows = [
+        (f"m{i}", _ts("2024-03-01T00:00:00"), f"p{i}") for i in range(400)
+    ]
+    df = spark.createDataFrame(
+        rows, "message_id string, ts timestamp, payload string"
+    ).repartition(16)
+    sink.append(df, "ev")
+    part_dir = os.path.join(str(tmp_path), "ev", "_p_date=2024-03-01")
+    assert len(glob.glob(part_dir + "/*.parquet")) > 4
+    sink.compact("ev", target_files_per_partition=4)
+    n = len(glob.glob(part_dir + "/*.parquet"))
+    assert 1 < n <= 4, n
+    assert sink.read("ev").count() == 400

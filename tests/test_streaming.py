@@ -283,3 +283,45 @@ class TestKafkaContract:
         assert row.connection_id == "c1"
         assert row.write_key == "wk"
         assert _json.loads(row.payload_json)["event"] == "E"
+
+
+def test_recognize_orders_across_arrow_chunks():
+    """Round-9 spine review finding #9: a key's micro-batch rows can
+    arrive as MULTIPLE Arrow chunks; 'latest identity wins' must follow
+    timestamps across chunks, not chunk arrival order."""
+    import pandas as pd
+
+    from jitsu_spark.streaming.user_recognition import _recognize
+
+    class FakeState:
+        hasTimedOut = False
+        exists = False
+
+        def update(self, v):
+            self.value = v
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    def chunk(rows):
+        return pd.DataFrame(
+            rows,
+            columns=["message_id", "anonymous_id", "user_id", "traits",
+                     "timestamp"],
+        ).assign(timestamp=lambda d: pd.to_datetime(d["timestamp"]))
+
+    # chunk 1 carries the NEWER identify (u_new); chunk 2 the OLDER one
+    # (u_old). Timestamp order must make u_new the resolved identity.
+    c1 = chunk([("m2", "anon", "u_new", None, "2024-01-01T10:00:00")])
+    c2 = chunk([("m1", "anon", "u_old", None, "2024-01-01T09:00:00")])
+    state = FakeState()
+    out = pd.concat(
+        list(_recognize(("anon",), iter([c1, c2]), state, 1000))
+    )
+    # both rows emitted; the resolved identity (state) is the NEWER one
+    assert set(out["message_id"]) == {"m1", "m2"}
+    _buffered, user_id, _traits = state.value
+    assert user_id == "u_new"
+    # the later-timestamped identify wins for rows processed after it
+    by_mid = out.set_index("message_id")
+    assert by_mid.loc["m2", "user_id"] == "u_new"
