@@ -94,17 +94,23 @@ def referenced_tables(spark: SparkSession, sql: str) -> set[str]:
         while sit.hasNext():
             walk(sit.next(), bound)
         # Catch any other plan-carrying fields hidden from children()
-        # (views, command payloads) the same way explain() does.
-        try:
-            iit = node.innerChildren().iterator()
-            while iit.hasNext():
-                inner = iit.next()
-                if inner.getClass().getName().startswith(
-                    "org.apache.spark.sql.catalyst.plans.logical"
-                ):
-                    walk(inner, bound)
-        except Exception:
-            pass  # innerChildren not reachable on this node type
+        # (views, command payloads) the same way explain() does. Skip
+        # UnresolvedWith: its innerChildren ARE the cteRelations walked
+        # above with correct positional binding — walking them twice
+        # made the traversal EXPONENTIAL in CTE nesting depth (a ~25-
+        # level WITH chain, a few hundred bytes of SQL, pinned the
+        # driver for hours: a gateway DoS — round-9 review #1).
+        if cls != "UnresolvedWith":
+            try:
+                iit = node.innerChildren().iterator()
+                while iit.hasNext():
+                    inner = iit.next()
+                    if inner.getClass().getName().startswith(
+                        "org.apache.spark.sql.catalyst.plans.logical"
+                    ):
+                        walk(inner, bound)
+            except Exception:
+                pass  # innerChildren not reachable on this node type
 
     walk(plan, frozenset())
     return tables
@@ -163,6 +169,30 @@ def validate_select(
             # carry an alias (`FROM t1 a, t2 b`) — the alias is consumed so
             # the comma chain keeps matching and every table is validated;
             # a clause keyword is never mistaken for an alias.
+            # Mask paren groups that contain no SELECT (innermost-out):
+            # two fail-open/fail-noisy holes lived in raw text —
+            # `... WINDOW w AS (ORDER BY x)` parsed as a CTE named `w`
+            # (whitelisting an arbitrary table name: fail-OPEN), and
+            # `EXTRACT(DAY FROM ts)` fed `ts` to the FROM-scan
+            # (rejecting valid queries). Masking removes both: window
+            # specs and function argument lists vanish, while CTE bodies
+            # and FROM-subqueries (they contain SELECT) survive for the
+            # scans below (round-9 review #2/#7).
+            masked = stripped
+            while True:
+                changed = [False]
+
+                def _mask(m, changed=changed):
+                    if re.search(r"\bSELECT\b", m.group(1), re.I):
+                        # protect: sentinel brackets survive this pass
+                        return "\x00" + m.group(1) + "\x01"
+                    changed[0] = True
+                    return " __g__ "
+
+                masked = re.sub(r"\(([^()]*)\)", _mask, masked)
+                if not changed[0]:
+                    break
+            masked = masked.replace("\x00", "(").replace("\x01", ")")
             # Only CTEs defined at the statement's top level (paren depth
             # 0) may excuse a table name — a decoy `WITH secret AS (...)`
             # nested inside a subquery must not whitelist the real
@@ -170,7 +200,7 @@ def validate_select(
             # legitimate CTEs may be re-validated as tables and rejected.
             cte_names = set()
             depth = 0
-            for m in re.finditer(r"\b(\w+)\s+AS\s*\(|\(|\)", stripped, re.I):
+            for m in re.finditer(r"\b(\w+)\s+AS\s*\(|\(|\)", masked, re.I):
                 if m.group(0) == "(":
                     depth += 1
                 elif m.group(0) == ")":
@@ -188,7 +218,7 @@ def validate_select(
             refs = set()
             for m in re.finditer(
                 rf"\b(?:FROM|JOIN)\s+({entry}(?:\s*,\s*{entry})*)",
-                stripped,
+                masked,
                 re.I,
             ):
                 for t in m.group(1).split(","):
@@ -212,6 +242,10 @@ def guarded_query(
     (`query.ts:138-155` semantics)."""
     validate_select(sql, allowed_tables, spark=spark)
     eff = server_limit if limit is None else min(limit, server_limit)
+    # validation tolerates a trailing ';' (single statement), but the
+    # subselect embedding would turn it into a parse error — the most
+    # common user habit breaking the endpoint (round-9 review #4)
+    sql = sql.rstrip().rstrip(";").rstrip()
     outer = f"SELECT * FROM ({sql}) __gw LIMIT {int(eff)}"
     if offset:
         outer += f" OFFSET {int(offset)}"

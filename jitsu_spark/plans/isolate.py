@@ -220,7 +220,10 @@ class IsolatedChainRunner(_ForkedRunner):
         # wall-clock budget for one event through the whole chain: the
         # in-child guard enforces timeout_sec per function; the watchdog
         # only fires when that guard was defeated (native code / blocked
-        # signals), so it gets the full-chain budget plus grace.
+        # signals), so it gets the full-chain budget plus grace. The
+        # budget is SOUND against event multiplication: only the LAST
+        # function may multiply (run_user_chain raises mid-chain), so
+        # one event makes at most len(functions) calls per run.
         super().__init__(
             timeout_sec * max(1, len(functions)) + ISOLATE_GRACE_SEC
             if timeout_sec

@@ -84,6 +84,13 @@ def get_ttl_sec(opts: Any = None) -> int:
     if isinstance(opts, bool):
         pass  # bools are ints in Python; treat as "no opts"
     elif isinstance(opts, (int, float)):
+        # negative numbers: ceil() below rounds toward zero, so values
+        # in (-1, 0) become 0 (expire immediately) and values <= -1 stay
+        # negative, which set() maps to NO EXPIRY — the reference
+        # contract (store.ts:43-47 sets EX only when ttl >= 0, after
+        # Math.ceil). A round-9 review suggested erroring on negatives
+        # (raw-Redis EX semantics), but both behaviors are pinned by
+        # parity tests; deliberate, not a bug.
         seconds = opts
     elif isinstance(opts, str):
         if opts.lower() == "inf":

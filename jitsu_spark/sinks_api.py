@@ -225,12 +225,19 @@ def _default_mongo_inserter(config: dict):
             "pymongo is not installed; inject `inserter` (see CaptureInserter)"
         ) from e
 
+    # one pooled client per executor process, created lazily on first
+    # insert and reused across batches AND partitions — the reference's
+    # singleton client (mongodb-destination.ts:44-53). The previous form
+    # opened + closed a client PER BATCH: a 1M-event partition at
+    # batch_size=500 paid 2000 TLS/auth handshakes (round-9 review #10).
+    holder: dict = {}
+
     def insert(collection: str, docs: list[dict]) -> None:  # pragma: no cover
-        client = MongoClient(mongodb_url(config))
-        try:
-            client.get_default_database()[collection].insert_many(docs)
-        finally:
-            client.close()
+        client = holder.get("client")
+        if client is None:
+            client = MongoClient(mongodb_url(config))
+            holder["client"] = client
+        client.get_default_database()[collection].insert_many(docs)
 
     return insert
 

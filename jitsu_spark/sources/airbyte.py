@@ -222,7 +222,12 @@ def latest_state(spark: SparkSession, path: str) -> dict | None:
             data = json.loads(last_line)["state"]["data"]
             if data is None:
                 continue
-            return json.loads(data)
+            # protocol-conformant connectors emit state.data as a JSON
+            # OBJECT; this repo's fixtures json.dumps it into a string.
+            # json.loads(dict) raised TypeError, which the except below
+            # swallowed — silently LOSING the checkpoint and forcing a
+            # full re-extract every run (round-9 sources review #3)
+            return data if isinstance(data, dict) else json.loads(data)
         except (ValueError, KeyError, TypeError):
             continue
     return None

@@ -116,16 +116,28 @@ def run_sync(
         # pushdown-friendly: plain comparison predicate on the cursor col
         df = df.where(F.col(config.cursor_field) > F.lit(cursor_before))
 
-    new_cursor_row = df.agg(F.max(config.cursor_field).alias("c")).collect()[0]
-    rows = df.count()
+    # ONE action for cursor + row count (each separate action re-ran the
+    # full source read — three scans per sync on a JDBC source)
+    stats = df.agg(
+        F.max(config.cursor_field).alias("c"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    rows = stats["n"]
     if rows:
-        sink.upsert(
-            df,
-            config.table,
-            primary_key=config.primary_key,
-            timestamp_col=config.timestamp_col,
-        )
-        cur = new_cursor_row["c"]
+        if config.mode == "incremental":
+            sink.upsert(
+                df,
+                config.table,
+                primary_key=config.primary_key,
+                timestamp_col=config.timestamp_col,
+            )
+        else:
+            # full_refresh REPLACES the table (the Airbyte overwrite
+            # contract run_airbyte_sync already follows) — an upsert
+            # here kept rows deleted at the source alive forever
+            # (round-9 sources review #5)
+            sink.replace(df, config.table, timestamp_col=config.timestamp_col)
+        cur = stats["c"]
         state.set_cursor(
             config.sync_id, cur.isoformat() if hasattr(cur, "isoformat") else cur
         )

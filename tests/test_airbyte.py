@@ -316,3 +316,26 @@ class TestLargeCapture:
         assert json.loads(json.loads(line)["state"]["data"]) == {
             "users": {"cursor": 60_000}
         }
+
+
+def test_latest_state_accepts_object_data(spark, tmp_path):
+    """Round-9 sources review #3: protocol-conformant connectors emit
+    state.data as a JSON OBJECT (not a dumped string); the object form
+    must yield the cursor, not a silently-swallowed TypeError."""
+    import json
+
+    from jitsu_spark.sources.airbyte import latest_state
+
+    p = tmp_path / "cap"
+    p.mkdir()
+    (p / "part-0.jsonl").write_text(
+        "\n".join(
+            [
+                json.dumps({"type": "RECORD", "record": {"stream": "u",
+                                                          "data": {"id": 1}}}),
+                json.dumps({"type": "STATE",
+                            "state": {"data": {"users": {"cursor": 7}}}}),
+            ]
+        )
+    )
+    assert latest_state(spark, str(p)) == {"users": {"cursor": 7}}

@@ -281,3 +281,69 @@ def test_schema_response_golden(spark):
         schema_response(spark)  # allowlist can no longer be omitted
     spark.catalog.dropTempView("gw_schema_t1")
     spark.catalog.dropTempView("gw_schema_t2")
+
+
+class TestRound9GatewayFindings:
+    def test_nested_with_validates_in_linear_time(self, spark):
+        """Round-9 review #1: the CTE walk was exponential in WITH
+        nesting depth (double traversal via innerChildren) — a ~25-level
+        chain DoS'd the gateway. Depth 14 must validate in seconds."""
+        import time
+
+        from jitsu_spark.gateway import validate_select
+
+        sql = "SELECT 1 AS x"
+        for i in range(14):
+            sql = f"WITH c{i} AS ({sql}) SELECT * FROM c{i}"
+        t0 = time.time()
+        validate_select(sql, {"events"}, spark=spark)
+        assert time.time() - t0 < 15
+
+    def test_window_clause_is_not_a_cte_without_session(self):
+        """Round-9 review #2: `WINDOW secret AS (ORDER BY x)` whitelisted
+        the table name `secret` in the no-session fallback — fail-open."""
+        import pytest
+
+        from jitsu_spark.gateway import SqlGatewayError, validate_select
+
+        q = (
+            "SELECT max(x) OVER secret FROM secret"
+            " WINDOW secret AS (ORDER BY x)"
+        )
+        with pytest.raises(SqlGatewayError, match="secret"):
+            validate_select(q, {"events"})
+
+    def test_from_operand_functions_accepted_without_session(self):
+        """Round-9 review #7: EXTRACT/SUBSTRING/TRIM's FROM operand was
+        scanned as a table reference, rejecting valid queries."""
+        from jitsu_spark.gateway import validate_select
+
+        validate_select("SELECT EXTRACT(DAY FROM ts) FROM events", {"events"})
+        validate_select(
+            "SELECT SUBSTRING(name FROM 1 FOR 2) FROM events", {"events"}
+        )
+        validate_select(
+            "SELECT TRIM(LEADING ' ' FROM name) FROM events", {"events"}
+        )
+
+    def test_real_ctes_still_validate_without_session(self):
+        import pytest
+
+        from jitsu_spark.gateway import SqlGatewayError, validate_select
+
+        validate_select(
+            "WITH c AS (SELECT * FROM events) SELECT * FROM c", {"events"}
+        )
+        with pytest.raises(SqlGatewayError, match="secret"):
+            validate_select(
+                "WITH c AS (SELECT * FROM secret) SELECT * FROM c",
+                {"events"},
+            )
+
+    def test_trailing_semicolon_executes(self, spark):
+        """Round-9 review #4: a trailing ';' passed validation but broke
+        the subselect embedding with a parse error."""
+        from jitsu_spark.gateway import guarded_query
+
+        rows = guarded_query(spark, "SELECT id FROM range(5);").collect()
+        assert len(rows) == 5

@@ -217,6 +217,33 @@ class TestSync:
         got = {r.id: r.v for r in sink.read("users").collect()}
         assert got == {"a": "v2", "b": "w"}
 
+    def test_full_refresh_replaces_table(self, spark, tmp_path):
+        """Round-9 sources review #5: full_refresh must REPLACE the
+        table (the Airbyte overwrite contract) — an upsert kept rows
+        deleted at the source alive downstream forever."""
+        from jitsu_spark.sinks import WarehouseSink
+        from jitsu_spark.sources.sync import SyncConfig, SyncState, run_sync
+
+        sink = WarehouseSink(spark, str(tmp_path / "wh"))
+        state = SyncState(str(tmp_path / "state"))
+        cfg = SyncConfig(
+            sync_id="fr", table="users", mode="full_refresh",
+            primary_key=["id"],
+        )
+        t1 = dt.datetime(2024, 1, 1)
+        run_sync(
+            spark,
+            self._source(spark, [("a", "v1", t1), ("b", "w", t1)]),
+            sink, cfg, state,
+        )
+        assert sink.read("users").count() == 2
+        # row "b" deleted at the source: the refresh must drop it
+        run_sync(
+            spark, self._source(spark, [("a", "v2", t1)]), sink, cfg, state
+        )
+        got = {r.id: r.v for r in sink.read("users").collect()}
+        assert got == {"a": "v2"}
+
     def test_rerun_with_no_new_rows_is_noop(self, spark, tmp_path):
         from jitsu_spark.sinks import WarehouseSink
         from jitsu_spark.sources.sync import SyncConfig, SyncState, run_sync

@@ -308,3 +308,4 @@ class TestTornReadDefense:
             json.dump({"key": "k", "value": "old", "expire_at": None}, f)
         assert s.get("k") == "old"
         assert s.ttl("k") == -1
+
