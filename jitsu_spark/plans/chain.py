@@ -642,6 +642,17 @@ def compile_chain(
 
     use_isolation = config.untrusted and supports_isolation()
 
+    # U2 import screen (udf_wrapper.ts:86-88,146-153 analog, round 10):
+    # untrusted function source is AST-screened ONCE at compile time; a
+    # smuggled `import socket` / `open` / `__import__` refuses the chain
+    # with a recorded per-event error (identity pass-through, batch
+    # completes, events-log row) — the function never executes.
+    refusal: str | None = None
+    if config.untrusted:
+        from .import_screen import screen_functions
+
+        refusal = screen_functions(functions)
+
     fetch_transport = config.fetch_transport
     fetch_timeout_sec = config.fetch_timeout_sec
     if store_factory is None:
@@ -668,7 +679,12 @@ def compile_chain(
 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         runner = None
-        if use_isolation:
+        if refusal is not None:
+
+            def run_one(ev: dict):
+                return [ev], refusal, [], []
+
+        elif use_isolation:
             runner = IsolatedChainRunner(
                 functions, make_ctx, timeout_sec, memory_mb
             )

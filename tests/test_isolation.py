@@ -237,3 +237,91 @@ def test_explicit_no_timeout_disables_watchdog_deadline():
             r2.close()
     finally:
         r.close()
+
+
+class TestImportScreen:
+    """U2 round-10: the udf_wrapper.ts:86-88,146-153 analog — untrusted
+    function source is AST-screened before it ever enters the isolate.
+    A smuggled import/open/__import__ refuses the chain with a recorded
+    per-event error; the batch completes; nothing executes."""
+
+    def test_screen_source_unit(self):
+        from jitsu_spark.plans.import_screen import screen_source
+
+        # allowed stdlib passes
+        assert screen_source("def f(e, ctx):\n import json\n return e") is None
+        assert (
+            screen_source(
+                "def f(e, ctx):\n from urllib.parse import urlparse\n return e"
+            )
+            is None
+        )
+        # sockets / files / dynamic import refused
+        assert "socket" in screen_source(
+            "def f(e, ctx):\n import socket\n return e"
+        )
+        assert "os" in screen_source("def f(e, ctx):\n import os\n return e")
+        assert "'open'" in screen_source(
+            "def f(e, ctx):\n open('/etc/passwd')\n return e"
+        )
+        assert "__import__" in screen_source(
+            "def f(e, ctx):\n m = __import__('subprocess')\n return e"
+        )
+        assert "relative" in screen_source(
+            "def f(e, ctx):\n from . import x\n return e"
+        )
+        # urllib.request must NOT ride in on the urllib.parse entry
+        assert screen_source(
+            "def f(e, ctx):\n import urllib.request\n return e"
+        ) is not None
+
+    def test_smuggled_import_refused_batch_completes(self, spark):
+        """VERDICT r9 #4 done-criterion: an `import socket` chain is
+        refused with an events-log row while the batch completes."""
+        from jitsu_spark.plans.chain import chain_log_rows
+
+        def exfiltrate(ev, ctx):
+            import socket  # noqa: F401 — the smuggled escape hatch
+
+            ev["leaked"] = True
+            return ev
+
+        cfg = ConnectionConfig(
+            connection_id="c-screen",
+            functions=[exfiltrate],
+            untrusted=True,
+        )
+        df = spark.createDataFrame(
+            [(json.dumps({"type": "track", "message_id": f"m{i}"}),) for i in range(3)],
+            "event string",
+        )
+        processed = compile_chain(cfg)(df)
+        rows = processed.collect()
+        assert len(rows) == 3  # batch completed, identity pass-through
+        for r in rows:
+            assert "ImportScreenError" in r._error
+            assert "socket" in r._error and "exfiltrate" in r._error
+            assert "leaked" not in json.loads(r.event)  # never executed
+        # the refusal reaches the events-log sink as level=error rows
+        log = chain_log_rows(processed).collect()
+        errs = [r for r in log if r.level == "error"]
+        assert len(errs) == 3
+        assert all("ImportScreenError" in r.message for r in errs)
+
+    def test_clean_untrusted_chain_unaffected(self, spark):
+        def enrich(ev, ctx):
+            import json as _json  # allowed stdlib inside the function
+
+            ev["blob"] = _json.dumps({"ok": True})
+            return ev
+
+        cfg = ConnectionConfig(
+            connection_id="c-clean", functions=[enrich], untrusted=True
+        )
+        df = spark.createDataFrame(
+            [(json.dumps({"type": "track", "message_id": "m1"}),)],
+            "event string",
+        )
+        rows = compile_chain(cfg)(df).collect()
+        assert rows[0]._error is None
+        assert json.loads(json.loads(rows[0].event)["blob"]) == {"ok": True}
