@@ -467,14 +467,67 @@ GROUP BY 1
 MRL_TRUNCATION_SQL = _mrl_duck()
 
 
+# ---------------------------------------------------------------------------
+# Fixed-basis projection (round 10, VERDICT r9 #5): the learn/apply
+# split applied to PCA. Fitting (eigendecomposition) stays rows-only in
+# `pca_project_report`; the APPLY pass a serving pipeline runs per batch
+# — project every vector onto a FROZEN basis — is oracle-checked here
+# end to end. The artifact (`pca_fixed.py`, auto-generated) is the
+# sf0.01 fit's top-4 sign-normalized components rounded to 6 decimals,
+# with centering folded into per-component scalar offsets
+# (y_k = x·c_k - mean·c_k). Both engines evaluate the identical
+# sequential-fold dot (Spark `aggregate`, DuckDB `list_dot_product` —
+# the bit-agreement `embedding_int8_quantize` already relies on).
+# ---------------------------------------------------------------------------
+
+
+def pca_project_fixed_basis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, component, proj): every embedding projected onto the
+    frozen 4-component basis. One map-only scan (4 sequential folds of
+    64 terms per row, whole-stage codegen) + a 4-way stack — no
+    shuffle, no Python; projecting 100 TB is embarrassingly parallel
+    and the model rides as literal arrays in the plan."""
+    from .pca_fixed import COMPONENTS, OFFSETS
+    from .similarity import DOT
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ys = []
+    for k, (comp, off) in enumerate(zip(COMPONENTS, OFFSETS)):
+        arr = "array(" + ", ".join(f"{repr(c)}D" for c in comp) + ")"
+        dot = DOT.format(a="embedding", b=arr)
+        ys.append(f"round({dot} - ({repr(off)}D), 6) + 0.0D AS y{k}")
+    stack = (
+        f"stack({len(COMPONENTS)}, "
+        + ", ".join(f"{k}, y{k}" for k in range(len(COMPONENTS)))
+        + ") AS (component, proj)"
+    )
+    return emb.selectExpr("vec_id", *ys).selectExpr("vec_id", stack)
+
+
+def _pca_fixed_duck() -> str:
+    from .pca_fixed import COMPONENTS, OFFSETS
+
+    arms = []
+    for k, (comp, off) in enumerate(zip(COMPONENTS, OFFSETS)):
+        lst = "[" + ", ".join(repr(c) for c in comp) + "]::DOUBLE[]"
+        arms.append(
+            f"SELECT vec_id, {k} AS component,"
+            f" round(list_dot_product(embedding::DOUBLE[], {lst})"
+            f" - ({repr(off)}), 6) + 0.0 AS proj FROM embeddings"
+        )
+    return "\nUNION ALL\n".join(arms)
+
+
 QUERIES: dict = {
     "whitening_report": whitening_report,
     "embedding_dim_truncation_report": embedding_dim_truncation_report,
     "embedding_int8_quantize": embedding_int8_quantize,
     "pca_project_report": pca_project_report,
+    "pca_project_fixed_basis": pca_project_fixed_basis,
 }
 ORACLE: dict = {
     # whitening_report stays rows-only (eigendecomposition has no SQL form)
     "embedding_int8_quantize": INT8_QUANT_SQL,
     "embedding_dim_truncation_report": MRL_TRUNCATION_SQL,
+    "pca_project_fixed_basis": _pca_fixed_duck(),
 }

@@ -277,5 +277,122 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_quality(feats, model, thr)
 
 
-QUERIES = {"quality_classifier_score": quality_classifier_score}
-ORACLE: dict = {}
+# ---------------------------------------------------------------------------
+# Frozen-model scoring (round 10, VERDICT r9 #5): the learn/apply split
+# that turned `bpe_learn_merges` into the hash-green
+# `bpe_learned_token_count`. Training (IRLS) stays rows-only above;
+# SCORING — the full-corpus map pass a deployment actually runs per
+# batch against a frozen model artifact — is oracle-checked end to end
+# here. The artifact below is the byte-deterministic IRLS fit at
+# sf0.01 (train buckets < 800, footer-cap off at that SF), stored as
+# INTEGER micro-units (coef * 1e6 rounded) so the scoring dot product
+# over the integer bucket sums is exact integer arithmetic: summation
+# order cannot matter, in either engine. The only float ops are one
+# divide chain, one exp, and the rounds — the same determinism regime
+# as `text_embed.doc_feature_hash_embed`.
+FIXED_SCALE = 1_000_000
+FIXED_COEF_INT = [
+    0, 4411267, 0, -1366221, 3128242, 1110463, -8767797, 0, 2641062,
+    0, 0, 0, 0, 0, 0, -1596576, 0, 0, 0, 0, 0, 0, -559638, 0, 0, 0, 0,
+    -23954306, 0, -3563632, 0, 0, 0, 0, 0, 0, 0, 0, 3241663, 0,
+    2187346, 0, 0, 304662, -3808876, -2943866, -1731371, 0, 0, 0, 0,
+    -1367499, -1851615, 0, 0, 2863359, -5887102, 3574969, 0, 0, 0, 0,
+    2284726, -1796197,
+]
+FIXED_INTERCEPT = "2.040093"  # double literal text, shared verbatim
+
+
+def quality_score_fixed_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document under the FROZEN classifier artifact:
+    margin = (Σ_d v_d · coef_int_d) / 1e6 / ||v|| + intercept over the
+    integer feature-hash bucket sums, prob = sigmoid(margin), pred =
+    margin > 0. The dot product and the squared norm are exact BIGINT
+    aggregates (order-independent); the embedding normalization is
+    FOLDED INTO the margin algebraically (v/||v|| · c = (v·c)/||v||),
+    so no per-dimension float vector ever materializes.
+
+    Scale: one explode + skinny integer-triple shuffle with map-side
+    combine (the `_bucket_sums` plan) + one per-doc aggregate — the
+    whole pass is linear and the model rides as a 64-element literal
+    array, not a join."""
+    from .text_embed import _bucket_sums
+
+    docs = load_table(spark, sf_dir, "documents")
+    coef_arr = "array(" + ",".join(f"{c}L" for c in FIXED_COEF_INT) + ")"
+    agg = (
+        _bucket_sums(docs)
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                f"sum(v * element_at({coef_arr}, CAST(dim AS INT) + 1))"
+            ).alias("dot_int"),
+            F.expr("sqrt(CAST(sum(v * v) AS DOUBLE))").alias("norm"),
+        )
+    )
+    margin = (
+        f"CASE WHEN norm IS NULL OR norm = 0.0D THEN {FIXED_INTERCEPT}D"
+        f" ELSE CAST(dot_int AS DOUBLE) / {FIXED_SCALE}.0D / norm"
+        f" + {FIXED_INTERCEPT}D END"
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .selectExpr("doc_id", f"round({margin}, 6) + 0.0D AS margin")
+        .selectExpr(
+            "doc_id",
+            "margin",
+            "round(1.0D / (1.0D + exp(-margin)), 4) + 0.0D AS prob",
+            "CAST(margin > 0.0D AS INT) AS pred",
+        )
+    )
+
+
+def _fixed_model_oracle() -> str:
+    from .text_ops import TOKENS_DUCK
+
+    coef_list = "[" + ", ".join(str(c) for c in FIXED_COEF_INT) + "]"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKENS_DUCK}) AS tok FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 7))::UBIGINT AS BIGINT)
+           % 64 AS bucket,
+         CASE WHEN CAST(('0x' || substr(md5(tok), 8, 1))::UBIGINT AS BIGINT)
+                   % 2 = 0 THEN 1 ELSE -1 END AS sign
+  FROM toks
+),
+sums AS (
+  SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS v
+  FROM hashed GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(v * {coef_list}[bucket + 1]) AS BIGINT) AS dot_int,
+         sqrt(CAST(sum(v * v) AS DOUBLE)) AS norm
+  FROM sums GROUP BY 1
+),
+margins AS (
+  SELECT d.doc_id,
+         round(CASE WHEN norm IS NULL OR norm = 0.0
+                    THEN CAST({FIXED_INTERCEPT} AS DOUBLE)
+                    ELSE CAST(dot_int AS DOUBLE)
+                         / CAST({FIXED_SCALE} AS DOUBLE) / norm
+                         + CAST({FIXED_INTERCEPT} AS DOUBLE)
+               END, 6) + 0.0 AS margin
+  FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+)
+SELECT doc_id,
+       margin,
+       round(1.0 / (1.0 + exp(-margin)), 4) + 0.0 AS prob,
+       CAST(margin > 0.0 AS INT) AS pred
+FROM margins
+"""
+
+
+QUERIES = {
+    "quality_classifier_score": quality_classifier_score,
+    "quality_score_fixed_model": quality_score_fixed_model,
+}
+ORACLE: dict = {"quality_score_fixed_model": _fixed_model_oracle()}

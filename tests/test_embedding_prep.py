@@ -200,3 +200,58 @@ class TestPca:
         rows = out.collect()
         assert len(rows) == emb.count()
         assert all(len(r["embedding"]) == 4 for r in rows)
+
+
+class TestPcaFixedBasis:
+    """Round-10 frozen-basis projection (`pca_project_fixed_basis`):
+    the oracle-checked APPLY half of the PCA learn/apply split."""
+
+    def test_projection_bounded_and_all_vectors_covered(self, spark):
+        """Construction invariants that hold on ANY corpus: every vector
+        yields exactly 4 components, and |proj| <= ||x||·||c|| + |offset|
+        (Cauchy-Schwarz with the unit-norm frozen basis). The
+        variance==eigenvalue post-condition holds only at the FITTING
+        SF (sf0.01, pinned below) — the near-uniform synthetic
+        embeddings have no transferable principal directions, so a
+        cross-SF eigenvalue match would be testing noise."""
+        from pyspark.sql import functions as F
+
+        from jitsu_spark.operators.embedding_prep import (
+            pca_project_fixed_basis,
+        )
+        from tests.conftest import SF_DIR
+
+        df = pca_project_fixed_basis(spark, SF_DIR)
+        n_vec = df.select("vec_id").distinct().count()
+        per = df.groupBy("vec_id").count().where("count != 4").count()
+        assert n_vec > 0 and per == 0
+        # synthetic embeddings are unit-scale; a generous hard bound
+        assert df.agg(F.max(F.abs("proj"))).first()[0] < 10.0
+
+    def test_variance_matches_eigenvalue_at_fitting_sf(self, spark):
+        from pyspark.sql import functions as F
+
+        from jitsu_spark.operators.embedding_prep import (
+            pca_project_fixed_basis,
+        )
+        from jitsu_spark.operators.pca_fixed import EIGENVALUES
+
+        stats = (
+            pca_project_fixed_basis(spark, "/root/testdata/sf0.01")
+            .groupBy("component")
+            .agg(F.var_pop("proj").alias("v"))
+            .orderBy("component")
+            .collect()
+        )
+        vs = [r["v"] for r in stats]
+        assert all(a >= b for a, b in zip(vs, vs[1:])), vs  # descending
+        for v, ev in zip(vs, EIGENVALUES):
+            assert abs(v - ev) / ev < 0.02, (v, ev)
+
+    def test_basis_rows_unit_norm(self):
+        import numpy as np
+
+        from jitsu_spark.operators.pca_fixed import COMPONENTS
+
+        for row in COMPONENTS:
+            assert abs(np.linalg.norm(row) - 1.0) < 1e-3

@@ -208,3 +208,62 @@ class TestQualityClassifier:
         assert "Exchange" not in plan
         assert "ExistingRDD" not in plan
         assert "Scan parquet" in plan
+
+
+class TestFixedModelScoring:
+    """Round-10 frozen-artifact scoring (`quality_score_fixed_model`):
+    the oracle-checked APPLY half of the learn/apply split."""
+
+    def test_frozen_artifact_shape(self):
+        from jitsu_spark.operators.quality_model import (
+            FIXED_COEF_INT,
+            FIXED_INTERCEPT,
+        )
+
+        assert len(FIXED_COEF_INT) == 64
+        assert any(c != 0 for c in FIXED_COEF_INT)
+        float(FIXED_INTERCEPT)  # literal text parses as a double
+
+    def test_scores_consistent_and_bounded(self, spark):
+        from jitsu_spark.operators.quality_model import (
+            quality_score_fixed_model,
+        )
+
+        rows = quality_score_fixed_model(spark, SF_DIR).collect()
+        assert len(rows) > 0
+        for r in rows:
+            assert 0.0 <= r["prob"] <= 1.0
+            assert r["pred"] == (1 if r["margin"] > 0 else 0)
+            # prob/margin consistency through the sigmoid
+            assert (r["prob"] > 0.5) == (r["margin"] > 0) or r["prob"] == 0.5
+
+    def test_frozen_model_agrees_with_live_training_direction(self, spark):
+        """The frozen artifact is the sf0.01 fit; on any corpus drawn
+        from the same synthetic generator its predictions should
+        correlate strongly with a live-trained model's (same features,
+        same weak-label family) — a drift canary, not an equality."""
+        from pyspark.sql import functions as F
+
+        from jitsu_spark.operators.quality_model import (
+            quality_classifier_score,
+            quality_score_fixed_model,
+        )
+
+        live = quality_classifier_score(spark, SF_DIR).select(
+            "doc_id", F.col("pred").alias("live_pred")
+        )
+        frozen = quality_score_fixed_model(spark, SF_DIR).select(
+            "doc_id", F.col("pred").alias("frozen_pred")
+        )
+        agree = (
+            live.join(frozen, "doc_id")
+            .agg(
+                F.avg(
+                    (F.col("live_pred") == F.col("frozen_pred")).cast(
+                        "double"
+                    )
+                ).alias("a")
+            )
+            .first()["a"]
+        )
+        assert agree >= 0.8, agree
