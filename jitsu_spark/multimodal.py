@@ -434,5 +434,274 @@ SELECT doc_id AS media_id,
 FROM documents
 """
 
-QUERIES = {"media_feature_extract": media_feature_extract}
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (round 10, VERDICT r9 #6) — the image-corpus
+# analog of MinHash: content-level near-dup detection for image data.
+# dHash (Krawetz, "kind of like that" difference hash): grayscale ->
+# 9x8 area-average resize -> horizontal gradient sign -> 64-bit
+# fingerprint. pHash (DCT hash): 32x32 grayscale -> 2-D DCT-II ->
+# low-frequency 8x8 block (DC excluded) -> median threshold -> 64 bits.
+# Both are STABLE under recompression/resize and LOCAL under small
+# edits, so Hamming distance ranks visual similarity — and the pair
+# search reuses the pigeonhole-complete Hamming banding the SimHash
+# family already proves out (`operators/dedup.simhash_hamming_pairs`).
+#
+# Decode seam, same posture as DECODER above: `_gray_real` goes through
+# the PIL-gated decode; `_gray_fake` deterministically tiles payload
+# bytes into the claimed (height, width) grayscale frame — LOCALITY-
+# PRESERVING (near-identical payloads -> near-identical frames -> close
+# hashes), so the documents-derived media table transports its text
+# near-dup structure into image space and the whole distributed path is
+# testable byte-for-byte without codecs.
+#
+# Scale: hashing is one Arrow-batched map pass (8 bytes out per image —
+# at 100 TB of pixels the hash table is ~tens of GB and every near-dup
+# sweep thereafter touches only it); the pair search is the banded
+# equality self-join over DISTINCT hash values, never all pairs.
+# ---------------------------------------------------------------------------
+
+DHASH_BITS = 64
+IMAGE_HAMMING_MAX = 3          # Manku-style: <=3 of 64 bits
+IMAGE_BANDS = IMAGE_HAMMING_MAX + 1
+_PARITY_SAMPLE_IDS = 500       # bounded in-frame exactness probe
+
+
+def _gray_fake(payload: bytes, width: int, height: int):
+    """Deterministic grayscale frame: payload bytes tiled row-major into
+    (height, width) uint8. Pure stdlib+numpy; the fixture decode."""
+    import numpy as np
+
+    w = max(1, min(int(width or 1), 512))
+    h = max(1, min(int(height or 1), 512))
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if arr.size == 0:
+        arr = np.zeros(1, dtype=np.uint8)
+    reps = -(-(w * h) // arr.size)  # ceil
+    return np.tile(arr, reps)[: w * h].reshape(h, w)
+
+
+def _gray_real(payload: bytes, width: int, height: int):
+    """PIL-gated decode to a grayscale matrix (mode L). Raises
+    NotImplementedError without Pillow — loud, never a silent skip."""
+    try:
+        import io
+
+        import numpy as np
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - env without PIL
+        raise NotImplementedError(
+            "Pillow is not installed; swap GRAY_DECODER or install PIL"
+        ) from e
+    with Image.open(io.BytesIO(payload)) as img:
+        return np.asarray(img.convert("L"), dtype=np.uint8)
+
+
+GRAY_DECODER = _gray_fake
+
+
+def _area_resize(gray, out_h: int, out_w: int):
+    """Area-average downsample via reduceat over contiguous row/col
+    blocks — deterministic, no interpolation library. Inputs SMALLER
+    than the target on an axis are integer-repeated up first (nearest-
+    neighbor upsample), so every block is non-empty — tiny images would
+    otherwise yield zero-count cells and NaN bits."""
+    import numpy as np
+
+    g = gray.astype(np.float64)
+    h, w = g.shape
+    if h < out_h:
+        g = np.repeat(g, -(-out_h // h), axis=0)
+    if w < out_w:
+        g = np.repeat(g, -(-out_w // w), axis=1)
+    h, w = g.shape
+    rb = (np.arange(out_h) * h) // out_h
+    cb = (np.arange(out_w) * w) // out_w
+    rows = np.add.reduceat(g, rb, axis=0)
+    cells = np.add.reduceat(rows, cb, axis=1)
+    rcnt = np.diff(np.append(rb, h)).astype(np.float64)
+    ccnt = np.diff(np.append(cb, w)).astype(np.float64)
+    return cells / rcnt[:, None] / ccnt[None, :]
+
+
+def _pack_bits_i64(bits) -> int:
+    """Row-major bit pack into a SIGNED 64-bit int (Spark BIGINT)."""
+    v = 0
+    for b in bits.ravel():
+        v = (v << 1) | int(bool(b))
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+def dhash64(gray) -> int:
+    """Difference hash: 9x8 area resize, bit = cell brighter than its
+    left neighbor."""
+    g = _area_resize(gray, 8, 9)
+    return _pack_bits_i64(g[:, 1:] > g[:, :-1])
+
+
+def _dct_mat(n: int):
+    import numpy as np
+
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    return np.cos(np.pi * k * (2 * i + 1) / (2 * n))
+
+
+def phash64(gray) -> int:
+    """DCT hash: 32x32 resize, 2-D DCT-II, low-frequency 8x8 block with
+    DC replaced by the block median; bit = coefficient > median."""
+    import numpy as np
+
+    g = _area_resize(gray, 32, 32)
+    d = _dct_mat(32)
+    spec = d @ g @ d.T
+    low = spec[:8, :8].copy()
+    med = float(np.median(low.ravel()[1:]))  # DC excluded from median
+    bits = low > med
+    bits[0, 0] = False  # DC carries average brightness, not structure
+    return _pack_bits_i64(bits)
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def perceptual_hashes(media: DataFrame, decoder=None) -> DataFrame:
+    """(media_id, dhash, phash) — one Arrow-batched map pass over
+    (media_id, payload, meta dims); only 16 bytes per image leave
+    Python. Corrupt/undecodable payloads are quarantined as NULL-hash
+    rows (the probe_media_headers convention), never task deaths."""
+    dec = decoder or GRAY_DECODER
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            d_out, p_out = [], []
+            for payload, w, h in zip(
+                pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                try:
+                    g = dec(payload, w, h)
+                    d_out.append(dhash64(g))
+                    p_out.append(phash64(g))
+                except Exception:
+                    d_out.append(None)
+                    p_out.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dhash": pd.array(d_out, dtype="Int64"),
+                    "phash": pd.array(p_out, dtype="Int64"),
+                }
+            )
+
+    return media.select(
+        "media_id",
+        "payload",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    ).mapInPandas(run, PHASH_SCHEMA)
+
+
+_PHASH_MEMO: dict = {}
+
+
+def _ensure_phash_store(spark: SparkSession, sf_dir: str) -> str:
+    """Memoized parquet side table of perceptual hashes — the production
+    shape (hashes persist beside the corpus, 16 bytes/image; every
+    near-dup sweep reads them) and the `_SIMHASH_MEMO` convention, so
+    the map pass over payloads runs once per (process, dataset) and
+    downstream filters push into the parquet scan."""
+    from .plans.store_memo import dataset_fingerprint, ensure_store
+
+    def build(path: str) -> None:
+        perceptual_hashes(media_from_documents(spark, sf_dir)).write.mode(
+            "overwrite"
+        ).parquet(path)
+
+    return ensure_store(
+        _PHASH_MEMO,
+        dataset_fingerprint(sf_dir, "documents.parquet"),
+        "image_phash_table",
+        "imgphash",
+        build,
+    )
+
+
+def image_perceptual_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (rows-only — the decode+DCT pipeline has no SQL
+    form): the perceptual hash table over the documents-derived media
+    corpus, served from the memoized side table."""
+    return spark.read.parquet(_ensure_phash_store(spark, sf_dir))
+
+
+def image_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (rows-only): dHash near-dup pairs within Hamming
+    <= IMAGE_HAMMING_MAX via the banded pigeonhole self-join — the
+    image-corpus MinHash analog. Returns (media_a, media_b, hamming,
+    sample_parity_ok) where the invariant column certifies, in-frame,
+    that over the BOUNDED id sample (media_id < 500, the N_QUERIES
+    pattern — constant cost at any corpus size) the banded plan found
+    exactly the pairs the quadratic popcount scan finds. The probe runs
+    the banded plan ON the sample (same code path, parquet-pruned
+    scan), so the full-corpus frame returned below is never executed
+    twice; full-corpus exactness is pigeonhole-guaranteed and pinned in
+    `tests/test_multimodal_sync.py` against the quadratic form."""
+    from .operators.dedup import simhash_hamming_pairs
+
+    store = _ensure_phash_store(spark, sf_dir)
+    fp = (
+        spark.read.parquet(store)
+        .where(F.col("dhash").isNotNull())
+        .select(
+            F.col("media_id").alias("doc_id"),
+            F.col("dhash").alias("simhash"),
+        )
+    )
+
+    def banded(frame: DataFrame) -> DataFrame:
+        return simhash_hamming_pairs(
+            frame,
+            n_bits=DHASH_BITS,
+            max_hamming=IMAGE_HAMMING_MAX,
+            n_bands=IMAGE_BANDS,
+        ).select(
+            F.col("doc_a").alias("media_a"),
+            F.col("doc_b").alias("media_b"),
+            "hamming",
+        )
+
+    # bounded exactness probe on the id-prefix sample: banded plan vs
+    # quadratic popcount, both over the pruned parquet scan
+    sample = fp.where(F.col("doc_id") < _PARITY_SAMPLE_IDS)
+    exact = (
+        sample.alias("x")
+        .join(sample.alias("y"), F.col("x.doc_id") < F.col("y.doc_id"))
+        .selectExpr(
+            "x.doc_id AS media_a",
+            "y.doc_id AS media_b",
+            "CAST(bit_count(x.simhash ^ y.simhash) AS INT) AS hamming",
+        )
+        .where(F.col("hamming") <= IMAGE_HAMMING_MAX)
+    )
+    got = {
+        (r["media_a"], r["media_b"], r["hamming"])
+        for r in banded(sample).collect()
+    }
+    want = {
+        (r["media_a"], r["media_b"], r["hamming"]) for r in exact.collect()
+    }
+    return banded(fp).withColumn("sample_parity_ok", F.lit(got == want))
+
+
+QUERIES = {
+    "media_feature_extract": media_feature_extract,
+    "image_perceptual_hashes": image_perceptual_hashes,
+    "image_near_dup_pairs": image_near_dup_pairs,
+}
 ORACLE = {"media_feature_extract": MEDIA_FEATURES_SQL}

@@ -378,3 +378,126 @@ class TestHeaderProbe:
                 "width": size[0],
                 "height": size[1],
             }, fmt
+
+
+class TestPerceptualHash:
+    """Round-10 image near-dup dedup (VERDICT r9 #6): dHash/pHash over
+    the gated grayscale decode + pigeonhole Hamming banding."""
+
+    def test_area_resize_known_matrix(self):
+        import numpy as np
+
+        from jitsu_spark.multimodal import _area_resize
+
+        g = np.arange(16, dtype=np.float64).reshape(4, 4)
+        out = _area_resize(g, 2, 2)
+        # each quadrant's mean
+        assert out.tolist() == [[2.5, 4.5], [10.5, 12.5]]
+        # upsample path: tiny input, every block non-empty, no NaN
+        up = _area_resize(np.array([[1.0, 2.0]]), 8, 9)
+        assert up.shape == (8, 9) and not np.isnan(up).any()
+
+    def test_dhash_locality_and_determinism(self):
+        from jitsu_spark.multimodal import _gray_fake, dhash64, phash64
+
+        base = ("the quick brown fox jumps over the lazy dog " * 40).encode()
+        same = dhash64(_gray_fake(base, 300, 200))
+        assert same == dhash64(_gray_fake(base, 300, 200))  # deterministic
+        # one-char edit: hashes stay CLOSE (locality), random text far
+        edited = bytearray(base)
+        edited[100] ^= 0x01
+        d_edit = dhash64(_gray_fake(bytes(edited), 300, 200))
+        assert bin((same ^ d_edit) & (1 << 64) - 1).count("1") <= 8
+        other = dhash64(
+            _gray_fake(b"zz completely different payload bytes 123" * 50, 300, 200)
+        )
+        assert bin((same ^ other) & (1 << 64) - 1).count("1") > 8
+        # phash: same contracts, signed-64 packing round-trips
+        p = phash64(_gray_fake(base, 300, 200))
+        assert -(1 << 63) <= p < 1 << 63
+
+    def test_banded_pairs_equal_quadratic_exact(self, spark, sf_dir):
+        """Pigeonhole completeness on the REAL corpus: the banded plan
+        finds exactly the pairs the all-pairs popcount scan finds."""
+        from pyspark.sql import functions as F
+
+        from jitsu_spark.multimodal import (
+            IMAGE_HAMMING_MAX,
+            image_near_dup_pairs,
+            image_perceptual_hashes,
+        )
+
+        got = {
+            (r["media_a"], r["media_b"], r["hamming"])
+            for r in image_near_dup_pairs(spark, sf_dir).collect()
+        }
+        fp = image_perceptual_hashes(spark, sf_dir).where(
+            F.col("dhash").isNotNull()
+        )
+        want = {
+            (r["media_a"], r["media_b"], r["hamming"])
+            for r in fp.alias("x")
+            .join(fp.alias("y"), F.col("x.media_id") < F.col("y.media_id"))
+            .selectExpr(
+                "x.media_id AS media_a",
+                "y.media_id AS media_b",
+                "CAST(bit_count(x.dhash ^ y.dhash) AS INT) AS hamming",
+            )
+            .where(F.col("hamming") <= IMAGE_HAMMING_MAX)
+            .collect()
+        }
+        assert got == want and len(got) > 0
+
+    def test_hash_table_quarantines_corrupt_rows(self, spark):
+        """A decoder exception becomes a NULL-hash row, never a task
+        death — the probe_media_headers convention."""
+        from pyspark.sql import functions as F
+
+        from jitsu_spark.multimodal import perceptual_hashes
+
+        media = spark.createDataFrame(
+            [(1, bytearray(b"ok payload")), (2, bytearray(b""))],
+            "media_id long, payload binary",
+        ).select(
+            "media_id",
+            "payload",
+            F.struct(
+                F.lit("image/fake").alias("mime"),
+                F.lit(10).alias("width"),
+                F.lit(10).alias("height"),
+                F.lit(None).cast("int").alias("duration_ms"),
+            ).alias("meta"),
+        )
+
+        def bomb(payload, w, h):
+            if not payload:
+                raise ValueError("corrupt")
+            from jitsu_spark.multimodal import _gray_fake
+
+            return _gray_fake(payload, w, h)
+
+        rows = {
+            r["media_id"]: r
+            for r in perceptual_hashes(media, decoder=bomb).collect()
+        }
+        assert rows[1]["dhash"] is not None
+        assert rows[2]["dhash"] is None and rows[2]["phash"] is None
+
+    def test_real_decoder_gated_without_pil(self):
+        from jitsu_spark.multimodal import _gray_real, pil_available
+
+        if pil_available():
+            import numpy as np
+
+            # 1x1 PNG through the real path when PIL exists
+            import base64
+
+            png = base64.b64decode(
+                b"iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR4nGNg"
+                b"YGBgAAAABQABh6FO1AAAAABJRU5ErkJggg=="
+            )
+            g = _gray_real(png, 1, 1)
+            assert isinstance(g, np.ndarray) and g.shape == (1, 1)
+        else:
+            with pytest.raises(NotImplementedError, match="Pillow"):
+                _gray_real(b"x", 1, 1)
