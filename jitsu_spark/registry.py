@@ -81,57 +81,70 @@ for _m in _MODULES:
 # The driver samples the FIRST ~50 entries in insertion order for its
 # per-round correctness run (CORRECTNESS_r{N}.json). The prefix rotates
 # each round so every family periodically converts judge-verified rows
-# into driver-verified ones. Round-9 rotation (VERDICT r8 #2): q1 first,
-# then the NEW r9 entry and every surface r9 touched (the memoized
-# pair-core consumers, the one-pass engagement histogram, the bounded
-# funnel aggregate, the parity-carrying ANN entries, the relaxed recall
-# gate, the symlink-refusing jsonl cache), then the 104 entries r8 did
-# NOT sample: asof -> corpus increment -> the full q2-q22 relational
-# block -> the sessionize/attribution/events family -> sampling/packing/
-# corpus -> quality families (all last driver-checked r7). Names absent
-# from the registry are ignored, so this list can't break imports when
-# operators are renamed.
+# into driver-verified ones. Round-10 rotation (VERDICT r9 #2): q1
+# first, then the NEW r10 entries (the frozen-artifact learn/apply
+# splits, the perceptual-hash image family) and the surfaces r10
+# touched (the slimmed ann_ivfpq_topk, the refactored simhash store),
+# then the entries CORRECTNESS_r09.json did NOT sample, oldest checks
+# first within VERDICT r9's ordering: the r8-new report/fingerprint
+# families -> the retrieval/selection block -> the dedup/ANN/embedding
+# families (incl. the r1-vintage cosine/IVF/knn entries, unchecked by
+# the driver since round 1) -> the r4-vintage rollup/report block ->
+# layouts/identity/geo. Names absent from the registry are ignored, so
+# this list can't break imports when operators are renamed.
 _PRIORITY = [
     "q1_pricing_summary",
-    # -- new in r9 --
-    "bpe_learned_token_count", "kneser_ney_bigram_nll",
-    "source_unigram_kl", "distinct_ngram_diversity",
-    "quantile_sketch_rollup", "c4_page_filter_report",
-    # -- touched in r9 --
-    "engagement_histogram", "funnel_time_to_convert",
-    "ngram_jaccard_dups", "containment_dup_pairs",
-    "dedup_cascade_report", "ann_ivfpq_topk", "pq_recall_report",
-    "jsonl_ingest_roundtrip", "bpe_learn_merges",
-    # -- rotation: unsampled in r8, last driver-checked r7 --
-    "asof_signup_attribution", "corpus_increment_pipeline",
-    "q2_min_cost_supplier", "q3_top_revenue_orders", "q4_priority_count",
-    "q5_region_revenue", "q6_forecast_revenue", "q7_nation_volume",
-    "q8_market_share", "q9_product_profit", "q10_returned_items",
-    "q11_important_parts", "q12_late_priority_lines",
-    "q13_order_count_distribution", "q14_promo_share", "q15_top_supplier",
-    "q16_supplier_count_by_part", "q17_small_quantity_revenue",
-    "q18_large_orders", "q19_disjunctive_revenue", "q20_excess_suppliers",
-    "q21_waiting_suppliers", "q22_idle_customers",
-    # -- sessionize / attribution / events-reports family --
-    "sessionize", "attribution_multi_touch", "dau_wau_mau",
-    "event_path_topk", "funnel_signup_purchase", "retention_cohorts",
-    "event_transitions", "event_transition_probs", "audience_overlap",
-    "funnel_3step_windowed", "metrics_gap_fill", "metrics_rollup_minute",
-    "active_users_daily", "event_value_percentiles", "report_event_stat",
+    # -- new in r10 --
+    "quality_score_fixed_model", "pca_project_fixed_basis",
+    "image_perceptual_hashes", "image_near_dup_pairs",
+    # -- touched in r10 --
+    "ann_ivfpq_topk", "simhash", "simhash_near_dups",
+    # -- r8-new families, last driver-checked r8 --
+    "rfm_segments", "session_stats_report", "winnowing_fingerprints",
+    "collocation_pmi_topk", "tfidf_top_terms", "scd2_user_attribute",
+    "user_burst_detection", "ngram_novelty_curve", "zipf_fit_report",
+    "events_log_tail",
+    # -- retrieval / selection block --
+    "bm25_topk", "hybrid_search_rrf", "dsir_select", "token_budget_select",
+    # -- dedup / ANN / embedding families --
+    "dedup_exact", "minhash_signatures", "minhash_lsh_pairs",
+    "near_dup_gate_incremental", "near_dup_clusters", "lsh_recall_report",
+    "dedup_keep_list", "cosine_topk_bruteforce", "ann_ivf_topk",
+    "embedding_cosine_dups", "knn_label_predict", "binary_hamming_topk",
+    "opq_train_report", "whitening_report",
+    "embedding_dim_truncation_report", "pca_project_report",
+    "embedding_int8_quantize", "embedding_binary_quantize",
+    "text_semantic_dups", "embedding_near_dups_approx",
+    # -- r1/r4-vintage rollup / report block --
+    "media_feature_extract", "incremental_rollup_equivalence",
+    "metrics_rollup_minute", "active_users_daily",
+    "event_value_percentiles", "report_event_stat",
     "signup_no_purchase_except", "props_json_extract", "metrics_anomaly",
-    "series_correlation",
-    # -- sampling / packing / corpus --
-    "stratified_sample_documents", "train_test_split_documents",
-    "source_mix_resample", "temperature_resample", "token_budget_select",
-    "sequence_pack_bins", "leakage_safe_split", "tokenize_pack_pipeline",
-    "corpus_prep_pipeline", "corpus_snapshot_diff", "corpus_datacard",
-    # -- quality / text-analysis families --
-    "gopher_quality_flags", "repetition_stats", "pii_redact",
-    "contamination_check", "quality_percentile_gate",
-    "quality_funnel_report", "text_quality_score", "lang_id_heuristic",
-    "token_count_by_source", "doc_fingerprint", "length_histogram",
-    "unigram_surprisal", "bigram_lm_nll", "length_outlier_mad",
-    "bpe_trained_token_count", "bpe_fertility_by_lang", "bpe_token_count",
+    "event_type_filter", "active_users_daily_approx",
+    "report_rollup_totals",
+    # -- layouts / identity / geo (last checked r8) --
+    "layout_single_table_typed", "layout_segment_fanout",
+    "layout_jitsu_legacy_typed", "profile_build", "identity_stitch",
+    "id_graph", "geo_enrich_range_join", "ua_parse_bot_filter",
+    "sql_gateway_limit", "ga4_mapping_typed", "mixpanel_mapping_typed",
+    "hubspot_mapping_typed", "intercom_mapping_typed",
+    "profile_traits_fold", "ur_backfill_enrich",
+    # -- r6-vintage quality / corpus-stats tail --
+    "series_correlation", "gopher_quality_flags", "repetition_stats",
+    "pii_redact", "contamination_check", "quality_percentile_gate",
+    "text_quality_score", "lang_id_heuristic", "token_count_by_source",
+    "doc_fingerprint", "length_histogram", "unigram_surprisal",
+    "url_stats_by_source", "chunk_documents", "embedding_norm_stats",
+    "boilerplate_shingle_stats", "ngram_topk", "duplicate_span_report",
+    "duplicate_span_dedup", "semantic_dedup_keep_list",
+    "embedding_cluster_assign", "cluster_quality_report",
+    "cluster_prototype_prune", "cluster_balanced_sample",
+    "semantic_curation_pipeline", "doc_feature_hash_embed",
+    "ann_ivfpq_bulk_topk", "throttle_shed_events",
+    "workspace_throttle_events", "stratified_sample_documents",
+    "train_test_split_documents", "source_mix_resample",
+    "temperature_resample", "sequence_pack_bins", "leakage_safe_split",
+    "corpus_prep_pipeline",
 ]
 
 QUERIES = {}
