@@ -640,36 +640,29 @@ def image_perceptual_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(_ensure_phash_store(spark, sf_dir))
 
 
-def image_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry entry (rows-only): dHash near-dup pairs within Hamming
-    <= IMAGE_HAMMING_MAX via the banded pigeonhole self-join — the
-    image-corpus MinHash analog. Returns (media_a, media_b, hamming,
-    sample_parity_ok) where the invariant column certifies, in-frame,
-    that over the BOUNDED id sample (media_id < 500, the N_QUERIES
-    pattern — constant cost at any corpus size) the banded plan found
-    exactly the pairs the quadratic popcount scan finds. The probe runs
-    the banded plan ON the sample (same code path, parquet-pruned
-    scan), so the full-corpus frame returned below is never executed
-    twice; full-corpus exactness is pigeonhole-guaranteed and pinned in
-    `tests/test_multimodal_sync.py` against the quadratic form."""
+def _hamming_pairs_entry(
+    fp: DataFrame, max_hamming: int, n_bands: int
+) -> DataFrame:
+    """Banded pigeonhole Hamming self-join over a (doc_id, simhash)
+    fingerprint frame, plus the bounded in-frame exactness probe:
+    returns (media_a, media_b, hamming, sample_parity_ok) where the
+    invariant column certifies that over the BOUNDED id sample
+    (media_id < 500, the N_QUERIES pattern — constant cost at any
+    corpus size) the banded plan found exactly the pairs the quadratic
+    popcount scan finds. The probe runs the banded plan ON the sample
+    (same code path, parquet-pruned scan), so the full-corpus frame
+    returned is never executed twice; full-corpus exactness is
+    pigeonhole-guaranteed and pinned in `tests/test_multimodal_sync.py`
+    against the quadratic form. Shared by the image and audio near-dup
+    entries."""
     from .operators.dedup import simhash_hamming_pairs
-
-    store = _ensure_phash_store(spark, sf_dir)
-    fp = (
-        spark.read.parquet(store)
-        .where(F.col("dhash").isNotNull())
-        .select(
-            F.col("media_id").alias("doc_id"),
-            F.col("dhash").alias("simhash"),
-        )
-    )
 
     def banded(frame: DataFrame) -> DataFrame:
         return simhash_hamming_pairs(
             frame,
             n_bits=DHASH_BITS,
-            max_hamming=IMAGE_HAMMING_MAX,
-            n_bands=IMAGE_BANDS,
+            max_hamming=max_hamming,
+            n_bands=n_bands,
         ).select(
             F.col("doc_a").alias("media_a"),
             F.col("doc_b").alias("media_b"),
@@ -687,7 +680,7 @@ def image_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "y.doc_id AS media_b",
             "CAST(bit_count(x.simhash ^ y.simhash) AS INT) AS hamming",
         )
-        .where(F.col("hamming") <= IMAGE_HAMMING_MAX)
+        .where(F.col("hamming") <= max_hamming)
     )
     got = {
         (r["media_a"], r["media_b"], r["hamming"])
@@ -699,9 +692,249 @@ def image_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return banded(fp).withColumn("sample_parity_ok", F.lit(got == want))
 
 
+def image_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (rows-only): dHash near-dup pairs within Hamming
+    <= IMAGE_HAMMING_MAX via the banded pigeonhole self-join — the
+    image-corpus MinHash analog."""
+    store = _ensure_phash_store(spark, sf_dir)
+    fp = (
+        spark.read.parquet(store)
+        .where(F.col("dhash").isNotNull())
+        .select(
+            F.col("media_id").alias("doc_id"),
+            F.col("dhash").alias("simhash"),
+        )
+    )
+    return _hamming_pairs_entry(fp, IMAGE_HAMMING_MAX, IMAGE_BANDS)
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprinting — the audio twin of the perceptual image hashes:
+# content-level near-dup detection over waveforms. Two 64-bit prints per
+# clip, both deterministic numpy over the decoded mono waveform:
+#   ehash: time-domain energy-envelope hash — 65 equal frames, per-frame
+#     RMS energy, bit k = E[k+1] > E[k] (the dHash analog; robust to
+#     gain changes since only the SIGN of the envelope slope survives).
+#   shash: spectral band-energy hash — magnitude spectrum (rfft) summed
+#     into 65 equal bands, bit k = B[k+1] > B[k] — the single-frame
+#     variant of Haitsma & Kalker 2002's band-energy-difference
+#     fingerprint (ISMIR, "A Highly Robust Audio Fingerprint System").
+#
+# Decode seam, same posture as GRAY_DECODER: `_pcm_real` goes through
+# the soundfile/wave-gated decode (`_decode_audio`'s codecs); `_pcm_fake`
+# deterministically tiles payload bytes into a [-1, 1) mono waveform of
+# the claimed duration — LOCALITY-PRESERVING, so near-identical payloads
+# land within small Hamming distance and the whole distributed path is
+# testable without codecs. Hashing is one Arrow-batched map pass (16
+# bytes out per clip); the pair search reuses the banded pigeonhole
+# Hamming join, never all pairs.
+# ---------------------------------------------------------------------------
+
+# Audio prints are less tightly local than image dHash on near-dup
+# content (frame energies mix edits across the whole envelope), so the
+# radius is wider: <=7 of 64 bits, pigeonhole-complete with 8 bands of
+# 8 bits. Measured on this corpus: text near-dups land at Hamming 4-8.
+AUDIO_HAMMING_MAX = 7
+AUDIO_BANDS = AUDIO_HAMMING_MAX + 1
+_AFP_FRAMES = 65  # 65 frames/bands -> 64 difference bits
+_FAKE_RATE = 8000
+
+
+def _pcm_fake(payload: bytes, duration_ms: int, rate: int):
+    """Deterministic mono waveform: payload bytes tiled to the claimed
+    sample count, mapped to [-1, 1). Pure numpy; the fixture decode."""
+    import numpy as np
+
+    n = max(_AFP_FRAMES, int(max(1, duration_ms) * max(1, rate) // 1000))
+    n = min(n, 1 << 20)  # bound task memory regardless of claimed meta
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if arr.size == 0:
+        arr = np.zeros(1, dtype=np.uint8)
+    reps = -(-n // arr.size)  # ceil
+    return np.tile(arr, reps)[:n].astype(np.float64) / 127.5 - 1.0
+
+
+def _pcm_real(payload: bytes, duration_ms: int, rate: int):
+    """Codec-gated decode to a mono float waveform — the `_decode_audio`
+    posture: soundfile when the interpreter has it (any libsndfile
+    format), stdlib `wave` for RIFF/PCM payloads so WAV decode is real
+    even in this container, and a LOUD raise otherwise (never a silent
+    skip). The claimed meta is ignored; the decoded frames rule."""
+    import io
+
+    import numpy as np
+
+    if soundfile_available():
+        import soundfile as sf
+
+        data, _ = sf.read(io.BytesIO(payload), dtype="float64")
+        if data.ndim > 1:
+            data = data.mean(axis=1)
+    elif payload[:4] == b"RIFF":
+        import wave
+
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            if w.getsampwidth() != 2:  # pragma: no cover - exotic PCM
+                raise NotImplementedError(
+                    "stdlib wave fallback handles 16-bit PCM only"
+                )
+            frames = np.frombuffer(
+                w.readframes(w.getnframes()), dtype=np.int16
+            ).astype(np.float64)
+            ch = w.getnchannels()
+            data = frames.reshape(-1, ch).mean(axis=1) / 32768.0
+    else:
+        raise NotImplementedError(
+            "no codec for this payload: soundfile not installed and the"
+            " stdlib wave fallback only handles RIFF/PCM"
+        )
+    if data.size < _AFP_FRAMES:
+        data = np.tile(data, -(-_AFP_FRAMES // max(1, data.size)))
+    return data
+
+
+PCM_DECODER = _pcm_fake
+
+
+def _frame_sums(values, n_frames: int):
+    """Sum `values` over n_frames equal contiguous frames (reduceat)."""
+    import numpy as np
+
+    n = values.size
+    bounds = (np.arange(n_frames) * n) // n_frames
+    return np.add.reduceat(values, bounds)
+
+
+def ehash64(wave) -> int:
+    """Energy-envelope hash: 65 frame RMS energies, sign of the slope."""
+    e = _frame_sums(wave * wave, _AFP_FRAMES)
+    return _pack_bits_i64(e[1:] > e[:-1])
+
+
+def shash64(wave) -> int:
+    """Spectral band hash: rfft magnitude summed into 65 equal bands,
+    sign of the band-to-band difference (Haitsma-Kalker 2002, single
+    frame)."""
+    import numpy as np
+
+    spec = np.abs(np.fft.rfft(wave))
+    if spec.size < _AFP_FRAMES:
+        spec = np.tile(spec, -(-_AFP_FRAMES // max(1, spec.size)))
+    b = _frame_sums(spec, _AFP_FRAMES)
+    return _pack_bits_i64(b[1:] > b[:-1])
+
+
+def audio_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fabricate an audio table from the documents table (the
+    media_from_documents convention): payload = utf8 bytes of the text,
+    duration derived from n_chars. Deterministic, so tests reproduce it."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("audio/fake").alias("mime"),
+            (F.col("n_chars") % 4000 + 100).cast("int").alias("duration_ms"),
+            F.lit(_FAKE_RATE).alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+AFP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("ehash", T.LongType()),
+        T.StructField("shash", T.LongType()),
+    ]
+)
+
+
+def audio_fingerprints_df(audio: DataFrame, decoder=None) -> DataFrame:
+    """(media_id, ehash, shash) — one Arrow-batched map pass; corrupt or
+    undecodable payloads quarantine as NULL-hash rows, never task
+    deaths (the perceptual_hashes convention)."""
+    dec = decoder or PCM_DECODER
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            e_out, s_out = [], []
+            for payload, dur, rate in zip(
+                pdf["payload"], pdf["duration_ms"], pdf["sample_rate"]
+            ):
+                try:
+                    w = dec(payload, dur, rate)
+                    e_out.append(ehash64(w))
+                    s_out.append(shash64(w))
+                except Exception:
+                    e_out.append(None)
+                    s_out.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "ehash": pd.array(e_out, dtype="Int64"),
+                    "shash": pd.array(s_out, dtype="Int64"),
+                }
+            )
+
+    return audio.select(
+        "media_id",
+        "payload",
+        F.col("meta.duration_ms").alias("duration_ms"),
+        F.col("meta.sample_rate").alias("sample_rate"),
+    ).mapInPandas(run, AFP_SCHEMA)
+
+
+_AFP_MEMO: dict = {}
+
+
+def _ensure_afp_store(spark: SparkSession, sf_dir: str) -> str:
+    """Memoized parquet side table of audio fingerprints (16 bytes/clip)
+    — the `_PHASH_MEMO` convention: the decode pass runs once per
+    (process, dataset), every sweep thereafter reads the store."""
+    from .plans.store_memo import dataset_fingerprint, ensure_store
+
+    def build(path: str) -> None:
+        audio_fingerprints_df(
+            audio_from_documents(spark, sf_dir)
+        ).write.mode("overwrite").parquet(path)
+
+    return ensure_store(
+        _AFP_MEMO,
+        dataset_fingerprint(sf_dir, "documents.parquet"),
+        "audio_fp_table",
+        "audiofp",
+        build,
+    )
+
+
+def audio_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (rows-only — FFT/decode has no SQL form): the
+    audio fingerprint table, served from the memoized side table."""
+    return spark.read.parquet(_ensure_afp_store(spark, sf_dir))
+
+
+def audio_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (rows-only): ehash near-dup pairs within Hamming
+    <= AUDIO_HAMMING_MAX via the same banded pigeonhole self-join the
+    image family uses, with the same bounded in-frame exactness probe."""
+    store = _ensure_afp_store(spark, sf_dir)
+    fp = (
+        spark.read.parquet(store)
+        .where(F.col("ehash").isNotNull())
+        .select(
+            F.col("media_id").alias("doc_id"),
+            F.col("ehash").alias("simhash"),
+        )
+    )
+    return _hamming_pairs_entry(fp, AUDIO_HAMMING_MAX, AUDIO_BANDS)
+
+
 QUERIES = {
     "media_feature_extract": media_feature_extract,
     "image_perceptual_hashes": image_perceptual_hashes,
     "image_near_dup_pairs": image_near_dup_pairs,
+    "audio_fingerprints": audio_fingerprints,
+    "audio_near_dup_pairs": audio_near_dup_pairs,
 }
 ORACLE = {"media_feature_extract": MEDIA_FEATURES_SQL}

@@ -501,15 +501,66 @@ GROUP BY 1, 2
 CORPUS_DATACARD_SQL = _datacard_duck()
 
 
+# ---------------------------------------------------------------------------
+# Shard manifest: the accounting pass a sharded training-output writer runs
+# BEFORE writing — deterministic shard assignment (md5 bucket of doc_id, so
+# assignment is stable across engines, partitionings and re-runs) plus
+# per-shard token/char mass, the numbers a packing scheduler needs to size
+# readers. At 100 TB this is one groupBy over N_SHARDS keys with map-side
+# combine (tokens are counted in the scan projection; text never shuffles);
+# the write itself would be `df.repartition(shard).write.partitionBy(shard)`
+# against the same assignment expression.
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 16
+
+
+def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            (_bucket(F.col("doc_id")) % N_SHARDS).alias("shard"),
+            "doc_id",
+            "n_chars",
+            F.expr(f"size({TOKENS})").alias("n_tok"),
+            "lang",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+SHARD_MANIFEST_SQL = f"""
+SELECT {_bucket_duck('doc_id')} % {N_SHARDS} AS shard,
+       count(*) AS n_docs,
+       CAST(sum(len({TOKENS_DUCK})) AS BIGINT) AS n_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       count(DISTINCT lang) AS n_langs,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM documents
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "corpus_prep_pipeline": corpus_prep_pipeline,
     "corpus_snapshot_diff": corpus_snapshot_diff,
     "corpus_increment_pipeline": corpus_increment_pipeline,
     "corpus_datacard": corpus_datacard,
+    "corpus_shard_manifest": corpus_shard_manifest,
 }
 ORACLE = {
     "corpus_prep_pipeline": CORPUS_PREP_SQL,
     "corpus_snapshot_diff": SNAPSHOT_DIFF_SQL,
     "corpus_increment_pipeline": CORPUS_INCREMENT_SQL,
     "corpus_datacard": CORPUS_DATACARD_SQL,
+    "corpus_shard_manifest": SHARD_MANIFEST_SQL,
 }

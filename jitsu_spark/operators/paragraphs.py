@@ -1,0 +1,262 @@
+"""Paragraph-level corpus deduplication (MassiveText/Gopher-style): split
+every document into paragraphs, keep only the corpus-wide FIRST occurrence
+of each paragraph, and rebuild documents from the survivors. The classic
+complement to document-level dedup — boilerplate headers/footers repeat
+across millions of pages that are not near-duplicates of each other, and
+paragraph dedup removes them without dropping whole documents.
+
+The synthetic `documents` corpus carries no newline structure, so the
+splitter here is a fixed PAR_WORDS-word window — a stand-in parameter for
+the real splitter (split on '\\n') with identical downstream semantics;
+every operator below is agnostic to how `pars` was produced.
+
+Scale design (100 TB):
+- The paragraph stream is a pure generate (explode of window starts) —
+  linear, no shuffle, text leaves the scan once.
+- First-occurrence election is ONE shuffle: groupBy(paragraph) with a
+  min() partial-aggregate over a packed (doc_id, pidx) BIGINT key —
+  map-side combine collapses each partition's repeats before the exchange,
+  so the shuffle carries ~distinct paragraphs, not occurrences.
+- Document rebuild is one more linear shuffle on doc_id; the per-doc
+  collect_list is bounded by document size, never corpus size.
+- The per-source stats join survivors back on the paragraph hash — a
+  sort-merge join of two corpus-linear sides, no skew beyond the
+  paragraph-frequency skew the min() aggregate already absorbed.
+- The source-overlap matrix never self-joins occurrences: paragraphs
+  group to a collect_set(source) bounded by the source count, and pairs
+  expand map-side from that tiny array (audience_overlap's shape).
+
+The packed key is doc_id * PAR_SHIFT + pidx with PAR_SHIFT = 2^20: exact
+while docs stay under ~16.7M words (2^20 paragraphs x PAR_WORDS); at that
+bound switch to min(struct(doc_id, pidx)) at the cost of a struct compare.
+
+Reference context: the reference's dedup surface is exact-key MERGE
+(`webapps/console/lib/schema/destinations.tsx:137-140`); paragraph dedup
+extends it for training-data curation per Rae et al. 2021 (Gopher, §A.1.2)
+and Penedo et al. 2023 (RefinedWeb).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .text_ops import TOKENS, TOKENS_DUCK
+
+PAR_WORDS = 16
+PAR_SHIFT = 1 << 20  # packed first-occurrence key: doc_id*PAR_SHIFT + pidx
+
+
+def _paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id, source, pidx, par — the exploded paragraph stream."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.selectExpr("doc_id", "source", f"{TOKENS} AS t")
+    starts = toks.selectExpr(
+        "doc_id",
+        "source",
+        "t",
+        # guard: sequence() rejects (0, -1) bounds on zero-token docs
+        f"explode(CASE WHEN size(t) >= 1 THEN"
+        f" sequence(0, size(t) - 1, {PAR_WORDS})"
+        " ELSE array() END) AS s",
+    )
+    return starts.selectExpr(
+        "doc_id",
+        "source",
+        f"CAST(s / {PAR_WORDS} AS BIGINT) AS pidx",
+        f"concat_ws(' ', slice(t, s + 1, {PAR_WORDS})) AS par",
+    )
+
+
+# Shared oracle CTE prefix: the identical paragraph stream in DuckDB.
+_PARS_DUCK = f"""
+toks AS (
+  SELECT doc_id, source, {TOKENS_DUCK} AS t FROM documents
+), starts AS (
+  SELECT doc_id, source, t, unnest(range(0, len(t), {PAR_WORDS})) AS s
+  FROM toks
+), pars AS (
+  SELECT doc_id, source, s // {PAR_WORDS} AS pidx,
+         array_to_string(list_slice(t, s + 1, s + {PAR_WORDS}), ' ') AS par
+  FROM starts
+)"""
+
+
+def paragraph_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebuild each document keeping only paragraphs whose corpus-wide
+    first occurrence (min packed (doc_id, pidx)) lives in that document.
+    Documents that keep zero paragraphs drop out (inner semantics: an
+    all-boilerplate page has nothing left to train on)."""
+    pars = _paragraphs(spark, sf_dir)
+    wk = (F.col("doc_id") * PAR_SHIFT + F.col("pidx")).alias("wk")
+    kept = pars.select("par", wk).groupBy("par").agg(F.min("wk").alias("wk"))
+    rebuilt = (
+        kept.select(
+            # integer div, NOT double `/`+cast: a packed key above 2^53
+            # would lose low bits to the double mantissa
+            F.expr(f"wk div {PAR_SHIFT}").alias("doc_id"),
+            (F.col("wk") % PAR_SHIFT).alias("pidx"),
+            "par",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pars_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pidx", "par"))
+                    ),
+                    lambda x: x["par"],
+                ),
+            ).alias("text_deduped"),
+        )
+    )
+    counts = pars.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_pars"))
+    return rebuilt.join(counts, "doc_id").select(
+        "doc_id", "n_pars", "n_pars_kept", "text_deduped"
+    )
+
+
+PARAGRAPH_DEDUP_SQL = f"""
+WITH {_PARS_DUCK},
+kept AS (
+  SELECT par, min(doc_id * {PAR_SHIFT} + pidx) AS wk FROM pars GROUP BY par
+), rebuilt AS (
+  SELECT wk // {PAR_SHIFT} AS doc_id,
+         count(*) AS n_pars_kept,
+         string_agg(par, ' ' ORDER BY wk % {PAR_SHIFT}) AS text_deduped
+  FROM kept GROUP BY wk // {PAR_SHIFT}
+), counts AS (
+  SELECT doc_id, count(*) AS n_pars FROM pars GROUP BY doc_id
+)
+SELECT r.doc_id, c.n_pars, r.n_pars_kept, r.text_deduped
+FROM rebuilt r JOIN counts c ON r.doc_id = c.doc_id
+"""
+
+
+def paragraph_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source paragraph duplication report: how many of a source's
+    paragraph occurrences are the corpus-wide first occurrence vs repeats
+    (of itself or of any other source — the cross-source boilerplate
+    signal a per-source report can't see)."""
+    pars = _paragraphs(spark, sf_dir)
+    wk = (F.col("doc_id") * PAR_SHIFT + F.col("pidx")).alias("wk")
+    occ = pars.select("source", "par", wk)
+    kept = occ.groupBy("par").agg(F.min("wk").alias("min_wk"))
+    marked = occ.join(kept, "par").select(
+        "source", (F.col("wk") == F.col("min_wk")).cast("long").alias("first")
+    )
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_paragraphs"),
+        F.sum("first").alias("n_first_occurrences"),
+        (F.count(F.lit(1)) - F.sum("first")).alias("n_dup_occurrences"),
+        F.round(
+            (F.count(F.lit(1)) - F.sum("first")) / F.count(F.lit(1)), 6
+        ).alias("dup_ratio"),
+    )
+
+
+PARAGRAPH_STATS_SQL = f"""
+WITH {_PARS_DUCK},
+kept AS (
+  SELECT par, min(doc_id * {PAR_SHIFT} + pidx) AS min_wk
+  FROM pars GROUP BY par
+), marked AS (
+  SELECT p.source,
+         CASE WHEN p.doc_id * {PAR_SHIFT} + p.pidx = k.min_wk
+              THEN 1 ELSE 0 END AS first
+  FROM pars p JOIN kept k ON p.par = k.par
+)
+SELECT source,
+       count(*) AS n_paragraphs,
+       CAST(sum(first) AS BIGINT) AS n_first_occurrences,
+       CAST(count(*) - sum(first) AS BIGINT) AS n_dup_occurrences,
+       round((count(*) - sum(first)) / count(*), 6) AS dup_ratio
+FROM marked GROUP BY source
+"""
+
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise distinct-paragraph overlap between sources — the datacard
+    view of cross-source boilerplate and mirror content. Never a
+    corpus self-join: paragraphs reduce to a collect_set(source) bounded
+    by the source count, and unordered pairs expand map-side from that
+    array; per-source distinct sizes broadcast back for the Jaccard."""
+    pars = _paragraphs(spark, sf_dir)
+    d = pars.select("source", "par").distinct()
+    srcs = d.groupBy("par").agg(
+        F.sort_array(F.collect_set("source")).alias("ss")
+    )
+    pairs = srcs.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ss"),
+                    lambda a, i: F.transform(
+                        F.slice(
+                            F.col("ss"), i + 2, F.size(F.col("ss"))
+                        ),
+                        lambda b: F.struct(
+                            a.alias("s1"), b.alias("s2")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.s1", "p.s2")
+    shared = pairs.groupBy("s1", "s2").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    per_src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_distinct"))
+    return (
+        shared.join(
+            F.broadcast(per_src).withColumnRenamed("source", "s1"), "s1"
+        )
+        .withColumnRenamed("n_distinct", "n1")
+        .join(
+            F.broadcast(per_src).withColumnRenamed("source", "s2"), "s2"
+        )
+        .withColumnRenamed("n_distinct", "n2")
+        .select(
+            "s1",
+            "s2",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / (F.col("n1") + F.col("n2") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+SOURCE_OVERLAP_SQL = f"""
+WITH {_PARS_DUCK},
+d AS (SELECT DISTINCT source, par FROM pars),
+per_src AS (SELECT source, count(*) AS n_distinct FROM d GROUP BY source),
+shared AS (
+  SELECT a.source AS s1, b.source AS s2, count(*) AS n_shared
+  FROM d a JOIN d b ON a.par = b.par AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT s.s1, s.s2, s.n_shared,
+       round(s.n_shared / (p1.n_distinct + p2.n_distinct - s.n_shared), 6)
+         AS jaccard
+FROM shared s
+JOIN per_src p1 ON s.s1 = p1.source
+JOIN per_src p2 ON s.s2 = p2.source
+"""
+
+
+QUERIES = {
+    "paragraph_dedup_docs": paragraph_dedup_docs,
+    "paragraph_dup_stats": paragraph_dup_stats,
+    "source_overlap_matrix": source_overlap_matrix,
+}
+
+ORACLE = {
+    "paragraph_dedup_docs": PARAGRAPH_DEDUP_SQL,
+    "paragraph_dup_stats": PARAGRAPH_STATS_SQL,
+    "source_overlap_matrix": SOURCE_OVERLAP_SQL,
+}

@@ -14,6 +14,7 @@ from .sources import jsonl
 from .operators import (
     asof,
     bpe,
+    paragraphs,
     clustering,
     corpus,
     corpus_stats,
@@ -39,6 +40,7 @@ from .operators import (
 
 _MODULES = [
     bpe,
+    paragraphs,
     relational,
     relational_ext,
     asof,
@@ -95,6 +97,8 @@ for _m in _MODULES:
 _PRIORITY = [
     "q1_pricing_summary",
     # -- new in r10 --
+    "paragraph_dedup_docs", "paragraph_dup_stats", "source_overlap_matrix",
+    "audio_fingerprints", "audio_near_dup_pairs", "corpus_shard_manifest",
     "quality_score_fixed_model", "pca_project_fixed_basis",
     "image_perceptual_hashes", "image_near_dup_pairs",
     # -- touched in r10 --

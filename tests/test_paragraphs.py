@@ -1,0 +1,149 @@
+"""Semantic pins for paragraph-level dedup (operators/paragraphs.py):
+corpus-wide first-occurrence election, within-doc repeats, all-boilerplate
+drop-out, ordered rebuild, and the source-overlap matrix. Oracle parity is
+covered by tools/check_oracle.py; these pin the semantics on hand-built
+corpora where the expected output is known by construction."""
+
+from __future__ import annotations
+
+import pytest
+
+from jitsu_spark.operators.paragraphs import (
+    PAR_WORDS,
+    paragraph_dedup_docs,
+    paragraph_dup_stats,
+    source_overlap_matrix,
+)
+
+
+def _block(word: str) -> str:
+    """One full paragraph window made of a single repeated word."""
+    return " ".join([word] * PAR_WORDS)
+
+
+def _write_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+P, Q, R = _block("alpha"), _block("bravo"), _block("carol")
+
+
+class TestParagraphDedup:
+    def test_first_occurrence_wins_across_docs(self, spark, tmp_path):
+        sf = _write_docs(
+            spark,
+            tmp_path,
+            [
+                (1, f"{P} {Q}", "a"),  # P first here (doc 1, pidx 0)
+                (2, f"{P} {R}", "a"),  # P repeats -> only R survives
+            ],
+        )
+        out = {
+            r["doc_id"]: r for r in paragraph_dedup_docs(spark, sf).collect()
+        }
+        assert out[1]["text_deduped"] == f"{P} {Q}"
+        assert out[1]["n_pars"] == 2 and out[1]["n_pars_kept"] == 2
+        assert out[2]["text_deduped"] == R
+        assert out[2]["n_pars"] == 2 and out[2]["n_pars_kept"] == 1
+
+    def test_within_doc_repeat_keeps_first(self, spark, tmp_path):
+        sf = _write_docs(spark, tmp_path, [(1, f"{P} {P} {Q}", "a")])
+        out = paragraph_dedup_docs(spark, sf).collect()[0]
+        assert out["text_deduped"] == f"{P} {Q}"
+        assert out["n_pars"] == 3 and out["n_pars_kept"] == 2
+
+    def test_all_boilerplate_doc_drops_out(self, spark, tmp_path):
+        sf = _write_docs(
+            spark, tmp_path, [(1, P, "a"), (2, P, "a")]
+        )
+        out = {
+            r["doc_id"]: r for r in paragraph_dedup_docs(spark, sf).collect()
+        }
+        assert 1 in out and 2 not in out
+
+    def test_rebuild_preserves_paragraph_order(self, spark, tmp_path):
+        # doc 2 keeps pidx 0 and 2 (its pidx 1 = P repeats doc 1's);
+        # rebuild must emit them in original order, not election order
+        sf = _write_docs(
+            spark, tmp_path, [(1, P, "a"), (2, f"{Q} {P} {R}", "a")]
+        )
+        out = {
+            r["doc_id"]: r for r in paragraph_dedup_docs(spark, sf).collect()
+        }
+        assert out[2]["text_deduped"] == f"{Q} {R}"
+
+    def test_partial_tail_window_is_its_own_paragraph(self, spark, tmp_path):
+        # a trailing sub-window paragraph ("alpha alpha" != full P) is a
+        # distinct paragraph and survives
+        tail = "alpha alpha"
+        sf = _write_docs(spark, tmp_path, [(1, f"{P} {tail}", "a")])
+        out = paragraph_dedup_docs(spark, sf).collect()[0]
+        assert out["n_pars"] == 2 and out["n_pars_kept"] == 2
+        assert out["text_deduped"] == f"{P} {tail}"
+
+
+class TestParagraphStats:
+    def test_cross_source_dup_billed_to_repeater(self, spark, tmp_path):
+        sf = _write_docs(
+            spark,
+            tmp_path,
+            [
+                (1, f"{P} {Q}", "a"),  # both first occurrences
+                (2, f"{P} {R}", "b"),  # P is a's; R is first
+            ],
+        )
+        out = {
+            r["source"]: r for r in paragraph_dup_stats(spark, sf).collect()
+        }
+        assert out["a"]["n_paragraphs"] == 2
+        assert out["a"]["n_dup_occurrences"] == 0
+        assert out["b"]["n_paragraphs"] == 2
+        assert out["b"]["n_first_occurrences"] == 1
+        assert out["b"]["n_dup_occurrences"] == 1
+        assert out["b"]["dup_ratio"] == pytest.approx(0.5)
+
+
+class TestSourceOverlap:
+    def test_pairwise_shared_counts_and_jaccard(self, spark, tmp_path):
+        # a: {P, Q}  b: {P, R}  c: {R}
+        sf = _write_docs(
+            spark,
+            tmp_path,
+            [
+                (1, f"{P} {Q}", "a"),
+                (2, f"{P} {R}", "b"),
+                (3, R, "c"),
+            ],
+        )
+        out = {
+            (r["s1"], r["s2"]): r
+            for r in source_overlap_matrix(spark, sf).collect()
+        }
+        assert out[("a", "b")]["n_shared"] == 1
+        # |a ∪ b| = 3 -> jaccard 1/3
+        assert out[("a", "b")]["jaccard"] == pytest.approx(1 / 3, abs=1e-6)
+        assert out[("b", "c")]["n_shared"] == 1
+        assert out[("b", "c")]["jaccard"] == pytest.approx(0.5)
+        # zero-overlap pairs are absent (inner semantics)
+        assert ("a", "c") not in out
+        # pairs are emitted once, source-name ordered
+        assert ("b", "a") not in out
+
+    def test_duplicate_occurrences_counted_once(self, spark, tmp_path):
+        # P appears twice in a and once in b: distinct-set overlap is 1
+        sf = _write_docs(
+            spark,
+            tmp_path,
+            [(1, f"{P} {P}", "a"), (2, f"{P} {Q}", "b")],
+        )
+        out = {
+            (r["s1"], r["s2"]): r
+            for r in source_overlap_matrix(spark, sf).collect()
+        }
+        assert out[("a", "b")]["n_shared"] == 1
+        # |a|=1, |b|=2, union=2
+        assert out[("a", "b")]["jaccard"] == pytest.approx(0.5)
