@@ -249,14 +249,136 @@ JOIN per_src p2 ON s.s2 = p2.source
 """
 
 
+# ---------------------------------------------------------------------------
+# Incremental paragraph gate — the store-probe form: a real pipeline does
+# not re-elect first occurrences over 100 TB per ingest; it keeps the
+# corpus's paragraph set (16-byte md5 per distinct paragraph) and strips
+# each new batch against it. Store paragraphs ALWAYS win (they were
+# published first, whatever their doc_ids); within the batch the packed
+# (doc_id, pidx) minimum wins, exactly as in the full-corpus form.
+# Join direction mirrors dedup.verdicts_against_store: the corpus-sized
+# store STREAMS through a join whose build side is the tiny batch's
+# distinct paragraph hashes; the surviving hits (at most one per batch
+# paragraph) broadcast into the anti-join. Registry split convention:
+# store = md5 buckets < 800, new crawl = buckets >= 800.
+# ---------------------------------------------------------------------------
+
+NEW_BATCH_BUCKET_GE = 800
+
+
+def paragraph_gate_against_store(
+    batch_pars: DataFrame, store_par_hashes: DataFrame
+) -> DataFrame:
+    """Rebuild batch docs keeping paragraphs that are neither in the
+    store (by md5 hash) nor repeats within the batch. `batch_pars` is
+    (doc_id, pidx, par); `store_par_hashes` is (par_hash). Returns
+    (doc_id, n_pars, n_pars_kept, text_deduped), inner on >= 1 kept."""
+    from ..plans.hints import maybe_broadcast
+
+    wk = (F.col("doc_id") * PAR_SHIFT + F.col("pidx")).alias("wk")
+    batch_kept = (
+        batch_pars.select("par", F.md5("par").alias("par_hash"), wk)
+        .groupBy("par_hash")
+        # min(par), not first(): every row in an md5 group carries the
+        # identical par string, but min is deterministic by contract
+        .agg(F.min("wk").alias("wk"), F.min("par").alias("par"))
+    )
+    hits = (
+        store_par_hashes.join(
+            maybe_broadcast(batch_kept.select("par_hash")), "par_hash"
+        )
+        .select("par_hash")
+        .distinct()
+    )
+    rebuilt = (
+        batch_kept.join(maybe_broadcast(hits), "par_hash", "left_anti")
+        .select(
+            F.expr(f"wk div {PAR_SHIFT}").alias("doc_id"),
+            (F.col("wk") % PAR_SHIFT).alias("pidx"),
+            "par",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pars_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pidx", "par"))),
+                    lambda x: x["par"],
+                ),
+            ).alias("text_deduped"),
+        )
+    )
+    counts = batch_pars.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_pars")
+    )
+    return rebuilt.join(counts, "doc_id").select(
+        "doc_id", "n_pars", "n_pars_kept", "text_deduped"
+    )
+
+
+def paragraph_dedup_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registry entry: the corpus split into an existing store (md5
+    buckets < 800, reduced to its distinct paragraph hashes — what the
+    store actually persists) and a new crawl (buckets >= 800) gated
+    against it."""
+    from .sampling import _bucket
+
+    pars = _paragraphs(spark, sf_dir)
+    b = _bucket(F.col("doc_id"))
+    store_hashes = (
+        pars.where(b < NEW_BATCH_BUCKET_GE)
+        .select(F.md5("par").alias("par_hash"))
+        .distinct()
+    )
+    return paragraph_gate_against_store(
+        pars.where(b >= NEW_BATCH_BUCKET_GE), store_hashes
+    )
+
+
+def _incr_duck() -> str:
+    from .sampling import _bucket_duck
+
+    bucket = _bucket_duck("doc_id")
+    return f"""
+WITH {_PARS_DUCK},
+store_hashes AS (
+  SELECT DISTINCT md5(par) AS par_hash FROM pars
+  WHERE {bucket} < {NEW_BATCH_BUCKET_GE}
+), batch AS (
+  SELECT * FROM pars WHERE {bucket} >= {NEW_BATCH_BUCKET_GE}
+), batch_kept AS (
+  SELECT md5(par) AS par_hash, min(doc_id * {PAR_SHIFT} + pidx) AS wk,
+         min(par) AS par
+  FROM batch GROUP BY md5(par)
+), survivors AS (
+  SELECT * FROM batch_kept
+  WHERE par_hash NOT IN (SELECT par_hash FROM store_hashes)
+), rebuilt AS (
+  SELECT wk // {PAR_SHIFT} AS doc_id,
+         count(*) AS n_pars_kept,
+         string_agg(par, ' ' ORDER BY wk % {PAR_SHIFT}) AS text_deduped
+  FROM survivors GROUP BY wk // {PAR_SHIFT}
+), counts AS (
+  SELECT doc_id, count(*) AS n_pars FROM batch GROUP BY doc_id
+)
+SELECT r.doc_id, c.n_pars, r.n_pars_kept, r.text_deduped
+FROM rebuilt r JOIN counts c ON r.doc_id = c.doc_id
+"""
+
+
 QUERIES = {
     "paragraph_dedup_docs": paragraph_dedup_docs,
     "paragraph_dup_stats": paragraph_dup_stats,
     "source_overlap_matrix": source_overlap_matrix,
+    "paragraph_dedup_incremental": paragraph_dedup_incremental,
 }
 
 ORACLE = {
     "paragraph_dedup_docs": PARAGRAPH_DEDUP_SQL,
     "paragraph_dup_stats": PARAGRAPH_STATS_SQL,
     "source_overlap_matrix": SOURCE_OVERLAP_SQL,
+    "paragraph_dedup_incremental": _incr_duck(),
 }

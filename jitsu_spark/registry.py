@@ -98,6 +98,7 @@ _PRIORITY = [
     "q1_pricing_summary",
     # -- new in r10 --
     "paragraph_dedup_docs", "paragraph_dup_stats", "source_overlap_matrix",
+    "paragraph_dedup_incremental",
     "audio_fingerprints", "audio_near_dup_pairs", "corpus_shard_manifest",
     "quality_score_fixed_model", "pca_project_fixed_basis",
     "image_perceptual_hashes", "image_near_dup_pairs",

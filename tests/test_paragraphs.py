@@ -86,6 +86,52 @@ class TestParagraphDedup:
         assert out["text_deduped"] == f"{P} {tail}"
 
 
+class TestIncrementalGate:
+    def test_store_paragraph_wins_regardless_of_doc_id(self, spark):
+        """A store paragraph suppresses a batch occurrence even when the
+        batch doc_id is smaller — store-first semantics, not min-id."""
+        from pyspark.sql import functions as F
+
+        from jitsu_spark.operators.paragraphs import (
+            paragraph_gate_against_store,
+        )
+
+        batch = spark.createDataFrame(
+            [
+                (1, 0, P),  # in store -> stripped
+                (1, 1, Q),  # fresh -> kept
+                (5, 0, Q),  # batch repeat of doc 1's -> stripped
+                (5, 1, R),  # fresh -> kept
+            ],
+            "doc_id long, pidx long, par string",
+        )
+        store = spark.createDataFrame([(P,)], "par string").select(
+            F.md5("par").alias("par_hash")
+        )
+        out = {
+            r["doc_id"]: r
+            for r in paragraph_gate_against_store(batch, store).collect()
+        }
+        assert out[1]["text_deduped"] == Q
+        assert out[1]["n_pars"] == 2 and out[1]["n_pars_kept"] == 1
+        assert out[5]["text_deduped"] == R
+
+    def test_batch_doc_fully_in_store_drops_out(self, spark):
+        from pyspark.sql import functions as F
+
+        from jitsu_spark.operators.paragraphs import (
+            paragraph_gate_against_store,
+        )
+
+        batch = spark.createDataFrame(
+            [(7, 0, P)], "doc_id long, pidx long, par string"
+        )
+        store = spark.createDataFrame([(P,)], "par string").select(
+            F.md5("par").alias("par_hash")
+        )
+        assert paragraph_gate_against_store(batch, store).count() == 0
+
+
 class TestParagraphStats:
     def test_cross_source_dup_billed_to_repeater(self, spark, tmp_path):
         sf = _write_docs(
