@@ -75,6 +75,59 @@ FROM hashed h JOIN canon c USING (text_hash)
 """
 
 
+# Normalization-aware exact dedup (CCNet, Wenzek et al. 2020 §4.1:
+# lowercase + strip punctuation/digits before paragraph hashing —
+# catches the reformatted-copy duplicates byte-exact hashing misses).
+# The normalizer is a pure scan expression (lower -> strip non-[a-z0-9
+# space] -> collapse runs of spaces -> trim), so the plan is identical
+# to dedup_exact's: one (16-byte hash, doc_id) shuffle, text never
+# leaves the scan.
+_NORM_SPARK = (
+    "trim(regexp_replace(regexp_replace(lower(text),"
+    " '[^a-z0-9 ]', ''), ' +', ' '))"
+)
+# DuckDB regexp_replace replaces the FIRST match unless 'g' is passed
+_NORM_DUCK = (
+    "trim(regexp_replace(regexp_replace(lower(text),"
+    " '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+)
+
+
+def normalized_dedup_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_exact over the NORMALIZED text: doc_id -> canonical map
+    keyed by md5 of the case/punctuation-folded content."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.selectExpr(
+        "doc_id", f"md5({_NORM_SPARK}) AS norm_hash"
+    )
+    canon = hashed.groupBy("norm_hash").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return hashed.join(canon, "norm_hash").select(
+        "doc_id",
+        "canonical_id",
+        (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"),
+        "group_size",
+    )
+
+
+NORMALIZED_DEDUP_SQL = f"""
+WITH hashed AS (
+  SELECT doc_id, md5({_NORM_DUCK}) AS norm_hash FROM documents
+),
+canon AS (
+  SELECT norm_hash, min(doc_id) AS canonical_id, count(*) AS group_size
+  FROM hashed GROUP BY 1
+)
+SELECT h.doc_id,
+       c.canonical_id,
+       h.doc_id <> c.canonical_id AS is_duplicate,
+       c.group_size
+FROM hashed h JOIN canon c USING (norm_hash)
+"""
+
+
 def _shingles_of(docs: DataFrame) -> DataFrame:
     """(doc_id, shingle) distinct pairs from any (doc_id, text) frame.
 
@@ -1462,6 +1515,7 @@ FROM stages CROSS JOIN totals
 
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "normalized_dedup_map": normalized_dedup_map,
     "dedup_cascade_report": dedup_cascade_report,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
@@ -1477,6 +1531,7 @@ QUERIES = {
 
 ORACLE = {
     "dedup_exact": DEDUP_EXACT_SQL,
+    "normalized_dedup_map": NORMALIZED_DEDUP_SQL,
     "minhash_signatures": MINHASH_SIG_SQL,
     "minhash_lsh_pairs": MINHASH_LSH_SQL,
     "ngram_jaccard_dups": NGRAM_JACCARD_SQL,

@@ -50,7 +50,14 @@ PAR_SHIFT = 1 << 20  # packed first-occurrence key: doc_id*PAR_SHIFT + pidx
 
 def _paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id, source, pidx, par — the exploded paragraph stream."""
-    docs = load_table(spark, sf_dir, "documents")
+    return paragraphs_of_docs(load_table(spark, sf_dir, "documents"))
+
+
+def paragraphs_of_docs(docs: DataFrame) -> DataFrame:
+    """DataFrame form of the splitter, for callers holding any
+    (doc_id, text[, source]) frame — the streaming gate's batch."""
+    if "source" not in docs.columns:
+        docs = docs.withColumn("source", F.lit(None).cast("string"))
     toks = docs.selectExpr("doc_id", "source", f"{TOKENS} AS t")
     starts = toks.selectExpr(
         "doc_id",
@@ -266,13 +273,13 @@ JOIN per_src p2 ON s.s2 = p2.source
 NEW_BATCH_BUCKET_GE = 800
 
 
-def paragraph_gate_against_store(
+def paragraph_survivors(
     batch_pars: DataFrame, store_par_hashes: DataFrame
 ) -> DataFrame:
-    """Rebuild batch docs keeping paragraphs that are neither in the
-    store (by md5 hash) nor repeats within the batch. `batch_pars` is
-    (doc_id, pidx, par); `store_par_hashes` is (par_hash). Returns
-    (doc_id, n_pars, n_pars_kept, text_deduped), inner on >= 1 kept."""
+    """(par_hash, wk, par) for every batch paragraph that is neither in
+    the store nor a within-batch repeat — the frame BOTH halves of the
+    gate derive from: the doc rebuild below and the streaming gate's
+    store append (the hashes that become corpus state)."""
     from ..plans.hints import maybe_broadcast
 
     wk = (F.col("doc_id") * PAR_SHIFT + F.col("pidx")).alias("wk")
@@ -290,8 +297,18 @@ def paragraph_gate_against_store(
         .select("par_hash")
         .distinct()
     )
+    return batch_kept.join(maybe_broadcast(hits), "par_hash", "left_anti")
+
+
+def rebuild_from_survivors(
+    survivors: DataFrame, batch_pars: DataFrame
+) -> DataFrame:
+    """Doc rebuild from a (par_hash, wk, par) survivor frame — split out
+    so the streaming gate can pin `survivors` once (localCheckpoint)
+    and derive both the rebuilt docs and the store append from it
+    without re-evaluating the anti-join."""
     rebuilt = (
-        batch_kept.join(maybe_broadcast(hits), "par_hash", "left_anti")
+        survivors
         .select(
             F.expr(f"wk div {PAR_SHIFT}").alias("doc_id"),
             (F.col("wk") % PAR_SHIFT).alias("pidx"),
@@ -314,6 +331,18 @@ def paragraph_gate_against_store(
     )
     return rebuilt.join(counts, "doc_id").select(
         "doc_id", "n_pars", "n_pars_kept", "text_deduped"
+    )
+
+
+def paragraph_gate_against_store(
+    batch_pars: DataFrame, store_par_hashes: DataFrame
+) -> DataFrame:
+    """Rebuild batch docs keeping paragraphs that are neither in the
+    store (by md5 hash) nor repeats within the batch. `batch_pars` is
+    (doc_id, pidx, par); `store_par_hashes` is (par_hash). Returns
+    (doc_id, n_pars, n_pars_kept, text_deduped), inner on >= 1 kept."""
+    return rebuild_from_survivors(
+        paragraph_survivors(batch_pars, store_par_hashes), batch_pars
     )
 
 

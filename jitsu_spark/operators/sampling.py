@@ -629,8 +629,51 @@ FROM scored
 DSIR_SELECT_SQL = _dsir_duck()
 
 
+# ---------------------------------------------------------------------------
+# Training-order shuffle: the global pseudo-random permutation a training
+# run reads the corpus in (shuffle-before-training), plus round-robin
+# shard assignment FROM that order — equal-size shards whose contents are
+# already mixed. The permutation key is md5(doc_id), so the order is
+# deterministic, engine-stable and partitioning-independent; the global
+# position comes from `plans/cumsum.histogram_cnt_better`'s DISTRIBUTED
+# branch (range exchange + Arrow local prefix + partition-count offsets)
+# because the key space here grows with the corpus — one md5 per doc —
+# making this the registry's real-data exercise of the branch the
+# synthetic >2^20-value bench probe covers (no single task ever sorts
+# the corpus). The rank joins back on the 16-byte key: a linear
+# sort-merge join of two skinny corpus-sized sides.
+# ---------------------------------------------------------------------------
+
+N_ORDER_SHARDS = 16
+
+
+def training_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.cumsum import histogram_cnt_better
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.selectExpr(
+        "doc_id", "md5(CAST(doc_id AS STRING)) AS shuffle_key"
+    )
+    ranks = histogram_cnt_better(
+        keyed, "shuffle_key", small_value_space=False
+    ).selectExpr("v AS shuffle_key", "cnt_better AS pos")
+    return keyed.join(ranks, "shuffle_key").selectExpr(
+        "doc_id", "pos", f"pos % {N_ORDER_SHARDS} AS shard"
+    )
+
+
+TRAINING_SHUFFLE_SQL = f"""
+SELECT doc_id,
+       row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) - 1 AS pos,
+       (row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) - 1)
+         % {N_ORDER_SHARDS} AS shard
+FROM documents
+"""
+
+
 QUERIES = {
     "stratified_sample_documents": stratified_sample_documents,
+    "training_shuffle_order": training_shuffle_order,
     "train_test_split_documents": train_test_split_documents,
     "source_mix_resample": source_mix_resample,
     "temperature_resample": temperature_resample,
@@ -639,6 +682,7 @@ QUERIES = {
 }
 ORACLE = {
     "stratified_sample_documents": STRATIFIED_SAMPLE_SQL,
+    "training_shuffle_order": TRAINING_SHUFFLE_SQL,
     "train_test_split_documents": TRAIN_TEST_SPLIT_SQL,
     "source_mix_resample": SOURCE_MIX_SQL,
     "temperature_resample": TEMPERATURE_RESAMPLE_SQL,

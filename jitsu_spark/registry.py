@@ -98,7 +98,8 @@ _PRIORITY = [
     "q1_pricing_summary",
     # -- new in r10 --
     "paragraph_dedup_docs", "paragraph_dup_stats", "source_overlap_matrix",
-    "paragraph_dedup_incremental",
+    "paragraph_dedup_incremental", "normalized_dedup_map",
+    "training_shuffle_order",
     "audio_fingerprints", "audio_near_dup_pairs", "corpus_shard_manifest",
     "quality_score_fixed_model", "pca_project_fixed_basis",
     "image_perceptual_hashes", "image_near_dup_pairs",

@@ -254,6 +254,131 @@ def run_corpus_gate_durable(
     return writer.start()
 
 
+# ---------------------------------------------------------------------------
+# Paragraph-level streaming gate (round 10): the sub-document twin of the
+# durable exact/near gate above. Each micro-batch's documents are split
+# into paragraphs, stripped against the corpus's PARAGRAPH-HASH STORE
+# (paragraphs already published anywhere in the corpus — cross-batch
+# boilerplate removal), rebuilt, MERGEd, and the surviving paragraphs'
+# hashes appended. Store layout mirrors the fingerprint store: parquet
+# partitioned by a hash prefix, so appends are partition-local and a
+# probe by hash can prune.
+# ---------------------------------------------------------------------------
+
+PAR_PREFIX_BUCKETS = 16
+
+
+def _par_bucket():
+    return F.pmod(
+        F.conv(F.substring("par_hash", 1, 2), 16, 10).cast("int"),
+        F.lit(PAR_PREFIX_BUCKETS),
+    )
+
+
+def build_paragraph_store(
+    spark: SparkSession, sf_dir: str, store_dir: str
+) -> None:
+    """Seed the store from an existing corpus: one row per distinct
+    paragraph md5."""
+    from ..operators.paragraphs import _paragraphs
+
+    (
+        _paragraphs(spark, sf_dir)
+        .select(F.md5("par").alias("par_hash"))
+        .distinct()
+        .withColumn("bucket", _par_bucket())
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(store_dir)
+    )
+
+
+def process_paragraph_batch_durable(
+    batch: DataFrame,
+    par_store_dir: str,
+    sink,
+    table: str = "corpus_stripped",
+) -> None:
+    """One micro-batch of the paragraph gate: strip against the store
+    (no mutation), MERGE the rebuilt docs, then append the survivors'
+    paragraph hashes.
+
+    Replay-safety (at-least-once -> exactly-once): the corpus MERGE
+    happens BEFORE the store append, and the gate's verdict frame is
+    lineage-pinned (localCheckpoint) before either write. Crash cases:
+    - after the MERGE, before the append: a replay re-derives the SAME
+      rebuilt text (the store is unchanged) and the doc_id-keyed MERGE
+      is idempotent;
+    - after both: the replayed batch's paragraphs are all in the store,
+      every doc rebuilds to zero kept paragraphs and drops — the corpus
+      already holds the stripped forms.
+    The reverse order would lose content: append-first + crash means a
+    replay strips against the batch's own paragraphs and the docs are
+    never written. (Assumes stable doc_ids across replays — the same
+    contract every durable gate here is keyed on.)"""
+    from ..operators.paragraphs import (
+        paragraph_survivors,
+        paragraphs_of_docs,
+        rebuild_from_survivors,
+    )
+
+    spark = batch.sparkSession
+    pars = paragraphs_of_docs(batch.select("doc_id", "text"))
+    try:
+        store = spark.read.parquet(par_store_dir).select("par_hash")
+    except Exception:
+        # first-ever ingest: no store yet (pure-JVM empty relation)
+        store = spark.range(0).selectExpr("CAST(NULL AS STRING) AS par_hash")
+    # pin BEFORE any write: the gate's lineage reads the store, and the
+    # append below would otherwise be visible to a re-evaluation; the
+    # rebuild derives from the PINNED frame, so the anti-join runs once
+    survivors = paragraph_survivors(pars, store).localCheckpoint()
+    rebuilt = rebuild_from_survivors(survivors, pars)
+    fresh = batch.drop("text").join(rebuilt, "doc_id")
+    if fresh.take(1):
+        sink.upsert(
+            fresh,
+            table,
+            primary_key=["doc_id"],
+            timestamp_col="ingested_at",
+        )
+    new_hashes = survivors.select("par_hash").withColumn(
+        "bucket", _par_bucket()
+    )
+    if new_hashes.take(1):
+        new_hashes.write.mode("append").partitionBy("bucket").parquet(
+            par_store_dir
+        )
+
+
+def run_paragraph_gate_durable(
+    stream: DataFrame,
+    warehouse_sink,
+    checkpoint_dir: str,
+    par_store_dir: str,
+    table: str = "corpus_stripped",
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """The durable paragraph gate: stream -> per-batch strip against
+    the corpus paragraph store -> MERGE rebuilt docs -> append the new
+    paragraph hashes. The streaming twin of the batch
+    `paragraph_dedup_incremental` entry, sharing its semantics (store
+    paragraphs always win; within a batch the packed (doc_id, pidx)
+    minimum wins)."""
+    writer = (
+        stream.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            lambda b, _id: process_paragraph_batch_durable(
+                b, par_store_dir, warehouse_sink, table
+            )
+        )
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
 def run_corpus_gate(
     stream: DataFrame,
     out_dir: str,

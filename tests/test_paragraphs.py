@@ -132,6 +132,74 @@ class TestIncrementalGate:
         assert paragraph_gate_against_store(batch, store).count() == 0
 
 
+class TestStreamingParagraphGate:
+    def _batch(self, spark, rows):
+        import datetime as dt
+
+        return spark.createDataFrame(
+            [
+                (i, t, "web", dt.datetime(2024, 5, 1, 12, 0, s))
+                for s, (i, t) in enumerate(rows)
+            ],
+            "doc_id long, text string, source string,"
+            " ingested_at timestamp",
+        )
+
+    def test_cross_batch_strip_and_replay_idempotent(self, spark, tmp_path):
+        from jitsu_spark.sinks import WarehouseSink
+        from jitsu_spark.streaming.corpus_gate import (
+            process_paragraph_batch_durable,
+        )
+
+        sink = WarehouseSink(spark, str(tmp_path / "wh"))
+        store = str(tmp_path / "pars")
+
+        b1 = self._batch(spark, [(1, f"{P} {Q}")])
+        b2 = self._batch(spark, [(2, f"{P} {R}"), (3, P)])
+
+        process_paragraph_batch_durable(b1, store, sink)
+        process_paragraph_batch_durable(b2, store, sink)
+        rows = {
+            r["doc_id"]: r for r in sink.read("corpus_stripped").collect()
+        }
+        # doc 1 kept whole; doc 2 stripped to R; doc 3 all-boilerplate
+        assert rows[1]["text_deduped"] == f"{P} {Q}"
+        assert rows[2]["text_deduped"] == R
+        assert 3 not in rows
+
+        # replay of batch 2 (at-least-once): everything already in the
+        # store -> nothing merges, corpus unchanged
+        process_paragraph_batch_durable(b2, store, sink)
+        after = {
+            r["doc_id"]: r["text_deduped"]
+            for r in sink.read("corpus_stripped").collect()
+        }
+        assert after == {1: f"{P} {Q}", 2: R}
+
+    def test_seeded_store_strips_first_batch(self, spark, tmp_path):
+        from jitsu_spark.sinks import WarehouseSink
+        from jitsu_spark.streaming.corpus_gate import (
+            build_paragraph_store,
+            process_paragraph_batch_durable,
+        )
+
+        # seed from a batch corpus holding P
+        spark.createDataFrame(
+            [(100, P, "a")], "doc_id long, text string, source string"
+        ).write.mode("overwrite").parquet(
+            f"{tmp_path}/seed/documents.parquet"
+        )
+        store = str(tmp_path / "pars2")
+        build_paragraph_store(spark, str(tmp_path / "seed"), store)
+
+        sink = WarehouseSink(spark, str(tmp_path / "wh2"))
+        process_paragraph_batch_durable(
+            self._batch(spark, [(1, f"{P} {Q}")]), store, sink
+        )
+        rows = sink.read("corpus_stripped").collect()
+        assert len(rows) == 1 and rows[0]["text_deduped"] == Q
+
+
 class TestParagraphStats:
     def test_cross_source_dup_billed_to_repeater(self, spark, tmp_path):
         sf = _write_docs(
