@@ -169,12 +169,27 @@ def main() -> None:
             if count_rows:
                 times[label]["rows"] = q(spark, d).count()
             if len(BUILDS) > n_builds:
-                store_builds[f"{name}@{label}"] = BUILDS[n_builds:]
+                paid = BUILDS[n_builds:]
+                store_builds[f"{name}@{label}"] = paid
+                # whichever entry runs FIRST pays each memoized store
+                # build — registry-order rotation then flips which entry
+                # absorbs it, faking growth regressions (r10: the
+                # rotated-to-front ann_ivfpq_topk read 3.5x gross but
+                # 0.7x net). Track the net number and gate on IT.
+                times[label]["sec_net_of_builds"] = round(
+                    max(sec - sum(b["seconds"] for b in paid), 0.0), 2
+                )
             release_persisted()
         growth = round(
             times["sf1"]["sec"] / max(times["sf0.1"]["sec"], 1e-9), 1
         )
+        net1 = times["sf1"].get("sec_net_of_builds", times["sf1"]["sec"])
+        net0 = times["sf0.1"].get(
+            "sec_net_of_builds", times["sf0.1"]["sec"]
+        )
         report[name] = {**times, "growth_10x": growth}
+        if net1 != times["sf1"]["sec"] or net0 != times["sf0.1"]["sec"]:
+            report[name]["growth_10x_net"] = round(net1 / max(net0, 1e-9), 1)
         print(
             f"{name:32s} sf0.1={times['sf0.1']['sec']:7.2f}s  "
             f"sf1={times['sf1']['sec']:7.2f}s  growth={growth}x",
@@ -207,8 +222,9 @@ def main() -> None:
         with open(prev_path) as fh:
             prev = json.load(fh).get("queries", {})
         for name, cur in report.items():
-            p = prev.get(name, {}).get("growth_10x")
-            g = cur.get("growth_10x")
+            pe = prev.get(name, {})
+            p = pe.get("growth_10x_net", pe.get("growth_10x"))
+            g = cur.get("growth_10x_net", cur.get("growth_10x"))
             if p and g and p > 0 and g / p >= 1.5:
                 regressions[name] = {"prev_growth": p, "growth": g}
         if regressions:
