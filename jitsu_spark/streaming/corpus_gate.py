@@ -323,6 +323,12 @@ def process_paragraph_batch_durable(
     )
 
     spark = batch.sparkSession
+    # at-least-once sources can deliver a doc twice WITHIN one batch:
+    # duplicated paragraph rows would double the n_pars accounting (the
+    # survivor election itself is idempotent — same packed keys, same
+    # min). One doc_id row proceeds; the MERGE's newest-wins handles
+    # cross-batch redelivery as usual.
+    batch = batch.dropDuplicates(["doc_id"])
     pars = paragraphs_of_docs(batch.select("doc_id", "text"))
     try:
         store = spark.read.parquet(par_store_dir).select("par_hash")

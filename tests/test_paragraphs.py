@@ -176,6 +176,24 @@ class TestStreamingParagraphGate:
         }
         assert after == {1: f"{P} {Q}", 2: R}
 
+    def test_intra_batch_duplicate_delivery_counts_once(
+        self, spark, tmp_path
+    ):
+        """A doc delivered twice within one micro-batch (at-least-once
+        source) must not double its paragraph accounting."""
+        from jitsu_spark.sinks import WarehouseSink
+        from jitsu_spark.streaming.corpus_gate import (
+            process_paragraph_batch_durable,
+        )
+
+        sink = WarehouseSink(spark, str(tmp_path / "wh3"))
+        store = str(tmp_path / "pars3")
+        b = self._batch(spark, [(1, f"{P} {Q}"), (1, f"{P} {Q}")])
+        process_paragraph_batch_durable(b, store, sink)
+        rows = sink.read("corpus_stripped").collect()
+        assert len(rows) == 1
+        assert rows[0]["n_pars"] == 2 and rows[0]["n_pars_kept"] == 2
+
     def test_seeded_store_strips_first_batch(self, spark, tmp_path):
         from jitsu_spark.sinks import WarehouseSink
         from jitsu_spark.streaming.corpus_gate import (
