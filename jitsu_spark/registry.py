@@ -13,6 +13,7 @@ from .plans import throttle
 from .sources import jsonl
 from .operators import (
     asof,
+    bloom,
     bpe,
     paragraphs,
     clustering,
@@ -39,6 +40,7 @@ from .operators import (
 )
 
 _MODULES = [
+    bloom,
     bpe,
     paragraphs,
     relational,
@@ -97,6 +99,7 @@ for _m in _MODULES:
 _PRIORITY = [
     "q1_pricing_summary",
     # -- new in r10 --
+    "bloom_dedup_gate",
     "paragraph_dedup_docs", "paragraph_dup_stats", "source_overlap_matrix",
     "paragraph_dedup_incremental", "normalized_dedup_map",
     "training_shuffle_order",

@@ -83,6 +83,7 @@ def process_gated_batch_durable(
     sink,
     table: str = "corpus",
     signature_store_dir: str | None = None,
+    bloom_summary_dir: str | None = None,
 ) -> None:
     """One micro-batch of the DURABLE gate: consult the corpus
     fingerprint store (no mutation), MERGE the genuinely-new docs into
@@ -125,13 +126,39 @@ def process_gated_batch_durable(
     one). (Store-append before the corpus MERGE would lose docs:
     store-first + crash -> replay drops rows never written.)
     """
-    from ..operators.dedup import append_fingerprints, fingerprint_verdicts
+    from ..operators.dedup import (
+        append_fingerprints as _append_fp_raw,
+        fingerprint_verdicts,
+    )
     from ..plans.hints import maybe_broadcast
 
     spark = batch.sparkSession
-    verdicts = fingerprint_verdicts(
-        spark, batch.select("doc_id", "text"), fingerprint_store_dir
-    )
+    if bloom_summary_dir is not None:
+        # bloom prefilter (r10): the summary probe replaces the store
+        # scan for all-fresh batches; verdicts are bit-identical. The
+        # bloom append below runs BEFORE the fingerprint append so the
+        # summary stays a superset of the store under any crash
+        # (over-coverage = extra confirms = safe; see operators/bloom).
+        from ..operators.bloom import append_bloom, fingerprint_verdicts_bloom
+
+        verdicts = fingerprint_verdicts_bloom(
+            spark, batch.select("doc_id", "text"), fingerprint_store_dir,
+            bloom_summary_dir,
+        )
+
+        def append_fingerprints(sp, vdf, store_dir):
+            fresh_hashes = vdf.where(F.col("verdict") == "new").select(
+                "text_hash"
+            )
+            if fresh_hashes.take(1):
+                append_bloom(sp, fresh_hashes, bloom_summary_dir)
+            _append_fp_raw(sp, vdf, store_dir)
+
+    else:
+        append_fingerprints = _append_fp_raw
+        verdicts = fingerprint_verdicts(
+            spark, batch.select("doc_id", "text"), fingerprint_store_dir
+        )
     keep = verdicts.where(F.col("verdict") == "new").select(
         "doc_id", "text_hash"
     )
@@ -229,6 +256,7 @@ def run_corpus_gate_durable(
     table: str = "corpus",
     trigger: dict | None = None,
     signature_store_dir: str | None = None,
+    bloom_summary_dir: str | None = None,
 ) -> StreamingQuery:
     """The durable-dedup gate: quality filter -> per-batch consult of
     the corpus FINGERPRINT STORE -> MERGE new docs -> append
@@ -237,7 +265,9 @@ def run_corpus_gate_durable(
     any time horizon — the streaming twin of the batch
     `dedup_incremental` pass, sharing its store with batch ingests.
     With `signature_store_dir`, the near-dup signature gate composes in
-    (see `process_gated_batch_durable`)."""
+    (see `process_gated_batch_durable`). With `bloom_summary_dir`, the
+    store probe goes through the bloom summary — all-fresh micro-batches
+    skip the store scan entirely (`operators/bloom`)."""
     gated = stream.where(gate_expr())
     writer = (
         gated.writeStream.outputMode("update")
@@ -246,6 +276,7 @@ def run_corpus_gate_durable(
             lambda b, _id: process_gated_batch_durable(
                 b, fingerprint_store_dir, warehouse_sink, table,
                 signature_store_dir=signature_store_dir,
+                bloom_summary_dir=bloom_summary_dir,
             )
         )
     )

@@ -1,0 +1,219 @@
+"""Bloom store-summary tests: exactness vs the unsummarized gate, the
+no-false-negative guarantee, candidate pruning, the all-fresh scan
+skip, append idempotence, and the bloom-before-fingerprints crash
+ordering."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from jitsu_spark.operators import bloom as B
+from jitsu_spark.operators import dedup as D
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+
+def test_gate_matches_unsummarized_verdicts(spark, sf_dir):
+    """The registry entry's verdicts are bit-identical to running
+    dedup.verdicts_against_store on the same store/batch split — the
+    bloom is a pruning structure, never a semantics change."""
+    from jitsu_spark.tables import load_table
+    from jitsu_spark.operators.sampling import _bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = _bucket(F.col("doc_id"))
+    store = (
+        docs.where(b < B.STORE_MILLE)
+        .select("doc_id", F.md5("text").alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("canonical_id"))
+    )
+    batch = docs.where(b >= B.STORE_MILLE).select("doc_id", "text")
+
+    expect = {
+        (r.doc_id, r.verdict, r.canonical_id)
+        for r in D.verdicts_against_store(batch, store).collect()
+    }
+    got_rows = B.bloom_dedup_gate(spark, sf_dir).collect()
+    got = {(r.doc_id, r.verdict, r.canonical_id) for r in got_rows}
+    assert got == expect and len(got_rows) == len(expect)
+
+
+def test_no_false_negatives(spark, sf_dir):
+    """Every dup_of_corpus verdict must be bloom_candidate — a stored
+    hash always has all K bits set."""
+    rows = B.bloom_dedup_gate(spark, sf_dir).collect()
+    assert rows, "empty gate output"
+    for r in rows:
+        if r.verdict == "dup_of_corpus":
+            assert r.bloom_candidate
+
+
+def test_bloom_prunes_fresh_content(spark):
+    """Content absent from the store is (overwhelmingly, at these
+    parameters) bloom-negative: the confirm join's probe side shrinks.
+    With m=2^17, k=5 and a tiny store the fp probability is ~0, so the
+    assertion is deterministic in practice."""
+    store = _docs(spark, [(i, f"stored text {i}") for i in range(50)])
+    batch = _docs(
+        spark, [(100 + i, f"fresh text {i}") for i in range(40)]
+    ).select("doc_id", F.md5("text").alias("text_hash"))
+    words = B.bloom_words(
+        store.select(F.md5("text").alias("text_hash"))
+    )
+    probed = B.bloom_probe(batch, words)
+    n_cand = probed.where("bloom_candidate").count()
+    assert n_cand == 0
+    assert probed.count() == 40
+
+
+def test_durable_verdicts_match_and_skip_scan(spark, tmp_path):
+    """fingerprint_verdicts_bloom == fingerprint_verdicts on a mixed
+    batch; an all-fresh batch never touches the store."""
+    store_dir = str(tmp_path / "fp")
+    bloom_dir = str(tmp_path / "bloom")
+    corpus = _docs(spark, [(i, f"seed doc {i}") for i in range(30)])
+
+    # seed: store + bloom (bloom first — superset discipline)
+    fp = (
+        corpus.select("doc_id", F.md5("text").alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("canonical_id"))
+    )
+    B.append_bloom(spark, fp, bloom_dir)
+    fp.withColumn(
+        "bucket",
+        F.pmod(
+            F.conv(F.substring("text_hash", 1, 2), 16, 10).cast("int"),
+            F.lit(D.FP_PREFIX_BUCKETS),
+        ),
+    ).write.partitionBy("bucket").mode("overwrite").parquet(store_dir)
+
+    # mixed batch: 2 corpus dups, 1 intra-batch dup pair, 2 fresh
+    batch = _docs(
+        spark,
+        [
+            (100, "seed doc 3"),
+            (101, "seed doc 7"),
+            (102, "same new text"),
+            (103, "same new text"),
+            (104, "totally fresh"),
+        ],
+    )
+    stats: dict = {}
+    got = {
+        (r.doc_id, r.verdict)
+        for r in B.fingerprint_verdicts_bloom(
+            spark, batch, store_dir, bloom_dir, _stats=stats
+        ).collect()
+    }
+    expect = {
+        (r.doc_id, r.verdict)
+        for r in D.fingerprint_verdicts(spark, batch, store_dir).collect()
+    }
+    assert got == expect
+    assert stats["store_scanned"] and stats["n_candidates"] == 2
+
+    # all-fresh batch: zero candidates -> the store is never read
+    fresh = _docs(spark, [(200 + i, f"unseen {i}") for i in range(5)])
+    stats = {}
+    v = B.fingerprint_verdicts_bloom(
+        spark, fresh, store_dir, bloom_dir, _stats=stats
+    )
+    assert stats == {"store_scanned": False, "n_candidates": 0}
+    assert {r.verdict for r in v.collect()} == {"new"}
+
+
+def test_append_idempotent_and_crash_ordering(spark, tmp_path):
+    """A replayed bloom append ORs the same bits (summary unchanged);
+    a crash AFTER the bloom append but BEFORE the fingerprint append
+    leaves an over-covering summary whose extra candidates confirm
+    against the store and stay 'new' — never a wrong dup."""
+    store_dir = str(tmp_path / "fp")
+    bloom_dir = str(tmp_path / "bloom")
+    fp = spark.createDataFrame(
+        [("deadbeef" * 4, 1)], "text_hash STRING, canonical_id BIGINT"
+    )
+    B.append_bloom(spark, fp, bloom_dir)
+    once = {
+        (r.word_idx, r.bits) for r in B.load_bloom(spark, bloom_dir).collect()
+    }
+    B.append_bloom(spark, fp, bloom_dir)  # replay
+    twice = {
+        (r.word_idx, r.bits) for r in B.load_bloom(spark, bloom_dir).collect()
+    }
+    assert once == twice
+
+    # crash window: doc's bits are in the bloom, fingerprint never
+    # landed (empty store dir). The doc must come back 'new'.
+    doc = _docs(spark, [(9, "crashed mid-append")])
+    B.append_bloom(
+        spark, doc.select(F.md5("text").alias("text_hash")), bloom_dir
+    )
+    v = B.fingerprint_verdicts_bloom(spark, doc, store_dir, bloom_dir)
+    assert [r.verdict for r in v.collect()] == ["new"]
+
+
+def test_missing_summary_falls_back(spark, tmp_path, sf_dir):
+    """No bloom on disk -> plain fingerprint_verdicts semantics."""
+    store_dir = str(tmp_path / "fp")
+    D.build_fingerprint_store(spark, sf_dir, store_dir)
+    from jitsu_spark.tables import load_table
+
+    batch = load_table(spark, sf_dir, "documents").limit(5).select(
+        "doc_id", "text"
+    )
+    stats: dict = {}
+    got = {
+        (r.doc_id, r.verdict)
+        for r in B.fingerprint_verdicts_bloom(
+            spark, batch, store_dir, str(tmp_path / "nope"), _stats=stats
+        ).collect()
+    }
+    expect = {
+        (r.doc_id, r.verdict)
+        for r in D.fingerprint_verdicts(spark, batch, store_dir).collect()
+    }
+    assert got == expect and stats["store_scanned"]
+
+
+def test_durable_gate_with_bloom_exactly_once(spark, tmp_path):
+    """The streaming gate with bloom_summary_dir: same corpus as the
+    plain gate, exactly-once under replay, and the summary tracks the
+    store across batches."""
+    import datetime as dt
+
+    from jitsu_spark.sinks import WarehouseSink
+    from jitsu_spark.streaming.corpus_gate import process_gated_batch_durable
+
+    def batch(rows):
+        return spark.createDataFrame(
+            [
+                (i, t, "web", dt.datetime(2024, 5, 1, 12, 0, s))
+                for s, (i, t) in enumerate(rows)
+            ],
+            "doc_id long, text string, source string,"
+            " ingested_at timestamp",
+        )
+
+    sink = WarehouseSink(spark, str(tmp_path / "wh"))
+    fp, bl = str(tmp_path / "fp"), str(tmp_path / "bloom")
+
+    b1 = batch([(1, "alpha beta gamma"), (2, "delta epsilon zeta")])
+    b2 = batch([(3, "alpha beta gamma"), (4, "fresh new content")])
+    process_gated_batch_durable(b1, fp, sink, bloom_summary_dir=bl)
+    process_gated_batch_durable(b2, fp, sink, bloom_summary_dir=bl)
+    assert {r.doc_id for r in sink.read("corpus").collect()} == {1, 2, 4}
+
+    # at-least-once replay: corpus unchanged, bloom append idempotent
+    process_gated_batch_durable(b2, fp, sink, bloom_summary_dir=bl)
+    assert {r.doc_id for r in sink.read("corpus").collect()} == {1, 2, 4}
+
+    # the summary covers the store: a dup-only batch is caught via the
+    # bloom path and nothing new lands
+    b3 = batch([(5, "fresh new content")])
+    process_gated_batch_durable(b3, fp, sink, bloom_summary_dir=bl)
+    assert {r.doc_id for r in sink.read("corpus").collect()} == {1, 2, 4}
