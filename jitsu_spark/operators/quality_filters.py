@@ -969,7 +969,115 @@ FROM counted
 """
 
 
+# ---------------------------------------------------------------------------
+# Threshold sweep (round 10): the selection curve a corpus owner reads
+# before PICKING a quality threshold — for a fixed grid of cutoffs over
+# the gate score, the doc count and token mass that would survive each.
+# The FineWeb-Edu-style "classifier threshold ablation" table, computed
+# in one pass.
+#
+# Scale: the corpus is scanned ONCE into a per-grid-cell histogram
+# (<= N_SWEEP+1 rows no matter the corpus size — the same
+# bounded-value-histogram trick as quality_percentile_gate); the sweep
+# itself is a tiny theta-join of the threshold grid against the
+# histogram (<= 12x12 rows). Thresholds and scores compare in exact
+# integer MICRO-UNITS (engine-stable; no float boundary drift).
+# ---------------------------------------------------------------------------
+
+SWEEP_STEP_MU = 20_000  # 0.02 in micro-units
+N_SWEEP = 11  # thresholds 0.00, 0.02, ..., 0.20
+
+_SW_MU = (
+    f"CAST(round(round(size(filter({TOKENS}, x -> x IN ({_SW})))"
+    f" / size({TOKENS}), 6) * 1000000) AS BIGINT)"
+)
+_SW_MU_DUCK = (
+    f"CAST(round(round(len(list_filter({TOKENS_DUCK},"
+    f" x -> x IN ({_SW}))) * 1.0 / len({TOKENS_DUCK}), 6) * 1000000)"
+    " AS BIGINT)"
+)
+
+
+def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(threshold, n_docs, n_tokens, doc_pct, token_pct): corpus mass
+    surviving `sw_ratio >= threshold` for each grid cutoff (the gate
+    keeps stopword-bearing docs, matching quality_percentile_gate's
+    direction). Percentages are against the whole corpus."""
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
+        f"{_SW_MU} AS sw_mu", f"size({TOKENS}) AS n_tok"
+    )
+    hist = (
+        docs.selectExpr(
+            f"least(CAST(sw_mu DIV {SWEEP_STEP_MU} AS INT),"
+            f" {N_SWEEP - 1}) AS bucket",
+            "n_tok",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("b_docs"),
+            F.sum("n_tok").alias("b_toks"),
+        )
+    )
+    grid = spark.range(N_SWEEP).selectExpr("CAST(id AS INT) AS t_idx")
+    # theta join of two bounded frames (<= 12 rows each): survivors at
+    # threshold t are the histogram cells at or above its grid index
+    swept = (
+        grid.join(hist, hist.bucket >= grid.t_idx, "left")
+        .groupBy("t_idx")
+        .agg(
+            F.coalesce(F.sum("b_docs"), F.lit(0)).alias("n_docs"),
+            F.coalesce(F.sum("b_toks"), F.lit(0)).alias("n_tokens"),
+        )
+    )
+    totals = docs.agg(
+        F.count(F.lit(1)).alias("t_docs"), F.sum("n_tok").alias("t_toks")
+    )
+    return (
+        swept.crossJoin(maybe_broadcast(totals))  # 1-row scalar join
+        .selectExpr(
+            # explicit DOUBLE: Spark parses bare decimal literals as
+            # DECIMAL, which would hash-mismatch DuckDB's doubles
+            f"round(CAST(t_idx * {SWEEP_STEP_MU} AS DOUBLE) / 1000000, 2)"
+            " AS threshold",
+            "n_docs",
+            "n_tokens",
+            "round(n_docs / CAST(t_docs AS DOUBLE), 4) AS doc_pct",
+            "round(n_tokens / CAST(t_toks AS DOUBLE), 4) AS token_pct",
+        )
+    )
+
+
+QUALITY_SWEEP_SQL = f"""
+WITH scored AS (
+  SELECT {_SW_MU_DUCK} AS sw_mu, len({TOKENS_DUCK}) AS n_tok
+  FROM documents
+),
+hist AS (
+  SELECT least(CAST(sw_mu // {SWEEP_STEP_MU} AS INT), {N_SWEEP - 1})
+           AS bucket,
+         count(*) AS b_docs, sum(n_tok) AS b_toks
+  FROM scored GROUP BY 1
+),
+grid AS (SELECT CAST(i AS INT) AS t_idx FROM unnest(range(0, {N_SWEEP})) t(i)),
+swept AS (
+  SELECT g.t_idx,
+         coalesce(sum(h.b_docs), 0) AS n_docs,
+         coalesce(sum(h.b_toks), 0) AS n_tokens
+  FROM grid g LEFT JOIN hist h ON h.bucket >= g.t_idx
+  GROUP BY 1
+),
+totals AS (SELECT count(*) AS t_docs, sum(n_tok) AS t_toks FROM scored)
+SELECT round(t_idx * {SWEEP_STEP_MU} / 1000000.0, 2) AS threshold,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(n_docs * 1.0 / t_docs, 4) AS doc_pct,
+       round(n_tokens * 1.0 / t_toks, 4) AS token_pct
+FROM swept, totals
+"""
+
+
 QUERIES = {
+    "quality_threshold_sweep": quality_threshold_sweep,
     "c4_page_filter_report": c4_page_filter_report,
     "gopher_quality_flags": gopher_quality_flags,
     "repetition_stats": repetition_stats,
@@ -983,6 +1091,7 @@ QUERIES = {
     "length_outlier_mad": length_outlier_mad,
 }
 ORACLE = {
+    "quality_threshold_sweep": QUALITY_SWEEP_SQL,
     "c4_page_filter_report": C4_PAGE_FILTER_SQL,
     "quality_funnel_report": QUALITY_FUNNEL_SQL,
     "gopher_quality_flags": GOPHER_QUALITY_SQL,

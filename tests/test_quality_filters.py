@@ -464,3 +464,49 @@ class TestC4PageFilter:
         assert got[0]["n_kept_lines"] == 4
         assert got[0]["n_sentences"] == 5
         assert got[0]["page_kept"]
+
+
+class TestThresholdSweep:
+    """quality_threshold_sweep: selection curve over the gate score."""
+
+    def test_monotone_and_anchored(self, spark, sf_dir):
+        from jitsu_spark.operators.quality_filters import (
+            quality_threshold_sweep,
+        )
+        from jitsu_spark.tables import load_table
+
+        rows = sorted(
+            quality_threshold_sweep(spark, sf_dir).collect(),
+            key=lambda r: r.threshold,
+        )
+        total = load_table(spark, sf_dir, "documents").count()
+        assert float(rows[0].threshold) == 0.0
+        assert rows[0].n_docs == total and float(rows[0].doc_pct) == 1.0
+        docs = [r.n_docs for r in rows]
+        toks = [r.n_tokens for r in rows]
+        assert docs == sorted(docs, reverse=True)
+        assert toks == sorted(toks, reverse=True)
+
+    def test_boundary_is_inclusive_ge(self, spark, sf_dir):
+        """Survivors at threshold t are exactly the docs with
+        sw_ratio micro-units >= t — the grid cell boundary includes
+        its own value (integer arithmetic, no float drift)."""
+        from jitsu_spark.operators.quality_filters import (
+            _SW_MU,
+            SWEEP_STEP_MU,
+            quality_threshold_sweep,
+        )
+        from jitsu_spark.tables import load_table
+
+        t_mu = 3 * SWEEP_STEP_MU  # threshold 0.06
+        direct = (
+            load_table(spark, sf_dir, "documents")
+            .selectExpr(f"{_SW_MU} AS sw_mu")
+            .where(f"sw_mu >= {t_mu}")
+            .count()
+        )
+        swept = {
+            float(r.threshold): r.n_docs
+            for r in quality_threshold_sweep(spark, sf_dir).collect()
+        }
+        assert swept[0.06] == direct
