@@ -344,6 +344,55 @@ def fingerprint_verdicts_bloom(
     return out.localCheckpoint()
 
 
+# ---------------------------------------------------------------------------
+# Band-key bloom: the NEAR gate's analog of the fingerprint summary.
+# The banded minhash probe (`dedup.near_dup_verdicts_against_store`)
+# already prunes candidate PAIRS to colliding buckets, but it still
+# SCANS the corpus-sized signature store every batch to find the
+# collisions. Summarizing the store's (band_idx, bucket) keys in a
+# bloom lets a batch whose band keys are all bloom-negative skip the
+# signature-store scan entirely — no band key in common means no LSH
+# candidate, means every doc is near-'new' by construction.
+# ---------------------------------------------------------------------------
+
+
+def band_bloom_keys(sig: DataFrame) -> DataFrame:
+    """One 32-hex key per (doc, band): md5 over the band index and its
+    bucket hash — the unit the near-dup store probe collides on."""
+    from .dedup import _band_rows
+
+    return _band_rows(sig).selectExpr(
+        "md5(concat_ws(':', band_idx, bucket)) AS band_key"
+    )
+
+
+def append_band_bloom(
+    spark: SparkSession, sig: DataFrame, bloom_dir: str
+) -> None:
+    """OR a signature frame's band keys into the durable summary. Same
+    discipline as `append_bloom`: call BEFORE `dedup.append_signatures`
+    so the summary over-covers the store under any crash."""
+    append_bloom(spark, band_bloom_keys(sig), bloom_dir, col="band_key")
+
+
+def near_store_may_collide(
+    spark: SparkSession, new_docs: DataFrame, bloom_dir: str
+) -> bool | None:
+    """Whether ANY of the batch's band keys might exist in the
+    signature store. None = no summary on disk (caller probes the
+    store unconditionally); False is a GUARANTEE (bloom has no false
+    negatives): zero LSH collisions are possible, every doc is
+    near-'new', and the signature store need not be read."""
+    words = load_bloom(spark, bloom_dir)
+    if words is None:
+        return None
+    from .dedup import _shingles_of, _signatures_from_shingles
+
+    keys = band_bloom_keys(_signatures_from_shingles(_shingles_of(new_docs)))
+    probed = bloom_probe(keys, words, col="band_key")
+    return bool(probed.where("bloom_candidate").take(1))
+
+
 QUERIES = {
     "bloom_dedup_gate": bloom_dedup_gate,
 }

@@ -84,10 +84,17 @@ def process_gated_batch_durable(
     table: str = "corpus",
     signature_store_dir: str | None = None,
     bloom_summary_dir: str | None = None,
+    near_bloom_dir: str | None = None,
 ) -> None:
     """One micro-batch of the DURABLE gate: consult the corpus
     fingerprint store (no mutation), MERGE the genuinely-new docs into
     the corpus table, then append their fingerprints.
+
+    With `near_bloom_dir` (r10), the near gate keeps a band-key bloom
+    summary next to the signature store: a batch none of whose LSH band
+    keys are in the summary PROVABLY has no near-dup candidate, so the
+    signature-store scan is skipped outright. Band blooms append BEFORE
+    signatures (superset-under-crash, as with the exact summary).
 
     With `signature_store_dir` (r7), the exact gate composes with the
     incremental NEAR-dup gate: exact-new docs additionally band-probe
@@ -173,17 +180,44 @@ def process_gated_batch_durable(
         near_docs = batch.select("doc_id", "text").join(
             maybe_broadcast(keep.select("doc_id")), "doc_id", "left_semi"
         )
-        try:
-            store_sig = load_signature_store(spark, signature_store_dir)
-        except Exception:
-            # first-ever ingest: no signature store yet
+        collide = None
+        if near_bloom_dir is not None:
+            from ..operators.bloom import near_store_may_collide
+
+            collide = near_store_may_collide(
+                spark, near_docs, near_bloom_dir
+            )
+        if collide is False:
+            # band-key bloom guarantee: no LSH collision is possible —
+            # every doc is near-'new' and the signature store is never
+            # read. The synthetic frame matches the probe's all-new
+            # shape (shingle-less docs included: downstream only reads
+            # verdict != 'new' and the 'new' ids, both unaffected).
             store_sig = spark.range(0).selectExpr(
                 "id AS doc_id",
                 *[f"CAST(NULL AS LONG) AS h{j}" for j in range(NUM_HASHES)],
             )
-        near_v = near_dup_verdicts_against_store(
-            near_docs, store_sig
-        ).localCheckpoint()  # pin before the store append, as with exact
+            near_v = near_docs.selectExpr(
+                "doc_id",
+                "'new' AS verdict",
+                "CAST(NULL AS BIGINT) AS matched_id",
+                "CAST(NULL AS DOUBLE) AS est_jaccard",
+            )
+        else:
+            try:
+                store_sig = load_signature_store(spark, signature_store_dir)
+            except Exception:
+                # first-ever ingest: no signature store yet
+                store_sig = spark.range(0).selectExpr(
+                    "id AS doc_id",
+                    *[
+                        f"CAST(NULL AS LONG) AS h{j}"
+                        for j in range(NUM_HASHES)
+                    ],
+                )
+            near_v = near_dup_verdicts_against_store(
+                near_docs, store_sig
+            ).localCheckpoint()  # pin before the store append, as w/ exact
         # anti-join on REJECTS, not semi-join on survivors: docs with
         # fewer than 3 tokens have no shingles, hence no near_v row —
         # absence must default to 'new' (exact gate only), never to a
@@ -238,6 +272,30 @@ def process_gated_batch_durable(
                 "doc_id",
                 "left_semi",
             )
+            if near_bloom_dir is not None:
+                # band bloom BEFORE signatures: a crash between the two
+                # leaves an over-covering summary (extra probes, never
+                # a missed collision)
+                from ..operators.bloom import append_band_bloom
+                from ..operators.dedup import (
+                    _shingles_of,
+                    _signatures_from_shingles,
+                )
+
+                fresh_near = batch.select("doc_id", "text").join(
+                    maybe_broadcast(
+                        near_v.where(F.col("verdict") == "new").select(
+                            "doc_id"
+                        )
+                    ),
+                    "doc_id",
+                    "left_semi",
+                )
+                append_band_bloom(
+                    spark,
+                    _signatures_from_shingles(_shingles_of(fresh_near)),
+                    near_bloom_dir,
+                )
             append_signatures(
                 near_v, batch.select("doc_id", "text"), signature_store_dir
             )
@@ -257,6 +315,7 @@ def run_corpus_gate_durable(
     trigger: dict | None = None,
     signature_store_dir: str | None = None,
     bloom_summary_dir: str | None = None,
+    near_bloom_dir: str | None = None,
 ) -> StreamingQuery:
     """The durable-dedup gate: quality filter -> per-batch consult of
     the corpus FINGERPRINT STORE -> MERGE new docs -> append
@@ -277,6 +336,7 @@ def run_corpus_gate_durable(
                 b, fingerprint_store_dir, warehouse_sink, table,
                 signature_store_dir=signature_store_dir,
                 bloom_summary_dir=bloom_summary_dir,
+                near_bloom_dir=near_bloom_dir,
             )
         )
     )

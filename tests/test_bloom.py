@@ -217,3 +217,84 @@ def test_durable_gate_with_bloom_exactly_once(spark, tmp_path):
     b3 = batch([(5, "fresh new content")])
     process_gated_batch_durable(b3, fp, sink, bloom_summary_dir=bl)
     assert {r.doc_id for r in sink.read("corpus").collect()} == {1, 2, 4}
+
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog while the sun shines "
+    "bright in the clear blue sky and the birds sing their morning songs "
+    "to welcome a brand new day of adventures in the quiet forest"
+)
+FAR = (
+    "completely different content about machine learning models and the "
+    "training corpus with tokens and vectors and layers plus gradients "
+    "and batches and steps until the loss converges and the metrics look "
+    "stable for the final evaluation run of the model on the held out set"
+)
+
+
+def test_band_bloom_collision_guarantee(spark, tmp_path):
+    """near_store_may_collide: None with no summary; False for content
+    sharing no band key with the store (the provable skip); True for a
+    near variant of stored content."""
+    from jitsu_spark.operators.dedup import (
+        _shingles_of,
+        _signatures_from_shingles,
+    )
+
+    bl = str(tmp_path / "nbloom")
+    stored = _docs(spark, [(1, GOOD)])
+    probe_near = _docs(spark, [(2, GOOD + " indeed")])
+    probe_far = _docs(spark, [(3, FAR)])
+
+    assert B.near_store_may_collide(spark, probe_far, bl) is None
+
+    B.append_band_bloom(
+        spark, _signatures_from_shingles(_shingles_of(stored)), bl
+    )
+    assert B.near_store_may_collide(spark, probe_far, bl) is False
+    assert B.near_store_may_collide(spark, probe_near, bl) is True
+    # exact replay of stored content collides on every band
+    assert B.near_store_may_collide(spark, stored, bl) is True
+
+
+def test_composed_gate_with_near_bloom(spark, tmp_path):
+    """The composed exact+near durable gate with BOTH bloom summaries:
+    identical admissions to the unsummarized gate (near variant
+    dropped, far text admitted), exactly-once under replay."""
+    import datetime as dt
+
+    from jitsu_spark.sinks import WarehouseSink
+    from jitsu_spark.streaming.corpus_gate import process_gated_batch_durable
+
+    def batch(rows):
+        return spark.createDataFrame(
+            [
+                (i, t, "web", dt.datetime(2024, 5, 1, 12, 0, s))
+                for s, (i, t) in enumerate(rows)
+            ],
+            "doc_id long, text string, source string,"
+            " ingested_at timestamp",
+        )
+
+    sink = WarehouseSink(spark, str(tmp_path / "wh"))
+    fp, sig = str(tmp_path / "fp"), str(tmp_path / "sig")
+    bl, nbl = str(tmp_path / "bloom"), str(tmp_path / "nbloom")
+    kw = dict(
+        signature_store_dir=sig, bloom_summary_dir=bl, near_bloom_dir=nbl
+    )
+
+    b1 = batch([(1, GOOD)])
+    b2 = batch([(2, GOOD), (3, GOOD + " indeed"), (4, FAR)])
+    process_gated_batch_durable(b1, fp, sink, **kw)
+    process_gated_batch_durable(b2, fp, sink, **kw)
+    # 2 exact dup of 1, 3 near dup of 1, 4 genuinely new
+    assert {r.doc_id for r in sink.read("corpus").collect()} == {1, 4}
+
+    # replay: corpus unchanged (both summaries OR idempotently)
+    process_gated_batch_durable(b2, fp, sink, **kw)
+    assert {r.doc_id for r in sink.read("corpus").collect()} == {1, 4}
+
+    # a later near variant of doc 4 is caught through the bloom path
+    b3 = batch([(5, FAR + " truly")])
+    process_gated_batch_durable(b3, fp, sink, **kw)
+    assert {r.doc_id for r in sink.read("corpus").collect()} == {1, 4}
