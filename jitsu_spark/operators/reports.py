@@ -457,6 +457,108 @@ JOIN sizes sb ON sb.event_type = type_b
 """
 
 
+HLL_LGK = 14  # DataSketches lgConfigK: rel. std. err. ~1.04/sqrt(2^14)
+HLL_REL_BOUND = 0.05  # pair bound: |est - exact| <= max(5% of union, 2)
+
+
+def audience_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch audience overlap — the constant-size answer to
+    `audience_overlap` at 10^9 users. One scan builds a DataSketches
+    HLL per event type (register maxima: order- and partitioning-
+    independent, so estimates are deterministic); union estimates come
+    from `hll_union` on the |types|-row sketch table, intersections by
+    inclusion-exclusion. The per-user pair JOIN the exact report needs
+    — a shuffle of the whole (type, user) universe — never happens on
+    the sketch path; sketches are 2^{lgk} registers regardless of
+    audience size and merge associatively, so per-partition partials
+    combine like any algebraic aggregate (the HLL twin of
+    `quantile_sketch_rollup`'s mergeable-state contract).
+
+    At test scale the exact pair stats run alongside and the estimate
+    accuracy is emitted as BOOLEAN bound checks (union and
+    inclusion-exclusion intersection within max(5% of union, 2)) — the
+    DuckDB oracle emits literal TRUE for both, so the driver's hash
+    compare IS the accuracy assertion. A 100 TB deployment drops the
+    exact columns and keeps the sketch arm."""
+    ev = load_table(spark, sf_dir, "events")
+    tu = ev.select("event_type", "user_id").distinct()
+    sk = tu.groupBy("event_type").agg(
+        F.hll_sketch_agg(F.col("user_id").cast("string"), F.lit(HLL_LGK))
+        .alias("sk"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+    a, b = sk.alias("a"), sk.alias("b")
+    pairs = a.join(
+        b, F.col("a.event_type") < F.col("b.event_type")
+    ).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.col("a.n_users").alias("na"),
+        F.col("b.n_users").alias("nb"),
+        F.hll_sketch_estimate(F.col("a.sk")).alias("ea"),
+        F.hll_sketch_estimate(F.col("b.sk")).alias("eb"),
+        F.hll_sketch_estimate(
+            F.hll_union(F.col("a.sk"), F.col("b.sk"))
+        ).alias("eu"),
+    )
+    inter = (
+        tu.alias("x")
+        .join(
+            tu.alias("y").hint("shuffle_merge"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    tol = f"greatest(CAST({HLL_REL_BOUND} AS DOUBLE) * exact_union, 2.0)"
+    return (
+        pairs.join(maybe_broadcast(inter), ["type_a", "type_b"], "left")
+        .selectExpr(
+            "type_a",
+            "type_b",
+            "coalesce(n_both, 0) AS n_both",
+            "na + nb - coalesce(n_both, 0) AS exact_union",
+            "eu",
+            "ea + eb - eu AS inter_est",
+        )
+        .selectExpr(
+            "type_a",
+            "type_b",
+            "n_both",
+            "exact_union",
+            f"abs(eu - exact_union) <= {tol} AS union_est_ok",
+            f"abs(inter_est - n_both) <= {tol} AS inter_est_ok",
+        )
+    )
+
+
+AUDIENCE_OVERLAP_SKETCH_SQL = """
+WITH tu AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), sizes AS (
+  SELECT event_type, count(*) AS n_users FROM tu GROUP BY 1
+), inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+  FROM tu a JOIN tu b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT sa.event_type AS type_a, sb.event_type AS type_b,
+       coalesce(i.n_both, 0) AS n_both,
+       sa.n_users + sb.n_users - coalesce(i.n_both, 0) AS exact_union,
+       true AS union_est_ok,
+       true AS inter_est_ok
+FROM sizes sa
+JOIN sizes sb ON sa.event_type < sb.event_type
+LEFT JOIN inter i
+  ON i.type_a = sa.event_type AND i.type_b = sb.event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Top session paths (round 7) — the "top user journeys" explorer behind
 # funnel discovery: sessionize (the same 30-min gap rule as `sessionize`),
@@ -889,6 +991,7 @@ QUERIES = {
     "event_transitions": event_transitions,
     "event_transition_probs": event_transition_probs,
     "audience_overlap": audience_overlap,
+    "audience_overlap_sketch": audience_overlap_sketch,
     "funnel_3step_windowed": funnel_3step_windowed,
     "metrics_anomaly": metrics_anomaly,
     "series_correlation": series_correlation,
@@ -903,6 +1006,7 @@ ORACLE = {
     "event_transition_probs": TRANSITION_PROBS_SQL,
     "funnel_3step_windowed": FUNNEL_3STEP_SQL,
     "audience_overlap": AUDIENCE_OVERLAP_SQL,
+    "audience_overlap_sketch": AUDIENCE_OVERLAP_SKETCH_SQL,
     "metrics_anomaly": ANOMALY_SQL,
     "series_correlation": SERIES_CORR_SQL,
     "event_path_topk": EVENT_PATH_TOPK_SQL,

@@ -100,6 +100,7 @@ _PRIORITY = [
     "q1_pricing_summary",
     # -- new in r10 --
     "bloom_dedup_gate", "quality_threshold_sweep",
+    "audience_overlap_sketch",
     "paragraph_dedup_docs", "paragraph_dup_stats", "source_overlap_matrix",
     "paragraph_dedup_incremental", "normalized_dedup_map",
     "training_shuffle_order",

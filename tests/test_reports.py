@@ -284,3 +284,40 @@ class TestSessionizeNativeTwin:
         assert sessionize_native_df(at_gap).first()["n_sessions"] == 1
         assert sessionize_df(past_gap).first()["n_sessions"] == 2
         assert sessionize_native_df(past_gap).first()["n_sessions"] == 2
+
+
+class TestAudienceOverlapSketch:
+    def test_bounds_hold_at_sf(self, spark, sf_dir):
+        from jitsu_spark.operators.reports import audience_overlap_sketch
+
+        rows = audience_overlap_sketch(spark, sf_dir).collect()
+        assert rows
+        assert all(r.union_est_ok and r.inter_est_ok for r in rows)
+
+    def test_bounds_hold_in_estimation_mode(self, spark, tmp_path):
+        """20k users per pair pushes the HLL out of its sparse-exact
+        regime; the 5%-of-union bound must still hold (lgk=14 gives
+        ~0.8% relative error — 5% is a >5-sigma margin)."""
+        import pyspark.sql.functions as F
+
+        ev = spark.range(60000).selectExpr(
+            "concat('u', CAST(id % 40000 AS STRING)) AS user_id",
+            "CASE WHEN id % 3 = 0 THEN 'view'"
+            " WHEN id % 3 = 1 THEN 'click' ELSE 'buy' END AS event_type",
+            "CAST(id AS DOUBLE) AS value",
+            "id AS event_id",
+            "timestamp('2024-05-01 12:00:00') + make_interval(0,0,0,0,0,0,id % 86400) AS ts",
+            "'{}' AS props",
+        )
+        d = str(tmp_path / "sfx")
+        import os
+
+        os.makedirs(d, exist_ok=True)
+        ev.write.mode("overwrite").parquet(d + "/events.parquet")
+        from jitsu_spark.operators.reports import audience_overlap_sketch
+
+        rows = audience_overlap_sketch(spark, d).collect()
+        assert len(rows) == 3
+        assert all(r.union_est_ok and r.inter_est_ok for r in rows)
+        # sanity: these audiences genuinely are estimation-scale
+        assert all(r.exact_union > 16384 for r in rows)
