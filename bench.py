@@ -101,6 +101,7 @@ def prebuild_stores(spark, sf_dir: str) -> list:
         ensure_simhash_store,
     )
     from jitsu_spark.operators.pq import _ensure_store as ensure_ivfpq_store
+    from jitsu_spark.operators.quality_model import ensure_quality_model
     from jitsu_spark.plans.store_builds import BUILDS
     from jitsu_spark.sources.jsonl import export_documents_jsonl
 
@@ -111,6 +112,7 @@ def prebuild_stores(spark, sf_dir: str) -> list:
     ensure_ivfpq_store(spark, sf_dir)
     _ensure_phash_store(spark, sf_dir)
     _ensure_afp_store(spark, sf_dir)
+    ensure_quality_model(spark, sf_dir)
     export_documents_jsonl(spark, sf_dir)
     return list(BUILDS[n0:])
 

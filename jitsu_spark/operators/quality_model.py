@@ -264,16 +264,42 @@ def score_quality(feats: DataFrame, model, thr: float) -> DataFrame:
     )
 
 
-def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry entry (rows-only — see module docstring): train on the
-    md5 train buckets with the footer-derived absolute cap, score the
-    whole corpus."""
+# model memo (r10): training is byte-deterministic per dataset, so the
+# fitted (model, threshold) memoizes per (process, dataset) exactly
+# like the LSH/SimHash/IVF-PQ stores — whichever entry invocation runs
+# first pays the IRLS fit (timed into the store_builds ledger under
+# 'quality_model_irls'), every later one scores only. This is the
+# deployment shape: a model trains once per corpus release and scores
+# every batch.
+_QM_MEMO: dict = {}
+
+
+def ensure_quality_model(spark: SparkSession, sf_dir: str):
+    """(model, threshold) for the dataset — fitted on first use."""
+    from ..plans.store_builds import timed_build
+    from ..plans.store_memo import dataset_fingerprint
     from .similarity import _corpus_rows
 
+    key = dataset_fingerprint(sf_dir, "documents.parquet")
+    hit = _QM_MEMO.get(key) if key is not None else None
+    if hit is None:
+        docs = load_table(spark, sf_dir, "documents")
+        feats = _featurized(docs)
+        cap = _train_cap(_corpus_rows(sf_dir, "documents"))
+        with timed_build("quality_model_irls"):
+            hit = train_quality_classifier(feats, train_cap=cap)
+        if key is not None:
+            _QM_MEMO[key] = hit
+    return hit
+
+
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (rows-only — see module docstring): train on the
+    md5 train buckets with the footer-derived absolute cap (memoized
+    per dataset), score the whole corpus."""
     docs = load_table(spark, sf_dir, "documents")
     feats = _featurized(docs)
-    cap = _train_cap(_corpus_rows(sf_dir, "documents"))
-    model, thr = train_quality_classifier(feats, train_cap=cap)
+    model, thr = ensure_quality_model(spark, sf_dir)
     return score_quality(feats, model, thr)
 
 
