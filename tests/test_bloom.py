@@ -298,3 +298,62 @@ def test_composed_gate_with_near_bloom(spark, tmp_path):
     b3 = batch([(5, FAR + " truly")])
     process_gated_batch_durable(b3, fp, sink, **kw)
     assert {r.doc_id for r in sink.read("corpus").collect()} == {1, 4}
+
+
+class TestBloomProperty:
+    """Property check against an independent pure-Python bloom: the
+    Spark probe's candidate bit must EQUAL the reference for arbitrary
+    unicode content (not just no-false-negatives) — pinning the
+    double-hash position math on both sides of the oracle."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _texts = st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",), max_codepoint=0x2FFF
+            ),
+            max_size=24,
+        ),
+        min_size=0,
+        max_size=8,
+        unique=True,
+    )
+
+    @staticmethod
+    def _py_candidate(store_hashes: set, h: str) -> bool:
+        bits = set()
+        for s in store_hashes:
+            h1, h2 = int(s[:12], 16), int(s[12:24], 16) * 2 + 1
+            for i in range(B.K_HASH):
+                bits.add((h1 + i * h2) % B.M_BITS)
+        h1, h2 = int(h[:12], 16), int(h[12:24], 16) * 2 + 1
+        return all(
+            (h1 + i * h2) % B.M_BITS in bits for i in range(B.K_HASH)
+        )
+
+    @settings(max_examples=8, deadline=None)
+    @given(store=_texts, batch=_texts)
+    def test_probe_matches_python_reference(self, spark, store, batch):
+        import hashlib
+
+        if not batch:
+            return
+        md5 = lambda t: hashlib.md5(t.encode("utf-8")).hexdigest()
+        store_h = {md5(t) for t in store}
+        words = B.bloom_words(
+            spark.createDataFrame(
+                [(h,) for h in store_h] or [(None,)],
+                "text_hash STRING",
+            ).where("text_hash IS NOT NULL")
+        )
+        probed = B.bloom_probe(
+            spark.createDataFrame(
+                [(md5(t),) for t in batch], "text_hash STRING"
+            ),
+            words,
+        )
+        got = {r.text_hash: r.bloom_candidate for r in probed.collect()}
+        expect = {md5(t): self._py_candidate(store_h, md5(t)) for t in batch}
+        assert got == expect
