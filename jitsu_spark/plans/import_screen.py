@@ -78,11 +78,15 @@ BANNED_NAMES = frozenset(
 def _allowed(module: str) -> bool:
     """True when `module` or its root package is allowlisted
     (`urllib.parse` allows itself; `urllib.request` does not ride in on
-    the `urllib.parse` entry — the match is exact-or-root-of-entry)."""
+    the `urllib.parse` entry — the match is exact-or-root-of-entry).
+
+    The root rule only fires for BARE allowlist entries: 'collections'
+    being listed admits 'collections.abc', but a dotted entry like
+    'urllib.parse' never admits siblings through its root."""
     if module in ALLOWED_MODULES:
         return True
     root = module.split(".", 1)[0]
-    return root in ALLOWED_MODULES and "." not in module.rstrip()
+    return root != module and root in ALLOWED_MODULES
 
 
 def screen_source(src: str) -> str | None:

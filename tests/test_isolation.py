@@ -325,3 +325,31 @@ class TestImportScreen:
         rows = compile_chain(cfg)(df).collect()
         assert rows[0]._error is None
         assert json.loads(json.loads(rows[0].event)["blob"]) == {"ok": True}
+
+
+class TestImportScreenSubmodules:
+    """Review regression: submodules of BARE allowlist entries must be
+    admitted (collections.abc rides in on 'collections'); dotted
+    entries never admit siblings through their root."""
+
+    def test_submodule_of_bare_entry_allowed(self):
+        from jitsu_spark.plans.import_screen import screen_source
+
+        src = (
+            "def f(e, c):\n"
+            "    from collections.abc import Iterable\n"
+            "    return e\n"
+        )
+        assert screen_source(src) is None
+
+    def test_dotted_entry_does_not_leak_root(self):
+        from jitsu_spark.plans.import_screen import screen_source
+
+        src = "def f(e, c):\n    import urllib.request\n    return e\n"
+        assert screen_source(src) is not None
+        src2 = (
+            "def f(e, c):\n"
+            "    from urllib.parse import quote\n"
+            "    return e\n"
+        )
+        assert screen_source(src2) is None
