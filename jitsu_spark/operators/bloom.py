@@ -31,11 +31,15 @@ A Bloom filter over the store's content hashes is the classic fix:
   sketches in `operators/rollup.py`. The durable summary is an
   append-only parquet of (word_idx, bits) rows collapsed by bit_or on
   read; a crash-replayed append ORs the same bits again and changes
-  nothing. Appending the bloom BEFORE the fingerprint store keeps the
-  summary a SUPERSET of the store at every instant (over-coverage =
-  extra confirms = safe; under-coverage = false negatives = wrong),
-  the same write-ordering discipline as the streaming gate's
-  signatures-before-fingerprints rule (`streaming/corpus_gate.py`).
+  nothing.
+- **self-healing, never trusted**: the durable summary tracks which
+  store part-files its bits cover and heals the uncovered delta at
+  load time (`load_bloom_healed`), so the no-false-negative guarantee
+  holds against ANY store write path — batch ingests sharing the
+  store, gate runs from before the summary existed, a summary enabled
+  on a pre-existing corpus. Under-coverage (= wrong verdicts) is
+  structurally impossible; the failure mode of every crash window is
+  over-coverage (= extra confirms = safe).
 
 Hash scheme: k=5 positions via double hashing h1 + i*h2 (Kirsch &
 Mitzenmacher 2006) derived from the md5 content hash the store already
@@ -237,31 +241,105 @@ LEFT JOIN hits h USING (text_hash)
 
 
 # ---------------------------------------------------------------------------
-# Durable summary: the streaming gate's companion store. Append-only
-# parquet of (word_idx, bits) rows; readers collapse by bit_or. Writing
-# the bloom BEFORE the fingerprints keeps it a superset of the store at
-# every instant (crash between the writes = over-coverage = safe).
+# Durable summary: a LAZILY-HEALED materialized view of its store.
+#
+# The no-false-negative guarantee only holds while the summary covers
+# the store, and a store has write paths the summary cannot see — batch
+# `dedup_incremental` ingests sharing the gate's store, gate runs from
+# before the summary was configured, a summary enabled on a
+# pre-existing corpus (review finding, this round). Trusting "some
+# bloom rows exist" as "the bloom is complete" would turn any of those
+# into silent false negatives = permanently admitted duplicates.
+#
+# So the summary never trusts itself: it tracks WHICH store part-files
+# its bits cover (`<bloom_dir>/covered/`, one row per file name), and
+# every load lists the store and ORs the keys of any uncovered file
+# into `<bloom_dir>/words/` before probing — first use on an existing
+# store self-seeds, a file appended by any writer is healed exactly
+# once, and a crash between the words append and the covered append
+# just re-heals idempotently (bit_or of the same bits). Healing cost
+# rides the uncovered DELTA, never the whole store; the words append
+# lands BEFORE the coverage record so the summary can only ever
+# over-cover (extra confirms — safe), never under-cover.
 # ---------------------------------------------------------------------------
 
 
-def load_bloom(spark: SparkSession, bloom_dir: str) -> DataFrame | None:
-    """The collapsed summary, or None when no summary exists yet (the
-    caller falls back to the unsummarized store probe)."""
+def _store_data_files(store_dir: str) -> list[str]:
+    """Relative paths of the store's parquet data files (empty when the
+    store does not exist yet). Local-FS walk here; on object storage
+    this is the same FileSystem listing every snapshot reader does."""
+    import os
+
+    out = []
+    for root, _, files in os.walk(store_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                out.append(
+                    os.path.relpath(os.path.join(root, f), store_dir)
+                )
+    return sorted(out)
+
+
+def _read_words(spark: SparkSession, bloom_dir: str) -> DataFrame:
     try:
-        raw = spark.read.parquet(bloom_dir)
+        raw = spark.read.parquet(bloom_dir + "/words")
     except Exception:
-        return None
+        raw = spark.range(0).selectExpr(
+            "CAST(id AS INT) AS word_idx", "id AS bits"
+        )
     return raw.groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
+
+
+def load_bloom_healed(
+    spark: SparkSession,
+    store_dir: str,
+    bloom_dir: str,
+    keys_of,
+    col: str = "text_hash",
+) -> DataFrame:
+    """The summary words for `store_dir`, healed to cover every data
+    file currently in the store. `keys_of(store_frame)` projects the
+    store rows to the single 32-hex key column `col` (identity
+    projection for the fingerprint store, band keys for the signature
+    store)."""
+    import os
+
+    actual = _store_data_files(store_dir)
+    covered: set = set()
+    try:
+        covered = {
+            r.file for r in spark.read.parquet(bloom_dir + "/covered").collect()
+        }
+    except Exception:
+        pass
+    missing = [f for f in actual if f not in covered]
+    if missing:
+        gap = spark.read.parquet(
+            *[os.path.join(store_dir, f) for f in missing]
+        )
+        bloom_words(keys_of(gap), col).write.mode("append").parquet(
+            bloom_dir + "/words"
+        )
+        # coverage record AFTER the words landed: a crash between the
+        # two re-heals the same files next load (idempotent), never
+        # marks unhealed files covered
+        spark.createDataFrame(
+            [(f,) for f in missing], "file STRING"
+        ).write.mode("append").parquet(bloom_dir + "/covered")
+    return _read_words(spark, bloom_dir)
 
 
 def append_bloom(
     spark: SparkSession, hashes: DataFrame, bloom_dir: str,
     col: str = "text_hash",
 ) -> None:
-    """OR a batch of hashes into the durable summary. Append-only and
-    bit-idempotent: a crash-replayed append contributes the same bits.
-    Call BEFORE `dedup.append_fingerprints` (see module docstring)."""
-    bloom_words(hashes, col).write.mode("append").parquet(bloom_dir)
+    """Pre-warm: OR keys into the summary ahead of their store write,
+    saving the heal re-read of the file they land in. Optional — the
+    healed loader is correct without it — and always safe: bits are
+    idempotent under replay and extra bits only over-cover."""
+    bloom_words(hashes, col).write.mode("append").parquet(
+        bloom_dir + "/words"
+    )
 
 
 def fingerprint_verdicts_bloom(
@@ -283,14 +361,18 @@ def fingerprint_verdicts_bloom(
     `_stats` (tests/telemetry) receives {'store_scanned': bool,
     'n_candidates': int}. The candidate count is the one driver-side
     action this path takes — it is the decision that saves the scan.
-    """
-    from .dedup import fingerprint_verdicts, verdicts_against_store
 
-    words = load_bloom(spark, bloom_dir)
-    if words is None:
-        if _stats is not None:
-            _stats.update(store_scanned=True, n_candidates=-1)
-        return fingerprint_verdicts(spark, new_docs, store_dir)
+    The summary self-heals before probing (see `load_bloom_healed`):
+    a missing or stale bloom seeds/patches itself from the store's
+    uncovered files, so the no-false-negative guarantee holds against
+    ANY store write path — batch ingests, pre-bloom gate runs, crashed
+    appends — not just gates that kept the summary themselves.
+    """
+    from .dedup import verdicts_against_store
+
+    words = load_bloom_healed(
+        spark, store_dir, bloom_dir, keys_of=lambda df: df, col="text_hash"
+    )
 
     batch = new_docs.select("doc_id", F.md5("text").alias("text_hash"))
     probed = bloom_probe(batch, words).localCheckpoint()
@@ -369,27 +451,31 @@ def band_bloom_keys(sig: DataFrame) -> DataFrame:
 def append_band_bloom(
     spark: SparkSession, sig: DataFrame, bloom_dir: str
 ) -> None:
-    """OR a signature frame's band keys into the durable summary. Same
-    discipline as `append_bloom`: call BEFORE `dedup.append_signatures`
-    so the summary over-covers the store under any crash."""
+    """Pre-warm the band summary with a signature frame's keys (same
+    optional-but-always-safe contract as `append_bloom`)."""
     append_bloom(spark, band_bloom_keys(sig), bloom_dir, col="band_key")
 
 
 def near_store_may_collide(
-    spark: SparkSession, new_docs: DataFrame, bloom_dir: str
-) -> bool | None:
+    spark: SparkSession,
+    batch_sig: DataFrame,
+    signature_store_dir: str,
+    bloom_dir: str,
+) -> bool:
     """Whether ANY of the batch's band keys might exist in the
-    signature store. None = no summary on disk (caller probes the
-    store unconditionally); False is a GUARANTEE (bloom has no false
-    negatives): zero LSH collisions are possible, every doc is
-    near-'new', and the signature store need not be read."""
-    words = load_bloom(spark, bloom_dir)
-    if words is None:
-        return None
-    from .dedup import _shingles_of, _signatures_from_shingles
-
-    keys = band_bloom_keys(_signatures_from_shingles(_shingles_of(new_docs)))
-    probed = bloom_probe(keys, words, col="band_key")
+    signature store. False is a GUARANTEE (the healed summary covers
+    the store and blooms have no false negatives): zero LSH collisions
+    are possible, every doc is near-'new', and the signature store
+    need not be read. `batch_sig` is the batch's signature frame —
+    compute it once and share it with the verdict probe."""
+    words = load_bloom_healed(
+        spark,
+        signature_store_dir,
+        bloom_dir,
+        keys_of=band_bloom_keys,
+        col="band_key",
+    )
+    probed = bloom_probe(band_bloom_keys(batch_sig), words, col="band_key")
     return bool(probed.where("bloom_candidate").take(1))
 
 

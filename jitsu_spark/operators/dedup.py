@@ -1138,24 +1138,32 @@ def load_signature_store(spark: SparkSession, store_dir: str) -> DataFrame:
 
 
 def append_signatures(
-    verdicts: DataFrame, new_docs: DataFrame, store_dir: str
+    verdicts: DataFrame, new_docs: DataFrame, store_dir: str,
+    sig: DataFrame | None = None,
 ) -> None:
     """Persist the 'new' verdicts' signatures (the mutation half; order
     corpus write before store append for replay idempotence, as with
-    the exact store)."""
+    the exact store). Pass `sig` (a signature frame covering the
+    verdicts' docs) to reuse an already-computed batch signature pass
+    instead of re-running shingle+minhash."""
     from ..plans.hints import maybe_broadcast
 
     fresh_ids = verdicts.where(F.col("verdict") == "new").select("doc_id")
-    fresh = new_docs.join(maybe_broadcast(fresh_ids), "doc_id", "left_semi")
-    _signatures_from_shingles(_shingles_of(fresh)).write.mode(
-        "append"
-    ).parquet(store_dir)
+    if sig is None:
+        fresh = new_docs.join(
+            maybe_broadcast(fresh_ids), "doc_id", "left_semi"
+        )
+        sig = _signatures_from_shingles(_shingles_of(fresh))
+    else:
+        sig = sig.join(maybe_broadcast(fresh_ids), "doc_id", "left_semi")
+    sig.write.mode("append").parquet(store_dir)
 
 
 def near_dup_verdicts_against_store(
     new_docs: DataFrame,
     store_sig: DataFrame,
     threshold: float = NEAR_DUP_EST_THRESHOLD,
+    new_sig: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, verdict 'near_dup_of_corpus'|'new', matched_id,
     est_jaccard) for every new doc with at least one shingle.
@@ -1167,10 +1175,13 @@ def near_dup_verdicts_against_store(
     estimate, ties to the smallest store id) decides the verdict.
     matched_id/est_jaccard carry the best candidate even below the
     threshold (diagnostic); docs with no colliding bucket are 'new'
-    with nulls."""
+    with nulls. Pass `new_sig` to reuse an already-computed batch
+    signature frame (the bloom-probing gate computes it once and
+    shares it across probe, verdicts, and store append)."""
     from ..plans.hints import maybe_broadcast
 
-    new_sig = _signatures_from_shingles(_shingles_of(new_docs))
+    if new_sig is None:
+        new_sig = _signatures_from_shingles(_shingles_of(new_docs))
     new_bands = _band_rows(new_sig).withColumnRenamed("doc_id", "new_id")
     store_bands = _band_rows(store_sig).withColumnRenamed(
         "doc_id", "store_id"

@@ -93,8 +93,11 @@ def process_gated_batch_durable(
     With `near_bloom_dir` (r10), the near gate keeps a band-key bloom
     summary next to the signature store: a batch none of whose LSH band
     keys are in the summary PROVABLY has no near-dup candidate, so the
-    signature-store scan is skipped outright. Band blooms append BEFORE
-    signatures (superset-under-crash, as with the exact summary).
+    signature-store scan is skipped outright. Both summaries are
+    lazily HEALED at probe time from the store's own file listing
+    (`operators/bloom.load_bloom_healed`) — they stay correct no
+    matter which writer appended to the store, with no write-time
+    bloom bookkeeping in this function.
 
     With `signature_store_dir` (r7), the exact gate composes with the
     incremental NEAR-dup gate: exact-new docs additionally band-probe
@@ -133,36 +136,24 @@ def process_gated_batch_durable(
     one). (Store-append before the corpus MERGE would lose docs:
     store-first + crash -> replay drops rows never written.)
     """
-    from ..operators.dedup import (
-        append_fingerprints as _append_fp_raw,
-        fingerprint_verdicts,
-    )
+    from ..operators.dedup import append_fingerprints, fingerprint_verdicts
     from ..plans.hints import maybe_broadcast
 
     spark = batch.sparkSession
     if bloom_summary_dir is not None:
-        # bloom prefilter (r10): the summary probe replaces the store
-        # scan for all-fresh batches; verdicts are bit-identical. The
-        # bloom append below runs BEFORE the fingerprint append so the
-        # summary stays a superset of the store under any crash
-        # (over-coverage = extra confirms = safe; see operators/bloom).
-        from ..operators.bloom import append_bloom, fingerprint_verdicts_bloom
+        # bloom prefilter (r10): the lazily-HEALED summary probe
+        # replaces the store scan for all-fresh batches; verdicts are
+        # bit-identical. No write-time bloom bookkeeping is needed —
+        # files this batch appends to the store are healed into the
+        # summary by the next probe's coverage check, exactly once
+        # (see operators/bloom.load_bloom_healed).
+        from ..operators.bloom import fingerprint_verdicts_bloom
 
         verdicts = fingerprint_verdicts_bloom(
             spark, batch.select("doc_id", "text"), fingerprint_store_dir,
             bloom_summary_dir,
         )
-
-        def append_fingerprints(sp, vdf, store_dir):
-            fresh_hashes = vdf.where(F.col("verdict") == "new").select(
-                "text_hash"
-            )
-            if fresh_hashes.take(1):
-                append_bloom(sp, fresh_hashes, bloom_summary_dir)
-            _append_fp_raw(sp, vdf, store_dir)
-
     else:
-        append_fingerprints = _append_fp_raw
         verdicts = fingerprint_verdicts(
             spark, batch.select("doc_id", "text"), fingerprint_store_dir
         )
@@ -181,11 +172,22 @@ def process_gated_batch_durable(
             maybe_broadcast(keep.select("doc_id")), "doc_id", "left_semi"
         )
         collide = None
+        new_sig = None
         if near_bloom_dir is not None:
             from ..operators.bloom import near_store_may_collide
+            from ..operators.dedup import (
+                _shingles_of,
+                _signatures_from_shingles,
+            )
 
+            # ONE batch signature pass, shared by the bloom probe, the
+            # verdict probe, and the store append below (review
+            # finding: the first wiring computed it up to four times)
+            new_sig = _signatures_from_shingles(
+                _shingles_of(near_docs)
+            ).localCheckpoint()
             collide = near_store_may_collide(
-                spark, near_docs, near_bloom_dir
+                spark, new_sig, signature_store_dir, near_bloom_dir
             )
         if collide is False:
             # band-key bloom guarantee: no LSH collision is possible —
@@ -216,7 +218,7 @@ def process_gated_batch_durable(
                     ],
                 )
             near_v = near_dup_verdicts_against_store(
-                near_docs, store_sig
+                near_docs, store_sig, new_sig=new_sig
             ).localCheckpoint()  # pin before the store append, as w/ exact
         # anti-join on REJECTS, not semi-join on survivors: docs with
         # fewer than 3 tokens have no shingles, hence no near_v row —
@@ -272,32 +274,9 @@ def process_gated_batch_durable(
                 "doc_id",
                 "left_semi",
             )
-            if near_bloom_dir is not None:
-                # band bloom BEFORE signatures: a crash between the two
-                # leaves an over-covering summary (extra probes, never
-                # a missed collision)
-                from ..operators.bloom import append_band_bloom
-                from ..operators.dedup import (
-                    _shingles_of,
-                    _signatures_from_shingles,
-                )
-
-                fresh_near = batch.select("doc_id", "text").join(
-                    maybe_broadcast(
-                        near_v.where(F.col("verdict") == "new").select(
-                            "doc_id"
-                        )
-                    ),
-                    "doc_id",
-                    "left_semi",
-                )
-                append_band_bloom(
-                    spark,
-                    _signatures_from_shingles(_shingles_of(fresh_near)),
-                    near_bloom_dir,
-                )
             append_signatures(
-                near_v, batch.select("doc_id", "text"), signature_store_dir
+                near_v, batch.select("doc_id", "text"), signature_store_dir,
+                sig=new_sig,
             )
             append_fingerprints(
                 spark, surviving_exact, fingerprint_store_dir

@@ -1,7 +1,7 @@
 """Bloom store-summary tests: exactness vs the unsummarized gate, the
 no-false-negative guarantee, candidate pruning, the all-fresh scan
-skip, append idempotence, and the bloom-before-fingerprints crash
-ordering."""
+skip, heal-based coverage of stores written by OTHER paths, append
+idempotence, and crash-window over-coverage."""
 
 from __future__ import annotations
 
@@ -70,20 +70,12 @@ def test_bloom_prunes_fresh_content(spark):
     assert probed.count() == 40
 
 
-def test_durable_verdicts_match_and_skip_scan(spark, tmp_path):
-    """fingerprint_verdicts_bloom == fingerprint_verdicts on a mixed
-    batch; an all-fresh batch never touches the store."""
-    store_dir = str(tmp_path / "fp")
-    bloom_dir = str(tmp_path / "bloom")
-    corpus = _docs(spark, [(i, f"seed doc {i}") for i in range(30)])
-
-    # seed: store + bloom (bloom first — superset discipline)
+def _seed_store(spark, corpus, store_dir):
     fp = (
         corpus.select("doc_id", F.md5("text").alias("text_hash"))
         .groupBy("text_hash")
         .agg(F.min("doc_id").alias("canonical_id"))
     )
-    B.append_bloom(spark, fp, bloom_dir)
     fp.withColumn(
         "bucket",
         F.pmod(
@@ -91,6 +83,18 @@ def test_durable_verdicts_match_and_skip_scan(spark, tmp_path):
             F.lit(D.FP_PREFIX_BUCKETS),
         ),
     ).write.partitionBy("bucket").mode("overwrite").parquet(store_dir)
+
+
+def test_durable_verdicts_match_and_skip_scan(spark, tmp_path):
+    """fingerprint_verdicts_bloom == fingerprint_verdicts on a mixed
+    batch — with NO pre-seeded summary (the healed loader self-seeds
+    from the store's files); an all-fresh batch then skips the store."""
+    store_dir = str(tmp_path / "fp")
+    bloom_dir = str(tmp_path / "bloom")
+    _seed_store(
+        spark, _docs(spark, [(i, f"seed doc {i}") for i in range(30)]),
+        store_dir,
+    )
 
     # mixed batch: 2 corpus dups, 1 intra-batch dup pair, 2 fresh
     batch = _docs(
@@ -127,11 +131,43 @@ def test_durable_verdicts_match_and_skip_scan(spark, tmp_path):
     assert {r.verdict for r in v.collect()} == {"new"}
 
 
-def test_append_idempotent_and_crash_ordering(spark, tmp_path):
-    """A replayed bloom append ORs the same bits (summary unchanged);
-    a crash AFTER the bloom append but BEFORE the fingerprint append
-    leaves an over-covering summary whose extra candidates confirm
-    against the store and stay 'new' — never a wrong dup."""
+def test_heals_store_written_by_other_paths(spark, tmp_path):
+    """THE review scenario: the store gains content through a path the
+    summary never saw (here: a plain batch-ingest append AFTER the
+    summary already exists). The healed loader must cover the delta —
+    a duplicate of the late content is caught, never admitted."""
+    store_dir = str(tmp_path / "fp")
+    bloom_dir = str(tmp_path / "bloom")
+    _seed_store(spark, _docs(spark, [(1, "early content")]), store_dir)
+    # first probe materializes the summary for the current store
+    B.fingerprint_verdicts_bloom(
+        spark, _docs(spark, [(50, "unrelated probe")]), store_dir, bloom_dir
+    )
+
+    # a BATCH ingest (plain dedup path, no bloom awareness) appends
+    late = _docs(spark, [(2, "late bypass content")])
+    D.append_fingerprints(
+        spark, D.fingerprint_verdicts(spark, late, store_dir), store_dir
+    )
+
+    # duplicate of the bypass content: a trusted-stale summary would
+    # answer 'new' (false negative); healing must answer dup_of_corpus
+    dup = _docs(spark, [(3, "late bypass content")])
+    stats: dict = {}
+    v = {
+        r.doc_id: r.verdict
+        for r in B.fingerprint_verdicts_bloom(
+            spark, dup, store_dir, bloom_dir, _stats=stats
+        ).collect()
+    }
+    assert v == {3: "dup_of_corpus"}
+    assert stats["n_candidates"] == 1
+
+
+def test_prewarm_idempotent_and_crash_overcoverage(spark, tmp_path):
+    """A replayed pre-warm append ORs the same bits (summary
+    unchanged); bits for content whose store write never landed
+    (crash window) only over-cover — the doc still reads 'new'."""
     store_dir = str(tmp_path / "fp")
     bloom_dir = str(tmp_path / "bloom")
     fp = spark.createDataFrame(
@@ -139,11 +175,13 @@ def test_append_idempotent_and_crash_ordering(spark, tmp_path):
     )
     B.append_bloom(spark, fp, bloom_dir)
     once = {
-        (r.word_idx, r.bits) for r in B.load_bloom(spark, bloom_dir).collect()
+        (r.word_idx, r.bits)
+        for r in B._read_words(spark, bloom_dir).collect()
     }
     B.append_bloom(spark, fp, bloom_dir)  # replay
     twice = {
-        (r.word_idx, r.bits) for r in B.load_bloom(spark, bloom_dir).collect()
+        (r.word_idx, r.bits)
+        for r in B._read_words(spark, bloom_dir).collect()
     }
     assert once == twice
 
@@ -157,8 +195,10 @@ def test_append_idempotent_and_crash_ordering(spark, tmp_path):
     assert [r.verdict for r in v.collect()] == ["new"]
 
 
-def test_missing_summary_falls_back(spark, tmp_path, sf_dir):
-    """No bloom on disk -> plain fingerprint_verdicts semantics."""
+def test_first_use_on_existing_store_self_seeds(spark, tmp_path, sf_dir):
+    """No summary on disk + a pre-existing store -> the first load
+    seeds the summary from the store and verdicts match the plain
+    gate (the enable-bloom-later migration path)."""
     store_dir = str(tmp_path / "fp")
     D.build_fingerprint_store(spark, sf_dir, store_dir)
     from jitsu_spark.tables import load_table
@@ -170,7 +210,7 @@ def test_missing_summary_falls_back(spark, tmp_path, sf_dir):
     got = {
         (r.doc_id, r.verdict)
         for r in B.fingerprint_verdicts_bloom(
-            spark, batch, store_dir, str(tmp_path / "nope"), _stats=stats
+            spark, batch, store_dir, str(tmp_path / "bloom"), _stats=stats
         ).collect()
     }
     expect = {
@@ -208,12 +248,12 @@ def test_durable_gate_with_bloom_exactly_once(spark, tmp_path):
     process_gated_batch_durable(b2, fp, sink, bloom_summary_dir=bl)
     assert {r.doc_id for r in sink.read("corpus").collect()} == {1, 2, 4}
 
-    # at-least-once replay: corpus unchanged, bloom append idempotent
+    # at-least-once replay: corpus unchanged
     process_gated_batch_durable(b2, fp, sink, bloom_summary_dir=bl)
     assert {r.doc_id for r in sink.read("corpus").collect()} == {1, 2, 4}
 
-    # the summary covers the store: a dup-only batch is caught via the
-    # bloom path and nothing new lands
+    # the healed summary covers the store: a dup-only batch is caught
+    # via the bloom path and nothing new lands
     b3 = batch([(5, "fresh new content")])
     process_gated_batch_durable(b3, fp, sink, bloom_summary_dir=bl)
     assert {r.doc_id for r in sink.read("corpus").collect()} == {1, 2, 4}
@@ -232,29 +272,42 @@ FAR = (
 )
 
 
-def test_band_bloom_collision_guarantee(spark, tmp_path):
-    """near_store_may_collide: None with no summary; False for content
-    sharing no band key with the store (the provable skip); True for a
-    near variant of stored content."""
+def _sig_of(spark, docs):
     from jitsu_spark.operators.dedup import (
         _shingles_of,
         _signatures_from_shingles,
     )
 
+    return _signatures_from_shingles(_shingles_of(docs))
+
+
+def test_band_bloom_collision_guarantee(spark, tmp_path):
+    """near_store_may_collide heals from the signature store itself:
+    False for content sharing no band key with the store (the provable
+    skip) even when the store was written with NO bloom awareness;
+    True for a near variant of stored content."""
+    sig_dir = str(tmp_path / "sig")
     bl = str(tmp_path / "nbloom")
-    stored = _docs(spark, [(1, GOOD)])
-    probe_near = _docs(spark, [(2, GOOD + " indeed")])
-    probe_far = _docs(spark, [(3, FAR)])
+    # signature store written by a plain (bloom-unaware) append
+    _sig_of(spark, _docs(spark, [(1, GOOD)])).write.parquet(sig_dir)
 
-    assert B.near_store_may_collide(spark, probe_far, bl) is None
+    near = _sig_of(spark, _docs(spark, [(2, GOOD + " indeed")]))
+    far = _sig_of(spark, _docs(spark, [(3, FAR)]))
 
-    B.append_band_bloom(
-        spark, _signatures_from_shingles(_shingles_of(stored)), bl
-    )
-    assert B.near_store_may_collide(spark, probe_far, bl) is False
-    assert B.near_store_may_collide(spark, probe_near, bl) is True
+    assert B.near_store_may_collide(spark, far, sig_dir, bl) is False
+    assert B.near_store_may_collide(spark, near, sig_dir, bl) is True
     # exact replay of stored content collides on every band
-    assert B.near_store_may_collide(spark, stored, bl) is True
+    assert (
+        B.near_store_may_collide(
+            spark, _sig_of(spark, _docs(spark, [(1, GOOD)])), sig_dir, bl
+        )
+        is True
+    )
+    # bypass append AFTER the summary exists: healing must cover it
+    _sig_of(spark, _docs(spark, [(9, FAR)])).write.mode("append").parquet(
+        sig_dir
+    )
+    assert B.near_store_may_collide(spark, far, sig_dir, bl) is True
 
 
 def test_composed_gate_with_near_bloom(spark, tmp_path):
@@ -290,7 +343,7 @@ def test_composed_gate_with_near_bloom(spark, tmp_path):
     # 2 exact dup of 1, 3 near dup of 1, 4 genuinely new
     assert {r.doc_id for r in sink.read("corpus").collect()} == {1, 4}
 
-    # replay: corpus unchanged (both summaries OR idempotently)
+    # replay: corpus unchanged (healing + MERGE both idempotent)
     process_gated_batch_durable(b2, fp, sink, **kw)
     assert {r.doc_id for r in sink.read("corpus").collect()} == {1, 4}
 
