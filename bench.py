@@ -62,14 +62,19 @@ HEADLINE = [
     "media_feature_extract",
 ]
 
-# Idle-host canary reference: median canary seconds (after one warmup
-# pass) measured on the round-10 host, idle, at the driver's
-# local[32] — 5 runs [0.449, 0.372, 0.395, 0.339] post-warmup,
-# median 0.395. A run whose canary_median is c executed on a host
-# running at CANARY_REF_SEC / c of reference speed; multiplying raw
-# wall times by that ratio maps them onto the reference host. Only
-# meaningful at the standard SPARK_GRAFT_CPUS=32 (the canary scales
-# with cores). Recalibrate ONLY with a protocol note in BASELINE.md.
+# Idle-host canary reference, calibrated once on the round-10 host
+# (idle, driver's local[32], post-warmup) and FROZEN: every recorded
+# value_canary_normalized from the r10 close onward is expressed
+# against this constant, so changing it breaks round-over-round
+# comparability. (The original calibration note listed only 4 of its
+# 5 post-warmup samples [0.449, 0.372, 0.395, 0.339, —]; the 0.395
+# median is the constant of record — review finding, late r10. If a
+# future recalibration is ever needed, add a protocol note in
+# BASELINE.md and restate prior rounds' normalized values.) A run
+# whose canary_median is c executed on a host running at
+# CANARY_REF_SEC / c of reference speed; multiplying raw wall times
+# by that ratio maps them onto the reference host. Only meaningful at
+# the standard SPARK_GRAFT_CPUS=32 (the canary scales with cores).
 CANARY_REF_SEC = 0.395
 
 

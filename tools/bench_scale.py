@@ -189,7 +189,13 @@ def main() -> None:
         )
         report[name] = {**times, "growth_10x": growth}
         if net1 != times["sf1"]["sec"] or net0 != times["sf0.1"]["sec"]:
-            report[name]["growth_10x_net"] = round(net1 / max(net0, 1e-9), 1)
+            # a ledger-build cost can exceed the measured wall (clock
+            # overlap), clamping a net time to ~0; dividing by the
+            # epsilon would fabricate a ~1e9 "regression" (or, flipped,
+            # a 0.0 that hides one). Below the clamp floor the net
+            # number carries no signal — fall back to the gross ratio.
+            if net0 > 0.05 and net1 > 0.05:
+                report[name]["growth_10x_net"] = round(net1 / net0, 1)
         print(
             f"{name:32s} sf0.1={times['sf0.1']['sec']:7.2f}s  "
             f"sf1={times['sf1']['sec']:7.2f}s  growth={growth}x",
