@@ -368,10 +368,18 @@ def process_paragraph_batch_durable(
     par_store_dir: str,
     sink,
     table: str = "corpus_stripped",
+    bloom_summary_dir: str | None = None,
 ) -> None:
     """One micro-batch of the paragraph gate: strip against the store
     (no mutation), MERGE the rebuilt docs, then append the survivors'
     paragraph hashes.
+
+    With `bloom_summary_dir` (r10), the paragraph-hash store — the
+    LARGEST of the three gate stores, one row per distinct corpus
+    paragraph — gets the same lazily-healed bloom summary as the
+    exact/near gates: a batch none of whose paragraph hashes are
+    bloom-positive provably shares no paragraph with the corpus and
+    skips the store scan outright (`operators/bloom`).
 
     Replay-safety (at-least-once -> exactly-once): the corpus MERGE
     happens BEFORE the store append, and the gate's verdict frame is
@@ -400,11 +408,28 @@ def process_paragraph_batch_durable(
     # cross-batch redelivery as usual.
     batch = batch.dropDuplicates(["doc_id"])
     pars = paragraphs_of_docs(batch.select("doc_id", "text"))
-    try:
-        store = spark.read.parquet(par_store_dir).select("par_hash")
-    except Exception:
-        # first-ever ingest: no store yet (pure-JVM empty relation)
-        store = spark.range(0).selectExpr("CAST(NULL AS STRING) AS par_hash")
+    _empty_store = "CAST(NULL AS STRING) AS par_hash"
+    skip_scan = False
+    if bloom_summary_dir is not None:
+        from ..operators.bloom import bloom_probe, load_bloom_healed
+
+        words = load_bloom_healed(
+            spark, par_store_dir, bloom_summary_dir,
+            keys_of=lambda df: df.select("par_hash"), col="par_hash",
+        )
+        batch_hashes = pars.select(F.md5("par").alias("par_hash")).distinct()
+        probed = bloom_probe(batch_hashes, words, col="par_hash")
+        skip_scan = not probed.where("bloom_candidate").take(1)
+    if skip_scan:
+        # no batch paragraph can be in the store: the survivor election
+        # reduces to the intra-batch min — zero store I/O
+        store = spark.range(0).selectExpr(_empty_store)
+    else:
+        try:
+            store = spark.read.parquet(par_store_dir).select("par_hash")
+        except Exception:
+            # first-ever ingest: no store yet (pure-JVM empty relation)
+            store = spark.range(0).selectExpr(_empty_store)
     # pin BEFORE any write: the gate's lineage reads the store, and the
     # append below would otherwise be visible to a re-evaluation; the
     # rebuild derives from the PINNED frame, so the anti-join runs once
@@ -434,19 +459,22 @@ def run_paragraph_gate_durable(
     par_store_dir: str,
     table: str = "corpus_stripped",
     trigger: dict | None = None,
+    bloom_summary_dir: str | None = None,
 ) -> StreamingQuery:
     """The durable paragraph gate: stream -> per-batch strip against
     the corpus paragraph store -> MERGE rebuilt docs -> append the new
     paragraph hashes. The streaming twin of the batch
     `paragraph_dedup_incremental` entry, sharing its semantics (store
     paragraphs always win; within a batch the packed (doc_id, pidx)
-    minimum wins)."""
+    minimum wins). With `bloom_summary_dir`, all-fresh batches skip
+    the paragraph-store scan (`operators/bloom`)."""
     writer = (
         stream.writeStream.outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(
             lambda b, _id: process_paragraph_batch_durable(
-                b, par_store_dir, warehouse_sink, table
+                b, par_store_dir, warehouse_sink, table,
+                bloom_summary_dir=bloom_summary_dir,
             )
         )
     )

@@ -279,3 +279,87 @@ class TestSourceOverlap:
         assert out[("a", "b")]["n_shared"] == 1
         # |a|=1, |b|=2, union=2
         assert out[("a", "b")]["jaccard"] == pytest.approx(0.5)
+
+
+class TestParagraphGateBloom:
+    """The paragraph gate with the healed bloom summary: identical
+    stripping to the plain gate, replay-idempotent, and a
+    seeded-elsewhere store is covered by healing."""
+
+    def _batch(self, spark, rows):
+        import datetime as dt
+
+        return spark.createDataFrame(
+            [
+                (i, t, "web", dt.datetime(2024, 5, 1, 12, 0, s))
+                for s, (i, t) in enumerate(rows)
+            ],
+            "doc_id long, text string, source string,"
+            " ingested_at timestamp",
+        )
+
+    def test_matches_plain_gate_and_replays(self, spark, tmp_path):
+        from jitsu_spark.sinks import WarehouseSink
+        from jitsu_spark.streaming.corpus_gate import (
+            process_paragraph_batch_durable,
+        )
+
+        sink = WarehouseSink(spark, str(tmp_path / "wh"))
+        store = str(tmp_path / "pars")
+        bl = str(tmp_path / "bloom")
+
+        b1 = self._batch(spark, [(1, f"{P} {Q}")])
+        b2 = self._batch(spark, [(2, f"{P} {R}"), (3, P)])
+        process_paragraph_batch_durable(
+            b1, store, sink, bloom_summary_dir=bl
+        )
+        process_paragraph_batch_durable(
+            b2, store, sink, bloom_summary_dir=bl
+        )
+        rows = {
+            r["doc_id"]: r["text_deduped"]
+            for r in sink.read("corpus_stripped").collect()
+        }
+        # identical to the plain gate: doc 1 whole, 2 stripped to R,
+        # 3 all-boilerplate dropped
+        assert rows == {1: f"{P} {Q}", 2: R}
+
+        # replay (at-least-once): corpus unchanged
+        process_paragraph_batch_durable(
+            b2, store, sink, bloom_summary_dir=bl
+        )
+        after = {
+            r["doc_id"]: r["text_deduped"]
+            for r in sink.read("corpus_stripped").collect()
+        }
+        assert after == {1: f"{P} {Q}", 2: R}
+
+    def test_heals_store_seeded_elsewhere(self, spark, tmp_path, sf_dir):
+        """build_paragraph_store (a bloom-unaware writer) seeds the
+        store; the bloom-enabled gate's first batch must still strip
+        the seeded boilerplate (healing covers the seed files)."""
+        from jitsu_spark.sinks import WarehouseSink
+        from jitsu_spark.streaming.corpus_gate import (
+            process_paragraph_batch_durable,
+        )
+
+        sink = WarehouseSink(spark, str(tmp_path / "wh"))
+        store = str(tmp_path / "pars")
+        bl = str(tmp_path / "bloom")
+        import pyspark.sql.functions as F
+
+        spark.createDataFrame([(P,)], "par string").select(
+            F.md5("par").alias("par_hash")
+        ).withColumn("bucket", F.lit(0)).write.partitionBy(
+            "bucket"
+        ).parquet(store)
+
+        b = self._batch(spark, [(9, f"{P} {Q}")])
+        process_paragraph_batch_durable(
+            b, store, sink, bloom_summary_dir=bl
+        )
+        rows = {
+            r["doc_id"]: r["text_deduped"]
+            for r in sink.read("corpus_stripped").collect()
+        }
+        assert rows == {9: Q}
