@@ -71,20 +71,36 @@ STORE_MILLE = 800  # registry entry: store = buckets [0, 800) of docs
 # transliteration, not a reimplementation).
 _H1 = "CAST(conv(substring({h}, 1, 12), 16, 10) AS BIGINT)"
 _H2 = "CAST(conv(substring({h}, 13, 12), 16, 10) AS BIGINT) * 2 + 1"
-# h1 < 2^48, h2 < 2^49, i <= 4  ->  h1 + i*h2 < 2^51: no overflow.
-_POSITIONS = (
-    f"transform(sequence(0, {K_HASH - 1}), "
-    f"i -> pmod({_H1} + i * {_H2}, {M_BITS}))"
-)
+
+
+def _positions_expr(m_bits: int = M_BITS, k_hash: int = K_HASH) -> str:
+    """The k probe positions as a Spark array expression. Width is a
+    PARAMETER (review finding, round 10): a production deployment sizes
+    m to its corpus (~14.4 GB at 10^10 keys / 1% fp) — the module
+    defaults are the registry-entry sizing, not a hard-wired width."""
+    # h1 < 2^48, h2 < 2^49, i < k  ->  h1 + i*h2 stays far below 2^63
+    # for any sane k; the pmod result is always < m_bits.
+    return (
+        f"transform(sequence(0, {k_hash - 1}), "
+        f"i -> pmod({_H1} + i * {_H2}, {m_bits}))"
+    )
+
+
+_POSITIONS = _positions_expr()
 
 _H1_DUCK = "CAST(('0x' || substr({h}, 1, 12))::UBIGINT AS BIGINT)"
 _H2_DUCK = "CAST(('0x' || substr({h}, 13, 12))::UBIGINT AS BIGINT) * 2 + 1"
 _POS_DUCK = f"({_H1_DUCK} + i * {_H2_DUCK}) % {M_BITS}"
 
 
-def _position_rows(hashes: DataFrame, col: str) -> DataFrame:
-    """(key columns..., word_idx, mask) — K_HASH rows per input row."""
-    pos = F.explode(F.expr(_POSITIONS.format(h=col))).alias("pos")
+def _position_rows(
+    hashes: DataFrame, col: str,
+    m_bits: int = M_BITS, k_hash: int = K_HASH,
+) -> DataFrame:
+    """(key columns..., word_idx, mask) — k_hash rows per input row."""
+    pos = F.explode(
+        F.expr(_positions_expr(m_bits, k_hash).format(h=col))
+    ).alias("pos")
     return hashes.select("*", pos).selectExpr(
         "*",
         f"CAST(pos DIV {WORD_BITS} AS INT) AS word_idx",
@@ -93,28 +109,32 @@ def _position_rows(hashes: DataFrame, col: str) -> DataFrame:
     )
 
 
-def bloom_words(hashes: DataFrame, col: str = "text_hash") -> DataFrame:
+def bloom_words(
+    hashes: DataFrame, col: str = "text_hash",
+    m_bits: int = M_BITS, k_hash: int = K_HASH,
+) -> DataFrame:
     """Build the bloom summary: (word_idx, bits) with bits = bit_or of
-    all masks landing in the word. At most ceil(M_BITS/63) = 2081 rows
+    all masks landing in the word. At most ceil(m_bits/63) rows
     regardless of input size; the shuffle carries (word, mask) pairs
     that partial-aggregate map-side, so the wide input collapses before
     it moves."""
     return (
-        _position_rows(hashes.select(col), col)
+        _position_rows(hashes.select(col), col, m_bits, k_hash)
         .groupBy("word_idx")
         .agg(F.bit_or("mask").alias("bits"))
     )
 
 
 def bloom_probe(
-    batch_hashes: DataFrame, words: DataFrame, col: str = "text_hash"
+    batch_hashes: DataFrame, words: DataFrame, col: str = "text_hash",
+    m_bits: int = M_BITS, k_hash: int = K_HASH,
 ) -> DataFrame:
     """Tag each batch hash with `bloom_candidate` (all K probe bits
     set). The words table is summary-sized and broadcasts; the batch
     never shuffles — the probe is a map-side join plus a groupBy on the
     batch's own key, which partial-aggregates back to one row per input
     row before moving."""
-    probed = _position_rows(batch_hashes, col).join(
+    probed = _position_rows(batch_hashes, col, m_bits, k_hash).join(
         maybe_broadcast(words), "word_idx", "left"
     )
     keys = [c for c in batch_hashes.columns]
@@ -264,20 +284,60 @@ LEFT JOIN hits h USING (text_hash)
 # ---------------------------------------------------------------------------
 
 
-def _store_data_files(store_dir: str) -> list[str]:
+def _store_data_files(spark: SparkSession, store_dir: str) -> list[str]:
     """Relative paths of the store's parquet data files (empty when the
-    store does not exist yet). Local-FS walk here; on object storage
-    this is the same FileSystem listing every snapshot reader does."""
-    import os
-
+    store does not exist yet), listed through Spark's Hadoop FileSystem
+    API — the SAME listing `spark.read.parquet` resolves the store
+    through, so any path Spark can read (local, s3a://, hdfs://) is
+    enumerated here too. A local `os.walk` would return [] for object
+    stores and silently mark them fully covered — inverting the
+    no-false-negative guarantee (review finding, round 10)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(store_dir)
+    fs = root.getFileSystem(conf)
+    if not fs.exists(root):
+        return []
+    prefix = fs.makeQualified(root).toString().rstrip("/") + "/"
     out = []
-    for root, _, files in os.walk(store_dir):
-        for f in files:
-            if f.endswith(".parquet"):
-                out.append(
-                    os.path.relpath(os.path.join(root, f), store_dir)
-                )
+    it = fs.listFiles(root, True)  # recursive, data files only
+    while it.hasNext():
+        full = it.next().getPath().toString()
+        if full.endswith(".parquet"):
+            assert full.startswith(prefix), (full, prefix)
+            out.append(full[len(prefix):])
     return sorted(out)
+
+
+def _ensure_params(
+    spark: SparkSession, bloom_dir: str, m_bits: int, k_hash: int
+) -> None:
+    """Persist (m_bits, k_hash, word_bits) beside the durable summary
+    and validate every later access against them. Probing words built
+    at one width with positions computed at another produces REAL false
+    negatives (review finding, round 10) — a width change must be a new
+    summary directory, never a silent reinterpretation. Replay-safe:
+    identical rows collapse on read; a conflicting row is a loud error."""
+    try:
+        rows = {
+            (r.m_bits, r.k_hash, r.word_bits)
+            for r in spark.read.parquet(bloom_dir + "/params").collect()
+        }
+    except Exception:
+        rows = set()
+    if not rows:
+        spark.createDataFrame(
+            [(m_bits, k_hash, WORD_BITS)],
+            "m_bits INT, k_hash INT, word_bits INT",
+        ).write.mode("append").parquet(bloom_dir + "/params")
+        return
+    if rows != {(m_bits, k_hash, WORD_BITS)}:
+        raise ValueError(
+            f"bloom summary at {bloom_dir} was built with params {rows}; "
+            f"this access requested (m_bits={m_bits}, k_hash={k_hash}, "
+            f"word_bits={WORD_BITS}). Re-point to a fresh summary dir — "
+            "probing across widths produces false negatives."
+        )
 
 
 def _read_words(spark: SparkSession, bloom_dir: str) -> DataFrame:
@@ -296,15 +356,20 @@ def load_bloom_healed(
     bloom_dir: str,
     keys_of,
     col: str = "text_hash",
+    m_bits: int = M_BITS,
+    k_hash: int = K_HASH,
 ) -> DataFrame:
     """The summary words for `store_dir`, healed to cover every data
     file currently in the store. `keys_of(store_frame)` projects the
     store rows to the single 32-hex key column `col` (identity
     projection for the fingerprint store, band keys for the signature
-    store)."""
+    store). (m_bits, k_hash) are validated against the params persisted
+    with the summary — a width mismatch raises instead of silently
+    probing at the wrong positions."""
     import os
 
-    actual = _store_data_files(store_dir)
+    _ensure_params(spark, bloom_dir, m_bits, k_hash)
+    actual = _store_data_files(spark, store_dir)
     covered: set = set()
     try:
         covered = {
@@ -317,9 +382,9 @@ def load_bloom_healed(
         gap = spark.read.parquet(
             *[os.path.join(store_dir, f) for f in missing]
         )
-        bloom_words(keys_of(gap), col).write.mode("append").parquet(
-            bloom_dir + "/words"
-        )
+        bloom_words(keys_of(gap), col, m_bits, k_hash).write.mode(
+            "append"
+        ).parquet(bloom_dir + "/words")
         # coverage record AFTER the words landed: a crash between the
         # two re-heals the same files next load (idempotent), never
         # marks unhealed files covered
@@ -332,12 +397,14 @@ def load_bloom_healed(
 def append_bloom(
     spark: SparkSession, hashes: DataFrame, bloom_dir: str,
     col: str = "text_hash",
+    m_bits: int = M_BITS, k_hash: int = K_HASH,
 ) -> None:
     """Pre-warm: OR keys into the summary ahead of their store write,
     saving the heal re-read of the file they land in. Optional — the
     healed loader is correct without it — and always safe: bits are
     idempotent under replay and extra bits only over-cover."""
-    bloom_words(hashes, col).write.mode("append").parquet(
+    _ensure_params(spark, bloom_dir, m_bits, k_hash)
+    bloom_words(hashes, col, m_bits, k_hash).write.mode("append").parquet(
         bloom_dir + "/words"
     )
 

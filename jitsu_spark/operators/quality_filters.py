@@ -987,14 +987,20 @@ FROM counted
 SWEEP_STEP_MU = 20_000  # 0.02 in micro-units
 N_SWEEP = 11  # thresholds 0.00, 0.02, ..., 0.20
 
+# zero-token docs have no stopword ratio; coalesce the score to 0 so
+# they sit in the lowest bucket and threshold 0.00 keeps the WHOLE
+# corpus (doc_pct == 1.0 exactly) instead of silently excluding them
+# from every threshold row (review finding, round 10). try_divide keeps
+# 0/0 NULL under ANSI mode; DuckDB float 0/0 is already NULL.
 _SW_MU = (
-    f"CAST(round(round(size(filter({TOKENS}, x -> x IN ({_SW})))"
-    f" / size({TOKENS}), 6) * 1000000) AS BIGINT)"
+    f"coalesce(CAST(round(round(try_divide("
+    f"size(filter({TOKENS}, x -> x IN ({_SW}))),"
+    f" size({TOKENS})), 6) * 1000000) AS BIGINT), CAST(0 AS BIGINT))"
 )
 _SW_MU_DUCK = (
-    f"CAST(round(round(len(list_filter({TOKENS_DUCK},"
+    f"coalesce(CAST(round(round(len(list_filter({TOKENS_DUCK},"
     f" x -> x IN ({_SW}))) * 1.0 / len({TOKENS_DUCK}), 6) * 1000000)"
-    " AS BIGINT)"
+    " AS BIGINT), 0)"
 )
 
 

@@ -192,13 +192,9 @@ def process_gated_batch_durable(
         if collide is False:
             # band-key bloom guarantee: no LSH collision is possible —
             # every doc is near-'new' and the signature store is never
-            # read. The synthetic frame matches the probe's all-new
-            # shape (shingle-less docs included: downstream only reads
-            # verdict != 'new' and the 'new' ids, both unaffected).
-            store_sig = spark.range(0).selectExpr(
-                "id AS doc_id",
-                *[f"CAST(NULL AS LONG) AS h{j}" for j in range(NUM_HASHES)],
-            )
+            # read, so the verdict frame is built directly (shingle-less
+            # docs included: downstream only reads verdict != 'new' and
+            # the 'new' ids, both unaffected).
             near_v = near_docs.selectExpr(
                 "doc_id",
                 "'new' AS verdict",

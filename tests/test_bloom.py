@@ -410,3 +410,59 @@ class TestBloomProperty:
         got = {r.text_hash: r.bloom_candidate for r in probed.collect()}
         expect = {md5(t): self._py_candidate(store_h, md5(t)) for t in batch}
         assert got == expect
+
+
+def test_params_persisted_and_width_mismatch_raises(spark, tmp_path):
+    """The durable summary records (m, k, word_bits) on first write and
+    every later access validates against them: probing words built at
+    one width with positions computed at another would produce REAL
+    false negatives, so a mismatch is a loud error, never a silent
+    reinterpretation."""
+    bloom_dir = str(tmp_path / "bloom")
+    fp = spark.createDataFrame(
+        [("deadbeef" * 4,)], "text_hash STRING"
+    )
+    B.append_bloom(spark, fp, bloom_dir)
+    params = spark.read.parquet(bloom_dir + "/params").collect()
+    assert {(r.m_bits, r.k_hash, r.word_bits) for r in params} == {
+        (B.M_BITS, B.K_HASH, B.WORD_BITS)
+    }
+    # replayed append: identical params row collapses, no error
+    B.append_bloom(spark, fp, bloom_dir)
+    # a different width against the same summary dir must raise
+    with pytest.raises(ValueError, match="false negatives"):
+        B.append_bloom(spark, fp, bloom_dir, m_bits=B.M_BITS * 2)
+    with pytest.raises(ValueError, match="false negatives"):
+        B.load_bloom_healed(
+            spark, str(tmp_path / "nostore"), bloom_dir,
+            keys_of=lambda df: df, k_hash=B.K_HASH + 1,
+        )
+
+
+def test_custom_width_roundtrip_no_false_negatives(spark):
+    """bloom_words/bloom_probe honor a caller-sized (m, k): every
+    stored key is a candidate at the custom width too (the guarantee is
+    width-independent as long as build and probe agree)."""
+    m, k = 1 << 12, 3
+    store = _docs(spark, [(i, f"sized text {i}") for i in range(64)])
+    hashes = store.select(F.md5("text").alias("text_hash"))
+    words = B.bloom_words(hashes, m_bits=m, k_hash=k)
+    assert words.count() <= -(-m // B.WORD_BITS)
+    probed = B.bloom_probe(hashes, words, m_bits=m, k_hash=k)
+    assert probed.where("NOT bloom_candidate").count() == 0
+
+
+def test_store_listing_via_hadoop_fs(spark, tmp_path):
+    """_store_data_files goes through the Hadoop FileSystem API (the
+    listing spark.read resolves), returns store-relative paths, and []
+    for a store that does not exist yet."""
+    store_dir = str(tmp_path / "fp")
+    assert B._store_data_files(spark, store_dir) == []
+    spark.createDataFrame(
+        [("ab" * 16, 1)], "text_hash STRING, canonical_id BIGINT"
+    ).write.parquet(store_dir)
+    files = B._store_data_files(spark, store_dir)
+    assert files and all(f.endswith(".parquet") for f in files)
+    assert all("/" not in f or not f.startswith("/") for f in files)
+    # file:// scheme (an explicitly non-local-walk path) lists the same
+    assert B._store_data_files(spark, "file://" + store_dir) == files

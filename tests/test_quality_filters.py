@@ -510,3 +510,31 @@ class TestThresholdSweep:
             for r in quality_threshold_sweep(spark, sf_dir).collect()
         }
         assert swept[0.06] == direct
+
+    def test_zero_token_doc_kept_at_threshold_zero(self, spark, tmp_path):
+        """A zero-token document has no stopword ratio; its score
+        coalesces to 0 so threshold 0.00 keeps the WHOLE corpus
+        (doc_pct == 1.0 exactly) instead of silently excluding it
+        from every threshold row (round-10 review finding)."""
+        from jitsu_spark.operators.quality_filters import (
+            quality_threshold_sweep,
+        )
+
+        spark.createDataFrame(
+            [
+                (1, "the and of plenty stopwords here", 33),
+                (2, "", 0),          # zero tokens
+                (3, "   ", 3),       # whitespace only -> zero tokens
+            ],
+            "doc_id BIGINT, text STRING, n_chars BIGINT",
+        ).write.parquet(str(tmp_path / "documents.parquet"))
+        rows = {
+            float(r.threshold): r
+            for r in quality_threshold_sweep(
+                spark, str(tmp_path)
+            ).collect()
+        }
+        assert rows[0.0].n_docs == 3
+        assert float(rows[0.0].doc_pct) == 1.0
+        # the empty docs carry a 0 score: any positive threshold drops them
+        assert rows[0.02].n_docs == 1
