@@ -31,4 +31,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # The media near-dup pair oracles read the deterministic parquet
+    # hash stores; guarantee they exist for the driver's correctness SF
+    # before any DuckDB runs (Spark-free pandas builders, idempotent,
+    # ~1s at sf0.01) so the compare can never race the Spark build.
+    try:
+        from jitsu_spark.multimodal import CANON_ORACLE_SF, ensure_media_stores
+
+        ensure_media_stores(CANON_ORACLE_SF)
+    except Exception:
+        pass  # a store-dependent oracle will surface the error itself
     return dict(ORACLES)

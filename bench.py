@@ -99,7 +99,11 @@ def _canary_once(spark) -> float:
 def prebuild_stores(spark, sf_dir: str) -> list:
     """Pay every memoized store build up front; returns the ledger
     slice so the report shows what the warmup paid."""
-    from jitsu_spark.multimodal import _ensure_afp_store, _ensure_phash_store
+    from jitsu_spark.multimodal import (
+        _ensure_afp_store,
+        _ensure_phash_store,
+        _ensure_vfp_store,
+    )
     from jitsu_spark.operators.dedup import (
         ensure_cluster_map,
         ensure_pair_shingle_counts,
@@ -117,6 +121,7 @@ def prebuild_stores(spark, sf_dir: str) -> list:
     ensure_ivfpq_store(spark, sf_dir)
     _ensure_phash_store(spark, sf_dir)
     _ensure_afp_store(spark, sf_dir)
+    _ensure_vfp_store(spark, sf_dir)
     ensure_quality_model(spark, sf_dir)
     export_documents_jsonl(spark, sf_dir)
     return list(BUILDS[n0:])

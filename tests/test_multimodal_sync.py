@@ -501,3 +501,79 @@ class TestPerceptualHash:
         else:
             with pytest.raises(NotImplementedError, match="Pillow"):
                 _gray_real(b"x", 1, 1)
+
+
+class TestDeterministicStores:
+    """The deterministic media-hash stores (round 11): the Spark-free
+    pandas builders produce byte-identical values to the Spark path,
+    the fingerprint sidecar memoizes freshness, and a dataset change
+    rebuilds."""
+
+    def test_pandas_builder_matches_spark_values(self, spark, tmp_path):
+        import jitsu_spark.multimodal as MM
+
+        sf_dir = "/root/testdata/sf0.001"
+        out = str(tmp_path / "imgphash")
+        MM._build_phash_store_pandas(sf_dir, out)
+        via_pandas = {
+            (r.media_id, r.dhash, r.phash)
+            for r in spark.read.parquet(out).collect()
+        }
+        via_spark = {
+            (r.media_id, r.dhash, r.phash)
+            for r in MM.perceptual_hashes(
+                MM.media_from_documents(spark, sf_dir)
+            ).collect()
+        }
+        assert via_pandas == via_spark
+
+        out_a = str(tmp_path / "audiofp")
+        MM._build_afp_store_pandas(sf_dir, out_a)
+        a_pandas = {
+            (r.media_id, r.ehash, r.shash)
+            for r in spark.read.parquet(out_a).collect()
+        }
+        a_spark = {
+            (r.media_id, r.ehash, r.shash)
+            for r in MM.audio_fingerprints_df(
+                MM.audio_from_documents(spark, sf_dir)
+            ).collect()
+        }
+        assert a_pandas == a_spark
+
+    def test_sidecar_freshness_and_rebuild(self, tmp_path, monkeypatch):
+        import json
+
+        import pandas as pd
+
+        import jitsu_spark.multimodal as MM
+
+        # a private dataset dir so the deterministic path is ours
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        pd.DataFrame(
+            {"doc_id": [1], "text": ["alpha"], "n_chars": [5]}
+        ).to_parquet(sf / "documents.parquet")
+        monkeypatch.setattr(
+            MM, "media_store_dir",
+            lambda s, fam: str(tmp_path / f"store_{fam}"),
+        )
+        builds = []
+
+        def build(path):
+            builds.append(path)
+            MM._build_phash_store_pandas(str(sf), path)
+
+        p1 = MM._ensure_media_store(str(sf), "t1", "test_ledger", build)
+        p2 = MM._ensure_media_store(str(sf), "t1", "test_ledger", build)
+        assert p1 == p2 and len(builds) == 1
+        with open(p1 + "/_fingerprint.json") as f:
+            assert json.load(f) is not None
+
+        # dataset change -> stale sidecar -> rebuild
+        pd.DataFrame(
+            {"doc_id": [1, 2], "text": ["alpha", "beta"], "n_chars": [5, 4]}
+        ).to_parquet(sf / "documents.parquet")
+        MM._MEDIA_STORE_MEMO.clear()
+        MM._ensure_media_store(str(sf), "t1", "test_ledger", build)
+        assert len(builds) == 2
