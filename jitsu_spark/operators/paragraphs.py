@@ -48,16 +48,45 @@ PAR_WORDS = 16
 PAR_SHIFT = 1 << 20  # packed first-occurrence key: doc_id*PAR_SHIFT + pidx
 
 
+# split_mode -> the separator the doc rebuild re-joins survivors with
+PAR_SEP = {"window": " ", "newline": "\n"}
+
+
 def _paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id, source, pidx, par — the exploded paragraph stream."""
     return paragraphs_of_docs(load_table(spark, sf_dir, "documents"))
 
 
-def paragraphs_of_docs(docs: DataFrame) -> DataFrame:
+def paragraphs_of_docs(
+    docs: DataFrame, split_mode: str = "window"
+) -> DataFrame:
     """DataFrame form of the splitter, for callers holding any
-    (doc_id, text[, source]) frame — the streaming gate's batch."""
+    (doc_id, text[, source]) frame — the streaming gate's batch.
+
+    `split_mode` (first-class parameter since r11, VERDICT r10 #5):
+    - 'window': fixed PAR_WORDS-word windows — the stand-in for
+      newline-free corpora like the synthetic test tables.
+    - 'newline': the PRODUCTION splitter — split on '\\n', trim each
+      line, drop empties; pidx is the original line index, so the
+      rebuild preserves document order across dropped blanks.
+    Every downstream operator (election, stats, gates) is splitter-
+    agnostic: they consume (doc_id, source, pidx, par) regardless."""
     if "source" not in docs.columns:
         docs = docs.withColumn("source", F.lit(None).cast("string"))
+    if split_mode == "newline":
+        lines = docs.selectExpr(
+            "doc_id",
+            "source",
+            "posexplode(split(text, '\\n')) AS (pidx0, raw)",
+        )
+        return lines.selectExpr(
+            "doc_id",
+            "source",
+            "CAST(pidx0 AS BIGINT) AS pidx",
+            "trim(raw) AS par",
+        ).where("par <> ''")
+    if split_mode != "window":
+        raise ValueError(f"unknown split_mode {split_mode!r}")
     toks = docs.selectExpr("doc_id", "source", f"{TOKENS} AS t")
     starts = toks.selectExpr(
         "doc_id",
@@ -301,12 +330,13 @@ def paragraph_survivors(
 
 
 def rebuild_from_survivors(
-    survivors: DataFrame, batch_pars: DataFrame
+    survivors: DataFrame, batch_pars: DataFrame, sep: str = " "
 ) -> DataFrame:
     """Doc rebuild from a (par_hash, wk, par) survivor frame — split out
     so the streaming gate can pin `survivors` once (localCheckpoint)
     and derive both the rebuilt docs and the store append from it
-    without re-evaluating the anti-join."""
+    without re-evaluating the anti-join. `sep` is the splitter's
+    re-join separator (PAR_SEP[split_mode])."""
     rebuilt = (
         survivors
         .select(
@@ -318,7 +348,7 @@ def rebuild_from_survivors(
         .agg(
             F.count(F.lit(1)).alias("n_pars_kept"),
             F.concat_ws(
-                " ",
+                sep,
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("pidx", "par"))),
                     lambda x: x["par"],
@@ -335,14 +365,14 @@ def rebuild_from_survivors(
 
 
 def paragraph_gate_against_store(
-    batch_pars: DataFrame, store_par_hashes: DataFrame
+    batch_pars: DataFrame, store_par_hashes: DataFrame, sep: str = " "
 ) -> DataFrame:
     """Rebuild batch docs keeping paragraphs that are neither in the
     store (by md5 hash) nor repeats within the batch. `batch_pars` is
     (doc_id, pidx, par); `store_par_hashes` is (par_hash). Returns
     (doc_id, n_pars, n_pars_kept, text_deduped), inner on >= 1 kept."""
     return rebuild_from_survivors(
-        paragraph_survivors(batch_pars, store_par_hashes), batch_pars
+        paragraph_survivors(batch_pars, store_par_hashes), batch_pars, sep
     )
 
 
@@ -398,8 +428,81 @@ FROM rebuilt r JOIN counts c ON r.doc_id = c.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Newline-mode registry entry (round 11, VERDICT r10 #5): the synthetic
+# corpus carries no '\n', so the entry FABRICATES a newline-bearing
+# fixture deterministically in BOTH engines — each document's word
+# windows re-joined with '\n' (plus a leading/trailing blank line and
+# surrounding spaces on each paragraph, so trim + empty-drop are
+# exercised, not just the happy path) — and runs the full newline-mode
+# dedup pipeline over it: split on '\n', trim, drop empties, elect
+# corpus-wide first occurrences, rebuild with '\n'. This puts the
+# PRODUCTION splitter under the driver's hash compare end-to-end.
+# ---------------------------------------------------------------------------
+
+
+def _newline_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "doc_id",
+        "source",
+        f"""concat_ws('\\n', concat(array(''),
+            transform(
+              CASE WHEN size({TOKENS}) >= 1
+                   THEN sequence(0, size({TOKENS}) - 1, {PAR_WORDS})
+                   ELSE array() END,
+              s -> concat(' ', concat_ws(' ', slice({TOKENS}, s + 1, {PAR_WORDS})), ' ')),
+            array(''))) AS text""",
+    )
+
+
+def paragraph_dedup_newline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (oracle-checked): the production '\\n' splitter
+    end-to-end — newline fixture -> split/trim/drop-empties -> packed
+    first-occurrence election -> '\\n' rebuild. Same election semantics
+    as `paragraph_dedup_docs`; only the splitter and separator differ."""
+    pars = paragraphs_of_docs(_newline_fixture(spark, sf_dir), "newline")
+    wk = (F.col("doc_id") * PAR_SHIFT + F.col("pidx")).alias("wk")
+    kept = pars.select("par", wk).groupBy("par").agg(F.min("wk").alias("wk"))
+    survivors = kept.select(F.md5("par").alias("par_hash"), "wk", "par")
+    return rebuild_from_survivors(survivors, pars, PAR_SEP["newline"])
+
+
+PARAGRAPH_NEWLINE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, {TOKENS_DUCK} AS t FROM documents
+), fixture AS (
+  SELECT doc_id, source,
+         array_to_string(
+           list_concat(list_concat([''],
+             [' ' || array_to_string(list_slice(t, s + 1, s + {PAR_WORDS}), ' ') || ' '
+              FOR s IN range(0, len(t), {PAR_WORDS})]), ['']),
+           chr(10)) AS text
+  FROM toks
+), lines AS (
+  SELECT doc_id, source, string_split(text, chr(10)) AS l FROM fixture
+), pars AS (
+  SELECT doc_id, source, s AS pidx, trim(l[s + 1]) AS par
+  FROM lines, LATERAL (SELECT unnest(range(0, len(l))) AS s) u
+  WHERE trim(l[s + 1]) <> ''
+), kept AS (
+  SELECT par, min(doc_id * {PAR_SHIFT} + pidx) AS wk FROM pars GROUP BY par
+), rebuilt AS (
+  SELECT wk // {PAR_SHIFT} AS doc_id,
+         count(*) AS n_pars_kept,
+         string_agg(par, chr(10) ORDER BY wk % {PAR_SHIFT}) AS text_deduped
+  FROM kept GROUP BY wk // {PAR_SHIFT}
+), counts AS (
+  SELECT doc_id, count(*) AS n_pars FROM pars GROUP BY doc_id
+)
+SELECT r.doc_id, c.n_pars, r.n_pars_kept, r.text_deduped
+FROM rebuilt r JOIN counts c ON r.doc_id = c.doc_id
+"""
+
+
 QUERIES = {
     "paragraph_dedup_docs": paragraph_dedup_docs,
+    "paragraph_dedup_newline": paragraph_dedup_newline,
     "paragraph_dup_stats": paragraph_dup_stats,
     "source_overlap_matrix": source_overlap_matrix,
     "paragraph_dedup_incremental": paragraph_dedup_incremental,
@@ -407,6 +510,7 @@ QUERIES = {
 
 ORACLE = {
     "paragraph_dedup_docs": PARAGRAPH_DEDUP_SQL,
+    "paragraph_dedup_newline": PARAGRAPH_NEWLINE_SQL,
     "paragraph_dup_stats": PARAGRAPH_STATS_SQL,
     "source_overlap_matrix": SOURCE_OVERLAP_SQL,
     "paragraph_dedup_incremental": _incr_duck(),

@@ -365,6 +365,7 @@ def process_paragraph_batch_durable(
     sink,
     table: str = "corpus_stripped",
     bloom_summary_dir: str | None = None,
+    split_mode: str = "window",
 ) -> None:
     """One micro-batch of the paragraph gate: strip against the store
     (no mutation), MERGE the rebuilt docs, then append the survivors'
@@ -391,6 +392,7 @@ def process_paragraph_batch_durable(
     never written. (Assumes stable doc_ids across replays — the same
     contract every durable gate here is keyed on.)"""
     from ..operators.paragraphs import (
+        PAR_SEP,
         paragraph_survivors,
         paragraphs_of_docs,
         rebuild_from_survivors,
@@ -403,7 +405,9 @@ def process_paragraph_batch_durable(
     # min). One doc_id row proceeds; the MERGE's newest-wins handles
     # cross-batch redelivery as usual.
     batch = batch.dropDuplicates(["doc_id"])
-    pars = paragraphs_of_docs(batch.select("doc_id", "text"))
+    pars = paragraphs_of_docs(
+        batch.select("doc_id", "text"), split_mode=split_mode
+    )
     _empty_store = "CAST(NULL AS STRING) AS par_hash"
     skip_scan = False
     if bloom_summary_dir is not None:
@@ -430,7 +434,7 @@ def process_paragraph_batch_durable(
     # append below would otherwise be visible to a re-evaluation; the
     # rebuild derives from the PINNED frame, so the anti-join runs once
     survivors = paragraph_survivors(pars, store).localCheckpoint()
-    rebuilt = rebuild_from_survivors(survivors, pars)
+    rebuilt = rebuild_from_survivors(survivors, pars, PAR_SEP[split_mode])
     fresh = batch.drop("text").join(rebuilt, "doc_id")
     if fresh.take(1):
         sink.upsert(
@@ -456,6 +460,7 @@ def run_paragraph_gate_durable(
     table: str = "corpus_stripped",
     trigger: dict | None = None,
     bloom_summary_dir: str | None = None,
+    split_mode: str = "window",
 ) -> StreamingQuery:
     """The durable paragraph gate: stream -> per-batch strip against
     the corpus paragraph store -> MERGE rebuilt docs -> append the new
@@ -471,6 +476,7 @@ def run_paragraph_gate_durable(
             lambda b, _id: process_paragraph_batch_durable(
                 b, par_store_dir, warehouse_sink, table,
                 bloom_summary_dir=bloom_summary_dir,
+                split_mode=split_mode,
             )
         )
     )

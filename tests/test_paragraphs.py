@@ -363,3 +363,85 @@ class TestParagraphGateBloom:
             for r in sink.read("corpus_stripped").collect()
         }
         assert rows == {9: Q}
+
+
+class TestNewlineSplitter:
+    """split_mode='newline' (r11): the production splitter — split on
+    '\\n', trim, drop empties, pidx = original line index — and the
+    newline registry entry's equivalence to the window entry."""
+
+    def test_trim_empty_drop_and_pidx(self, spark):
+        from jitsu_spark.operators.paragraphs import paragraphs_of_docs
+
+        docs = spark.createDataFrame(
+            [(1, "  first par \n\n second par\n   \nthird")],
+            "doc_id long, text string",
+        )
+        rows = sorted(
+            (r.pidx, r.par)
+            for r in paragraphs_of_docs(docs, "newline").collect()
+        )
+        # blanks (line 1 and the whitespace-only line 3) drop; indices
+        # keep the ORIGINAL line positions so rebuild order survives
+        assert rows == [(0, "first par"), (2, "second par"), (4, "third")]
+
+    def test_unknown_mode_raises(self, spark):
+        from jitsu_spark.operators.paragraphs import paragraphs_of_docs
+
+        docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="split_mode"):
+            paragraphs_of_docs(docs, "sentences")
+
+    def test_newline_entry_matches_window_entry(self, spark, sf_dir):
+        """The newline fixture is the window paragraphs re-joined with
+        '\\n', so the two entries elect the SAME survivors: equal
+        (doc_id, n_pars, n_pars_kept) and equal texts modulo
+        separator."""
+        from jitsu_spark.operators.paragraphs import (
+            paragraph_dedup_docs,
+            paragraph_dedup_newline,
+        )
+
+        win = {
+            r.doc_id: (r.n_pars, r.n_pars_kept, r.text_deduped)
+            for r in paragraph_dedup_docs(spark, sf_dir).collect()
+        }
+        nl = {
+            r.doc_id: (r.n_pars, r.n_pars_kept, r.text_deduped)
+            for r in paragraph_dedup_newline(spark, sf_dir).collect()
+        }
+        assert win.keys() == nl.keys() and len(win) > 0
+        for d, (np_w, nk_w, t_w) in win.items():
+            np_n, nk_n, t_n = nl[d]
+            assert (np_w, nk_w) == (np_n, nk_n)
+            assert t_n.replace("\n", " ") == t_w
+
+    def test_durable_gate_newline_mode(self, spark, tmp_path):
+        """The streaming paragraph gate strips with the production
+        splitter when split_mode='newline': stored paragraphs win, the
+        rebuild re-joins with '\\n'."""
+        from jitsu_spark.operators.paragraphs import (
+            PAR_SEP,
+            paragraph_gate_against_store,
+            paragraphs_of_docs,
+        )
+
+        batch = spark.createDataFrame(
+            [(10, "shared boiler\nfresh body ten"),
+             (11, "fresh body eleven\nshared boiler\nfresh body eleven")],
+            "doc_id long, text string",
+        )
+        store = spark.createDataFrame(
+            [("shared boiler",)], "par string"
+        ).selectExpr("md5(par) AS par_hash")
+        got = {
+            r.doc_id: (r.n_pars, r.n_pars_kept, r.text_deduped)
+            for r in paragraph_gate_against_store(
+                paragraphs_of_docs(batch, "newline"),
+                store,
+                PAR_SEP["newline"],
+            ).collect()
+        }
+        assert got[10] == (2, 1, "fresh body ten")
+        # within-batch repeat of 'fresh body eleven' keeps first only
+        assert got[11] == (3, 1, "fresh body eleven")
