@@ -37,6 +37,7 @@ from .operators import (
     similarity,
     text_embed,
     text_ops,
+    training_pipeline,
 )
 
 _MODULES = [
@@ -56,6 +57,7 @@ _MODULES = [
     quality_model,
     dedup,
     corpus_stats,
+    training_pipeline,
     similarity,
     clustering,
     text_embed,
