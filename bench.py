@@ -248,6 +248,15 @@ def main() -> None:
             k: round(statistics.median(v), 3) for k, v in r1000_runs.items()
         }
         retrieval_1000q["n_queries"] = 1000
+        # canary-normalize the channel like the headline (VERDICT r10
+        # "What's wrong" #1: the r10 raw numbers read as a regression
+        # until divided by the host-speed canary)
+        canary_so_far = round(statistics.median(canary_runs), 3)
+        if canary_so_far > 0:
+            for k in ("bm25_topk_df", "hybrid_search_rrf_df"):
+                retrieval_1000q[f"{k}_normalized"] = round(
+                    retrieval_1000q[k] * CANARY_REF_SEC / canary_so_far, 3
+                )
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -292,6 +301,21 @@ def main() -> None:
     if extra:
         result["query_subset"] = names
     print(json.dumps(result))
+    # compact one-line tail summary LAST (VERDICT r10 "What's wrong"
+    # #4): the driver's tail capture truncated the full dump in r10
+    # (BENCH_r10 parsed: null) — a short final line always survives a
+    # tail-capturing harness and carries the headline fields.
+    print(json.dumps({
+        "metric": result["metric"] + "_tail",
+        "value": result["value"],
+        "unit": "sec",
+        "value_canary_normalized": result["value_canary_normalized"],
+        "canary_median": canary_median,
+        "all_queries_wall_seconds": result["all_queries_wall_seconds"],
+        "n_queries": result["n_queries"],
+        "sf": sf_num,
+        "queries": {n: timings[n] for n in HEADLINE if n in timings},
+    }))
     # The driver records only the stdout tail, which has truncated the
     # headline value in past rounds (BENCH_r04). Persist the full summary
     # (plus the per-pass raw timings the stdout line omits) so
