@@ -1328,6 +1328,85 @@ def video_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Frame-level segment overlap (round 11): clip pairs sharing at least
+# MIN_SEG_FRAMES near-identical frames — the shot-level complement of
+# the whole-clip temporal-median hash. A re-cut that reuses a segment
+# of another video moves the clip-level vhash arbitrarily far, but its
+# copied frames still land within frame-dHash Hamming radius; counting
+# matching frame PAIRS per clip pair surfaces exactly those. Scale: the
+# frame table is 8 rows/clip, pairs come from the SAME banded pigeonhole
+# join over distinct frame-hash values (never all frame pairs), and the
+# clip-pair rollup is one groupBy over the matched pairs.
+MIN_SEG_FRAMES = 2
+_SEG_FSHIFT = 256  # packed frame key: media_id * 256 + frame_idx
+
+
+def video_segment_overlap_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registry entry (ORACLE-CHECKED over the stored frame_hashes
+    arrays): (media_a, media_b, n_frame_matches, min_hamming) for clip
+    pairs with >= MIN_SEG_FRAMES frame pairs within Hamming <=
+    VIDEO_HAMMING_MAX, media_a < media_b."""
+    from .operators.dedup import simhash_hamming_pairs
+
+    store = _ensure_vfp_store(spark, sf_dir)
+    frames = (
+        spark.read.parquet(store)
+        .where(F.col("frame_hashes").isNotNull())
+        .select(
+            "media_id",
+            F.posexplode("frame_hashes").alias("fidx", "fhash"),
+        )
+        .selectExpr(
+            f"media_id * {_SEG_FSHIFT} + fidx AS doc_id",
+            "fhash AS simhash",
+        )
+    )
+    fpairs = simhash_hamming_pairs(
+        frames,
+        n_bits=DHASH_BITS,
+        max_hamming=VIDEO_HAMMING_MAX,
+        n_bands=VIDEO_BANDS,
+    ).selectExpr(
+        f"doc_a DIV {_SEG_FSHIFT} AS media_a",
+        f"doc_b DIV {_SEG_FSHIFT} AS media_b",
+        "hamming",
+    )
+    return (
+        fpairs.where("media_a <> media_b")
+        .groupBy("media_a", "media_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_frame_matches"),
+            F.min("hamming").alias("min_hamming"),
+        )
+        .where(F.col("n_frame_matches") >= MIN_SEG_FRAMES)
+    )
+
+
+def _segment_overlap_sql() -> str:
+    store = media_store_dir(CANON_ORACLE_SF, "videofp")
+    return f"""
+WITH frames AS (
+  SELECT media_id, u.f AS fhash
+  FROM read_parquet('{store}/*.parquet'),
+       LATERAL unnest(frame_hashes) AS u(f)
+  WHERE frame_hashes IS NOT NULL
+),
+fpairs AS (
+  SELECT x.media_id AS media_a, y.media_id AS media_b,
+         CAST(bit_count(xor(x.fhash, y.fhash)) AS INT) AS hamming
+  FROM frames x JOIN frames y ON x.media_id < y.media_id
+  WHERE bit_count(xor(x.fhash, y.fhash)) <= {VIDEO_HAMMING_MAX}
+)
+SELECT media_a, media_b,
+       count(*) AS n_frame_matches,
+       min(hamming) AS min_hamming
+FROM fpairs GROUP BY 1, 2
+HAVING count(*) >= {MIN_SEG_FRAMES}
+"""
+
+
 def _pair_stage_sql(family: str, hash_col: str, max_hamming: int) -> str:
     """The quadratic popcount spec of the banded pair stage, over the
     deterministic store for the driver's correctness SF. DuckDB's
@@ -1358,6 +1437,7 @@ QUERIES = {
     "audio_near_dup_pairs": audio_near_dup_pairs,
     "video_fingerprints": video_fingerprints,
     "video_near_dup_pairs": video_near_dup_pairs,
+    "video_segment_overlap_pairs": video_segment_overlap_pairs,
 }
 ORACLE = {
     "media_feature_extract": MEDIA_FEATURES_SQL,
@@ -1370,4 +1450,5 @@ ORACLE = {
     "video_near_dup_pairs": _pair_stage_sql(
         "videofp", "vhash", VIDEO_HAMMING_MAX
     ),
+    "video_segment_overlap_pairs": _segment_overlap_sql(),
 }

@@ -124,3 +124,39 @@ class TestVideoHashes:
             ).collect()
         }
         assert via_pandas == via_spark
+
+    def test_segment_overlap_detects_shared_frames(self, spark, tmp_path):
+        """A clip that copies a contiguous segment of another clip is a
+        segment-overlap pair even when the whole-clip hashes diverge:
+        build a corpus where doc 2's payload is doc 1's rolled far
+        enough that clip hashes differ, then verify the frame-level
+        entry pairs them while counting >= MIN_SEG_FRAMES matches."""
+        import pandas as pd
+
+        base = ("segment of shared footage rolls here " * 40).encode()
+        # doc 2 starts FRAME_STRIDE*3 bytes in: frames 3.. of doc 1
+        # equal frames 0.. of doc 2 exactly (same rotation lattice)
+        import numpy as np
+
+        arr = np.frombuffer(base, dtype=np.uint8)
+        shifted = np.roll(arr, -(mm.FRAME_STRIDE * 3) % arr.size).tobytes()
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    base.decode(),
+                    shifted.decode(),
+                    "entirely different third clip " * 40,
+                ],
+                "n_chars": [len(base), len(shifted), 30 * 40],
+            }
+        ).to_parquet(str(tmp_path / "documents.parquet"))
+        pairs = {
+            (r.media_a, r.media_b): r.n_frame_matches
+            for r in mm.video_segment_overlap_pairs(
+                spark, str(tmp_path)
+            ).collect()
+        }
+        assert (1, 2) in pairs
+        assert pairs[(1, 2)] >= mm.MIN_SEG_FRAMES
+        assert (1, 3) not in pairs and (2, 3) not in pairs
