@@ -251,11 +251,10 @@ def main() -> None:
         # canary-normalize the channel like the headline (VERDICT r10
         # "What's wrong" #1: the r10 raw numbers read as a regression
         # until divided by the host-speed canary)
-        canary_so_far = round(statistics.median(canary_runs), 3)
-        if canary_so_far > 0:
+        if canary_median > 0:
             for k in ("bm25_topk_df", "hybrid_search_rrf_df"):
                 retrieval_1000q[f"{k}_normalized"] = round(
-                    retrieval_1000q[k] * CANARY_REF_SEC / canary_so_far, 3
+                    retrieval_1000q[k] * CANARY_REF_SEC / canary_median, 3
                 )
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

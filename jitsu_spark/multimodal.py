@@ -646,34 +646,45 @@ def _ensure_media_store(sf_dir: str, family: str, ledger: str, build) -> str:
     """Build-once-serve-many at the deterministic path. `build(path)`
     materializes the parquet store (Spark or pandas — both write the
     same values); the fingerprint sidecar lands AFTER the data, so a
-    crashed build re-runs instead of serving a partial store."""
+    crashed build re-runs instead of serving a partial store.
+
+    A FAILED dataset stat (fp=None — e.g. a race with dataset
+    regeneration, the `store_memo.ensure_store` contract) builds fresh
+    in a PRIVATE temp dir and never touches the shared deterministic
+    path: destroying the live store on a transient stat error and then
+    failing the rebuild would leave every concurrent reader with no
+    store at all (review finding, round 11)."""
     import json
     import shutil
+    import tempfile
 
+    from .plans.store_builds import timed_build
     from .plans.store_memo import dataset_fingerprint
 
-    path = media_store_dir(sf_dir, family)
     fp = dataset_fingerprint(sf_dir, "documents.parquet")
+    if fp is None:
+        path = tempfile.mkdtemp(prefix=family) + "/store"
+        with timed_build(ledger):
+            build(path)
+        return path
+    path = media_store_dir(sf_dir, family)
     want = json.dumps(fp)
-    if fp is not None and _MEDIA_STORE_MEMO.get((family, want)):
+    if _MEDIA_STORE_MEMO.get((family, want)):
         return path
     side = os.path.join(path, "_fingerprint.json")
     try:
         with open(side) as f:
-            fresh = f.read() == want and fp is not None
+            fresh = f.read() == want
     except OSError:
         fresh = False
     if not fresh:
-        from .plans.store_builds import timed_build
-
         shutil.rmtree(path, ignore_errors=True)
         with timed_build(ledger):
             build(path)
         os.makedirs(path, exist_ok=True)
         with open(side, "w") as f:
             f.write(want)
-    if fp is not None:
-        _MEDIA_STORE_MEMO[(family, want)] = True
+    _MEDIA_STORE_MEMO[(family, want)] = True
     return path
 
 
@@ -1166,20 +1177,31 @@ def _video_frames_real(
     import av
     import numpy as np
 
+    # single streaming pass with a BOUNDED buffer: keep every `stride`-th
+    # frame; when the buffer exceeds 4*n_frames, halve it and double the
+    # stride. O(n_frames) memory for any clip length (a 10-minute 1080p
+    # clip is ~18k frames — materializing them all would be tens of GB
+    # in one Arrow task; review finding, round 11), one decode pass, and
+    # the kept frames stay evenly spaced.
+    kept: list = []
+    stride, seen = 1, 0
     with av.open(io.BytesIO(payload)) as container:
         stream = next(
             (s for s in container.streams if s.type == "video"), None
         )
         if stream is None:
             raise ValueError("payload contains no video stream")
-        frames = [
-            f.to_ndarray(format="gray").astype(np.uint8)
-            for f in container.decode(stream)
-        ]
-    if not frames:
+        for f in container.decode(stream):
+            if seen % stride == 0:
+                kept.append(f.to_ndarray(format="gray").astype(np.uint8))
+                if len(kept) > 4 * n_frames:
+                    kept = kept[::2]
+                    stride *= 2
+            seen += 1
+    if not kept:
         raise ValueError("video stream decoded zero frames")
-    idx = [(i * len(frames)) // n_frames for i in range(n_frames)]
-    return [frames[i] for i in idx]
+    idx = [(i * len(kept)) // n_frames for i in range(n_frames)]
+    return [kept[i] for i in idx]
 
 
 VIDEO_DECODER = _video_frames_fake

@@ -55,6 +55,8 @@ is oracle-checked: DuckDB reproduces the bloom bit-for-bit, so the
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -309,6 +311,9 @@ def _store_data_files(spark: SparkSession, store_dir: str) -> list[str]:
     return sorted(out)
 
 
+_PARAMS_MEMO: set = set()
+
+
 def _ensure_params(
     spark: SparkSession, bloom_dir: str, m_bits: int, k_hash: int
 ) -> None:
@@ -317,7 +322,12 @@ def _ensure_params(
     at one width with positions computed at another produces REAL false
     negatives (review finding, round 10) — a width change must be a new
     summary directory, never a silent reinterpretation. Replay-safe:
-    identical rows collapse on read; a conflicting row is a loud error."""
+    identical rows collapse on read; a conflicting row is a loud error.
+    Memoized per (dir, m, k): params cannot change under a live process,
+    so a streaming gate pays the params read once, not per micro-batch."""
+    memo_key = (os.path.abspath(bloom_dir), m_bits, k_hash)
+    if memo_key in _PARAMS_MEMO:
+        return
     try:
         rows = {
             (r.m_bits, r.k_hash, r.word_bits)
@@ -330,6 +340,7 @@ def _ensure_params(
             [(m_bits, k_hash, WORD_BITS)],
             "m_bits INT, k_hash INT, word_bits INT",
         ).write.mode("append").parquet(bloom_dir + "/params")
+        _PARAMS_MEMO.add(memo_key)
         return
     if rows != {(m_bits, k_hash, WORD_BITS)}:
         raise ValueError(
@@ -338,6 +349,7 @@ def _ensure_params(
             f"word_bits={WORD_BITS}). Re-point to a fresh summary dir — "
             "probing across widths produces false negatives."
         )
+    _PARAMS_MEMO.add(memo_key)
 
 
 def _read_words(spark: SparkSession, bloom_dir: str) -> DataFrame:

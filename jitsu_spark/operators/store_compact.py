@@ -10,31 +10,39 @@ one of them. This module is the gate stores' `sinks.compact` analog
 (reference parallel: the warehouse OPTIMIZE the reference leans on its
 ClickHouse/BigQuery destinations for).
 
-Design — IN-PLACE append-then-delete, never a directory swap:
+Design — STAGE-AND-MOVE into the live directory, never a directory
+swap:
 
 1. List the store's current data files (the same Hadoop FileSystem
    listing the bloom healer uses — object-store safe).
 2. Read EXACTLY those files (basePath-anchored so partition columns
-   survive), collapse replay-duplicate rows (`distinct`), and APPEND
-   the compacted copy — `files_per_partition` files per partition
-   directory, one file for unpartitioned stores.
-3. Mark the new files covered in the bloom summary (when the store has
-   one): their keys are a subset of the listed files', which the
-   pre-compaction heal below already covered — so no re-heal.
-4. Delete the listed old files and any emptied partition dirs.
+   survive), collapse replay-duplicate rows (`distinct`), and write the
+   compacted copy to a SIBLING staging directory — `files_per_
+   partition` files per partition directory, one file for
+   unpartitioned stores.
+3. Rename each staged data file into the store (metadata moves; the
+   exact set of moved relative paths is therefore KNOWN — never
+   inferred from a before/after listing diff, which would mis-claim a
+   concurrent writer's files).
+4. Mark exactly the moved files covered in the bloom summary (when the
+   store has one): their keys are a subset of the listed files', which
+   the pre-compaction heal below already covered — so no re-heal.
+5. Delete the listed old files and any emptied partition dirs.
 
 Every crash window degrades SAFELY because duplicate rows are harmless
 to every gate store by contract (verdict probes reduce by min/distinct;
 signature agreement is unchanged by duplicate rows — the same
 concurrent-append argument `dedup.append_signatures` documents):
-- crash after 2, before 3/4: the store holds two copies; verdicts are
-  identical; the next heal treats the compacted files as uncovered and
-  ORs them in (over-coverage, safe); the next compaction converges.
-- crash during 4: some old files remain — duplicates only.
+- crash during/after 3, before 4/5: the store holds up to two copies;
+  verdicts are identical; the next heal treats the moved files as
+  uncovered and ORs them in (over-coverage, safe); the next compaction
+  converges.
+- crash during 5: some old files remain — duplicates only.
 A rename-swap would instead have a window with NO store on disk, which
 a gate reads as "first-ever ingest" — an under-coverage hole. Files
-appended by a CONCURRENT writer during compaction are untouched: only
-the initially-listed files are rewritten and deleted.
+appended by a CONCURRENT writer during compaction are untouched AND
+never marked covered (step 3's explicit move list is the coverage
+record): only the initially-listed files are rewritten and deleted.
 
 Bloom-coverage contract (VERDICT r10 #4): when `bloom_dir` is given the
 store is HEALED FIRST (`load_bloom_healed`), so every listed file's
@@ -108,21 +116,30 @@ def compact_gate_store(
                 .repartition(F.col(part_col), F.col("_salt"))
                 .drop("_salt")
             )
-        n_rows = _append(out, store_dir, part_col)
     else:
-        n_rows = _append(df.coalesce(files_per_partition), store_dir, None)
+        out = df.coalesce(files_per_partition)
 
-    after_append = _store_data_files(spark, store_dir)
-    new_files = [f for f in after_append if f not in set(old_files)]
-    if bloom_dir is not None and new_files:
-        # coverage record for the compacted files BEFORE the old files
-        # vanish: a crash anywhere here only over-covers (the next heal
-        # re-ORs whatever looks uncovered — never a false negative)
+    import uuid
+
+    staging = store_dir.rstrip("/") + ".compacting-" + uuid.uuid4().hex[:8]
+    writer = out.write.mode("overwrite")
+    if part_col is not None:
+        writer = writer.partitionBy(part_col)
+    writer.parquet(staging)
+    n_rows = spark.read.option("basePath", staging).parquet(staging).count()
+
+    moved = _move_in(spark, staging, store_dir)
+    if bloom_dir is not None and moved:
+        # coverage record for exactly the files WE moved in, BEFORE the
+        # old files vanish: a crash anywhere here only over-covers (the
+        # next heal re-ORs whatever looks uncovered — never a false
+        # negative), and a concurrent writer's files are never claimed
         spark.createDataFrame(
-            [(f,) for f in new_files], "file STRING"
+            [(f,) for f in moved], "file STRING"
         ).write.mode("append").parquet(bloom_dir + "/covered")
 
     _delete(spark, store_dir, old_files)
+    _rmtree(spark, staging)
     spark.catalog.refreshByPath(store_dir)
     return {
         "files_before": len(old_files),
@@ -131,13 +148,30 @@ def compact_gate_store(
     }
 
 
-def _append(df: DataFrame, store_dir: str, part_col: str | None) -> int:
-    df = df.localCheckpoint()  # pin: the lineage reads files we delete
-    writer = df.write.mode("append")
-    if part_col is not None:
-        writer = writer.partitionBy(part_col)
-    writer.parquet(store_dir)
-    return df.count()
+def _move_in(spark: SparkSession, staging: str, store_dir: str) -> list[str]:
+    """Rename every staged data file into the store, preserving the
+    partition-relative path; returns the moved relative paths — the
+    authoritative coverage record (a listing diff could mis-attribute a
+    concurrent writer's files)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.Path(store_dir).getFileSystem(conf)
+    moved = []
+    for rel in _store_data_files(spark, staging):
+        src = jvm.org.apache.hadoop.fs.Path(os.path.join(staging, rel))
+        dst = jvm.org.apache.hadoop.fs.Path(os.path.join(store_dir, rel))
+        fs.mkdirs(dst.getParent())
+        if not fs.rename(src, dst):  # pragma: no cover - fs race
+            raise IOError(f"rename {src} -> {dst} failed")
+        moved.append(rel)
+    return moved
+
+
+def _rmtree(spark: SparkSession, path: str) -> None:
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(conf).delete(p, True)
 
 
 def _delete(spark: SparkSession, store_dir: str, rel_files: list[str]) -> None:

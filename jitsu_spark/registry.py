@@ -99,7 +99,8 @@ for _m in _MODULES:
 _PRIORITY = [
     "q1_pricing_summary",
     # -- new / touched in r11 --
-    "video_near_dup_pairs", "video_fingerprints",
+    "video_near_dup_pairs", "video_segment_overlap_pairs",
+    "video_fingerprints",
     "paragraph_dedup_newline",
     "training_data_pipeline", "training_pipeline_shards",
     "image_near_dup_pairs", "audio_near_dup_pairs",
