@@ -750,6 +750,24 @@ def _build_afp_store_pandas(sf_dir: str, path: str) -> None:
     ).to_parquet(os.path.join(path, "part-0.parquet"), index=False)
 
 
+def adapt_store_oracles(oracles: dict, sf_dir: str) -> dict:
+    """Re-point store-backed oracle SQL (which embeds the deterministic
+    store paths for the driver's canonical SF) at `sf_dir`'s stores, and
+    guarantee those stores exist (Spark-free builders). The one shared
+    seam for every harness that replays the oracle contract at a
+    non-canonical SF (tools/check_oracle.py, tests/test_contract.py)."""
+    if not any("jitsu_media_stores" in s for s in oracles.values()):
+        return dict(oracles)
+    ensure_media_stores(sf_dir)
+    out = dict(oracles)
+    for fam in ("imgphash", "audiofp", "videofp"):
+        canon = media_store_dir(CANON_ORACLE_SF, fam)
+        here = media_store_dir(sf_dir, fam)
+        if canon != here:
+            out = {k: v.replace(canon, here) for k, v in out.items()}
+    return out
+
+
 def ensure_media_stores(sf_dir: str) -> None:
     """Guarantee both media-hash stores exist and are fresh for
     `sf_dir` WITHOUT a SparkSession (pandas builders). Called from the

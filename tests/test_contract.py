@@ -37,8 +37,12 @@ def duck(sf_dir):
 
 @pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
 def test_query_matches_oracle(spark, sf_dir, duck, name):
+    from jitsu_spark.multimodal import adapt_store_oracles
+
     qs = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
+    # store-backed oracles embed the canonical-SF store paths; re-point
+    # them at this session's sf_dir (the same seam check_oracle uses)
+    oracles = adapt_store_oracles(entry_mod.oracle_sql(), sf_dir)
     sdf = qs[name](spark, sf_dir).toPandas()
     if name not in oracles:
         pytest.skip("rows-only operator (no SQL oracle)")

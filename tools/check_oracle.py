@@ -82,16 +82,9 @@ def main() -> int:
     # deterministic store path for the driver's canonical SF; when this
     # tool runs at another SF, re-point them and guarantee the stores
     # (Spark-free pandas builders, idempotent).
-    from jitsu_spark import multimodal as _mm
+    from jitsu_spark.multimodal import adapt_store_oracles
 
-    if any("jitsu_media_stores" in s for s in oracles.values()):
-        _mm.ensure_media_stores(sf_dir)
-        for fam in ("imgphash", "audiofp", "videofp"):
-            canon = _mm.media_store_dir(_mm.CANON_ORACLE_SF, fam)
-            here = _mm.media_store_dir(sf_dir, fam)
-            oracles = {
-                k: v.replace(canon, here) for k, v in oracles.items()
-            }
+    oracles = adapt_store_oracles(oracles, sf_dir)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
