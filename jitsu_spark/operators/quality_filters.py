@@ -1082,8 +1082,66 @@ FROM swept, totals
 """
 
 
+# ---------------------------------------------------------------------------
+# Character-entropy report (round 11): Shannon entropy of the per-doc
+# character distribution — the classic low-cost repetitive-boilerplate
+# detector (keyboard-mash, char-flood spam, and template pages all sit
+# far below natural text's ~4.1 nats; compression-ratio filters measure
+# the same thing with a codec this container lacks). Identity:
+# H = ln(n) - (1/n) * sum_c cnt_c * ln(cnt_c) — computed from the
+# per-(doc, char) counts, so the shuffle carries at most
+# |alphabet| (~96) rows per doc with map-side combine, never the text.
+# ---------------------------------------------------------------------------
+
+
+def char_entropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_chars_text, n_distinct_chars, entropy_nats) per
+    non-empty document. Oracle-checked (the tfidf/zipf float-rounding
+    convention: round(.,4) + 0.0 canonicalizes both engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.selectExpr(
+        "doc_id",
+        "explode(CASE WHEN length(text) >= 1"
+        " THEN sequence(1, length(text)) ELSE array() END) AS i",
+        "text",
+    ).selectExpr("doc_id", "substring(text, i, 1) AS ch")
+    counts = chars.groupBy("doc_id", "ch").count()
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("count").alias("n"),
+            F.count(F.lit(1)).alias("n_distinct_chars"),
+            F.sum(F.expr("count * ln(count)")).alias("clnc"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n AS n_chars_text",
+            "n_distinct_chars",
+            "round(ln(n) - clnc / n, 4) + 0.0 AS entropy_nats",
+        )
+    )
+
+
+CHAR_ENTROPY_SQL = """
+WITH chars AS (
+  SELECT doc_id, substr(text, i, 1) AS ch
+  FROM documents,
+       LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i) u
+), counts AS (
+  SELECT doc_id, ch, count(*) AS cnt FROM chars GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_chars_text,
+       count(*) AS n_distinct_chars,
+       round(ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt), 4) + 0.0
+         AS entropy_nats
+FROM counts GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "quality_threshold_sweep": quality_threshold_sweep,
+    "char_entropy_report": char_entropy_report,
     "c4_page_filter_report": c4_page_filter_report,
     "gopher_quality_flags": gopher_quality_flags,
     "repetition_stats": repetition_stats,
@@ -1098,6 +1156,7 @@ QUERIES = {
 }
 ORACLE = {
     "quality_threshold_sweep": QUALITY_SWEEP_SQL,
+    "char_entropy_report": CHAR_ENTROPY_SQL,
     "c4_page_filter_report": C4_PAGE_FILTER_SQL,
     "quality_funnel_report": QUALITY_FUNNEL_SQL,
     "gopher_quality_flags": GOPHER_QUALITY_SQL,

@@ -194,3 +194,48 @@ def _delete(spark: SparkSession, store_dir: str, rel_files: list[str]) -> None:
                 fs.delete(p, True)
         except Exception:
             pass  # already gone or non-empty with non-data files
+
+
+def compact_bloom_summary(spark: SparkSession, bloom_dir: str) -> dict:
+    """Compact the durable bloom summary itself: `words/` accumulates
+    one small file per heal/append forever (the exact growth pattern
+    the gate stores had) and `covered/` one per heal — collapse words
+    by the same bit_or the reader applies and covered/params by
+    distinct, via the stage-and-move protocol above.
+
+    Safety: words files are bit-idempotent under replay, so any crash
+    window (both copies present / partial delete) changes NO probe
+    outcome — the reader's groupBy(word_idx).bit_or is invariant under
+    duplication. A file a concurrent healer appends during compaction
+    is neither rewritten nor deleted. Coverage records are names, not
+    bits: duplicates are harmless, losses impossible (only the listed
+    old files are deleted, and their content moved in first)."""
+    out = {}
+    for sub, collapse in (
+        ("words", lambda df: df.groupBy("word_idx").agg(
+            F.bit_or("bits").alias("bits"))),
+        ("covered", lambda df: df.distinct()),
+        ("params", lambda df: df.distinct()),
+    ):
+        sub_dir = bloom_dir.rstrip("/") + "/" + sub
+        old_files = _store_data_files(spark, sub_dir)
+        if len(old_files) <= 1:
+            out[sub] = {"files_before": len(old_files),
+                        "files_after": len(old_files)}
+            continue
+        paths = [os.path.join(sub_dir, f) for f in old_files]
+        df = collapse(spark.read.parquet(*paths)).coalesce(1)
+
+        import uuid
+
+        staging = sub_dir + ".compacting-" + uuid.uuid4().hex[:8]
+        df.write.mode("overwrite").parquet(staging)
+        _move_in(spark, staging, sub_dir)
+        _delete(spark, sub_dir, old_files)
+        _rmtree(spark, staging)
+        spark.catalog.refreshByPath(sub_dir)
+        out[sub] = {
+            "files_before": len(old_files),
+            "files_after": len(_store_data_files(spark, sub_dir)),
+        }
+    return out

@@ -104,7 +104,7 @@ _PRIORITY = [
     "paragraph_dedup_newline",
     "training_data_pipeline", "training_pipeline_shards",
     "image_near_dup_pairs", "audio_near_dup_pairs",
-    "quality_threshold_sweep",
+    "quality_threshold_sweep", "char_entropy_report",
     # -- driver-stale (sampled in neither r9 nor r10), rollup/report --
     "metrics_rollup_minute", "active_users_daily",
     "active_users_daily_approx", "incremental_rollup_equivalence",

@@ -538,3 +538,39 @@ class TestThresholdSweep:
         assert float(rows[0.0].doc_pct) == 1.0
         # the empty docs carry a 0 score: any positive threshold drops them
         assert rows[0.02].n_docs == 1
+
+
+class TestCharEntropy:
+    def test_known_values_and_boilerplate_ordering(self, spark, tmp_path):
+        """Entropy pins: a single repeated char has H=0; a uniform
+        2-char string has H=ln 2; repetitive boilerplate scores below
+        natural-looking text. Empty docs drop out (no char rows)."""
+        import math
+
+        spark.createDataFrame(
+            [
+                (1, "aaaaaaaa", 8),
+                (2, "abababab", 8),
+                (3, "the quick brown fox jumps over the lazy dogs", 45),
+                (4, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaabbbbb", 45),
+                (5, "", 0),
+            ],
+            "doc_id BIGINT, text STRING, n_chars BIGINT",
+        ).write.parquet(str(tmp_path / "documents.parquet"))
+        from jitsu_spark.operators.quality_filters import (
+            char_entropy_report,
+        )
+
+        rows = {
+            r.doc_id: r
+            for r in char_entropy_report(spark, str(tmp_path)).collect()
+        }
+        assert set(rows) == {1, 2, 3, 4}  # empty doc has no char rows
+        assert rows[1].entropy_nats == 0.0
+        assert rows[1].n_distinct_chars == 1
+        assert rows[2].entropy_nats == round(math.log(2), 4)
+        # same length, same alphabet size ordering: boilerplate < prose
+        assert rows[4].entropy_nats < rows[3].entropy_nats
+        assert rows[3].n_chars_text == len(
+            "the quick brown fox jumps over the lazy dogs"
+        )

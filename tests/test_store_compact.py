@@ -168,3 +168,66 @@ class TestFlatSignatureStore:
             ).collect()
         }
         assert after == before
+
+
+class TestBloomSummaryCompaction:
+    def test_words_collapse_probe_invariant(self, spark, tmp_path):
+        """Many appended words files collapse to one; every probe
+        verdict (and the healed-load words themselves) are identical
+        before and after."""
+        store = str(tmp_path / "fp")
+        bloom = str(tmp_path / "bloom")
+        _seed_fp_store(spark, store, n_batches=3)
+        # several heals/appends -> several words files
+        B.load_bloom_healed(
+            spark, store, bloom, keys_of=lambda df: df, col="text_hash"
+        )
+        B.append_bloom(
+            spark,
+            spark.createDataFrame([("ab" * 16,)], "text_hash STRING"),
+            bloom,
+        )
+        B.append_bloom(
+            spark,
+            spark.createDataFrame([("cd" * 16,)], "text_hash STRING"),
+            bloom,
+        )
+        before_words = {
+            (r.word_idx, r.bits)
+            for r in B._read_words(spark, bloom).collect()
+        }
+        probe = _docs(
+            spark, [(900, "content 0-1"), (901, "never stored")]
+        )
+        before = {
+            (r.doc_id, r.verdict)
+            for r in B.fingerprint_verdicts_bloom(
+                spark, probe, store, bloom
+            ).collect()
+        }
+        from jitsu_spark.operators.store_compact import (
+            compact_bloom_summary,
+        )
+
+        stats = compact_bloom_summary(spark, bloom)
+        assert stats["words"]["files_after"] == 1
+        assert stats["words"]["files_before"] > 1
+        after_words = {
+            (r.word_idx, r.bits)
+            for r in B._read_words(spark, bloom).collect()
+        }
+        assert after_words == before_words
+        after = {
+            (r.doc_id, r.verdict)
+            for r in B.fingerprint_verdicts_bloom(
+                spark, probe, store, bloom
+            ).collect()
+        }
+        assert after == before
+        # params survived intact: same-width access still validates
+        B._PARAMS_MEMO.clear()
+        B.append_bloom(
+            spark,
+            spark.createDataFrame([("ef" * 16,)], "text_hash STRING"),
+            bloom,
+        )
