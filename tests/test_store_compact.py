@@ -231,3 +231,54 @@ class TestBloomSummaryCompaction:
             spark.createDataFrame([("ef" * 16,)], "text_hash STRING"),
             bloom,
         )
+
+
+class TestConcurrentWriterDuringCompaction:
+    def test_raced_file_never_claimed_covered(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A file appended by a concurrent writer in the worst window
+        (after the pre-heal, before the coverage write) must NOT be
+        recorded covered — its keys were never healed. The move list is
+        the coverage record, so this holds structurally; the raced
+        file heals on the NEXT load and its duplicates are still
+        caught."""
+        from jitsu_spark.operators import store_compact as SC
+
+        store = str(tmp_path / "fp")
+        bloom = str(tmp_path / "bloom")
+        _seed_fp_store(spark, store, n_batches=2)
+
+        raced = _docs(spark, [(700, "raced-in mid-compaction")])
+        real_move_in = SC._move_in
+
+        def racing_move_in(spark_, staging, store_dir):
+            # the concurrent writer lands AFTER the pre-heal and the
+            # old-files listing, BEFORE the coverage record
+            v = D.fingerprint_verdicts(spark_, raced, store_dir)
+            D.append_fingerprints(spark_, v, store_dir)
+            return real_move_in(spark_, staging, store_dir)
+
+        monkeypatch.setattr(SC, "_move_in", racing_move_in)
+        SC.compact_gate_store(spark, store, bloom_dir=bloom)
+
+        covered = {
+            r.file
+            for r in spark.read.parquet(bloom + "/covered").collect()
+        }
+        current = set(B._store_data_files(spark, store))
+        uncovered = current - covered
+        assert uncovered, "the raced file must be outside the coverage set"
+
+        # next healed load ORs the raced file in (words grow) and the
+        # duplicate of its content is still caught — no false negative
+        words_before = set(B._store_data_files(spark, bloom + "/words"))
+        dup = _docs(spark, [(800, "raced-in mid-compaction")])
+        got = {
+            r.doc_id: r.verdict
+            for r in B.fingerprint_verdicts_bloom(
+                spark, dup, store, bloom
+            ).collect()
+        }
+        assert got == {800: "dup_of_corpus"}
+        assert set(B._store_data_files(spark, bloom + "/words")) > words_before
