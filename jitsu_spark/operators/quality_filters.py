@@ -1099,12 +1099,13 @@ def char_entropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-empty document. Oracle-checked (the tfidf/zipf float-rounding
     convention: round(.,4) + 0.0 canonicalizes both engines)."""
     docs = load_table(spark, sf_dir, "documents")
+    # split-on-empty is the single-pass char explode in BOTH engines
+    # (per-index substring would rescan the string per character —
+    # O(len^2) per doc, a hazard for long documents); both yield ['']
+    # for an empty doc, filtered here so empty docs drop out.
     chars = docs.selectExpr(
-        "doc_id",
-        "explode(CASE WHEN length(text) >= 1"
-        " THEN sequence(1, length(text)) ELSE array() END) AS i",
-        "text",
-    ).selectExpr("doc_id", "substring(text, i, 1) AS ch")
+        "doc_id", "explode(split(text, '')) AS ch"
+    ).where("ch <> ''")
     counts = chars.groupBy("doc_id", "ch").count()
     return (
         counts.groupBy("doc_id")
@@ -1124,9 +1125,10 @@ def char_entropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CHAR_ENTROPY_SQL = """
 WITH chars AS (
-  SELECT doc_id, substr(text, i, 1) AS ch
+  SELECT doc_id, u.ch
   FROM documents,
-       LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i) u
+       LATERAL unnest(string_split(text, '')) AS u(ch)
+  WHERE u.ch <> ''
 ), counts AS (
   SELECT doc_id, ch, count(*) AS cnt FROM chars GROUP BY 1, 2
 )
