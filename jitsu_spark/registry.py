@@ -38,6 +38,7 @@ from .operators import (
     text_embed,
     text_ops,
     training_pipeline,
+    training_plan,
 )
 
 _MODULES = [
@@ -58,6 +59,7 @@ _MODULES = [
     dedup,
     corpus_stats,
     training_pipeline,
+    training_plan,
     similarity,
     clustering,
     text_embed,
@@ -99,6 +101,8 @@ for _m in _MODULES:
 _PRIORITY = [
     "q1_pricing_summary",
     # -- new / touched in r11 --
+    "curriculum_order", "span_corruption_plan",
+    "domain_mixture_weights", "epoch_repeat_plan",
     "video_near_dup_pairs", "video_segment_overlap_pairs",
     "video_fingerprints",
     "paragraph_dedup_newline",

@@ -1,0 +1,221 @@
+"""Training-run planning operators: curriculum order, span-corruption
+accounting, DoReMi-lite mixture weights, epoch-repeat schedule."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _write_docs(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+class TestCurriculumOrder:
+    def test_positions_are_a_permutation(self, spark, sf_dir):
+        from jitsu_spark.operators.training_plan import curriculum_order
+
+        rows = curriculum_order(spark, sf_dir).collect()
+        n = len(rows)
+        assert sorted(r.pos for r in rows) == list(range(n))
+
+    def test_difficulty_monotone_along_position(self, spark, sf_dir):
+        from jitsu_spark.operators.training_plan import curriculum_order
+
+        rows = sorted(curriculum_order(spark, sf_dir).collect(),
+                      key=lambda r: r.pos)
+        lens = [r.n_tokens for r in rows]
+        assert lens == sorted(lens)
+
+    def test_phases_balanced_within_one(self, spark, sf_dir):
+        from collections import Counter
+
+        from jitsu_spark.operators.training_plan import (
+            N_PHASES,
+            curriculum_order,
+        )
+
+        rows = curriculum_order(spark, sf_dir).collect()
+        counts = Counter(r.phase for r in rows)
+        assert set(counts) <= set(range(N_PHASES))
+        assert max(counts.values()) - min(counts.values()) <= 1
+
+    def test_ties_shuffled_not_id_ordered(self, spark, tmp_path):
+        # 32 same-length docs: curriculum positions within the tie must
+        # follow md5(doc_id), which is NOT the identity order.
+        from jitsu_spark.operators.training_plan import curriculum_order
+
+        rows = [(i, f"w{i} x y", "s0") for i in range(32)]
+        out = sorted(
+            curriculum_order(spark, _write_docs(spark, tmp_path, rows))
+            .collect(),
+            key=lambda r: r.pos,
+        )
+        assert [r.doc_id for r in out] != list(range(32))
+
+    def test_zero_token_docs_lead(self, spark, tmp_path):
+        from jitsu_spark.operators.training_plan import curriculum_order
+
+        rows = [(1, "", "s0"), (2, "a b c", "s0"), (3, "a", "s0")]
+        out = sorted(
+            curriculum_order(spark, _write_docs(spark, tmp_path, rows))
+            .collect(),
+            key=lambda r: r.pos,
+        )
+        assert [r.doc_id for r in out] == [1, 3, 2]
+
+
+class TestSpanCorruptionPlan:
+    def test_t5_length_identity(self, spark, sf_dir):
+        # inputs + targets = n_tokens + 2*n_spans + 1 (each corrupted
+        # token appears once across the pair, each span adds a sentinel
+        # to both sides, targets end with EOS).
+        from jitsu_spark.operators.training_plan import span_corruption_plan
+
+        for r in span_corruption_plan(spark, sf_dir).collect():
+            assert r.n_corrupt >= 1 and r.n_spans >= 1
+            assert (
+                r.inputs_len + r.targets_len
+                == r.n_tokens + 2 * r.n_spans + 1
+            )
+
+    def test_corruption_rate_near_15_pct(self, spark, sf_dir):
+        from jitsu_spark.operators.training_plan import span_corruption_plan
+
+        for r in span_corruption_plan(spark, sf_dir).collect():
+            if r.n_tokens >= 20:
+                assert abs(r.n_corrupt / r.n_tokens - 0.15) < 0.03
+
+    def test_zero_and_tiny_docs(self, spark, tmp_path):
+        from jitsu_spark.operators.training_plan import span_corruption_plan
+
+        rows = [(1, "", "s0"), (2, "one", "s0"), (3, "a b c d e f g", "s0")]
+        out = {
+            r.doc_id: r
+            for r in span_corruption_plan(
+                spark, _write_docs(spark, tmp_path, rows)
+            ).collect()
+        }
+        z = out[1]
+        assert (z.n_corrupt, z.n_spans, z.inputs_len, z.targets_len) == (
+            0, 0, 0, 0,
+        )
+        assert z.sentinel_ok
+        one = out[2]  # 1 token -> corrupt floor clamps to 1 token, 1 span
+        assert (one.n_corrupt, one.n_spans) == (1, 1)
+        assert one.inputs_len == 1 and one.targets_len == 3
+        seven = out[3]  # round(7*.15)=1 corrupt, 1 span
+        assert (seven.n_corrupt, seven.n_spans) == (1, 1)
+
+
+class TestDomainMixtureWeights:
+    def test_shares_sum_to_one_within_floor(self, spark, sf_dir):
+        from jitsu_spark.operators.training_plan import (
+            domain_mixture_weights,
+        )
+
+        rows = domain_mixture_weights(spark, sf_dir).collect()
+        n = len(rows)
+        for col in ("baseline_share_pm", "mix_share_pm"):
+            total = sum(getattr(r, col) for r in rows)
+            assert 1000 - n <= total <= 1000
+        assert abs(sum(r.delta_pm for r in rows)) <= n
+
+    def test_equal_mass_tilt_orders_by_kl(self, spark, tmp_path):
+        # Two sources, identical token mass; src "rep" is one repeated
+        # token (max divergence from the corpus LM), src "mix" matches
+        # the corpus distribution more closely -> rep gets the
+        # strictly larger mix share.
+        from jitsu_spark.operators.training_plan import (
+            domain_mixture_weights,
+        )
+
+        rows = [
+            (1, "aa aa aa aa aa aa aa aa", "rep"),
+            (2, "aa bb cc dd ee ff gg hh", "mix"),
+        ]
+        out = {
+            r.source: r
+            for r in domain_mixture_weights(
+                spark, _write_docs(spark, tmp_path, rows)
+            ).collect()
+        }
+        assert out["rep"].kl_e4 > out["mix"].kl_e4
+        assert out["rep"].mix_share_pm > out["mix"].mix_share_pm
+        assert out["rep"].delta_pm > 0 >= out["mix"].delta_pm
+
+    def test_kl_nonnegative(self, spark, sf_dir):
+        from jitsu_spark.operators.training_plan import (
+            domain_mixture_weights,
+        )
+
+        assert all(
+            r.kl_e4 >= 0
+            for r in domain_mixture_weights(spark, sf_dir).collect()
+        )
+
+
+class TestEpochRepeatPlan:
+    def test_epochs_capped_and_budget_allocated(self, spark, sf_dir):
+        from jitsu_spark.operators.training_plan import (
+            BUDGET_MULT,
+            R_MAX,
+            epoch_repeat_plan,
+        )
+
+        rows = epoch_repeat_plan(spark, sf_dir).collect()
+        total = sum(r.n_tokens for r in rows)
+        alloc = sum(r.alloc_tokens for r in rows)
+        # integer floors only ever under-allocate, by < 1 per source
+        assert total * BUDGET_MULT - len(rows) <= alloc
+        assert alloc <= total * BUDGET_MULT
+        for r in rows:
+            assert 0 <= r.epochs_pm <= R_MAX * 1000
+            assert r.repeat_capped == (
+                (r.alloc_tokens * 1000) // r.n_tokens > R_MAX * 1000
+            )
+
+    def test_effective_value_bounds(self, spark, sf_dir):
+        # effective_tokens <= full utility table value and >= one clean
+        # epoch whenever at least one epoch runs.
+        from jitsu_spark.operators.training_plan import (
+            EPOCH_UTILITY_PM,
+            epoch_repeat_plan,
+        )
+
+        cap = sum(EPOCH_UTILITY_PM)
+        for r in epoch_repeat_plan(spark, sf_dir).collect():
+            assert r.effective_tokens <= r.n_tokens * cap // 1000
+            if r.epochs_pm >= 1000:
+                assert r.effective_tokens >= r.n_tokens
+
+    def test_thin_source_upsampled(self, spark, tmp_path):
+        # alpha=0.5 flattening: a source with 1/16 the mass gets ~1/4 the
+        # allocation share -> more epochs than the fat source.
+        from jitsu_spark.operators.training_plan import epoch_repeat_plan
+
+        rows = [(i, "w " * 64, "fat") for i in range(16)]
+        rows.append((99, "w " * 64, "thin"))
+        out = {
+            r.source: r
+            for r in epoch_repeat_plan(
+                spark, _write_docs(spark, tmp_path, rows)
+            ).collect()
+        }
+        assert out["thin"].epochs_pm > out["fat"].epochs_pm
+
+
+@pytest.mark.usefixtures("spark")
+class TestRegistryWiring:
+    def test_entries_registered_with_oracles(self):
+        from jitsu_spark.registry import ORACLES, QUERIES
+
+        for k in (
+            "curriculum_order",
+            "span_corruption_plan",
+            "domain_mixture_weights",
+            "epoch_repeat_plan",
+        ):
+            assert k in QUERIES and k in ORACLES
