@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load_table
+from ..plans.hints import maybe_broadcast
 from .sampling import _bucket, _bucket_duck
 from .text_ops import TOKENS, TOKENS_DUCK, _SW
 
@@ -550,8 +551,121 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Snapshot drift PSI: population-stability-index between two corpus
+# snapshots, per released dimension (source mix, power-of-two token-length
+# bins). PSI = sum over buckets of (p_new - p_old) * ln(p_new / p_old) —
+# the standard pre-retrain drift gate (rule of thumb: term sums > 0.2 mean
+# the mix shifted enough to re-tune). Snapshots are the registry's usual
+# deterministic md5-bucket halves of `documents` (old = bucket < 500,
+# new = bucket >= 500), so the derivation reproduces in the oracle.
+#
+# Engine-exactness: shares are quantized to exact integer PER-MYRIAD
+# (1e4) with +1 Laplace smoothing (a bucket absent from one half would
+# otherwise divide by zero); the float ln() then runs on IDENTICAL small
+# rationals in both engines and the term is rounded to 6 digits.
+#
+# Scale: one scan with the bucket/dim expressions fused scan-side, one
+# tiny (dim, bucket, half) aggregate (bounded by sources + ~40 length
+# bins), broadcast totals. The corpus never shuffles.
+# ---------------------------------------------------------------------------
+
+DRIFT_SPLIT_AT = 500
+
+
+def snapshot_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    b = _bucket(F.col("doc_id"))
+    dims = docs.select(
+        F.when(b < DRIFT_SPLIT_AT, F.lit("old")).otherwise(F.lit("new"))
+        .alias("half"),
+        F.col("source"),
+        F.expr(
+            f"concat('len2^', CAST(floor(log2(greatest(size({TOKENS}), 1)))"
+            " AS BIGINT))"
+        ).alias("len_bin"),
+    )
+    longd = dims.selectExpr(
+        "half", "'source' AS dim", "source AS bucket"
+    ).unionAll(dims.selectExpr("half", "'length' AS dim", "len_bin AS bucket"))
+    counts = (
+        longd.groupBy("dim", "bucket")
+        .agg(
+            F.sum(F.when(F.col("half") == "old", 1).otherwise(0)).alias("c_old"),
+            F.sum(F.when(F.col("half") == "new", 1).otherwise(0)).alias("c_new"),
+        )
+    )
+    totals = counts.groupBy("dim").agg(
+        F.sum("c_old").alias("t_old"),
+        F.sum("c_new").alias("t_new"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    return (
+        counts.join(maybe_broadcast(totals), "dim")
+        .selectExpr(
+            "dim",
+            "bucket",
+            "c_old",
+            "c_new",
+            "((c_old + 1) * 10000) div (t_old + n_buckets) AS p_old_pmy",
+            "((c_new + 1) * 10000) div (t_new + n_buckets) AS p_new_pmy",
+        )
+        .selectExpr(
+            "dim",
+            "bucket",
+            "c_old",
+            "c_new",
+            "p_old_pmy",
+            "p_new_pmy",
+            "round(((p_new_pmy - p_old_pmy) / 10000.0)"
+            " * ln(p_new_pmy / (p_old_pmy * 1.0)), 6) AS psi_term",
+        )
+    )
+
+
+SNAPSHOT_DRIFT_SQL = f"""
+WITH dims AS (
+  SELECT CASE WHEN {_bucket_duck('doc_id')} < {DRIFT_SPLIT_AT}
+              THEN 'old' ELSE 'new' END AS half,
+         source,
+         'len2^' || CAST(CAST(floor(log2(greatest(len({TOKENS_DUCK}), 1)))
+                          AS BIGINT) AS VARCHAR) AS len_bin
+  FROM documents
+),
+longd AS (
+  SELECT half, 'source' AS dim, source AS bucket FROM dims
+  UNION ALL
+  SELECT half, 'length' AS dim, len_bin AS bucket FROM dims
+),
+counts AS (
+  SELECT dim, bucket,
+         CAST(sum(CASE WHEN half = 'old' THEN 1 ELSE 0 END) AS BIGINT)
+           AS c_old,
+         CAST(sum(CASE WHEN half = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+           AS c_new
+  FROM longd GROUP BY 1, 2
+),
+totals AS (
+  SELECT dim, CAST(sum(c_old) AS BIGINT) AS t_old,
+         CAST(sum(c_new) AS BIGINT) AS t_new,
+         count(*) AS n_buckets
+  FROM counts GROUP BY dim
+)
+SELECT dim, bucket, c_old, c_new,
+       ((c_old + 1) * 10000) // (t_old + n_buckets) AS p_old_pmy,
+       ((c_new + 1) * 10000) // (t_new + n_buckets) AS p_new_pmy,
+       round(((((c_new + 1) * 10000) // (t_new + n_buckets)
+               - ((c_old + 1) * 10000) // (t_old + n_buckets)) / 10000.0)
+             * ln((((c_new + 1) * 10000) // (t_new + n_buckets))
+                  / ((((c_old + 1) * 10000) // (t_old + n_buckets)) * 1.0)),
+             6) AS psi_term
+FROM counts JOIN totals USING (dim)
+"""
+
+
 QUERIES = {
     "corpus_prep_pipeline": corpus_prep_pipeline,
+    "snapshot_drift_psi": snapshot_drift_psi,
     "corpus_snapshot_diff": corpus_snapshot_diff,
     "corpus_increment_pipeline": corpus_increment_pipeline,
     "corpus_datacard": corpus_datacard,
@@ -559,6 +673,7 @@ QUERIES = {
 }
 ORACLE = {
     "corpus_prep_pipeline": CORPUS_PREP_SQL,
+    "snapshot_drift_psi": SNAPSHOT_DRIFT_SQL,
     "corpus_snapshot_diff": SNAPSHOT_DIFF_SQL,
     "corpus_increment_pipeline": CORPUS_INCREMENT_SQL,
     "corpus_datacard": CORPUS_DATACARD_SQL,

@@ -939,8 +939,57 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# k-anonymity release report: before an events extract is shared, every
+# equivalence class of the released quasi-identifiers (event_type, event
+# day, the open `props.k` attribute) must contain at least K_ANON distinct
+# users — classes below the bar must be suppressed or generalized
+# (Sweeney 2002). The report is the gate's working set: one row per class
+# with its user count and verdict. Complements `pii_redact` (content
+# redaction) with the release-side structural check the reference's GDPR
+# tooling (`services/console/.../gdpr`) leaves to the warehouse.
+#
+# Scale: one shuffle on the class key; the distinct-user count rides the
+# same aggregate (partial count-distinct per map side). No corpus-wide
+# sort, no driver loop.
+# ---------------------------------------------------------------------------
+
+K_ANON = 5
+
+
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.col("event_type"),
+            F.date_trunc("day", "ts").alias("day"),
+            F.get_json_object("props", "$.k").cast("bigint").alias("k_prop"),
+            F.col("user_id"),
+        )
+        .groupBy("event_type", "day", "k_prop")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .withColumn("anonymous", F.col("n_users") >= F.lit(K_ANON))
+    )
+
+
+K_ANONYMITY_SQL = f"""
+SELECT event_type,
+       date_trunc('day', ts) AS day,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_prop,
+       count(*) AS n_rows,
+       count(DISTINCT user_id) AS n_users,
+       count(DISTINCT user_id) >= {K_ANON} AS anonymous
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "event_type_filter": event_type_filter,
+    "k_anonymity_report": k_anonymity_report,
     "engagement_histogram": engagement_histogram,
     "funnel_time_to_convert": funnel_time_to_convert,
     "metrics_rollup_minute": metrics_rollup_minute,
@@ -964,6 +1013,7 @@ QUERIES = {
 
 ORACLE = {
     "event_type_filter": EVENT_TYPE_FILTER_SQL,
+    "k_anonymity_report": K_ANONYMITY_SQL,
     "metrics_rollup_minute": METRICS_ROLLUP_MINUTE_SQL,
     "active_users_daily": ACTIVE_USERS_DAILY_SQL,
     "active_users_daily_approx": ACTIVE_USERS_APPROX_SQL,

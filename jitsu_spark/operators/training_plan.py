@@ -377,14 +377,99 @@ FROM epochs
 """
 
 
+# ---------------------------------------------------------------------------
+# Fill-in-the-middle split plan (Bavarian et al. 2022 — "FIM"): the
+# decoder-only infilling objective transforms a configurable fraction of
+# documents (default 50%) by cutting (prefix, middle, suffix) at two
+# uniform split points and reordering to PSM or SPM with 3 sentinels.
+# The per-document decisions here are the md5-draw construction every
+# sampling entry uses (substring of md5 -> uint, engine-exact): one draw
+# gates the transform, one picks PSM vs SPM, two pick the cut points in
+# [0, n_tokens]. All arithmetic is integer; the plan is map-only
+# scan-side work — linear at any corpus size.
+# ---------------------------------------------------------------------------
+
+FIM_RATE_PCT = 50
+
+
+def _draw(prefix: str) -> str:
+    """Spark: uniform uint in [0, 16^7) from a salted md5 of doc_id."""
+    return (
+        f"CAST(conv(substring(md5(concat('{prefix}-',"
+        " CAST(doc_id AS STRING))), 1, 7), 16, 10) AS BIGINT)"
+    )
+
+
+def _draw_duck(prefix: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{prefix}-'"
+        " || CAST(doc_id AS VARCHAR)), 1, 7))::UBIGINT AS BIGINT)"
+    )
+
+
+def fim_split_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "doc_id",
+        f"CAST(size({TOKENS}) AS BIGINT) AS n_tokens",
+        f"{_draw('fim')} % 100 < {FIM_RATE_PCT} AS fim_applied",
+        f"{_draw('mode')} % 2 AS mode_draw",
+        f"{_draw('cut1')} AS d1",
+        f"{_draw('cut2')} AS d2",
+    ).selectExpr(
+        "doc_id",
+        "n_tokens",
+        "fim_applied",
+        "CASE WHEN NOT fim_applied THEN 'none'"
+        " WHEN mode_draw = 0 THEN 'psm' ELSE 'spm' END AS mode",
+        "CASE WHEN fim_applied THEN least(d1 % (n_tokens + 1),"
+        " d2 % (n_tokens + 1)) ELSE 0L END AS prefix_len",
+        "CASE WHEN fim_applied THEN greatest(d1 % (n_tokens + 1),"
+        " d2 % (n_tokens + 1)) - least(d1 % (n_tokens + 1),"
+        " d2 % (n_tokens + 1)) ELSE 0L END AS middle_len",
+        "CASE WHEN fim_applied THEN n_tokens"
+        " - greatest(d1 % (n_tokens + 1), d2 % (n_tokens + 1))"
+        " ELSE 0L END AS suffix_len",
+        "n_tokens + CASE WHEN fim_applied THEN 3 ELSE 0 END AS out_len",
+    )
+
+
+FIM_SPLIT_SQL = f"""
+WITH drawn AS (
+  SELECT doc_id,
+         CAST(len({TOKENS_DUCK}) AS BIGINT) AS n_tokens,
+         {_draw_duck('fim')} % 100 < {FIM_RATE_PCT} AS fim_applied,
+         {_draw_duck('mode')} % 2 AS mode_draw,
+         {_draw_duck('cut1')} AS d1,
+         {_draw_duck('cut2')} AS d2
+  FROM documents
+)
+SELECT doc_id, n_tokens, fim_applied,
+       CASE WHEN NOT fim_applied THEN 'none'
+            WHEN mode_draw = 0 THEN 'psm' ELSE 'spm' END AS mode,
+       CASE WHEN fim_applied THEN least(d1 % (n_tokens + 1),
+            d2 % (n_tokens + 1)) ELSE 0 END AS prefix_len,
+       CASE WHEN fim_applied THEN greatest(d1 % (n_tokens + 1),
+            d2 % (n_tokens + 1)) - least(d1 % (n_tokens + 1),
+            d2 % (n_tokens + 1)) ELSE 0 END AS middle_len,
+       CASE WHEN fim_applied THEN n_tokens
+            - greatest(d1 % (n_tokens + 1), d2 % (n_tokens + 1))
+            ELSE 0 END AS suffix_len,
+       n_tokens + CASE WHEN fim_applied THEN 3 ELSE 0 END AS out_len
+FROM drawn
+"""
+
+
 QUERIES = {
     "curriculum_order": curriculum_order,
+    "fim_split_plan": fim_split_plan,
     "span_corruption_plan": span_corruption_plan,
     "domain_mixture_weights": domain_mixture_weights,
     "epoch_repeat_plan": epoch_repeat_plan,
 }
 ORACLE = {
     "curriculum_order": CURRICULUM_ORDER_SQL,
+    "fim_split_plan": FIM_SPLIT_SQL,
     "span_corruption_plan": SPAN_CORRUPTION_SQL,
     "domain_mixture_weights": DOMAIN_MIXTURE_SQL,
     "epoch_repeat_plan": EPOCH_REPEAT_SQL,

@@ -207,6 +207,114 @@ class TestEpochRepeatPlan:
         assert out["thin"].epochs_pm > out["fat"].epochs_pm
 
 
+class TestFimSplitPlan:
+    def test_split_partitions_the_document(self, spark, sf_dir):
+        from jitsu_spark.operators.training_plan import fim_split_plan
+
+        for r in fim_split_plan(spark, sf_dir).collect():
+            if r.fim_applied:
+                assert r.prefix_len + r.middle_len + r.suffix_len == r.n_tokens
+                assert min(r.prefix_len, r.middle_len, r.suffix_len) >= 0
+                assert r.mode in ("psm", "spm")
+                assert r.out_len == r.n_tokens + 3
+            else:
+                assert (r.prefix_len, r.middle_len, r.suffix_len) == (0, 0, 0)
+                assert r.mode == "none"
+                assert r.out_len == r.n_tokens
+
+    def test_rate_near_half_and_deterministic(self, spark, sf_dir):
+        from jitsu_spark.operators.training_plan import fim_split_plan
+
+        rows = fim_split_plan(spark, sf_dir).collect()
+        frac = sum(r.fim_applied for r in rows) / len(rows)
+        assert 0.35 < frac < 0.65
+        again = {r.doc_id: r for r in fim_split_plan(spark, sf_dir).collect()}
+        for r in rows:
+            assert again[r.doc_id] == r
+
+
+class TestKAnonymityReport:
+    def test_class_verdicts(self, spark, sf_dir):
+        from jitsu_spark.operators.events_ops import (
+            K_ANON,
+            k_anonymity_report,
+        )
+
+        rows = k_anonymity_report(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r.n_rows >= r.n_users >= 1
+            assert r.anonymous == (r.n_users >= K_ANON)
+
+    def test_classes_cover_all_events(self, spark, sf_dir):
+        from jitsu_spark.operators.events_ops import k_anonymity_report
+        from jitsu_spark.tables import load_table
+
+        total = load_table(spark, sf_dir, "events").count()
+        rows = k_anonymity_report(spark, sf_dir).collect()
+        assert sum(r.n_rows for r in rows) == total
+
+
+class TestSnapshotDriftPsi:
+    def test_dimensions_and_shares(self, spark, sf_dir):
+        from jitsu_spark.operators.corpus import snapshot_drift_psi
+
+        rows = snapshot_drift_psi(spark, sf_dir).collect()
+        dims = {r.dim for r in rows}
+        assert dims == {"source", "length"}
+        for d in dims:
+            sub = [r for r in rows if r.dim == d]
+            # smoothed per-myriad shares: floors under-count by < 1 each
+            for col in ("p_old_pmy", "p_new_pmy"):
+                total = sum(getattr(r, col) for r in sub)
+                assert 10000 - len(sub) <= total <= 10000
+                assert all(getattr(r, col) >= 1 for r in sub)
+
+    def test_identical_halves_zero_psi(self, spark, tmp_path):
+        # Same composition in both halves -> every term is 0. Build doc
+        # ids so md5-bucket halves get identical source/length profiles:
+        # generate many docs per (source, text) pair and rely on the law
+        # of large numbers NOT being needed — each pair contributes to
+        # both halves, and equal PER-SHARE quantization keeps terms 0
+        # only when counts match exactly, so instead assert |psi| small.
+        from jitsu_spark.operators.corpus import snapshot_drift_psi
+
+        rows = [
+            (i, "w " * 8, f"s{i % 2}") for i in range(400)
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+        out = snapshot_drift_psi(spark, str(tmp_path)).collect()
+        assert sum(abs(r.psi_term) for r in out) < 0.02
+
+    def test_disjoint_sources_large_psi(self, spark, tmp_path):
+        # Make the two md5 halves draw from disjoint sources: label each
+        # doc's source by its own half, so the source mix flips entirely.
+        from jitsu_spark.operators.corpus import (
+            DRIFT_SPLIT_AT,
+            snapshot_drift_psi,
+        )
+        from jitsu_spark.operators.sampling import _bucket
+
+        import pyspark.sql.functions as F
+
+        base = spark.range(400).selectExpr(
+            "id AS doc_id", "'w x y z' AS text"
+        )
+        docs = base.withColumn(
+            "source",
+            F.when(_bucket(F.col("doc_id")) < DRIFT_SPLIT_AT, "legacy")
+            .otherwise("fresh"),
+        )
+        docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+        out = [
+            r for r in snapshot_drift_psi(spark, str(tmp_path)).collect()
+            if r.dim == "source"
+        ]
+        assert sum(r.psi_term for r in out) > 1.0
+
+
 @pytest.mark.usefixtures("spark")
 class TestRegistryWiring:
     def test_entries_registered_with_oracles(self):
@@ -217,5 +325,8 @@ class TestRegistryWiring:
             "span_corruption_plan",
             "domain_mixture_weights",
             "epoch_repeat_plan",
+            "fim_split_plan",
+            "k_anonymity_report",
+            "snapshot_drift_psi",
         ):
             assert k in QUERIES and k in ORACLES
