@@ -987,9 +987,72 @@ GROUP BY 1, 2, 3
 """
 
 
+# ---------------------------------------------------------------------------
+# Shuffle-key skew report: the diagnosis a 100 TB job runs BEFORE keying a
+# join/agg on a candidate column — per-key frequency heavy hitters, their
+# share of the table, and the salt factor that would level the largest
+# reducer to ~4x the mean. This is the planning query behind SCALING.md's
+# salting guidance (AQE skew-join handles joins adaptively; aggregations
+# and custom stateful ops still need an explicit salt picked from data).
+#
+# Exactness: shares in integer per-mille; salt = ceil(max_cnt / (4*mean))
+# in pure int64 ((a + b - 1) div b). Top-10 is `ORDER BY cnt DESC, key
+# LIMIT 10` — Spark runs TakeOrdered (per-partition heap + driver merge
+# of 10-row heads), never a full sort.
+# ---------------------------------------------------------------------------
+
+SKEW_TOP_K = 10
+SKEW_TARGET_MULT = 4
+
+
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(F.col("user_id").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = counts.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("key")).limit(SKEW_TOP_K)
+    return top.crossJoin(F.broadcast(stats)).selectExpr(
+        "key",
+        "cnt",
+        "n_keys",
+        "(cnt * 1000) div n_rows AS share_pm",
+        "(max_cnt * n_keys * 1000) div n_rows AS max_over_mean_pm",
+        f"greatest(1L, (max_cnt * n_keys + {SKEW_TARGET_MULT} * n_rows - 1)"
+        f" div ({SKEW_TARGET_MULT} * n_rows)) AS salt_n",
+    )
+
+
+KEY_SKEW_SQL = f"""
+WITH counts AS (
+  SELECT user_id AS key, count(*) AS cnt FROM events GROUP BY 1
+),
+stats AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+         count(*) AS n_keys,
+         CAST(max(cnt) AS BIGINT) AS max_cnt
+  FROM counts
+),
+top AS (
+  SELECT key, cnt FROM counts ORDER BY cnt DESC, key LIMIT {SKEW_TOP_K}
+)
+SELECT key, cnt, n_keys,
+       (cnt * 1000) // n_rows AS share_pm,
+       (max_cnt * n_keys * 1000) // n_rows AS max_over_mean_pm,
+       greatest(1, (max_cnt * n_keys + {SKEW_TARGET_MULT} * n_rows - 1)
+                // ({SKEW_TARGET_MULT} * n_rows)) AS salt_n
+FROM top, stats
+"""
+
+
 QUERIES = {
     "event_type_filter": event_type_filter,
     "k_anonymity_report": k_anonymity_report,
+    "key_skew_report": key_skew_report,
     "engagement_histogram": engagement_histogram,
     "funnel_time_to_convert": funnel_time_to_convert,
     "metrics_rollup_minute": metrics_rollup_minute,
@@ -1014,6 +1077,7 @@ QUERIES = {
 ORACLE = {
     "event_type_filter": EVENT_TYPE_FILTER_SQL,
     "k_anonymity_report": K_ANONYMITY_SQL,
+    "key_skew_report": KEY_SKEW_SQL,
     "metrics_rollup_minute": METRICS_ROLLUP_MINUTE_SQL,
     "active_users_daily": ACTIVE_USERS_DAILY_SQL,
     "active_users_daily_approx": ACTIVE_USERS_APPROX_SQL,

@@ -104,6 +104,7 @@ _PRIORITY = [
     "curriculum_order", "span_corruption_plan",
     "domain_mixture_weights", "epoch_repeat_plan",
     "fim_split_plan", "k_anonymity_report", "snapshot_drift_psi",
+    "key_skew_report",
     "video_near_dup_pairs", "video_segment_overlap_pairs",
     "video_fingerprints",
     "paragraph_dedup_newline",

@@ -255,6 +255,40 @@ class TestKAnonymityReport:
         assert sum(r.n_rows for r in rows) == total
 
 
+class TestKeySkewReport:
+    def test_top_keys_and_salt(self, spark, sf_dir):
+        from jitsu_spark.operators.events_ops import (
+            SKEW_TOP_K,
+            key_skew_report,
+        )
+
+        rows = key_skew_report(spark, sf_dir).collect()
+        assert 1 <= len(rows) <= SKEW_TOP_K
+        cnts = [r.cnt for r in rows]
+        assert cnts == sorted(cnts, reverse=True)
+        for r in rows:
+            assert r.salt_n >= 1
+            assert 0 <= r.share_pm <= 1000
+
+    def test_skewed_key_flagged(self, spark, tmp_path):
+        # one user owns half the table -> it tops the report and the salt
+        # recommendation exceeds 1.
+        from jitsu_spark.operators.events_ops import key_skew_report
+
+        ev = spark.range(1000).selectExpr(
+            "id AS event_id",
+            "timestamp'2025-01-01 00:00:00' AS ts",
+            "CASE WHEN id % 2 = 0 THEN 7L ELSE id + 1000000 END AS user_id",
+            "'click' AS event_type",
+            "1.0 AS value",
+            "'{}' AS props",
+        )
+        ev.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+        rows = key_skew_report(spark, str(tmp_path)).collect()
+        assert rows[0].key == 7 and rows[0].share_pm == 500
+        assert rows[0].salt_n > 1
+
+
 class TestSnapshotDriftPsi:
     def test_dimensions_and_shares(self, spark, sf_dir):
         from jitsu_spark.operators.corpus import snapshot_drift_psi
