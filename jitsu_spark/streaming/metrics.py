@@ -98,3 +98,67 @@ def anomaly_on_rollup(rollup: DataFrame) -> DataFrame:
         .agg(F.sum("events").cast("long").alias("n_events"))
     )
     return score_minute_series(per_min)
+
+
+def drift_on_rollup(
+    rollup: DataFrame,
+    baseline: DataFrame,
+    period_col: str = "period",
+    bucket_col: str = "status",
+    count_col: str = "events",
+) -> DataFrame:
+    """Streaming twin of `operators.corpus.snapshot_drift_psi`: per-period
+    population-stability-index of the rollup's bucket distribution against
+    a static baseline frame (`bucket_col`, `cnt`). Run inside foreachBatch
+    after the rollup MERGE (the `anomaly_on_rollup` pattern) so every
+    micro-batch re-evaluates the affected periods against the released
+    traffic mix — the live "did the event mix shift" gate.
+
+    Same exactness construction as the batch entry: a full outer join per
+    period puts every bucket in both frames (absent -> 0), +1 Laplace
+    smoothing, exact integer per-myriad shares, ln() on identical
+    rationals, terms rounded to 6. The final per-period PSI is the sum of
+    per-bucket terms; `drifted` flags periods past the 0.2 rule of thumb.
+
+    Scale: the baseline is bucket-cardinality-sized (broadcast); the
+    rollup side is already aggregated per (period, bucket) — the join and
+    both window-free aggregates are tiny regardless of event volume.
+    """
+    from ..plans.hints import maybe_broadcast
+
+    base = baseline.groupBy(F.col(bucket_col).alias("bucket")).agg(
+        F.sum("cnt").alias("c_base")
+    )
+    cur = rollup.groupBy(
+        F.col(period_col).alias("period"), F.col(bucket_col).alias("bucket")
+    ).agg(F.sum(count_col).alias("c_cur"))
+    # every (period, baseline-bucket) pair must exist so a bucket that
+    # VANISHED from live traffic still contributes drift
+    periods = cur.select("period").distinct()
+    grid = periods.crossJoin(maybe_broadcast(base))
+    joined = grid.join(cur, ["period", "bucket"], "full_outer").selectExpr(
+        "period",
+        "bucket",
+        "coalesce(c_base, 0L) AS c_base",
+        "coalesce(c_cur, 0L) AS c_cur",
+    )
+    totals = joined.groupBy("period").agg(
+        F.sum("c_base").alias("t_base"),
+        F.sum("c_cur").alias("t_cur"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    terms = joined.join(maybe_broadcast(totals), "period").selectExpr(
+        "period",
+        "bucket",
+        "((c_base + 1) * 10000) div (t_base + n_buckets) AS p_base_pmy",
+        "((c_cur + 1) * 10000) div (t_cur + n_buckets) AS p_cur_pmy",
+    ).selectExpr(
+        "period",
+        "bucket",
+        "round(((p_cur_pmy - p_base_pmy) / 10000.0)"
+        " * ln(p_cur_pmy / (p_base_pmy * 1.0)), 6) AS psi_term",
+    )
+    return terms.groupBy("period").agg(
+        F.round(F.sum("psi_term"), 6).alias("psi"),
+        F.expr("round(sum(psi_term), 6) > 0.2").alias("drifted"),
+    )

@@ -364,3 +364,95 @@ class TestRegistryWiring:
             "snapshot_drift_psi",
         ):
             assert k in QUERIES and k in ORACLES
+
+
+class TestDriftOnRollup:
+    def _rollup(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "period string, status string, events long"
+        )
+
+    def test_matching_mix_not_drifted(self, spark):
+        from jitsu_spark.streaming.metrics import drift_on_rollup
+
+        base = spark.createDataFrame(
+            [("track", 500), ("page", 500)], "status string, cnt long"
+        )
+        cur = self._rollup(
+            spark, [("p1", "track", 50), ("p1", "page", 50)]
+        )
+        out = drift_on_rollup(cur, base).collect()
+        assert len(out) == 1
+        assert not out[0].drifted and abs(out[0].psi) < 0.01
+
+    def test_flipped_mix_drifted_and_vanished_bucket_counts(self, spark):
+        from jitsu_spark.streaming.metrics import drift_on_rollup
+
+        base = spark.createDataFrame(
+            [("track", 900), ("page", 100)], "status string, cnt long"
+        )
+        cur = self._rollup(
+            spark,
+            [
+                ("p1", "page", 100),        # track VANISHED in p1
+                ("p2", "track", 90), ("p2", "page", 10),  # matches baseline
+            ],
+        )
+        out = {r.period: r for r in drift_on_rollup(cur, base).collect()}
+        assert out["p1"].drifted and out["p1"].psi > 1.0
+        assert not out["p2"].drifted
+
+    def test_novel_bucket_in_live_traffic(self, spark):
+        # a bucket absent from the baseline still enters via the full
+        # outer join and contributes positive drift
+        from jitsu_spark.streaming.metrics import drift_on_rollup
+
+        base = spark.createDataFrame(
+            [("track", 1000)], "status string, cnt long"
+        )
+        cur = self._rollup(
+            spark, [("p1", "track", 50), ("p1", "unseen", 50)]
+        )
+        out = drift_on_rollup(cur, base).collect()
+        assert out[0].drifted
+
+    def test_streaming_foreachbatch_e2e(self, spark, tmp_path):
+        import json
+        import os
+
+        from jitsu_spark.streaming.metrics import (
+            drift_on_rollup,
+            metrics_rollup_stream,
+        )
+        from jitsu_spark.streaming.source import file_event_stream
+
+        src = str(tmp_path / "in")
+        os.makedirs(src)
+        events = [
+            {"message_id": f"m{i}", "type": "page",
+             "timestamp": "2024-01-01T00:00:10Z"}
+            for i in range(20)
+        ]
+        with open(f"{src}/b1.json", "w") as f:
+            f.write("\n".join(json.dumps(e) for e in events))
+        base = spark.createDataFrame(
+            [("track", 900), ("page", 100)], "status string, cnt long"
+        )
+        got = []
+
+        def sink(batch_df, _bid):
+            got.extend(drift_on_rollup(batch_df, base).collect())
+
+        stream = file_event_stream(spark, src).withColumnRenamed(
+            "type", "status"
+        )
+        q = (
+            metrics_rollup_stream(stream, status_col="status")
+            .writeStream.foreachBatch(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert got and all(r.drifted for r in got)
