@@ -561,9 +561,12 @@ GROUP BY 1
 # new = bucket >= 500), so the derivation reproduces in the oracle.
 #
 # Engine-exactness: shares are quantized to exact integer PER-MYRIAD
-# (1e4) with +1 Laplace smoothing (a bucket absent from one half would
-# otherwise divide by zero); the float ln() then runs on IDENTICAL small
-# rationals in both engines and the term is rounded to 6 digits.
+# (1e4) with +1 Laplace smoothing and a greatest(1, ...) clamp — past
+# ~10k docs per half the floor division alone would quantize an absent
+# bucket's share to 0 and ln() would drop exactly the maximum-drift
+# terms; the clamp keeps every share a positive integer so the float
+# ln() runs on IDENTICAL small rationals in both engines (terms
+# rounded to 6 digits).
 #
 # Scale: one scan with the bucket/dim expressions fused scan-side, one
 # tiny (dim, bucket, half) aggregate (bounded by sources + ~40 length
@@ -585,9 +588,13 @@ def snapshot_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT))"
         ).alias("len_bin"),
     )
+    # ONE corpus scan: both dimension rows come out of a single projection
+    # via inline (a self-unionAll would scan — and re-tokenize — twice)
     longd = dims.selectExpr(
-        "half", "'source' AS dim", "source AS bucket"
-    ).unionAll(dims.selectExpr("half", "'length' AS dim", "len_bin AS bucket"))
+        "half",
+        "inline(array(named_struct('dim', 'source', 'bucket', source),"
+        " named_struct('dim', 'length', 'bucket', len_bin)))",
+    )
     counts = (
         longd.groupBy("dim", "bucket")
         .agg(
@@ -607,8 +614,14 @@ def snapshot_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket",
             "c_old",
             "c_new",
-            "((c_old + 1) * 10000) div (t_old + n_buckets) AS p_old_pmy",
-            "((c_new + 1) * 10000) div (t_new + n_buckets) AS p_new_pmy",
+            # greatest(1, ...): past ~10k docs per half the floor division
+            # alone would quantize an absent bucket's share to 0 and ln()
+            # would NULL/inf out exactly the maximum-drift terms — clamp
+            # so every bucket keeps a >= 1 per-myriad share
+            "greatest(1L, ((c_old + 1) * 10000) div (t_old + n_buckets))"
+            " AS p_old_pmy",
+            "greatest(1L, ((c_new + 1) * 10000) div (t_new + n_buckets))"
+            " AS p_new_pmy",
         )
         .selectExpr(
             "dim",
@@ -652,12 +665,14 @@ totals AS (
   FROM counts GROUP BY dim
 )
 SELECT dim, bucket, c_old, c_new,
-       ((c_old + 1) * 10000) // (t_old + n_buckets) AS p_old_pmy,
-       ((c_new + 1) * 10000) // (t_new + n_buckets) AS p_new_pmy,
-       round(((((c_new + 1) * 10000) // (t_new + n_buckets)
-               - ((c_old + 1) * 10000) // (t_old + n_buckets)) / 10000.0)
-             * ln((((c_new + 1) * 10000) // (t_new + n_buckets))
-                  / ((((c_old + 1) * 10000) // (t_old + n_buckets)) * 1.0)),
+       greatest(1, ((c_old + 1) * 10000) // (t_old + n_buckets)) AS p_old_pmy,
+       greatest(1, ((c_new + 1) * 10000) // (t_new + n_buckets)) AS p_new_pmy,
+       round(((greatest(1, ((c_new + 1) * 10000) // (t_new + n_buckets))
+               - greatest(1, ((c_old + 1) * 10000) // (t_old + n_buckets)))
+              / 10000.0)
+             * ln(greatest(1, ((c_new + 1) * 10000) // (t_new + n_buckets))
+                  / (greatest(1, ((c_old + 1) * 10000) // (t_old + n_buckets))
+                     * 1.0)),
              6) AS psi_term
 FROM counts JOIN totals USING (dim)
 """

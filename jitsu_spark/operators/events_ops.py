@@ -995,10 +995,14 @@ GROUP BY 1, 2, 3
 # salting guidance (AQE skew-join handles joins adaptively; aggregations
 # and custom stateful ops still need an explicit salt picked from data).
 #
-# Exactness: shares in integer per-mille; salt = ceil(max_cnt / (4*mean))
-# in pure int64 ((a + b - 1) div b). Top-10 is `ORDER BY cnt DESC, key
-# LIMIT 10` — Spark runs TakeOrdered (per-partition heap + driver merge
-# of 10-row heads), never a full sort.
+# Exactness: shares in integer per-mille; the mean is taken FIRST as the
+# integer n_rows div n_keys (>= 1 since every key has >= 1 row), then
+# max_over_mean_pm = (max_cnt * 1000) div mean and
+# salt = ceil(max_cnt / (4 * mean)) — max_cnt * n_keys would overflow
+# int64 at ~1e8 keys x 1e8-row hot key (Spark wraps silently, DuckDB
+# raises); max_cnt * 1000 is safe to ~9e15 rows per key. Top-10 is
+# `ORDER BY cnt DESC, key LIMIT 10` — Spark runs TakeOrdered
+# (per-partition heap + driver merge of 10-row heads), never a full sort.
 # ---------------------------------------------------------------------------
 
 SKEW_TOP_K = 10
@@ -1021,9 +1025,9 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         "n_keys",
         "(cnt * 1000) div n_rows AS share_pm",
-        "(max_cnt * n_keys * 1000) div n_rows AS max_over_mean_pm",
-        f"greatest(1L, (max_cnt * n_keys + {SKEW_TARGET_MULT} * n_rows - 1)"
-        f" div ({SKEW_TARGET_MULT} * n_rows)) AS salt_n",
+        "(max_cnt * 1000) div (n_rows div n_keys) AS max_over_mean_pm",
+        f"greatest(1L, (max_cnt + {SKEW_TARGET_MULT} * (n_rows div n_keys)"
+        f" - 1) div ({SKEW_TARGET_MULT} * (n_rows div n_keys))) AS salt_n",
     )
 
 
@@ -1042,9 +1046,9 @@ top AS (
 )
 SELECT key, cnt, n_keys,
        (cnt * 1000) // n_rows AS share_pm,
-       (max_cnt * n_keys * 1000) // n_rows AS max_over_mean_pm,
-       greatest(1, (max_cnt * n_keys + {SKEW_TARGET_MULT} * n_rows - 1)
-                // ({SKEW_TARGET_MULT} * n_rows)) AS salt_n
+       (max_cnt * 1000) // (n_rows // n_keys) AS max_over_mean_pm,
+       greatest(1, (max_cnt + {SKEW_TARGET_MULT} * (n_rows // n_keys) - 1)
+                // ({SKEW_TARGET_MULT} * (n_rows // n_keys))) AS salt_n
 FROM top, stats
 """
 

@@ -150,15 +150,21 @@ def drift_on_rollup(
     terms = joined.join(maybe_broadcast(totals), "period").selectExpr(
         "period",
         "bucket",
-        "((c_base + 1) * 10000) div (t_base + n_buckets) AS p_base_pmy",
-        "((c_cur + 1) * 10000) div (t_cur + n_buckets) AS p_cur_pmy",
+        # greatest(1, ...): past ~10k rows per side the floor division
+        # alone quantizes an absent bucket's share to 0 and ln() NULLs
+        # out exactly the vanished-bucket term this monitor exists for
+        "greatest(1L, ((c_base + 1) * 10000) div (t_base + n_buckets))"
+        " AS p_base_pmy",
+        "greatest(1L, ((c_cur + 1) * 10000) div (t_cur + n_buckets))"
+        " AS p_cur_pmy",
     ).selectExpr(
         "period",
         "bucket",
         "round(((p_cur_pmy - p_base_pmy) / 10000.0)"
         " * ln(p_cur_pmy / (p_base_pmy * 1.0)), 6) AS psi_term",
     )
-    return terms.groupBy("period").agg(
-        F.round(F.sum("psi_term"), 6).alias("psi"),
-        F.expr("round(sum(psi_term), 6) > 0.2").alias("drifted"),
+    return (
+        terms.groupBy("period")
+        .agg(F.round(F.sum("psi_term"), 6).alias("psi"))
+        .withColumn("drifted", F.col("psi") > 0.2)
     )

@@ -456,3 +456,48 @@ class TestDriftOnRollup:
         )
         q.awaitTermination(120)
         assert got and all(r.drifted for r in got)
+
+
+class TestDriftDegeneracyClamp:
+    """Review regression: past ~10k rows per side the un-clamped floor
+    division quantized an absent bucket's share to 0 and ln() dropped
+    exactly the maximum-drift terms (NULL in Spark, inf in DuckDB)."""
+
+    def test_vanished_source_still_drifts_at_scale(self, spark, tmp_path):
+        from jitsu_spark.operators.corpus import (
+            DRIFT_SPLIT_AT,
+            snapshot_drift_psi,
+        )
+        from jitsu_spark.operators.sampling import _bucket
+
+        import pyspark.sql.functions as F
+
+        docs = (
+            spark.range(30000)
+            .selectExpr("id AS doc_id", "'w x y z' AS text")
+            .withColumn(
+                "source",
+                F.when(_bucket(F.col("doc_id")) < DRIFT_SPLIT_AT, "legacy")
+                .otherwise("fresh"),
+            )
+        )
+        docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+        rows = [
+            r for r in snapshot_drift_psi(spark, str(tmp_path)).collect()
+            if r.dim == "source"
+        ]
+        assert all(r.psi_term is not None for r in rows)
+        assert all(r.p_old_pmy >= 1 and r.p_new_pmy >= 1 for r in rows)
+        assert sum(r.psi_term for r in rows) > 1.0
+
+    def test_streaming_vanished_bucket_alerts_at_volume(self, spark):
+        from jitsu_spark.streaming.metrics import drift_on_rollup
+
+        base = spark.createDataFrame(
+            [("track", 900000), ("page", 100000)], "status string, cnt long"
+        )
+        cur = spark.createDataFrame(
+            [("p1", "page", 1000000)], "period string, status string, events long"
+        )
+        out = drift_on_rollup(cur, base).collect()
+        assert out[0].psi is not None and out[0].drifted
