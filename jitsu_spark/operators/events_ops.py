@@ -1053,10 +1053,61 @@ FROM top, stats
 """
 
 
+# ---------------------------------------------------------------------------
+# Behavior-sequence training examples: next-event-prediction pairs mined
+# from the event stream — per user in time order, (previous K event types)
+# -> (current event type). The sequence-model training surface over
+# behavioral data (session-based recommendation / user-action LMs ride
+# exactly this extraction); joins the documents-side training-data family
+# to the engine's event side.
+#
+# Determinism: ordering is (ts, event_id) with the oracle ordering on the
+# SAME µs-truncated timestamp Spark reads (sub-µs ns digits would
+# otherwise win ties event_id settles). Scale: one shuffle on user_id for
+# the window; lag() is a linear pass per partition — no self-join, no
+# explode.
+# ---------------------------------------------------------------------------
+
+SEQ_CONTEXT_K = 3
+
+
+def behavior_sequence_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    out = ev.select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("label"),
+        F.lag("event_type", 1).over(w).alias("prev1"),
+        F.lag("event_type", 2).over(w).alias("prev2"),
+        F.lag("event_type", 3).over(w).alias("prev3"),
+        (F.row_number().over(w) - 1).cast("long").alias("n_prior"),
+    )
+    return out.where(F.col("prev1").isNotNull())
+
+
+BEHAVIOR_SEQ_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, event_id, event_type,
+         {EVENTS_TS_US_SQL} AS ts_us
+  FROM events
+)
+SELECT user_id, event_id, event_type AS label,
+       lag(event_type, 1) OVER w AS prev1,
+       lag(event_type, 2) OVER w AS prev2,
+       lag(event_type, 3) OVER w AS prev3,
+       CAST(row_number() OVER w - 1 AS BIGINT) AS n_prior
+FROM ordered
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+QUALIFY prev1 IS NOT NULL
+"""
+
+
 QUERIES = {
     "event_type_filter": event_type_filter,
     "k_anonymity_report": k_anonymity_report,
     "key_skew_report": key_skew_report,
+    "behavior_sequence_examples": behavior_sequence_examples,
     "engagement_histogram": engagement_histogram,
     "funnel_time_to_convert": funnel_time_to_convert,
     "metrics_rollup_minute": metrics_rollup_minute,
@@ -1082,6 +1133,7 @@ ORACLE = {
     "event_type_filter": EVENT_TYPE_FILTER_SQL,
     "k_anonymity_report": K_ANONYMITY_SQL,
     "key_skew_report": KEY_SKEW_SQL,
+    "behavior_sequence_examples": BEHAVIOR_SEQ_SQL,
     "metrics_rollup_minute": METRICS_ROLLUP_MINUTE_SQL,
     "active_users_daily": ACTIVE_USERS_DAILY_SQL,
     "active_users_daily_approx": ACTIVE_USERS_APPROX_SQL,

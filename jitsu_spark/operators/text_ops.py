@@ -483,6 +483,92 @@ QUALIFY rank <= {BM25_TOPK}
 
 
 # ---------------------------------------------------------------------------
+# Hard-negative mining for retrieval training (Karpukhin et al. 2020, DPR
+# §3.2): contrastive training needs, per query, the highest-BM25-scoring
+# documents that are NOT fully relevant — here "fully relevant" is the
+# lexical-containment criterion (document matches ALL query terms), so a
+# hard negative is a top-scoring partial match (the lexical-gap documents
+# a dense retriever must learn to rank below true positives).
+#
+# The matched-term count rides the SAME aggregate as the BM25 score (the
+# postings rows are distinct per (query, doc, term) by construction), so
+# mining costs one extra broadcast join over `bm25_topk`'s plan; the
+# exact rank runs only over the histogram-bounded candidate band
+# (`plans.topk.two_phase_topk`) — never a full candidate sort.
+# ---------------------------------------------------------------------------
+
+
+def bm25_hard_negatives_df(
+    docs_tbl: DataFrame, queries: DataFrame, k: int = BM25_TOPK
+) -> DataFrame:
+    """(query_id, doc_id, score, n_matched, rank): top-k BM25-scored
+    PARTIAL matches per query — the hard-negative candidates."""
+    from ..plans.topk import two_phase_topk
+
+    lits = ", ".join(f"'{t}'" for t in _query_vocab(queries))
+    docs = docs_tbl.selectExpr("doc_id", f"{TOKENS} AS toks")
+    tf = (
+        docs.selectExpr(
+            "doc_id",
+            "size(toks) AS dl",
+            f"explode(filter(toks, x -> x IN ({lits}))) AS tok",
+        )
+        .groupBy("doc_id", "dl", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.size("toks")).alias("avgdl"),
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    qterms = _query_terms(queries)
+    scored = (
+        tf.join(F.broadcast(qterms), "tok")
+        .join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(stats))
+        .selectExpr("query_id", "doc_id", f"{_BM25_TERM} AS s")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(F.sum("s"), 4).alias("score"),
+            F.count(F.lit(1)).alias("n_matched"),
+        )
+    )
+    qn = qterms.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_qterms"))
+    negs = scored.join(F.broadcast(qn), "query_id").where(
+        "n_matched < n_qterms"
+    )
+    return two_phase_topk(negs, "query_id", "score", k, "doc_id").select(
+        "query_id", "doc_id", "score", "n_matched", "rank"
+    )
+
+
+def bm25_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: hard negatives over the fixed query set."""
+    return bm25_hard_negatives_df(
+        load_table(spark, sf_dir, "documents"), _default_queries_df(spark)
+    )
+
+
+BM25_HARD_NEGATIVES_SQL = f"""
+WITH {_bm25_scored_ctes()},
+matched AS (
+  SELECT query_id, doc_id, count(*) AS n_matched
+  FROM tf JOIN qd USING (tok)
+  GROUP BY 1, 2
+),
+qn AS (SELECT query_id, count(*) AS n_qterms FROM qd GROUP BY 1)
+SELECT query_id, doc_id, score, n_matched,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, doc_id) AS rank
+FROM scored
+JOIN matched USING (query_id, doc_id)
+JOIN qn USING (query_id)
+WHERE n_matched < n_qterms
+QUALIFY rank <= {BM25_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Hybrid retrieval with reciprocal-rank fusion (round 7) — the standard
 # production search stack: a sparse BM25 arm and a dense embedding arm
 # each retrieve top-20, then RRF (Cormack et al. 2009; k = 60) fuses the
@@ -882,6 +968,7 @@ QUERIES = {
     "url_stats_by_source": url_stats_by_source,
     "length_histogram": length_histogram,
     "bm25_topk": bm25_topk,
+    "bm25_hard_negatives": bm25_hard_negatives,
     "hybrid_search_rrf": hybrid_search_rrf,
 }
 
@@ -896,5 +983,6 @@ ORACLE = {
     "url_stats_by_source": URL_STATS_SQL,
     "length_histogram": LENGTH_HISTOGRAM_SQL,
     "bm25_topk": BM25_TOPK_SQL,
+    "bm25_hard_negatives": BM25_HARD_NEGATIVES_SQL,
     "hybrid_search_rrf": HYBRID_RRF_SQL,
 }

@@ -104,7 +104,8 @@ _PRIORITY = [
     "curriculum_order", "span_corruption_plan",
     "domain_mixture_weights", "epoch_repeat_plan",
     "fim_split_plan", "k_anonymity_report", "snapshot_drift_psi",
-    "key_skew_report",
+    "key_skew_report", "bm25_hard_negatives",
+    "behavior_sequence_examples",
     "video_near_dup_pairs", "video_segment_overlap_pairs",
     "video_fingerprints",
     "paragraph_dedup_newline",

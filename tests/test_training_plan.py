@@ -501,3 +501,82 @@ class TestDriftDegeneracyClamp:
         )
         out = drift_on_rollup(cur, base).collect()
         assert out[0].psi is not None and out[0].drifted
+
+
+class TestBm25HardNegatives:
+    def test_negatives_are_partial_matches(self, spark, sf_dir):
+        from jitsu_spark.operators.text_ops import (
+            BM25_QUERIES,
+            bm25_hard_negatives,
+        )
+
+        n_terms = {qid: len(set(q)) for qid, q in BM25_QUERIES.items()}
+        for r in bm25_hard_negatives(spark, sf_dir).collect():
+            assert 1 <= r.n_matched < n_terms[r.query_id]
+            assert r.rank >= 1
+
+    def test_full_matches_excluded_vs_topk(self, spark, sf_dir):
+        # every (query, doc) in the negatives must NOT appear in bm25_topk
+        # with a full term match; scores must agree where both report.
+        from jitsu_spark.operators.text_ops import (
+            bm25_hard_negatives,
+            bm25_topk,
+        )
+
+        top = {
+            (r.query_id, r.doc_id): r.score
+            for r in bm25_topk(spark, sf_dir).collect()
+        }
+        for r in bm25_hard_negatives(spark, sf_dir).collect():
+            if (r.query_id, r.doc_id) in top:
+                assert top[(r.query_id, r.doc_id)] == r.score
+
+    def test_synthetic_full_match_never_negative(self, spark, tmp_path):
+        from jitsu_spark.operators.text_ops import bm25_hard_negatives_df
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma pad pad"),   # full match
+                (2, "alpha beta zzz pad pad"),     # partial -> negative
+                (3, "alpha yyy zzz pad pad"),      # partial -> negative
+                (4, "www yyy zzz pad pad"),        # no match -> absent
+            ],
+            "doc_id long, text string",
+        )
+        queries = spark.createDataFrame(
+            [(0, "alpha beta gamma")], "query_id int, text string"
+        )
+        got = {r.doc_id: r for r in bm25_hard_negatives_df(docs, queries).collect()}
+        assert set(got) == {2, 3}
+        assert got[2].n_matched == 2 and got[3].n_matched == 1
+
+
+class TestBehaviorSequenceExamples:
+    def test_lags_match_per_user_order(self, spark, sf_dir):
+        from collections import defaultdict
+
+        from jitsu_spark.operators.events_ops import (
+            behavior_sequence_examples,
+        )
+        from jitsu_spark.tables import load_table
+
+        ev = load_table(spark, sf_dir, "events").collect()
+        seq = defaultdict(list)
+        for e in sorted(ev, key=lambda e: (e.user_id, e.ts, e.event_id)):
+            seq[e.user_id].append(e.event_type)
+        out = behavior_sequence_examples(spark, sf_dir).collect()
+        # first event per user never emits an example
+        n_expected = sum(max(0, len(s) - 1) for s in seq.values())
+        assert len(out) == n_expected
+        by_user = defaultdict(list)
+        for r in sorted(out, key=lambda r: (r.user_id, r.n_prior)):
+            by_user[r.user_id].append(r)
+        for uid, rows in by_user.items():
+            s = seq[uid]
+            for r in rows:
+                i = r.n_prior
+                assert r.label == s[i] and r.prev1 == s[i - 1]
+                if i >= 2:
+                    assert r.prev2 == s[i - 2]
+                else:
+                    assert r.prev2 is None
