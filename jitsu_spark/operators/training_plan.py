@@ -460,9 +460,105 @@ FROM drawn
 """
 
 
+# ---------------------------------------------------------------------------
+# Multi-epoch order manifest: the artifact a data-constrained training run
+# actually consumes — every (doc, epoch) occurrence under
+# `epoch_repeat_plan`'s per-source schedule, in a global per-epoch
+# reshuffled order. Full epochs replicate every source doc; the final
+# FRACTIONAL epoch admits a doc iff its epoch-salted md5 bucket clears the
+# per-mille remainder (so the fraction is an unbiased deterministic
+# subset, different docs per run-through than any full epoch's order).
+#
+# Scale: the manifest is skinny (doc_id, epoch) — replication happens
+# AFTER text is dropped, bounded by R_MAX copies; the global position is
+# one distributed range-exchange prefix rank over the composite
+# (epoch, salted-md5) key — no single-task sort of the multi-epoch
+# permutation. The per-source schedule joins in as a broadcast dim.
+# ---------------------------------------------------------------------------
+
+
+def multi_epoch_order_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.cumsum import histogram_cnt_better
+
+    sched = epoch_repeat_plan(spark, sf_dir).selectExpr(
+        "source",
+        "CAST(epochs_pm div 1000 AS INT) AS full_epochs",
+        "epochs_pm % 1000 AS frac_pm",
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    copies = docs.join(F.broadcast(sched), "source").selectExpr(
+        "doc_id",
+        "full_epochs + CASE WHEN"
+        " CAST(conv(substring(md5(concat('epoch-', CAST(full_epochs + 1"
+        " AS STRING), '-', CAST(doc_id AS STRING))), 1, 7), 16, 10)"
+        " AS BIGINT) % 1000 < frac_pm THEN 1 ELSE 0 END AS n_copies",
+    )
+    occ = copies.selectExpr(
+        "doc_id",
+        "explode(CASE WHEN n_copies >= 1 THEN sequence(1, n_copies)"
+        " ELSE array() END) AS epoch",
+    )
+    keyed = occ.selectExpr(
+        "doc_id",
+        "epoch",
+        "concat(lpad(CAST(epoch AS STRING), 2, '0'),"
+        " md5(concat(CAST(epoch AS STRING), '-', CAST(doc_id AS STRING))))"
+        " AS okey",
+    )
+    ranks = histogram_cnt_better(
+        keyed, "okey", small_value_space=False
+    ).selectExpr("v AS okey", "cnt_better AS pos")
+    return keyed.join(ranks, "okey").selectExpr(
+        "doc_id", "CAST(epoch AS BIGINT) AS epoch", "pos",
+        f"pos % {N_ORDER_SHARDS_MANIFEST} AS shard",
+    )
+
+
+N_ORDER_SHARDS_MANIFEST = 16
+
+_EPOCH_DRAW_DUCK = (
+    "CAST(('0x' || substr(md5('epoch-' || CAST(full_epochs + 1 AS VARCHAR)"
+    " || '-' || CAST(doc_id AS VARCHAR)), 1, 7))::UBIGINT AS BIGINT) % 1000"
+)
+
+MULTI_EPOCH_MANIFEST_SQL = f"""
+WITH sched AS (
+  SELECT source,
+         CAST(epochs_pm // 1000 AS INT) AS full_epochs,
+         epochs_pm % 1000 AS frac_pm
+  FROM ({EPOCH_REPEAT_SQL})
+),
+copies AS (
+  SELECT doc_id,
+         full_epochs + CASE WHEN {_EPOCH_DRAW_DUCK} < frac_pm
+                            THEN 1 ELSE 0 END AS n_copies
+  FROM documents JOIN sched USING (source)
+),
+occ AS (
+  SELECT doc_id, CAST(u.epoch AS BIGINT) AS epoch
+  FROM copies, unnest(CASE WHEN n_copies >= 1
+                           THEN range(1, n_copies + 1)
+                           ELSE [] END) AS u(epoch)
+),
+keyed AS (
+  SELECT doc_id, epoch,
+         lpad(CAST(epoch AS VARCHAR), 2, '0')
+           || md5(CAST(epoch AS VARCHAR) || '-' || CAST(doc_id AS VARCHAR))
+           AS okey
+  FROM occ
+)
+SELECT doc_id, epoch,
+       row_number() OVER (ORDER BY okey) - 1 AS pos,
+       (row_number() OVER (ORDER BY okey) - 1)
+         % {N_ORDER_SHARDS_MANIFEST} AS shard
+FROM keyed
+"""
+
+
 QUERIES = {
     "curriculum_order": curriculum_order,
     "fim_split_plan": fim_split_plan,
+    "multi_epoch_order_manifest": multi_epoch_order_manifest,
     "span_corruption_plan": span_corruption_plan,
     "domain_mixture_weights": domain_mixture_weights,
     "epoch_repeat_plan": epoch_repeat_plan,
@@ -470,6 +566,7 @@ QUERIES = {
 ORACLE = {
     "curriculum_order": CURRICULUM_ORDER_SQL,
     "fim_split_plan": FIM_SPLIT_SQL,
+    "multi_epoch_order_manifest": MULTI_EPOCH_MANIFEST_SQL,
     "span_corruption_plan": SPAN_CORRUPTION_SQL,
     "domain_mixture_weights": DOMAIN_MIXTURE_SQL,
     "epoch_repeat_plan": EPOCH_REPEAT_SQL,

@@ -105,7 +105,7 @@ _PRIORITY = [
     "domain_mixture_weights", "epoch_repeat_plan",
     "fim_split_plan", "k_anonymity_report", "snapshot_drift_psi",
     "key_skew_report", "bm25_hard_negatives",
-    "behavior_sequence_examples",
+    "behavior_sequence_examples", "multi_epoch_order_manifest",
     "video_near_dup_pairs", "video_segment_overlap_pairs",
     "video_fingerprints",
     "paragraph_dedup_newline",

@@ -580,3 +580,48 @@ class TestBehaviorSequenceExamples:
                     assert r.prev2 == s[i - 2]
                 else:
                     assert r.prev2 is None
+
+
+class TestMultiEpochOrderManifest:
+    def test_manifest_consistent_with_schedule(self, spark, sf_dir):
+        from collections import Counter
+
+        from jitsu_spark.operators.training_plan import (
+            epoch_repeat_plan,
+            multi_epoch_order_manifest,
+        )
+        from jitsu_spark.tables import load_table
+
+        sched = {
+            r.source: r.epochs_pm
+            for r in epoch_repeat_plan(spark, sf_dir).collect()
+        }
+        src_of = {
+            r.doc_id: r.source
+            for r in load_table(spark, sf_dir, "documents")
+            .select("doc_id", "source").collect()
+        }
+        rows = multi_epoch_order_manifest(spark, sf_dir).collect()
+        # positions are a permutation and epochs ascend along it
+        n = len(rows)
+        assert sorted(r.pos for r in rows) == list(range(n))
+        ordered = sorted(rows, key=lambda r: r.pos)
+        epochs = [r.epoch for r in ordered]
+        assert epochs == sorted(epochs)
+        # per-doc copy counts: full epochs always, fraction sometimes
+        copies = Counter(r.doc_id for r in rows)
+        per_source = Counter()
+        per_source_docs = Counter()
+        for doc_id, c in copies.items():
+            full, frac = divmod(sched[src_of[doc_id]], 1000)
+            assert c in (full, full + 1)
+            if frac == 0:
+                assert c == full
+            per_source[src_of[doc_id]] += c
+            per_source_docs[src_of[doc_id]] += 1
+        # fractional admission rate tracks frac_pm loosely
+        for s, tot in per_source.items():
+            full, frac = divmod(sched[s], 1000)
+            nd = per_source_docs[s]
+            expected = nd * full + nd * frac / 1000
+            assert abs(tot - expected) <= max(5, 0.25 * nd)
