@@ -678,9 +678,114 @@ FROM counts JOIN totals USING (dim)
 """
 
 
+# ---------------------------------------------------------------------------
+# Z-order layout locality report — the `OPTIMIZE ... ZORDER BY (source,
+# length)` planning query. Interleaving the bits of two clustering
+# dimensions (8-bit md5 index of `source`, log2 token-length bin) gives a
+# 16-bit Morton key; range-bucketing docs by that key yields data files
+# where each file touches FEW distinct (source, length) combinations, so
+# predicate-pruned scans skip most files. The report compares the z-order
+# assignment against the natural doc_id order file-by-file: n_docs,
+# distinct sources, distinct length bins per file — the numbers that
+# decide whether a 100 TB rewrite pays for itself.
+#
+# Exactness: the Morton interleave is pure integer bit arithmetic
+# (identical << >> & semantics in Spark and DuckDB); file assignment is
+# (key * N_FILES) div (key_space) — exact integer range bucketing, no
+# percentile estimation. One scan per layout arm, both arms one tiny
+# groupBy over N_FILES keys; text never shuffles.
+# ---------------------------------------------------------------------------
+
+ZORDER_FILES = 16
+
+
+def _morton16(a: str, b: str, shift: str, band: str) -> str:
+    """Interleave 8 bits of `a` (odd positions) and `b` (even): dialect-
+    portable via the given shift/and operator spellings."""
+    terms = []
+    for i in range(8):
+        terms.append(f"((({a} {shift} {i}) {band} 1) * {1 << (2 * i + 1)})")
+        terms.append(f"((({b} {shift} {i}) {band} 1) * {1 << (2 * i)})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_locality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.selectExpr(
+        "doc_id",
+        "CAST(conv(substring(md5(source), 1, 2), 16, 10) AS BIGINT)"
+        " AS src_idx",
+        f"CAST(floor(log2(greatest(size({TOKENS}), 1))) AS BIGINT)"
+        " AS len_bin",
+        "source",
+    )
+    z = base.selectExpr(
+        "doc_id",
+        "source",
+        "len_bin",
+        f"{_morton16('src_idx', 'len_bin', '>>', '&')} AS zkey",
+    )
+    maxid = z.agg(F.max("doc_id").alias("max_id"))
+    files = z.crossJoin(F.broadcast(maxid)).selectExpr(
+        "source",
+        "len_bin",
+        f"(zkey * {ZORDER_FILES}) div 65536 AS z_file",
+        f"least({ZORDER_FILES - 1}L,"
+        f" (doc_id * {ZORDER_FILES}) div (max_id + 1)) AS natural_file",
+    )
+    longd = files.selectExpr(
+        "source",
+        "len_bin",
+        "inline(array(named_struct('layout', 'zorder', 'file_id', z_file),"
+        " named_struct('layout', 'natural', 'file_id', natural_file)))",
+    )
+    return longd.groupBy("layout", "file_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("len_bin").alias("n_len_bins"),
+    )
+
+
+_Z_DUCK = _morton16("src_idx", "len_bin", ">>", "&")
+
+ZORDER_LOCALITY_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(source), 1, 2))::UBIGINT AS BIGINT)
+           AS src_idx,
+         CAST(floor(log2(greatest(len({TOKENS_DUCK}), 1))) AS BIGINT)
+           AS len_bin
+  FROM documents
+),
+z AS (
+  SELECT doc_id, source, len_bin, {_Z_DUCK} AS zkey FROM base
+),
+maxid AS (SELECT max(doc_id) AS max_id FROM z),
+files AS (
+  SELECT source, len_bin,
+         (zkey * {ZORDER_FILES}) // 65536 AS z_file,
+         least({ZORDER_FILES - 1},
+               (doc_id * {ZORDER_FILES}) // (max_id + 1)) AS natural_file
+  FROM z, maxid
+),
+longd AS (
+  SELECT source, len_bin, 'zorder' AS layout, z_file AS file_id FROM files
+  UNION ALL
+  SELECT source, len_bin, 'natural', natural_file FROM files
+)
+SELECT layout, file_id,
+       count(*) AS n_docs,
+       count(DISTINCT source) AS n_sources,
+       count(DISTINCT len_bin) AS n_len_bins
+FROM longd
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "corpus_prep_pipeline": corpus_prep_pipeline,
     "snapshot_drift_psi": snapshot_drift_psi,
+    "zorder_locality_report": zorder_locality_report,
     "corpus_snapshot_diff": corpus_snapshot_diff,
     "corpus_increment_pipeline": corpus_increment_pipeline,
     "corpus_datacard": corpus_datacard,
@@ -689,6 +794,7 @@ QUERIES = {
 ORACLE = {
     "corpus_prep_pipeline": CORPUS_PREP_SQL,
     "snapshot_drift_psi": SNAPSHOT_DRIFT_SQL,
+    "zorder_locality_report": ZORDER_LOCALITY_SQL,
     "corpus_snapshot_diff": SNAPSHOT_DIFF_SQL,
     "corpus_increment_pipeline": CORPUS_INCREMENT_SQL,
     "corpus_datacard": CORPUS_DATACARD_SQL,

@@ -1103,10 +1103,68 @@ QUALIFY prev1 IS NOT NULL
 """
 
 
+# ---------------------------------------------------------------------------
+# Join-size estimate: the planning query behind choosing a join strategy —
+# for each candidate join key, the EXACT self-equi-join output cardinality
+# sum(c_k^2) (the upper-bound shape of joining this table against any
+# table sharing its key distribution), the hottest key's contribution, and
+# its per-mille share of the estimate. A skew share near 1000 means one
+# key dominates the join output: salt it or pre-aggregate before joining.
+#
+# Both candidate keys ride ONE scan and ONE shuffle: the key name/value
+# pairs are emitted scan-side via inline() and grouped together, so adding
+# a candidate key costs no extra pass. sum(c^2) is int64-exact up to ~3e9
+# rows per key — past that a 100 TB deployment has bigger problems than
+# this report.
+# ---------------------------------------------------------------------------
+
+
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.selectExpr(
+        "inline(array("
+        "named_struct('join_key', 'user_id', 'key_value',"
+        " CAST(user_id AS STRING)),"
+        "named_struct('join_key', 'event_type', 'key_value', event_type)))"
+    )
+    counts = keyed.groupBy("join_key", "key_value").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return counts.groupBy("join_key").agg(
+        F.sum("c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("c") * F.col("c")).alias("est_self_join_rows"),
+        F.max("c").alias("max_key_rows"),
+        F.expr("(max(c * c) * 1000) div sum(c * c)").alias("skew_share_pm"),
+    )
+
+
+JOIN_SIZE_SQL = """
+WITH keyed AS (
+  SELECT 'user_id' AS join_key, CAST(user_id AS VARCHAR) AS key_value
+  FROM events
+  UNION ALL
+  SELECT 'event_type', event_type FROM events
+),
+counts AS (
+  SELECT join_key, key_value, count(*) AS c FROM keyed GROUP BY 1, 2
+)
+SELECT join_key,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       count(*) AS n_distinct,
+       CAST(sum(c * c) AS BIGINT) AS est_self_join_rows,
+       CAST(max(c) AS BIGINT) AS max_key_rows,
+       CAST((max(c * c) * 1000) // sum(c * c) AS BIGINT) AS skew_share_pm
+FROM counts
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "event_type_filter": event_type_filter,
     "k_anonymity_report": k_anonymity_report,
     "key_skew_report": key_skew_report,
+    "join_size_estimate": join_size_estimate,
     "behavior_sequence_examples": behavior_sequence_examples,
     "engagement_histogram": engagement_histogram,
     "funnel_time_to_convert": funnel_time_to_convert,
@@ -1133,6 +1191,7 @@ ORACLE = {
     "event_type_filter": EVENT_TYPE_FILTER_SQL,
     "k_anonymity_report": K_ANONYMITY_SQL,
     "key_skew_report": KEY_SKEW_SQL,
+    "join_size_estimate": JOIN_SIZE_SQL,
     "behavior_sequence_examples": BEHAVIOR_SEQ_SQL,
     "metrics_rollup_minute": METRICS_ROLLUP_MINUTE_SQL,
     "active_users_daily": ACTIVE_USERS_DAILY_SQL,

@@ -625,3 +625,57 @@ class TestMultiEpochOrderManifest:
             nd = per_source_docs[s]
             expected = nd * full + nd * frac / 1000
             assert abs(tot - expected) <= max(5, 0.25 * nd)
+
+
+class TestZorderLocalityReport:
+    def test_zorder_beats_natural_on_source_locality(self, spark, sf_dir):
+        from jitsu_spark.operators.corpus import zorder_locality_report
+        from jitsu_spark.tables import load_table
+
+        rows = zorder_locality_report(spark, sf_dir).collect()
+        total = load_table(spark, sf_dir, "documents").count()
+        by_layout = {}
+        for r in rows:
+            by_layout.setdefault(r.layout, []).append(r)
+        assert set(by_layout) == {"zorder", "natural"}
+        for layout, files in by_layout.items():
+            assert sum(f.n_docs for f in files) == total
+        # z-order files should each touch far fewer distinct sources
+        # (docs arrive source-interleaved in doc_id order, so natural
+        # range files see nearly every source)
+        avg = {
+            lay: sum(f.n_sources * f.n_docs for f in fs)
+            / sum(f.n_docs for f in fs)
+            for lay, fs in by_layout.items()
+        }
+        assert avg["zorder"] < avg["natural"]
+
+    def test_morton_key_bit_exact(self):
+        # pure-python mirror of the generated interleave expression
+        from jitsu_spark.operators.corpus import _morton16
+
+        expr = _morton16("a", "b", ">>", "&")
+
+        def z(a, b):
+            return eval(expr)
+
+        assert z(0, 0) == 0
+        assert z(1, 0) == 2 and z(0, 1) == 1
+        assert z(0b11, 0b11) == 0b1111
+        assert z(255, 0) == 0b1010101010101010
+
+
+class TestJoinSizeEstimate:
+    def test_exact_self_join_cardinality(self, spark, sf_dir):
+        from jitsu_spark.operators.events_ops import join_size_estimate
+        from jitsu_spark.tables import load_table
+
+        ev = load_table(spark, sf_dir, "events")
+        got = {r.join_key: r for r in join_size_estimate(spark, sf_dir).collect()}
+        for key in ("user_id", "event_type"):
+            actual = ev.selectExpr(f"CAST({key} AS STRING) AS k").alias("a").join(
+                ev.selectExpr(f"CAST({key} AS STRING) AS k").alias("b"), "k"
+            ).count()
+            assert got[key].est_self_join_rows == actual
+            assert got[key].n_rows == ev.count()
+            assert 1 <= got[key].skew_share_pm <= 1000
