@@ -1135,7 +1135,11 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_distinct"),
         F.sum(F.col("c") * F.col("c")).alias("est_self_join_rows"),
         F.max("c").alias("max_key_rows"),
-        F.expr("(max(c * c) * 1000) div sum(c * c)").alias("skew_share_pm"),
+        # divide-first: max(c*c) * 1000 would overflow int64 at a hot key
+        # of ~1e8 rows, 31x below the ~3e9 bound the block comment states
+        F.expr(
+            "least(1000L, max(c * c) div greatest(sum(c * c) div 1000, 1L))"
+        ).alias("skew_share_pm"),
     )
 
 
@@ -1154,7 +1158,8 @@ SELECT join_key,
        count(*) AS n_distinct,
        CAST(sum(c * c) AS BIGINT) AS est_self_join_rows,
        CAST(max(c) AS BIGINT) AS max_key_rows,
-       CAST((max(c * c) * 1000) // sum(c * c) AS BIGINT) AS skew_share_pm
+       CAST(least(1000, max(c * c) // greatest(sum(c * c) // 1000, 1))
+            AS BIGINT) AS skew_share_pm
 FROM counts
 GROUP BY 1
 """

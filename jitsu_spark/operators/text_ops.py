@@ -389,8 +389,11 @@ def _query_vocab(queries: DataFrame) -> list[str]:
 
 
 def _bm25_scored(docs_tbl: DataFrame, queries: DataFrame) -> DataFrame:
-    """(query_id, doc_id, score): BM25 score of every matching document
-    against every query — the shared sparse-retrieval arm.
+    """(query_id, doc_id, score, n_matched): BM25 score of every matching
+    document against every query — the shared sparse-retrieval arm.
+    `n_matched` (distinct query terms the doc contains) rides the same
+    aggregate for free — the hard-negative miner consumes it, the top-k
+    and hybrid callers ignore it (ONE scoring implementation, r11 review).
 
     One filtered explode builds the postings; df/N/avgdl fold in as
     broadcast dims (df is bounded by the query vocabulary BY
@@ -417,7 +420,10 @@ def _bm25_scored(docs_tbl: DataFrame, queries: DataFrame) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .selectExpr("query_id", "doc_id", f"{_BM25_TERM} AS s")
         .groupBy("query_id", "doc_id")
-        .agg(F.round(F.sum("s"), 4).alias("score"))
+        .agg(
+            F.round(F.sum("s"), 4).alias("score"),
+            F.count(F.lit(1)).alias("n_matched"),
+        )
     )
 
 
@@ -502,41 +508,17 @@ def bm25_hard_negatives_df(
     docs_tbl: DataFrame, queries: DataFrame, k: int = BM25_TOPK
 ) -> DataFrame:
     """(query_id, doc_id, score, n_matched, rank): top-k BM25-scored
-    PARTIAL matches per query — the hard-negative candidates."""
+    PARTIAL matches per query — the hard-negative candidates. Shares
+    `_bm25_scored` with the top-k/hybrid callers (one scoring
+    implementation); only the partial-match filter and rank differ."""
     from ..plans.topk import two_phase_topk
 
-    lits = ", ".join(f"'{t}'" for t in _query_vocab(queries))
-    docs = docs_tbl.selectExpr("doc_id", f"{TOKENS} AS toks")
-    tf = (
-        docs.selectExpr(
-            "doc_id",
-            "size(toks) AS dl",
-            f"explode(filter(toks, x -> x IN ({lits}))) AS tok",
-        )
-        .groupBy("doc_id", "dl", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    qn = _query_terms(queries).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_qterms")
     )
-    stats = docs.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg(F.size("toks")).alias("avgdl"),
-    )
-    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    qterms = _query_terms(queries)
-    scored = (
-        tf.join(F.broadcast(qterms), "tok")
-        .join(F.broadcast(dfreq), "tok")
-        .crossJoin(F.broadcast(stats))
-        .selectExpr("query_id", "doc_id", f"{_BM25_TERM} AS s")
-        .groupBy("query_id", "doc_id")
-        .agg(
-            F.round(F.sum("s"), 4).alias("score"),
-            F.count(F.lit(1)).alias("n_matched"),
-        )
-    )
-    qn = qterms.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_qterms"))
-    negs = scored.join(F.broadcast(qn), "query_id").where(
-        "n_matched < n_qterms"
-    )
+    negs = _bm25_scored(docs_tbl, queries).join(
+        F.broadcast(qn), "query_id"
+    ).where("n_matched < n_qterms")
     return two_phase_topk(negs, "query_id", "score", k, "doc_id").select(
         "query_id", "doc_id", "score", "n_matched", "rank"
     )

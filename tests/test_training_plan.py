@@ -516,8 +516,10 @@ class TestBm25HardNegatives:
             assert r.rank >= 1
 
     def test_full_matches_excluded_vs_topk(self, spark, sf_dir):
-        # every (query, doc) in the negatives must NOT appear in bm25_topk
-        # with a full term match; scores must agree where both report.
+        # scores must agree with bm25_topk on every overlapping (query,
+        # doc) pair — one scoring implementation. (The exclusion property
+        # itself — negatives are never full matches — is asserted by
+        # test_negatives_are_partial_matches via the n_matched bound.)
         from jitsu_spark.operators.text_ops import (
             bm25_hard_negatives,
             bm25_topk,
