@@ -1165,11 +1165,116 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# A/B experiment significance report: users md5-bucket into variants
+# (deterministic, the assignment every experimentation SDK ships),
+# conversion = the user's purchase count clears AB_CONV_MIN (a binary
+# ever-purchased flag is degenerate on the dense synthetic corpus —
+# every user converts — so the threshold form is both the realistic
+# "converted hard enough" metric and a discriminating one), and the 2x2
+# chi-square decides significance at p < 0.05 (critical 3.841, df = 1).
+# Degenerate margins (an empty row/column) define chi2 = 0 explicitly
+# rather than dividing by zero under ANSI mode.
+#
+# Exactness: counts are exact integers; the chi-square closed form
+# N*(ad - bc)^2 / ((a+b)(c+d)(a+c)(b+d)) is evaluated in DOUBLE from
+# those integers — each *, /, round is IEEE-correctly-rounded, so both
+# engines produce the identical double before the round(,4) seam (the
+# all-int64 form would overflow at (ad)^2 for ~1e5+ users per cell).
+#
+# Scale: one exact per-user aggregate (shuffle on user_id), then a 2-row
+# conditional aggregate and a 1-row report. No windows, no joins.
+# ---------------------------------------------------------------------------
+
+AB_CHI2_CRIT = 3.841  # chi-square 0.95 quantile, df=1
+AB_CONV_MIN = 14  # purchases needed to count as converted
+
+_AB_CHI2 = (
+    "CASE WHEN least(a + b, c + d, a + c, b + d) = 0 THEN 0.0 ELSE"
+    " round(((a + b + c + d) * CAST(a * d - b * c AS DOUBLE)"
+    " * CAST(a * d - b * c AS DOUBLE))"
+    " / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)"
+    " * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)), 4) END"
+)
+
+
+def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.expr(
+            "CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1"
+            f" ELSE 0 END) >= {AB_CONV_MIN} THEN 1 ELSE 0 END"
+        ).alias("conv")
+    )
+    cells = users.selectExpr(
+        "CASE WHEN CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 7),"
+        " 16, 10) AS BIGINT) % 1000 < 500 THEN 'A' ELSE 'B' END AS variant",
+        "conv",
+    ).groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("conv").cast("long").alias("n_converted"),
+    )
+    wide = cells.agg(
+        F.sum(F.when(F.col("variant") == "A", F.col("n_converted"))).alias("a"),
+        F.sum(
+            F.when(F.col("variant") == "A", F.col("n_users") - F.col("n_converted"))
+        ).alias("b"),
+        F.sum(F.when(F.col("variant") == "B", F.col("n_converted"))).alias("c"),
+        F.sum(
+            F.when(F.col("variant") == "B", F.col("n_users") - F.col("n_converted"))
+        ).alias("d"),
+    )
+    return wide.selectExpr(
+        "a AS conv_a",
+        "b AS nonconv_a",
+        "c AS conv_b",
+        "d AS nonconv_b",
+        "(a * 1000) div greatest(a + b, 1L) AS conv_rate_a_pm",
+        "(c * 1000) div greatest(c + d, 1L) AS conv_rate_b_pm",
+        f"{_AB_CHI2} AS chi2",
+        f"{_AB_CHI2} > {AB_CHI2_CRIT} AS significant",
+    )
+
+
+# the chi2 expression is already dialect-portable (CASE/least/round/DOUBLE)
+_AB_CHI2_DUCK = _AB_CHI2
+
+AB_TEST_SQL = f"""
+WITH users AS (
+  SELECT user_id,
+         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= {AB_CONV_MIN} THEN 1 ELSE 0 END AS conv
+  FROM events GROUP BY 1
+),
+cells AS (
+  SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 7))
+                   ::UBIGINT AS BIGINT) % 1000 < 500
+              THEN 'A' ELSE 'B' END AS variant,
+         conv
+  FROM users
+),
+wide AS (
+  SELECT CAST(sum(CASE WHEN variant = 'A' THEN conv END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN variant = 'A' THEN 1 - conv END) AS BIGINT) AS b,
+         CAST(sum(CASE WHEN variant = 'B' THEN conv END) AS BIGINT) AS c,
+         CAST(sum(CASE WHEN variant = 'B' THEN 1 - conv END) AS BIGINT) AS d
+  FROM cells
+)
+SELECT a AS conv_a, b AS nonconv_a, c AS conv_b, d AS nonconv_b,
+       (a * 1000) // greatest(a + b, 1) AS conv_rate_a_pm,
+       (c * 1000) // greatest(c + d, 1) AS conv_rate_b_pm,
+       {_AB_CHI2_DUCK} AS chi2,
+       {_AB_CHI2_DUCK} > {AB_CHI2_CRIT} AS significant
+FROM wide
+"""
+
+
 QUERIES = {
     "event_type_filter": event_type_filter,
     "k_anonymity_report": k_anonymity_report,
     "key_skew_report": key_skew_report,
     "join_size_estimate": join_size_estimate,
+    "ab_test_report": ab_test_report,
     "behavior_sequence_examples": behavior_sequence_examples,
     "engagement_histogram": engagement_histogram,
     "funnel_time_to_convert": funnel_time_to_convert,
@@ -1197,6 +1302,7 @@ ORACLE = {
     "k_anonymity_report": K_ANONYMITY_SQL,
     "key_skew_report": KEY_SKEW_SQL,
     "join_size_estimate": JOIN_SIZE_SQL,
+    "ab_test_report": AB_TEST_SQL,
     "behavior_sequence_examples": BEHAVIOR_SEQ_SQL,
     "metrics_rollup_minute": METRICS_ROLLUP_MINUTE_SQL,
     "active_users_daily": ACTIVE_USERS_DAILY_SQL,

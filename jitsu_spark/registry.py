@@ -106,7 +106,7 @@ _PRIORITY = [
     "fim_split_plan", "k_anonymity_report", "snapshot_drift_psi",
     "key_skew_report", "bm25_hard_negatives",
     "behavior_sequence_examples", "multi_epoch_order_manifest",
-    "zorder_locality_report", "join_size_estimate",
+    "zorder_locality_report", "join_size_estimate", "ab_test_report",
     "video_near_dup_pairs", "video_segment_overlap_pairs",
     "video_fingerprints",
     "paragraph_dedup_newline",

@@ -681,3 +681,63 @@ class TestJoinSizeEstimate:
             assert got[key].est_self_join_rows == actual
             assert got[key].n_rows == ev.count()
             assert 1 <= got[key].skew_share_pm <= 1000
+
+
+class TestAbTestReport:
+    def test_contingency_consistent(self, spark, sf_dir):
+        from jitsu_spark.operators.events_ops import ab_test_report
+        from jitsu_spark.tables import load_table
+
+        r = ab_test_report(spark, sf_dir).collect()[0]
+        n_users = load_table(spark, sf_dir, "events").select(
+            "user_id"
+        ).distinct().count()
+        assert r.conv_a + r.nonconv_a + r.conv_b + r.nonconv_b == n_users
+        assert r.chi2 >= 0.0
+        assert r.significant == (r.chi2 > 3.841)
+        # the threshold criterion must actually discriminate on this corpus
+        assert min(r.conv_a + r.conv_b, r.nonconv_a + r.nonconv_b) > 0
+
+    def test_engineered_effect_detected(self, spark, tmp_path):
+        # users 0..199; md5 variant split; give variant-A users 20
+        # purchases and variant-B users 5 -> rates 100% vs 0%, chi2 huge
+        from jitsu_spark.operators.events_ops import ab_test_report
+
+        rows = []
+        eid = 0
+        import hashlib
+
+        for uid in range(200):
+            bucket = int(hashlib.md5(str(uid).encode()).hexdigest()[:7], 16) % 1000
+            n = 20 if bucket < 500 else 5
+            for _ in range(n):
+                rows.append((eid, uid))
+                eid += 1
+        df = spark.createDataFrame(rows, "event_id long, user_id long").selectExpr(
+            "event_id",
+            "timestamp'2025-01-01 00:00:00' AS ts",
+            "user_id",
+            "'purchase' AS event_type",
+            "1.0 AS value",
+            "'{}' AS props",
+        )
+        df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+        r = ab_test_report(spark, str(tmp_path)).collect()[0]
+        assert r.conv_rate_a_pm == 1000 and r.conv_rate_b_pm == 0
+        assert r.significant and r.chi2 > 100
+
+    def test_degenerate_margin_zero_chi2(self, spark, tmp_path):
+        # nobody converts -> a + c = 0 margin -> chi2 defined as 0
+        from jitsu_spark.operators.events_ops import ab_test_report
+
+        df = spark.range(100).selectExpr(
+            "id AS event_id",
+            "timestamp'2025-01-01 00:00:00' AS ts",
+            "id AS user_id",
+            "'view' AS event_type",
+            "1.0 AS value",
+            "'{}' AS props",
+        )
+        df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+        r = ab_test_report(spark, str(tmp_path)).collect()[0]
+        assert r.chi2 == 0.0 and not r.significant
