@@ -417,8 +417,59 @@ FROM margins
 """
 
 
+# ---------------------------------------------------------------------------
+# Calibration / reliability table: does the frozen classifier's probability
+# actually track quality? Bin the model's prob into deciles and report the
+# rule-based Gopher keep rate per bin — the reliability diagram every
+# model-based filter should ship before its scores gate a corpus
+# (a well-calibrated scorer's keep rate rises monotonically with the
+# decile; a flat table means the model adds nothing over the rules).
+#
+# Scale: the two per-doc frames are skinny (doc_id + one column each);
+# the join is corpus-sized but 16-bytes-per-row, then a 10-key aggregate.
+# Exactness: decile = least(9, floor(prob*10)) on the already-rounded
+# prob; rates in exact integer per-mille.
+# ---------------------------------------------------------------------------
+
+
+def quality_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .quality_filters import gopher_quality_flags
+
+    probs = quality_score_fixed_model(spark, sf_dir).select("doc_id", "prob")
+    keep = gopher_quality_flags(spark, sf_dir).select("doc_id", "keep")
+    binned = probs.join(keep, "doc_id").selectExpr(
+        "least(9L, CAST(floor(prob * 10) AS BIGINT)) AS prob_decile",
+        "CAST(keep AS INT) AS k",
+    )
+    return binned.groupBy("prob_decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("k").cast("long").alias("n_keep"),
+        F.expr("(sum(k) * 1000) div count(1)").alias("keep_rate_pm"),
+    )
+
+
+def _calibration_oracle() -> str:
+    from .quality_filters import GOPHER_QUALITY_SQL
+
+    return f"""
+WITH fm AS ({_fixed_model_oracle()}),
+gf AS ({GOPHER_QUALITY_SQL})
+SELECT least(9, CAST(floor(prob * 10) AS BIGINT)) AS prob_decile,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       CAST((sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1000) // count(*)
+            AS BIGINT) AS keep_rate_pm
+FROM fm JOIN gf USING (doc_id)
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "quality_classifier_score": quality_classifier_score,
     "quality_score_fixed_model": quality_score_fixed_model,
+    "quality_calibration_report": quality_calibration_report,
 }
-ORACLE: dict = {"quality_score_fixed_model": _fixed_model_oracle()}
+ORACLE: dict = {
+    "quality_score_fixed_model": _fixed_model_oracle(),
+    "quality_calibration_report": _calibration_oracle(),
+}

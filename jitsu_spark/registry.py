@@ -107,6 +107,7 @@ _PRIORITY = [
     "key_skew_report", "bm25_hard_negatives",
     "behavior_sequence_examples", "multi_epoch_order_manifest",
     "zorder_locality_report", "join_size_estimate", "ab_test_report",
+    "quality_calibration_report",
     "video_near_dup_pairs", "video_segment_overlap_pairs",
     "video_fingerprints",
     "paragraph_dedup_newline",

@@ -741,3 +741,19 @@ class TestAbTestReport:
         df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
         r = ab_test_report(spark, str(tmp_path)).collect()[0]
         assert r.chi2 == 0.0 and not r.significant
+
+
+class TestQualityCalibrationReport:
+    def test_bins_cover_corpus_and_rates_consistent(self, spark, sf_dir):
+        from jitsu_spark.operators.quality_model import (
+            quality_calibration_report,
+        )
+        from jitsu_spark.tables import load_table
+
+        rows = quality_calibration_report(spark, sf_dir).collect()
+        total = load_table(spark, sf_dir, "documents").count()
+        assert sum(r.n_docs for r in rows) == total
+        for r in rows:
+            assert 0 <= r.prob_decile <= 9
+            assert 0 <= r.n_keep <= r.n_docs
+            assert r.keep_rate_pm == (r.n_keep * 1000) // r.n_docs
