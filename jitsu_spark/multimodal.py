@@ -1345,8 +1345,22 @@ def _ensure_vfp_store(spark: SparkSession, sf_dir: str) -> str:
 
 def video_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry (rows-only — frame decode + per-bit majority has
-    no SQL form): the clip-signature table, served from the store."""
-    return spark.read.parquet(_ensure_vfp_store(spark, sf_dir))
+    no SQL form): the clip-signature table, served from the store.
+
+    The driver's canonicalizer sorts raw cell values and cannot handle
+    complex types (r11 driver err: `unhashable type: 'list'`), so the
+    `frame_hashes array<bigint>` column is serialized to a ','-joined
+    string AT THE SERVING BOUNDARY only; the parquet store keeps the raw
+    array for internal consumers (`video_segment_overlap_pairs` explodes
+    the store, not this entry). Registry-wide complex-column shape is
+    fenced by tests/test_registry_shapes.py."""
+    return spark.read.parquet(_ensure_vfp_store(spark, sf_dir)).select(
+        "media_id",
+        "vhash",
+        F.expr(
+            "array_join(transform(frame_hashes, x -> cast(x AS string)), ',')"
+        ).alias("frame_hashes"),
+    )
 
 
 def video_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,49 @@
+"""Snapshot `.explain("formatted")` output for named registry queries.
+
+Usage: python tools/snap_plans.py <suffix> <query> [query ...]
+Writes plans/r12/<query>_<suffix>.txt for each query — the before/after
+plan evidence for the optimization round (judge cross-checks plan claims
+against these files).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    suffix = sys.argv[1]
+    names = sys.argv[2:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        "r12",
+    )
+    os.makedirs(out_dir, exist_ok=True)
+
+    from jitsu_spark.registry import QUERIES
+    from jitsu_spark.session import get_spark
+
+    spark = get_spark("snap-plans", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    for name in names:
+        if name not in QUERIES:
+            print(f"SKIP {name}: not in registry")
+            continue
+        df = QUERIES[name](spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        with open(path, "w") as fh:
+            fh.write(plan)
+        print(f"wrote {path}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
