@@ -41,29 +41,47 @@ def identity_map(events: DataFrame) -> DataFrame:
     identified = events.where(
         F.col("user_id").isNotNull() & F.col("anonymous_id").isNotNull()
     )
-    # (ts, message_id) composite makes latest-wins deterministic under ties.
-    ids = identified.groupBy("anonymous_id").agg(
-        F.expr("max_by(user_id, struct(ts, message_id))").alias("resolved_user_id"),
-        F.max("ts").alias("identified_at"),
-    )
-    # merged traits: explode entries, keep latest value per key, re-assemble
+    # ONE exploded pass computes both the latest user_id and the per-key
+    # latest trait values (r12: the previous shape scanned the identified
+    # events twice — one aggregate for ids, an explode + two aggregates
+    # for traits — then joined the two; fusing them removes a scan, an
+    # aggregate and the join). explode_outer keeps trait-less rows (null
+    # entry), so every identified row still votes for resolved_user_id;
+    # entries whose value is null fold into the null-key group so they
+    # never surface as trait entries (the old t_val filter).
+    # (ts, message_id) composite makes latest-wins deterministic under
+    # ties; per-group argmax of group-wise argmaxes = global argmax
+    # because the groups partition the rows and the order key is shared.
     entries = identified.select(
         "anonymous_id",
-        "ts",
-        "message_id",
+        "user_id",
+        F.struct("ts", "message_id").alias("ord"),
         F.explode_outer("traits").alias("t_key", "t_val"),
-    ).where(F.col("t_key").isNotNull() & F.col("t_val").isNotNull())
-    merged = (
-        entries.groupBy("anonymous_id", "t_key")
-        .agg(F.expr("max_by(t_val, struct(ts, message_id))").alias("t_val"))
-        .groupBy("anonymous_id")
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("t_key", "t_val"))
-            ).alias("resolved_traits")
-        )
+    ).withColumn(
+        "t_key", F.when(F.col("t_val").isNotNull(), F.col("t_key"))
     )
-    return ids.join(merged, "anonymous_id", "left")
+    per_key = entries.groupBy("anonymous_id", "t_key").agg(
+        F.expr("max_by(t_val, ord)").alias("t_val"),
+        F.expr("max_by(user_id, ord)").alias("key_user_id"),
+        F.max("ord").alias("key_ord"),
+    )
+    merged = per_key.groupBy("anonymous_id").agg(
+        F.expr("max_by(key_user_id, key_ord)").alias("resolved_user_id"),
+        F.max("key_ord.ts").alias("identified_at"),
+        F.map_from_entries(
+            F.collect_list(
+                F.when(
+                    F.col("t_key").isNotNull(), F.struct("t_key", "t_val")
+                )
+            )
+        ).alias("resolved_traits"),
+    )
+    # rows whose traits never yielded a non-null entry must resolve to a
+    # NULL map (the old left-join semantics), not an empty one
+    return merged.withColumn(
+        "resolved_traits",
+        F.when(F.size("resolved_traits") > 0, F.col("resolved_traits")),
+    ).select("anonymous_id", "resolved_user_id", "identified_at", "resolved_traits")
 
 
 def user_recognition_backfill(events: DataFrame) -> DataFrame:

@@ -101,10 +101,24 @@ def feature_hash_embed(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame
 
 def _bucket_sums(docs: DataFrame) -> DataFrame:
     """(doc_id, dim, v): signed hash-bucket token counts — the sparse
-    integer form of the feature-hash embedding (explode + group-by with
-    map-side combine; the shuffle carries skinny integer triples)."""
+    integer form of the feature-hash embedding.
+
+    Partitioning (r12): the narrow (doc_id, text) projection hashes by
+    doc_id BEFORE tokenization, so the (doc_id, dim) aggregate — and
+    every downstream doc_id-keyed consumer (per-doc norms, the dense
+    retrieval score aggregate, the vector assembly in
+    text_semantic_dups) — runs with no further exchange; the exploded
+    token rows themselves never shuffle. Also spreads the tokenize +
+    md5 work across the cluster when the scan under-splits (guide §2.5
+    input skew)."""
+    # Explicit partition count — AQE would coalesce the narrow doc
+    # exchange by bytes and serialize the token explosion it feeds
+    # (see text_ops._bm25_scored).
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
     return (
-        docs.select("doc_id", F.explode(F.expr(TOKENS)).alias("tok"))
+        docs.select("doc_id", "text")
+        .repartition(n_part, "doc_id")
+        .select("doc_id", F.explode(F.expr(TOKENS)).alias("tok"))
         .selectExpr(
             "doc_id",
             f"CAST(conv(substring(md5(tok), 1, 7), 16, 10) AS BIGINT)"

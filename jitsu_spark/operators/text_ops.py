@@ -397,9 +397,30 @@ def _bm25_scored(docs_tbl: DataFrame, queries: DataFrame) -> DataFrame:
 
     One filtered explode builds the postings; df/N/avgdl fold in as
     broadcast dims (df is bounded by the query vocabulary BY
-    CONSTRUCTION, so its broadcast is unconditional)."""
+    CONSTRUCTION, so its broadcast is unconditional).
+
+    Partitioning (r12): the narrow (doc_id, text) projection is hashed
+    by doc_id ONCE before tokenization. hash(doc_id) satisfies every
+    downstream grouping — tf's (doc_id, dl, tok) and the post-join
+    (query_id, doc_id) score aggregate (doc_id is a subset of both key
+    sets) — so the exploded postings and the query-joined score rows
+    NEVER shuffle; the previous shape exchanged the posting rows once
+    and the joined (query, doc, term) rows again (the widest frame in
+    the plan, ~q-per-term x postings rows). The one remaining exchange
+    carries raw doc rows, which also spreads tokenization across the
+    cluster instead of inheriting the scan's split count."""
     lits = ", ".join(f"'{t}'" for t in _query_vocab(queries))
-    docs = docs_tbl.selectExpr("doc_id", f"{TOKENS} AS toks")
+    # Explicit partition count: AQE would coalesce this exchange from its
+    # BYTE size (doc rows are narrow) into a handful of partitions,
+    # oblivious to the token explosion it feeds — measured as the whole
+    # posting build collapsing into one task. A user-specified N is
+    # exempt from coalescing; defaultParallelism scales with the cluster.
+    n_part = docs_tbl.sparkSession.sparkContext.defaultParallelism
+    docs = (
+        docs_tbl.select("doc_id", "text")
+        .repartition(n_part, "doc_id")
+        .selectExpr("doc_id", f"{TOKENS} AS toks")
+    )
     tf = (
         docs.selectExpr(
             "doc_id",
@@ -433,12 +454,14 @@ def bm25_topk_df(
     """(query_id, doc_id, score, rank): BM25 top-k documents per query
     for an ARBITRARY (query_id, text) workload — the parameterized
     surface (r8); the registry entry is this over the fixed 2-query set.
-    The exact rank runs only over the histogram-bounded candidate band
-    (`plans.topk.two_phase_topk`), the shape built for 10^3+-query
-    workloads (scale probe in BASELINE.md)."""
-    from ..plans.topk import two_phase_topk
+    The exact rank runs through the salted two-level shape
+    (`plans.topk.salted_topk`): BM25 scores are near-distinct floats, so
+    the histogram form's (group, score) pass degenerated to one row per
+    candidate (r12); the salted form bounds any hot query's candidates
+    at n_salts * k with one pass over the scored frame."""
+    from ..plans.topk import salted_topk
 
-    return two_phase_topk(
+    return salted_topk(
         _bm25_scored(docs_tbl, queries), "query_id", "score", k, "doc_id"
     ).select("query_id", "doc_id", "score", "rank")
 
@@ -499,8 +522,8 @@ QUALIFY rank <= {BM25_TOPK}
 # The matched-term count rides the SAME aggregate as the BM25 score (the
 # postings rows are distinct per (query, doc, term) by construction), so
 # mining costs one extra broadcast join over `bm25_topk`'s plan; the
-# exact rank runs only over the histogram-bounded candidate band
-# (`plans.topk.two_phase_topk`) — never a full candidate sort.
+# exact rank runs through the salted two-level shape
+# (`plans.topk.salted_topk`) — never a full per-group candidate sort.
 # ---------------------------------------------------------------------------
 
 
@@ -511,7 +534,7 @@ def bm25_hard_negatives_df(
     PARTIAL matches per query — the hard-negative candidates. Shares
     `_bm25_scored` with the top-k/hybrid callers (one scoring
     implementation); only the partial-match filter and rank differ."""
-    from ..plans.topk import two_phase_topk
+    from ..plans.topk import salted_topk
 
     qn = _query_terms(queries).groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n_qterms")
@@ -519,7 +542,7 @@ def bm25_hard_negatives_df(
     negs = _bm25_scored(docs_tbl, queries).join(
         F.broadcast(qn), "query_id"
     ).where("n_matched < n_qterms")
-    return two_phase_topk(negs, "query_id", "score", k, "doc_id").select(
+    return salted_topk(negs, "query_id", "score", k, "doc_id").select(
         "query_id", "doc_id", "score", "n_matched", "rank"
     )
 
@@ -562,7 +585,7 @@ QUALIFY rank <= {BM25_TOPK}
 # Determinism: arm ranks are integers, 1/(60+rank) is the same double on
 # every engine, and the fused score is a sum of at most two such terms —
 # bit-identical, no rounding risk. Scale: each arm's rank runs through
-# `two_phase_topk` (no full posting/candidate sort); the dense dot joins
+# `salted_topk` (no full posting/candidate sort); the dense dot joins
 # skinny integer (id, dim, v) triples with the query side broadcast; the
 # fusion joins two <= 20-row-per-query lists.
 # ---------------------------------------------------------------------------
@@ -611,33 +634,28 @@ def hybrid_search_rrf_df(
     fused results per query for an ARBITRARY (query_id, text) workload —
     the parameterized surface (r8); a NULL arm rank means the document
     was outside that arm's top-`arm_k`."""
-    from ..plans.topk import two_phase_topk
+    # Every rank runs through the salted two-level shape (r12): each arm
+    # walks its scored frame ONCE (window -> filter -> window), so the
+    # r7-r11 persist-the-shortlist step — needed when the histogram rank
+    # walked its input lineage twice — is gone along with the histogram
+    # passes themselves (float scores made those histograms
+    # candidate-sized).
+    from ..plans.topk import salted_topk
 
-    # The fusion's own two-phase rank walks its input lineage twice; the
-    # arm shortlists are <= arm_k rows per query BY CONSTRUCTION (never
-    # corpus-scale), so persisting them cuts each arm's corpus scan count
-    # in half at trivial memory cost — the materialize-the-shortlist step
-    # every production hybrid stack performs anyway.
-    from ..plans.topk import persist_bounded
-
-    sparse = persist_bounded(
-        two_phase_topk(
-            _bm25_scored(docs_tbl, queries),
-            "query_id",
-            "score",
-            arm_k,
-            "doc_id",
-        ).selectExpr("query_id", "doc_id", "rank AS sparse_rank")
-    )
-    dense = persist_bounded(
-        two_phase_topk(
-            _dense_scored(docs_tbl, queries),
-            "query_id",
-            "sim",
-            arm_k,
-            "doc_id",
-        ).selectExpr("query_id", "doc_id", "rank AS dense_rank")
-    )
+    sparse = salted_topk(
+        _bm25_scored(docs_tbl, queries),
+        "query_id",
+        "score",
+        arm_k,
+        "doc_id",
+    ).selectExpr("query_id", "doc_id", "rank AS sparse_rank")
+    dense = salted_topk(
+        _dense_scored(docs_tbl, queries),
+        "query_id",
+        "sim",
+        arm_k,
+        "doc_id",
+    ).selectExpr("query_id", "doc_id", "rank AS dense_rank")
     fused = sparse.join(dense, ["query_id", "doc_id"], "full_outer").selectExpr(
         "query_id",
         "doc_id",
@@ -646,7 +664,7 @@ def hybrid_search_rrf_df(
         f"coalesce(1.0D / ({RRF_K} + sparse_rank), 0.0D)"
         f" + coalesce(1.0D / ({RRF_K} + dense_rank), 0.0D) AS rrf",
     )
-    return two_phase_topk(
+    return salted_topk(
         fused, "query_id", "rrf", fused_k, "doc_id"
     ).select("query_id", "doc_id", "sparse_rank", "dense_rank", "rrf", "rank")
 

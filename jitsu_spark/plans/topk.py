@@ -63,6 +63,52 @@ def release_persisted() -> None:
             pass
 
 
+def salted_topk(
+    scored: DataFrame,
+    group_col: str,
+    score_col: str,
+    k: int,
+    tiebreak_col: str,
+    descending: bool = True,
+    rank_col: str = "rank",
+    n_salts: int = 64,
+) -> DataFrame:
+    """Exact per-group top-k via salted two-level ranking — the shape for
+    UNBOUNDED score spaces (float BM25/cosine/RRF scores), where
+    `two_phase_topk`'s (group, score) histogram degenerates to ~one row
+    per candidate (r12 measurement: the histogram pass + band join more
+    than doubled the BM25 ranking cost at 10^3 queries).
+
+    Level 1 ranks within (group, salt) — salt = xxhash64(tiebreak) mod
+    n_salts, deterministic under task retry (guide §2.5) — and keeps k
+    rows per salt, bounding any hot group to n_salts * k survivors with
+    full cluster parallelism. Level 2 ranks the survivors exactly. A row
+    with global rank <= k has < k better-ordered rows in its whole
+    group, hence < k in its salt slice, so it survives level 1: output
+    rows and rank values are IDENTICAL to the naive single window (the
+    SQL oracles stay plain-window twins). One pass over `scored` — no
+    persist, no self-join.
+    """
+    order = [
+        F.desc(score_col) if descending else F.asc(score_col),
+        F.asc(tiebreak_col),
+    ]
+    w1 = Window.partitionBy(group_col, "_salt").orderBy(*order)
+    cand = (
+        scored.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col(tiebreak_col)), F.lit(n_salts)),
+        )
+        .withColumn("_local_rank", F.row_number().over(w1))
+        .where(F.col("_local_rank") <= k)
+        .drop("_salt", "_local_rank")
+    )
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return cand.withColumn(rank_col, F.row_number().over(w)).where(
+        F.col(rank_col) <= k
+    )
+
+
 def two_phase_topk(
     scored: DataFrame,
     group_col: str,

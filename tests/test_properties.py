@@ -447,3 +447,65 @@ class TestTwoPhaseTopkEquivalence:
             got[["grp", "score", "tid", "rank"]],
             want[["grp", "score", "tid", "rank"]],
         )
+
+
+class TestSaltedTopkEquivalence:
+    """plans/topk.salted_topk returns EXACTLY the naive
+    row_number-over-window result for any scored table — the float-score
+    sibling of the two_phase invariant: a global top-k row has < k
+    better-ordered rows in its whole group, hence < k in its salt slice,
+    so level 1 can never drop it."""
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3),  # group
+                st.floats(
+                    min_value=-5, max_value=5, allow_nan=False
+                ),  # float scores (the salted shape's target domain)
+            ),
+            min_size=1,
+            max_size=60,
+        ),
+        st.integers(min_value=1, max_value=7),  # k
+        st.booleans(),  # descending
+        st.integers(min_value=1, max_value=8),  # n_salts incl. degenerate 1
+    )
+    def test_matches_naive_window(self, rows, k, descending, n_salts):
+        import pandas as pd
+
+        from jitsu_spark.plans.topk import salted_topk
+        from jitsu_spark.session import get_spark
+
+        spark = get_spark("jitsu-spark-tests", cpus=4, shuffle_partitions=8)
+        scored = spark.createDataFrame(
+            [(g, s, i) for i, (g, s) in enumerate(rows)],
+            "grp int, score double, tid int",
+        )
+        got = (
+            salted_topk(
+                scored, "grp", "score", k, "tid", descending, n_salts=n_salts
+            )
+            .toPandas()
+            .sort_values(["grp", "rank"])
+            .reset_index(drop=True)
+        )
+        direction = "DESC" if descending else "ASC"
+        want = (
+            scored.selectExpr(
+                "grp",
+                "score",
+                "tid",
+                f"row_number() OVER (PARTITION BY grp"
+                f" ORDER BY score {direction}, tid) AS rank",
+            )
+            .where(f"rank <= {k}")
+            .toPandas()
+            .sort_values(["grp", "rank"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["grp", "score", "tid", "rank"]],
+            want[["grp", "score", "tid", "rank"]],
+        )
