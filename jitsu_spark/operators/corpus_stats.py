@@ -167,12 +167,23 @@ def duplicate_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def load_table_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents with the token array materialized once (projection
-    boundary — same pattern as dedup._shingle_rows)."""
+    boundary — same pattern as dedup._shingle_rows).
+
+    r12: the narrow (doc_id, text) projection hashes by doc_id before
+    tokenization — every consumer explodes grams/tokens out of this
+    frame, and with a single-split scan those explosions ran in ONE
+    task (guide §2.5 input skew); hash(doc_id) also makes the per-doc
+    aggregates downstream exchange-free. Explicit N because AQE would
+    coalesce the byte-small doc exchange under the explode it feeds."""
     from ..tables import load_table
     from .text_ops import TOKENS
 
-    return load_table(spark, sf_dir, "documents").selectExpr(
-        "doc_id", f"{TOKENS} AS toks"
+    n_part = spark.sparkContext.defaultParallelism
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(n_part, "doc_id")
+        .selectExpr("doc_id", f"{TOKENS} AS toks")
     )
 
 

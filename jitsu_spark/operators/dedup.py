@@ -144,8 +144,19 @@ def _shingles_of(docs: DataFrame) -> DataFrame:
 
 
 def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared shingle pass over the documents table (minhash + jaccard)."""
-    return _shingles_of(load_table(spark, sf_dir, "documents"))
+    """Shared shingle pass over the documents table (minhash + jaccard).
+
+    r12: the narrow (doc_id, text) projection hashes by doc_id before
+    tokenization so the shingle explode + md5 hashing parallelize past
+    a single-split scan (guide §2.5) and per-doc aggregates downstream
+    are exchange-free. Explicit N — AQE would coalesce the byte-small
+    doc exchange under the explode it feeds."""
+    n_part = spark.sparkContext.defaultParallelism
+    return _shingles_of(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(n_part, "doc_id")
+    )
 
 
 _SHINGLE_ROWS_DUCK = f"""
@@ -1259,7 +1270,15 @@ def near_dup_gate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs are gated against the store's signatures."""
     from .sampling import _bucket
 
-    docs = load_table(spark, sf_dir, "documents")
+    # doc_id-hash the narrow projection before the bucket split (r12):
+    # both the store-side signature build and the crawl-side probe
+    # explode shingles out of this frame — single-task with an
+    # under-split scan (guide §2.5); explicit N, AQE would coalesce.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
     b = _bucket(F.col("doc_id"))
     store_docs = docs.where(b < NEW_CRAWL_BUCKET_GE)
     new_docs = docs.where(b >= NEW_CRAWL_BUCKET_GE)

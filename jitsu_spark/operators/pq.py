@@ -228,8 +228,17 @@ def build_ivfpq_store(
         if frac < 1.0
         else unit
     )
+    # orderBy pins the SAMPLE ROW ORDER (r12): Lloyd's init indexes the
+    # sample matrix, so collect() arrival order — which changes with the
+    # scan's partitioning (the _with_norm fan-out made it round-robin) —
+    # would otherwise silently retrain a different codebook. vec_id
+    # order reproduces the single-split scan's historical order; the
+    # sort is bounded by PQ_TRAIN_MAX_SAMPLE (the _opq_sample pattern).
     sample = np.array(
-        [r["embedding"] for r in sample_df.select("embedding").collect()],
+        [
+            r["embedding"]
+            for r in sample_df.orderBy("vec_id").select("embedding").collect()
+        ],
         dtype=np.float64,
     )
     if m is None:

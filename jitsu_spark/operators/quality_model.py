@@ -104,6 +104,19 @@ def _train_cap(n_corpus_rows: int | None) -> int:
     return max(1, math.ceil(CAP_SCALE * QM_TRAIN_MAX_SAMPLE / n_train))
 
 
+def _spread_docs(docs: DataFrame) -> DataFrame:
+    """Hash the narrow doc projection by doc_id so the live-HOF
+    featurization (64 interpreted filter-count dims per row, evaluated
+    downstream) spreads across the cluster instead of inheriting a
+    single-split scan (r12; guide §2.5 input skew). Applied at the
+    ENTRY/TRAIN call sites, not inside `_featurized`, so the library
+    scoring path keeps its zero-exchange map-pass contract
+    (test_scoring_is_one_map_pass). Explicit N — AQE would coalesce the
+    byte-small doc exchange under the compute it feeds."""
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.select("doc_id", "text").repartition(n_part, "doc_id")
+
+
 def _featurized(docs: DataFrame) -> DataFrame:
     """(doc_id, embedding, sw_ratio, is_train) in one pass over the
     corpus scan; embedding is referenced once per consumer row, honoring
@@ -254,11 +267,24 @@ def score_quality(feats: DataFrame, model, thr: float) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     ) + F.lit(intercept)
-    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
-    return feats.select(
+    # Two-step projection (r12): prob and pred both reference margin,
+    # and margin's HOF dot chain re-evaluates the live-HOF embedding —
+    # inlining it in one select paid the whole 64-dim featurization
+    # TWICE per row. CollapseProject refuses to merge projections that
+    # would duplicate a non-cheap expression, so aliasing margin in its
+    # own select pins exactly one evaluation while keeping the
+    # storage-free, full-lineage expression form.
+    pre = feats.select(
+        "doc_id",
+        "sw_ratio",
+        "is_train",
+        margin.alias("margin"),
+    )
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin")))
+    return pre.select(
         "doc_id",
         F.round(prob, 4).alias("prob"),
-        (margin > 0).cast("int").alias("pred"),
+        (F.col("margin") > 0).cast("int").alias("pred"),
         (F.col("sw_ratio") >= F.lit(thr)).cast("int").alias("label"),
         (~F.col("is_train")).alias("is_holdout"),
     )
@@ -283,7 +309,7 @@ def ensure_quality_model(spark: SparkSession, sf_dir: str):
     key = dataset_fingerprint(sf_dir, "documents.parquet")
     hit = _QM_MEMO.get(key) if key is not None else None
     if hit is None:
-        docs = load_table(spark, sf_dir, "documents")
+        docs = _spread_docs(load_table(spark, sf_dir, "documents"))
         feats = _featurized(docs)
         cap = _train_cap(_corpus_rows(sf_dir, "documents"))
         with timed_build("quality_model_irls"):
@@ -297,7 +323,7 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry (rows-only — see module docstring): train on the
     md5 train buckets with the footer-derived absolute cap (memoized
     per dataset), score the whole corpus."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread_docs(load_table(spark, sf_dir, "documents"))
     feats = _featurized(docs)
     model, thr = ensure_quality_model(spark, sf_dir)
     return score_quality(feats, model, thr)

@@ -496,8 +496,19 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     diagnostic."""
     from .text_ops import TOKENS
 
-    docs = load_table(spark, sf_dir, "documents").selectExpr(
-        "doc_id", "lang", f"{TOKENS} AS toks"
+    # Hash the narrow doc projection by doc_id before tokenization
+    # (r12, the _bm25_scored shape): the gram explode below is walked by
+    # BOTH the LM-count branch and the scoring branch, and previously
+    # ran inside the scan stage — one task when the input is a single
+    # small file (guide §2.5). Partitioning by doc_id also makes the
+    # per-doc score aggregate exchange-free. Explicit N: AQE would
+    # coalesce the byte-small doc exchange and serialize the explosion.
+    n_part = spark.sparkContext.defaultParallelism
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .repartition(n_part, "doc_id")
+        .selectExpr("doc_id", "lang", f"{TOKENS} AS toks")
     )
     grams = docs.selectExpr(
         "doc_id", "lang", f"explode({_DSIR_GRAMS}) AS gram"

@@ -62,6 +62,15 @@ def _with_norm(
     embeddings table applies the same `norm > 0` filter. Pass
     drop_zero=False only for diagnostics that must SEE degenerate rows
     (`quality_filters.embedding_norm_stats` computes its own norm)."""
+    # Fan out under-split scans first (r12): the norm/dot expressions
+    # below are interpreted higher-order functions (no codegen), so with
+    # a single-row-group embeddings file every consumer's scoring stage
+    # ran in ONE task (guide §2.5 input skew). No-op when the scan
+    # already parallelizes (the at-scale case) or when the caller hands
+    # in an already-shuffled frame.
+    from ..plans.scan import fan_out_scan
+
+    df = fan_out_scan(df)
     out = df.withColumn("norm", F.expr(f"sqrt({DOT.format(a=vec, b=vec)})"))
     return out.where(F.col("norm") > 0) if drop_zero else out
 
