@@ -1282,8 +1282,23 @@ def near_dup_gate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = _bucket(F.col("doc_id"))
     store_docs = docs.where(b < NEW_CRAWL_BUCKET_GE)
     new_docs = docs.where(b >= NEW_CRAWL_BUCKET_GE)
-    store_sig = _signatures_from_shingles(_shingles_of(store_docs))
-    return near_dup_verdicts_against_store(new_docs, store_sig)
+    # Persist both signature frames (r12): the verdict plan references
+    # each side several times (band probe, candidate join, component
+    # estimate, final left join), and every broadcast branch otherwise
+    # re-runs the whole shingle+minhash subtree as its own job —
+    # measured ~6 signature computations per invocation. Skinny frames
+    # (17 longs/doc); released by the bounded-cache lifecycle.
+    from ..plans.topk import persist_bounded
+
+    store_sig = persist_bounded(
+        _signatures_from_shingles(_shingles_of(store_docs))
+    )
+    new_sig = persist_bounded(
+        _signatures_from_shingles(_shingles_of(new_docs))
+    )
+    return near_dup_verdicts_against_store(
+        new_docs, store_sig, new_sig=new_sig
+    )
 
 
 def _near_dup_gate_duck() -> str:

@@ -66,8 +66,15 @@ def _stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     shard manifest never re-run an upstream stage."""
     from ..plans.topk import persist_bounded
 
-    docs = load_table(spark, sf_dir, "documents").selectExpr(
-        "doc_id", "source", "text", f"{TOKENS} AS t"
+    # doc_id-hash the narrow projection before tokenization (r12): the
+    # Gopher feature expressions and the paragraph explode otherwise run
+    # inside a single-split scan stage (guide §2.5 input skew); explicit
+    # N because AQE would coalesce the byte-small doc exchange.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .selectExpr("doc_id", "source", "text", f"{TOKENS} AS t")
     )
     feats = docs.selectExpr(
         "doc_id", "source", "text",
