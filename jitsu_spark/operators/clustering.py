@@ -79,7 +79,7 @@ def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
 
 
 def _assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"), fan_out=True)
     return _assign(emb, _fixed_k_centroids(emb, K_CLUSTERS))
 
 
@@ -329,7 +329,7 @@ def cluster_assign_served(
     a k-means|| codebook (`similarity.kmeans_centroids`) instead of fixed
     seed vectors — better cells, not oracle-checked (k-means is
     iterative/seed-dependent). Returns (vec_id, label, cluster_id, csim)."""
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"), fan_out=True)
     cents = kmeans_centroids(emb, k=k).select(
         "centroid_id",
         "c_emb",

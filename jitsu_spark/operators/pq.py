@@ -202,7 +202,7 @@ def build_ivfpq_store(
     jobs. Only the encode pass touches the full corpus (distributed,
     one mapInPandas)."""
     dirs = _pq_dirs(store_dir)
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"), fan_out=True)
     unit = emb.select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE) / norm)").alias(
@@ -888,7 +888,7 @@ def ann_ivfpq_bulk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import _corpus_rows
 
     store = _ensure_store(spark, sf_dir)
-    queries = unit_queries(_with_norm(load_table(spark, sf_dir, "embeddings")))
+    queries = unit_queries(_with_norm(load_table(spark, sf_dir, "embeddings"), fan_out=True))
     return ann_ivfpq_topk_bulk(
         spark,
         sf_dir,
@@ -928,7 +928,7 @@ def embedding_near_dups_from_store(
     from .similarity import DUP_COS_THRESHOLD, _corpus_rows
 
     thr = DUP_COS_THRESHOLD if threshold is None else threshold
-    queries = unit_queries(_with_norm(load_table(spark, sf_dir, "embeddings")))
+    queries = unit_queries(_with_norm(load_table(spark, sf_dir, "embeddings"), fan_out=True))
     topk = ann_ivfpq_topk_bulk(
         spark,
         sf_dir,

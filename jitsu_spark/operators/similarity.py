@@ -50,7 +50,10 @@ DOT_DUCK = "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
 
 
 def _with_norm(
-    df: DataFrame, vec: str = "embedding", drop_zero: bool = True
+    df: DataFrame,
+    vec: str = "embedding",
+    drop_zero: bool = True,
+    fan_out: bool = False,
 ) -> DataFrame:
     """Attach ||vec|| and (by default) DROP zero-norm rows at the boundary.
 
@@ -62,15 +65,19 @@ def _with_norm(
     embeddings table applies the same `norm > 0` filter. Pass
     drop_zero=False only for diagnostics that must SEE degenerate rows
     (`quality_filters.embedding_norm_stats` computes its own norm)."""
-    # Fan out under-split scans first (r12): the norm/dot expressions
-    # below are interpreted higher-order functions (no codegen), so with
-    # a single-row-group embeddings file every consumer's scoring stage
-    # ran in ONE task (guide §2.5 input skew). No-op when the scan
-    # already parallelizes (the at-scale case) or when the caller hands
-    # in an already-shuffled frame.
-    from ..plans.scan import fan_out_scan
+    # fan_out=True spreads under-split scans before the heavy per-row
+    # compute ABOVE this frame (N x Q scoring joins, N x K centroid
+    # assignment, whole-corpus unit-vector transforms) — guide §2.5
+    # input skew; no-op when the scan already parallelizes. It stays
+    # OFF by default: consumers whose first operation is an exchange
+    # anyway (groupBy block packing) or that immediately filter to a
+    # bounded query set only pay the extra shuffle (measured +0.13 s
+    # per pass at sf0.1, regressing embedding_cosine_dups 0.86->1.07
+    # and pq_recall_report 2.60->3.16 before this flag existed).
+    if fan_out:
+        from ..plans.scan import fan_out_scan
 
-    df = fan_out_scan(df)
+        df = fan_out_scan(df)
     out = df.withColumn("norm", F.expr(f"sqrt({DOT.format(a=vec, b=vec)})"))
     return out.where(F.col("norm") > 0) if drop_zero else out
 
@@ -81,7 +88,7 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     Broadcast the query set, score the corpus once, per-query top-k via
     row_number window (ties broken by vec_id: fully deterministic).
     """
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"), fan_out=True)
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -304,7 +311,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness here means 'exactly the IVF-defined result', which the SQL
     oracle reproduces.
     """
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"), fan_out=True)
     centroids = _fixed_k_centroids(emb)
     assigned = _assignments(emb, centroids).cache()
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
@@ -649,7 +656,7 @@ def build_ivf_store(
 ) -> None:
     """Materialize the IVF index: fixed-K k-means|| codebook + one
     directory partition per cell."""
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"), fan_out=True)
     kmeans_centroids(emb, k=k).write.mode("overwrite").parquet(
         _codebook_dir(store_dir)
     )
