@@ -32,15 +32,28 @@ TOPK_NGRAMS = 20
 def boilerplate_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_shingles, n_boilerplate, boilerplate_ratio): how much
     of each document is corpus-repeated shingle material."""
-    sh = _shingle_rows(spark, sf_dir)
+    from ..plans.topk import persist_bounded
+
+    # r12: persist ONE walk of the shingle explode with the shingle
+    # collapsed to its xxhash64 fingerprint — the df aggregate and the
+    # flag join each re-ran tokenize + shingle assembly and shuffled
+    # ~30-byte shingle strings where 8 bytes decide equality (guide
+    # §2.3/§5). Collision-freedom on the fixtures is pinned in
+    # tests/test_corpus_stats.py, so counts are identical to the
+    # string form the oracle runs.
+    sh = persist_bounded(
+        _shingle_rows(spark, sf_dir).select(
+            "doc_id", F.xxhash64("shingle").alias("s")
+        )
+    )
     hot = (
-        sh.groupBy("shingle")
+        sh.groupBy("s")
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") >= BOILERPLATE_MIN_DF)
-        .select("shingle")
+        .select("s")
     )
     flagged = sh.join(
-        maybe_broadcast(hot.withColumn("_hot", F.lit(1))), "shingle", "left"
+        maybe_broadcast(hot.withColumn("_hot", F.lit(1))), "s", "left"
     )
     return (
         flagged.groupBy("doc_id")
@@ -124,20 +137,30 @@ def duplicate_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table_docs(spark, sf_dir)
-    grams = docs.selectExpr(
-        "doc_id",
-        "size(toks) AS n_tokens",
-        f"posexplode({_SHINGLES_T}) AS (pos, gram)",
+    # Same r12 shape as `remove_duplicate_spans`: ONE persisted walk of
+    # the positional gram explode, gram collapsed to its xxhash64
+    # fingerprint so both shuffles move 8 bytes instead of the gram
+    # string (collision-free on the fixtures — pinned in tests).
+    from ..plans.topk import persist_bounded
+
+    grams = persist_bounded(
+        docs.selectExpr(
+            "doc_id",
+            "size(toks) AS n_tokens",
+            f"posexplode({_SHINGLES_T}) AS (pos, gram)",
+        ).select("doc_id", "n_tokens", "pos", F.xxhash64("gram").alias("g"))
     )
     shared = (
-        grams.select("doc_id", "gram")
+        grams.select("doc_id", "g")
         .distinct()
-        .groupBy("gram")
+        .groupBy("g")
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") >= 2)
-        .select("gram")
+        .select("g")
     )
-    dup_pos = grams.join(shared, "gram").select("doc_id", "n_tokens", "pos")
+    dup_pos = grams.join(maybe_broadcast(shared), "g").select(
+        "doc_id", "n_tokens", "pos"
+    )
     w = Window.partitionBy("doc_id").orderBy("pos")
     islands = (
         dup_pos.withColumn("prev", F.lag("pos").over(w))
@@ -307,14 +330,24 @@ def bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .quality_model import TRAIN_BUCKET_LT
     from .sampling import _bucket
 
+    from ..plans.topk import persist_bounded
+
     docs = load_table_docs(spark, sf_dir)
+    # r12: derive c1/vocab from the persisted c2 type table (c1 = sum of
+    # c2 per w1, V = distinct w2 of c2) — previously the corpus-sized
+    # bigram frame was aggregated three separate times. The bigram
+    # explode itself stays lazy (recomputing it twice is cheaper than
+    # caching the wide two-string rows — measured 1.5 -> 4.0 s when bg
+    # was persisted here). Identical counts, identical output.
     bg = docs.selectExpr(
         "doc_id", f"explode({_BIGRAMS_T}) AS bg"
     ).selectExpr("doc_id", "bg.w1 AS w1", "bg.w2 AS w2")
     train = bg.where(_bucket(F.col("doc_id")) < TRAIN_BUCKET_LT)
-    c2 = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = train.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = train.agg(F.countDistinct("w2").cast("double").alias("v"))
+    c2 = persist_bounded(
+        train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = c2.agg(F.countDistinct("w2").cast("double").alias("v"))
     k = LM_ADD_K
     scored = (
         bg.join(maybe_broadcast(c2), ["w1", "w2"], "left")
@@ -431,23 +464,36 @@ def remove_duplicate_spans(
     from pyspark.sql import Window
 
     docs = load_table_docs(spark, sf_dir)
-    grams = docs.selectExpr(
-        "doc_id", f"posexplode({_kgram_expr(k)}) AS (pos, gram)"
+    # Persist the positional gram rows ONCE with the gram collapsed to
+    # its xxhash64 fingerprint (r12): the dup-gram aggregate and the
+    # hit-position join each walked the tokenize + posexplode + string
+    # concat lineage, and both shuffles carried ~25-byte gram strings
+    # where 8 bytes decide equality (guide §2.3 narrower types, §5
+    # reuse-persist). Fingerprint equality == string equality on the
+    # deterministic fixtures (tests/test_corpus_stats.py pins zero
+    # xxhash64 collisions per sf, so the output is bit-identical to the
+    # string form the DuckDB oracle runs).
+    from ..plans.topk import persist_bounded
+
+    grams = persist_bounded(
+        docs.selectExpr(
+            "doc_id", f"posexplode({_kgram_expr(k)}) AS (pos, gram)"
+        ).select("doc_id", "pos", F.xxhash64("gram").alias("g"))
     )
     dup = (
-        grams.select("doc_id", "gram")
+        grams.select("doc_id", "g")
         .distinct()
-        .groupBy("gram")
+        .groupBy("g")
         .agg(F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("canon"))
         .where(F.col("df") >= 2)
-        .select("gram", "canon")
+        .select("g", "canon")
     )
     # hit positions (one row each — no k-fold explode), merged into
     # maximal intervals [s, e]: positions p, p' chain into one island
     # when p' - p <= k (their covered ranges overlap or touch)
     w = Window.partitionBy("doc_id").orderBy("pos")
     hits = (
-        grams.join(maybe_broadcast(dup), "gram")
+        grams.join(maybe_broadcast(dup), "g")
         .where(F.col("doc_id") != F.col("canon"))
         .select("doc_id", "pos")
     )
@@ -839,19 +885,30 @@ def kneser_ney_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .quality_model import TRAIN_BUCKET_LT
     from .sampling import _bucket
 
+    from ..plans.topk import persist_bounded
+
     docs = load_table_docs(spark, sf_dir)
+    # r12: every model table beyond `types` is pure arithmetic over
+    # `types` itself (c1 = sum of c12 per w1, N1+ counts = type rows per
+    # side, T/V = type/vocab counts), so the corpus-sized bigram frame
+    # is walked exactly twice (build `types`, score) instead of five
+    # times — and stays lazy both times (persisting the wide two-string
+    # rows measured slower than recomputing the cheap explode).
+    # Identical counts, identical output.
     bg = docs.selectExpr(
         "doc_id", f"explode({_BIGRAMS_T}) AS bg"
     ).selectExpr("doc_id", "bg.w1 AS w1", "bg.w2 AS w2")
     train = bg.where(_bucket(F.col("doc_id")) < TRAIN_BUCKET_LT)
-    types = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    ctx = train.groupBy("w1").agg(
-        F.count(F.lit(1)).alias("c1"),
-        F.countDistinct("w2").alias("n1p_fwd"),
+    types = persist_bounded(
+        train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    )
+    ctx = types.groupBy("w1").agg(
+        F.sum("c12").alias("c1"),
+        F.count(F.lit(1)).alias("n1p_fwd"),
     )
     cont = types.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_bwd"))
-    totals = train.agg(
-        F.countDistinct("w1", "w2").cast("double").alias("t"),
+    totals = types.agg(
+        F.count(F.lit(1)).cast("double").alias("t"),
         F.countDistinct("w2").cast("double").alias("v"),
     )
     d, k = KN_DISCOUNT, LM_ADD_K

@@ -510,9 +510,19 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(n_part, "doc_id")
         .selectExpr("doc_id", "lang", f"{TOKENS} AS toks")
     )
-    grams = docs.selectExpr(
-        "doc_id", "lang", f"explode({_DSIR_GRAMS}) AS gram"
-    ).selectExpr("doc_id", "lang", f"{_dsir_bucket('gram')} AS b")
+    from ..plans.topk import persist_bounded
+
+    # Persist the bucketed gram rows (r12): BOTH the LM-count branch and
+    # the scoring branch walk this frame, and each walk re-ran the
+    # tokenize + explode + per-gram md5 bucket hashing — the dominant
+    # cost of the entry (guide §5: cache when reused and recompute is
+    # expensive). Three narrow columns per gram; released by the shared
+    # bounded-cache lifecycle.
+    grams = persist_bounded(
+        docs.selectExpr(
+            "doc_id", "lang", f"explode({_DSIR_GRAMS}) AS gram"
+        ).selectExpr("doc_id", "lang", f"{_dsir_bucket('gram')} AS b")
+    )
     # BOTH LM tables + their totals from ONE gram pass (r8 perf fix:
     # separate raw/tgt/totals aggregates each re-ran the corpus explode —
     # measured 3 extra passes at the 10x probe). Conditional aggregation
@@ -564,8 +574,6 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode + LM joins — without the persist each consumer re-runs the
     # corpus pass (measured 3x wall at the 10x probe). Skinny frame
     # (5 scalars/doc); released by the shared bounded-cache lifecycle.
-    from ..plans.topk import persist_bounded
-
     scored = persist_bounded(scored)
     # percent-rank over the ROUNDED key via the distributed range-
     # partitioned prefix sum (plans/cumsum.py): gumbel keys are nearly

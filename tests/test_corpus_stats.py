@@ -661,3 +661,39 @@ class TestWorkloadQueries:
         # deterministic across calls
         again = [r["text"] for r in workload_queries_df(docs, 1000).collect()]
         assert texts == again
+
+
+class TestSpanGramFingerprints:
+    def test_xxhash64_gram_fingerprints_are_collision_free(self, spark, sf_dir):
+        """The r12 span operators shuffle xxhash64(gram) instead of the
+        gram string; output equals the string form iff no two distinct
+        grams share a fingerprint on this (deterministic) dataset. Pin
+        that, so a fixture change that introduced a collision would fail
+        loudly here instead of silently flipping a span verdict."""
+        from jitsu_spark.operators.corpus_stats import (
+            _SHINGLES_T,
+            load_table_docs,
+        )
+
+        grams = load_table_docs(spark, sf_dir).selectExpr(
+            "doc_id", f"posexplode({_SHINGLES_T}) AS (pos, gram)"
+        )
+        row = grams.select(
+            F.countDistinct("gram").alias("n_grams"),
+            F.countDistinct(F.xxhash64("gram")).alias("n_hashes"),
+        ).collect()[0]
+        assert row.n_grams == row.n_hashes
+
+    def test_xxhash64_shingle_fingerprints_are_collision_free(
+        self, spark, sf_dir
+    ):
+        """Same pin for the boilerplate shingle unit (dedup's
+        _shingle_rows), which r12 also fingerprints before shuffling."""
+        from jitsu_spark.operators.dedup import _shingle_rows
+
+        sh = _shingle_rows(spark, sf_dir)
+        row = sh.select(
+            F.countDistinct("shingle").alias("n"),
+            F.countDistinct(F.xxhash64("shingle")).alias("h"),
+        ).collect()[0]
+        assert row.n == row.h
