@@ -872,6 +872,16 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand = cand.where(
             in_sample(F.col("doc_a")) & in_sample(F.col("doc_b"))
         )
+    # r12: the three count jobs below each re-ran the pair lineages —
+    # truth (the pair-shingle join) twice and cand (signatures + LSH
+    # banding) twice. Persist the PAIR frames (two longs per row, a few
+    # hundred rows — NOT the shingle frame, whose InMemoryRelation
+    # barrier measured 2x slower, see above): each expensive lineage now
+    # runs exactly once.
+    from ..plans.topk import persist_bounded
+
+    truth = persist_bounded(truth)
+    cand = persist_bounded(cand)
     hits = truth.join(cand, ["doc_a", "doc_b"])
     return (
         truth.agg(F.count(F.lit(1)).alias("n_true"))

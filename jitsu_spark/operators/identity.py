@@ -128,9 +128,17 @@ def id_graph_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
     is over the label table (N rows), never the edge multiset; a hard
     cap of max_iter + 64 rounds bounds the loop (radius 2^64).
     """
+    # r12: emit both edge directions with ONE map-side explode — the
+    # previous union-of-self duplicated the whole `pairs` lineage in the
+    # cache-materialization job (for GEMM/LSH-derived pair frames that
+    # doubled the most expensive pass of the consumer; no Exchange sits
+    # atop `pairs`, so ReuseExchange never deduplicated it).
     edges = (
-        pairs.selectExpr("id_a AS src", "id_b AS dst")
-        .union(pairs.selectExpr("id_b AS src", "id_a AS dst"))
+        pairs.selectExpr(
+            "explode(array(struct(id_a AS src, id_b AS dst),"
+            " struct(id_b AS src, id_a AS dst))) AS e"
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .cache()  # probed every round
     )

@@ -801,7 +801,6 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     m_score, segment): RFM quintile scores against the corpus's newest
     event as the anchor, with the standard segment names."""
     ev = load_table(spark, sf_dir, "events")
-    anchor = ev.agg(F.max(F.unix_micros("ts")).alias("anchor_us"))
     # persist: the three rank histograms AND the score join-backs all
     # consume `base`, and the monetary key is a rounded double SUM —
     # evaluating the aggregation once guarantees the join-back keys are
@@ -810,15 +809,19 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded-cache lifecycle (plans/topk.py).
     from ..plans.topk import persist_bounded
 
-    base = persist_bounded(
-        ev.groupBy("user_id")
-        .agg(
+    # r12: the anchor (newest event overall) is max of the per-user
+    # maxima, so it folds over the persisted per-user frame instead of
+    # a second full scan of events (guide §2.4 — one corpus pass).
+    per_user = persist_bounded(
+        ev.groupBy("user_id").agg(
             F.max(F.unix_micros("ts")).alias("last_us"),
             F.count(F.lit(1)).alias("frequency"),
             F.round(F.sum("value"), 2).alias("monetary"),
         )
-        .crossJoin(F.broadcast(anchor))
-        .selectExpr(
+    )
+    anchor = per_user.agg(F.max("last_us").alias("anchor_us"))
+    base = persist_bounded(
+        per_user.crossJoin(F.broadcast(anchor)).selectExpr(
             "user_id",
             "CAST((anchor_us - last_us) DIV 86400000000L AS INT)"
             " AS recency_days",

@@ -421,7 +421,13 @@ def _bm25_scored(docs_tbl: DataFrame, queries: DataFrame) -> DataFrame:
         .repartition(n_part, "doc_id")
         .selectExpr("doc_id", f"{TOKENS} AS toks")
     )
-    tf = (
+    # r12: persist the postings — bounded by the query vocabulary BY
+    # CONSTRUCTION (the filtered explode), and previously the whole
+    # tokenize + explode + aggregate lineage ran TWICE: once to build
+    # the df broadcast, once in the scoring join (guide §5 — reuse).
+    from ..plans.topk import persist_bounded
+
+    tf = persist_bounded(
         docs.selectExpr(
             "doc_id",
             "size(toks) AS dl",
@@ -599,9 +605,13 @@ def _dense_scored(docs_tbl: DataFrame, queries: DataFrame) -> DataFrame:
     """(query_id, doc_id, sim): hash-embedding cosine of every document
     sharing >= 1 hash bucket with the query text (no shared bucket =
     zero similarity = never retrievable, so absent rows are exact)."""
+    from ..plans.topk import persist_bounded
     from .text_embed import _bucket_sums
 
-    dsums = _bucket_sums(docs_tbl)
+    # r12: persist the hashed-dim sums — (doc_id, dim, v) integer rows
+    # bounded by n_docs x 64 dims; the norm aggregate and the dot join
+    # each re-ran the tokenize + hash + aggregate lineage.
+    dsums = persist_bounded(_bucket_sums(docs_tbl))
     dnorm = dsums.groupBy("doc_id").agg(
         F.expr("sqrt(CAST(sum(v * v) AS DOUBLE))").alias("dn")
     )
