@@ -55,7 +55,6 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     table and one shuffle, instead of the aggregate-and-join-back form
     that would evaluate the whole offers subtree twice.
     """
-    ps = _part_supplier_pairs(spark, sf_dir)
     part = load_table(spark, sf_dir, "part").where(
         F.col("p_size").between(10, 20) & (F.col("p_type") == "LARGE")
     )
@@ -70,9 +69,31 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(maybe_broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
+    # r12: both dim filters are on the pair-dedup KEYS, so
+    # filter-then-distinct == distinct-then-filter — push them below the
+    # dedup as broadcast semi joins and the distinct shuffle carries only
+    # surviving pairs instead of every pair ever shipped (guide §2.3
+    # shuffle fewer bytes, §3.3 pre-filter the big side).
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        li.select("l_partkey", "l_suppkey")
+        .join(
+            maybe_broadcast(part.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(
+            maybe_broadcast(europe_sup.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+    )
     offers = (
-        ps.join(maybe_broadcast(part), ps.ps_partkey == part.p_partkey)
-        .join(europe_sup, ps.ps_suppkey == F.col("s_suppkey"))
+        pairs.join(maybe_broadcast(part), pairs.l_partkey == part.p_partkey)
+        .join(maybe_broadcast(europe_sup), pairs.l_suppkey == F.col("s_suppkey"))
         .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name")
     )
     w = Window.partitionBy("p_partkey")
@@ -340,7 +361,6 @@ def q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     complaint suppliers). The exclusion list is tiny -> left_anti broadcast;
     count(DISTINCT) shuffles only (brand, type, size, suppkey) pairs.
     """
-    ps = _part_supplier_pairs(spark, sf_dir)
     part = load_table(spark, sf_dir, "part").where(
         (F.col("p_brand") != "Brand#21")
         & (F.col("p_type") != "PROMO")
@@ -351,13 +371,23 @@ def q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("s_acctbal") < 0)
         .select("s_suppkey")
     )
+    # r12: the explicit pair-dedup shuffle is redundant under
+    # count(DISTINCT suppkey) — the distinct aggregate collapses repeated
+    # (part, supplier) lines itself, so score directly off the filtered
+    # scan: the part filter and the arrears anti-join push to the scan
+    # side and the only shuffle carries distinct (brand, type, size,
+    # suppkey) (guide §2.3, §2.4 — one exchange instead of two).
+    li = load_table(spark, sf_dir, "lineitem")
     return (
-        ps.join(maybe_broadcast(part), ps.ps_partkey == part.p_partkey)
+        li.select("l_partkey", "l_suppkey")
+        .join(maybe_broadcast(part), F.col("l_partkey") == part.p_partkey)
         .join(
-            maybe_broadcast(bad_sup), ps.ps_suppkey == bad_sup.s_suppkey, "left_anti"
+            maybe_broadcast(bad_sup),
+            F.col("l_suppkey") == bad_sup.s_suppkey,
+            "left_anti",
         )
         .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(
             F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"), F.asc("p_size")
         )
@@ -471,9 +501,19 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21-shaped: EXISTS + NOT EXISTS self-joins on the fact table.
 
     NATION_2 suppliers who were the ONLY late supplier (>60 days after
-    order date) on a finished multi-supplier order. Both probe sides are
-    pre-projected to (orderkey, suppkey, late) before the self-joins, so
-    the two shuffles carry three narrow columns.
+    order date) on a finished multi-supplier order.
+
+    r12 restructure (guide §2.4 — remove shuffles outright): the previous
+    form evaluated the lineitem⋈orders join THREE times (the l1 probe and
+    both self-join sides) plus two self-join shuffles. Both EXISTS
+    predicates are per-order facts — "some other supplier on the order"
+    and "no OTHER late supplier" — so they fold into window counts over
+    ONE (orderkey, suppkey) aggregate of the single join pass:
+    qualifying rows are late suppliers on multi-supplier orders where
+    exactly one supplier is late, and numwait is that supplier's late
+    LINE count (what count(*) over surviving l1 rows measured). The
+    join's hash(orderkey) partitioning satisfies the aggregate and both
+    windows, so the whole tail runs without another exchange.
     """
     nation = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_2")
     supplier = load_table(spark, sf_dir, "supplier")
@@ -482,56 +522,40 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem")
 
-    lines = (
+    per = (
         li.join(
             orders.select("o_orderkey", "o_orderdate"),
             li.l_orderkey == F.col("o_orderkey"),
         )
-        .select(
-            "l_orderkey",
-            "l_suppkey",
-            (
-                F.col("l_shipdate")
-                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-            ).alias("late"),
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+                ).cast("long")
+            ).alias("n_late")
         )
     )
-    l1 = (
-        lines.where(F.col("late"))
-        .join(
-            maybe_broadcast(
-                supplier.join(
-                    maybe_broadcast(nation),
-                    supplier.s_nationkey == nation.n_nationkey,
-                ).select("s_suppkey", "s_name")
-            ),
+    w = Window.partitionBy("l_orderkey")
+    flagged = per.withColumn("n_supp", F.count(F.lit(1)).over(w)).withColumn(
+        "n_late_supp", F.sum((F.col("n_late") > 0).cast("int")).over(w)
+    )
+    winners = flagged.where(
+        (F.col("n_late") > 0)
+        & (F.col("n_supp") >= 2)
+        & (F.col("n_late_supp") == 1)
+    )
+    nation2_sup = supplier.join(
+        maybe_broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", "s_name")
+    return (
+        winners.join(
+            maybe_broadcast(nation2_sup),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
-        .select("l_orderkey", "l_suppkey", "s_name")
-    )
-    other = lines.select(
-        F.col("l_orderkey").alias("o2_orderkey"),
-        F.col("l_suppkey").alias("o2_suppkey"),
-    )
-    other_late = lines.where(F.col("late")).select(
-        F.col("l_orderkey").alias("o3_orderkey"),
-        F.col("l_suppkey").alias("o3_suppkey"),
-    )
-    return (
-        l1.join(
-            other,
-            (l1.l_orderkey == other.o2_orderkey)
-            & (l1.l_suppkey != other.o2_suppkey),
-            "left_semi",
-        )
-        .join(
-            other_late,
-            (F.col("l_orderkey") == other_late.o3_orderkey)
-            & (F.col("l_suppkey") != other_late.o3_suppkey),
-            "left_anti",
-        )
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
     )

@@ -205,12 +205,22 @@ class TestExtendedRelationalPlans:
     """Plan audits for the relational_ext shapes: semi/anti joins stay
     narrow, scalar subqueries broadcast, pair-derivation partial-aggregates."""
 
-    def test_q21_self_joins_are_semi_and_anti(self, spark, sf_dir):
+    def test_q21_single_fact_pass_no_self_join(self, spark, sf_dir):
+        """r12: the EXISTS/NOT-EXISTS self-joins folded into per-order
+        window counts over ONE lineitem scan — the fact table must appear
+        exactly once and the per-order facts come from Window, not
+        semi/anti self-join shuffles."""
         from jitsu_spark.operators.relational_ext import q21_waiting_suppliers
 
         plan = _plan(q21_waiting_suppliers(spark, sf_dir))
-        assert "LeftSemi" in plan
-        assert "LeftAnti" in plan
+        scans = [
+            l
+            for l in plan.splitlines()
+            if "Location:" in l and "lineitem" in l
+        ]
+        assert len(scans) == 1, plan
+        assert "Window" in plan
+        assert "LeftSemi" not in plan and "LeftAnti" not in plan
 
     def test_q22_scalar_avg_is_broadcast(self, spark, sf_dir):
         from jitsu_spark.operators.relational_ext import q22_idle_customers
