@@ -237,7 +237,13 @@ def bpe_token_count_expr(
     """(doc_id, n_tokens) under the merges table, pure expressions.
     Token count = symbol terminators minus word boundaries (each
     whitespace run contributes exactly one delimited boundary symbol)."""
+    from ..plans.scan import fan_out_scan
+
     sym = bpe_symbol_chain(F.col("text"), merges).alias("s")
+    # r12 (guide §2.5): the replace chain is heavy per-row compute —
+    # spread the narrow projection across cores when the scan arrives as
+    # one unsplittable row group (no-op for well-split inputs).
+    docs = fan_out_scan(docs.select("doc_id", "text"))
     # delimiters = one per symbol + one per word boundary + the leading one
     return docs.select("doc_id", sym).selectExpr(
         "doc_id",
@@ -371,7 +377,11 @@ def word_frequency_table(
     byte-level alphabet (`learn_bpe_merges`). The top-V cap runs as
     TakeOrdered (per-partition top-V, then merge) — no global sort."""
     if pre_tokenizer == "gpt2":
-        words = docs.select(
+        from ..plans.scan import fan_out_scan
+
+        # r12 (guide §2.5): same fan-out as the whitespace branch — the
+        # pre-token regex is the heavy per-row step
+        words = fan_out_scan(docs.select(text_col)).select(
             F.explode(
                 F.regexp_extract_all(
                     F.col(text_col),
@@ -381,7 +391,11 @@ def word_frequency_table(
             ).alias("word")
         )
     elif pre_tokenizer == "whitespace":
-        words = docs.select(
+        from ..plans.scan import fan_out_scan
+
+        # r12 (guide §2.5): the split+explode otherwise runs inside the
+        # single-split scan stage; fan the narrow text column out first
+        words = fan_out_scan(docs.select(text_col)).select(
             F.explode(F.split(F.col(text_col), r"\s+")).alias("word")
         ).where(F.col("word") != "")
     else:
@@ -678,10 +692,14 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python), then a languages-sized hash aggregate — fertility over
     100 TB is one map stage plus a tiny shuffle. Counts are exact
     integers, so the ratio is bit-identical across engines."""
+    from ..plans.scan import fan_out_scan
     from .text_ops import TOKENS
 
     docs = load_table(spark, sf_dir, "documents")
     sym = bpe_symbol_chain(F.col("text"), FIXTURE_MERGES).alias("s")
+    # r12 (guide §2.5): replace chain + tokenize on every doc — fan the
+    # narrow (lang, text) projection out of the single-split scan first
+    docs = fan_out_scan(docs.select("lang", "text"))
     per_doc = docs.select("lang", sym, F.expr(f"size({TOKENS})").alias("w")).selectExpr(
         "lang",
         "w",

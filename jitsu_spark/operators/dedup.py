@@ -1430,10 +1430,13 @@ def dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregates below — persist them (bounded: skinny id/count frames)
     # so the expensive subplans (exact hash groupBy, the containment
     # pair join, the LSH keep list) evaluate once, not once per stage.
+    # r12 (guide §2.5): fan the tokenize out of the single-split scan
+    # before materializing the ledger (was one task for the whole corpus)
     docs = persist_bounded(
-        load_table(spark, sf_dir, "documents").selectExpr(
-            "doc_id", f"size({TOKENS}) AS n_toks"
-        )
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .selectExpr("doc_id", f"size({TOKENS}) AS n_toks")
     )
     exact_kept = persist_bounded(
         dedup_exact(spark, sf_dir)

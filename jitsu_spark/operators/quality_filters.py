@@ -154,7 +154,15 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     The explode shuffles (doc_id, bigram) — bounded by document length, and
     partial aggregation collapses repeats before the wire."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.selectExpr("doc_id", f"{TOKENS} AS t")
+    # r12 (guide §2.5/§2.4): hash the narrow projection by doc_id before
+    # the tokenize+explode — the single-split scan otherwise runs the
+    # explode in one task, and hash(doc_id) satisfies BOTH downstream
+    # groupings, so the exploded bigrams never shuffle again.
+    toks = (
+        docs.select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .selectExpr("doc_id", f"{TOKENS} AS t")
+    )
     bg = toks.selectExpr("doc_id", f"explode({BIGRAMS.format(t='t')}) AS bigram")
     per_bigram = bg.groupBy("doc_id", "bigram").agg(
         F.count(F.lit(1)).alias("cnt")
@@ -589,7 +597,12 @@ def quality_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # the Gopher stage evaluates the SHARED feature exprs + keep rule —
     # the funnel cannot drift from gopher_quality_flags by construction
-    flags = docs.selectExpr(
+    # r12 (guide §2.5): hash by doc_id before the char-ratio regexes +
+    # tokenize + Gopher features (single-split scan input skew); the
+    # same partitioning serves the doc_id join with the repetition stage.
+    flags = docs.select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).selectExpr(
         "doc_id",
         f"{e_ratio} > 0.09 AND {t_ratio} > 0.06 AS s_lang",
         f"{TOKENS} AS t",

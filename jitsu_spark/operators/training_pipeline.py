@@ -46,6 +46,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..plans.hints import maybe_broadcast
 from ..tables import load_table
 from .paragraphs import PAR_SHIFT, PAR_WORDS, paragraphs_of_docs
 from .quality_filters import (
@@ -74,21 +75,47 @@ def _stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "source", "text")
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        .selectExpr("doc_id", "source", "text", f"{TOKENS} AS t")
     )
     feats = docs.selectExpr(
+        "doc_id", "source", "text", f"{TOKENS} AS t"
+    ).selectExpr(
         "doc_id", "source", "text",
         "CAST(size(t) AS BIGINT) AS n_tok",
         *gopher_feature_exprs("t"),
     )
-    gated = feats.where(GOPHER_KEEP_RULE).select(
-        "doc_id", "source", "text", "n_tok"
+    # r12 (guide §5 reuse, §2.3 project early): ONE tokenize+feature
+    # pass over the corpus, persisted as the skinny per-doc ledger
+    # (doc_id, source, n_tok, keep, content hash — no text, no feature
+    # columns). The input/gate attrition rows, the exact-dedup election
+    # and the downstream joins all fold over it; previously the
+    # tokenize+Gopher subtree ran once per consumer (3 full passes).
+    ledger = persist_bounded(
+        feats.select(
+            "doc_id",
+            "source",
+            "n_tok",
+            F.expr(f"({GOPHER_KEEP_RULE})").alias("keep"),
+            F.md5("text").alias("h"),
+        )
     )
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    exact = persist_bounded(
+    gated = ledger.where("keep")
+    w = Window.partitionBy("h").orderBy("doc_id")
+    exact_ids = persist_bounded(
         gated.withColumn("rn", F.row_number().over(w))
         .where("rn = 1")
-        .drop("rn")
+        .select("doc_id", "source", "n_tok")
+    )
+    # text re-attaches from the scan only where a stage truly needs it
+    # (the paragraph explode) — a doc_id join against the pruned scan is
+    # cheaper than carrying text through the election shuffle and the
+    # persist. Join against the RAW scan (before the fan-out exchange)
+    # so the survivors filter first and the exchange carries only kept
+    # docs' text (guide §2.3).
+    exact = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .join(maybe_broadcast(exact_ids.select("doc_id", "n_tok")), "doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     pars = paragraphs_of_docs(exact.select("doc_id", "source", "text"))
     kept = (
@@ -109,7 +136,7 @@ def _stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             F.count(F.lit(1)).alias("n_pars_kept"),
             F.sum("par_tok").alias("n_tok"),
         )
-        .join(exact.select("doc_id", "source"), "doc_id")
+        .join(exact_ids.select("doc_id", "source"), "doc_id")
     )
     rebuilt = persist_bounded(rebuilt)
     scored = rebuilt.select("doc_id", "source", "n_tok").withColumn(
@@ -120,9 +147,10 @@ def _stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         "doc_id", "source", "n_tok"
     ))
     return {
-        "input": feats,
+        "input": ledger,
         "gated": gated,
         "exact": exact,
+        "exact_ids": exact_ids,
         "rebuilt": rebuilt,
         "selected": sel,
     }
@@ -142,7 +170,9 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = {
         "input": s["input"],
         "gopher_gate": s["gated"],
-        "exact_dedup": s["exact"],
+        # the skinny persisted election — folding the attrition row over
+        # it avoids re-attaching text via the scan join (r12)
+        "exact_dedup": s["exact_ids"],
         "paragraph_dedup": s["rebuilt"],
         "token_budget": s["selected"],
     }

@@ -56,12 +56,19 @@ N_PHASES = 4
 def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.cumsum import histogram_cnt_better
 
+    from ..plans.topk import persist_bounded
+
     docs = load_table(spark, sf_dir, "documents")
-    keyed = docs.selectExpr(
-        "doc_id",
-        f"CAST(size({TOKENS}) AS BIGINT) AS n_tokens",
-        f"concat(lpad(CAST(size({TOKENS}) AS STRING), 9, '0'),"
-        " md5(CAST(doc_id AS STRING))) AS ckey",
+    # r12: persist the skinny keyed frame — the rank histogram and the
+    # join-back both walk it, and its lineage is the corpus tokenize
+    # (guide §5 reuse: tokenize once, not once per consumer).
+    keyed = persist_bounded(
+        docs.selectExpr(
+            "doc_id",
+            f"CAST(size({TOKENS}) AS BIGINT) AS n_tokens",
+            f"concat(lpad(CAST(size({TOKENS}) AS STRING), 9, '0'),"
+            " md5(CAST(doc_id AS STRING))) AS ckey",
+        )
     )
     ranks = histogram_cnt_better(
         keyed, "ckey", small_value_space=False
@@ -505,12 +512,17 @@ def multi_epoch_order_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "explode(CASE WHEN n_copies >= 1 THEN sequence(1, n_copies)"
         " ELSE array() END) AS epoch",
     )
-    keyed = occ.selectExpr(
-        "doc_id",
-        "epoch",
-        "concat(lpad(CAST(epoch AS STRING), 2, '0'),"
-        " md5(concat(CAST(epoch AS STRING), '-', CAST(doc_id AS STRING))))"
-        " AS okey",
+    # r12: persist the skinny occurrence keys — the rank histogram and
+    # the join-back both walk this lineage (broadcast schedule join +
+    # epoch explode + md5), so without the persist it evaluates twice.
+    keyed = persist_bounded(
+        occ.selectExpr(
+            "doc_id",
+            "epoch",
+            "concat(lpad(CAST(epoch AS STRING), 2, '0'),"
+            " md5(concat(CAST(epoch AS STRING), '-', CAST(doc_id AS"
+            " STRING)))) AS okey",
+        )
     )
     ranks = histogram_cnt_better(
         keyed, "okey", small_value_space=False

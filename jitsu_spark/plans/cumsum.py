@@ -107,8 +107,19 @@ def histogram_cnt_better(
             yield out
 
     vtype = dict(ranged.dtypes)["v"]
-    with_pid = ranged.mapInPandas(
-        local_prefix, f"v {vtype}, cnt long, local_better long, pid int"
+    # r12: persist the prefix-summed histogram — both consumers below
+    # (the per-pid offsets aggregate and the caller-facing join) walk
+    # it, and without the persist each re-runs the input aggregate, the
+    # range exchange and the Arrow prefix pass (every caller's input
+    # lineage ran twice; measured 3x tokenize on curriculum_order).
+    # Skinny frame (one row per distinct value), bounded-cache
+    # lifecycle.
+    from .topk import persist_bounded
+
+    with_pid = persist_bounded(
+        ranged.mapInPandas(
+            local_prefix, f"v {vtype}, cnt long, local_better long, pid int"
+        )
     )
     # per-pid totals: n_partitions rows — the cumulative window here is
     # bounded by the PARTITION COUNT, not the value space

@@ -460,4 +460,9 @@ class TestPlanShape:
                 "formatted"
             )
         )
-        assert "Exchange" not in plan  # pure projection over the scan
+        # r12: the replace chain is still a pure projection — the only
+        # permitted exchange is the single-split scan fan-out's
+        # round-robin (guide §2.5); no key shuffle may appear.
+        assert "hashpartitioning" not in plan
+        assert "rangepartitioning" not in plan
+        assert plan.count("RoundRobinPartitioning") <= 1
