@@ -79,8 +79,17 @@ def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
 
 
 def _assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.topk import persist_bounded
+
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"), fan_out=True)
-    return _assign(emb, _fixed_k_centroids(emb, K_CLUSTERS))
+    # r12 (guide §5 reuse): every consumer walks this frame at least
+    # twice (the two-phase ranks each take a histogram AND a window pass;
+    # the quality report aggregates it twice), so the broadcast-fold
+    # assignment pass re-ran per walk. Persist the skinny verdict
+    # (4 scalars/vector, no embedding) — bounded-cache lifecycle.
+    return persist_bounded(
+        _assign(emb, _fixed_k_centroids(emb, K_CLUSTERS))
+    )
 
 
 def embedding_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -304,8 +313,15 @@ def semantic_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     same `_proto_ranked`/`_quota_pick` helpers as the standalone
     operators — no predicate drift possible); the corpus joins the
     verdict by id, never shuffles for assignment."""
-    survivors = _proto_ranked(_assigned(spark, sf_dir)).where(
-        F.expr(_PRUNE_KEEP)
+    from ..plans.topk import persist_bounded
+
+    # r12: the quota stage walks its input twice (bucket histogram +
+    # window join) — persist the skinny survivor ids so the prune
+    # stage's rank join runs once, not twice.
+    survivors = persist_bounded(
+        _proto_ranked(_assigned(spark, sf_dir))
+        .where(F.expr(_PRUNE_KEEP))
+        .select("vec_id", "cluster_id")
     )
     kept = _quota_pick(survivors).select(F.col("vec_id").alias("doc_id"))
     docs = load_table(spark, sf_dir, "documents")

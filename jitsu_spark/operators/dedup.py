@@ -862,7 +862,16 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingle_rows(spark, sf_dir)
     cand = _lsh_pairs_from_signatures(_signatures_from_shingles(sh))
     if n_docs <= TRUTH_FULL_MAX_DOCS:
-        truth = jaccard_pairs_from_shingles(sh).select("doc_a", "doc_b")
+        # r12: serve exact-regime truth from the shared pair-core memo
+        # (the same store ngram_jaccard_dups / containment_dup_pairs
+        # project — exact integer counts, bit-identical projection)
+        # instead of re-running the inverted-index self-join per call.
+        # The sampled regime below stays live: it joins only the 10%
+        # shingle sample, which is cheaper than an uncapped full-corpus
+        # pair store could ever be at >100k docs.
+        truth = _jaccard_projection(
+            ensure_pair_shingle_counts(spark, sf_dir)
+        ).select("doc_a", "doc_b")
     else:
         in_sample = lambda c: _bucket(c) < TRUTH_SAMPLE_PER_MILLE  # noqa: E731
         sampled_shingles = sh.where(in_sample(F.col("doc_id")))
