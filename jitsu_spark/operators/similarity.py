@@ -849,6 +849,31 @@ def load_semantic_cluster_map(spark: SparkSession, store_dir: str) -> DataFrame:
     return spark.read.parquet(store_dir)
 
 
+# r12: memoized per-(process, dataset) semantic cluster map — the
+# `dedup.ensure_cluster_map` pattern applied to its semantic twin. The
+# GEMM pair pass + components ran once per keep-list call; deployments
+# build the map once and serve every consumer from it.
+_SEM_CLUSTER_MEMO: dict[tuple, str] = {}
+
+
+def ensure_semantic_cluster_map(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The memoized (vec_id, cluster_id) map for `sf_dir`'s embeddings —
+    built on first use, parquet-served afterwards (bit-identical: the
+    build writes exactly the live GEMM -> components labeling)."""
+    from ..plans.store_memo import dataset_fingerprint, ensure_store
+
+    store = ensure_store(
+        _SEM_CLUSTER_MEMO,
+        dataset_fingerprint(sf_dir, "embeddings.parquet"),
+        "semantic_cluster_map",
+        "semclmap_reg_",
+        lambda path: build_semantic_cluster_map(spark, sf_dir, path),
+    )
+    return load_semantic_cluster_map(spark, store)
+
+
 def semantic_dedup_keep_list(
     spark: SparkSession, sf_dir: str, clusters: DataFrame | None = None
 ) -> DataFrame:
@@ -868,15 +893,12 @@ def semantic_dedup_keep_list(
     if clusters is not None:
         labeled = clusters.select("vec_id", "cluster_id")
     else:
-        from .identity import id_graph_components
-
-        pairs = embedding_cosine_dups(spark, sf_dir)
-        comps = id_graph_components(
-            pairs.selectExpr("vec_a AS id_a", "vec_b AS id_b")
-        )
-        labeled = comps.selectExpr(
-            "CAST(id AS BIGINT) AS vec_id",
-            "CAST(component AS BIGINT) AS cluster_id",
+        # r12: served from the per-(process, dataset) memo — the same
+        # store `build_semantic_cluster_map` writes, so results are
+        # bit-identical to the live GEMM -> components pass this ran
+        # before (the `dedup_keep_list`/`ensure_cluster_map` pattern).
+        labeled = ensure_semantic_cluster_map(spark, sf_dir).select(
+            "vec_id", "cluster_id"
         )
     vecs = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
     return (
