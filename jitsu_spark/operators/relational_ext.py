@@ -20,8 +20,11 @@ Scale notes (100 TB stance):
 - The q21 shape needs lineitem joined to itself twice; both self-join
   probes are pre-projected to (orderkey, suppkey[, late]) so the shuffle
   carries two narrow columns, never the lineitem payload.
-- Distinct part-supplier pairs (`_part_supplier_pairs`) partial-aggregate
-  before the shuffle (groupBy, not dropDuplicates-on-wide-row).
+- The part-supplier dedup (q2) partial-aggregates AFTER the selective
+  part/supplier filters push below it as broadcast semi joins — the
+  filters are on the dedup keys, so filter-then-distinct is exact and
+  the distinct shuffle carries only surviving pairs; q16 folds the
+  dedup into count(DISTINCT suppkey) entirely.
 """
 
 from __future__ import annotations
@@ -31,19 +34,6 @@ from pyspark.sql import functions as F
 
 from ..tables import load_table
 from ..plans.hints import maybe_broadcast
-
-
-def _part_supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The partsupp surrogate: distinct (partkey, suppkey) actually shipped.
-
-    Expressed as groupBy so Catalyst plans a partial (map-side) distinct;
-    the shuffle carries unique pairs per partition, not raw lineitem rows.
-    """
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy(
-        F.col("l_partkey").alias("ps_partkey"),
-        F.col("l_suppkey").alias("ps_suppkey"),
-    ).agg(F.lit(1).alias("_one")).drop("_one")
 
 
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
