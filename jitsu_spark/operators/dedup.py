@@ -180,12 +180,14 @@ _B = [(j * 40503 + 17) % MINHASH_P for j in range(NUM_HASHES)]
 def _signatures_from_shingles(sh: DataFrame) -> DataFrame:
     """MinHash core over (doc_id, shingle) rows — shared so composed
     queries can feed one cached shingle pass to several consumers."""
-    x = F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("long")
-    xs = sh.select("doc_id", x.alias("x"))
+    # Expressions as SQL strings, one py4j round-trip each: composing the
+    # 16 agg columns from lit/col/operator objects cost ~112 driver
+    # round-trips per call site (~0.2s, measured) for the identical plan.
+    xs = sh.selectExpr(
+        "doc_id", "CAST(conv(substring(md5(shingle), 1, 7), 16, 10) AS BIGINT) AS x"
+    )
     aggs = [
-        F.min((F.lit(_A[j]) * F.col("x") + F.lit(_B[j])) % F.lit(MINHASH_P)).alias(
-            f"h{j}"
-        )
+        F.expr(f"min(({_A[j]}L * x + {_B[j]}L) % {MINHASH_P}L) AS h{j}")
         for j in range(NUM_HASHES)
     ]
     return xs.groupBy("doc_id").agg(*aggs)
@@ -216,18 +218,17 @@ def _band_rows(sig: DataFrame) -> DataFrame:
     """(doc_id, band_idx, bucket) LSH band keys from a signature frame —
     shared by the self-join pair generator and the incremental store
     probe."""
-    band_structs = []
-    for b in range(BANDS):
-        cols = [F.col(f"h{j}") for j in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)]
-        # '_'-joined to keep the bucket key unambiguous across numbers
-        band_structs.append(
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.md5(F.concat_ws("_", *cols)).alias("bucket"),
-            )
-        )
-    return sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("band")
+    # '_'-joined to keep the bucket key unambiguous across numbers; built
+    # as ONE SQL string (the per-band struct/md5/concat_ws Column
+    # composition was ~90 py4j round-trips per call site).
+    band_structs = ", ".join(
+        f"struct({b} AS band_idx, md5(concat_ws('_', "
+        + ", ".join(f"h{j}" for j in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND))
+        + ")) AS bucket)"
+        for b in range(BANDS)
+    )
+    return sig.selectExpr(
+        "doc_id", f"explode(array({band_structs})) AS band"
     ).select("doc_id", "band.band_idx", "band.bucket")
 
 
@@ -1225,8 +1226,10 @@ def near_dup_verdicts_against_store(
         .select("new_id", "store_id")
         .distinct()
     )
-    s_cols = [F.col(f"h{j}").alias(f"s_h{j}") for j in range(NUM_HASHES)]
-    n_cols = [F.col(f"h{j}").alias(f"n_h{j}") for j in range(NUM_HASHES)]
+    # column renames as expr strings — one py4j call per selectExpr
+    # instead of two round-trips per F.col().alias() (32 columns here)
+    s_cols = [f"h{j} AS s_h{j}" for j in range(NUM_HASHES)]
+    n_cols = [f"h{j} AS n_h{j}" for j in range(NUM_HASHES)]
     est_expr = (
         "("
         + " + ".join(
@@ -1238,11 +1241,11 @@ def near_dup_verdicts_against_store(
         + f") / CAST({NUM_HASHES} AS DOUBLE)"
     )
     est = (
-        store_sig.select(F.col("doc_id").alias("store_id"), *s_cols)
+        store_sig.selectExpr("doc_id AS store_id", *s_cols)
         .join(maybe_broadcast(cand), "store_id")
         .join(
             maybe_broadcast(
-                new_sig.select(F.col("doc_id").alias("new_id"), *n_cols)
+                new_sig.selectExpr("doc_id AS new_id", *n_cols)
             ),
             "new_id",
         )
@@ -1250,17 +1253,9 @@ def near_dup_verdicts_against_store(
     )
     best = (
         est.groupBy("new_id")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("est"), (-F.col("store_id")).alias("neg_id")
-                )
-            ).alias("b")
-        )
-        .select(
-            "new_id",
-            F.col("b.est").alias("est"),
-            (-F.col("b.neg_id")).alias("matched_id"),
+        .agg(F.expr("max(struct(est, -store_id AS neg_id)) AS b"))
+        .selectExpr(
+            "new_id", "b.est AS est", "-b.neg_id AS matched_id"
         )
     )
     return (

@@ -23,7 +23,7 @@ id-graph; connected components via iterative label propagation
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import load_table
@@ -147,6 +147,11 @@ def id_graph_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
         .distinct()
         .withColumn("component", F.col("id"))
     )
+    # (r12, tried and reverted: an explicit runtime-measured broadcast
+    # of the label table made rounds ~40% SLOWER at test scale — each
+    # BroadcastExchange is a blocking driver-side build per round, while
+    # AQE already localizes these tiny shuffles. Measured 3.3-3.9s
+    # gated vs 2.1-2.6s plain on id_graph; plain joins kept.)
     try:
         for i in range(max_iter + 64):
             # candidate labels via one hop
@@ -176,14 +181,21 @@ def id_graph_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
             # Materialize each round (localCheckpoint truncates lineage):
             # without it the plan doubles per iteration and the convergence
             # count re-executes the whole history — quadratic in rounds.
-            joined = labels.join(prop, "id").localCheckpoint()
-            changed = joined.where(
-                F.col("new_component") != F.col("component")
-            ).count()
+            # The convergence count rides the SAME job as an observed
+            # metric (r12): the separate count() job per round doubled
+            # the round's fixed job cost for a sum the checkpoint pass
+            # already sees every row of.
+            obs = Observation(f"idg_changed_{i}")
+            joined = labels.join(prop, "id").observe(
+                obs,
+                F.sum(
+                    (F.col("new_component") != F.col("component")).cast("long")
+                ).alias("changed"),
+            ).localCheckpoint()
             labels = joined.select(
                 "id", F.col("new_component").alias("component")
             )
-            if changed == 0:
+            if not (obs.get.get("changed") or 0):
                 break
     finally:
         edges.unpersist()
@@ -227,7 +239,16 @@ def alias_pairs(events: DataFrame) -> DataFrame:
 
 
 def _analytics_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    from ..plans.scan import fan_out_scan
+
+    # Fan the raw scan out before the derived projection (guide §2.5):
+    # a single-row-group events file otherwise pins BOTH heavy stages of
+    # the stitch — the probe-side projection (get_json_object per row)
+    # and the identified-side explode+aggregate — to one task each
+    # (measured 310 ms + 195 ms single-core). Both subtrees read the
+    # same exchange (AQE reuse), so the raw rows shuffle once; no-op on
+    # well-split production inputs.
+    ev = fan_out_scan(load_table(spark, sf_dir, "events"))
     is_ident = F.col("event_type").isin("signup", "login")
     return ev.select(
         F.col("event_id").cast("string").alias("message_id"),

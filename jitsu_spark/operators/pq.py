@@ -330,26 +330,62 @@ def _encode_assigned(
     )
 
 
+# Driver-artifact memos (r12): the sub-codebooks and centroid map are
+# bounded O(m*ksub)/O(k) model artifacts that EVERY probe/append path
+# re-collected from the store (~0.1-0.25 s of jobs per entry, several
+# entries per bench pass). Keyed on the freshness-aware plan
+# fingerprint (semanticHash + per-file mtime/size), so a rebuilt or
+# appended store is never served stale coefficients — the same
+# discipline as tables.load_table and the quality-model memo.
+_PQ_ART_MEMO: dict[tuple, object] = {}
+_PQ_ART_MEMO_CAP = 64
+
+
+def _art_memo(kind: str, df: DataFrame, build) -> object:
+    from ..plans.hints import plan_fingerprint
+
+    fp = plan_fingerprint(df)
+    key = None if fp is None else (kind, fp)
+    if key is not None and key in _PQ_ART_MEMO:
+        return _PQ_ART_MEMO[key]
+    val = build()
+    if key is not None:
+        if len(_PQ_ART_MEMO) >= _PQ_ART_MEMO_CAP:
+            _PQ_ART_MEMO.clear()
+        _PQ_ART_MEMO[key] = val
+    return val
+
+
 def _load_pq_books(spark: SparkSession, store_dir: str) -> np.ndarray:
     """(m, ksub, dsub) sub-codebooks from the store — the O(m*ksub)
     driver-resident artifact every query/append path loads."""
-    pq = spark.read.parquet(_pq_dirs(store_dir)["pq"]).collect()
-    m = 1 + max(r["subspace"] for r in pq)
-    ksub = 1 + max(r["code"] for r in pq)
-    dsub = len(pq[0]["sub_centroid"])
-    books = np.empty((m, ksub, dsub))
-    for r in pq:
-        books[r["subspace"], r["code"]] = r["sub_centroid"]
-    return books
+    src = spark.read.parquet(_pq_dirs(store_dir)["pq"])
+
+    def build() -> np.ndarray:
+        pq = src.collect()
+        m = 1 + max(r["subspace"] for r in pq)
+        ksub = 1 + max(r["code"] for r in pq)
+        dsub = len(pq[0]["sub_centroid"])
+        books = np.empty((m, ksub, dsub))
+        for r in pq:
+            books[r["subspace"], r["code"]] = r["sub_centroid"]
+        return books
+
+    return _art_memo("books", src, build)
 
 
 def _load_centers_map(
     centroids: DataFrame,
 ) -> dict[int, np.ndarray]:
-    return {
-        r["centroid_id"]: np.array(r["c_emb"], dtype=np.float64)
-        for r in centroids.select("centroid_id", "c_emb").collect()
-    }
+    src = centroids.select("centroid_id", "c_emb")
+    return _art_memo(
+        "centers",
+        src,
+        lambda: {
+            r["centroid_id"]: np.array(r["c_emb"], dtype=np.float64)
+            for r in src.collect()
+        },
+    )
 
 
 def append_to_ivfpq_store(
@@ -1020,21 +1056,43 @@ def pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import cosine_topk_bruteforce
 
     store = _ensure_store(spark, sf_dir)
-    k_cells = _load_codebook(spark, store).count()
-    exact = {
-        (r["query_id"], r["neighbor_id"])
-        for r in cosine_topk_bruteforce(spark, sf_dir).collect()
-    }
-    got_default = {
-        (r["query_id"], r["neighbor_id"])
-        for r in ann_ivfpq_topk_stored(spark, sf_dir, store).collect()
-    }
-    got_full = {
-        (r["query_id"], r["neighbor_id"])
-        for r in ann_ivfpq_topk_stored(
-            spark, sf_dir, store, nprobe=k_cells
-        ).collect()
-    }
+
+    # The three evaluation passes (exact truth, serving-nprobe probe,
+    # full-probe) are independent jobs; run them concurrently so the
+    # tail of one back-fills executors freed by another (guide §2.6 —
+    # actions are only sequential because the driver calls them
+    # sequentially). Each branch is still computed from the parquet
+    # inputs on every invocation.
+    def _exact() -> set:
+        return {
+            (r["query_id"], r["neighbor_id"])
+            for r in cosine_topk_bruteforce(spark, sf_dir).collect()
+        }
+
+    def _default() -> set:
+        return {
+            (r["query_id"], r["neighbor_id"])
+            for r in ann_ivfpq_topk_stored(spark, sf_dir, store).collect()
+        }
+
+    def _full() -> set:
+        k_cells = _load_codebook(spark, store).count()
+        return {
+            (r["query_id"], r["neighbor_id"])
+            for r in ann_ivfpq_topk_stored(
+                spark, sf_dir, store, nprobe=k_cells
+            ).collect()
+        }
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_exact = pool.submit(_exact)
+        f_default = pool.submit(_default)
+        f_full = pool.submit(_full)
+        exact, got_default, got_full = (
+            f_exact.result(), f_default.result(), f_full.result()
+        )
     n_true = max(len(exact), 1)
     r_nprobe = round(len(exact & got_default) / n_true, 4)
     r_full = round(len(exact & got_full) / n_true, 4)

@@ -314,13 +314,27 @@ _BM25_TERM = (
 )
 
 
+# One frame per session (r12): the 2-query set is a compile-time
+# constant, but re-creating the local relation each call gives it a NEW
+# semanticHash (LocalRelation fingerprints are instance-specific), which
+# would defeat the vocab memo below every bench pass.
+_DEFAULT_QUERIES: dict[tuple, DataFrame] = {}
+
+
 def _default_queries_df(spark: SparkSession) -> DataFrame:
     """The registry's fixed 2-query set as a (query_id, text) frame —
     the same shape callers pass for arbitrary query workloads."""
-    return spark.createDataFrame(
-        [(qid, " ".join(terms)) for qid, terms in BM25_QUERIES.items()],
-        "query_id int, text string",
-    )
+    key = (id(spark), spark.sparkContext.applicationId)
+    df = _DEFAULT_QUERIES.get(key)
+    if df is None:
+        if len(_DEFAULT_QUERIES) > 8:
+            _DEFAULT_QUERIES.clear()
+        df = spark.createDataFrame(
+            [(qid, " ".join(terms)) for qid, terms in BM25_QUERIES.items()],
+            "query_id int, text string",
+        )
+        _DEFAULT_QUERIES[key] = df
+    return df
 
 
 def workload_queries_df(
@@ -375,6 +389,18 @@ def _query_terms(queries: DataFrame) -> DataFrame:
     ).distinct()
 
 
+# Query-vocab memo (r12): every BM25-family construction re-ran the
+# explode+distinct+collect vocab job (~0.3 s) even for the fixed 2-query
+# registry set. Keyed on the query plan's semanticHash (for local
+# relations that hash covers the literal rows) PLUS an mtime/size token
+# per input file (for plans derived from parquet, so a rewritten fixture
+# at the same path is never served a stale vocabulary) — the same
+# freshness discipline as tables.load_table. The vocab is metadata-scale
+# (bounded by the query set), never corpus data.
+_VOCAB_MEMO: dict[tuple, list[str]] = {}
+_VOCAB_MEMO_CAP = 64
+
+
 def _query_vocab(queries: DataFrame) -> list[str]:
     """Distinct query terms, collected driver-side to parameterize the
     pre-explode token filter. Bounded by the QUERY SET (a 10^3-query
@@ -382,10 +408,22 @@ def _query_vocab(queries: DataFrame) -> list[str]:
     corpus; Spark compiles the >10-element IN to an InSet hash probe.
     Terms are SQL-escaped before literal interpolation — queries_df is
     caller data, not trusted expression text (r8 review finding)."""
+    from ..plans.hints import plan_fingerprint
+
+    key = plan_fingerprint(queries)
+    if key is not None and key in _VOCAB_MEMO:
+        return _VOCAB_MEMO[key]
     rows = (
         _query_terms(queries).select("tok").distinct().collect()
     )
-    return sorted(r["tok"].replace("\\", "\\\\").replace("'", "\\'") for r in rows)
+    vocab = sorted(
+        r["tok"].replace("\\", "\\\\").replace("'", "\\'") for r in rows
+    )
+    if key is not None:
+        if len(_VOCAB_MEMO) >= _VOCAB_MEMO_CAP:
+            _VOCAB_MEMO.clear()
+        _VOCAB_MEMO[key] = vocab
+    return vocab
 
 
 def _bm25_scored(docs_tbl: DataFrame, queries: DataFrame) -> DataFrame:

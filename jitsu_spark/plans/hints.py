@@ -68,6 +68,30 @@ def plan_size_bytes(df: DataFrame) -> int | None:
     return size
 
 
+def plan_fingerprint(df: DataFrame) -> tuple | None:
+    """Freshness-aware identity of a DataFrame's logical computation:
+    (analyzed semanticHash, (file, mtime_ns, size) per input file).
+
+    The semanticHash canonicalizes expression ids but keeps relation
+    identity — for local relations it covers the literal rows; for
+    file-backed plans the mtime/size tokens make the key stale the
+    moment any input file is rewritten (tables.load_table's freshness
+    discipline). Returns None when the plan cannot be analyzed; callers
+    must treat None as "never memoize"."""
+    try:
+        h = df._jdf.queryExecution().analyzed().semanticHash()
+        toks = []
+        for f in sorted(df.inputFiles()):
+            p = f[5:] if f.startswith("file:") else f
+            while p.startswith("//"):
+                p = p[1:]
+            st = os.stat(p)
+            toks.append((f, st.st_mtime_ns, st.st_size))
+        return (h, tuple(toks))
+    except Exception:
+        return None
+
+
 def broadcast_threshold_bytes() -> int:
     raw = os.environ.get("SPARK_GRAFT_BROADCAST_MAX")
     return int(raw) if raw is not None else DEFAULT_BROADCAST_MAX_BYTES

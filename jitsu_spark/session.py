@@ -41,6 +41,14 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # PySpark 4 captures the user call site (a Python stack walk plus
+        # a JVM round-trip) on EVERY DataFrame API call to enrich error
+        # messages. Across this engine's expression-heavy plan builders
+        # that is ~16% of all driver-side construction time (measured:
+        # 30.4s -> 25.5s warm construction over the 198-entry registry).
+        # Plans and results are unchanged; only error messages lose the
+        # user-code line pointer, which stack traces still carry.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
