@@ -29,10 +29,17 @@ from ..sinks import WarehouseSink
 from ..tables import load_table
 
 
-def rollup_batch(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+def rollup_batch(
+    events: DataFrame, ts_col: str = "ts", extra_keys: tuple = ()
+) -> DataFrame:
     """One batch's partial rollup: per-minute per-status counters plus the
-    mergeable HLL state for the distinct count (uniqState analog)."""
+    mergeable HLL state for the distinct count (uniqState analog).
+
+    `extra_keys` prepends grouping columns — e.g. a batch/arm id — so N
+    logical batches can roll up in ONE pass over the events instead of N
+    filtered scans (r12; the equivalence entry below)."""
     return events.groupBy(
+        *[F.col(k) for k in extra_keys],
         F.date_trunc("minute", F.col(ts_col)).alias("period"),
         F.col("event_type").alias("status"),
     ).agg(
@@ -93,13 +100,35 @@ def incremental_rollup_equivalence(spark: SparkSession, sf_dir: str) -> DataFram
     at oracle SF sit far below the sketch's exact (coupon) range, so the
     merged estimate is exactly count(distinct) and the hash compare is
     deterministic."""
-    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    from ..plans.scan import fan_out_scan
+
+    ev = fan_out_scan(
+        load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    )
     # split by id parity: two interleaved "days" of traffic with no
-    # median-finding pre-scan (the batch boundary is arbitrary anyway)
-    b1 = rollup_batch(ev.where(F.col("event_id") % 2 == 0))
-    b2 = rollup_batch(ev.where(F.col("event_id") % 2 == 1))
+    # median-finding pre-scan (the batch boundary is arbitrary anyway).
+    # r12: the two batches ride an `arm` grouping column through ONE
+    # rollup_batch pass — the previous two filtered scans each walked
+    # the whole events table, and AQE coalesced their byte-small but
+    # HLL-CPU-heavy aggregate exchanges to a single task (measured: the
+    # arm-final + merge stages ran 0.4 + 0.5 s single-core). One
+    # explicit exchange keyed on (period, status) satisfies BOTH the
+    # per-arm rollup grouping (a superset of the partition keys) and
+    # the merge grouping — zero further exchanges, and a user
+    # repartition is exempt from AQE coalescing. Per-arm HLL states
+    # still merge via hll_union_agg (the uniqState/uniqMerge round
+    # trip under test is unchanged).
+    n_part = spark.sparkContext.defaultParallelism
+    arms = rollup_batch(
+        ev.withColumn("arm", F.col("event_id") % 2).repartition(
+            n_part,
+            F.date_trunc("minute", F.col("ts")),
+            F.col("event_type"),
+        ),
+        extra_keys=("arm",),
+    )
     merged = (
-        b1.unionByName(b2)
+        arms
         .groupBy("period", "status")
         .agg(
             F.sum("events").alias("events"),
