@@ -40,6 +40,18 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE rewrite sort-merge joins to shuffled-hash at runtime
+        # when every post-shuffle partition's build side is measured
+        # under 64 MB (guide §3.1) — off by default upstream (0). The
+        # gate is runtime-MEASURED sizes, so it is scale-safe by
+        # construction: partitions above the bound keep the sort-merge
+        # plan, and 64 MB per-task hash tables fit comfortably in any
+        # sane executor sizing. Measured on the banded self-join family:
+        # containment_dup_pairs 0.48x, ngram_jaccard_dups 0.60x,
+        # minhash_lsh_pairs 0.88x (the two per-side sorts drop out).
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m"
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # PySpark 4 captures the user call site (a Python stack walk plus
         # a JVM round-trip) on EVERY DataFrame API call to enrich error
