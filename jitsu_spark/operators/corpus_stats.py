@@ -770,6 +770,10 @@ def collocation_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair_cnt >= PMI_MIN_COUNT. Ties break on (w1, w2) — deterministic."""
     from pyspark.sql import Window
 
+    # r12 note: persisting the token arrays to share ONE tokenize pass
+    # across the three walks was measured 1.14x WORSE raw — caching fat
+    # string arrays costs more than re-tokenizing 32-way (the walks are
+    # already fanned out by load_table_docs). Left as three walks.
     docs = load_table_docs(spark, sf_dir)
     uni = docs.selectExpr("explode(toks) AS w").groupBy("w").agg(
         F.count(F.lit(1)).alias("cnt")
@@ -1035,6 +1039,13 @@ def distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..tables import load_table
     from .text_ops import TOKENS
 
+    # r12 note: measured and left alone. A fan_out_scan before the
+    # tokenize was 1.27x WORSE (interleaved A/B medians 0.683 vs 0.867):
+    # the regex tokenize here is too cheap for §2.5 to apply — shuffling
+    # the text costs more than the single-task partial aggregates — and
+    # persisting the token arrays to share one tokenize pass across the
+    # two walks was worse still (caching fat string arrays loses to
+    # re-tokenizing).
     docs = load_table(spark, sf_dir, "documents").selectExpr(
         "source", f"{TOKENS} AS toks"
     )

@@ -83,9 +83,19 @@ def tokenize_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage swaps to `bpe.bpe_token_count_pandas` (broadcast ranks +
     mapInPandas) and the window is unchanged — same single shuffle on
     source either way, everything before it map-side."""
+    from ..plans.scan import fan_out_scan
     from .bpe import FIXTURE_MERGES, _SYM, _WB, _count_char, bpe_symbol_chain
 
-    docs = load_table(spark, sf_dir, "documents")
+    # The BPE replace-chain is the expensive part and it sits directly
+    # on the scan: a single-row-group input runs it in ONE task (guide
+    # §2.5). Fan the narrow projection out first (no-op on well-split
+    # inputs); the packing window's hash(source) exchange then moves
+    # only the skinny counted rows.
+    docs = fan_out_scan(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+    )
     sym = bpe_symbol_chain(F.col("text"), FIXTURE_MERGES).alias("s")
     counted = docs.select("doc_id", "source", sym).selectExpr(
         "doc_id",

@@ -318,9 +318,24 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     the overlap fraction. The held-out set is ~5% of the corpus and only
     distinct shingle hashes cross the wire; `maybe_broadcast` keeps the
     train side shuffle-free while the held-out set fits."""
-    docs = load_table(spark, sf_dir, "documents")
+    # r12: the tokenize+shingle pass ran directly on the scan — one task
+    # on a single-row-group input (guide §2.5). Hash the narrow
+    # projection by doc_id first (no-op cost at production where the
+    # scan is well-split and AQE plans the real exchange); the per-doc
+    # aggregate below then needs no further exchange. Interleaved A/B
+    # medians: orig 0.858, repartition 0.682, repartition+persisted
+    # shingles 0.803 — recomputing the explode 32-way beats caching it,
+    # so both branches stay live.
+    n_part = spark.sparkContext.defaultParallelism
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(n_part, "doc_id")
+    )
     toks = docs.selectExpr("doc_id", f"{TOKENS} AS t")
-    sh = toks.selectExpr("doc_id", f"explode(array_distinct({_SHINGLES})) AS shingle")
+    sh = toks.selectExpr(
+        "doc_id", f"explode(array_distinct({_SHINGLES})) AS shingle"
+    )
     is_test = _bucket(F.col("doc_id")) >= TEST_BUCKET_MIN
     test_shingles = sh.where(is_test).select("shingle").distinct()
     train_sh = sh.where(~is_test)
