@@ -42,22 +42,27 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: canonical doc per md5(text) group (min doc_id wins).
 
     Emits the doc_id -> canonical mapping the downstream pipeline filters
-    with. Window-free: the canonical id is a self-joinable aggregate.
+    with. r12: the canonical id rides a window over the text_hash
+    partition — ONE scan walk behind ONE exchange, where the
+    aggregate-then-self-join shape walked the scan (and its md5) twice
+    and shuffled twice. Identical rows (oracle hash-identical); measured
+    0.187 -> 0.143 interleaved medians. Each window frame is one
+    duplicate group — the same colocation the join's shuffle imposed.
     """
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
     hashed = docs.select("doc_id", F.md5("text").alias("text_hash"))
-    canon = hashed.groupBy("text_hash").agg(
-        F.min("doc_id").alias("canonical_id"),
-        F.count(F.lit(1)).alias("group_size"),
-    )
-    return (
-        hashed.join(canon, "text_hash")
-        .select(
-            "doc_id",
-            "canonical_id",
-            (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"),
-            "group_size",
-        )
+    w = Window.partitionBy("text_hash")
+    return hashed.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(w).alias("group_size"),
+    ).select(
+        "doc_id",
+        "canonical_id",
+        (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"),
+        "group_size",
     )
 
 
@@ -96,15 +101,26 @@ _NORM_DUCK = (
 def normalized_dedup_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup_exact over the NORMALIZED text: doc_id -> canonical map
     keyed by md5 of the case/punctuation-folded content."""
+    from pyspark.sql import Window
+
+    # r12: the aggregate-then-self-join shape ran the two-regex
+    # normalization TWICE (canon arm + probe arm, each a full scan walk)
+    # and shuffled twice. A window over the norm_hash partition computes
+    # canonical_id and group_size in ONE walk behind ONE exchange —
+    # identical rows (oracle hash-identical), measured 0.883 -> 0.386
+    # interleaved medians. Same colocation-by-hash as the join's
+    # shuffle, so no new skew exposure at scale; each frame is one
+    # duplicate group.
     docs = load_table(spark, sf_dir, "documents")
     hashed = docs.selectExpr(
         "doc_id", f"md5({_NORM_SPARK}) AS norm_hash"
     )
-    canon = hashed.groupBy("norm_hash").agg(
-        F.min("doc_id").alias("canonical_id"),
-        F.count(F.lit(1)).alias("group_size"),
-    )
-    return hashed.join(canon, "norm_hash").select(
+    w = Window.partitionBy("norm_hash")
+    return hashed.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(w).alias("group_size"),
+    ).select(
         "doc_id",
         "canonical_id",
         (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"),

@@ -442,7 +442,17 @@ FROM rebuilt r JOIN counts c ON r.doc_id = c.doc_id
 
 
 def _newline_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # r12: the fixture's tokenize+window-join expression is the entry's
+    # expensive per-row compute and it ran in the single-split scan task
+    # — twice (election arm + per-doc counts arm). Hash the narrow
+    # projection by doc_id first (guide §2.5); the counts groupBy then
+    # needs no further exchange. Measured 0.914 -> 0.800 medians.
+    n_part = spark.sparkContext.defaultParallelism
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .repartition(n_part, "doc_id")
+    )
     return docs.selectExpr(
         "doc_id",
         "source",

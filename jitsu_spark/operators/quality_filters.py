@@ -491,7 +491,16 @@ def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram is bounded by value space, not by N, so it measures small).
     Net: one bounded shuffle + one broadcast join replace the single-task
     per-source corpus sort the window form needs."""
-    scored = _gate_scored(spark, sf_dir)
+    from ..plans.topk import persist_bounded
+
+    # r12: the tokenize+stopword scan ran TWICE — the histogram subtree
+    # is a broadcast BUILD job that executes serially before the probe
+    # walk, so the duplicate work isn't hidden by idle cores the way
+    # concurrent same-job subtrees are. Persisting the skinny scored
+    # frame (doc_id, source, ratio) measured 0.580 vs 0.715 orig;
+    # a doc_id repartition under it measured WORSE (0.736/0.769) —
+    # the stopword filter is too cheap for §2.5 here.
+    scored = persist_bounded(_gate_scored(spark, sf_dir))
     hist = scored.groupBy("source", "sw_ratio").agg(F.count(F.lit(1)).alias("cnt"))
     ranks = hist.selectExpr(
         "source AS r_source",

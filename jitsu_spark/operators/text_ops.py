@@ -849,8 +849,19 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget — silently wrapping would corrupt fingerprints)."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents").selectExpr(
-        "doc_id", f"{TOKENS} AS toks"
+    # r12: the gram explode + md5 ran in the single-split scan task
+    # (guide §2.5) and the winnow window's hash(doc_id) exchange then
+    # carried the EXPLODED gram rows. Hash the narrow projection by
+    # doc_id before tokenizing: the heavy work fans out, the one
+    # exchange moves raw text instead of grams (§2.3), and both the
+    # window and the final distinct are satisfied by the partitioning —
+    # no further exchange in the plan.
+    n_part = spark.sparkContext.defaultParallelism
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(n_part, "doc_id")
+        .selectExpr("doc_id", f"{TOKENS} AS toks")
     )
     grams = docs.selectExpr(
         "doc_id",
@@ -956,10 +967,22 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     salient terms; ties break on term ASC (deterministic)."""
     from pyspark.sql import Window
 
+    from ..plans.topk import persist_bounded
+
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    tf = (
-        docs.selectExpr("doc_id", f"explode({TOKENS}) AS term")
+    # r12: hash the narrow projection by doc_id (the tokenize+explode
+    # ran in the single-split scan task — guide §2.5 — and hash(doc_id)
+    # makes the tf aggregate and the rank window exchange-free), and
+    # persist the aggregated tf frame: dfreq and scored each walked its
+    # explode lineage. Unlike fat token arrays (measured losses on
+    # other entries), tf is post-aggregation skinny — interleaved A/B
+    # medians: orig 1.285, repartition 1.212, repartition+persist 1.045.
+    n_part = spark.sparkContext.defaultParallelism
+    tf = persist_bounded(
+        docs.select("doc_id", "text")
+        .repartition(n_part, "doc_id")
+        .selectExpr("doc_id", f"explode({TOKENS}) AS term")
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
