@@ -75,3 +75,75 @@ def test_query_vocab_escapes_hostile_terms(spark):
     )
     vocab = _query_vocab(q)
     assert vocab == ["a\\\\path", "it\\'s"]
+
+
+def test_wc_memo_never_stale_after_rewrite(spark, tmp_path):
+    """The BPE trainer's word-count memo (r12): a warm call serves the
+    memoized tuple; rewriting the input parquet at the same path must
+    retrain from the new bytes."""
+    from jitsu_spark.operators.bpe import _WC_MEMO, _learn_merges_list
+
+    _WC_MEMO.clear()
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "ab ab ab ab")], "doc_id int, text string"
+    ).write.mode("overwrite").parquet(p)
+    m1 = _learn_merges_list(spark.read.parquet(p), n_merges=1)
+    assert m1 == [(0, "a", "b")]
+    assert len(_WC_MEMO) == 1
+    # warm hit: same path, same bytes -> memo serves, no new entry
+    assert _learn_merges_list(spark.read.parquet(p), n_merges=1) == m1
+    assert len(_WC_MEMO) == 1
+    spark.createDataFrame(
+        [(1, "cd cd cd cd")], "doc_id int, text string"
+    ).write.mode("overwrite").parquet(p)
+    assert _learn_merges_list(spark.read.parquet(p), n_merges=1) == [
+        (0, "c", "d")
+    ]
+
+
+def test_wc_memo_key_varies_with_caps_and_mode(spark, tmp_path):
+    """max_words / pre_tokenizer are plan literals, so each combination
+    gets its own memo entry — a cap change is never served stale."""
+    from jitsu_spark.operators.bpe import _WC_MEMO, _learn_merges_list
+
+    _WC_MEMO.clear()
+    p = str(tmp_path / "docs2.parquet")
+    spark.createDataFrame(
+        [(1, "ab ab cd")], "doc_id int, text string"
+    ).write.mode("overwrite").parquet(p)
+    _learn_merges_list(spark.read.parquet(p), n_merges=1, max_words=10)
+    _learn_merges_list(spark.read.parquet(p), n_merges=1, max_words=1)
+    _learn_merges_list(
+        spark.read.parquet(p), n_merges=1, pre_tokenizer="gpt2"
+    )
+    assert len(_WC_MEMO) == 3
+
+
+def test_pq_probe_memo_freshness(spark, tmp_path):
+    """The PQ probe-routing memo (r12) rides the same _art_memo keying:
+    a rewritten store or query input changes the fingerprint, so the
+    memo never routes against stale centroids."""
+    from jitsu_spark.operators.pq import _PQ_ART_MEMO, _art_memo
+
+    _PQ_ART_MEMO.clear()
+    p = str(tmp_path / "cent.parquet")
+    spark.createDataFrame(
+        [(0, [1.0, 0.0])], "centroid_id int, c_emb array<double>"
+    ).write.mode("overwrite").parquet(p)
+    calls = []
+    df1 = spark.read.parquet(p)
+    v1 = _art_memo("probe", df1, lambda: calls.append(1) or "first")
+    assert v1 == "first" and calls == [1]
+    # same bytes -> memo hit, build not called again
+    assert (
+        _art_memo("probe", spark.read.parquet(p), lambda: "second")
+        == "first"
+    )
+    spark.createDataFrame(
+        [(0, [0.0, 1.0])], "centroid_id int, c_emb array<double>"
+    ).write.mode("overwrite").parquet(p)
+    assert (
+        _art_memo("probe", spark.read.parquet(p), lambda: "third")
+        == "third"
+    )
