@@ -731,12 +731,29 @@ def retrieval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .text_ops import _BM25_TERM
 
+    from ..plans.topk import persist_bounded
+
+    # r12: the tokenize+shingle explode ran inside the single-split scan
+    # task (guide §2.5) and the train_tf lineage was walked by train_dl,
+    # dfreq AND the scored join — up to four tokenize passes. Hash the
+    # narrow projection by doc_id first (the per-doc aggregates become
+    # exchange-free) and persist the skinny post-aggregation train_tf
+    # (the tfidf pattern — interleaved medians 1.843 -> 1.410 and
+    # 3.053 -> 1.985 across two hosts). Measured negatives: fan-out
+    # alone 2.093 (the rewalks dominate), persist WITHOUT the fan-out
+    # 3.355 vs 3.053 orig (the persist build then materializes the
+    # single-task tokenize serially), persisting the exploded shingle
+    # rows 1.710 (fatter than recomputing 32-way).
+    n_part = spark.sparkContext.defaultParallelism
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.selectExpr("doc_id", f"{TOKENS} AS t").selectExpr(
-        "doc_id", f"explode({_SHINGLES}) AS shingle"
+    sh = (
+        docs.select("doc_id", "text")
+        .repartition(n_part, "doc_id")
+        .selectExpr("doc_id", f"{TOKENS} AS t")
+        .selectExpr("doc_id", f"explode({_SHINGLES}) AS shingle")
     )
     is_test = _bucket(F.col("doc_id")) >= TEST_BUCKET_MIN
-    train_tf = (
+    train_tf = persist_bounded(
         sh.where(~is_test)
         .groupBy(F.col("doc_id").alias("train_doc_id"), "shingle")
         .agg(F.count(F.lit(1)).alias("tf"))
