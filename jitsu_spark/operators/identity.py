@@ -154,16 +154,43 @@ def id_graph_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
     # gated vs 2.1-2.6s plain on id_graph; plain joins kept.)
     try:
         for i in range(max_iter + 64):
-            # candidate labels via one hop
+            # Candidate labels via one hop. The node's OWN previous label
+            # rides the same aggregate under a flag (r12, second pass):
+            # min(component) is the new candidate and the flagged min is
+            # the old label, so the convergence compare needs NO join
+            # back onto the label table — the previous form paid one
+            # extra shuffle join per round just to line up old vs new.
+            # (Every dst is also a src — edges carry both directions —
+            # so the flagged arm covers every aggregated id.)
             hop = (
                 edges.join(labels, edges.src == labels.id)
-                .select(F.col("dst").alias("id"), "component")
-                .union(labels.select("id", "component"))
+                .select(
+                    F.col("dst").alias("id"),
+                    "component",
+                    F.lit(False).alias("own"),
+                )
+                .union(
+                    labels.select(
+                        "id", "component", F.lit(True).alias("own")
+                    )
+                )
                 .groupBy("id")
-                .agg(F.min("component").alias("c1"))
+                .agg(
+                    F.min("component").alias("c1"),
+                    F.min(F.when(F.col("own"), F.col("component"))).alias(
+                        "old"
+                    ),
+                )
             )
             if i < max_iter:
-                prop = hop.select("id", F.col("c1").alias("new_component"))
+                # (r12, tried and reverted: a DOUBLE-hop per checkpointed
+                # round — two edge joins + two aggregates, halving the
+                # localCheckpoint count — measured 3.50 vs 2.15 median on
+                # id_graph at sf0.1: the extra join+aggregate costs more
+                # than the saved round fixed overhead.)
+                prop = hop.select(
+                    "id", "old", F.col("c1").alias("new_component")
+                )
             else:
                 # pointer jumping: follow the label's OWN label — min
                 # labels skip across already-labeled regions, doubling
@@ -174,6 +201,7 @@ def id_graph_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
                 )
                 prop = hop.join(lookup, "c1", "left").select(
                     "id",
+                    "old",
                     F.least(
                         F.col("c1"), F.coalesce(F.col("c2"), F.col("c1"))
                     ).alias("new_component"),
@@ -186,14 +214,17 @@ def id_graph_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
             # the round's fixed job cost for a sum the checkpoint pass
             # already sees every row of.
             obs = Observation(f"idg_changed_{i}")
-            joined = labels.join(prop, "id").observe(
-                obs,
-                F.sum(
-                    (F.col("new_component") != F.col("component")).cast("long")
-                ).alias("changed"),
-            ).localCheckpoint()
-            labels = joined.select(
-                "id", F.col("new_component").alias("component")
+            labels = (
+                prop.observe(
+                    obs,
+                    F.sum(
+                        (F.col("new_component") != F.col("old")).cast(
+                            "long"
+                        )
+                    ).alias("changed"),
+                )
+                .select("id", F.col("new_component").alias("component"))
+                .localCheckpoint()
             )
             if not (obs.get.get("changed") or 0):
                 break
