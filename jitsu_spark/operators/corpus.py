@@ -295,6 +295,13 @@ def corpus_increment_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     [450, 500)) — added, removed, and changed docs all exercised."""
     from .sampling import _bucket
 
+    # (r12, tried and reverted: a shared fan_out_scan below both
+    # snapshot filters — guide §2.5 for the single-task old-canonical
+    # md5 / verdict-store md5 / merged-tokenize passes — measured 1.77
+    # -> 3.75 median at sf0.1: the RoundRobin exchange moves corpus text
+    # and serializes ahead of the eager diff checkpoint, costing more
+    # than the concurrent single-task passes it parallelizes. Same
+    # concurrent-rewalk verdict as domain_mixture_weights.)
     docs = load_table(spark, sf_dir, "documents")
     b = _bucket(F.col("doc_id"))
     old = docs.where(b < DIFF_ADDED_GE).select("doc_id", "source", "text")

@@ -147,3 +147,28 @@ def test_pq_probe_memo_freshness(spark, tmp_path):
         _art_memo("probe", spark.read.parquet(p), lambda: "third")
         == "third"
     )
+
+
+def test_fan_out_partition_probe_memo_tracks_rewrites(spark, tmp_path):
+    """The fan_out_scan partition probe memoizes on the plan fingerprint;
+    a rewrite at the same path must re-probe (a single-row-group file
+    replaced by a many-file table must fan out differently)."""
+    from jitsu_spark.plans.scan import _NPART_MEMO, _num_partitions, fan_out_scan
+
+    p = str(tmp_path / "probe.parquet")
+    spark.range(0, 100, 1, 1).write.mode("overwrite").parquet(p)
+    df1 = spark.read.parquet(p)
+    n1 = _num_partitions(df1)
+    assert n1 == 1
+    # memo hit on an identical re-read (no stale-path probe)
+    assert _num_partitions(spark.read.parquet(p)) == 1
+    # fan_out_scan repartitions the single-split read to parallelism
+    target = spark.sparkContext.defaultParallelism
+    assert fan_out_scan(df1).rdd.getNumPartitions() == target
+    # rewrite at the SAME path with many files -> memo must miss
+    spark.range(0, 100, 1, 8).write.mode("overwrite").parquet(p)
+    # split count depends on file-packing confs; the contract under test
+    # is the memo MISS — a stale hit would still read 1
+    n2 = _num_partitions(spark.read.parquet(p))
+    assert n2 is not None and n2 > 1
+    assert len(_NPART_MEMO) >= 1
