@@ -540,10 +540,19 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("c_tgt"),
     )
-    totals = bucket_counts.agg(
-        F.sum("c_raw").alias("t_raw"), F.sum("c_tgt").alias("t_tgt")
-    )
-    lr = bucket_counts.crossJoin(F.broadcast(totals)).selectExpr(
+    # totals ride an unpartitioned window over the BUCKET table (r12):
+    # the crossJoin(broadcast(totals)) form paid two serial broadcast-
+    # build jobs (totals, then lr) each re-walking the bucket aggregate;
+    # the window is one task over at most DSIR_BUCKETS (1024) rows —
+    # bounded by construction at any corpus size. Same float values,
+    # same ln() arithmetic.
+    lr = bucket_counts.selectExpr(
+        "b",
+        "c_raw",
+        "c_tgt",
+        "sum(c_raw) OVER () AS t_raw",
+        "sum(c_tgt) OVER () AS t_tgt",
+    ).selectExpr(
         "b",
         f"ln((c_tgt + 1.0) / (t_tgt + {DSIR_BUCKETS}))"
         f" - ln((c_raw + 1.0) / (t_raw + {DSIR_BUCKETS})) AS lr",
