@@ -1446,13 +1446,13 @@ def dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.hints import maybe_broadcast
     from ..plans.topk import persist_bounded
 
-    # docs and the stage keep-sets each feed SEVERAL per-stage
-    # aggregates below — persist them (bounded: skinny id/count frames)
-    # so the expensive subplans (exact hash groupBy, the containment
-    # pair join, the LSH keep list) evaluate once, not once per stage.
-    # r12 (guide §2.5): fan the tokenize out of the single-split scan
-    # before materializing the ledger (was one task for the whole corpus)
-    docs = persist_bounded(
+    # The stage keep-sets each feed the flag joins below — persist them
+    # (bounded: skinny id frames) so the expensive subplans (exact hash
+    # groupBy, the containment pair join, the LSH keep list) evaluate
+    # once. The token ledger itself is walked ONCE since the one-pass
+    # fold (below), so it stays live — no persist barrier; the tokenize
+    # still fans out of the single-split scan first (guide §2.5).
+    docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
@@ -1494,40 +1494,56 @@ def dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "left_semi",
     )
-    stages = [
-        ("raw", 0, docs.select("doc_id")),
-        ("exact", 1, exact_kept),
-        ("containment", 2, cont_kept),
-        ("near_dup", 3, near_kept),
-    ]
-    parts = []
-    for name, order, kept in stages:
-        parts.append(
-            docs.join(maybe_broadcast(kept), "doc_id", "left_semi").agg(
-                F.lit(name).alias("stage"),
-                F.lit(order).alias("stage_order"),
-                F.count(F.lit(1)).alias("n_docs"),
-                F.sum("n_toks").alias("n_tokens"),
-            )
+    # ONE ledger pass for all four stage rows (r12, second pass): the
+    # per-stage semi-join aggregates each walked the persisted ledger
+    # (4 passes) plus a 5th totals pass — but the keep-sets are NESTED
+    # (exact ⊇ containment ⊇ near_dup), so marking membership with three
+    # broadcast left joins and folding ONE conditional aggregate yields
+    # every stage's (n_docs, n_tokens) and the raw totals together; the
+    # four report rows then explode map-side from the single-row
+    # aggregate (the key_skew_report inline() pattern). The broadcast
+    # builds of the three keep-sets run concurrently under AQE instead
+    # of gating five sequential aggregate stages.
+    flagged = (
+        docs.join(
+            maybe_broadcast(exact_kept.withColumn("_e", F.lit(1))),
+            "doc_id",
+            "left",
         )
-    out = parts[0]
-    for px in parts[1:]:
-        out = out.unionByName(px)
-    totals = docs.agg(
-        F.count(F.lit(1)).alias("t_docs"), F.sum("n_toks").alias("t_toks")
-    )
-    return (
-        out.crossJoin(F.broadcast(totals))
-        .selectExpr(
-            "stage",
-            "stage_order",
-            "n_docs",
-            "n_tokens",
-            "round(n_docs / t_docs, 4) AS doc_pct",
-            "round(n_tokens / t_toks, 4) AS token_pct",
+        .join(
+            maybe_broadcast(cont_kept.withColumn("_c", F.lit(1))),
+            "doc_id",
+            "left",
         )
-        .orderBy("stage_order")
+        .join(
+            maybe_broadcast(near_kept.withColumn("_n", F.lit(1))),
+            "doc_id",
+            "left",
+        )
     )
+    one = flagged.agg(
+        F.count(F.lit(1)).alias("d0"),
+        F.sum("n_toks").alias("t0"),
+        F.count("_e").alias("d1"),
+        F.sum(F.when(F.col("_e").isNotNull(), F.col("n_toks"))).alias("t1"),
+        F.count("_c").alias("d2"),
+        F.sum(F.when(F.col("_c").isNotNull(), F.col("n_toks"))).alias("t2"),
+        F.count("_n").alias("d3"),
+        F.sum(F.when(F.col("_n").isNotNull(), F.col("n_toks"))).alias("t3"),
+    )
+    rows = ", ".join(
+        f"named_struct('stage', '{name}', 'stage_order', {order},"
+        f" 'n_docs', d{order}, 'n_tokens', CAST(t{order} AS BIGINT),"
+        f" 'doc_pct', round(d{order} / d0, 4),"
+        f" 'token_pct', round(t{order} / t0, 4))"
+        for name, order in (
+            ("raw", 0),
+            ("exact", 1),
+            ("containment", 2),
+            ("near_dup", 3),
+        )
+    )
+    return one.selectExpr(f"inline(array({rows}))").orderBy("stage_order")
 
 
 DEDUP_CASCADE_SQL = f"""
