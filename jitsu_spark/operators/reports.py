@@ -820,6 +820,12 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     anchor = per_user.agg(F.max("last_us").alias("anchor_us"))
+    # (r12, tried and reverted: dropping this persist — the float-
+    # determinism rationale moved to the per_user persist — measured
+    # 1.83 -> 2.92 median: every rank subtree then re-runs the anchor
+    # BROADCAST build, a blocking driver-side job per walk. The persist
+    # is load-bearing for the one-anchor-build shape, not just for
+    # float key identity.)
     base = persist_bounded(
         per_user.crossJoin(F.broadcast(anchor)).selectExpr(
             "user_id",

@@ -459,24 +459,31 @@ def _bm25_scored(docs_tbl: DataFrame, queries: DataFrame) -> DataFrame:
         .repartition(n_part, "doc_id")
         .selectExpr("doc_id", f"{TOKENS} AS toks")
     )
-    # r12: persist the postings — bounded by the query vocabulary BY
-    # CONSTRUCTION (the filtered explode), and previously the whole
-    # tokenize + explode + aggregate lineage ran TWICE: once to build
-    # the df broadcast, once in the scoring join (guide §5 — reuse).
+    # r12: ONE tokenize pass. The postings build and the corpus-stats
+    # broadcast each walked the tokenize lineage (ReuseExchange shares
+    # the doc exchange, but the tokenize projection sits ABOVE it and
+    # re-ran per consumer). A persisted skinny "lens" frame — doc_id,
+    # doc length, and the vocabulary-filtered token array (bounded by
+    # the query vocab BY CONSTRUCTION) — now feeds both: the postings
+    # explode off it, and stats folds count/avg(dl) over it (guide §5 —
+    # reuse; §2.3 — the persist holds filtered tokens, never full text).
     from ..plans.topk import persist_bounded
 
-    tf = persist_bounded(
+    lens = persist_bounded(
         docs.selectExpr(
             "doc_id",
             "size(toks) AS dl",
-            f"explode(filter(toks, x -> x IN ({lits}))) AS tok",
+            f"filter(toks, x -> x IN ({lits})) AS qtoks",
         )
+    )
+    tf = persist_bounded(
+        lens.selectExpr("doc_id", "dl", "explode(qtoks) AS tok")
         .groupBy("doc_id", "dl", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    stats = docs.agg(
+    stats = lens.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg(F.size("toks")).alias("avgdl"),
+        F.avg("dl").alias("avgdl"),
     )
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     return (
