@@ -682,11 +682,13 @@ def training_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = docs.selectExpr(
         "doc_id", "md5(CAST(doc_id AS STRING)) AS shuffle_key"
     )
-    ranks = histogram_cnt_better(
-        keyed, "shuffle_key", small_value_space=False
-    ).selectExpr("v AS shuffle_key", "cnt_better AS pos")
-    return keyed.join(ranks, "shuffle_key").selectExpr(
-        "doc_id", "pos", f"pos % {N_ORDER_SHARDS} AS shard"
+    # md5 keys are unique per doc, so doc_id rides the rank itself
+    # (carry, r12) — the corpus-sized join-back is gone.
+    return histogram_cnt_better(
+        keyed, "shuffle_key", small_value_space=False, carry=("doc_id",)
+    ).selectExpr(
+        "doc_id", "cnt_better AS pos",
+        f"cnt_better % {N_ORDER_SHARDS} AS shard",
     )
 
 

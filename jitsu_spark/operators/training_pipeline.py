@@ -202,12 +202,15 @@ def training_pipeline_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = sel.selectExpr(
         "doc_id", "n_tok", "md5(CAST(doc_id AS STRING)) AS shuffle_key"
     )
-    ranks = histogram_cnt_better(
-        keyed, "shuffle_key", small_value_space=False
-    ).selectExpr("v AS shuffle_key", "cnt_better AS pos")
+    # md5 keys are unique per doc, so n_tok rides the rank itself
+    # (carry, r12) — the corpus-sized join-back is gone.
     return (
-        keyed.join(ranks, "shuffle_key")
-        .selectExpr("n_tok", "pos", f"pos % {TP_SHARDS} AS shard")
+        histogram_cnt_better(
+            keyed, "shuffle_key", small_value_space=False, carry=("n_tok",)
+        )
+        .selectExpr(
+            "n_tok", "cnt_better AS pos", f"cnt_better % {TP_SHARDS} AS shard"
+        )
         .groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

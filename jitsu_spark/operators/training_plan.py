@@ -59,9 +59,9 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.topk import persist_bounded
 
     docs = load_table(spark, sf_dir, "documents")
-    # r12: persist the skinny keyed frame — the rank histogram and the
-    # join-back both walk it, and its lineage is the corpus tokenize
-    # (guide §5 reuse: tokenize once, not once per consumer).
+    # r12: persist the skinny keyed frame — the rank's range exchange
+    # AND its range-partitioner sampling pass both walk it, and its
+    # lineage is the corpus tokenize (guide §5 reuse: tokenize once).
     keyed = persist_bounded(
         docs.selectExpr(
             "doc_id",
@@ -70,14 +70,15 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             " md5(CAST(doc_id AS STRING))) AS ckey",
         )
     )
-    ranks = histogram_cnt_better(
-        keyed, "ckey", small_value_space=False
-    ).selectExpr("v AS ckey", "cnt_better AS pos", "n_total")
-    return keyed.join(ranks, "ckey").selectExpr(
+    # ckey is unique per doc (md5 suffix), so the payload rides the rank
+    # itself (carry, r12) — the corpus-sized join-back is gone.
+    return histogram_cnt_better(
+        keyed, "ckey", small_value_space=False, carry=("doc_id", "n_tokens")
+    ).selectExpr(
         "doc_id",
         "n_tokens",
-        "pos",
-        f"(pos * {N_PHASES}) div n_total AS phase",
+        "cnt_better AS pos",
+        f"(cnt_better * {N_PHASES}) div n_total AS phase",
     )
 
 
@@ -512,9 +513,10 @@ def multi_epoch_order_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "explode(CASE WHEN n_copies >= 1 THEN sequence(1, n_copies)"
         " ELSE array() END) AS epoch",
     )
-    # r12: persist the skinny occurrence keys — the rank histogram and
-    # the join-back both walk this lineage (broadcast schedule join +
-    # epoch explode + md5), so without the persist it evaluates twice.
+    # r12: persist the skinny occurrence keys — the rank's range
+    # exchange and its range-partitioner sampling pass both walk this
+    # lineage (broadcast schedule join + epoch explode + md5), so
+    # without the persist it evaluates twice.
     keyed = persist_bounded(
         occ.selectExpr(
             "doc_id",
@@ -524,12 +526,13 @@ def multi_epoch_order_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             " STRING)))) AS okey",
         )
     )
-    ranks = histogram_cnt_better(
-        keyed, "okey", small_value_space=False
-    ).selectExpr("v AS okey", "cnt_better AS pos")
-    return keyed.join(ranks, "okey").selectExpr(
-        "doc_id", "CAST(epoch AS BIGINT) AS epoch", "pos",
-        f"pos % {N_ORDER_SHARDS_MANIFEST} AS shard",
+    # okey is unique per (doc, epoch) occurrence, so both payload
+    # columns ride the rank itself (carry, r12) — the join-back is gone.
+    return histogram_cnt_better(
+        keyed, "okey", small_value_space=False, carry=("doc_id", "epoch")
+    ).selectExpr(
+        "doc_id", "CAST(epoch AS BIGINT) AS epoch", "cnt_better AS pos",
+        f"cnt_better % {N_ORDER_SHARDS_MANIFEST} AS shard",
     )
 
 

@@ -55,19 +55,33 @@ def histogram_cnt_better(
     ascending: bool = True,
     partitions: int | None = None,
     small_value_space: bool = False,
+    carry: tuple = (),
 ) -> DataFrame:
-    """(v, cnt, cnt_better, n_total) for every DISTINCT value of
-    `value_col` in `df` — `cnt_better` counts rows whose value is
-    strictly better (smaller when ascending, descending otherwise)."""
+    """(v, cnt, [*carry,] cnt_better, n_total) for every DISTINCT value
+    of `value_col` in `df` — `cnt_better` counts rows whose value is
+    strictly better (smaller when ascending, descending otherwise).
+
+    `carry` (r12): extra input columns carried through the rank as
+    min() per distinct value. For callers whose value is UNIQUE per row
+    (md5 permutation keys, composite lpad||md5 keys), the output row IS
+    the input row plus its rank — eliminating the corpus-sized
+    join-back every such caller previously paid (rank table joined back
+    onto the keyed frame just to re-attach the payload columns). The
+    caller DECLARES uniqueness by using carry: with duplicate values
+    the min() is still deterministic, but the per-row fan-out of the
+    join-back form is lost (one output row per distinct value)."""
     spark = df.sparkSession
     hist = df.groupBy(F.col(value_col).alias("v")).agg(
-        F.count(F.lit(1)).alias("cnt")
+        F.count(F.lit(1)).alias("cnt"),
+        *[F.min(c).alias(c) for c in carry],
     )
+    carry_cols = list(carry)
     direction = "" if ascending else "DESC"
     if small_value_space:
         return hist.selectExpr(
             "v",
             "cnt",
+            *carry_cols,
             f"coalesce(sum(cnt) OVER (ORDER BY v {direction}"
             " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L)"
             " AS cnt_better",
@@ -94,19 +108,25 @@ def histogram_cnt_better(
             if not len(pdf):
                 continue
             c = pdf["cnt"].to_numpy()
-            out = pd.DataFrame(
-                {
-                    "v": pdf["v"].values,
-                    "cnt": c,
-                    "local_better": run
-                    + np.concatenate(([0], np.cumsum(c)[:-1])),
-                    "pid": pid,
-                }
+            cols = {
+                "v": pdf["v"].values,
+                "cnt": c,
+            }
+            for cc in carry_cols:
+                cols[cc] = pdf[cc].values
+            cols["local_better"] = run + np.concatenate(
+                ([0], np.cumsum(c)[:-1])
             )
+            cols["pid"] = pid
+            out = pd.DataFrame(cols)
             run += int(c.sum())
             yield out
 
-    vtype = dict(ranged.dtypes)["v"]
+    dtypes = dict(ranged.dtypes)
+    vtype = dtypes["v"]
+    carry_schema = "".join(
+        f", {c} {dtypes[c]}" for c in carry_cols
+    )
     # r12: persist the prefix-summed histogram — both consumers below
     # (the per-pid offsets aggregate and the caller-facing join) walk
     # it, and without the persist each re-runs the input aggregate, the
@@ -118,7 +138,8 @@ def histogram_cnt_better(
 
     with_pid = persist_bounded(
         ranged.mapInPandas(
-            local_prefix, f"v {vtype}, cnt long, local_better long, pid int"
+            local_prefix,
+            f"v {vtype}, cnt long{carry_schema}, local_better long, pid int",
         )
     )
     # per-pid totals: n_partitions rows — the cumulative window here is
@@ -135,5 +156,5 @@ def histogram_cnt_better(
         )
     )
     return with_pid.join(maybe_broadcast(offsets), "pid").selectExpr(
-        "v", "cnt", "local_better + off AS cnt_better", "n_total"
+        "v", "cnt", *carry_cols, "local_better + off AS cnt_better", "n_total"
     )
