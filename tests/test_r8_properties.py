@@ -175,3 +175,40 @@ class TestCumsumProperty:
                 )
                 assert r["cnt_better"] == want
                 assert r["n_total"] == len(values)
+
+
+class TestHistogramCarry:
+    def test_carry_rides_the_rank_for_unique_keys(self, spark):
+        """carry columns must reproduce exactly what the join-back form
+        produced for unique keys, in BOTH branches."""
+        from jitsu_spark.plans.cumsum import histogram_cnt_better
+
+        rows = [(i, f"k{i:03d}", i * 10) for i in range(37)]
+        df = spark.createDataFrame(rows, "doc_id long, key string, pay long")
+        for small in (False, True):
+            out = histogram_cnt_better(
+                df, "key", small_value_space=small, carry=("doc_id", "pay")
+            ).collect()
+            assert len(out) == 37
+            for r in out:
+                # key k{i} ranks i-th; payload is the row's own columns
+                i = int(r["v"][1:])
+                assert r["doc_id"] == i and r["pay"] == i * 10
+                assert r["cnt_better"] == i
+                assert r["n_total"] == 37
+
+    def test_carry_on_duplicate_keys_is_min_per_value(self, spark):
+        from jitsu_spark.plans.cumsum import histogram_cnt_better
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, "b")], "doc_id long, key string"
+        )
+        out = {
+            r["v"]: r
+            for r in histogram_cnt_better(
+                df, "key", carry=("doc_id",)
+            ).collect()
+        }
+        assert len(out) == 2  # one row per DISTINCT value, not per row
+        assert out["a"]["doc_id"] == 1 and out["a"]["cnt"] == 2
+        assert out["b"]["doc_id"] == 3 and out["b"]["cnt_better"] == 2
