@@ -1037,12 +1037,17 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     would re-run the probe on materialization."""
     store = _ensure_store(spark, sf_dir)
     stored = ann_ivfpq_topk_stored(spark, sf_dir, store)
-    stored_rows = stored.collect()
+    # Arrow driver transfer (r12): the row-based collect pickled every
+    # (query, neighbor, sim) row through py4j; toPandas moves the same
+    # values (int64/float64 — exact) in Arrow batches and the localized
+    # return frame is built from the same pandas frame.
+    pdf = stored.toPandas()
     by_q: dict[int, set[int]] = {}
-    sims_ok = True
-    for r in stored_rows:
-        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-        sims_ok = sims_ok and -1.0001 <= r["sim"] <= 1.0001
+    for q, n in zip(pdf["query_id"], pdf["neighbor_id"]):
+        by_q.setdefault(int(q), set()).add(int(n))
+    sims_ok = bool(
+        len(pdf) and pdf["sim"].between(-1.0001, 1.0001).all()
+    )
     shape_ok = (
         bool(by_q)
         and sims_ok
@@ -1051,7 +1056,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for q, nbrs in by_q.items()
         )
     )
-    return spark.createDataFrame(stored_rows, stored.schema).withColumn(
+    return spark.createDataFrame(pdf, stored.schema).withColumn(
         "topk_shape_ok", F.lit(shape_ok)
     )
 
@@ -1079,25 +1084,19 @@ def pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sequentially). Each branch is still computed from the parquet
     # inputs on every invocation.
     def _exact() -> set:
-        return {
-            (r["query_id"], r["neighbor_id"])
-            for r in cosine_topk_bruteforce(spark, sf_dir).collect()
-        }
+        pdf = cosine_topk_bruteforce(spark, sf_dir).toPandas()
+        return set(zip(map(int, pdf["query_id"]), map(int, pdf["neighbor_id"])))
 
     def _default() -> set:
-        return {
-            (r["query_id"], r["neighbor_id"])
-            for r in ann_ivfpq_topk_stored(spark, sf_dir, store).collect()
-        }
+        pdf = ann_ivfpq_topk_stored(spark, sf_dir, store).toPandas()
+        return set(zip(map(int, pdf["query_id"]), map(int, pdf["neighbor_id"])))
 
     def _full() -> set:
         k_cells = _load_codebook(spark, store).count()
-        return {
-            (r["query_id"], r["neighbor_id"])
-            for r in ann_ivfpq_topk_stored(
-                spark, sf_dir, store, nprobe=k_cells
-            ).collect()
-        }
+        pdf = ann_ivfpq_topk_stored(
+            spark, sf_dir, store, nprobe=k_cells
+        ).toPandas()
+        return set(zip(map(int, pdf["query_id"]), map(int, pdf["neighbor_id"])))
 
     from concurrent.futures import ThreadPoolExecutor
 
