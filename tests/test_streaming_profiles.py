@@ -178,9 +178,14 @@ class TestBombMidStream:
             if int(pdf["user_id"].iloc[0]) == 3:
                 import numpy as np
 
-                hoard = []
-                for _ in range(400):
-                    hoard.append(np.ones((4 << 20,), dtype=np.float64))
+                # ONE allocation at 2x the RLIMIT, not a loop of small
+                # chunks: under host memory pressure the incremental
+                # hoard allocated slowly enough that the 5 s SIGALRM
+                # fired before the RLIMIT did, and the test flaked on
+                # WHICH containment path won (both are containment, but
+                # this test pins the memory one). A single over-limit
+                # malloc fails instantly regardless of host load.
+                np.ones((2 * 64 << 17,), dtype=np.float64)
             return default_profile_fn(pdf)
 
         raw = str(tmp_path / "raw")
