@@ -217,10 +217,18 @@ def id_graph_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
             labels = (
                 prop.observe(
                     obs,
+                    # null-safe NOT-equal (r13, ADVICE r12 #4): every id
+                    # reaching the aggregate should carry an own=True row,
+                    # but if a caller ever seeds labels differently or
+                    # edges lose symmetry, `old` is NULL — a plain != maps
+                    # that to NULL and silently drops the id from the
+                    # changed sum (early termination with wrong
+                    # components). ~eqNullSafe counts unseen ids as
+                    # changed instead; identical on non-null pairs.
                     F.sum(
-                        (F.col("new_component") != F.col("old")).cast(
-                            "long"
-                        )
+                        (
+                            ~F.col("new_component").eqNullSafe(F.col("old"))
+                        ).cast("long")
                     ).alias("changed"),
                 )
                 .select("id", F.col("new_component").alias("component"))

@@ -469,6 +469,14 @@ def _bm25_scored(docs_tbl: DataFrame, queries: DataFrame) -> DataFrame:
     # reuse; §2.3 — the persist holds filtered tokens, never full text).
     from ..plans.topk import persist_bounded
 
+    # Scale note (r13, ADVICE r12 #3): "bounded by the query vocab" holds
+    # for ROW WIDTH only — lens has one row per corpus document, so at
+    # very large corpora this persist is corpus-row-count cache pressure
+    # (narrow rows: id, int, filtered-token array). It cannot be derived
+    # from tf (tf only covers docs containing query terms; stats needs
+    # every doc). persist() keeps lineage, so block-manager eviction under
+    # pressure merely recomputes — the persist is an optimization, never a
+    # correctness dependency.
     lens = persist_bounded(
         docs.selectExpr(
             "doc_id",

@@ -67,9 +67,10 @@ def histogram_cnt_better(
     the input row plus its rank — eliminating the corpus-sized
     join-back every such caller previously paid (rank table joined back
     onto the keyed frame just to re-attach the payload columns). The
-    caller DECLARES uniqueness by using carry: with duplicate values
-    the min() is still deterministic, but the per-row fan-out of the
-    join-back form is lost (one output row per distinct value)."""
+    caller DECLARES uniqueness by using carry, and the declaration is
+    ENFORCED (r13, ADVICE r12 #2): a duplicate value raises at execution
+    in both branches, because silently collapsing to one output row per
+    distinct value would drop rows with no signal."""
     spark = df.sparkSession
     hist = df.groupBy(F.col(value_col).alias("v")).agg(
         F.count(F.lit(1)).alias("cnt"),
@@ -78,9 +79,20 @@ def histogram_cnt_better(
     carry_cols = list(carry)
     direction = "" if ascending else "DESC"
     if small_value_space:
+        # carry requires unique keys (see docstring); with duplicates the
+        # join-back form's per-row fan-out is silently lost, so fail loud
+        # (r13, ADVICE r12 #2). assert_true only evaluates on the
+        # duplicate branch — zero cost when the caller's contract holds.
+        cnt_expr = (
+            "if(cnt > 1, CAST(raise_error(concat("
+            "'histogram carry= requires unique keys; duplicate value: ',"
+            " CAST(v AS STRING))) AS LONG), cnt) AS cnt"
+            if carry_cols
+            else "cnt"
+        )
         return hist.selectExpr(
             "v",
-            "cnt",
+            cnt_expr,
             *carry_cols,
             f"coalesce(sum(cnt) OVER (ORDER BY v {direction}"
             " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L)"
@@ -108,6 +120,14 @@ def histogram_cnt_better(
             if not len(pdf):
                 continue
             c = pdf["cnt"].to_numpy()
+            if carry_cols and (c > 1).any():
+                # carry requires unique keys (see docstring); duplicates
+                # would silently collapse rows (r13, ADVICE r12 #2)
+                dup = pdf["v"].iloc[int((c > 1).argmax())]
+                raise ValueError(
+                    "histogram carry= requires unique keys; duplicate"
+                    f" value: {dup!r}"
+                )
             cols = {
                 "v": pdf["v"].values,
                 "cnt": c,

@@ -31,10 +31,36 @@ _NPART_MEMO: dict[tuple, int] = {}
 _NPART_MEMO_CAP = 512
 
 
+def _conf_token(df: DataFrame) -> tuple:
+    """Session confs that determine a scan's partition count (r13,
+    ADVICE r12 #1: the plan fingerprint alone misses them — a mid-
+    process conf change or a second session over the same files must
+    not be served a stale count)."""
+    conf = df.sparkSession.conf
+
+    def _get(key: str) -> str:
+        # typed confs validate even the DEFAULT argument, so unset keys
+        # must be probed under try (minPartitionNum has no default)
+        try:
+            return str(conf.get(key))
+        except Exception:
+            return ""
+
+    return (
+        _get("spark.sql.files.maxPartitionBytes"),
+        _get("spark.sql.files.openCostInBytes"),
+        _get("spark.sql.files.minPartitionNum"),
+        _get("spark.sql.shuffle.partitions"),
+        df.sparkSession.sparkContext.defaultParallelism,
+    )
+
+
 def _num_partitions(df: DataFrame) -> int | None:
     from .hints import plan_fingerprint
 
     key = plan_fingerprint(df)
+    if key is not None:
+        key = key + (_conf_token(df),)
     if key is not None:
         hit = _NPART_MEMO.get(key)
         if hit is not None:

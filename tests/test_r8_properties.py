@@ -197,18 +197,25 @@ class TestHistogramCarry:
                 assert r["cnt_better"] == i
                 assert r["n_total"] == 37
 
-    def test_carry_on_duplicate_keys_is_min_per_value(self, spark):
+    def test_carry_on_duplicate_keys_raises(self, spark):
+        """r13 (ADVICE r12 #2): carry= declares key uniqueness; a
+        colliding key would silently drop rows (one output per DISTINCT
+        value), so both branches must fail loud instead."""
+        import pytest
+
         from jitsu_spark.plans.cumsum import histogram_cnt_better
 
         df = spark.createDataFrame(
             [(1, "a"), (2, "a"), (3, "b")], "doc_id long, key string"
         )
+        for small in (False, True):
+            with pytest.raises(Exception, match="unique keys"):
+                histogram_cnt_better(
+                    df, "key", small_value_space=small, carry=("doc_id",)
+                ).collect()
+        # without carry, duplicate keys remain perfectly legal
         out = {
             r["v"]: r
-            for r in histogram_cnt_better(
-                df, "key", carry=("doc_id",)
-            ).collect()
+            for r in histogram_cnt_better(df, "key").collect()
         }
-        assert len(out) == 2  # one row per DISTINCT value, not per row
-        assert out["a"]["doc_id"] == 1 and out["a"]["cnt"] == 2
-        assert out["b"]["doc_id"] == 3 and out["b"]["cnt_better"] == 2
+        assert out["a"]["cnt"] == 2 and out["b"]["cnt_better"] == 2

@@ -137,3 +137,21 @@ class TestTextSemanticDups:
         if lsh:
             # most LSH near-dups also exceed the hashed-cosine threshold
             assert len(cos & lsh) / len(lsh) >= 0.5, (len(cos), len(lsh), len(cos & lsh))
+
+
+def test_exact_pairs_scale_gate(spark, sf_dir, monkeypatch):
+    """r13 (VERDICT r12 "Next round" #7): the exact O(N^2) all-pairs
+    contract fails fast above the row bound instead of launching an
+    unrunnable block-pair grid; unset, test SFs stay untouched."""
+    import pytest
+
+    from jitsu_spark.operators.text_embed import text_semantic_dups
+
+    monkeypatch.setenv("SPARK_GRAFT_EXACT_PAIRS_MAX_ROWS", "3")
+    with pytest.raises(ValueError, match="fail-fast bound"):
+        text_semantic_dups(spark, sf_dir)
+    monkeypatch.delenv("SPARK_GRAFT_EXACT_PAIRS_MAX_ROWS")
+    # below the bound the entry is unchanged
+    assert text_semantic_dups(spark, sf_dir).columns == [
+        "doc_a", "doc_b", "sim",
+    ]
