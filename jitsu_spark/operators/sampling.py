@@ -319,6 +319,17 @@ def token_budget_over(
     only corpus-side window is the within-bucket running sum."""
     from pyspark.sql import Window
 
+    # (r13, tried and REVERTED: an explicit repartition(source, bucket)
+    # shared by the histogram aggregate and the within-bucket window —
+    # guide §2.4 "one exchange for two same-keyed consumers" — does NOT
+    # deduplicate at runtime: column pruning pushes a narrower Project
+    # below the histogram branch's copy of the exchange, the canonical
+    # plans differ, and ReuseExchange/AQE stage reuse never fires
+    # (verified executedPlan: 3 distinct ShuffleQueryStages, 0
+    # ReusedExchange). The result is the corpus rows shuffled TWICE in
+    # full, where this shape shuffles them once for the window plus a
+    # partial-aggregated, bucket-count-bounded histogram exchange —
+    # strictly fewer bytes at any scale.)
     hist = scored.groupBy("source", "bucket").agg(
         F.sum("n_tok").alias("btok")
     )
@@ -578,35 +589,37 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"round(w + ({_gumbel('doc_id', conv20)}), 4) + 0.0 AS gumbel_key",
         )
     )
-    # materialize the scores once: the rank histogram AND the final
-    # join-back both walk `scored`, whose lineage is the expensive gram
-    # explode + LM joins — without the persist each consumer re-runs the
-    # corpus pass (measured 3x wall at the 10x probe). Skinny frame
-    # (5 scalars/doc); released by the shared bounded-cache lifecycle.
-    scored = persist_bounded(scored)
-    # percent-rank over the ROUNDED key via the distributed range-
-    # partitioned prefix sum (plans/cumsum.py): gumbel keys are nearly
-    # unique per doc, so the histogram grows WITH the corpus — a global
-    # cumulative window would funnel it through one task (r8 hardening,
-    # same lesson as the zipf top-V fix)
-    from ..plans.cumsum import histogram_cnt_better
+    # percent-rank via the COMPOSITE-key distributed prefix rank (r13,
+    # VERDICT r12 "Next round" #5): gumbel keys are floats rounded to 4
+    # decimals, so they can collide — which previously forced the rank
+    # table to JOIN BACK onto the corpus-sized scored frame (two more
+    # exchanges + a persist of scored). Composing doc_id into the rank
+    # key makes it unique BY CONSTRUCTION: (gumbel_key, doc_id) sorts
+    # identically to gumbel_key with ties broken by doc_id, so
+    # `rank_unique` carries the payload through the rank itself (no
+    # histogram group-by, no join-back, scored persist gone). The
+    # oracle's ties-EQUAL percent_rank is recovered exactly: rows of a
+    # tie group are consecutive in the composite order, so the group's
+    # first row's cnt_better IS the strictly-smaller-gumbel count —
+    # min(cnt_better) over the tie group (a skinny per-doc window),
+    # never a corpus join.
+    from pyspark.sql import Window
 
-    ranks = histogram_cnt_better(scored, "gumbel_key").selectExpr(
-        "v AS r_key",
-        "CASE WHEN n_total = 1 THEN 0.0D"
-        " ELSE cnt_better / (n_total - 1) END AS pr",
-    )
+    from ..plans.cumsum import rank_unique
+
+    ranked = rank_unique(scored, ["gumbel_key", "doc_id"])
+    w = Window.partitionBy("gumbel_key")
     return (
-        scored.join(
-            maybe_broadcast(ranks), scored["gumbel_key"] == ranks["r_key"]
-        )
+        ranked.withColumn("g_better", F.min("cnt_better").over(w))
         .selectExpr(
             "doc_id",
             "n_grams",
             "sum_log_ratio",
             "avg_log_ratio",
             "gumbel_key",
-            f"pr >= {DSIR_KEEP_PCT} AS keep",
+            "(CASE WHEN n_total = 1 THEN 0.0D"
+            f" ELSE g_better / (n_total - 1) END) >= {DSIR_KEEP_PCT}"
+            " AS keep",
         )
     )
 

@@ -84,12 +84,21 @@ def _stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         *gopher_feature_exprs("t"),
     )
     # r12 (guide §5 reuse, §2.3 project early): ONE tokenize+feature
-    # pass over the corpus, persisted as the skinny per-doc ledger
-    # (doc_id, source, n_tok, keep, content hash — no text, no feature
-    # columns). The input/gate attrition rows, the exact-dedup election
-    # and the downstream joins all fold over it; previously the
-    # tokenize+Gopher subtree ran once per consumer (3 full passes).
-    ledger = persist_bounded(
+    # pass over the corpus, persisted as the skinny per-doc ledger — no
+    # text, no feature columns. r13 (guide §2.4/§2.6, VERDICT r12 #1 —
+    # fewer serial waves): the exact-dedup ELECTION is folded INTO the
+    # same persisted frame as a conditional rank over the content-hash
+    # exchange (count of kept rows up to the current doc_id within the
+    # hash group == row_number among kept rows), so the former second
+    # persist (exact_ids) and its separate window/materialization wave
+    # are gone; the input/gate/exact attrition rows, the survivor set
+    # and the downstream joins all read this ONE frame.
+    w = (
+        Window.partitionBy("h")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = persist_bounded(
         feats.select(
             "doc_id",
             "source",
@@ -97,14 +106,20 @@ def _stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             F.expr(f"({GOPHER_KEEP_RULE})").alias("keep"),
             F.md5("text").alias("h"),
         )
+        .withColumn(
+            "exact_rn",
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).over(w),
+        )
+        .selectExpr(
+            "doc_id",
+            "source",
+            "n_tok",
+            "keep",
+            "keep AND exact_rn = 1 AS is_exact",
+        )
     )
-    gated = ledger.where("keep")
-    w = Window.partitionBy("h").orderBy("doc_id")
-    exact_ids = persist_bounded(
-        gated.withColumn("rn", F.row_number().over(w))
-        .where("rn = 1")
-        .select("doc_id", "source", "n_tok")
-    )
+    gated = marked.where("keep")
+    exact_ids = marked.where("is_exact").select("doc_id", "source", "n_tok")
     # text re-attaches from the scan only where a stage truly needs it
     # (the paragraph explode) — a doc_id join against the pruned scan is
     # cheaper than carrying text through the election shuffle and the
@@ -118,25 +133,39 @@ def _stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     pars = paragraphs_of_docs(exact.select("doc_id", "source", "text"))
+    # r13 (guide §2.4, VERDICT r12 #1): `source` rides the paragraph
+    # election as min_by(source, wk) — the winning doc's source — so the
+    # rebuilt frame no longer joins back onto exact_ids just to
+    # re-attach it (at scale that join is a corpus-sized SMJ of the
+    # rebuilt aggregate against the survivor set; here it was one more
+    # broadcast-build wave on the critical path). Every kept row's
+    # wk DIV PAR_SHIFT is the winner doc, whose source is functionally
+    # determined, so min(source) per doc_id below is exact.
     kept = (
         pars.select(
             "par",
             (F.col("doc_id") * PAR_SHIFT + F.col("pidx")).alias("wk"),
+            "source",
         )
         .groupBy("par")
-        .agg(F.min("wk").alias("wk"))
+        .agg(
+            F.min("wk").alias("wk"),
+            F.expr("min_by(source, wk)").alias("source"),
+        )
     )
     rebuilt = (
         kept.selectExpr(
             f"wk DIV {PAR_SHIFT} AS doc_id",
             "CAST(size(split(par, ' ')) AS BIGINT) AS par_tok",
+            "source",
         )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_pars_kept"),
             F.sum("par_tok").alias("n_tok"),
+            F.min("source").alias("source"),
         )
-        .join(exact_ids.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "n_pars_kept", "n_tok", "source")
     )
     rebuilt = persist_bounded(rebuilt)
     scored = rebuilt.select("doc_id", "source", "n_tok").withColumn(
@@ -147,7 +176,8 @@ def _stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         "doc_id", "source", "n_tok"
     ))
     return {
-        "input": ledger,
+        "input": marked,
+        "marked": marked,
         "gated": gated,
         "exact": exact,
         "exact_ids": exact_ids,
@@ -160,34 +190,39 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry (oracle-checked): the per-stage attrition table of
     the composed pipeline — (stage_idx, stage, n_docs, n_tokens)."""
     s = _stages(spark, sf_dir)
-    order = [
-        ("input", 0),
-        ("gopher_gate", 1),
-        ("exact_dedup", 2),
-        ("paragraph_dedup", 3),
-        ("token_budget", 4),
-    ]
-    frames = {
-        "input": s["input"],
-        "gopher_gate": s["gated"],
-        # the skinny persisted election — folding the attrition row over
-        # it avoids re-attaching text via the scan join (r12)
-        "exact_dedup": s["exact_ids"],
-        "paragraph_dedup": s["rebuilt"],
-        "token_budget": s["selected"],
-    }
-    parts = [
-        frames[name].agg(
-            F.lit(idx).cast("int").alias("stage_idx"),
-            F.lit(name).alias("stage"),
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tok").alias("n_tokens"),
+    # r13 (guide §2.4, the dedup_cascade_report shape): the input /
+    # gopher_gate / exact_dedup rows are nested subsets of the ONE
+    # persisted marked ledger, so a single conditional aggregate folds
+    # all three and the rows explode map-side via inline() — previously
+    # three separate aggregate arms each walked the cache. The paragraph
+    # and budget rows keep their own arms (different n_tok basis: the
+    # REBUILT token counts).
+    head = s["marked"].agg(
+        F.count(F.lit(1)).alias("d0"),
+        F.sum("n_tok").alias("t0"),
+        F.count(F.when(F.col("keep"), 1)).alias("d1"),
+        F.sum(F.when(F.col("keep"), F.col("n_tok"))).alias("t1"),
+        F.count(F.when(F.col("is_exact"), 1)).alias("d2"),
+        F.sum(F.when(F.col("is_exact"), F.col("n_tok"))).alias("t2"),
+    )
+    rows = ", ".join(
+        f"named_struct('stage_idx', CAST({i} AS INT), 'stage', '{name}',"
+        f" 'n_docs', d{i}, 'n_tokens', t{i})"
+        for name, i in (("input", 0), ("gopher_gate", 1), ("exact_dedup", 2))
+    )
+    out = head.selectExpr(f"inline(array({rows}))")
+    for name, idx, frame in (
+        ("paragraph_dedup", 3, s["rebuilt"]),
+        ("token_budget", 4, s["selected"]),
+    ):
+        out = out.unionByName(
+            frame.agg(
+                F.lit(idx).cast("int").alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tok").alias("n_tokens"),
+            )
         )
-        for name, idx in order
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
     return out
 
 

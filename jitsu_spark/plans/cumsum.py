@@ -49,6 +49,87 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def rank_unique(
+    df: DataFrame,
+    value_cols: list[str] | tuple,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Every row of `df` plus `cnt_better` (rows strictly smaller under
+    the lexicographic ascending order of `value_cols`) and `n_total` —
+    for inputs whose `value_cols` are JOINTLY UNIQUE per row (r13).
+
+    This is the zero-histogram specialization of `histogram_cnt_better`:
+    with unique keys the (value, cnt) histogram IS the input (cnt = 1
+    everywhere), so the group-by exchange disappears entirely — one
+    range exchange, one Arrow local-prefix pass, a partition-count-sized
+    offsets window broadcast back on pid. Callers that previously paid
+    histogram + rank + corpus-sized join-back (float keys that collide)
+    instead make the key unique by composition — e.g. (gumbel_key,
+    doc_id) ranks identically to gumbel_key with ties broken by doc_id,
+    and a ties-equal rank is recovered as min(cnt_better) over the tie
+    group (a skinny window), never a corpus join.
+
+    Uniqueness is NOT enforced here (no aggregate runs to detect it);
+    callers compose a per-row-unique column (doc_id) into value_cols,
+    which makes collisions impossible by construction."""
+    spark = df.sparkSession
+    from pyspark.sql import functions as FF
+
+    n_parts = partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    order = [FF.col(c).asc() for c in value_cols]
+    ranged = df.repartitionByRange(n_parts, *order).sortWithinPartitions(
+        *order
+    )
+    cols = list(df.columns)
+
+    def local_prefix(batches):
+        import numpy as np
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        run = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = pdf.copy()
+            out["local_better"] = run + np.arange(len(pdf), dtype=np.int64)
+            out["pid"] = np.int32(pid)
+            run += len(pdf)
+            yield out
+
+    dtypes = dict(ranged.dtypes)
+    schema = ", ".join(f"{c} {dtypes[c]}" for c in cols)
+    from .topk import persist_bounded
+
+    # persisted (skinny rows): the per-pid totals aggregate and the
+    # caller-facing join both walk it — same rationale as the histogram
+    # branch's with_pid persist
+    with_pid = persist_bounded(
+        ranged.mapInPandas(
+            local_prefix, f"{schema}, local_better long, pid int"
+        )
+    )
+    offsets = (
+        with_pid.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .selectExpr(
+            "pid",
+            "coalesce(sum(t) OVER (ORDER BY pid"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L)"
+            " AS off",
+            "sum(t) OVER () AS n_total",
+        )
+    )
+    from .hints import maybe_broadcast
+
+    return with_pid.join(maybe_broadcast(offsets), "pid").selectExpr(
+        *cols, "local_better + off AS cnt_better", "n_total"
+    )
+
+
 def histogram_cnt_better(
     df: DataFrame,
     value_col: str,

@@ -12,6 +12,10 @@ import os
 
 import pytest
 
+# r13: long end-to-end file — excluded from the default pytest profile
+# (pytest.ini addopts -m "not slow"); run with -m slow / -m "slow or not slow".
+pytestmark = pytest.mark.slow
+
 
 def _write_events(path: str, events: list[dict], name: str) -> None:
     os.makedirs(path, exist_ok=True)

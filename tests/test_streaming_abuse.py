@@ -7,6 +7,10 @@ import json
 
 import pytest
 
+# r13: long end-to-end file — excluded from the default pytest profile
+# (pytest.ini addopts -m "not slow"); run with -m slow / -m "slow or not slow".
+pytestmark = pytest.mark.slow
+
 
 def _write_events(src_dir, rows, fname, order):
     """The file source triggers in modification-time order; files written

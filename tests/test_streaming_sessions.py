@@ -10,6 +10,10 @@ import json
 import pandas as pd
 import pytest
 
+# r13: long end-to-end file — excluded from the default pytest profile
+# (pytest.ini addopts -m "not slow"); run with -m slow / -m "slow or not slow".
+pytestmark = pytest.mark.slow
+
 
 def _ev(i, ts, user, etype="click"):
     return {

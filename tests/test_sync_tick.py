@@ -18,6 +18,10 @@ from jitsu_spark.sources.scheduler import SyncJobSpec
 from jitsu_spark.sources.sync import SyncState
 from jitsu_spark.sources.tick import ScheduledSync, scheduler_tick
 
+# r13: long end-to-end file — excluded from the default pytest profile
+# (pytest.ini addopts -m "not slow"); run with -m slow / -m "slow or not slow".
+pytestmark = pytest.mark.slow
+
 T1 = dt.datetime(2024, 5, 1, 12, 0, tzinfo=dt.timezone.utc)
 T2 = dt.datetime(2024, 5, 1, 12, 1, tzinfo=dt.timezone.utc)
 

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import hashlib
 
+import pytest
+
 from jitsu_spark.operators.sampling import (
     N_ORDER_SHARDS,
     training_shuffle_order,
@@ -34,6 +36,7 @@ def test_positions_are_md5_permutation(spark, tmp_path):
         assert out[doc_id]["shard"] == pos % N_ORDER_SHARDS
 
 
+@pytest.mark.slow  # r13: >30s rewrite-and-recompute sweep; run with -m slow
 def test_order_is_partitioning_independent(spark, tmp_path):
     a = {
         (r["doc_id"], r["pos"])

@@ -8,6 +8,7 @@ over). Oracle parity is covered by tools/check_oracle.py."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from jitsu_spark.operators.training_pipeline import (
     TP_BUDGET_PER_MILLE,
@@ -53,6 +54,7 @@ class TestAttrition:
         assert max(r.max_pos for r in shards) == sel.n_docs - 1
 
 
+@pytest.mark.slow  # r13: >30s stage-equality sweeps; run with -m slow
 class TestCompositionalEquality:
     def test_gate_stage_equals_gopher_flags(self, spark):
         from jitsu_spark.operators.quality_filters import (

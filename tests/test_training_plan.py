@@ -5,6 +5,10 @@ from __future__ import annotations
 
 import pytest
 
+# r13: long end-to-end file — excluded from the default pytest profile
+# (pytest.ini addopts -m "not slow"); run with -m slow / -m "slow or not slow".
+pytestmark = pytest.mark.slow
+
 
 def _write_docs(spark, tmp_path, rows):
     spark.createDataFrame(
