@@ -240,17 +240,26 @@ def incremental_corpus(
     affected = diff.where(
         F.col("status").isin("removed", "changed")
     ).select("doc_id")
-    # the previous tick's corpus: old-snapshot exact-dedup canonicals
-    old_canon = (
-        old.select("doc_id", F.md5("text").alias("h"))
-        .groupBy("h")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    # The previous tick's corpus: old-snapshot exact-dedup canonicals.
+    # r13 (guide §2.4, the dedup_exact r12 window pattern): the canonical
+    # election is ONE window over the content-hash exchange instead of a
+    # min-doc_id aggregate SEMI-JOINED back onto the snapshot — the
+    # join-back re-walked `old` once more per reference and shuffled the
+    # text-bearing snapshot by doc_id on top of the aggregate's hash
+    # exchange. The window frame also CARRIES the hash, so the
+    # fingerprint store below reuses it instead of re-hashing the
+    # retained text (one md5 pass over the corpus, not two).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("h").orderBy("doc_id")
+    retained_h = (
+        old.withColumn("h", F.md5("text"))
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .drop("rn")
+        .join(maybe_broadcast(affected), "doc_id", "left_anti")
     )
-    retained_ids = old_canon.join(
-        maybe_broadcast(affected), "doc_id", "left_anti"
-    )
-    retained = old.join(retained_ids, "doc_id", "left_semi")
+    retained = retained_h.drop("h")
     batch_ids = diff.where(
         F.col("status").isin("added", "changed")
     ).select("doc_id")
@@ -260,10 +269,10 @@ def incremental_corpus(
     batch = new.join(
         maybe_broadcast(batch_ids), "doc_id", "left_semi"
     ).localCheckpoint(eager=True)
-    # retained docs are canonical-per-hash, so this store is hash-unique
-    store = retained.select(
-        F.md5("text").alias("text_hash"),
-        F.col("doc_id").alias("canonical_id"),
+    # retained docs are canonical-per-hash, so this store is hash-unique;
+    # the hash rides from the election window (no second md5 pass)
+    store = retained_h.selectExpr(
+        "h AS text_hash", "doc_id AS canonical_id"
     )
     verdicts = verdicts_against_store(batch, store)
     ingested = batch.join(
@@ -276,6 +285,14 @@ def incremental_corpus(
     merged = retained.withColumn(
         "origin", F.lit("retained")
     ).unionByName(ingested.withColumn("origin", F.lit("ingested")))
+    # (r13, tried and REVERTED: persisting the skinny scored frame so
+    # token_budget_over's two walks share one tokenize/election pass
+    # measured 1.58 -> 2.15 median at sf0.1 with jobs 23 -> 24 — the
+    # persist MATERIALIZATION serializes the whole merged lineage before
+    # the budget branches, while the two walks run concurrently on idle
+    # cores; the same concurrent-rewalk verdict as r12's
+    # domain_mixture_weights. The window election above already cut the
+    # plan's corpus scans 16 -> 8.)
     scored = merged.selectExpr(
         "doc_id",
         "source",
