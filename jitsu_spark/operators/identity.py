@@ -133,6 +133,12 @@ def id_graph_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
     # cache-materialization job (for GEMM/LSH-derived pair frames that
     # doubled the most expensive pass of the consumer; no Exchange sits
     # atop `pairs`, so ReuseExchange never deduplicated it).
+    # r13 (guide §2.4): hash the edge table by the probe key BEFORE
+    # caching — InMemoryTableScan preserves the cached plan's output
+    # partitioning, so every round's edges⋈labels join reuses it instead
+    # of re-exchanging the (static) edge multiset per round; only the
+    # label side (which changes each round) still shuffles.
+    n_edge_parts = pairs.sparkSession.sparkContext.defaultParallelism
     edges = (
         pairs.selectExpr(
             "explode(array(struct(id_a AS src, id_b AS dst),"
@@ -140,6 +146,7 @@ def id_graph_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
         )
         .select("e.src", "e.dst")
         .distinct()
+        .repartition(n_edge_parts, "src")
         .cache()  # probed every round
     )
     labels = (
@@ -152,6 +159,14 @@ def id_graph_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
     # BroadcastExchange is a blocking driver-side build per round, while
     # AQE already localizes these tiny shuffles. Measured 3.3-3.9s
     # gated vs 2.1-2.6s plain on id_graph; plain joins kept.)
+    # (r13, tried and reverted: full large-star/small-star contraction
+    # (Kiveris et al.) — labels verified identical, but 2.14 vs 1.74 s
+    # median on id_graph at sf0.1: each alternation costs two
+    # neighborhood groupBy exchanges + a distinct + an edge-set
+    # convergence check where a propagation round costs one join+agg,
+    # and the identity graph is SHALLOW (diameter ~4), so the round
+    # count star contraction buys down is already tiny. Worth revisiting
+    # only if production graphs develop deep chains.)
     try:
         for i in range(max_iter + 64):
             # Candidate labels via one hop. The node's OWN previous label
